@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the engine.
+  *
+  * The reference keeps one long-lived connection per database
+  * (`/root/reference/util.py:59-107`); our analogue is a single shared
+  * [[SparkSession]] configured once: UTC (oracle parity), AQE on (runtime
+  * re-plan for skew/broadcast at scale), shuffle partitions sized to local
+  * cores rather than the 200 default (at cluster scale this is set to
+  * ~2-3x total cores by the submitter).
+  */
+object GraftSession {
+
+  def builder(master: String = s"local[${defaultCpus}]"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", defaultCpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // Parquet pushdown + vectorized reads are on by default; pinned here
+      // because the 100 TB design depends on them (SURVEY §4).
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.enableVectorizedReader", "true")
+      // The `events` fixture stores ts as INT64 TIMESTAMP(NANOS), which
+      // Spark's reader rejects by default; read nanos as Long and let
+      // Tables convert to a microsecond timestamp (DuckDB-equivalent
+      // truncation).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    math.max(4, Runtime.getRuntime.availableProcessors()).toString)
+
+  /** Get-or-create with graft defaults. */
+  def get(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Access layer for the driver-provided parquet fixtures
+  * (`/root/testdata/sf*`; see TESTDATA.md / FIXTURES.md).
+  *
+  * One parquet file per table; schema-on-read, like the reference's
+  * cursor-metadata inference (`/root/reference/util.py:173`) — Spark derives
+  * the `StructType` from the parquet footer.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS); with
+    // spark.sql.legacy.parquet.nanosAsLong it surfaces as Long nanos —
+    // convert to a microsecond timestamp exactly as DuckDB truncates it.
+    // `div` keeps the arithmetic integral (ns epochs exceed 2^53, so a
+    // double division would lose precision).
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every fixture table as a temp view so `spark.sql` queries can
+    * use the same names the DuckDB oracle sees. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic text primitives (SURVEY §2.3 E36-E38 + the text-analysis
+  * extension surface).
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * higher-order functions — no Scala UDFs in the hot path — and every
+  * formula is simple enough to restate in DuckDB SQL for the oracle:
+  *
+  *  - `chars(s)`      = single characters of `s` (no empty artifacts)
+  *  - `charHash(s)`   = fold: acc₀=7; acc = (acc*31 + codepoint) mod 1e9+7
+  *  - `tokens(s)`     = split on single space, empty tokens dropped
+  *  - `tokenHashes(s)`= distinct charHash over tokens (a set, not multiset)
+  *  - `minhash k`     : sig[i] = min over token hashes h of
+  *                      ((i+1)*h + 7919*i) mod (2^31-1),  i ∈ [0, k)
+  *  - `band hash`     : fold of 4 consecutive sig values with charHash's fold
+  *  - `simhash30`     : bit j ∈ [0,30): 1 iff Σ_h (2*bit_j(h) - 1) >= 0
+  *
+  * All arithmetic stays in Long (max intermediate ≈ 3.3e10 << 2^63) so the
+  * Spark and DuckDB results are bit-identical. These are per-row projections
+  * (narrow, no shuffle): at 100 TB they scale linearly with input and stay
+  * inside whole-stage codegen.
+  */
+object TextFunctions {
+
+  val HashMod  = 1000000007L
+  val HashSeed = 7L
+  val MinhashMod = 2147483647L // 2^31 - 1
+  val MinhashB   = 7919L
+
+  /** Characters of a string column as an array, empty strings filtered out
+    * (Java's split("") can emit empty artifacts; DuckDB's doesn't — the
+    * filter keeps both sides identical). */
+  def chars(c: Column): Column = filter(split(c, ""), x => x =!= lit(""))
+
+  /** Polynomial rolling hash over characters — the document fingerprint
+    * primitive. */
+  def charHash(c: Column): Column =
+    aggregate(
+      chars(c),
+      lit(HashSeed),
+      (acc, ch) => (acc * lit(31L) + ascii(ch).cast("long")) % lit(HashMod))
+
+  /** Whitespace tokenization, empty tokens dropped. */
+  def tokens(c: Column): Column = filter(split(c, " "), t => t =!= lit(""))
+
+  /** Distinct token hashes — the set a MinHash/SimHash signature is built
+    * from. */
+  def tokenHashes(c: Column): Column =
+    array_distinct(transform(tokens(c), t => charHash(t)))
+
+  /** Word n-gram shingles joined by a single space (E37). */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    // i ∈ [1, size - n + 1]; slice is 1-based.
+    transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+  }
+
+  /** MinHash signature (length k) over the distinct token-hash set (E38). */
+  def minhashSignature(c: Column, k: Int): Column = {
+    val hs = tokenHashes(c)
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i =>
+        array_min(transform(hs, h =>
+          ((i + lit(1)).cast("long") * h + lit(MinhashB) * i.cast("long")) % lit(MinhashMod))))
+  }
+
+  /** LSH band hashes: fold each group of `rowsPerBand` signature values with
+    * the charHash fold. Docs sharing any band hash are near-dup candidates. */
+  def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b =>
+        aggregate(
+          slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
+          lit(HashSeed),
+          (acc, v) => (acc * lit(31L) + v) % lit(HashMod)))
+
+  /** 30-bit SimHash over the distinct token-hash set. Bit j of the result is
+    * set iff the majority of token hashes have bit j set. */
+  def simhash30(c: Column): Column = {
+    val hs = tokenHashes(c)
+    aggregate(
+      sequence(lit(0), lit(29)),
+      lit(0L),
+      (acc, j) => {
+        val bitSum = aggregate(
+          hs,
+          lit(0L),
+          (s, h) => s + (floor(h / pow(lit(2.0), j)).cast("long") % lit(2L)) * lit(2L) - lit(1L))
+        acc + when(bitSum >= 0, floor(pow(lit(2.0), j)).cast("long")).otherwise(lit(0L))
+      })
+  }
+
+  /** Hamming distance between two simhash values (bits 0..29). */
+  def hamming30(a: Column, b: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(29)),
+      lit(0L),
+      (acc, j) =>
+        acc + when(
+          floor(a / pow(lit(2.0), j)).cast("long") % lit(2L) =!=
+            floor(b / pow(lit(2.0), j)).cast("long") % lit(2L), lit(1L)).otherwise(lit(0L)))
+
+  // ---- language ID (n-gram/stopword heuristic) -------------------------
+
+  /** Marker stopwords per language; prediction = argmax of marker counts
+    * with fixed priority order en > de > es > fr on ties (zh has no ASCII
+    * markers — the fixtures' text is ASCII word soup, so the heuristic's
+    * value is its determinism, not linguistic accuracy). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "les", "et", "des", "un"))
+
+  def langMarkerCount(c: Column, lang: String): Column = {
+    val markers = langMarkers.toMap.apply(lang)
+    size(filter(tokens(c), t => t.isin(markers.map(m => m: Any): _*)))
+  }
+
+  def langId(c: Column): Column = {
+    val en = langMarkerCount(c, "en")
+    val de = langMarkerCount(c, "de")
+    val es = langMarkerCount(c, "es")
+    val fr = langMarkerCount(c, "fr")
+    when(en >= de && en >= es && en >= fr, lit("en"))
+      .when(de >= es && de >= fr, lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  // ---- quality / token stats ------------------------------------------
+
+  /** Stopword ratio against the English marker set. */
+  def stopwordRatio(c: Column): Column =
+    langMarkerCount(c, "en").cast("double") / size(tokens(c))
+
+  /** Quality score ∈ [0,1]: 0.4·min(avgTokenLen/10,1) + 0.4·stopRatio +
+    * 0.2·min(nTokens/100,1), rounded to 4 decimals. */
+  def qualityScore(c: Column): Column = {
+    val nTok = size(tokens(c)).cast("double")
+    val avgLen = length(c).cast("double") / nTok
+    round(
+      least(avgLen / lit(10.0), lit(1.0)) * lit(0.4)
+        + stopwordRatio(c) * lit(0.4)
+        + least(nTok / lit(100.0), lit(1.0)) * lit(0.2),
+      4)
+  }
+
+  /** BPE-ish token-count estimate: number of `\w+|[^\w\s]` matches plus
+    * ceil(chars/4) (a crude bytes-per-token prior). */
+  def tokenCountEstimate(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))) +
+      ceil(length(c).cast("double") / lit(4.0)).cast("int")
+}

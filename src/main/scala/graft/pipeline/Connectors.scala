@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Source/sink registry — Spark-native version of the reference's connector
+  * factories (`/root/reference/util.py:276-335`), which dispatch on a
+  * `DB_TYPE` string and leave commented extension stubs for api/file
+  * connectors (`util.py:291-301`). Here a format string dispatches to
+  * `spark.read.format(...)` so new formats are one case each, and all I/O
+  * stays executor-side (never the reference's driver `fetchall`,
+  * `util.py:170`).
+  */
+sealed trait Source {
+  def read(spark: SparkSession, table: String): DataFrame
+}
+sealed trait Sink {
+  def write(df: DataFrame, table: String, mode: SaveMode): Unit
+}
+
+object Connectors {
+
+  /** Parquet directory source: one subdirectory (or file) per table. */
+  final case class ParquetSource(baseDir: String) extends Source {
+    def read(spark: SparkSession, table: String): DataFrame = {
+      val dir = s"$baseDir/$table"
+      val file = s"$baseDir/$table.parquet"
+      val p = if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) dir else file
+      spark.read.parquet(p)
+    }
+  }
+
+  final case class CsvSource(baseDir: String, header: Boolean = true) extends Source {
+    def read(spark: SparkSession, table: String): DataFrame =
+      spark.read.option("header", header.toString)
+        .option("inferSchema", "true").csv(s"$baseDir/$table.csv")
+  }
+
+  final case class JsonSource(baseDir: String) extends Source {
+    def read(spark: SparkSession, table: String): DataFrame =
+      spark.read.json(s"$baseDir/$table.json")
+  }
+
+  /** JDBC source with optional partitioned parallel scan — fixes the
+    * reference's single-cursor full fetch (`/root/reference/util.py:167,170`,
+    * BASELINE.md "source scan parallelism: 1"). With a partition column the
+    * scan fans out over `numPartitions` executor-side connections.
+    */
+  final case class JdbcSource(
+      url: String,
+      props: Map[String, String] = Map.empty,
+      partitionColumn: Option[String] = None,
+      numPartitions: Int = 8) extends Source {
+    def read(spark: SparkSession, table: String): DataFrame = {
+      val base = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", table)
+      val withProps = props.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
+      partitionColumn match {
+        case Some(pc) =>
+          // Bounds probe is one tiny aggregate pushed to the source.
+          val bounds = spark.read.format("jdbc").option("url", url)
+            .option("query", s"SELECT MIN($pc) lo, MAX($pc) hi FROM $table")
+            .load().collect().headOption
+          bounds match {
+            case Some(r) if !r.isNullAt(0) =>
+              withProps
+                .option("partitionColumn", pc)
+                .option("lowerBound", r.get(0).toString)
+                .option("upperBound", r.get(1).toString)
+                .option("numPartitions", numPartitions.toString)
+                .load()
+            case _ => withProps.load()
+          }
+        case None => withProps.load()
+      }
+    }
+  }
+
+  final case class ParquetSink(baseDir: String) extends Sink {
+    def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+      df.write.mode(mode).parquet(s"$baseDir/$table")
+  }
+
+  final case class CsvSink(baseDir: String) extends Sink {
+    def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+      df.write.mode(mode).option("header", "true").csv(s"$baseDir/$table")
+  }
+
+  /** JDBC sink; `batchsize=1000` for parity with the reference's
+    * `execute_batch(page_size=1000)` (`/root/reference/util.py:226,232`).
+    */
+  final case class JdbcSink(
+      url: String,
+      props: Map[String, String] = Map.empty,
+      batchSize: Int = 1000) extends Sink {
+    def write(df: DataFrame, table: String, mode: SaveMode): Unit = {
+      val base = df.write.format("jdbc")
+        .option("url", url).option("dbtable", table)
+        .option("batchsize", batchSize.toString)
+        .mode(mode)
+      props.foldLeft(base) { case (w, (k, v)) => w.option(k, v) }.save()
+    }
+  }
+
+  /** String-keyed factory, the analogue of `create_source_connector`
+    * (`/root/reference/util.py:276-304`). */
+  def source(format: String, baseDirOrUrl: String): Source =
+    format.toLowerCase match {
+      case "parquet" => ParquetSource(baseDirOrUrl)
+      case "csv"     => CsvSource(baseDirOrUrl)
+      case "json"    => JsonSource(baseDirOrUrl)
+      case "jdbc"    => JdbcSource(baseDirOrUrl)
+      case other     => throw new IllegalArgumentException(s"unknown source format: $other")
+    }
+
+  def sink(format: String, baseDirOrUrl: String): Sink =
+    format.toLowerCase match {
+      case "parquet" => ParquetSink(baseDirOrUrl)
+      case "csv"     => CsvSink(baseDirOrUrl)
+      case "jdbc"    => JdbcSink(baseDirOrUrl)
+      case other     => throw new IllegalArgumentException(s"unknown sink format: $other")
+    }
+}

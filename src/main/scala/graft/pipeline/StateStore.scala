@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Watermark state store — the engine's analogue of Airflow Variables
+  * (`/root/reference/dags/data_pipeline_with_incremental.py:38-79`).
+  *
+  * A flat `table=value` properties file, written atomically
+  * (temp-file + move) so a crash between data commit and state update never
+  * leaves a torn file. The reference's data-commit and watermark-update are
+  * non-atomic across a process boundary (SURVEY §7.3 hazard 2); we can't
+  * make file-sink + state a real transaction either, but we (a) write state
+  * only AFTER the sink commit succeeds, and (b) keep re-runs idempotent at
+  * the sink (overwrite-partition staging), so a crash in between only
+  * re-copies, never corrupts.
+  */
+final class StateStore(path: Path) {
+
+  def get(table: String): Option[String] = read().get(table)
+
+  def put(table: String, value: String): Unit = {
+    val m = read() + (table -> value)
+    write(m)
+  }
+
+  def asMap: Map[String, String] = read()
+
+  private def read(): Map[String, String] =
+    if (!Files.exists(path)) Map.empty
+    else
+      Files.readAllLines(path, StandardCharsets.UTF_8).asScala
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap { l =>
+          l.split("=", 2) match {
+            case Array(k, v) => Some(k -> v)
+            case _           => None
+          }
+        }.toMap
+
+  private def write(m: Map[String, String]): Unit = {
+    Option(path.getParent).foreach(Files.createDirectories(_))
+    val tmp = Files.createTempFile(
+      Option(path.getParent).getOrElse(Paths.get(".")), ".state", ".tmp")
+    val body = m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+object StateStore {
+  def apply(path: String): StateStore = new StateStore(Paths.get(path))
+}

@@ -1,0 +1,593 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY §2.3 E7-E35, §2.2, R1-R4) as the
+  * declared query corpus. Every query has a DuckDB oracle in [[oracle]];
+  * column names and result types are aligned on both sides (the driver's
+  * compare sorts columns by name and hash-compares values, so e.g. DuckDB's
+  * HUGEINT `sum(bigint)` is cast back to BIGINT to match Spark's long).
+  *
+  * Determinism rules: every result is a set keyed by explicit output
+  * columns; `limit` only ever follows a total order; double aggregates are
+  * rounded (2-6 dp) on both sides so cross-engine last-ulp drift can't flip
+  * a hash.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E15 hash aggregate + E8 filter pushdown (TPC-H Q1 shape). The filter
+    // reaches the parquet scan (PushedFilters) and aggregation is partial
+    // (map-side combine) before the 32-way shuffle.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // E8: comparison / boolean / IN / BETWEEN / null-safe equality.
+    "q02_filter_predicates" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_returnflag").isin("A", "R") &&
+            col("l_quantity").between(10, 20) &&
+            col("l_shipdate").isNotNull)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"),
+          (col("l_returnflag") <=> lit("A")).as("is_a"))
+    }),
+
+    // E9 multi-way equi join + agg: revenue per nation (flagship shape).
+    // nation/region are broadcast by AQE; the orders⋈lineitem join shuffles
+    // on the order key.
+    "q03_revenue_by_nation" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem"); val n = t(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // E10 left outer join preserving customers with zero orders.
+    "q04_left_outer_counts" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+    }),
+
+    // E10 full outer join: region keys present on either side.
+    "q05_full_outer_regions" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+        .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n_nations"))
+      val r = t(s, dir, "region")
+      n.join(r, n("n_regionkey") === r("r_regionkey"), "full")
+        .select(
+          coalesce(col("n_regionkey"), col("r_regionkey")).as("regionkey"),
+          coalesce(col("n_nations"), lit(0L)).as("n_nations"),
+          col("r_name"))
+    }),
+
+    // E11 left-semi: customers that have at least one order.
+    "q06_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // E11 left-anti: customers with no finished ('F') orders.
+    "q07_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // E12 explicit broadcast join on the part dimension.
+    "q08_broadcast_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_size") < 10)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_items"))
+    }),
+
+    // E13 theta join: equi + range condition.
+    "q09_range_join" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(
+        col("n_nationkey").as("a_key"), col("n_regionkey").as("a_region"))
+      val n2 = t(s, dir, "nation").select(
+        col("n_nationkey").as("b_key"), col("n_regionkey").as("b_region"))
+      n1.join(n2, col("a_region") === col("b_region") && col("a_key") < col("b_key"))
+        .select(col("a_key"), col("b_key"), col("a_region").as("regionkey"))
+    }),
+
+    // E14 cross join (bounded dims only — the 100 TB rule).
+    "q10_cross_join" -> ((s, dir) => {
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))
+    }),
+
+    // E22/E23 top-k: total order → TakeOrderedAndProject.
+    "q11_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    // E22 multi-key sort with nulls-last + limit under total order.
+    "q12_sort_nulls" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_totalprice")).as("closed_price"))
+        .orderBy(col("closed_price").desc_nulls_last, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // E19 ranking windows. row_number/ntile need a total order; rank and
+    // dense_rank deliberately rank a tie-prone key (orderdate).
+    "q13_window_rank" -> ((s, dir) => {
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(byPrice).as("rn"),
+        ntile(4).over(byPrice).as("quartile"),
+        rank().over(byDate).as("rnk"),
+        dense_rank().over(byDate).as("drnk"))
+    }),
+
+    // E20 analytic windows: lag/lead/first/last under a total order.
+    "q14_window_analytic" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        first(col("o_orderkey")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("first_order"),
+        last(col("o_orderkey")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("last_order"))
+    }),
+
+    // E21 rows-frames: running + sliding aggregates under a total order.
+    "q15_window_frames_rows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem").select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_quantity")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_qty"),
+        round(avg(col("l_quantity")).over(w.rowsBetween(-3, 0)), 4).as("sliding_avg_qty"))
+    }),
+
+    // E21 range-frame (peers by value; deterministic under ties).
+    "q16_window_frames_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+        .rangeBetween(-1000L, 0L)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_within_1000"))
+    }),
+
+    // E17 rollup (group cols coalesced so subtotal rows compare cleanly).
+    "q17_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n_rows"))
+    }),
+
+    // E17 cube.
+    "q18_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+          col("n_orders"), col("sum_price"))
+    }),
+
+    // E16 exact distinct counts.
+    "q19_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // E16 approximate distinct (HLL) — no oracle: sketches aren't
+    // cross-engine comparable; the driver records a rows-only check.
+    "q20_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+    }),
+
+    // E18 collect_set, canonicalized (sorted + joined) for comparison.
+    "q21_collect_set" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(sort_array(collect_set(col("n_name"))), ",").as("nations"))
+    }),
+
+    // E24 union all + union distinct.
+    "q22_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey").as("key"))
+      val o = t(s, dir, "orders").select(col("o_custkey").as("key"))
+      c.union(o).groupBy(col("key")).agg(count(lit(1)).as("n"))
+    }),
+
+    // E25 intersect / except (distinct variants).
+    "q23_intersect_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey").as("key"))
+      val o = t(s, dir, "orders").select(col("o_custkey").as("key"))
+      val both = c.intersect(o).withColumn("src", lit("both"))
+      val onlyC = c.except(o).withColumn("src", lit("customer_only"))
+      both.union(onlyC)
+    }),
+
+    // E26 exact dedup, deterministic keep-lowest-id representative.
+    "q24_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+    }),
+
+    // E27 string functions.
+    "q25_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        upper(col("p_brand")).as("ubrand"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        length(col("p_name")).as("name_len"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        split(col("p_name"), " ").getItem(0).as("first_token"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"))
+    }),
+
+    // E28 date/time functions.
+    "q26_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+        datediff(lit("1998-01-01").cast("date"), to_date(col("o_orderdate"))).as("days_to_98"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+    }),
+
+    // E29 math functions (ln for DuckDB parity — its `log` is base 10).
+    "q27_math_funcs" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        // 4 dp ≥ the product's true decimal precision (2 dp × 2 dp), so the
+        // round never sits on a .5 boundary where engines could disagree.
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net"),
+        floor(col("l_extendedprice")).as("fl"),
+        ceil(col("l_extendedprice")).as("ce"),
+        round(abs(col("l_discount") - lit(0.05)), 6).as("disc_dev"),
+        round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
+        round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+        round(log(col("l_extendedprice") + lit(1.0)), 6).as("price_ln"))
+    }),
+
+    // E32 conditional expressions.
+    "q28_conditional" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", lit("finished"))
+          .when(col("o_orderstatus") === "O", lit("open"))
+          .otherwise(lit("pending")).as("status_label"),
+        nullif(col("o_orderstatus"), lit("O")).as("non_open_status"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_or_open"),
+        when(col("o_totalprice") > 100000, col("o_totalprice")).otherwise(lit(0.0)).as("big_price"))
+    }),
+
+    // E30 array higher-order functions over embeddings.
+    "q29_array_funcs" -> ((s, dir) => {
+      val emb = transform(col("embedding"), x => x.cast("double"))
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(emb, 1), 6).as("first_elem"),
+        size(filter(emb, x => x > 0)).as("n_positive"),
+        round(aggregate(emb, lit(0.0), (acc, x) => acc + x), 6).as("elem_sum"),
+        round(aggregate(transform(emb, x => x * x), lit(0.0), (acc, x) => acc + x), 6).as("sq_sum"))
+    }),
+
+    // E30/E35 posexplode as the generator surface.
+    "q30_posexplode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 20)
+      docs.select(
+        col("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(col("text"))).as(Seq("pos", "token")))
+    }),
+
+    // E31 JSON extraction from events.props.
+    "q31_json" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_struct"))
+    }),
+
+    // §2.2 scalar subquery: orders above the global average price.
+    "q32_scalar_subquery" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val avgPrice = o.agg(avg(col("o_totalprice")).as("avg_price"))
+      o.crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    // §2.2 NOT EXISTS anti-join (idempotent-insert semantics,
+    // /root/reference/README.md:216-225): parts never ordered.
+    "q33_not_exists" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+    }),
+
+    // R2 incremental scan: pushed-down strictly-greater watermark predicate
+    // (/root/reference/util.py:149-159).
+    "q34_incremental_scan" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") > lit("1997-06-01").cast("timestamp"))
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderdate"))
+    }),
+
+    // R4 watermark max-aggregate (/root/reference/util.py:403-426).
+    "q35_max_watermark" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+        max(col("o_orderdate")).as("max_ts_wm"),
+        max(col("o_orderkey")).as("max_id_wm"))
+    }),
+
+    // E45 incremental-batch CDC: delta stats in one scan (R2+R4 fused).
+    "q36_cdc_delta" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") > lit("1997-06-01").cast("timestamp"))
+        .agg(count(lit(1)).as("delta_rows"), max(col("o_orderdate")).as("new_wm"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+         round(sum(l_quantity) / count(*), 4) AS avg_qty,
+         count(*) AS n_rows
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_predicates" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         (l_returnflag IS NOT DISTINCT FROM 'A') AS is_a
+         FROM lineitem
+         WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 20
+           AND l_shipdate IS NOT NULL""",
+    "q03_revenue_by_nation" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q04_left_outer_counts" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+         round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+    "q05_full_outer_regions" ->
+      """SELECT coalesce(n_regionkey, r_regionkey) AS regionkey,
+         coalesce(n_nations, 0) AS n_nations, r_name
+         FROM (SELECT n_regionkey, count(*) AS n_nations FROM nation GROUP BY n_regionkey) n
+         FULL OUTER JOIN region ON n.n_regionkey = region.r_regionkey""",
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+    "q08_broadcast_join" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size < 10 GROUP BY p_brand""",
+    "q09_range_join" ->
+      """SELECT n1.n_nationkey AS a_key, n2.n_nationkey AS b_key,
+         n1.n_regionkey AS regionkey
+         FROM nation n1 JOIN nation n2
+           ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey""",
+    "q10_cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q11_topk_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+         FROM orders ORDER BY orders.o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q12_sort_nulls" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS closed_price
+         FROM orders ORDER BY closed_price DESC NULLS LAST, o_orderkey LIMIT 20""",
+    "q13_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER w1 AS INT) AS rn,
+         CAST(ntile(4) OVER w1 AS INT) AS quartile,
+         CAST(rank() OVER w2 AS INT) AS rnk,
+         CAST(dense_rank() OVER w2 AS INT) AS drnk
+         FROM orders
+         WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+                w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)""",
+    "q14_window_analytic" ->
+      """SELECT o_custkey, o_orderkey,
+         round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+         round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+         first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+         last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q15_window_frames_rows" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
+         round(avg(l_quantity) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS sliding_avg_qty
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""",
+    "q16_window_frames_range" ->
+      """SELECT o_custkey, o_orderkey,
+         count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+           RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1000
+         FROM orders""",
+    "q17_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         coalesce(l_linestatus, 'ALL') AS linestatus,
+         round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q18_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+         coalesce(o_orderpriority, 'ALL') AS orderpriority,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q19_count_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "q21_collect_set" ->
+      """SELECT n_regionkey,
+         array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
+         FROM nation GROUP BY n_regionkey""",
+    "q22_union" ->
+      """SELECT key, count(*) AS n FROM (
+           SELECT c_custkey AS key FROM customer
+           UNION ALL SELECT o_custkey AS key FROM orders)
+         GROUP BY key""",
+    "q23_intersect_except" ->
+      """SELECT key, 'both' AS src FROM
+           (SELECT c_custkey AS key FROM customer INTERSECT SELECT o_custkey FROM orders)
+         UNION ALL
+         SELECT key, 'customer_only' AS src FROM
+           (SELECT c_custkey AS key FROM customer EXCEPT SELECT o_custkey FROM orders)""",
+    "q24_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM documents GROUP BY text""",
+    "q25_string_funcs" ->
+      """SELECT p_partkey,
+         lower(p_name) AS lname, upper(p_brand) AS ubrand,
+         substring(p_type, 1, 5) AS type5,
+         CAST(length(p_name) AS INT) AS name_len,
+         regexp_extract(p_type, '^(\w+)', 1) AS first_word,
+         regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+         string_split(p_name, ' ')[1] AS first_token,
+         concat_ws('|', p_brand, p_type) AS brand_type,
+         trim('  ' || p_brand || '  ') AS trimmed
+         FROM part""",
+    "q26_date_funcs" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INT) AS y,
+         CAST(month(o_orderdate) AS INT) AS m,
+         CAST(day(o_orderdate) AS INT) AS d,
+         date_trunc('month', o_orderdate) AS month_start,
+         CAST(o_orderdate AS DATE) + 30 AS plus30,
+         CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_98,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+         FROM orders""",
+    "q27_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(l_extendedprice * (1 - l_discount), 4) AS net,
+         CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+         CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+         round(abs(l_discount - 0.05), 6) AS disc_dev,
+         round(pow(l_quantity, 2), 2) AS qty_sq,
+         round(sqrt(l_extendedprice), 6) AS price_sqrt,
+         round(ln(l_extendedprice + 1.0), 6) AS price_ln
+         FROM lineitem""",
+    "q28_conditional" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 'finished'
+              WHEN o_orderstatus = 'O' THEN 'open'
+              ELSE 'pending' END AS status_label,
+         nullif(o_orderstatus, 'O') AS non_open_status,
+         coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+         CASE WHEN o_totalprice > 100000 THEN o_totalprice ELSE 0.0 END AS big_price
+         FROM orders""",
+    "q29_array_funcs" ->
+      """SELECT vec_id,
+         CAST(len(embedding) AS INT) AS dim,
+         round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+         CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS INT) AS n_positive,
+         round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS elem_sum,
+         round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_sum
+         FROM embeddings""",
+    "q30_posexplode" ->
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+         FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+               FROM documents WHERE doc_id < 20),
+              unnest(range(1, len(toks) + 1)) AS u(i)""",
+    "q31_json" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k_struct
+         FROM events""",
+    "q32_scalar_subquery" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+         FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""",
+    "q33_not_exists" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_partkey = p_partkey AND l_quantity > 45)""",
+    "q34_incremental_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         round(o_totalprice, 2) AS o_totalprice, o_orderdate
+         FROM orders WHERE o_orderdate > TIMESTAMP '1997-06-01'""",
+    "q35_max_watermark" ->
+      """SELECT max(o_orderdate) AS max_ts_wm, max(o_orderkey) AS max_id_wm
+         FROM orders""",
+    "q36_cdc_delta" ->
+      """SELECT count(*) AS delta_rows, max(o_orderdate) AS new_wm
+         FROM orders WHERE o_orderdate > TIMESTAMP '1997-06-01'"""
+  )
+}
