@@ -18,8 +18,16 @@ object SparkEntry {
     queries("q03_revenue_by_nation")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.RelationalQueries.queries
+    graft.queries.RelationalQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.VectorQueries.queries ++
+      graft.queries.StreamQueries.queries ++
+      graft.queries.FunctionQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalQueries.oracle
+    graft.queries.RelationalQueries.oracle ++
+      graft.queries.TextQueries.oracle ++
+      graft.queries.VectorQueries.oracle ++
+      graft.queries.StreamQueries.oracle ++
+      graft.queries.FunctionQueries.oracle
 }

@@ -52,13 +52,17 @@ object TextFunctions {
   def tokenHashes(c: Column): Column =
     array_distinct(transform(tokens(c), t => charHash(t)))
 
-  /** Word n-gram shingles joined by a single space (E37). */
+  /** Word n-gram shingles joined by a single space (E37). Empty when the
+    * doc has fewer than n tokens — note sequence(1, 0) in Spark counts DOWN
+    * ([1, 0]), so the short-doc case needs the explicit guard. */
   def shingles(c: Column, n: Int): Column = {
     val toks = tokens(c)
     // i ∈ [1, size - n + 1]; slice is 1-based.
-    transform(
-      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
-      i => array_join(slice(toks, i, lit(n)), " "))
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** MinHash signature (length k) over the distinct token-hash set (E38). */

@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming-semantics corpus (SURVEY §2.3 E41-E45), oracle-checked in
+  * batch mode: `window()`, `session_window()` and dedup semantics are
+  * identical on batch DataFrames, and DuckDB reproduces them with epoch
+  * arithmetic / gap-and-cumsum sessionization. The live Structured
+  * Streaming execution of the same operators (readStream, withWatermark,
+  * foreachBatch) is exercised by the ScalaTest suite in
+  * `graft.streaming`.
+  */
+object StreamQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E41 tumbling window (10 min) per event type.
+    "q60_tumbling_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // E41 sliding window (10 min, slide 5 min).
+    "q61_sliding_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("n"))
+    }),
+
+    // E42 session window: 30-min inactivity gap per user. Spark's
+    // session_window.end = last event + gap; the oracle reproduces it with
+    // lag/gap-flag/cumsum sessionization.
+    "q62_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(
+          col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+    }),
+
+    // E44 stateful dedup semantics: first event per (user, type), keyed
+    // deterministically by (ts, event_id).
+    "q63_stateful_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+    }),
+
+    // E43 watermark late-data drop semantics in batch: only events within
+    // 24h of the stream's max timestamp survive, then windowed counts.
+    "q64_watermark_drop" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val maxTs = e.agg(max(col("ts")).as("max_ts"))
+      e.crossJoin(broadcast(maxTs))
+        .filter(col("ts") >= col("max_ts") - expr("INTERVAL 24 HOURS"))
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("n"))
+    })
+  )
+
+  // Epoch-aligned bucket start (identical to Spark's window() alignment).
+  private def bucketSql(sec: Int, shift: Int = 0): String =
+    if (shift == 0)
+      s"CAST(to_timestamp(floor(epoch(ts) / $sec) * $sec) AS TIMESTAMP)"
+    else
+      s"CAST(to_timestamp(floor((epoch(ts) - $shift) / $sec) * $sec + $shift) AS TIMESTAMP)"
+
+  val oracle: Map[String, String] = Map(
+    "q60_tumbling_window" ->
+      s"""SELECT ${bucketSql(600)} AS window_start, event_type,
+          count(*) AS n, round(sum(value), 2) AS sum_value
+          FROM events GROUP BY 1, 2""",
+    "q61_sliding_window" ->
+      s"""SELECT window_start, count(*) AS n FROM (
+            SELECT CAST(to_timestamp(
+                     floor((epoch(ts) - k * 300) / 600) * 600 + k * 300)
+                   AS TIMESTAMP) AS window_start
+            FROM events, unnest(range(0, 2)) AS u(k))
+          GROUP BY window_start""",
+    "q62_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (
+           SELECT user_id, ts, value,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM sess GROUP BY user_id, sid""",
+    "q63_stateful_dedup" ->
+      """SELECT user_id, event_type, event_id, ts FROM (
+           SELECT user_id, event_type, event_id, ts,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+           FROM events)
+         WHERE rn = 1""",
+    "q64_watermark_drop" ->
+      s"""SELECT ${bucketSql(3600)} AS window_start, count(*) AS n
+          FROM events
+          WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOUR
+          GROUP BY 1"""
+  )
+}

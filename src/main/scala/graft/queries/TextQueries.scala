@@ -1,0 +1,268 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication corpus (SURVEY §2.3 E36-E38 and the
+  * LLM-pipeline extension surface): token stats, n-grams, language ID,
+  * quality scoring, token-count estimation, fingerprinting, MinHash/LSH,
+  * SimHash, n-gram Jaccard, and multimodal (binary column) plumbing.
+  *
+  * The Spark side uses only codegen'd higher-order functions from
+  * [[graft.functions.TextFunctions]]; the oracle side restates the same
+  * integer formulas from the shared SQL fragments below, so both engines
+  * produce bit-identical Long results. Everything is a per-row projection
+  * (narrow, whole-stage-codegen'd) except the candidate-pair joins, which
+  * shuffle on (band, hash) / n-gram — the standard scalable shape for
+  * near-dup detection at 100 TB (never an O(n²) cross join).
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ---- shared DuckDB fragments (keep in lockstep with TextFunctions) ----
+
+  /** tokens(text): split on space, drop empties. */
+  private val TokSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** charHash(e): fold (acc*31 + codepoint) mod 1e9+7, seed 7. */
+  private def charHashSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      "(a, b) -> (a * 31 + b) % 1000000007)"
+
+  /** distinct token-hash set. */
+  private val TokHashesSql =
+    s"list_distinct(list_transform($TokSql, t -> ${charHashSql("t")}))"
+
+  /** MinHash sig element for permutation i over hash set hs. */
+  private val MinhashElemSql =
+    "list_min(list_transform(hs, h -> ((i + 1) * h + 7919 * i) % 2147483647))"
+
+  private def markerListSql(lang: String): String =
+    langMarkers.toMap.apply(lang).map(m => s"'$m'").mkString("(", ", ", ")")
+
+  private def markerCountSql(lang: String): String =
+    s"len(list_filter(toks, t -> t IN ${markerListSql(lang)}))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E36 token statistics per document.
+    "q40_token_stats" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_unique"),
+        length(col("text")).as("n_chars_computed"))
+    }),
+
+    // E36 document frequency: docs containing each token. The explode →
+    // groupBy shape is the scalable inverted-index build (map-side partial
+    // aggregation; vocabulary-sized output).
+    "q41_doc_frequency" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+    }),
+
+    // E37 word-bigram shingles with corpus counts.
+    "q42_ngrams" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(shingles(col("text"), 2)).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Language ID: deterministic marker-stopword argmax (fixture text is
+    // synthetic word soup; the heuristic's contract is determinism).
+    "q43_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang").as("lang_label"),
+        langId(col("text")).as("lang_pred"))
+    }),
+
+    // Quality scoring: length/stopword/size blend in [0,1].
+    "q44_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        round(stopwordRatio(col("text")), 4).as("stop_ratio"),
+        qualityScore(col("text")).as("quality"))
+    }),
+
+    // Token counting: whitespace + BPE-ish regex estimate.
+    "q45_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        tokenCountEstimate(col("text")).as("n_bpe_est"))
+    }),
+
+    // Document fingerprint: rolling char hash (exact-dup detection key).
+    "q46_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        charHash(col("text")).as("fingerprint"))
+    }),
+
+    // E38 MinHash signatures (k=16), flattened to (doc_id, i, h).
+    "q47_minhash_sig" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(minhashSignature(col("text"), 16)).as(Seq("i", "h")))
+    }),
+
+    // E38 LSH banding (4 bands × 4 rows): docs sharing any band hash are
+    // near-dup candidates. Shuffle key = (band, hash): candidates meet in
+    // the same partition, no cross join — the 100 TB dedup shape.
+    "q48_lsh_candidates" -> ((s, dir) => {
+      val sig = minhashSignature(col("text"), 16)
+      val bands = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(lshBandHashes(sig, 4, 4)).as(Seq("b", "bh")))
+      val a = bands.select(col("b"), col("bh"), col("doc_id").as("doc_a"))
+      val b2 = bands.select(col("b"), col("bh"), col("doc_id").as("doc_b"))
+      a.join(b2, Seq("b", "bh")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+    }),
+
+    // SimHash (30-bit) per document.
+    "q49_simhash" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), simhash30(col("text")).as("simhash"))
+    }),
+
+    // n-gram Jaccard similarity on a bounded subset: candidate pairs meet
+    // via the shared-ngram join (inverted index), never a cross join.
+    "q50_ngram_jaccard" -> ((s, dir) => {
+      val grams = t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 2))).as("ng"))
+      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = grams.select(col("doc_id").as("doc_a"), col("ng"))
+        .join(grams.select(col("doc_id").as("doc_b"), col("ng")), Seq("ng"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+        .select(
+          col("doc_a"), col("doc_b"),
+          round(col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.08)
+    }),
+
+    // Multimodal plumbing: opaque binary payload column + typed metadata.
+    // The "decode" is a clearly-stubbed deterministic fake (no image libs
+    // in this environment); the schema/expression shape is the real part.
+    "q51_multimodal_meta" -> ((s, dir) => {
+      val payload = col("text").cast("binary")
+      val fp = charHash(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(payload).as("n_bytes"),
+        // STUB decode: width/height derived from the payload fingerprint.
+        (fp % 640).cast("int").as("fake_width"),
+        (fp % 480).cast("int").as("fake_height"),
+        lit(3).as("fake_channels"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_token_stats" ->
+      s"""SELECT doc_id,
+          CAST(len($TokSql) AS INT) AS n_tokens,
+          CAST(len(list_distinct($TokSql)) AS INT) AS n_unique,
+          CAST(length(text) AS INT) AS n_chars_computed
+          FROM documents""",
+    "q41_doc_frequency" ->
+      s"""SELECT token, count(*) AS df FROM
+          (SELECT doc_id, unnest(list_distinct($TokSql)) AS token FROM documents)
+          GROUP BY token""",
+    "q42_ngrams" ->
+      s"""SELECT ngram, count(*) AS n FROM
+          (SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                  i -> array_to_string(toks[i:i+1], ' '))) AS ngram
+           FROM (SELECT $TokSql AS toks FROM documents))
+          GROUP BY ngram""",
+    "q43_langid" ->
+      s"""SELECT doc_id, lang AS lang_label,
+          CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+               WHEN de >= es AND de >= fr THEN 'de'
+               WHEN es >= fr THEN 'es'
+               ELSE 'fr' END AS lang_pred
+          FROM (SELECT doc_id, lang,
+                ${markerCountSql("en")} AS en, ${markerCountSql("de")} AS de,
+                ${markerCountSql("es")} AS es, ${markerCountSql("fr")} AS fr
+                FROM (SELECT doc_id, lang, $TokSql AS toks FROM documents))""",
+    "q44_quality" ->
+      s"""SELECT doc_id,
+          CAST(n_tok AS INT) AS n_tokens,
+          round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stop_ratio,
+          round(least((length(text) / CAST(n_tok AS DOUBLE)) / 10.0, 1.0) * 0.4
+              + (CAST(n_stop AS DOUBLE) / n_tok) * 0.4
+              + least(n_tok / 100.0, 1.0) * 0.2, 4) AS quality
+          FROM (SELECT doc_id, text, len(toks) AS n_tok,
+                ${markerCountSql("en")} AS n_stop
+                FROM (SELECT doc_id, text, $TokSql AS toks FROM documents))""",
+    "q45_token_count" ->
+      s"""SELECT doc_id,
+          CAST(len($TokSql) AS INT) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+             + CAST(ceil(length(text) / 4.0) AS BIGINT) AS INT) AS n_bpe_est
+          FROM documents""",
+    "q46_fingerprint" ->
+      s"""SELECT doc_id, ${charHashSql("text")} AS fingerprint FROM documents""",
+    "q47_minhash_sig" ->
+      s"""SELECT doc_id, CAST(i AS INT) AS i, $MinhashElemSql AS h
+          FROM (SELECT doc_id, $TokHashesSql AS hs FROM documents),
+               unnest(range(0, 16)) AS u(i)""",
+    "q48_lsh_candidates" ->
+      s"""WITH sigs AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
+            FROM (SELECT doc_id, $TokHashesSql AS hs FROM documents)),
+          bands AS (
+            SELECT doc_id, CAST(b AS INT) AS b,
+                   list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),
+                               (a, x) -> (a * 31 + x) % 1000000007) AS bh
+            FROM sigs, unnest(range(0, 4)) AS u(b))
+          SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+          FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh
+          WHERE a.doc_id < b2.doc_id""",
+    "q49_simhash" ->
+      s"""SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 30), j ->
+            CASE WHEN list_sum(list_transform(hs, h ->
+                   (CAST(floor(h / power(2, j)) AS BIGINT) % 2) * 2 - 1)) >= 0
+                 THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END))
+            AS BIGINT) AS simhash
+          FROM (SELECT doc_id, $TokHashesSql AS hs FROM documents)""",
+    "q50_ngram_jaccard" ->
+      s"""WITH grams AS (
+            SELECT doc_id, unnest(list_distinct(
+              list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                             i -> array_to_string(toks[i:i+1], ' ')))) AS ng
+            FROM (SELECT doc_id, $TokSql AS toks FROM documents WHERE doc_id < 50)),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM grams a JOIN grams b ON a.ng = b.ng AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+          SELECT doc_a, doc_b,
+                 round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.08""",
+    "q51_multimodal_meta" ->
+      s"""SELECT doc_id,
+          CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+          CAST(${charHashSql("text")} % 640 AS INT) AS fake_width,
+          CAST(${charHashSql("text")} % 480 AS INT) AS fake_height,
+          3 AS fake_channels
+          FROM documents"""
+  )
+}

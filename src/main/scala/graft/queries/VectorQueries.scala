@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity corpus (SURVEY §2.3 E39-E40 + the ANN extension
+  * surface) over the `embeddings` fixture (`array<float>` length 64).
+  *
+  * Scale design: the brute-force paths bound one side (a broadcast-able
+  * query subset) so the join is broadcast-nested-loop over a small side —
+  * never an unbounded O(n²) cross join. The SRP-bucket path is the scale
+  * story: vectors meet through a shuffle on their LSH bucket id, so work is
+  * bucket-local and grows linearly with data for fixed bucket occupancy.
+  * Ranks are computed over ROUNDED similarity (6 dp) with vec_id
+  * tie-breaks, so a last-ulp float divergence between engines cannot
+  * reorder results.
+  */
+object VectorQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // DuckDB double-cast vector + dot/norm fragments (lockstep with
+  // VectorFunctions: left-to-right IEEE-double folds, rounded at 6 dp).
+  private val VecSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E39 cosine similarity: bounded query side × all candidates,
+    // thresholded. The query side is broadcast (50 rows).
+    "q55_cosine_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("vid"), col("embedding").as("cv"))
+      c.join(broadcast(q), col("qid") < col("vid"))
+        .select(col("qid"), col("vid"), cosine(col("qv"), col("cv")).as("cos"))
+        .filter(col("cos") > 0.3)
+    }),
+
+    // E40 brute-force top-k nearest neighbors (k=5) for 20 query vectors.
+    "q56_knn_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("vid"), col("embedding").as("cv"))
+      val scored = c.join(broadcast(q), col("qid") =!= col("vid"))
+        .select(col("qid"), col("vid"), cosine(col("qv"), col("cv")).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+    }),
+
+    // ANN scale path: sign-random-projection bucket per vector (8 bits).
+    "q57_ann_srp_buckets" -> ((s, dir) => {
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        srpBucket(col("embedding"), 8, 64).as("bucket"))
+    }),
+
+    // Embedding near-dup: pairs in the SAME SRP bucket with cosine above
+    // threshold — the bucket join replaces the cross join at scale.
+    "q58_embed_neardup" -> ((s, dir) => {
+      val b = t(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding"),
+        srpBucket(col("embedding"), 8, 64).as("bucket"))
+      val a = b.select(col("bucket"), col("vec_id").as("vid_a"), col("embedding").as("va"))
+      val c = b.select(col("bucket"), col("vec_id").as("vid_b"), col("embedding").as("vb"))
+      a.join(c, Seq("bucket")).filter(col("vid_a") < col("vid_b"))
+        .select(col("vid_a"), col("vid_b"), cosine(col("va"), col("vb")).as("cos"))
+        .filter(col("cos") > 0.35)
+    }),
+
+    // L2 distance variant on a bounded pair set.
+    "q59_l2_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("vid"), col("embedding").as("cv"))
+      c.join(broadcast(q), col("qid") < col("vid"))
+        .select(col("qid"), col("vid"), l2Distance(col("qv"), col("cv")).as("l2"))
+    })
+  )
+
+  val oracle: Map[String, String] = {
+    val srpBucketSql =
+      """CAST(list_sum(list_transform(range(0, 8), j ->
+           CASE WHEN list_sum(list_transform(range(0, 64), i ->
+                  CAST(((j * 64 + i) * 2654435761) % 97 - 48 AS DOUBLE) * v[i + 1])) >= 0
+                THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END))
+         AS BIGINT)"""
+    Map(
+      "q55_cosine_pairs" ->
+        s"""WITH e AS (SELECT vec_id, $VecSql AS v FROM embeddings)
+            SELECT q.vec_id AS qid, c.vec_id AS vid, ${cosSql("q.v", "c.v")} AS cos
+            FROM e q JOIN e c ON q.vec_id < c.vec_id
+            WHERE q.vec_id < 50 AND ${cosSql("q.v", "c.v")} > 0.3""",
+      "q56_knn_bruteforce" ->
+        s"""WITH e AS (SELECT vec_id, $VecSql AS v FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS qid, c.vec_id AS vid, ${cosSql("q.v", "c.v")} AS cos
+              FROM e q JOIN e c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 20)
+            SELECT qid, vid, cos, CAST(rank AS INT) AS rank FROM (
+              SELECT qid, vid, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+              FROM scored)
+            WHERE rank <= 5""",
+      "q57_ann_srp_buckets" ->
+        s"""SELECT vec_id, $srpBucketSql AS bucket
+            FROM (SELECT vec_id, $VecSql AS v FROM embeddings)""",
+      "q58_embed_neardup" ->
+        s"""WITH b AS (SELECT vec_id, v, $srpBucketSql AS bucket
+                       FROM (SELECT vec_id, $VecSql AS v FROM embeddings))
+            SELECT a.vec_id AS vid_a, c.vec_id AS vid_b, ${cosSql("a.v", "c.v")} AS cos
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE ${cosSql("a.v", "c.v")} > 0.35""",
+      "q59_l2_pairs" ->
+        s"""WITH e AS (SELECT vec_id, $VecSql AS v FROM embeddings)
+            SELECT q.vec_id AS qid, c.vec_id AS vid,
+                   round(sqrt(list_sum(list_transform(range(1, 65),
+                         i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))), 6) AS l2
+            FROM e q JOIN e c ON q.vec_id < c.vec_id
+            WHERE q.vec_id < 10 AND c.vec_id < 200"""
+    )
+  }
+}
