@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.pipeline.{Sink, StateStore}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming operator surface (SURVEY §2.3 E41-E46).
+  *
+  * Each transform takes and returns a DataFrame, so the same function works
+  * on a batch frame (for the DuckDB oracle, see
+  * [[graft.queries.StreamQueries]]) and on a `readStream` frame (exercised
+  * live by `StreamingSpec` with MemoryStream). Watermarks bound state: at
+  * scale, the windowed aggregations keep only open windows in the state
+  * store and drop data older than the configured delay (E43).
+  */
+object StreamingOps {
+
+  /** E41 tumbling-window counts + sums per event type. */
+  def tumblingAgg(df: DataFrame, tsCol: String, dur: String): DataFrame =
+    df.groupBy(window(col(tsCol), dur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** E41 sliding-window counts. */
+  def slidingAgg(df: DataFrame, tsCol: String, dur: String, slide: String): DataFrame =
+    df.groupBy(window(col(tsCol), dur, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+
+  /** E42 session windows per user (gap-based). */
+  def sessionAgg(df: DataFrame, tsCol: String, gap: String): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** E43 watermark: bound state and drop data older than `delay`. */
+  def withLateDataDrop(df: DataFrame, tsCol: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+
+  /** E44 stateful dedup on key columns, state bounded by the watermark. */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, delay: String, keys: String*): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** E46 foreachBatch bridge into any [[graft.pipeline.Sink]] — the
+    * streaming analogue of the reference's batched INSERT loop
+    * (`/root/reference/util.py:226-247`): each micro-batch is appended
+    * through the connector (JDBC `batchsize` applies per executor task).
+    */
+  def foreachBatchSink(
+      writer: DataStreamWriter[Row],
+      sink: Sink,
+      table: String): DataStreamWriter[Row] =
+    writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink.write(batch, table, SaveMode.Append)
+    }
+
+  /** E45 incremental-batch CDC step as a streaming-shaped helper: read the
+    * suffix after the stored watermark, return (delta, newWatermark). The
+    * caller commits the sink, then advances state — same ordering contract
+    * as [[graft.pipeline.CopyJob]].
+    */
+  def cdcDelta(df: DataFrame, wmCol: String, state: StateStore, table: String): DataFrame =
+    state.get(table) match {
+      case Some(v) => df.filter(col(wmCol) > lit(v).cast(df.schema(wmCol).dataType))
+      case None    => df
+    }
+}

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import graft.TestSpark
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end copy-pipeline behavior: full load, incremental delta,
+  * empty-delta skip, watermark advancement, bounded-parallel orchestration
+  * with fault isolation — the incremental scenario mirrors the reference's
+  * manual test script (`/root/reference/README.md:209-268`). */
+class CopyJobSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): Path = Files.createTempDirectory("graft_copy")
+
+  /** Seed a parquet "source database" with an orders-like table. */
+  private def seedSource(dir: Path, upToId: Long): Unit =
+    ordersLike(1L to upToId).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/orders_like")
+
+  private def ordersLike(ids: Seq[Long]): DataFrame =
+    ids.map(i => (i, java.sql.Timestamp.valueOf(f"2024-01-${(i % 27) + 1}%02d 00:00:00")))
+      .toDF("order_id", "order_date")
+
+  private val spec = TableSpec("orders_like", toBeLoaded = true,
+    Some("order_id"), Some(WatermarkType.Id))
+
+  test("full load then incremental loads only the delta and advances state") {
+    val src = tmp(); val dst = tmp()
+    val state = StateStore(s"$dst/state.properties")
+    seedSource(src, 100L)
+    val source = Connectors.ParquetSource(src.toString)
+    val sink = Connectors.ParquetSink(dst.toString)
+
+    // 1. initial full load (no state → full-load branch)
+    val r1 = CopyJob.run(spark, spec, source, sink, state)
+    assert(r1.rowsCopied == 100L && !r1.skipped)
+    assert(state.get("orders_like").contains("100"))
+
+    // 2. append a delta upstream (rows 101..120), re-run incrementally
+    seedSource(src, 120L)
+    val r2 = CopyJob.run(spark, spec, source, sink, state)
+    assert(r2.rowsCopied == 20L)
+    assert(state.get("orders_like").contains("120"))
+
+    // target holds exactly one copy of every row (full + delta, no overlap)
+    val loaded = spark.read.parquet(s"$dst/orders_like")
+    assert(loaded.count() == 120L)
+    assert(loaded.select(countDistinct(col("order_id"))).as[Long].head() == 120L)
+
+    // 3. no new data → empty-delta skip, watermark unchanged (app.py:147-153)
+    val r3 = CopyJob.run(spark, spec, source, sink, state)
+    assert(r3.skipped && r3.rowsCopied == 0L)
+    assert(state.get("orders_like").contains("120"))
+    assert(spark.read.parquet(s"$dst/orders_like").count() == 120L)
+  }
+
+  test("timestamp watermark uses strictly-greater semantics (util.py:156)") {
+    val src = tmp(); val dst = tmp()
+    val state = StateStore(s"$dst/state.properties")
+    seedSource(src, 54L) // dates cycle 2024-01-01..27
+    val tsSpec = TableSpec("orders_like", toBeLoaded = true,
+      Some("order_date"), Some(WatermarkType.Timestamp))
+    val r1 = CopyJob.run(spark, tsSpec,
+      Connectors.ParquetSource(src.toString), Connectors.ParquetSink(dst.toString), state)
+    assert(r1.rowsCopied == 54L)
+    val wm = state.get("orders_like").get
+    assert(wm.startsWith("2024-01-27")) // max(order_date) over the copied data
+
+    // re-run: rows AT the watermark are not re-copied (strict >)
+    val r2 = CopyJob.run(spark, tsSpec,
+      Connectors.ParquetSource(src.toString), Connectors.ParquetSink(dst.toString), state)
+    assert(r2.skipped)
+  }
+
+  test("full-load spec (no watermark) recopies everything and keeps no state") {
+    val src = tmp(); val dst = tmp()
+    val state = StateStore(s"$dst/state.properties")
+    seedSource(src, 10L)
+    val fullSpec = TableSpec("orders_like", toBeLoaded = true, None, None)
+    val source = Connectors.ParquetSource(src.toString)
+    val sink = Connectors.ParquetSink(dst.toString)
+    CopyJob.run(spark, fullSpec, source, sink, state)
+    CopyJob.run(spark, fullSpec, source, sink, state)
+    assert(spark.read.parquet(s"$dst/orders_like").count() == 20L) // append x2
+    assert(state.get("orders_like").isEmpty)
+  }
+
+  test("property: full load == initial + incremental for arbitrary split points") {
+    // Watermark algebra (SURVEY §5 item 3): for any split s, copying [1,s]
+    // then incrementally copying the rest equals one full copy.
+    for (split <- Seq(1L, 7L, 50L, 99L, 100L)) {
+      val src = tmp(); val dst = tmp()
+      val state = StateStore(s"$dst/state.properties")
+      seedSource(src, split)
+      val source = Connectors.ParquetSource(src.toString)
+      val sink = Connectors.ParquetSink(dst.toString)
+      CopyJob.run(spark, spec, source, sink, state)
+      seedSource(src, 100L)
+      CopyJob.run(spark, spec, source, sink, state)
+      val got = spark.read.parquet(s"$dst/orders_like")
+        .select(col("order_id")).as[Long].collect().sorted
+      assert(got.toSeq == (1L to 100L), s"split=$split")
+    }
+  }
+
+  test("orchestrator: bounded parallel run isolates per-table failure (app.py:175-177)") {
+    val src = tmp(); val dst = tmp()
+    val state = StateStore(s"$dst/state.properties")
+    seedSource(src, 25L)
+    val good = spec
+    val bad = TableSpec("missing_table", toBeLoaded = true, None, None)
+    val report = Orchestrator.runAll(spark, Seq(good, bad),
+      Connectors.ParquetSource(src.toString), Connectors.ParquetSink(dst.toString),
+      state, parallelism = 4)
+    assert(report.succeeded.keySet == Set("orders_like"))
+    assert(report.succeeded("orders_like").rowsCopied == 25L)
+    assert(report.failed.keySet == Set("missing_table"))
+  }
+
+  test("csv source/sink round-trip through the connector registry (R10)") {
+    val src = tmp(); val dst = tmp()
+    ordersLike(1L to 5L)
+      .withColumn("order_date", col("order_date").cast("string"))
+      .write.option("header", "true").mode(SaveMode.Overwrite).csv(s"$src/t.csv")
+    val df = Connectors.source("csv", src.toString).read(spark, "t")
+    assert(df.count() == 5L)
+    Connectors.sink("csv", dst.toString).write(df, "t_out", SaveMode.Overwrite)
+    assert(spark.read.option("header", "true").csv(s"$dst/t_out").count() == 5L)
+  }
+}

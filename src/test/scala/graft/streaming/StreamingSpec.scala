@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.pipeline.Connectors
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Live Structured Streaming execution of the E41-E46 operators: the same
+  * transforms the batch oracle checks (StreamQueries), driven through
+  * MemoryStream micro-batches so watermark advancement, append-mode window
+  * emission, stateful dedup, and foreachBatch sinks actually run. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  test("tumbling window agg over a stream emits closed windows (E41+E43)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamingOps.tumblingAgg(
+      StreamingOps.withLateDataDrop(mem.toDF(), "ts", "10 minutes"), "ts", "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      mem.addData(Ev(ts(1), 1, "a", 1.0), Ev(ts(5), 1, "a", 2.0), Ev(ts(12), 2, "b", 3.0))
+      q.processAllAvailable()
+      // watermark now 12-10=2min → no window closed yet
+      mem.addData(Ev(ts(35), 1, "a", 4.0)) // watermark → 25min: closes [0,10) and [10,20)
+      q.processAllAvailable()
+      val out = spark.table("tumbling_out")
+        .select($"window_start", $"event_type", $"n", $"sum_value").as[(Timestamp, String, Long, Double)]
+        .collect().toSet
+      assert(out.contains((ts(0), "a", 2L, 3.0)))
+      assert(out.contains((ts(10), "b", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("late event beyond the watermark is dropped (E43)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamingOps.tumblingAgg(
+      StreamingOps.withLateDataDrop(mem.toDF(), "ts", "10 minutes"), "ts", "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      mem.addData(Ev(ts(5), 1, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(60), 1, "a", 1.0)) // watermark → 50min
+      q.processAllAvailable()
+      mem.addData(Ev(ts(6), 1, "a", 99.0)) // late: window [0,10) already closed
+      q.processAllAvailable()
+      mem.addData(Ev(ts(120), 1, "a", 1.0)) // close everything else
+      q.processAllAvailable()
+      val w0 = spark.table("late_out").filter($"window_start" === ts(0))
+        .select($"sum_value").as[Double].collect().toSeq
+      assert(w0 == Seq(1.0)) // the 99.0 late event never contributed
+    } finally q.stop()
+  }
+
+  test("stateful dedup within watermark drops re-deliveries (E44)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dedup = StreamingOps.dedupWithinWatermark(mem.toDF(), "ts", "30 minutes", "user_id", "event_type")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(3), 1, "click", 3.0), Ev(ts(4), 2, "click", 4.0))
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      assert(n == 2L) // one per (user, type): (1,click) and (2,click)
+    } finally q.stop()
+  }
+
+  test("session window groups by inactivity gap (E42)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sess = StreamingOps.sessionAgg(
+      StreamingOps.withLateDataDrop(mem.toDF(), "ts", "5 minutes"), "ts", "30 minutes")
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("session_out").start()
+    try {
+      // two sessions for user 1: [0-10] and [60-61]; close via watermark
+      mem.addData(Ev(ts(0), 1, "a", 1.0), Ev(ts(10), 1, "a", 1.0), Ev(ts(60), 1, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(300), 9, "z", 0.0)) // advance watermark far ahead
+      q.processAllAvailable()
+      val out = spark.table("session_out")
+        .filter($"user_id" === 1)
+        .select($"session_start", $"n_events").as[(Timestamp, Long)].collect().toSet
+      assert(out == Set((ts(0), 2L), (ts(60), 1L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch bridges a stream into a pipeline Sink (E46)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dst = Files.createTempDirectory("graft_stream_sink")
+    val mem = MemoryStream[Ev]
+    val writer = StreamingOps.foreachBatchSink(
+      mem.toDF().writeStream, Connectors.ParquetSink(dst.toString), "events_out")
+    val q = writer.start()
+    try {
+      mem.addData(Ev(ts(1), 1, "a", 1.0), Ev(ts(2), 2, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(3), 3, "c", 3.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dst/events_out").count() == 3L)
+    } finally q.stop()
+  }
+}
