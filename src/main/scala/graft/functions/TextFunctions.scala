@@ -31,18 +31,26 @@ object TextFunctions {
   val MinhashMod = 2147483647L // 2^31 - 1
   val MinhashB   = 7919L
 
+  private def toExpr(c: Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+
   /** Characters of a string column as an array, empty strings filtered out
     * (Java's split("") can emit empty artifacts; DuckDB's doesn't — the
     * filter keeps both sides identical). */
   def chars(c: Column): Column = filter(split(c, ""), x => x =!= lit(""))
 
   /** Polynomial rolling hash over characters — the document fingerprint
-    * primitive. */
-  def charHash(c: Column): Column =
-    aggregate(
-      chars(c),
-      lit(HashSeed),
-      (acc, ch) => (acc * lit(31L) + ascii(ch).cast("long")) % lit(HashMod))
+    * primitive. Native expression ([[graft.plans.CharPolyHash]]); the HOF
+    * form lives in [[hof.charHash]] for parity testing. */
+  def charHash(c: Column): Column = toCol(graft.plans.CharPolyHash(toExpr(c)))
+
+  /** MinHash signature over distinct n-gram SHINGLE hashes — the standard
+    * near-dup construction (unigram token sets degenerate on small
+    * vocabularies: almost every pair collides). Native expression. */
+  def minhashShingleSignature(c: Column, k: Int, n: Int): Column =
+    toCol(graft.plans.MinhashShingleSig(toExpr(c), k, n))
 
   /** Whitespace tokenization, empty tokens dropped. */
   def tokens(c: Column): Column = filter(split(c, " "), t => t =!= lit(""))
@@ -65,16 +73,6 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature (length k) over the distinct token-hash set (E38). */
-  def minhashSignature(c: Column, k: Int): Column = {
-    val hs = tokenHashes(c)
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i =>
-        array_min(transform(hs, h =>
-          ((i + lit(1)).cast("long") * h + lit(MinhashB) * i.cast("long")) % lit(MinhashMod))))
-  }
-
   /** LSH band hashes: fold each group of `rowsPerBand` signature values with
     * the charHash fold. Docs sharing any band hash are near-dup candidates. */
   def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
@@ -87,19 +85,40 @@ object TextFunctions {
           (acc, v) => (acc * lit(31L) + v) % lit(HashMod)))
 
   /** 30-bit SimHash over the distinct token-hash set. Bit j of the result is
-    * set iff the majority of token hashes have bit j set. */
-  def simhash30(c: Column): Column = {
-    val hs = tokenHashes(c)
-    aggregate(
-      sequence(lit(0), lit(29)),
-      lit(0L),
-      (acc, j) => {
-        val bitSum = aggregate(
-          hs,
-          lit(0L),
-          (s, h) => s + (floor(h / pow(lit(2.0), j)).cast("long") % lit(2L)) * lit(2L) - lit(1L))
-        acc + when(bitSum >= 0, floor(pow(lit(2.0), j)).cast("long")).otherwise(lit(0L))
-      })
+    * set iff the majority of token hashes have bit j set. Native
+    * expression; HOF form in [[hof.simhash30]]. */
+  def simhash30(c: Column): Column = toCol(graft.plans.Simhash30Expr(toExpr(c)))
+
+  /** Interpreted HOF reference implementations (parity tests only). */
+  object hof {
+    def charHash(c: Column): Column =
+      aggregate(
+        chars(c),
+        lit(HashSeed),
+        (acc, ch) => (acc * lit(31L) + ascii(ch).cast("long")) % lit(HashMod))
+
+    def simhash30(c: Column): Column = {
+      val hs = array_distinct(transform(tokens(c), t => charHash(t)))
+      aggregate(
+        sequence(lit(0), lit(29)),
+        lit(0L),
+        (acc, j) => {
+          val bitSum = aggregate(
+            hs,
+            lit(0L),
+            (s, h) => s + (floor(h / pow(lit(2.0), j)).cast("long") % lit(2L)) * lit(2L) - lit(1L))
+          acc + when(bitSum >= 0, floor(pow(lit(2.0), j)).cast("long")).otherwise(lit(0L))
+        })
+    }
+
+    def minhashSignature(c: Column, k: Int): Column = {
+      val hs = array_distinct(transform(tokens(c), t => charHash(t)))
+      transform(
+        sequence(lit(0), lit(k - 1)),
+        i =>
+          array_min(transform(hs, h =>
+            ((i + lit(1)).cast("long") * h + lit(MinhashB) * i.cast("long")) % lit(MinhashMod))))
+    }
   }
 
   /** Hamming distance between two simhash values (bits 0..29). */

@@ -1,0 +1,157 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text/dedup hash primitives.
+  *
+  * Promoted from the higher-order-function compositions in
+  * [[graft.functions.TextFunctions]] on BENCH evidence (SURVEY §7.2):
+  * Spark's HigherOrderFunction nodes are CodegenFallback and evaluate the
+  * lambda tree per element, so per-character folds over 100 TB of text run
+  * ~100x slower than these tight single-pass evals. Formulas are
+  * BIT-IDENTICAL to the HOF versions and to the DuckDB oracle fragments
+  * (TextQueries): fold (acc*31 + char) mod 1e9+7 seed 7; MinHash
+  * permutation i: ((i+1)*h + 7919*i) mod (2^31-1); SimHash majority over
+  * bits 0..29. ASCII-only caveat: chars are UTF-16 units, identical to
+  * code points for the fixtures' ASCII text (and to DuckDB's per-character
+  * split).
+  */
+object TextHash {
+  val Mod = 1000000007L
+  val Seed = 7L
+  val MinhashMod = 2147483647L
+  val MinhashB = 7919L
+
+  def charHash(s: String): Long = {
+    var acc = Seed
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * 31 + s.charAt(i)) % Mod
+      i += 1
+    }
+    acc
+  }
+
+  /** Whitespace tokens, empties dropped — same as split(' ') + filter. */
+  def tokens(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](64)
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start) out += s.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Distinct hashes of word n-gram shingles (n=1 → unigram tokens). The
+    * shingle string is tokens joined by a single space, so its charHash
+    * equals the oracle's hash of array_to_string(toks[i:i+n-1], ' '). */
+  def distinctShingleHashes(s: String, n: Int): Array[Long] = {
+    val toks = tokens(s)
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length >= n) {
+      var i = 0
+      while (i + n <= toks.length) {
+        var acc = Seed
+        var j = 0
+        while (j < n) {
+          if (j > 0) acc = (acc * 31 + ' ') % Mod
+          val t = toks(i + j)
+          var k = 0
+          while (k < t.length) {
+            acc = (acc * 31 + t.charAt(k)) % Mod
+            k += 1
+          }
+          j += 1
+        }
+        set.add(acc)
+        i += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  def minhashSig(hs: Array[Long], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var hi = 0
+    while (hi < hs.length) {
+      val h = hs(hi)
+      var i = 0
+      while (i < k) {
+        val cand = ((i + 1) * h + MinhashB * i) % MinhashMod
+        if (cand < sig(i)) sig(i) = cand
+        i += 1
+      }
+      hi += 1
+    }
+    // Empty hash set: list_min over empty is NULL in DuckDB; the fixtures
+    // never produce empty docs, but keep a defined value.
+    if (hs.isEmpty) java.util.Arrays.fill(sig, 0L)
+    sig
+  }
+
+  def simhash30(hs: Array[Long]): Long = {
+    var result = 0L
+    var j = 0
+    while (j < 30) {
+      var bitSum = 0L
+      var i = 0
+      while (i < hs.length) {
+        bitSum += ((hs(i) >> j) & 1L) * 2 - 1
+        i += 1
+      }
+      if (bitSum >= 0) result |= (1L << j)
+      j += 1
+    }
+    result
+  }
+}
+
+/** charHash(text) — rolling polynomial hash; document fingerprint. */
+case class CharPolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.charHash(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.charHash($c.toString())")
+  override protected def withNewChildInternal(c: Expression): CharPolyHash = copy(child = c)
+}
+
+/** MinHash signature (length k) over distinct n-gram shingle hashes. */
+case class MinhashShingleSig(child: Expression, k: Int, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val hs = TextHash.distinctShingleHashes(v.asInstanceOf[UTF8String].toString, n)
+    new GenericArrayData(TextHash.minhashSig(hs, k))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.TextHash.minhashSig(" +
+        s"graft.plans.TextHash.distinctShingleHashes($c.toString(), $n), $k))")
+  override protected def withNewChildInternal(c: Expression): MinhashShingleSig = copy(child = c)
+}
+
+/** 30-bit SimHash over distinct unigram token hashes. */
+case class Simhash30Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.simhash30(TextHash.distinctShingleHashes(v.asInstanceOf[UTF8String].toString, 1))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextHash.simhash30(" +
+        s"graft.plans.TextHash.distinctShingleHashes($c.toString(), 1))")
+  override protected def withNewChildInternal(c: Expression): Simhash30Expr = copy(child = c)
+}

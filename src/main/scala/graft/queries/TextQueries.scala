@@ -38,6 +38,16 @@ object TextQueries {
   private val TokHashesSql =
     s"list_distinct(list_transform($TokSql, t -> ${charHashSql("t")}))"
 
+  /** 3-gram word shingles over toks (`toks[i:i+2]` is 3 elements — DuckDB
+    * slices are inclusive). */
+  private val Shingle3Sql =
+    "list_transform(range(1, greatest(len(toks) - 2, 0) + 1), " +
+      "i -> array_to_string(toks[i:i+2], ' '))"
+
+  /** distinct 3-gram shingle hashes (from a `toks` column). */
+  private val ShingleHashes3Sql =
+    s"list_distinct(list_transform($Shingle3Sql, g -> ${charHashSql("g")}))"
+
   /** MinHash sig element for permutation i over hash set hs. */
   private val MinhashElemSql =
     "list_min(list_transform(hs, h -> ((i + 1) * h + 7919 * i) % 2147483647))"
@@ -109,17 +119,22 @@ object TextQueries {
         charHash(col("text")).as("fingerprint"))
     }),
 
-    // E38 MinHash signatures (k=16), flattened to (doc_id, i, h).
+    // E38 MinHash signatures (k=16) over 3-gram shingle sets, flattened to
+    // (doc_id, i, h). Shingles, not unigram tokens: with a small vocabulary
+    // the unigram token SET is near-identical across docs and every pair
+    // collides; 3-gram shingles restore discriminative power (and match
+    // the standard MinHash construction).
     "q47_minhash_sig" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), posexplode(minhashSignature(col("text"), 16)).as(Seq("i", "h")))
+        .select(col("doc_id"),
+          posexplode(minhashShingleSignature(col("text"), 16, 3)).as(Seq("i", "h")))
     }),
 
     // E38 LSH banding (4 bands × 4 rows): docs sharing any band hash are
     // near-dup candidates. Shuffle key = (band, hash): candidates meet in
     // the same partition, no cross join — the 100 TB dedup shape.
     "q48_lsh_candidates" -> ((s, dir) => {
-      val sig = minhashSignature(col("text"), 16)
+      val sig = minhashShingleSignature(col("text"), 16, 3)
       val bands = t(s, dir, "documents")
         .select(col("doc_id"), posexplode(lshBandHashes(sig, 4, 4)).as(Seq("b", "bh")))
       val a = bands.select(col("b"), col("bh"), col("doc_id").as("doc_a"))
@@ -217,13 +232,15 @@ object TextQueries {
       s"""SELECT doc_id, ${charHashSql("text")} AS fingerprint FROM documents""",
     "q47_minhash_sig" ->
       s"""SELECT doc_id, CAST(i AS INT) AS i, $MinhashElemSql AS h
-          FROM (SELECT doc_id, $TokHashesSql AS hs FROM documents),
+          FROM (SELECT doc_id, $ShingleHashes3Sql AS hs
+                FROM (SELECT doc_id, $TokSql AS toks FROM documents)),
                unnest(range(0, 16)) AS u(i)""",
     "q48_lsh_candidates" ->
       s"""WITH sigs AS (
             SELECT doc_id,
                    list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
-            FROM (SELECT doc_id, $TokHashesSql AS hs FROM documents)),
+            FROM (SELECT doc_id, $ShingleHashes3Sql AS hs
+                  FROM (SELECT doc_id, $TokSql AS toks FROM documents))),
           bands AS (
             SELECT doc_id, CAST(b AS INT) AS b,
                    list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),

@@ -61,7 +61,7 @@ object VectorQueries {
     "q57_ann_srp_buckets" -> ((s, dir) => {
       t(s, dir, "embeddings").select(
         col("vec_id"),
-        srpBucket(col("embedding"), 8, 64).as("bucket"))
+        srpBucket(col("embedding"), 8).as("bucket"))
     }),
 
     // Embedding near-dup: pairs in the SAME SRP bucket with cosine above
@@ -69,7 +69,7 @@ object VectorQueries {
     "q58_embed_neardup" -> ((s, dir) => {
       val b = t(s, dir, "embeddings").select(
         col("vec_id"), col("embedding"),
-        srpBucket(col("embedding"), 8, 64).as("bucket"))
+        srpBucket(col("embedding"), 8).as("bucket"))
       val a = b.select(col("bucket"), col("vec_id").as("vid_a"), col("embedding").as("va"))
       val c = b.select(col("bucket"), col("vec_id").as("vid_b"), col("embedding").as("vb"))
       a.join(c, Seq("bucket")).filter(col("vid_a") < col("vid_b"))

@@ -1,0 +1,79 @@
+package graft.plans
+
+import graft.{Tables, TestSpark}
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native Catalyst expressions must be bit-identical to the interpreted
+  * HOF reference implementations they replaced (same formulas the DuckDB
+  * oracle restates). */
+class NativeExprSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Tables(spark, TestSpark.sfDir, "documents")
+  private def embs = Tables(spark, TestSpark.sfDir, "embeddings")
+
+  test("CharPolyHash == HOF charHash on every fixture doc") {
+    val diff = docs.select(
+      TextFunctions.charHash($"text").as("native"),
+      TextFunctions.hof.charHash($"text").as("ref"))
+      .filter($"native" =!= $"ref").count()
+    assert(diff == 0L)
+  }
+
+  test("Simhash30Expr == HOF simhash30") {
+    val diff = docs.select(
+      TextFunctions.simhash30($"text").as("native"),
+      TextFunctions.hof.simhash30($"text").as("ref"))
+      .filter($"native" =!= $"ref").count()
+    assert(diff == 0L)
+  }
+
+  test("MinhashShingleSig(n=1) == HOF unigram minhashSignature") {
+    val diff = docs.select(
+      TextFunctions.minhashShingleSignature($"text", 16, 1).as("native"),
+      TextFunctions.hof.minhashSignature($"text", 16).as("ref"))
+      .filter(to_json($"native") =!= to_json($"ref")).count()
+    assert(diff == 0L)
+  }
+
+  test("MinhashShingleSig(n=3) hashes the joined shingle strings") {
+    // Spot-check one doc against a direct Scala computation.
+    val text = docs.orderBy($"doc_id").select($"text").as[String].head()
+    val got = docs.orderBy($"doc_id")
+      .select(TextFunctions.minhashShingleSignature($"text", 16, 3)).as[Seq[Long]].head()
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val hs = toks.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+      .map(TextHash.charHash).toSeq.distinct.toArray
+    assert(got == TextHash.minhashSig(hs, 16).toSeq)
+  }
+
+  test("CosineSimExpr == HOF cosine on embedding pairs") {
+    val a = embs.filter($"vec_id" < 30)
+      .select($"vec_id".as("ida"), $"embedding".as("va"))
+    val b = embs.filter($"vec_id" < 30)
+      .select($"vec_id".as("idb"), $"embedding".as("vb"))
+    val diff = a.join(b, $"ida" < $"idb")
+      .select(
+        VectorFunctions.cosine($"va", $"vb").as("native"),
+        VectorFunctions.hof.cosine($"va", $"vb").as("ref"))
+      .filter($"native" =!= $"ref").count()
+    assert(diff == 0L)
+  }
+
+  test("SrpBucketExpr == HOF srpBucket") {
+    val diff = embs.select(
+      VectorFunctions.srpBucket($"embedding", 8).as("native"),
+      VectorFunctions.hof.srpBucket($"embedding", 8, 64).as("ref"))
+      .filter($"native" =!= $"ref").count()
+    assert(diff == 0L)
+  }
+
+  test("native expressions participate in codegen (no CodegenFallback in plan)") {
+    val plan = docs.select(TextFunctions.charHash($"text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || !plan.contains("Fallback"), plan)
+  }
+}
