@@ -56,9 +56,16 @@ object Connectors {
       val withProps = props.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
       partitionColumn match {
         case Some(pc) =>
-          // Bounds probe is one tiny aggregate pushed to the source.
+          // Bounds probe is one tiny aggregate pushed to the source. Quote
+          // via the JDBC dialect: Spark creates tables with quoted
+          // identifiers, so an unquoted column would be case-folded by
+          // databases like Derby/Postgres and not resolve.
+          val q = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier _
           val bounds = spark.read.format("jdbc").option("url", url)
-            .option("query", s"SELECT MIN($pc) lo, MAX($pc) hi FROM $table")
+            // Table name stays unquoted (created unquoted → case-folded by
+            // the database); only columns are created quoted by Spark.
+            .option("query",
+              s"SELECT MIN(${q(pc)}) lo, MAX(${q(pc)}) hi FROM $table")
             .load().collect().headOption
           bounds match {
             case Some(r) if !r.isNullAt(0) =>

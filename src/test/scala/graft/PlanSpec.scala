@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality gates (the 100 TB design rules from SURVEY §4): filters
+  * reach the parquet scan, dimension joins broadcast, top-k plans as
+  * TakeOrdered, and nothing materializes an unbounded cartesian product.
+  * These assert on the physical plan text, so a regression in plan shape
+  * fails CI even while results stay correct. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter is pushed to the parquet scan + partial aggregation") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+  }
+
+  test("q02: IN/BETWEEN predicates pushed to scan") {
+    val p = plan("q02_filter_predicates")
+    assert(p.contains("PushedFilters") && p.contains("In(l_returnflag"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)"), p)
+  }
+
+  test("q03: nation dimension joins via broadcast, fact join shuffles on key") {
+    val p = plan("q03_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q08: explicit broadcast hint honored") {
+    val p = plan("q08_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q11: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q11_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q25: column pruning — scan reads only projected part columns") {
+    val p = plan("q25_string_funcs")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("p_retailprice"), s"unpruned column p_retailprice in:\n$p")
+    assert(!p.contains("p_size,"), s"unpruned column p_size in:\n$p")
+  }
+
+  test("q34: incremental watermark predicate pushed to scan (R2 parity)") {
+    val p = plan("q34_incremental_scan")
+    assert(p.contains("GreaterThan(o_orderdate"), p)
+  }
+
+  test("only the declared cross join materializes a cartesian product") {
+    // Every other query must meet its partner through a keyed join or a
+    // bounded broadcast — at 100 TB an accidental cartesian is fatal.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val p = plan(name)
+      p.contains("CartesianProduct") && name != "q10_cross_join"
+    }
+    assert(offenders.isEmpty, s"unexpected cartesian products in: $offenders")
+  }
+
+  test("scan-heavy queries stay inside whole-stage codegen") {
+    // AQE only materializes codegen spans in the FINAL plan — execute first.
+    for (name <- Seq("q01_pricing_summary", "q27_math_funcs", "q46_fingerprint")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      df.collect() // count() would plan a NEW query; collect runs THIS plan
+      // codegen stages print as "*(n) Operator" in the final plan text
+      assert(df.queryExecution.executedPlan.toString.contains("*(1)"), name)
+    }
+  }
+}
