@@ -215,6 +215,20 @@ object RelationalQueries {
           col("n_orders"), col("sum_price"))
     }),
 
+    // E17 GROUPING SETS through the SQL surface (spark.sql over registered
+    // views — the engine's second query entry point besides the DataFrame
+    // API).
+    "q37_grouping_sets" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                  coalesce(l_linestatus, 'ALL') AS linestatus,
+                  round(sum(l_quantity), 2) AS sum_qty,
+                  count(*) AS n_rows
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
+    }),
+
     // E16 exact distinct counts.
     "q19_count_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -490,6 +504,13 @@ object RelationalQueries {
          coalesce(o_orderpriority, 'ALL') AS orderpriority,
          count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q37_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                count(*) AS n_rows
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
     "q19_count_distinct" ->
       """SELECT l_returnflag,
          count(DISTINCT l_partkey) AS n_parts,
