@@ -53,20 +53,20 @@ object CopyJob {
       case None                                  => full
     }
 
-    // One pass computes count + max(wm) together; with a watermark column
-    // this is a single scan producing a 1-row aggregate (never a collect of
-    // table data). The write is a second scan — at 100 TB the source scan
-    // dominates, and parquet/JDBC pushdown means only the delta is read.
-    val aggCols = count(lit(1)).as("n") +:
+    // SINGLE scan: the row count and max(watermark) are collected as
+    // observed metrics DURING the write, so the delta is read exactly once
+    // (at 100 TB a second stats pass would double the dominant cost). The
+    // empty-delta case still writes nothing visible: a zero-row append is
+    // an empty parquet part / zero-row JDBC batch.
+    val obs = org.apache.spark.sql.Observation(s"copy_${spec.tableName}")
+    val metricCols = count(lit(1)).as("n") +:
       spec.watermarkColumn.map(c => max(col(c)).as("wm")).toSeq
-    val writeAndStats = {
-      val cached = delta // rely on pushdown; avoid caching 100TB deltas
-      val stats = cached.agg(aggCols.head, aggCols.tail: _*).collect().head
-      val n = stats.getLong(0)
-      if (n > 0L) sink.write(cached, spec.tableName, mode)
-      (n, if (spec.watermarkColumn.isDefined && !stats.isNullAt(1)) Some(stats.get(1)) else None)
-    }
-    val (n, maxRaw) = writeAndStats
+    val observed = delta.observe(obs, metricCols.head, metricCols.tail: _*)
+    sink.write(observed, spec.tableName, mode)
+    val stats = obs.get
+    val n = stats("n").asInstanceOf[Long]
+    val maxRaw =
+      if (spec.watermarkColumn.isDefined) Option(stats("wm")) else None
 
     if (n == 0L) {
       // Empty delta: skip load, do NOT advance the watermark
