@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot aggregation keys (SURVEY §4 / the 100 TB design
+  * rules). AQE's skew-join splitting covers joins; heavily skewed
+  * AGGREGATION keys (one key holding a large fraction of all rows) still
+  * funnel into a single reducer. `saltedAgg` runs the classic two-phase
+  * shape: phase 1 aggregates on (keys, salt) — spreading a hot key over
+  * `nSalts` reducers — and phase 2 combines the partials per key.
+  *
+  * Only decomposable aggregates are supported (sum/count/min/max): their
+  * partials combine with sum/sum/min/max. The salt derives from a hash of
+  * the whole row (via `spark_partition_id` + a per-partition counter would
+  * be nondeterministic across retries; `pmod(hash(*), n)` is stable), so
+  * re-computation under task retry lands partials in the same salt bucket.
+  */
+object SkewOps {
+
+  final case class AggSpec(input: Column, func: String, alias: String) {
+    require(Set("sum", "count", "min", "max")(func), s"non-decomposable: $func")
+  }
+
+  def sumOf(c: Column, alias: String): AggSpec = AggSpec(c, "sum", alias)
+  def countOf(alias: String): AggSpec = AggSpec(lit(1), "count", alias)
+  def minOf(c: Column, alias: String): AggSpec = AggSpec(c, "min", alias)
+  def maxOf(c: Column, alias: String): AggSpec = AggSpec(c, "max", alias)
+
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[Column],
+      nSalts: Int,
+      aggs: Seq[AggSpec]): DataFrame = {
+    require(aggs.nonEmpty)
+    val salted = df.withColumn("_graft_salt",
+      pmod(hash(df.columns.map(col): _*), lit(nSalts)))
+    val phase1 = salted
+      .groupBy((keys :+ col("_graft_salt")): _*)
+      .agg(
+        applyFunc(aggs.head.func, aggs.head.input).as(aggs.head.alias),
+        aggs.tail.map(a => applyFunc(a.func, a.input).as(a.alias)): _*)
+    val combined = aggs.map { a =>
+      val combineFn: Column => Column = a.func match {
+        case "sum" | "count" => c => sum(c)
+        case "min"           => c => min(c)
+        case "max"           => c => max(c)
+      }
+      combineFn(col(a.alias)).as(a.alias)
+    }
+    phase1.groupBy(keys: _*).agg(combined.head, combined.tail: _*)
+  }
+
+  private def applyFunc(f: String, c: Column): Column = f match {
+    case "sum"   => sum(c)
+    case "count" => count(c)
+    case "min"   => min(c)
+    case "max"   => max(c)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SkewOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    val li = Tables(spark, TestSpark.sfDir, "lineitem")
+    val direct = li.groupBy($"l_returnflag")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sq"),
+        count(lit(1)).as("n"),
+        min($"l_orderkey").as("mn"),
+        max($"l_orderkey").as("mx"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    val salted = SkewOps.saltedAgg(
+      li, Seq($"l_returnflag"), nSalts = 8,
+      Seq(
+        SkewOps.sumOf($"l_quantity", "sq"),
+        SkewOps.countOf("n"),
+        SkewOps.minOf($"l_orderkey", "mn"),
+        SkewOps.maxOf($"l_orderkey", "mx")))
+      .select($"l_returnflag", round($"sq", 2).as("sq"), $"n", $"mn", $"mx")
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    assert(salted == direct)
+  }
+
+  test("salted plan spreads a key over multiple pre-aggregation groups") {
+    // A single hot key: every row the same group. Direct agg funnels into
+    // one reducer; the salted phase-1 must produce multiple partials.
+    val hot = (1 to 10000).map(i => ("hot", i.toDouble)).toDF("k", "v")
+    val phase1Groups = hot
+      .withColumn("_graft_salt", pmod(hash(col("k"), col("v")), lit(8)))
+      .groupBy($"k", $"_graft_salt").count().count()
+    assert(phase1Groups > 1, "salt failed to spread the hot key")
+    val result = SkewOps.saltedAgg(hot, Seq($"k"), 8,
+      Seq(SkewOps.sumOf($"v", "sv"), SkewOps.countOf("n")))
+    val row = result.collect().head
+    assert(row.getAs[Double]("sv") == (1 to 10000).map(_.toDouble).sum)
+    assert(row.getAs[Long]("n") == 10000L)
+  }
+}
