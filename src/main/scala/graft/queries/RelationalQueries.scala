@@ -219,7 +219,7 @@ object RelationalQueries {
     // views — the engine's second query entry point besides the DataFrame
     // API).
     "q37_grouping_sets" -> ((s, dir) => {
-      graft.Tables.registerAll(s, dir)
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(
         """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                   coalesce(l_linestatus, 'ALL') AS linestatus,
