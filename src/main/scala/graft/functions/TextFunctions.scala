@@ -60,18 +60,11 @@ object TextFunctions {
   def tokenHashes(c: Column): Column =
     array_distinct(transform(tokens(c), t => charHash(t)))
 
-  /** Word n-gram shingles joined by a single space (E37). Empty when the
-    * doc has fewer than n tokens — note sequence(1, 0) in Spark counts DOWN
-    * ([1, 0]), so the short-doc case needs the explicit guard. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    // i ∈ [1, size - n + 1]; slice is 1-based.
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - lit(n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles joined by a single space (E37); empty when the
+    * doc has fewer than n tokens. Native expression; HOF twin in
+    * [[hof.shingles]]. */
+  def shingles(c: Column, n: Int): Column =
+    toCol(graft.plans.ShinglesExpr(toExpr(c), n))
 
   /** LSH band hashes: fold each group of `rowsPerBand` signature values with
     * the charHash fold. Docs sharing any band hash are near-dup candidates. */
@@ -91,6 +84,17 @@ object TextFunctions {
 
   /** Interpreted HOF reference implementations (parity tests only). */
   object hof {
+    /** Note: Spark sequence(1, 0) counts DOWN ([1, 0]), hence the
+      * short-doc guard. */
+    def shingles(c: Column, n: Int): Column = {
+      val toks = tokens(c)
+      when(size(toks) >= n,
+        transform(
+          sequence(lit(1), size(toks) - lit(n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+
     def charHash(c: Column): Column =
       aggregate(
         chars(c),

@@ -119,6 +119,35 @@ object TextHash {
   }
 }
 
+/** Word n-gram shingle strings (tokens joined by one space) — native twin
+  * of TextFunctions.hof-style shingles; empty array for short docs. */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ShinglesExpr.evalShingles(v.asInstanceOf[UTF8String].toString, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.ShinglesExpr.evalShingles($c.toString(), $n)")
+  override protected def withNewChildInternal(c: Expression): ShinglesExpr = copy(child = c)
+}
+
+object ShinglesExpr {
+  /** Codegen entry point (mirrors nullSafeEval). */
+  def evalShingles(s: String, n: Int): GenericArrayData = {
+    val toks = TextHash.tokens(s)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i + n <= toks.length) {
+        out(i) = UTF8String.fromString(toks.slice(i, i + n).mkString(" "))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
 /** charHash(text) — rolling polynomial hash; document fingerprint. */
 case class CharPolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -50,6 +50,20 @@ class NativeExprSpec extends AnyFunSuite {
     assert(got == TextHash.minhashSig(hs, 16).toSeq)
   }
 
+  test("ShinglesExpr == HOF shingles for n in 1..4 (incl. short-doc empty case)") {
+    for (n <- 1 to 4) {
+      val diff = docs.select(
+        TextFunctions.shingles($"text", n).as("native"),
+        TextFunctions.hof.shingles($"text", n).as("ref"))
+        .filter(to_json($"native") =!= to_json($"ref")).count()
+      assert(diff == 0L, s"n=$n")
+    }
+    // short doc: fewer tokens than n → empty array, not a [1,0] artifact
+    val short = Seq("one two").toDF("text")
+      .select(TextFunctions.shingles($"text", 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
   test("CosineSimExpr == HOF cosine on embedding pairs") {
     val a = embs.filter($"vec_id" < 30)
       .select($"vec_id".as("ida"), $"embedding".as("va"))
