@@ -120,8 +120,12 @@ object TextFunctions {
       transform(
         sequence(lit(0), lit(k - 1)),
         i =>
-          array_min(transform(hs, h =>
-            ((i + lit(1)).cast("long") * h + lit(MinhashB) * i.cast("long")) % lit(MinhashMod))))
+          // Empty hash set → array_min yields NULL → zero-fill, matching the
+          // native expression's empty-set contract (TextHash.minhashSig).
+          coalesce(
+            array_min(transform(hs, h =>
+              ((i + lit(1)).cast("long") * h + lit(MinhashB) * i.cast("long")) % lit(MinhashMod))),
+            lit(0L)))
     }
   }
 

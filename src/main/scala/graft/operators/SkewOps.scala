@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * shape: phase 1 aggregates on (keys, salt) — spreading a hot key over
   * `nSalts` reducers — and phase 2 combines the partials per key.
   *
-  * Only decomposable aggregates are supported (sum/count/min/max): their
-  * partials combine with sum/sum/min/max. The salt derives from a hash of
+  * Only decomposable aggregates are supported: sum/count/min/max combine
+  * with sum/sum/min/max, and avg decomposes into (sum, count) partials that
+  * recombine as sum-of-sums / sum-of-counts. The salt derives from a hash of
   * the whole row (via `spark_partition_id` + a per-partition counter would
   * be nondeterministic across retries; `pmod(hash(*), n)` is stable), so
   * re-computation under task retry lands partials in the same salt bucket.
@@ -19,13 +20,14 @@ import org.apache.spark.sql.functions._
 object SkewOps {
 
   final case class AggSpec(input: Column, func: String, alias: String) {
-    require(Set("sum", "count", "min", "max")(func), s"non-decomposable: $func")
+    require(Set("sum", "count", "min", "max", "avg")(func), s"non-decomposable: $func")
   }
 
   def sumOf(c: Column, alias: String): AggSpec = AggSpec(c, "sum", alias)
   def countOf(alias: String): AggSpec = AggSpec(lit(1), "count", alias)
   def minOf(c: Column, alias: String): AggSpec = AggSpec(c, "min", alias)
   def maxOf(c: Column, alias: String): AggSpec = AggSpec(c, "max", alias)
+  def avgOf(c: Column, alias: String): AggSpec = AggSpec(c, "avg", alias)
 
   def saltedAgg(
       df: DataFrame,
@@ -35,18 +37,29 @@ object SkewOps {
     require(aggs.nonEmpty)
     val salted = df.withColumn("_graft_salt",
       pmod(hash(df.columns.map(col): _*), lit(nSalts)))
+    // Phase 1: partials per (keys, salt). avg contributes TWO partial
+    // columns (sum + count) so phase 2 can form the exact global mean —
+    // averaging per-salt averages would weight salt buckets equally and be
+    // wrong whenever bucket sizes differ.
+    val partials: Seq[Column] = aggs.flatMap { a =>
+      a.func match {
+        case "avg" => Seq(
+          sum(a.input).as(s"${a.alias}__psum"),
+          count(a.input).as(s"${a.alias}__pcnt"))
+        case f => Seq(applyFunc(f, a.input).as(a.alias))
+      }
+    }
     val phase1 = salted
       .groupBy((keys :+ col("_graft_salt")): _*)
-      .agg(
-        applyFunc(aggs.head.func, aggs.head.input).as(aggs.head.alias),
-        aggs.tail.map(a => applyFunc(a.func, a.input).as(a.alias)): _*)
-    val combined = aggs.map { a =>
-      val combineFn: Column => Column = a.func match {
-        case "sum" | "count" => c => sum(c)
-        case "min"           => c => min(c)
-        case "max"           => c => max(c)
+      .agg(partials.head, partials.tail: _*)
+    val combined: Seq[Column] = aggs.map { a =>
+      a.func match {
+        case "sum" | "count" => sum(col(a.alias)).as(a.alias)
+        case "min"           => min(col(a.alias)).as(a.alias)
+        case "max"           => max(col(a.alias)).as(a.alias)
+        case "avg" =>
+          (sum(col(s"${a.alias}__psum")) / sum(col(s"${a.alias}__pcnt"))).as(a.alias)
       }
-      combineFn(col(a.alias)).as(a.alias)
     }
     phase1.groupBy(keys: _*).agg(combined.head, combined.tail: _*)
   }

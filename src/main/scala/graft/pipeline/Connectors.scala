@@ -10,21 +10,29 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * stays executor-side (never the reference's driver `fetchall`,
   * `util.py:170`).
   */
-sealed trait Source {
+/** Open extension points: the reference leaves commented connector stubs for
+  * future api/file connectors (`util.py:291-301`) — third-party formats plug
+  * in by implementing these. */
+trait Source {
   def read(spark: SparkSession, table: String): DataFrame
 }
-sealed trait Sink {
+trait Sink {
   def write(df: DataFrame, table: String, mode: SaveMode): Unit
 }
 
 object Connectors {
 
-  /** Parquet directory source: one subdirectory (or file) per table. */
+  /** Parquet directory source: one subdirectory (or file) per table. The
+    * layout probe goes through the Hadoop FileSystem API so it honors the
+    * path's scheme — a `java.nio` probe would be always-false for
+    * `hdfs://`/`s3a://` base dirs (the actual cluster deployment shape) and
+    * silently misread directory-per-table layouts.
+    */
   final case class ParquetSource(baseDir: String) extends Source {
     def read(spark: SparkSession, table: String): DataFrame = {
-      val dir = s"$baseDir/$table"
-      val file = s"$baseDir/$table.parquet"
-      val p = if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) dir else file
+      val dir = new org.apache.hadoop.fs.Path(s"$baseDir/$table")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = if (fs.exists(dir)) dir.toString else s"$baseDir/$table.parquet"
       spark.read.parquet(p)
     }
   }
@@ -92,6 +100,11 @@ object Connectors {
       df.write.mode(mode).option("header", "true").csv(s"$baseDir/$table")
   }
 
+  final case class JsonSink(baseDir: String) extends Sink {
+    def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+      df.write.mode(mode).json(s"$baseDir/$table")
+  }
+
   /** JDBC sink; `batchsize=1000` for parity with the reference's
     * `execute_batch(page_size=1000)` (`/root/reference/util.py:226,232`).
     */
@@ -123,6 +136,7 @@ object Connectors {
     format.toLowerCase match {
       case "parquet" => ParquetSink(baseDirOrUrl)
       case "csv"     => CsvSink(baseDirOrUrl)
+      case "json"    => JsonSink(baseDirOrUrl)
       case "jdbc"    => JdbcSink(baseDirOrUrl)
       case other     => throw new IllegalArgumentException(s"unknown sink format: $other")
     }

@@ -53,11 +53,20 @@ object CopyJob {
       case None                                  => full
     }
 
+    // Incremental runs (an existing watermark pushed into the scan) probe
+    // the delta with a limit-1 existence check BEFORE writing: the common
+    // steady-state is "no new rows", and skipping the write entirely keeps
+    // sinks free of empty parquet parts (the reference skips the load too,
+    // app.py:147-153). The probe reads at most one row off the
+    // pushed-filtered scan — negligible next to the write it avoids.
+    // Initial full loads skip the probe: they are never empty in practice
+    // and the probe would be a wasted scan start-up.
+    if (wm.isDefined && delta.isEmpty)
+      return CopyResult(spec.tableName, 0L, None, skipped = true)
+
     // SINGLE scan: the row count and max(watermark) are collected as
     // observed metrics DURING the write, so the delta is read exactly once
-    // (at 100 TB a second stats pass would double the dominant cost). The
-    // empty-delta case still writes nothing visible: a zero-row append is
-    // an empty parquet part / zero-row JDBC batch.
+    // (at 100 TB a second stats pass would double the dominant cost).
     val obs = org.apache.spark.sql.Observation(s"copy_${spec.tableName}")
     val metricCols = count(lit(1)).as("n") +:
       spec.watermarkColumn.map(c => max(col(c)).as("wm")).toSeq
@@ -73,12 +82,27 @@ object CopyJob {
       // (/root/reference/app.py:147-153).
       CopyResult(spec.tableName, 0L, None, skipped = true)
     } else {
+      // The observed max arrives as whatever external type the session's
+      // datetime config produces: java.sql.Timestamp by default,
+      // java.time.Instant/LocalDateTime under datetime.java8API.enabled.
+      // An UNRECOGNIZED type must fail loudly: silently returning None here
+      // would copy rows but never advance the watermark, so every later run
+      // re-appends the full table with no visible error.
       val newWm: Option[WatermarkValue] = (spec.watermarkType, maxRaw) match {
         case (Some(WatermarkType.Id), Some(v: Number)) =>
           Some(WatermarkValue.IdValue(v.longValue()))
         case (Some(WatermarkType.Timestamp), Some(t: java.sql.Timestamp)) =>
           Some(WatermarkValue.TsValue(t))
-        case _ => None
+        case (Some(WatermarkType.Timestamp), Some(i: java.time.Instant)) =>
+          Some(WatermarkValue.TsValue(java.sql.Timestamp.from(i)))
+        case (Some(WatermarkType.Timestamp), Some(l: java.time.LocalDateTime)) =>
+          Some(WatermarkValue.TsValue(java.sql.Timestamp.valueOf(l)))
+        case (None, _) => None
+        case (Some(wt), bad) =>
+          throw new IllegalStateException(
+            s"table ${spec.tableName}: watermark metric of type " +
+              s"${bad.map(_.getClass.getName).getOrElse("null")} not usable as $wt " +
+              "— refusing to advance silently (would re-copy forever)")
       }
       // State write strictly AFTER the sink commit (SURVEY §7.3 hazard 2).
       newWm.foreach(v => state.put(spec.tableName, v.serialized))

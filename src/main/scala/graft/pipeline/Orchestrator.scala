@@ -29,6 +29,15 @@ final case class RunReport(results: Map[String, Try[CopyResult]]) {
   */
 object Orchestrator {
 
+  /** @param tableTimeout bound on how long we wait for any single table.
+    *        A hung source (dead JDBC endpoint, stuck filesystem) must not
+    *        hang the WHOLE run forever: the await is bounded per table and a
+    *        timeout is recorded as that table's failure in the report,
+    *        preserving the reference's per-table fault isolation
+    *        (`app.py:175-177`) under hangs. The stuck job itself cannot be
+    *        safely killed mid-write; it is abandoned on the pool thread and
+    *        the pool is not awaited at shutdown.
+    */
   def runAll(
       spark: SparkSession,
       specs: Seq[TableSpec],
@@ -36,17 +45,24 @@ object Orchestrator {
       sink: Sink,
       state: StateStore,
       mode: SaveMode = SaveMode.Append,
-      parallelism: Int = 4): RunReport = {
+      parallelism: Int = 4,
+      tableTimeout: Duration = Duration.Inf): RunReport = {
 
     val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val futures = specs.map { spec =>
-        Future {
-          spec.tableName -> Try(CopyJob.run(spark, spec, source, sink, state, mode))
+        spec.tableName -> Future {
+          Try(CopyJob.run(spark, spec, source, sink, state, mode))
         }
       }
-      val done = Await.result(Future.sequence(futures), Duration.Inf)
+      val done = futures.map { case (name, f) =>
+        name -> Try(Await.result(f, tableTimeout)).recover {
+          case e: java.util.concurrent.TimeoutException =>
+            Failure(new java.util.concurrent.TimeoutException(
+              s"table $name did not finish within $tableTimeout"))
+        }.flatten
+      }
       RunReport(done.toMap)
     } finally pool.shutdown()
   }

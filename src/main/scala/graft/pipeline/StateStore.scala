@@ -20,7 +20,14 @@ final class StateStore(path: Path) {
 
   def get(table: String): Option[String] = read().get(table)
 
-  def put(table: String, value: String): Unit = {
+  /** Thread-safe: the orchestrator runs up to N table copies in parallel and
+    * each finishes with a `put` on this shared store. The read-modify-write
+    * must be one critical section or a concurrent pair can interleave and
+    * silently drop a watermark (whose table would then re-copy its full
+    * history on the next run). The atomic temp+move below protects against
+    * torn FILES, not lost UPDATES — this lock covers the latter.
+    */
+  def put(table: String, value: String): Unit = this.synchronized {
     val m = read() + (table -> value)
     write(m)
   }

@@ -96,8 +96,10 @@ object TextHash {
       }
       hi += 1
     }
-    // Empty hash set: list_min over empty is NULL in DuckDB; the fixtures
-    // never produce empty docs, but keep a defined value.
+    // Empty-set contract (docs with < n tokens): signature is ALL ZEROS on
+    // every implementation — here, in the HOF twin (coalesce over the NULL
+    // that array_min yields on empty), and in the oracle SQL (coalesce over
+    // DuckDB's NULL list_min). Change all three together or none.
     if (hs.isEmpty) java.util.Arrays.fill(sig, 0L)
     sig
   }

@@ -229,6 +229,31 @@ object RelationalQueries {
            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
     }),
 
+    // Skew-mitigated aggregation: lineitem's l_returnflag holds only 3 hot
+    // keys, the worst case for a single-reducer funnel at 100 TB. The
+    // salted two-phase shape (graft.operators.SkewOps) spreads each hot key
+    // over 16 reducers and recombines partials; the oracle proves the
+    // result equals a direct GROUP BY.
+    "q38_salted_agg" -> ((s, dir) => {
+      graft.operators.SkewOps.saltedAgg(
+        t(s, dir, "lineitem"),
+        keys = Seq(col("l_returnflag")),
+        nSalts = 16,
+        aggs = Seq(
+          graft.operators.SkewOps.sumOf(col("l_quantity"), "sum_qty"),
+          graft.operators.SkewOps.countOf("n_rows"),
+          graft.operators.SkewOps.minOf(col("l_extendedprice"), "min_price"),
+          graft.operators.SkewOps.maxOf(col("l_extendedprice"), "max_price"),
+          graft.operators.SkewOps.avgOf(col("l_quantity"), "avg_qty")))
+        .select(
+          col("l_returnflag"),
+          round(col("sum_qty"), 2).as("sum_qty"),
+          col("n_rows"),
+          round(col("min_price"), 2).as("min_price"),
+          round(col("max_price"), 2).as("max_price"),
+          round(col("avg_qty"), 4).as("avg_qty"))
+    }),
+
     // E16 exact distinct counts.
     "q19_count_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -247,11 +272,17 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
     }),
 
-    // E18 collect_set, canonicalized (sorted + joined) for comparison.
+    // E18 collect_set + collect_list, canonicalized (sorted + joined) for
+    // comparison. The list column aggregates nation-name INITIALS, which
+    // repeat within a region — so it genuinely exercises list semantics
+    // (duplicates preserved) where the set column would dedup them.
     "q21_collect_set" -> ((s, dir) => {
       t(s, dir, "nation")
         .groupBy(col("n_regionkey"))
-        .agg(array_join(sort_array(collect_set(col("n_name"))), ",").as("nations"))
+        .agg(
+          array_join(sort_array(collect_set(col("n_name"))), ",").as("nations"),
+          array_join(sort_array(collect_list(substring(col("n_name"), 1, 1))), ",")
+            .as("initials"))
     }),
 
     // E24 union all + union distinct.
@@ -517,9 +548,19 @@ object RelationalQueries {
          count(DISTINCT l_suppkey) AS n_supps,
          count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
+    // Direct GROUP BY — equality with the salted two-phase plan is the test.
+    "q38_salted_agg" ->
+      """SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS n_rows,
+         round(min(l_extendedprice), 2) AS min_price,
+         round(max(l_extendedprice), 2) AS max_price,
+         round(sum(l_quantity) / count(*), 4) AS avg_qty
+         FROM lineitem GROUP BY l_returnflag""",
     "q21_collect_set" ->
       """SELECT n_regionkey,
-         array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
+         array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+         array_to_string(list_sort(list(left(n_name, 1))), ',') AS initials
          FROM nation GROUP BY n_regionkey""",
     "q22_union" ->
       """SELECT key, count(*) AS n FROM (

@@ -48,9 +48,11 @@ object TextQueries {
   private val ShingleHashes3Sql =
     s"list_distinct(list_transform($Shingle3Sql, g -> ${charHashSql("g")}))"
 
-  /** MinHash sig element for permutation i over hash set hs. */
+  /** MinHash sig element for permutation i over hash set hs. Empty hs →
+    * list_min yields NULL → coalesce to 0, matching the native expression's
+    * zero-fill empty-set contract (TextHash.minhashSig). */
   private val MinhashElemSql =
-    "list_min(list_transform(hs, h -> ((i + 1) * h + 7919 * i) % 2147483647))"
+    "coalesce(list_min(list_transform(hs, h -> ((i + 1) * h + 7919 * i) % 2147483647)), 0)"
 
   private def markerListSql(lang: String): String =
     langMarkers.toMap.apply(lang).map(m => s"'$m'").mkString("(", ", ", ")")
@@ -132,11 +134,16 @@ object TextQueries {
 
     // E38 LSH banding (4 bands × 4 rows): docs sharing any band hash are
     // near-dup candidates. Shuffle key = (band, hash): candidates meet in
-    // the same partition, no cross join — the 100 TB dedup shape.
+    // the same partition, no cross join — the 100 TB dedup shape. The band
+    // frame is persisted before the self-join: MinHash signatures are the
+    // dominant cost and must compute ONCE, not once per join side (at
+    // cluster scale this persist becomes a parquet staging table; the
+    // single-computation contract is the same).
     "q48_lsh_candidates" -> ((s, dir) => {
       val sig = minhashShingleSignature(col("text"), 16, 3)
       val bands = t(s, dir, "documents")
         .select(col("doc_id"), posexplode(lshBandHashes(sig, 4, 4)).as(Seq("b", "bh")))
+        .persist()
       val a = bands.select(col("b"), col("bh"), col("doc_id").as("doc_a"))
       val b2 = bands.select(col("b"), col("bh"), col("doc_id").as("doc_b"))
       a.join(b2, Seq("b", "bh")).filter(col("doc_a") < col("doc_b"))
@@ -152,8 +159,11 @@ object TextQueries {
     // n-gram Jaccard similarity on a bounded subset: candidate pairs meet
     // via the shared-ngram join (inverted index), never a cross join.
     "q50_ngram_jaccard" -> ((s, dir) => {
+      // `grams` feeds three plan branches (sizes + both inter sides):
+      // persist so shingling runs once, not three times.
       val grams = t(s, dir, "documents").filter(col("doc_id") < 50)
         .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 2))).as("ng"))
+        .persist()
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = grams.select(col("doc_id").as("doc_a"), col("ng"))
         .join(grams.select(col("doc_id").as("doc_b"), col("ng")), Seq("ng"))

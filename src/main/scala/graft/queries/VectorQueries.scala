@@ -67,9 +67,12 @@ object VectorQueries {
     // Embedding near-dup: pairs in the SAME SRP bucket with cosine above
     // threshold — the bucket join replaces the cross join at scale.
     "q58_embed_neardup" -> ((s, dir) => {
+      // Persist the bucketed frame: SRP projections compute once, and both
+      // self-join sides read the cache (staging table at cluster scale).
       val b = t(s, dir, "embeddings").select(
         col("vec_id"), col("embedding"),
         srpBucket(col("embedding"), 8).as("bucket"))
+        .persist()
       val a = b.select(col("bucket"), col("vec_id").as("vid_a"), col("embedding").as("va"))
       val c = b.select(col("bucket"), col("vec_id").as("vid_b"), col("embedding").as("vb"))
       a.join(c, Seq("bucket")).filter(col("vid_a") < col("vid_b"))

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Checks for the two operators the DuckDB oracle cannot hash-match:
+  * approx_count_distinct (HLL sketches aren't cross-engine comparable — the
+  * driver records a rows-only check for q20) and current_timestamp
+  * (non-deterministic by nature). Both get in-repo contracts instead.
+  */
+class AccuracySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q20 approx_count_distinct within ±5% of q19 exact counts per group") {
+    val exact = SparkEntry.queries("q19_count_distinct")(spark, TestSpark.sfDir)
+      .select($"l_returnflag", $"n_parts").as[(String, Long)].collect().toMap
+    val approx = SparkEntry.queries("q20_approx_distinct")(spark, TestSpark.sfDir)
+      .select($"l_returnflag", $"approx_parts").as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    for ((flag, est) <- approx) {
+      val truth = exact(flag).toDouble
+      val relErr = math.abs(est - truth) / truth
+      // Spark's HLL++ default rsd is 5%; the fixture cardinalities (~hundreds
+      // to thousands) sit well inside the sketch's accurate range.
+      assert(relErr <= 0.05, f"$flag: approx=$est exact=${truth}%.0f relErr=${relErr * 100}%.2f%%")
+    }
+  }
+
+  test("current_timestamp has statement-level NOW() semantics in a copy (§2.2)") {
+    // The reference's incremental test stamps rows with MySQL NOW()
+    // (README.md:233,238): one statement → one timestamp. Spark matches:
+    // current_timestamp() is fixed at query start, so every row of a load
+    // carries the SAME stamp, bounded by the wall clock around the write —
+    // the oracle-hostile operator pinned by a clock interval instead.
+    val dst = java.nio.file.Files.createTempDirectory("now_sink")
+    val t0 = System.currentTimeMillis() - 1 // ms truncation guard
+    (1 to 100).toDF("id")
+      .repartition(8) // stamp must be task-invariant, not per-partition
+      .withColumn("load_ts", current_timestamp())
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/t")
+    val t1 = System.currentTimeMillis() + 1
+    val stamps = spark.read.parquet(s"$dst/t")
+      .select($"load_ts").distinct().as[java.sql.Timestamp].collect()
+    assert(stamps.length == 1, s"NOW() must be constant per statement, got ${stamps.length} values")
+    val ms = stamps.head.getTime
+    assert(ms >= t0 && ms <= t1, s"stamp $ms outside [$t0, $t1]")
+  }
+}

@@ -63,6 +63,34 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unexpected cartesian products in: $offenders")
   }
 
+  test("q48/q50/q58: self-join sides read the persisted signature frame once") {
+    // The expensive expression (MinHash sig / shingles / SRP bucket) must be
+    // computed exactly once inside the cached relation; both self-join sides
+    // must read it back via InMemoryTableScan. If the persist is dropped the
+    // expression reappears in the join-side plans and this gate fails.
+    val gates = Seq(
+      ("q48_lsh_candidates", "minhashshinglesig", 2),
+      ("q50_ngram_jaccard", "shinglesexpr", 3),
+      ("q58_embed_neardup", "srpbucketexpr", 2))
+    for ((name, expr, minScans) <- gates) {
+      // Traverse the optimized LOGICAL plan: InMemoryRelation is a leaf
+      // there, so its cached build plan (which legitimately contains the
+      // expression ONCE) is not visited — any sighting of the expression in
+      // the traversal is a recomputation outside the cache.
+      val plan = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+        .queryExecution.optimizedPlan
+      val cacheReads = plan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+      assert(cacheReads.size >= minScans,
+        s"$name: expected >=$minScans cache reads, got ${cacheReads.size} in:\n$plan")
+      val outside = plan.collect { case n => n }
+        .flatMap(_.expressions)
+        .count(_.toString.toLowerCase.contains(expr))
+      assert(outside == 0, s"$name: $expr recomputed outside the cache in:\n$plan")
+    }
+  }
+
   test("scan-heavy queries stay inside whole-stage codegen") {
     // AQE only materializes codegen spans in the FINAL plan — execute first.
     for (name <- Seq("q01_pricing_summary", "q27_math_funcs", "q46_fingerprint")) {

@@ -31,6 +31,20 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("salted avg equals direct avg (sum/count decomposition, not avg-of-avgs)") {
+    // Unequal salt-bucket sizes are the trap: averaging per-bucket averages
+    // would be wrong. The (sum, count) partial decomposition is exact.
+    val li = Tables(spark, TestSpark.sfDir, "lineitem")
+    val direct = li.groupBy($"l_returnflag")
+      .agg(round(sum($"l_quantity") / count(lit(1)), 6).as("a"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val salted = SkewOps.saltedAgg(li, Seq($"l_returnflag"), nSalts = 8,
+      Seq(SkewOps.avgOf($"l_quantity", "a")))
+      .select($"l_returnflag", round($"a", 6).as("a"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(salted == direct)
+  }
+
   test("salted plan spreads a key over multiple pre-aggregation groups") {
     // A single hot key: every row the same group. Direct agg funnels into
     // one reducer; the salted phase-1 must produce multiple partials.

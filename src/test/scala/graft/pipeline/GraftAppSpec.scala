@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import graft.TestSpark
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+import org.apache.spark.sql.SaveMode
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** E2E through the CLI entry point (`app.py:31-46` parity): the reference
+  * scenario — catalog-driven full load, upstream delta, incremental re-run,
+  * empty re-run — driven entirely by `GraftApp.run` with string args, plus
+  * the env-var watermark injection and NEW_WATERMARK stdout contract. */
+class GraftAppSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def seedOrders(src: Path, n: Int): Unit =
+    (1 to n).map(i => (i, Timestamp.valueOf(f"2014-07-${(i % 27) + 1}%02d 00:00:00")))
+      .toDF("order_id", "order_date")
+      .write.mode(SaveMode.Overwrite).parquet(s"$src/orders")
+
+  private def writeCatalog(rows: String*): Path = {
+    val p = Files.createTempFile("tables_list", ".csv")
+    Files.writeString(p,
+      ("table_name,to_be_loaded,watermark_column,watermark_type" +: rows).mkString("\n"))
+    p
+  }
+
+  test("CLI run: full load → delta → empty skip, with NEW_WATERMARK output") {
+    val src = Files.createTempDirectory("app_src")
+    val dst = Files.createTempDirectory("app_dst")
+    val catalog = writeCatalog("orders,yes,order_id,id", "skipme,no,,")
+    seedOrders(src, 50)
+
+    def cli(extra: String*): (Int, Seq[String]) = {
+      val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val args = GraftApp.parseArgs(Seq(
+        "dev", "all",
+        "--tables-list-path", catalog.toString,
+        "--source", s"parquet:$src",
+        "--sink", s"parquet:$dst",
+        "--state", s"$dst/state.properties") ++ extra)
+      val code = GraftApp.run(args, spark,
+        getenv = _ => None, out = outs += _, log = _ => ())
+      (code, outs.toSeq)
+    }
+
+    val (c1, out1) = cli()
+    assert(c1 == 0)
+    assert(out1 == Seq("NEW_WATERMARK_ORDERS=50"))
+    assert(spark.read.parquet(s"$dst/orders").count() == 50L)
+
+    seedOrders(src, 60)
+    val (c2, out2) = cli()
+    assert(c2 == 0)
+    assert(out2 == Seq("NEW_WATERMARK_ORDERS=60"))
+    assert(spark.read.parquet(s"$dst/orders").count() == 60L)
+
+    // Nothing new: skip, no watermark line, no new files in the sink dir.
+    val filesBefore = Files.list(Path.of(s"$dst/orders")).iterator.asScala
+      .map(_.getFileName.toString).toSet
+    val (c3, out3) = cli()
+    assert(c3 == 0 && out3.isEmpty)
+    val filesAfter = Files.list(Path.of(s"$dst/orders")).iterator.asScala
+      .map(_.getFileName.toString).toSet
+    assert(filesAfter == filesBefore, "empty delta must not litter the sink")
+  }
+
+  test("LAST_WATERMARK_<TABLE> env seeds the state store (app.py:100-117)") {
+    val src = Files.createTempDirectory("app_src2")
+    val dst = Files.createTempDirectory("app_dst2")
+    val catalog = writeCatalog("orders,yes,order_id,id")
+    seedOrders(src, 30)
+    val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val args = GraftApp.parseArgs(Seq(
+      "dev", "orders",
+      "--tables-list-path", catalog.toString,
+      "--source", s"parquet:$src", "--sink", s"parquet:$dst",
+      "--state", s"$dst/state.properties"))
+    val code = GraftApp.run(args, spark,
+      getenv = Map("LAST_WATERMARK_ORDERS" -> "25").get _,
+      out = outs += _, log = _ => ())
+    assert(code == 0)
+    // Only rows above the injected watermark moved.
+    assert(spark.read.parquet(s"$dst/orders").count() == 5L)
+    assert(outs == Seq("NEW_WATERMARK_ORDERS=30"))
+  }
+
+  test("endpoints resolve from PipelineConfig when no overrides are given") {
+    val src = Files.createTempDirectory("app_src3")
+    val dst = Files.createTempDirectory("app_dst3")
+    val catalog = writeCatalog("orders,yes,order_id,id")
+    seedOrders(src, 10)
+    val args = GraftApp.parseArgs(Seq(
+      "dev", "all",
+      "--tables-list-path", catalog.toString,
+      "--state", s"$dst/state.properties"))
+    val code = GraftApp.run(args, spark,
+      getenv = Map(
+        "GRAFT_SOURCE" -> s"parquet:$src",
+        "GRAFT_SINK" -> s"parquet:$dst").get _,
+      out = _ => (), log = _ => ())
+    assert(code == 0)
+    assert(spark.read.parquet(s"$dst/orders").count() == 10L)
+  }
+
+  test("empty table selection exits non-zero (app.py:84-86)") {
+    val dst = Files.createTempDirectory("app_dst4")
+    val catalog = writeCatalog("orders,yes,order_id,id")
+    val args = GraftApp.parseArgs(Seq(
+      "dev", "not_a_table",
+      "--tables-list-path", catalog.toString,
+      "--source", "parquet:/nowhere", "--sink", s"parquet:$dst"))
+    assert(GraftApp.run(args, spark, getenv = _ => None, out = _ => (), log = _ => ()) == 1)
+  }
+
+  test("arg parsing: usage errors and flag forms") {
+    intercept[IllegalArgumentException](GraftApp.parseArgs(Seq("dev")))
+    intercept[IllegalArgumentException](GraftApp.parseArgs(Seq("dev", "all", "--mode", "upsert")))
+    val a = GraftApp.parseArgs(Seq("dev", "a,b", "--mode", "overwrite",
+      "--parallelism", "2", "--table-timeout-sec", "30"))
+    assert(a.mode == SaveMode.Overwrite && a.parallelism == 2)
+    assert(a.tableTimeout.toSeconds == 30L)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import graft.TestSpark
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.concurrent.duration.DurationInt
+
+/** Orchestrator hardening: a hung table must not hang the run (bounded
+  * per-table await), and concurrent watermark commits must not lose updates
+  * (StateStore.put is a critical section). */
+class OrchestratorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("per-table timeout: one hung source fails that table, not the run") {
+    val src = Files.createTempDirectory("orch_src")
+    val dst = Files.createTempDirectory("orch_dst")
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.mode(SaveMode.Overwrite).parquet(s"$src/fast")
+
+    val parquet = Connectors.ParquetSource(src.toString)
+    val hangingSource = new Source {
+      def read(spark: SparkSession, table: String): DataFrame =
+        if (table == "hung") { Thread.sleep(60 * 1000); parquet.read(spark, "fast") }
+        else parquet.read(spark, table)
+    }
+    val specs = Seq(
+      TableSpec("fast", toBeLoaded = true, None, None),
+      TableSpec("hung", toBeLoaded = true, None, None))
+    val state = StateStore(s"$dst/state.properties")
+
+    val t0 = System.nanoTime()
+    val report = Orchestrator.runAll(spark, specs, hangingSource,
+      Connectors.ParquetSink(dst.toString), state,
+      parallelism = 4, tableTimeout = 3.seconds)
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+
+    assert(report.succeeded.keySet == Set("fast"))
+    assert(report.failed.keySet == Set("hung"))
+    assert(report.failed("hung").isInstanceOf[java.util.concurrent.TimeoutException])
+    assert(elapsedSec < 30, s"run blocked for ${elapsedSec}s — timeout not applied")
+  }
+
+  test("concurrent StateStore.put never loses an update") {
+    val state = StateStore(
+      Files.createTempDirectory("orch_state").resolve("state.properties").toString)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // 32 tables commit watermarks concurrently — the unsynchronized
+    // read-modify-write this guards against dropped ~half of them.
+    val fs = (1 to 32).map(i => Future(state.put(s"table_$i", i.toString)))
+    Await.result(Future.sequence(fs), Duration.Inf)
+    val m = state.asMap
+    assert(m.size == 32, s"lost updates: ${(1 to 32).map(i => s"table_$i").filterNot(m.contains)}")
+    assert((1 to 32).forall(i => m(s"table_$i") == i.toString))
+  }
+
+  test("json source/sink round-trip through the connector registry (E3/E5)") {
+    val src = Files.createTempDirectory("orch_json_src")
+    val dst = Files.createTempDirectory("orch_json_dst")
+    val df = (1 to 7).map(i => (i.toLong, s"name$i", i * 1.5)).toDF("id", "name", "score")
+    df.write.mode(SaveMode.Overwrite).json(s"$src/t.json")
+
+    val read = Connectors.source("json", src.toString).read(spark, "t")
+    assert(read.count() == 7L)
+    Connectors.sink("json", dst.toString).write(read, "t_out", SaveMode.Overwrite)
+    val back = spark.read.json(s"$dst/t_out")
+    assert(back.count() == 7L)
+    assert(back.columns.sorted.toSeq == Seq("id", "name", "score"))
+  }
+}

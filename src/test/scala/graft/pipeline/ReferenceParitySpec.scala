@@ -96,7 +96,13 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(tgtOrders.count() == 62L)
     assert(tgtOrders.select(countDistinct($"order_id")).as[Long].head() == 62L)
 
-    // Run 3: nothing new → every incremental table skips, state unchanged.
+    // Run 3: nothing new → every incremental table skips, state unchanged,
+    // and the skipped tables' sink dirs gain NO files (no empty-part litter).
+    import scala.jdk.CollectionConverters._
+    def sinkFiles(t: String): Set[String] =
+      Files.list(Path.of(s"$dst/$t")).iterator.asScala.map(_.getFileName.toString).toSet
+    val incrementals = Seq("customers", "orders", "order_items")
+    val filesBefore = incrementals.map(t => t -> sinkFiles(t)).toMap
     val before = state.asMap
     val run3 = Orchestrator.runAll(spark, specs, source, sink, state, parallelism = 4)
     assert(run3.succeeded("customers").skipped)
@@ -104,5 +110,7 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(run3.succeeded("order_items").skipped)
     assert(state.asMap == before)
     assert(spark.read.parquet(s"$dst/orders").count() == 62L)
+    for (t <- incrementals)
+      assert(sinkFiles(t) == filesBefore(t), s"empty delta littered $t's sink dir")
   }
 }

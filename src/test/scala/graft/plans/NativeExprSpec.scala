@@ -50,6 +50,23 @@ class NativeExprSpec extends AnyFunSuite {
     assert(got == TextHash.minhashSig(hs, 16).toSeq)
   }
 
+  test("MinhashShingleSig empty-set contract: short doc → all-zero sig on native AND HOF") {
+    // A doc with fewer than n tokens has an empty shingle-hash set. The
+    // contract (shared with the DuckDB oracle's coalesce(list_min(...), 0))
+    // is an all-zero signature — NOT NULL, and NOT a NULL-element array.
+    val shortDocs = Seq("one two", "", "solo").toDF("text")
+    val native = shortDocs
+      .select(TextFunctions.minhashShingleSignature($"text", 16, 3))
+      .as[Seq[Long]].collect()
+    assert(native.forall(_ == Seq.fill(16)(0L)), native.toSeq)
+    // HOF twin builds from unigram tokens, so only the empty string has an
+    // empty hash set — that row must zero-fill identically.
+    val hofEmpty = Seq("").toDF("text")
+      .select(TextFunctions.hof.minhashSignature($"text", 16))
+      .as[Seq[Long]].collect()
+    assert(hofEmpty.head == Seq.fill(16)(0L), hofEmpty.toSeq)
+  }
+
   test("ShinglesExpr == HOF shingles for n in 1..4 (incl. short-doc empty case)") {
     for (n <- 1 to 4) {
       val diff = docs.select(

@@ -86,6 +86,16 @@ def main():
                 dtw += f" [dtype {c}: {g[c].dtype} vs {e[c].dtype}]"
         print(f"PASS  {name} ({len(g)} rows){dtw}")
         n_pass += 1
+    # A query that crashed in Verify writes NO result dir and would silently
+    # vanish from the tally above — count every declared-but-missing query
+    # as a FAIL so the gate can't report all-pass over broken queries.
+    seen = {d for d in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, d))}
+    missing = sorted(q for q in oracles
+                     if q not in seen and (not only or q in only))
+    for q in missing:
+        print(f"FAIL  {q}: declared oracle but no result dir (query crashed in Verify?)")
+        n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
     return 1 if n_fail else 0
 
