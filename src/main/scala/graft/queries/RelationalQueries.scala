@@ -254,6 +254,59 @@ object RelationalQueries {
           round(col("avg_qty"), 4).as("avg_qty"))
     }),
 
+    // Exact percentiles (linear interpolation — Spark `percentile` and
+    // DuckDB `quantile_cont` share the sorted, pos = p*(n-1) definition).
+    // Rounded at 4 dp: interpolating 2-dp values at 1-2 dp fractions yields
+    // at most 4 true decimals, so the round is at the value's precision.
+    "q39_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("price_p25"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("price_p50"),
+          round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("price_p75"),
+          round(percentile(col("l_quantity"), lit(0.9)), 4).as("qty_p90"))
+    }),
+
+    // Pivot (long→wide): per-returnflag quantity split over the two
+    // l_linestatus values. Spark's relational pivot with an EXPLICIT value
+    // list — at scale an unlisted pivot would need an extra distinct-values
+    // job; declaring the domain keeps it one aggregation.
+    "q53_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+    }),
+
+    // As-of join: each purchase event joined to the user's latest strictly
+    // earlier click. The scalable shape is union + running last_value over
+    // one shuffle on user_id — NOT a range join (which explodes) and NOT a
+    // per-row subquery. Clicks are pre-deduped per (user, ts) so the pick
+    // is deterministic; ordering (ts, is_click DESC) puts same-ts clicks
+    // AFTER the purchase row, enforcing the strict < contract that DuckDB's
+    // `ASOF ... ON a.ts > b.ts` applies on the oracle side.
+    "q54_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val tagged = purchases
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("long").as("click_id"), lit(1).as("is_purchase"))
+        .unionByName(clicks.select(col("user_id"), col("ts"),
+          lit(null).cast("long").as("event_id"), col("click_id"),
+          lit(0).as("is_purchase")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("is_purchase").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("prev_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("is_purchase") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("prev_click_id"))
+    }),
+
     // E16 exact distinct counts.
     "q19_count_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -548,6 +601,28 @@ object RelationalQueries {
          count(DISTINCT l_suppkey) AS n_supps,
          count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
+    "q39_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+         round(quantile_cont(l_extendedprice, 0.75), 4) AS price_p75,
+         round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90
+         FROM lineitem GROUP BY l_returnflag""",
+    "q53_pivot" ->
+      """SELECT l_returnflag,
+         round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+         FROM lineitem GROUP BY l_returnflag""",
+    "q54_asof_join" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+         p AS (
+           SELECT event_id, user_id, ts
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id AS purchase_id, p.user_id, c.click_id AS prev_click_id
+         FROM p ASOF LEFT JOIN clicks c
+           ON p.user_id = c.user_id AND p.ts > c.ts""",
     // Direct GROUP BY — equality with the salted two-phase plan is the test.
     "q38_salted_agg" ->
       """SELECT l_returnflag,

@@ -150,6 +150,22 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b")).distinct()
     }),
 
+    // Dedup purge list: the keep-min-id policy applied to the LSH candidate
+    // pairs — every doc that collides with a smaller doc_id is dropped.
+    // Since candidates are emitted with doc_a < doc_b, the purge set is
+    // exactly the distinct doc_b side. Shares the persisted band frame with
+    // q48 via the cache manager (same canonical plan → same cache entry).
+    "q52_neardup_purge" -> ((s, dir) => {
+      val sig = minhashShingleSignature(col("text"), 16, 3)
+      val bands = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(lshBandHashes(sig, 4, 4)).as(Seq("b", "bh")))
+        .persist()
+      val a = bands.select(col("b"), col("bh"), col("doc_id").as("doc_a"))
+      val b2 = bands.select(col("b"), col("bh"), col("doc_id").as("doc_b"))
+      a.join(b2, Seq("b", "bh")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_b").as("drop_id")).distinct()
+    }),
+
     // SimHash (30-bit) per document.
     "q49_simhash" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -257,6 +273,20 @@ object TextQueries {
                                (a, x) -> (a * 31 + x) % 1000000007) AS bh
             FROM sigs, unnest(range(0, 4)) AS u(b))
           SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+          FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh
+          WHERE a.doc_id < b2.doc_id""",
+    "q52_neardup_purge" ->
+      s"""WITH sigs AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
+            FROM (SELECT doc_id, $ShingleHashes3Sql AS hs
+                  FROM (SELECT doc_id, $TokSql AS toks FROM documents))),
+          bands AS (
+            SELECT doc_id, CAST(b AS INT) AS b,
+                   list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),
+                               (a, x) -> (a * 31 + x) % 1000000007) AS bh
+            FROM sigs, unnest(range(0, 4)) AS u(b))
+          SELECT DISTINCT b2.doc_id AS drop_id
           FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh
           WHERE a.doc_id < b2.doc_id""",
     "q49_simhash" ->

@@ -80,6 +80,33 @@ object VectorQueries {
         .filter(col("cos") > 0.35)
     }),
 
+    // Per-bucket centroids (the IVF coarse-quantizer build step): explode
+    // to (bucket, dim, value), aggregate element-wise means. One shuffle on
+    // (bucket, dim); output is buckets × 64 rows. 4-bit buckets so each
+    // centroid averages a meaningful population.
+    "q65_bucket_centroids" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(
+          srpBucket(col("embedding"), 4).as("bucket"),
+          posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("i", "x")))
+        .groupBy(col("bucket"), col("i"))
+        .agg(round(avg(col("x")), 6).as("centroid"), count(lit(1)).as("n_vecs"))
+    }),
+
+    // L2 normalization (unit vectors — the standard pre-step before cosine
+    // ANN): narrow per-row transform, flattened for comparison on a bounded
+    // subset.
+    "q66_l2_normalize" -> ((s, dir) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      t(s, dir, "embeddings").filter(col("vec_id") < 50)
+        .withColumn("v", v)
+        .withColumn("norm",
+          sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+        .select(col("vec_id"),
+          posexplode(transform(col("v"), x => round(x / col("norm"), 6)))
+            .as(Seq("i", "val")))
+    }),
+
     // L2 distance variant on a bounded pair set.
     "q59_l2_pairs" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -93,8 +120,8 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = {
-    val srpBucketSql =
-      """CAST(list_sum(list_transform(range(0, 8), j ->
+    def srpBucketSql(bits: Int): String =
+      s"""CAST(list_sum(list_transform(range(0, $bits), j ->
            CASE WHEN list_sum(list_transform(range(0, 64), i ->
                   CAST(((j * 64 + i) * 2654435761) % 97 - 48 AS DOUBLE) * v[i + 1])) >= 0
                 THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END))
@@ -117,14 +144,28 @@ object VectorQueries {
               FROM scored)
             WHERE rank <= 5""",
       "q57_ann_srp_buckets" ->
-        s"""SELECT vec_id, $srpBucketSql AS bucket
+        s"""SELECT vec_id, ${srpBucketSql(8)} AS bucket
             FROM (SELECT vec_id, $VecSql AS v FROM embeddings)""",
       "q58_embed_neardup" ->
-        s"""WITH b AS (SELECT vec_id, v, $srpBucketSql AS bucket
+        s"""WITH b AS (SELECT vec_id, v, ${srpBucketSql(8)} AS bucket
                        FROM (SELECT vec_id, $VecSql AS v FROM embeddings))
             SELECT a.vec_id AS vid_a, c.vec_id AS vid_b, ${cosSql("a.v", "c.v")} AS cos
             FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
             WHERE ${cosSql("a.v", "c.v")} > 0.35""",
+      "q65_bucket_centroids" ->
+        s"""SELECT bucket, CAST(j - 1 AS INT) AS i,
+              round(avg(val), 6) AS centroid, count(*) AS n_vecs
+            FROM (SELECT bucket, j, v[j] AS val
+                  FROM (SELECT ${srpBucketSql(4)} AS bucket, v
+                        FROM (SELECT $VecSql AS v FROM embeddings)),
+                       unnest(range(1, 65)) AS u(j))
+            GROUP BY bucket, j""",
+      "q66_l2_normalize" ->
+        s"""WITH e AS (SELECT vec_id, $VecSql AS v FROM embeddings WHERE vec_id < 50),
+              n AS (SELECT vec_id, v,
+                      sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e)
+            SELECT vec_id, CAST(j - 1 AS INT) AS i, round(v[j] / norm, 6) AS val
+            FROM n, unnest(range(1, 65)) AS u(j)""",
       "q59_l2_pairs" ->
         s"""WITH e AS (SELECT vec_id, $VecSql AS v FROM embeddings)
             SELECT q.vec_id AS qid, c.vec_id AS vid,
