@@ -307,6 +307,21 @@ object RelationalQueries {
         .select(col("event_id").as("purchase_id"), col("user_id"), col("prev_click_id"))
     }),
 
+    // E25 multiset variants: INTERSECT ALL / EXCEPT ALL. The orders side is
+    // a genuine multiset (several orders per customer), so EXCEPT ALL
+    // removes exactly ONE occurrence per matching customer row — the
+    // duplicate-preserving semantics the plain except would collapse.
+    // Canonicalized per key with occurrence counts for stable comparison.
+    "q68_setops_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey").as("key"))
+      val c = t(s, dir, "customer").select(col("c_custkey").as("key"))
+      val ia = o.intersectAll(c).groupBy(col("key"))
+        .agg(count(lit(1)).as("n")).withColumn("src", lit("inter_all"))
+      val ea = o.exceptAll(c).groupBy(col("key"))
+        .agg(count(lit(1)).as("n")).withColumn("src", lit("except_all"))
+      ia.unionByName(ea)
+    }),
+
     // E16 exact distinct counts.
     "q19_count_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -374,7 +389,9 @@ object RelationalQueries {
         regexp_replace(col("p_name"), " ", "_").as("name_snake"),
         split(col("p_name"), " ").getItem(0).as("first_token"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
-        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"))
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"),
+        col("p_name").like("%a%").as("has_a"),
+        col("p_type").rlike("[0-9]").as("has_digit"))
     }),
 
     // E28 date/time functions.
@@ -439,12 +456,20 @@ object RelationalQueries {
 
     // E31 JSON extraction from events.props.
     "q31_json" -> ((s, dir) => {
+      val asMap = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType))
       t(s, dir, "events").select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"),
         from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_struct"))
+            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_struct"),
+        // E31 map functions over the JSON-as-map decode.
+        map_keys(asMap).getItem(0).as("key0"),
+        map_values(asMap).getItem(0).as("val0"),
+        size(asMap).as("n_keys"))
     }),
 
     // §2.2 scalar subquery: orders above the global average price.
@@ -632,6 +657,16 @@ object RelationalQueries {
          round(max(l_extendedprice), 2) AS max_price,
          round(sum(l_quantity) / count(*), 4) AS avg_qty
          FROM lineitem GROUP BY l_returnflag""",
+    "q68_setops_all" ->
+      """SELECT key, count(*) AS n, 'inter_all' AS src FROM
+           (SELECT o_custkey AS key FROM orders
+            INTERSECT ALL SELECT c_custkey FROM customer)
+         GROUP BY key
+         UNION ALL
+         SELECT key, count(*) AS n, 'except_all' AS src FROM
+           (SELECT o_custkey AS key FROM orders
+            EXCEPT ALL SELECT c_custkey FROM customer)
+         GROUP BY key""",
     "q21_collect_set" ->
       """SELECT n_regionkey,
          array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
@@ -660,7 +695,9 @@ object RelationalQueries {
          regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
          string_split(p_name, ' ')[1] AS first_token,
          concat_ws('|', p_brand, p_type) AS brand_type,
-         trim('  ' || p_brand || '  ') AS trimmed
+         trim('  ' || p_brand || '  ') AS trimmed,
+         (p_name LIKE '%a%') AS has_a,
+         regexp_matches(p_type, '[0-9]') AS has_digit
          FROM part""",
     "q26_date_funcs" ->
       """SELECT o_orderkey,
@@ -707,7 +744,10 @@ object RelationalQueries {
     "q31_json" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS INT) AS k,
-         CAST(json_extract_string(props, '$.k') AS INT) AS k_struct
+         CAST(json_extract_string(props, '$.k') AS INT) AS k_struct,
+         json_keys(props)[1] AS key0,
+         CAST(json_extract_string(props, '$.k') AS INT) AS val0,
+         CAST(len(json_keys(props)) AS INT) AS n_keys
          FROM events""",
     "q32_scalar_subquery" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

@@ -58,6 +58,20 @@ object StreamQueries {
         .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
     }),
 
+    // Custom keyed state via flatMapGroupsWithState: per-user running
+    // sequence numbers (graft.streaming.StreamingOps.runningSeq). In batch
+    // the operator starts from empty state, so the oracle is a row_number
+    // window; the cross-batch state carryover is exercised live in
+    // StreamingSpec.
+    "q67_stateful_seq" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.StreamingOps.runningSeq(
+        t(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"))
+          .as[graft.streaming.StreamingOps.EventKey])
+        .toDF()
+    }),
+
     // E43 watermark late-data drop semantics in batch: only events within
     // 24h of the stream's max timestamp survive, then windowed counts.
     "q64_watermark_drop" -> ((s, dir) => {
@@ -114,6 +128,11 @@ object StreamQueries {
                                      ORDER BY ts, event_id) AS rn
            FROM events)
          WHERE rn = 1""",
+    "q67_stateful_seq" ->
+      """SELECT user_id, event_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS BIGINT) AS seq
+         FROM events""",
     "q64_watermark_drop" ->
       s"""SELECT ${bucketSql(3600)} AS window_start, count(*) AS n
           FROM events

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.pipeline.{Sink, StateStore}
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
 
 /** Structured Streaming operator surface (SURVEY §2.3 E41-E46).
@@ -58,6 +58,35 @@ object StreamingOps {
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink.write(batch, table, SaveMode.Append)
     }
+
+  /** Input/output rows for the custom-state operator below. */
+  final case class EventKey(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  final case class SeqOut(user_id: Long, event_id: Long, seq: Long)
+
+  /** Custom keyed state via `flatMapGroupsWithState` (the extension point
+    * for semantics the built-in stateful operators can't express): a
+    * per-user running sequence number that SURVIVES across micro-batches —
+    * batch N's numbering continues where batch N-1 stopped, which no
+    * window function over a single micro-batch can do. State per key is one
+    * Long (bounded); rows within a batch are ordered by (ts, event_id) for
+    * determinism. On a batch Dataset the same code runs with empty initial
+    * state, which makes it oracle-checkable against a row_number window.
+    */
+  def runningSeq(ds: Dataset[EventKey]): Dataset[SeqOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, SeqOut](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventKey], state: GroupState[Long]) =>
+          val start = state.getOption.getOrElse(0L)
+          // Bounded by per-user events in ONE micro-batch (not all history).
+          val sorted = rows.toIndexedSeq
+            .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
+          state.update(start + sorted.size)
+          sorted.iterator.zipWithIndex.map { case (r, i) =>
+            SeqOut(uid, r.event_id, start + i + 1)
+          }
+      }
+  }
 
   /** E45 incremental-batch CDC step as a streaming-shaped helper: read the
     * suffix after the stored watermark, return (delta, newWatermark). The

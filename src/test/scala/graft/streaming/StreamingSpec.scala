@@ -99,6 +99,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState carries per-key state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.EventKey]
+    val q = StreamingOps.runningSeq(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("seq_out").start()
+    try {
+      // Batch 1: user 1 gets seq 1..2, user 2 gets seq 1.
+      mem.addData(
+        StreamingOps.EventKey(10L, ts(1), 1L),
+        StreamingOps.EventKey(11L, ts(2), 1L),
+        StreamingOps.EventKey(20L, ts(1), 2L))
+      q.processAllAvailable()
+      // Batch 2: numbering must CONTINUE from batch 1's state (3, not 1) —
+      // the property no per-batch window function can provide.
+      mem.addData(
+        StreamingOps.EventKey(12L, ts(3), 1L),
+        StreamingOps.EventKey(21L, ts(2), 2L))
+      q.processAllAvailable()
+      val out = spark.table("seq_out")
+        .as[StreamingOps.SeqOut].collect().map(r => (r.user_id, r.event_id) -> r.seq).toMap
+      assert(out == Map(
+        (1L, 10L) -> 1L, (1L, 11L) -> 2L, (1L, 12L) -> 3L,
+        (2L, 20L) -> 1L, (2L, 21L) -> 2L))
+    } finally q.stop()
+  }
+
   test("foreachBatch bridges a stream into a pipeline Sink (E46)") {
     implicit val sqlCtx = spark.sqlContext
     val dst = Files.createTempDirectory("graft_stream_sink")
