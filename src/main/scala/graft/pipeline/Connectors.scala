@@ -105,6 +105,22 @@ object Connectors {
       df.write.mode(mode).json(s"$baseDir/$table")
   }
 
+  /** Hive-style partitioned parquet sink (`.../table/col=value/...`). At
+    * scale this is the difference between scanning a date slice and
+    * scanning 100 TB: readers with a predicate on the partition columns
+    * prune directories BEFORE listing files (PartitionFilters in the scan —
+    * gated by ConnectorsSpec). Choose low-cardinality columns; a
+    * high-cardinality partition key degenerates into millions of tiny
+    * files.
+    */
+  final case class PartitionedParquetSink(
+      baseDir: String,
+      partitionCols: Seq[String]) extends Sink {
+    def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+      df.write.mode(mode).partitionBy(partitionCols: _*)
+        .parquet(s"$baseDir/$table")
+  }
+
   /** JDBC sink; `batchsize=1000` for parity with the reference's
     * `execute_batch(page_size=1000)` (`/root/reference/util.py:226,232`).
     */

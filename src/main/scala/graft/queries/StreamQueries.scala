@@ -72,6 +72,21 @@ object StreamQueries {
         .toDF()
     }),
 
+    // Stream-stream interval join semantics in batch: every click within
+    // the hour BEFORE each purchase by the same user (all matches — the
+    // join-variant of q54's as-of single match). Equi join on user_id with
+    // a residual time filter: one shuffle, scales with key cardinality.
+    "q69_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      graft.streaming.StreamingOps
+        .intervalJoin(p, "p_ts", c, "c_ts", Seq("user_id"), "1 HOUR")
+        .select(col("purchase_id"), col("click_id"))
+    }),
+
     // E43 watermark late-data drop semantics in batch: only events within
     // 24h of the stream's max timestamp survive, then windowed counts.
     "q64_watermark_drop" -> ((s, dir) => {
@@ -133,6 +148,12 @@ object StreamQueries {
          CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS BIGINT) AS seq
          FROM events""",
+    "q69_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
     "q64_watermark_drop" ->
       s"""SELECT ${bucketSql(3600)} AS window_start, count(*) AS n
           FROM events

@@ -59,6 +59,28 @@ object StreamingOps {
       sink.write(batch, table, SaveMode.Append)
     }
 
+  /** Stream-stream interval join: rows of `b` whose event time falls in
+    * `[a.ts - range, a.ts]` for the same join keys. On streams BOTH sides
+    * must carry watermarks (caller applies them) so Spark can bound the
+    * join state and emit in append mode; on batch frames the same plan is
+    * an equi shuffle join on the keys with a residual time filter — never a
+    * pure range join, so it scales with the key cardinality.
+    */
+  def intervalJoin(
+      a: DataFrame,
+      aTs: String,
+      b: DataFrame,
+      bTs: String,
+      keys: Seq[String],
+      range: String): DataFrame =
+    // Aliased sides + expr-condition: resolves the self-join ambiguity when
+    // both frames filter the same source, and keeps the time constraint
+    // INSIDE the join condition (required for streaming state cleanup).
+    a.alias("l").join(b.alias("r"),
+      expr(keys.map(k => s"l.$k = r.$k").mkString(" AND ") +
+        s" AND r.$bTs >= l.$aTs - INTERVAL $range AND r.$bTs <= l.$aTs"),
+      "inner")
+
   /** Input/output rows for the custom-state operator below. */
   final case class EventKey(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class SeqOut(user_id: Long, event_id: Long, seq: Long)

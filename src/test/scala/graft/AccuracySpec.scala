@@ -28,6 +28,20 @@ class AccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("percentile_approx within 1% of the exact percentile per group") {
+    val both = Tables(spark, TestSpark.sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_extendedprice", lit(0.5)).as("exact"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx"))
+      .as[(String, Double, Double)].collect()
+    assert(both.nonEmpty)
+    for ((flag, exact, approx) <- both) {
+      val relErr = math.abs(approx - exact) / exact
+      assert(relErr <= 0.01, f"$flag: approx=$approx exact=$exact relErr=${relErr * 100}%.3f%%")
+    }
+  }
+
   test("current_timestamp has statement-level NOW() semantics in a copy (§2.2)") {
     // The reference's incremental test stamps rows with MySQL NOW()
     // (README.md:233,238): one statement → one timestamp. Spark matches:

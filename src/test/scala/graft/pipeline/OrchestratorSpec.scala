@@ -57,6 +57,26 @@ class OrchestratorSpec extends AnyFunSuite {
     assert((1 to 32).forall(i => m(s"table_$i") == i.toString))
   }
 
+  test("partitioned sink writes hive layout; readers prune partitions") {
+    val dst = Files.createTempDirectory("part_dst")
+    val df = (1 to 1000).map(i => (i.toLong, 1992 + i % 5, s"p$i")).toDF("id", "y", "payload")
+    Connectors.PartitionedParquetSink(dst.toString, Seq("y"))
+      .write(df, "orders_p", SaveMode.Overwrite)
+
+    // Hive layout on disk: one directory per partition value.
+    val dirs = java.nio.file.Files.list(dst.resolve("orders_p")).iterator()
+    val partDirs = Iterator.continually(dirs).takeWhile(_.hasNext).map(_.next().getFileName.toString)
+      .filter(_.startsWith("y=")).toSet
+    assert(partDirs == (1992 to 1996).map(y => s"y=$y").toSet)
+
+    // A filter on the partition column must become a PartitionFilter (prunes
+    // directories before file listing), NOT a row-level data filter.
+    val pruned = spark.read.parquet(s"$dst/orders_p").filter($"y" === 1994)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("(y#"), plan)
+    assert(pruned.count() == 200L)
+  }
+
   test("json source/sink round-trip through the connector registry (E3/E5)") {
     val src = Files.createTempDirectory("orch_json_src")
     val dst = Files.createTempDirectory("orch_json_dst")

@@ -126,6 +126,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches pairs within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamingOps.intervalJoin(
+      purchases.toDF().toDF("purchase_id", "user_id", "p_ts").withWatermark("p_ts", "10 minutes"),
+      "p_ts",
+      clicks.toDF().toDF("click_id", "user_id", "c_ts").withWatermark("c_ts", "10 minutes"),
+      "c_ts",
+      Seq("user_id"), "1 HOUR")
+      .select($"purchase_id", $"click_id")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      clicks.addData((100L, 1L, ts(10)), (101L, 1L, ts(50)), (102L, 2L, ts(10)))
+      purchases.addData((1L, 1L, ts(60)))   // clicks 100 (50 min ago) + 101 (10 min ago) match
+      purchases.addData((2L, 1L, ts(200)))  // nothing within the hour
+      q.processAllAvailable()
+      val out = spark.table("ssj_out").as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 100L), (1L, 101L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch bridges a stream into a pipeline Sink (E46)") {
     implicit val sqlCtx = spark.sqlContext
     val dst = Files.createTempDirectory("graft_stream_sink")
