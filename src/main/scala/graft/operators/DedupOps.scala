@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental exact deduplication against a persistent fingerprint ledger —
+  * the "dedup today's crawl against the whole corpus" operation an LLM data
+  * pipeline runs on every ingest. The corpus itself is never re-read: only
+  * its FINGERPRINTS (8 bytes/doc) live in the ledger, so the per-batch cost
+  * is one anti-join of the batch against the ledger, shuffling on the
+  * fingerprint. At 100 TB corpus / 1 TB batch that is a join of a ~100 GB
+  * ledger against the batch — and the ledger side is pure longs, so AQE
+  * will often broadcast partitions of it.
+  *
+  * Contract: within-batch duplicates keep the smallest id (same canonical
+  * pick as the q24 exact-dedup query); across batches, first batch wins.
+  * The ledger append happens AFTER the survivors are computed, so a re-run
+  * of a failed batch is idempotent-ish: already-ledgered docs drop out.
+  */
+object DedupOps {
+
+  /** Returns the batch rows that are new to the corpus, and appends their
+    * fingerprints to the ledger. */
+  def incrementalDedup(
+      spark: SparkSession,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      ledgerDir: String): DataFrame = {
+
+    val withFp = batch.withColumn("_graft_fp", TextFunctions.charHash(col(textCol)))
+
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unseen =
+      if (fs.exists(ledgerPath))
+        withFp.join(spark.read.parquet(ledgerDir), Seq("_graft_fp"), "left_anti")
+      else withFp
+
+    // Within-batch dedup: deterministic smallest-id representative.
+    val w = Window.partitionBy(col("_graft_fp")).orderBy(col(idCol))
+    val survivors = unseen
+      .withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn")
+      // Materialize EAGERLY with severed lineage before touching the
+      // ledger: the append below writes to a path the survivors' plan
+      // reads, which invalidates any cache/file-index over it — a plain
+      // persist() would silently recompute against the post-append ledger
+      // and anti-join the batch's own rows away. localCheckpoint pins the
+      // pre-append result (and runs fingerprint + anti-join exactly once).
+      .localCheckpoint(true)
+
+    survivors.select(col("_graft_fp")).write.mode(SaveMode.Append).parquet(ledgerDir)
+    survivors.drop("_graft_fp")
+  }
+}
