@@ -54,6 +54,12 @@ object TextQueries {
   private val MinhashElemSql =
     "coalesce(list_min(list_transform(hs, h -> ((i + 1) * h + 7919 * i) % 2147483647)), 0)"
 
+  /** Word n-gram shingle STRINGS over a `toks` column (DuckDB slices are
+    * inclusive: toks[i:i+n-1] is n elements). */
+  private def shingleStrSql(n: Int): String =
+    s"list_transform(range(1, greatest(len(toks) - ${n - 1}, 0) + 1), " +
+      s"i -> array_to_string(toks[i:i+${n - 1}], ' '))"
+
   private def markerListSql(lang: String): String =
     langMarkers.toMap.apply(lang).map(m => s"'$m'").mkString("(", ", ", ")")
 
@@ -195,6 +201,55 @@ object TextQueries {
         .filter(col("jaccard") >= 0.08)
     }),
 
+    // Benchmark decontamination: flag corpus docs sharing any 5-gram
+    // shingle with the "benchmark" set (docs 0-19) — the standard eval-set
+    // contamination check run before training. The benchmark shingle set is
+    // tiny and broadcast; the corpus side is a narrow explode → one
+    // broadcast join, no shuffle of document text.
+    "q73_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 20)
+        .select(explode(array_distinct(shingles(col("text"), 5))).as("sh"))
+        .distinct()
+      val corpus = docs.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 5))).as("sh"))
+      corpus.join(broadcast(bench), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
+    // Repetition ratio (Gopher-style quality rule): fraction of repeated
+    // word bigrams per doc. Narrow projection.
+    "q74_repetition" -> ((s, dir) => {
+      val bi = shingles(col("text"), 2)
+      t(s, dir, "documents")
+        .filter(size(tokens(col("text"))) >= 2)
+        .select(
+          col("doc_id"),
+          size(bi).as("n_bigrams"),
+          size(array_distinct(bi)).as("n_unique_bigrams"),
+          round(lit(1.0) -
+            size(array_distinct(bi)).cast("double") / size(bi).cast("double"), 4)
+            .as("rep_ratio"))
+    }),
+
+    // Composite quality gate (length + mean token length + stopword ratio
+    // thresholds): the keep/drop decision a filtering pipeline applies per
+    // doc. Booleans compare UNROUNDED doubles — both engines compute the
+    // identical int/int division, so the comparison is deterministic.
+    "q75_quality_gate" -> ((s, dir) => {
+      val nTok = size(tokens(col("text"))).cast("double")
+      val avgLen = length(col("text")).cast("double") / nTok
+      val stopRatio = langMarkerCount(col("text"), "en").cast("double") / nTok
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        nTok.cast("int").as("n_tokens"),
+        round(avgLen, 4).as("avg_len"),
+        round(stopRatio, 4).as("stop_ratio"),
+        (nTok >= 50 && nTok <= 100000 &&
+          avgLen >= 3.0 && avgLen <= 12.0 && stopRatio >= 0.01).as("pass"))
+    }),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata.
     // The "decode" is a clearly-stubbed deterministic fake (no image libs
     // in this environment); the schema/expression shape is the real part.
@@ -314,6 +369,35 @@ object TextQueries {
           JOIN sizes sa ON sa.doc_id = doc_a
           JOIN sizes sb ON sb.doc_id = doc_b
           WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.08""",
+    "q73_decontaminate" ->
+      s"""WITH toksed AS (SELECT doc_id, $TokSql AS toks FROM documents),
+          bench AS (SELECT DISTINCT unnest(${shingleStrSql(5)}) AS sh
+                    FROM toksed WHERE doc_id < 20),
+          corpus AS (SELECT doc_id, unnest(list_distinct(${shingleStrSql(5)})) AS sh
+                     FROM toksed WHERE doc_id >= 20)
+          SELECT c.doc_id, count(*) AS n_shared
+          FROM corpus c JOIN bench b ON c.sh = b.sh
+          GROUP BY c.doc_id""",
+    "q74_repetition" ->
+      s"""SELECT doc_id,
+          CAST(len(bi) AS INT) AS n_bigrams,
+          CAST(len(list_distinct(bi)) AS INT) AS n_unique_bigrams,
+          round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi), 4) AS rep_ratio
+          FROM (SELECT doc_id, ${shingleStrSql(2)} AS bi, toks
+                FROM (SELECT doc_id, $TokSql AS toks FROM documents))
+          WHERE len(toks) >= 2""",
+    "q75_quality_gate" ->
+      s"""SELECT doc_id,
+          CAST(n_tok AS INT) AS n_tokens,
+          round(CAST(length(text) AS DOUBLE) / n_tok, 4) AS avg_len,
+          round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stop_ratio,
+          (n_tok >= 50 AND n_tok <= 100000
+           AND CAST(length(text) AS DOUBLE) / n_tok >= 3.0
+           AND CAST(length(text) AS DOUBLE) / n_tok <= 12.0
+           AND CAST(n_stop AS DOUBLE) / n_tok >= 0.01) AS pass
+          FROM (SELECT doc_id, text, len(toks) AS n_tok,
+                ${markerCountSql("en")} AS n_stop
+                FROM (SELECT doc_id, text, $TokSql AS toks FROM documents))""",
     "q51_multimodal_meta" ->
       s"""SELECT doc_id,
           CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
