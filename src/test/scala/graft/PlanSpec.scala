@@ -91,6 +91,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q73: benchmark shingle set joins via broadcast (no shuffle of corpus text)") {
+    val p = plan("q73_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q69: interval join plans as a keyed join, never a nested-loop scan") {
+    val p = plan("q69_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q38: salted aggregation is two-phase (salt key present in phase 1 only)") {
+    val p = plan("q38_salted_agg")
+    // Phase 1 groups on (key, salt); phase 2 re-groups on the key alone.
+    assert(p.contains("_graft_salt"), p)
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 4, s"expected partial+final aggregates for both phases, got $aggs:\n$p")
+  }
+
   test("scan-heavy queries stay inside whole-stage codegen") {
     // AQE only materializes codegen spans in the FINAL plan — execute first.
     for (name <- Seq("q01_pricing_summary", "q27_math_funcs", "q46_fingerprint")) {
