@@ -71,7 +71,17 @@ object CopyJob {
     val metricCols = count(lit(1)).as("n") +:
       spec.watermarkColumn.map(c => max(col(c)).as("wm")).toSeq
     val observed = delta.observe(obs, metricCols.head, metricCols.tail: _*)
-    sink.write(observed, spec.tableName, mode)
+    sink match {
+      case is: IdempotentSink =>
+        // Batch token = the watermark this delta was read FROM (not to):
+        // a crash before the state write replays the exact same token, so
+        // the retry REPLACES the earlier attempt (hazard 2 closed for
+        // sinks that can overwrite a batch). Sanitized for path safety.
+        val token = wm.map(_._2.serialized).getOrElse("full")
+          .replaceAll("[^A-Za-z0-9._-]", "_")
+        is.writeBatch(observed, spec.tableName, token)
+      case other => other.write(observed, spec.tableName, mode)
+    }
     val stats = obs.get
     val n = stats("n").asInstanceOf[Long]
     val maxRaw =

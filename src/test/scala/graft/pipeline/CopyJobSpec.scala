@@ -107,6 +107,36 @@ class CopyJobSpec extends AnyFunSuite {
     }
   }
 
+  test("idempotent sink: crash-replayed delta overwrites its batch, no duplicates") {
+    val src = tmp(); val dst = tmp()
+    val state = StateStore(s"$dst/state.properties")
+    val source = Connectors.ParquetSource(src.toString)
+    val sink = Connectors.IdempotentParquetSink(dst.toString)
+
+    seedSource(src, 100L)
+    CopyJob.run(spark, spec, source, sink, state)
+    seedSource(src, 120L)
+    CopyJob.run(spark, spec, source, sink, state)
+    assert(state.get("orders_like").contains("120"))
+    assert(spark.read.parquet(s"$dst/orders_like").count() == 120L)
+
+    // Crash simulation: the delta committed but the state write was lost —
+    // roll the watermark back and re-run. An append sink would now hold
+    // rows 101..120 twice; the idempotent sink must overwrite the replayed
+    // batch (same origin-watermark token) instead.
+    state.put("orders_like", "100")
+    CopyJob.run(spark, spec, source, sink, state)
+    val target = spark.read.parquet(s"$dst/orders_like")
+    assert(target.count() == 120L, "replayed delta duplicated rows")
+    assert(target.select(countDistinct(col("order_id"))).as[Long].head() == 120L)
+    assert(state.get("orders_like").contains("120"))
+
+    // The batch lineage column records which watermark each batch came from.
+    val tokens = target.select(col("_graft_batch")).distinct()
+      .as[String].collect().toSet
+    assert(tokens == Set("full", "100"))
+  }
+
   test("orchestrator: bounded parallel run isolates per-table failure (app.py:175-177)") {
     val src = tmp(); val dst = tmp()
     val state = StateStore(s"$dst/state.properties")
