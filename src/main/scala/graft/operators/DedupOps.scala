@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 /** Incremental exact deduplication against a persistent fingerprint ledger —
   * the "dedup today's crawl against the whole corpus" operation an LLM data
   * pipeline runs on every ingest. The corpus itself is never re-read: only
-  * its FINGERPRINTS (8 bytes/doc) live in the ledger, so the per-batch cost
+  * its FINGERPRINTS (16 bytes/doc) live in the ledger, so the per-batch cost
   * is one anti-join of the batch against the ledger, shuffling on the
   * fingerprint. At 100 TB corpus / 1 TB batch that is a join of a ~100 GB
   * ledger against the batch — and the ledger side is pure longs, so AQE
@@ -22,7 +22,14 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   /** Returns the batch rows that are new to the corpus, and appends their
-    * fingerprints to the ledger. */
+    * fingerprints to the ledger.
+    *
+    * Fingerprint = (xxhash64, charHash mod 1e9+7) — two independent hashes,
+    * ~94 combined bits. A single ~30-bit hash would see birthday collisions
+    * after ~35 k docs and silently drop distinct documents forever (the
+    * ledger entry persists); at ~94 bits the expected first collision sits
+    * beyond 10^13 docs, comfortably past a billions-of-docs corpus.
+    */
   def incrementalDedup(
       spark: SparkSession,
       batch: DataFrame,
@@ -30,17 +37,20 @@ object DedupOps {
       idCol: String,
       ledgerDir: String): DataFrame = {
 
-    val withFp = batch.withColumn("_graft_fp", TextFunctions.charHash(col(textCol)))
+    val withFp = batch
+      .withColumn("_graft_fp", TextFunctions.charHash(col(textCol)))
+      .withColumn("_graft_fp2", xxhash64(col(textCol)))
 
     val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val unseen =
       if (fs.exists(ledgerPath))
-        withFp.join(spark.read.parquet(ledgerDir), Seq("_graft_fp"), "left_anti")
+        withFp.join(spark.read.parquet(ledgerDir),
+          Seq("_graft_fp", "_graft_fp2"), "left_anti")
       else withFp
 
     // Within-batch dedup: deterministic smallest-id representative.
-    val w = Window.partitionBy(col("_graft_fp")).orderBy(col(idCol))
+    val w = Window.partitionBy(col("_graft_fp"), col("_graft_fp2")).orderBy(col(idCol))
     val survivors = unseen
       .withColumn("_graft_rn", row_number().over(w))
       .filter(col("_graft_rn") === 1)
@@ -53,7 +63,8 @@ object DedupOps {
       // pre-append result (and runs fingerprint + anti-join exactly once).
       .localCheckpoint(true)
 
-    survivors.select(col("_graft_fp")).write.mode(SaveMode.Append).parquet(ledgerDir)
-    survivors.drop("_graft_fp")
+    survivors.select(col("_graft_fp"), col("_graft_fp2"))
+      .write.mode(SaveMode.Append).parquet(ledgerDir)
+    survivors.drop("_graft_fp", "_graft_fp2")
   }
 }

@@ -129,12 +129,20 @@ object Connectors {
   final case class IdempotentParquetSink(baseDir: String) extends IdempotentSink {
     def write(df: DataFrame, table: String, mode: SaveMode): Unit =
       writeBatch(df, table, "adhoc")
-    def writeBatch(df: DataFrame, table: String, batchToken: String): Unit =
+    def writeBatch(df: DataFrame, table: String, batchToken: String): Unit = {
+      // A FULL load is the whole-table truth: overwrite statically so stale
+      // incremental batch partitions from before a state reset are removed
+      // (dynamic overwrite would replace only the `full` partition and
+      // leave old deltas behind → duplicates). Incremental batches
+      // overwrite dynamically: only their own token partition is replaced.
+      val mode =
+        if (batchToken == "full") "static" else "dynamic"
       df.withColumn("_graft_batch", org.apache.spark.sql.functions.lit(batchToken))
         .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
+        .option("partitionOverwriteMode", mode)
         .partitionBy("_graft_batch")
         .parquet(s"$baseDir/$table")
+    }
   }
 
   /** Hive-style partitioned parquet sink (`.../table/col=value/...`). At

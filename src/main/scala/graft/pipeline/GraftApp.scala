@@ -63,6 +63,13 @@ object GraftApp {
         "usage: GraftApp <env> <table|t1,t2|all> [--tables-list-path P] " +
           "[--source fmt:loc] [--sink fmt:loc] [--state P] " +
           "[--mode append|overwrite] [--parallelism N] [--table-timeout-sec N]")
+    val known = Set("tables-list-path", "source", "sink", "state",
+      "mode", "parallelism", "table-timeout-sec")
+    val unknown = flags.keySet -- known
+    // A typo'd flag must be loud, not silently fall back to defaults.
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown flags: ${unknown.toSeq.sorted.map("--" + _).mkString(", ")}")
     Args(
       env = pos(0),
       tableArg = pos(1),
@@ -88,24 +95,15 @@ object GraftApp {
       out: String => Unit = println,
       log: String => Unit = s => System.err.println(s"[graft] $s")): Int = {
 
-    // Connection resolution: explicit overrides beat the env-keyed config;
-    // with BOTH overrides present the config (and its cred requirements) is
-    // not consulted at all.
-    val (source, sink) = (a.sourceOverride, a.sinkOverride) match {
-      case (Some(s), Some(t)) =>
-        val (sf, sl) = PipelineConfig.parseEndpoint(s)
-        val (tf, tl) = PipelineConfig.parseEndpoint(t)
-        (Connectors.source(sf, sl), Connectors.sink(tf, tl))
-      case _ =>
-        val cfg = PipelineConfig.load(a.env, getenv)
-        val src = a.sourceOverride
-          .map(PipelineConfig.parseEndpoint).map { case (f, l) => Connectors.source(f, l) }
-          .getOrElse(cfg.source.asSource)
-        val snk = a.sinkOverride
-          .map(PipelineConfig.parseEndpoint).map { case (f, l) => Connectors.sink(f, l) }
-          .getOrElse(cfg.target.asSink)
-        (src, snk)
-    }
+    // Connection resolution is PER SIDE: an explicit override wins and its
+    // side's config (env vars, JDBC creds) is never consulted — overriding
+    // only --sink must not demand GRAFT_SINK or TARGET_DB_* to exist.
+    val source = a.sourceOverride
+      .map(PipelineConfig.parseEndpoint).map { case (f, l) => Connectors.source(f, l) }
+      .getOrElse(PipelineConfig.loadEndpoint(a.env, "SOURCE", getenv).asSource)
+    val sink = a.sinkOverride
+      .map(PipelineConfig.parseEndpoint).map { case (f, l) => Connectors.sink(f, l) }
+      .getOrElse(PipelineConfig.loadEndpoint(a.env, "TARGET", getenv).asSink)
 
     val requested =
       if (a.tableArg.equalsIgnoreCase("all")) None
@@ -118,9 +116,13 @@ object GraftApp {
     log(s"tables to process: ${specs.map(_.tableName).mkString(", ")}")
 
     val state = StateStore(a.statePath.getOrElse("graft_state.properties"))
-    // Seed watermarks from the reference's env-var injection contract.
+    // Watermark injection: when the orchestrator supplies
+    // LAST_WATERMARK_<TABLE>, that value IS the run's watermark — it
+    // overrides any stored state, exactly as in the reference where the env
+    // var is read unconditionally each run (app.py:100-117). Operators rely
+    // on this to force re-copies by rolling the injected value back.
     for (spec <- specs; v <- getenv(s"LAST_WATERMARK_${spec.tableName.toUpperCase}"))
-      if (v.trim.nonEmpty && !v.equalsIgnoreCase("none") && state.get(spec.tableName).isEmpty)
+      if (v.trim.nonEmpty && !v.equalsIgnoreCase("none"))
         state.put(spec.tableName, v.trim)
 
     val report = Orchestrator.runAll(

@@ -34,9 +34,14 @@ object Orchestrator {
     *        hang the WHOLE run forever: the await is bounded per table and a
     *        timeout is recorded as that table's failure in the report,
     *        preserving the reference's per-table fault isolation
-    *        (`app.py:175-177`) under hangs. The stuck job itself cannot be
-    *        safely killed mid-write; it is abandoned on the pool thread and
-    *        the pool is not awaited at shutdown.
+    *        (`app.py:175-177`) under hangs. On timeout the stuck job is
+    *        actively killed — its Spark job group is cancelled (aborting
+    *        in-flight stages) and its pool thread interrupted — so a
+    *        timed-out table cannot later wake up, commit its sink, and
+    *        advance the watermark underneath an external retry. The one
+    *        unavoidable window (sink already committed, state not yet
+    *        written) is the standard hazard-2 crash window; pair with
+    *        [[IdempotentSink]] to make the retry overwrite, not append.
     */
   def runAll(
       spark: SparkSession,
@@ -51,14 +56,28 @@ object Orchestrator {
     val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val futures = specs.map { spec =>
-        spec.tableName -> Future {
-          Try(CopyJob.run(spark, spec, source, sink, state, mode))
+      val futures = specs.zipWithIndex.map { case (spec, i) =>
+        val group = s"graft-copy-$i-${spec.tableName}"
+        val worker = new java.util.concurrent.atomic.AtomicReference[Thread]()
+        val f = Future {
+          worker.set(Thread.currentThread())
+          spark.sparkContext.setJobGroup(group, s"copy ${spec.tableName}",
+            interruptOnCancel = true)
+          try Try(CopyJob.run(spark, spec, source, sink, state, mode))
+          finally {
+            spark.sparkContext.clearJobGroup()
+            Thread.interrupted() // clear a late interrupt before pool reuse
+          }
         }
+        (spec.tableName, group, worker, f)
       }
-      val done = futures.map { case (name, f) =>
+      val done = futures.map { case (name, group, worker, f) =>
         name -> Try(Await.result(f, tableTimeout)).recover {
-          case e: java.util.concurrent.TimeoutException =>
+          case _: java.util.concurrent.TimeoutException =>
+            // Kill, don't abandon: cancel the table's Spark jobs and
+            // interrupt its driver-side thread so it cannot commit later.
+            spark.sparkContext.cancelJobGroup(group)
+            Option(worker.get()).foreach(_.interrupt())
             Failure(new java.util.concurrent.TimeoutException(
               s"table $name did not finish within $tableTimeout"))
         }.flatten

@@ -58,36 +58,43 @@ object PipelineConfig {
 
   def load(
       env: String,
-      getenv: String => Option[String] = k => sys.env.get(k)): PipelineConfig = {
+      getenv: String => Option[String] = k => sys.env.get(k)): PipelineConfig =
+    PipelineConfig(
+      source = loadEndpoint(env, "SOURCE", getenv),
+      target = loadEndpoint(env, "TARGET", getenv))
+
+  /** Resolve ONE side's endpoint. Per-side resolution matters for the CLI:
+    * an explicitly overridden side must not force the other side's env vars
+    * (or JDBC creds) to exist. `role` is `"SOURCE"` or `"TARGET"` (the
+    * reference's cred-var prefixes, config.py:8-9,15-16). */
+  def loadEndpoint(
+      env: String,
+      role: String,
+      getenv: String => Option[String] = k => sys.env.get(k)): EndpointConfig = {
 
     if (!KnownEnvs.contains(env.toLowerCase))
       throw new IllegalArgumentException(
         s"environment '$env' not found in configuration (known: ${KnownEnvs.toSeq.sorted.mkString(", ")})")
-
-    def endpoint(
-        role: String,            // "SOURCE" | "TARGET" (cred var prefix)
-        locVar: String): EndpointConfig = {
-      val raw = getenv(locVar).getOrElse(
-        throw new IllegalArgumentException(
-          s"environment '$env' needs $locVar (format:location) in the process environment"))
-      val (fmt, loc) = parseEndpoint(raw)
-      val props =
-        if (fmt != "jdbc") Map.empty[String, String]
-        else {
-          // Reference cred-var names (config.py:8-9,15-16). Missing creds on
-          // a JDBC endpoint fail HERE, not at first connect.
-          val user = getenv(s"${role}_DB_USER")
-          val pass = getenv(s"${role}_DB_PASS")
-          if (user.isEmpty || pass.isEmpty)
-            throw new IllegalArgumentException(
-              s"JDBC $role endpoint needs ${role}_DB_USER and ${role}_DB_PASS in the process environment")
-          Map("user" -> user.get, "password" -> pass.get)
-        }
-      EndpointConfig(fmt, loc, props)
+    val locVar = role match {
+      case "SOURCE" => "GRAFT_SOURCE"
+      case "TARGET" => "GRAFT_SINK"
+      case other    => throw new IllegalArgumentException(s"unknown endpoint role: $other")
     }
-
-    PipelineConfig(
-      source = endpoint("SOURCE", "GRAFT_SOURCE"),
-      target = endpoint("TARGET", "GRAFT_SINK"))
+    val raw = getenv(locVar).getOrElse(
+      throw new IllegalArgumentException(
+        s"environment '$env' needs $locVar (format:location) in the process environment"))
+    val (fmt, loc) = parseEndpoint(raw)
+    val props =
+      if (fmt != "jdbc") Map.empty[String, String]
+      else {
+        // Missing creds on a JDBC endpoint fail HERE, not at first connect.
+        val user = getenv(s"${role}_DB_USER")
+        val pass = getenv(s"${role}_DB_PASS")
+        if (user.isEmpty || pass.isEmpty)
+          throw new IllegalArgumentException(
+            s"JDBC $role endpoint needs ${role}_DB_USER and ${role}_DB_PASS in the process environment")
+        Map("user" -> user.get, "password" -> pass.get)
+      }
+    EndpointConfig(fmt, loc, props)
   }
 }

@@ -105,6 +105,45 @@ class GraftAppSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dst/orders").count() == 10L)
   }
 
+  test("single override: --sink alone must not demand the sink-side env vars") {
+    val src = Files.createTempDirectory("app_src5")
+    val dst = Files.createTempDirectory("app_dst5")
+    val catalog = writeCatalog("orders,yes,order_id,id")
+    seedOrders(src, 8)
+    val args = GraftApp.parseArgs(Seq(
+      "dev", "all",
+      "--tables-list-path", catalog.toString,
+      "--sink", s"parquet:$dst",
+      "--state", s"$dst/state.properties"))
+    // Only GRAFT_SOURCE present — no GRAFT_SINK, no TARGET_DB_* creds.
+    val code = GraftApp.run(args, spark,
+      getenv = Map("GRAFT_SOURCE" -> s"parquet:$src").get _,
+      out = _ => (), log = _ => ())
+    assert(code == 0)
+    assert(spark.read.parquet(s"$dst/orders").count() == 8L)
+  }
+
+  test("injected LAST_WATERMARK overrides stored state (forced re-copy)") {
+    val src = Files.createTempDirectory("app_src6")
+    val dst = Files.createTempDirectory("app_dst6")
+    val catalog = writeCatalog("orders,yes,order_id,id")
+    seedOrders(src, 30)
+    val state = StateStore(s"$dst/state.properties")
+    state.put("orders", "30") // store says fully copied
+    val args = GraftApp.parseArgs(Seq(
+      "dev", "orders",
+      "--tables-list-path", catalog.toString,
+      "--source", s"parquet:$src", "--sink", s"parquet:$dst",
+      "--state", s"$dst/state.properties"))
+    // Operator rolls the injected watermark back to force rows 21-30 again.
+    val code = GraftApp.run(args, spark,
+      getenv = Map("LAST_WATERMARK_ORDERS" -> "20").get _,
+      out = _ => (), log = _ => ())
+    assert(code == 0)
+    assert(spark.read.parquet(s"$dst/orders").count() == 10L)
+    assert(state.get("orders").contains("30"))
+  }
+
   test("empty table selection exits non-zero (app.py:84-86)") {
     val dst = Files.createTempDirectory("app_dst4")
     val catalog = writeCatalog("orders,yes,order_id,id")
@@ -118,6 +157,10 @@ class GraftAppSpec extends AnyFunSuite {
   test("arg parsing: usage errors and flag forms") {
     intercept[IllegalArgumentException](GraftApp.parseArgs(Seq("dev")))
     intercept[IllegalArgumentException](GraftApp.parseArgs(Seq("dev", "all", "--mode", "upsert")))
+    // Typo'd flags error loudly instead of silently using defaults.
+    val e = intercept[IllegalArgumentException](
+      GraftApp.parseArgs(Seq("dev", "all", "--parallellism", "16")))
+    assert(e.getMessage.contains("--parallellism"))
     val a = GraftApp.parseArgs(Seq("dev", "a,b", "--mode", "overwrite",
       "--parallelism", "2", "--table-timeout-sec", "30"))
     assert(a.mode == SaveMode.Overwrite && a.parallelism == 2)

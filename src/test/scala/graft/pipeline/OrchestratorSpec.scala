@@ -20,10 +20,14 @@ class OrchestratorSpec extends AnyFunSuite {
       .write.mode(SaveMode.Overwrite).parquet(s"$src/fast")
 
     val parquet = Connectors.ParquetSource(src.toString)
+    val zombieCommitted = new java.util.concurrent.atomic.AtomicBoolean(false)
     val hangingSource = new Source {
       def read(spark: SparkSession, table: String): DataFrame =
-        if (table == "hung") { Thread.sleep(60 * 1000); parquet.read(spark, "fast") }
-        else parquet.read(spark, table)
+        if (table == "hung") {
+          Thread.sleep(8 * 1000) // interrupted by the timeout kill
+          zombieCommitted.set(true)
+          parquet.read(spark, "fast")
+        } else parquet.read(spark, table)
     }
     val specs = Seq(
       TableSpec("fast", toBeLoaded = true, None, None),
@@ -40,6 +44,15 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(report.failed.keySet == Set("hung"))
     assert(report.failed("hung").isInstanceOf[java.util.concurrent.TimeoutException])
     assert(elapsedSec < 30, s"run blocked for ${elapsedSec}s — timeout not applied")
+
+    // The timed-out job must be KILLED, not abandoned: give the would-be
+    // zombie time past its sleep and assert it never proceeded to read or
+    // write (an abandoned thread would wake at 8 s and commit the table,
+    // racing any external retry).
+    Thread.sleep(9 * 1000)
+    assert(!zombieCommitted.get(), "timed-out table kept running and committed")
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(s"$dst/hung")))
+    assert(state.get("hung").isEmpty)
   }
 
   test("concurrent StateStore.put never loses an update") {
