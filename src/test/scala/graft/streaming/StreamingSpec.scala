@@ -149,6 +149,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: restart resumes offsets and aggregation state") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.types._
+    val srcDir = Files.createTempDirectory("ckpt_src").toString
+    val ckpt = Files.createTempDirectory("ckpt_state").toString
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType)))
+
+    def startQuery(name: String) =
+      spark.readStream.schema(schema).parquet(srcDir)
+        .groupBy($"event_type").count()
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(name).start()
+
+    // Batch 1 → 3 a's, 1 b.
+    Seq((ts(1), "a"), (ts(2), "a"), (ts(3), "a"), (ts(4), "b"))
+      .toDF("ts", "event_type").write.mode(SaveMode.Append).parquet(srcDir)
+    val q1 = startQuery("ckpt_run1")
+    try {
+      q1.processAllAvailable()
+      val c1 = spark.table("ckpt_run1").as[(String, Long)].collect().toMap
+      assert(c1 == Map("a" -> 3L, "b" -> 1L))
+    } finally q1.stop()
+
+    // Crash/restart simulation: new query, SAME checkpoint. Batch 2 lands
+    // while the query is down.
+    Seq((ts(5), "a"), (ts(6), "c"))
+      .toDF("ts", "event_type").write.mode(SaveMode.Append).parquet(srcDir)
+    val q2 = startQuery("ckpt_run2")
+    try {
+      q2.processAllAvailable()
+      val c2 = spark.table("ckpt_run2").as[(String, Long)].collect().toMap
+      // Counts CONTINUE from recovered state (batch-1 files are not
+      // re-processed — source offsets came from the checkpoint — yet their
+      // counts survive in the state store).
+      assert(c2 == Map("a" -> 4L, "b" -> 1L, "c" -> 1L))
+    } finally q2.stop()
+  }
+
   test("foreachBatch bridges a stream into a pipeline Sink (E46)") {
     implicit val sqlCtx = spark.sqlContext
     val dst = Files.createTempDirectory("graft_stream_sink")
