@@ -24,7 +24,12 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/nation.parquet")
         .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable =>
+        // Best-effort, but never silent: a skipped warm-up shifts ~4-5 s of
+        // JVM/parquet init back onto the first timed query.
+        System.err.println(s"[bench] warm-up failed (q01 will absorb init): ${e.getMessage}")
+    }
     // Fixed name order so per-query timings are comparable across rounds.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

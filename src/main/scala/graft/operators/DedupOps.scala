@@ -44,10 +44,20 @@ object DedupOps {
     val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val unseen =
-      if (fs.exists(ledgerPath))
-        withFp.join(spark.read.parquet(ledgerDir),
-          Seq("_graft_fp", "_graft_fp2"), "left_anti")
-      else withFp
+      if (fs.exists(ledgerPath)) {
+        val ledger = spark.read.parquet(ledgerDir)
+        // The ledger is permanent state — refuse a schema we don't own
+        // (e.g. a pre-two-hash single-column ledger) with an actionable
+        // error instead of a downstream AnalysisException.
+        val expected = Set("_graft_fp", "_graft_fp2")
+        if (ledger.columns.toSet != expected)
+          throw new IllegalStateException(
+            s"fingerprint ledger at $ledgerDir has columns " +
+              s"${ledger.columns.mkString("[", ",", "]")}, expected " +
+              s"${expected.toSeq.sorted.mkString("[", ",", "]")} — " +
+              "rebuild the ledger (re-fingerprint the corpus) before ingesting")
+        withFp.join(ledger, Seq("_graft_fp", "_graft_fp2"), "left_anti")
+      } else withFp
 
     // Within-batch dedup: deterministic smallest-id representative.
     val w = Window.partitionBy(col("_graft_fp"), col("_graft_fp2")).orderBy(col(idCol))

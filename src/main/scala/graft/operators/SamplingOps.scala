@@ -36,6 +36,10 @@ object SamplingOps {
   /** Exactly `n` rows per stratum (balanced corpus sampling — e.g. equal
     * docs per language), chosen by seeded id-hash order so the pick is
     * deterministic and layout-independent. One shuffle on the stratum key.
+    * A stratum with FEWER than `n` rows contributes all of them — callers
+    * needing guaranteed balance should verify per-stratum counts on the
+    * result (a distributed pre-count here would double the cost for every
+    * caller that doesn't need it).
     */
   def stratifiedFixedN(
       df: DataFrame,

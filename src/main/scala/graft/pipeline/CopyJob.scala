@@ -36,7 +36,7 @@ object CopyJob {
       spec: TableSpec,
       source: Source,
       sink: Sink,
-      state: StateStore,
+      state: WatermarkState,
       mode: SaveMode = SaveMode.Append): CopyResult = {
 
     val full = source.read(spark, spec.tableName)

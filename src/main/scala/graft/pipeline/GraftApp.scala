@@ -115,15 +115,21 @@ object GraftApp {
     }
     log(s"tables to process: ${specs.map(_.tableName).mkString(", ")}")
 
-    val state = StateStore(a.statePath.getOrElse("graft_state.properties"))
+    val store = StateStore(a.statePath.getOrElse("graft_state.properties"))
     // Watermark injection: when the orchestrator supplies
-    // LAST_WATERMARK_<TABLE>, that value IS the run's watermark — it
-    // overrides any stored state, exactly as in the reference where the env
-    // var is read unconditionally each run (app.py:100-117). Operators rely
-    // on this to force re-copies by rolling the injected value back.
-    for (spec <- specs; v <- getenv(s"LAST_WATERMARK_${spec.tableName.toUpperCase}"))
-      if (v.trim.nonEmpty && !v.equalsIgnoreCase("none"))
-        state.put(spec.tableName, v.trim)
+    // LAST_WATERMARK_<TABLE>, that value IS this run's watermark — it
+    // overrides stored state for the READ, exactly as in the reference
+    // where the env var is consulted each run (app.py:100-117). The
+    // override is RUN-SCOPED: it is never written to the durable store, so
+    // a failed forced re-copy cannot permanently rewind state; only a
+    // successful copy's post-commit watermark persists.
+    val injected = (for {
+      spec <- specs
+      v <- getenv(s"LAST_WATERMARK_${spec.tableName.toUpperCase}")
+      if v.trim.nonEmpty && !v.equalsIgnoreCase("none")
+    } yield spec.tableName -> v.trim).toMap
+    val state: WatermarkState =
+      if (injected.isEmpty) store else new RunOverrides(store, injected)
 
     val report = Orchestrator.runAll(
       spark, specs, source, sink, state, a.mode, a.parallelism, a.tableTimeout)

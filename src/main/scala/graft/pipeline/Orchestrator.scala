@@ -48,7 +48,7 @@ object Orchestrator {
       specs: Seq[TableSpec],
       source: Source,
       sink: Sink,
-      state: StateStore,
+      state: WatermarkState,
       mode: SaveMode = SaveMode.Append,
       parallelism: Int = 4,
       tableTimeout: Duration = Duration.Inf): RunReport = {
@@ -58,26 +58,43 @@ object Orchestrator {
     try {
       val futures = specs.zipWithIndex.map { case (spec, i) =>
         val group = s"graft-copy-$i-${spec.tableName}"
+        val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
         val worker = new java.util.concurrent.atomic.AtomicReference[Thread]()
+        // `worker` handoff is lock-protected so a post-timeout interrupt can
+        // never land on the pool thread AFTER it moved on to another table.
+        val lock = new Object
         val f = Future {
-          worker.set(Thread.currentThread())
-          spark.sparkContext.setJobGroup(group, s"copy ${spec.tableName}",
-            interruptOnCancel = true)
-          try Try(CopyJob.run(spark, spec, source, sink, state, mode))
-          finally {
-            spark.sparkContext.clearJobGroup()
-            Thread.interrupted() // clear a late interrupt before pool reuse
+          // A table cancelled while still QUEUED (pool saturated by other
+          // hung tables) must not run at all — its job group was never set,
+          // so cancelJobGroup alone could not stop it.
+          if (cancelled.get())
+            Failure(new java.util.concurrent.TimeoutException(
+              s"table ${spec.tableName} cancelled before start"))
+          else {
+            worker.set(Thread.currentThread())
+            spark.sparkContext.setJobGroup(group, s"copy ${spec.tableName}",
+              interruptOnCancel = true)
+            try Try(CopyJob.run(spark, spec, source, sink, state, mode))
+            finally {
+              spark.sparkContext.clearJobGroup()
+              lock.synchronized {
+                worker.set(null)     // no further interrupts aimed here
+                Thread.interrupted() // clear any that already landed
+              }
+            }
           }
         }
-        (spec.tableName, group, worker, f)
+        (spec.tableName, group, cancelled, worker, lock, f)
       }
-      val done = futures.map { case (name, group, worker, f) =>
+      val done = futures.map { case (name, group, cancelled, worker, lock, f) =>
         name -> Try(Await.result(f, tableTimeout)).recover {
           case _: java.util.concurrent.TimeoutException =>
-            // Kill, don't abandon: cancel the table's Spark jobs and
-            // interrupt its driver-side thread so it cannot commit later.
+            // Kill, don't abandon: forbid a queued start, cancel the
+            // table's Spark jobs, and interrupt its driver-side thread so
+            // it cannot commit sink or state later.
+            cancelled.set(true)
             spark.sparkContext.cancelJobGroup(group)
-            Option(worker.get()).foreach(_.interrupt())
+            lock.synchronized(Option(worker.get()).foreach(_.interrupt()))
             Failure(new java.util.concurrent.TimeoutException(
               s"table $name did not finish within $tableTimeout"))
         }.flatten

@@ -16,7 +16,36 @@ import scala.jdk.CollectionConverters._
   * the sink (overwrite-partition staging), so a crash in between only
   * re-copies, never corrupts.
   */
-final class StateStore(path: Path) {
+/** Minimal watermark-state contract: the copy path reads and advances
+  * watermarks through this, so run-scoped overlays (env-injected values)
+  * can wrap the durable store without mutating it. */
+trait WatermarkState {
+  def get(table: String): Option[String]
+  def put(table: String, value: String): Unit
+}
+
+/** Run-scoped watermark overrides layered over a durable store — the
+  * engine's version of the reference's `LAST_WATERMARK_<T>` env injection
+  * (`app.py:100-117`), which is owned by the ORCHESTRATOR and scoped to one
+  * run. Reads prefer the injected value; writes go to the durable store and
+  * retire the override (the table's copy succeeded, so its REAL new
+  * watermark now rules). Crucially, a FAILED injected run leaves the
+  * durable store untouched — injecting a rolled-back watermark must not
+  * permanently rewind state when the forced re-copy never committed.
+  */
+final class RunOverrides(
+    base: WatermarkState,
+    initial: Map[String, String]) extends WatermarkState {
+  private var overrides = initial
+  def get(table: String): Option[String] =
+    this.synchronized(overrides.get(table)).orElse(base.get(table))
+  def put(table: String, value: String): Unit = {
+    base.put(table, value)
+    this.synchronized { overrides -= table }
+  }
+}
+
+final class StateStore(path: Path) extends WatermarkState {
 
   def get(table: String): Option[String] = read().get(table)
 

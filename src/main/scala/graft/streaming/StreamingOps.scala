@@ -115,7 +115,7 @@ object StreamingOps {
     * caller commits the sink, then advances state — same ordering contract
     * as [[graft.pipeline.CopyJob]].
     */
-  def cdcDelta(df: DataFrame, wmCol: String, state: StateStore, table: String): DataFrame =
+  def cdcDelta(df: DataFrame, wmCol: String, state: graft.pipeline.WatermarkState, table: String): DataFrame =
     state.get(table) match {
       case Some(v) => df.filter(col(wmCol) > lit(v).cast(df.schema(wmCol).dataType))
       case None    => df

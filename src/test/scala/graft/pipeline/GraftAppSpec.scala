@@ -144,6 +144,24 @@ class GraftAppSpec extends AnyFunSuite {
     assert(state.get("orders").contains("30"))
   }
 
+  test("injection is run-scoped: a FAILED forced re-copy leaves durable state untouched") {
+    val dst = Files.createTempDirectory("app_dst7")
+    val catalog = writeCatalog("orders,yes,order_id,id")
+    val state = StateStore(s"$dst/state.properties")
+    state.put("orders", "30")
+    val args = GraftApp.parseArgs(Seq(
+      "dev", "orders",
+      "--tables-list-path", catalog.toString,
+      "--source", "parquet:/nonexistent_source_dir", "--sink", s"parquet:$dst",
+      "--state", s"$dst/state.properties"))
+    val code = GraftApp.run(args, spark,
+      getenv = Map("LAST_WATERMARK_ORDERS" -> "20").get _,
+      out = _ => (), log = _ => ())
+    assert(code == 0) // per-table error-continue semantics
+    // The injected rollback must NOT have been persisted by the failed run.
+    assert(state.get("orders").contains("30"))
+  }
+
   test("empty table selection exits non-zero (app.py:84-86)") {
     val dst = Files.createTempDirectory("app_dst4")
     val catalog = writeCatalog("orders,yes,order_id,id")

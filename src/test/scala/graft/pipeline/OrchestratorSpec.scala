@@ -24,7 +24,7 @@ class OrchestratorSpec extends AnyFunSuite {
     val hangingSource = new Source {
       def read(spark: SparkSession, table: String): DataFrame =
         if (table == "hung") {
-          Thread.sleep(8 * 1000) // interrupted by the timeout kill
+          Thread.sleep(4 * 1000) // interrupted by the timeout kill at ~2s
           zombieCommitted.set(true)
           parquet.read(spark, "fast")
         } else parquet.read(spark, table)
@@ -37,7 +37,7 @@ class OrchestratorSpec extends AnyFunSuite {
     val t0 = System.nanoTime()
     val report = Orchestrator.runAll(spark, specs, hangingSource,
       Connectors.ParquetSink(dst.toString), state,
-      parallelism = 4, tableTimeout = 3.seconds)
+      parallelism = 4, tableTimeout = 2.seconds)
     val elapsedSec = (System.nanoTime() - t0) / 1e9
 
     assert(report.succeeded.keySet == Set("fast"))
@@ -47,9 +47,9 @@ class OrchestratorSpec extends AnyFunSuite {
 
     // The timed-out job must be KILLED, not abandoned: give the would-be
     // zombie time past its sleep and assert it never proceeded to read or
-    // write (an abandoned thread would wake at 8 s and commit the table,
+    // write (an abandoned thread would wake at 4 s and commit the table,
     // racing any external retry).
-    Thread.sleep(9 * 1000)
+    Thread.sleep(3 * 1000)
     assert(!zombieCommitted.get(), "timed-out table kept running and committed")
     assert(!java.nio.file.Files.exists(java.nio.file.Path.of(s"$dst/hung")))
     assert(state.get("hung").isEmpty)
