@@ -90,6 +90,15 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(pruned.count() == 200L)
   }
 
+  test("connector registry covers every declared format, including the idempotent sink") {
+    for (f <- Seq("parquet", "csv", "json"))
+      assert(Connectors.source(f, "/tmp/x") != null, f)
+    assert(Connectors.sink("parquet-idempotent", "/tmp/x")
+      .isInstanceOf[Connectors.IdempotentParquetSink])
+    intercept[IllegalArgumentException](Connectors.source("orc", "/tmp/x"))
+    intercept[IllegalArgumentException](Connectors.sink("orc", "/tmp/x"))
+  }
+
   test("json source/sink round-trip through the connector registry (E3/E5)") {
     val src = Files.createTempDirectory("orch_json_src")
     val dst = Files.createTempDirectory("orch_json_dst")
