@@ -250,6 +250,21 @@ object TextQueries {
           avgLen >= 3.0 && avgLen <= 12.0 && stopRatio >= 0.01).as("pass"))
     }),
 
+    // Text normalization — the canonicalization step before fingerprinting
+    // or dedup: lowercase, strip punctuation, collapse runs of whitespace,
+    // trim. Narrow projection; emitted alongside a fingerprint OVER the
+    // normalized form to show the compose-with-dedup shape.
+    "q76_normalize" -> ((s, dir) => {
+      val normalized = trim(
+        regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " "))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        normalized.as("norm_text"),
+        charHash(normalized).as("norm_fingerprint"))
+    }),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata.
     // The "decode" is a clearly-stubbed deterministic fake (no image libs
     // in this environment); the schema/expression shape is the real part.
@@ -369,6 +384,12 @@ object TextQueries {
           JOIN sizes sa ON sa.doc_id = doc_a
           JOIN sizes sb ON sb.doc_id = doc_b
           WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.08""",
+    "q76_normalize" ->
+      s"""SELECT doc_id, norm_text, ${charHashSql("norm_text")} AS norm_fingerprint
+          FROM (SELECT doc_id,
+                  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                       ' +', ' ', 'g')) AS norm_text
+                FROM documents)""",
     "q73_decontaminate" ->
       s"""WITH toksed AS (SELECT doc_id, $TokSql AS toks FROM documents),
           bench AS (SELECT DISTINCT unnest(${shingleStrSql(5)}) AS sh
