@@ -1,13 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main: runs every declared query at SPARK_GRAFT_SF_DIR and prints
   * one JSON line. Each query is fully evaluated through a `noop` write (not
   * `.count()`, which lets Catalyst column-prune projection-only queries down
-  * to a scan and undercounts their cost). Failures are timed and recorded in
-  * an `errors` map instead of being silently swallowed.
+  * to a scan and undercounts their cost).
+  *
+  * Robustness against machine noise (a single co-tenant GC pause once
+  * recorded a 10x phantom regression): every query runs `Runs` times and the
+  * headline number is the MEDIAN; the per-run values and per-run JVM GC time
+  * are kept in the JSON so a polluted run is self-evident in the artifact
+  * instead of masquerading as a code regression. Failures are timed and
+  * recorded in an `errors` map instead of being silently swallowed.
   */
 object Bench {
+  private val Runs = 3
+
+  private def gcMillis(): Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = GraftSession.defaultCpus
@@ -33,28 +46,39 @@ object Bench {
     // Fixed name order so per-query timings are comparable across rounds.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        // noop sink forces full evaluation of every output column with zero
-        // serialization/IO cost — the honest measure of expression pipelines.
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      val runs = (1 to Runs).map { _ =>
+        val gc0 = gcMillis()
+        val t0 = System.nanoTime()
+        try {
+          // noop sink forces full evaluation of every output column with
+          // zero serialization/IO cost — the honest measure of expression
+          // pipelines. Each run re-plans AND re-populates any internal
+          // persist, so a run is the full cold cost of the query.
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+        }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // Outside the timed window: drop any frames the query persisted so
+        // cache from one run can't warm the next (or squeeze its memory).
+        spark.catalog.clearCache()
+        (elapsed, gcMillis() - gc0)
       }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // Outside the timed window: drop any frames the query persisted so
-      // cache from one query can't squeeze execution memory for the next.
-      spark.catalog.clearCache()
-      name -> elapsed
+      val median = runs.map(_._1).sorted.apply(Runs / 2)
+      (name, median, runs)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    def obj(pairs: Iterable[(String, String)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(results.map { case (k, m, _) => k -> m.toString })
+    val runsJson = obj(results.map { case (k, _, rs) =>
+      k -> rs.map(r => f"${r._1}%.3f").mkString("[", ",", "]") })
+    val gcJson = obj(results.map { case (k, _, rs) =>
+      k -> rs.map(_._2.toString).mkString("[", ",", "]") })
+    val errJson = obj(errors.map { case (k, v) => k -> ("\"" + v + "\"") })
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"runs":$runsJson,"gc_ms":$gcJson,"errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
     spark.stop()
   }

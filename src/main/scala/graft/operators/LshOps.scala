@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH banding as a reusable operator (SURVEY §2.3 E38/E51): the
+  * shared machinery behind the q48 candidate-pair and q52 purge-list
+  * queries.
+  *
+  * Two scale hazards are closed HERE, not in the callers, because both are
+  * O(n²) blowups a 100 TB corpus will hit and a small fixture never will:
+  *
+  *  1. '''Short documents.''' A doc with fewer than `shingleN` tokens has an
+  *     empty shingle set, so its MinHash signature zero-fills — and every
+  *     such doc shares the identical all-zero signature. On a real crawl
+  *     (millions of near-empty pages) they all collide into ONE
+  *     (band, hash) bucket and the candidate join degenerates to O(n²)
+  *     pairs. A sub-`shingleN`-token doc cannot be a shingle near-dup of
+  *     anything by definition, so they are filtered out before banding.
+  *  2. '''Hot buckets.''' Any bucket — organic (boilerplate pages) or
+  *     adversarial — with B members emits B² candidate pairs. A per-bucket
+  *     size cap drops over-limit buckets from the join and reports how many
+  *     were dropped, so callers see coverage loss instead of an exploding
+  *     shuffle. At cap = 10 000 a dropped bucket represents ≥ 10⁸ pairs the
+  *     join did not have to materialize; members of a bucket that hot are
+  *     boilerplate-identical and better handled by exact dedup upstream.
+  *
+  * The banded frame is persisted and materialized EAGERLY (the signature
+  * computation is the dominant cost and must run once, not once per
+  * self-join side — and eager materialization means the two join sides can
+  * never race to populate the cache). At cluster scale the persist becomes
+  * a parquet staging table; the single-computation contract is the same.
+  */
+object LshOps {
+
+  /** @param bands   capped banded frame: (idCol, b, bh)
+    * @param overflowBuckets number of (band, hash) buckets dropped by the cap
+    */
+  final case class Banded(bands: DataFrame, overflowBuckets: Long)
+
+  /** Explode docs into capped (id, band, bandHash) rows, ready for the
+    * candidate-pair self-join. One shuffle on (b, bh) for the bucket-size
+    * window; the downstream self-join reuses that partitioning.
+    */
+  def bandedMinhash(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 16,
+      shingleN: Int = 3,
+      nBands: Int = 4,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 10000): Banded = {
+    val sig = minhashShingleSignature(col(textCol), k, shingleN)
+    val exploded = docs
+      // Hazard 1: a doc with < shingleN tokens has no shingles — drop it
+      // here rather than let the all-zero signatures form a mega-bucket.
+      .filter(size(tokens(col(textCol))) >= shingleN)
+      .select(col(idCol), posexplode(lshBandHashes(sig, nBands, rowsPerBand)).as(Seq("b", "bh")))
+      // Hazard 2: bucket occupancy, computed on the same (b, bh)
+      // partitioning the self-join will use.
+      .withColumn("_graft_bn", count(lit(1)).over(Window.partitionBy(col("b"), col("bh"))))
+      .persist()
+    // This count is the eager materialization AND the overflow metric in
+    // one cheap job: signatures compute exactly once, before any join side
+    // can race on the cache.
+    val overflow = exploded.filter(col("_graft_bn") > maxBucket)
+      .select(col("b"), col("bh")).distinct().count()
+    Banded(exploded.filter(col("_graft_bn") <= maxBucket).drop("_graft_bn"), overflow)
+  }
+
+  /** Distinct candidate pairs (a < b) from a banded frame: docs sharing any
+    * band hash meet in the same partition — never a cross join. */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col("b"), col("bh"), col(idCol).as("doc_a"))
+    val b2 = bands.select(col("b"), col("bh"), col(idCol).as("doc_b"))
+    a.join(b2, Seq("b", "bh")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Near-dup purge list under the keep-min-id policy: pairs are emitted
+    * with doc_a < doc_b, so every doc_b collides with a smaller id and is
+    * dropped. */
+  def purgeList(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col("b"), col("bh"), col(idCol).as("doc_a"))
+    val b2 = bands.select(col("b"), col("bh"), col(idCol).as("doc_b"))
+    a.join(b2, Seq("b", "bh")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_b").as("drop_id")).distinct()
+  }
+}

@@ -60,6 +60,11 @@ object TextQueries {
     s"list_transform(range(1, greatest(len(toks) - ${n - 1}, 0) + 1), " +
       s"i -> array_to_string(toks[i:i+${n - 1}], ' '))"
 
+  /** Per-(band,hash) bucket-size cap for the LSH queries — matched by a
+    * QUALIFY window filter in the oracle SQL so both engines drop the same
+    * (fixture: zero) buckets. */
+  private val LshMaxBucket = 10000
+
   private def markerListSql(lang: String): String =
     langMarkers.toMap.apply(lang).map(m => s"'$m'").mkString("(", ", ", ")")
 
@@ -140,20 +145,16 @@ object TextQueries {
 
     // E38 LSH banding (4 bands × 4 rows): docs sharing any band hash are
     // near-dup candidates. Shuffle key = (band, hash): candidates meet in
-    // the same partition, no cross join — the 100 TB dedup shape. The band
-    // frame is persisted before the self-join: MinHash signatures are the
-    // dominant cost and must compute ONCE, not once per join side (at
-    // cluster scale this persist becomes a parquet staging table; the
-    // single-computation contract is the same).
+    // the same partition, no cross join — the 100 TB dedup shape. The
+    // operator ([[graft.operators.LshOps]]) filters sub-3-token docs before
+    // banding (empty shingle sets would all share one all-zero-signature
+    // mega-bucket → O(n²) pairs on a real crawl), caps per-bucket occupancy,
+    // and eagerly persists the banded frame so signatures compute once, not
+    // once per self-join side.
     "q48_lsh_candidates" -> ((s, dir) => {
-      val sig = minhashShingleSignature(col("text"), 16, 3)
-      val bands = t(s, dir, "documents")
-        .select(col("doc_id"), posexplode(lshBandHashes(sig, 4, 4)).as(Seq("b", "bh")))
-        .persist()
-      val a = bands.select(col("b"), col("bh"), col("doc_id").as("doc_a"))
-      val b2 = bands.select(col("b"), col("bh"), col("doc_id").as("doc_b"))
-      a.join(b2, Seq("b", "bh")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
+      val banded = graft.operators.LshOps.bandedMinhash(
+        t(s, dir, "documents"), "text", "doc_id", 16, 3, 4, 4, LshMaxBucket)
+      graft.operators.LshOps.candidatePairs(banded.bands, "doc_id")
     }),
 
     // Dedup purge list: the keep-min-id policy applied to the LSH candidate
@@ -162,14 +163,9 @@ object TextQueries {
     // exactly the distinct doc_b side. Shares the persisted band frame with
     // q48 via the cache manager (same canonical plan → same cache entry).
     "q52_neardup_purge" -> ((s, dir) => {
-      val sig = minhashShingleSignature(col("text"), 16, 3)
-      val bands = t(s, dir, "documents")
-        .select(col("doc_id"), posexplode(lshBandHashes(sig, 4, 4)).as(Seq("b", "bh")))
-        .persist()
-      val a = bands.select(col("b"), col("bh"), col("doc_id").as("doc_a"))
-      val b2 = bands.select(col("b"), col("bh"), col("doc_id").as("doc_b"))
-      a.join(b2, Seq("b", "bh")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_b").as("drop_id")).distinct()
+      val banded = graft.operators.LshOps.bandedMinhash(
+        t(s, dir, "documents"), "text", "doc_id", 16, 3, 4, 4, LshMaxBucket)
+      graft.operators.LshOps.purgeList(banded.bands, "doc_id")
     }),
 
     // SimHash (30-bit) per document.
@@ -186,6 +182,7 @@ object TextQueries {
       val grams = t(s, dir, "documents").filter(col("doc_id") < 50)
         .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 2))).as("ng"))
         .persist()
+      grams.count() // eager: shingling runs once, no cache-population race
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = grams.select(col("doc_id").as("doc_a"), col("ng"))
         .join(grams.select(col("doc_id").as("doc_b"), col("ng")), Seq("ng"))
@@ -336,12 +333,14 @@ object TextQueries {
             SELECT doc_id,
                    list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
             FROM (SELECT doc_id, $ShingleHashes3Sql AS hs
-                  FROM (SELECT doc_id, $TokSql AS toks FROM documents))),
+                  FROM (SELECT doc_id, $TokSql AS toks FROM documents)
+                  WHERE len(toks) >= 3)),
           bands AS (
             SELECT doc_id, CAST(b AS INT) AS b,
                    list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),
                                (a, x) -> (a * 31 + x) % 1000000007) AS bh
-            FROM sigs, unnest(range(0, 4)) AS u(b))
+            FROM sigs, unnest(range(0, 4)) AS u(b)
+            QUALIFY count(*) OVER (PARTITION BY b, bh) <= $LshMaxBucket)
           SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
           FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh
           WHERE a.doc_id < b2.doc_id""",
@@ -350,12 +349,14 @@ object TextQueries {
             SELECT doc_id,
                    list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
             FROM (SELECT doc_id, $ShingleHashes3Sql AS hs
-                  FROM (SELECT doc_id, $TokSql AS toks FROM documents))),
+                  FROM (SELECT doc_id, $TokSql AS toks FROM documents)
+                  WHERE len(toks) >= 3)),
           bands AS (
             SELECT doc_id, CAST(b AS INT) AS b,
                    list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),
                                (a, x) -> (a * 31 + x) % 1000000007) AS bh
-            FROM sigs, unnest(range(0, 4)) AS u(b))
+            FROM sigs, unnest(range(0, 4)) AS u(b)
+            QUALIFY count(*) OVER (PARTITION BY b, bh) <= $LshMaxBucket)
           SELECT DISTINCT b2.doc_id AS drop_id
           FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh
           WHERE a.doc_id < b2.doc_id""",

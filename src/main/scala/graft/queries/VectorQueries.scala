@@ -73,6 +73,10 @@ object VectorQueries {
         col("vec_id"), col("embedding"),
         srpBucket(col("embedding"), 8).as("bucket"))
         .persist()
+      // Eager materialization: on a single-split input a lazy persist lets
+      // both self-join sides race to populate the cache and compute the
+      // projections twice.
+      b.count()
       val a = b.select(col("bucket"), col("vec_id").as("vid_a"), col("embedding").as("va"))
       val c = b.select(col("bucket"), col("vec_id").as("vid_b"), col("embedding").as("vb"))
       a.join(c, Seq("bucket")).filter(col("vid_a") < col("vid_b"))

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two LSH scale hazards, provoked directly: a flood of sub-3-token
+  * docs (all-zero signatures) must NOT form a quadratic candidate bucket,
+  * and a hot bucket over the cap is dropped and reported instead of
+  * exploding the join. */
+class LshOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("1000 short docs yield zero candidate pairs, not O(n^2)") {
+    // Pre-fix, every short doc shared the identical all-zero signature:
+    // 1000 docs -> one bucket -> 499_500 pairs. A <3-token doc has no
+    // 3-gram shingles, so by definition it can near-dup nothing.
+    val shorts = (1L to 1000L).map(i => (i, s"w$i")).toDF("doc_id", "text")
+    val banded = LshOps.bandedMinhash(shorts, "text", "doc_id")
+    assert(banded.bands.count() == 0L, "short docs must be filtered before banding")
+    assert(LshOps.candidatePairs(banded.bands, "doc_id").count() == 0L)
+    assert(banded.overflowBuckets == 0L, "filtered docs must not count as overflow")
+  }
+
+  test("short docs do not disturb real near-dup pairs") {
+    val real = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "completely different words here now then")).toDF("doc_id", "text")
+    val shorts = (100L to 300L).map(i => (i, "a b")).toDF("doc_id", "text")
+    val banded = LshOps.bandedMinhash(real.union(shorts), "text", "doc_id")
+    val pairs = LshOps.candidatePairs(banded.bands, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    assert(LshOps.purgeList(banded.bands, "doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("hot bucket over the cap is dropped and reported, cool buckets survive") {
+    // 50 identical long docs -> one bucket of 50 in each of the 4 bands.
+    val hot = (1L to 50L).map(i => (i, "one two three four five six seven")).toDF("doc_id", "text")
+    val cool = Seq(
+      (900L, "red orange yellow green blue indigo violet"),
+      (901L, "red orange yellow green blue indigo violet")).toDF("doc_id", "text")
+    val banded = LshOps.bandedMinhash(hot.union(cool), "text", "doc_id", maxBucket = 10)
+    assert(banded.overflowBuckets == 4L, "one over-cap bucket per band")
+    val pairs = LshOps.candidatePairs(banded.bands, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((900L, 901L)), "capped bucket emits no pairs; cool bucket unaffected")
+  }
+}
