@@ -22,12 +22,14 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
       graft.queries.StreamQueries.queries ++
-      graft.queries.FunctionQueries.queries
+      graft.queries.FunctionQueries.queries ++
+      graft.queries.OpsQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
       graft.queries.TextQueries.oracle ++
       graft.queries.VectorQueries.oracle ++
       graft.queries.StreamQueries.oracle ++
-      graft.queries.FunctionQueries.oracle
+      graft.queries.FunctionQueries.oracle ++
+      graft.queries.OpsQueries.oracle
 }

@@ -5,6 +5,30 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** A prepared dedup batch: the surviving rows, plus a ledger commit the
+  * caller invokes strictly AFTER those survivors are durably written.
+  *
+  * The two-step protocol is the same hazard-2 rule the pipeline applies to
+  * watermarks (state write strictly after the sink commit, CopyJob):
+  * appending fingerprints BEFORE the caller's sink commit would mean a
+  * failed write + re-run finds its own documents already ledgered and
+  * anti-joins them away — silent, permanent corpus loss. With the split,
+  * a crash before `commitLedger` leaves the ledger unchanged and the
+  * re-run reproduces the identical survivors.
+  */
+final class PendingDedup private[operators] (
+    /** Batch rows new to the corpus (fingerprint columns removed). */
+    val survivors: DataFrame,
+    fingerprints: DataFrame,
+    ledgerDir: String) {
+
+  /** Append the survivors' fingerprints to the ledger. Call ONLY after the
+    * survivors have been durably written to their destination. Reads the
+    * eagerly-checkpointed frame, so it never recomputes the batch. */
+  def commitLedger(): Unit =
+    fingerprints.write.mode(SaveMode.Append).parquet(ledgerDir)
+}
+
 /** Incremental exact deduplication against a persistent fingerprint ledger —
   * the "dedup today's crawl against the whole corpus" operation an LLM data
   * pipeline runs on every ingest. The corpus itself is never re-read: only
@@ -15,14 +39,13 @@ import org.apache.spark.sql.functions._
   * will often broadcast partitions of it.
   *
   * Contract: within-batch duplicates keep the smallest id (same canonical
-  * pick as the q24 exact-dedup query); across batches, first batch wins.
-  * The ledger append happens AFTER the survivors are computed, so a re-run
-  * of a failed batch is idempotent-ish: already-ledgered docs drop out.
+  * pick as the q24 exact-dedup query); across batches, first COMMITTED
+  * batch wins. See [[PendingDedup]] for the write-then-commit ordering.
   */
 object DedupOps {
 
-  /** Returns the batch rows that are new to the corpus, and appends their
-    * fingerprints to the ledger.
+  /** Compute the batch rows that are new to the corpus. Returns a
+    * [[PendingDedup]]; the ledger is NOT touched until the caller commits.
     *
     * Fingerprint = (xxhash64, charHash mod 1e9+7) — two independent hashes,
     * ~94 combined bits. A single ~30-bit hash would see birthday collisions
@@ -35,7 +58,7 @@ object DedupOps {
       batch: DataFrame,
       textCol: String,
       idCol: String,
-      ledgerDir: String): DataFrame = {
+      ledgerDir: String): PendingDedup = {
 
     val withFp = batch
       .withColumn("_graft_fp", TextFunctions.charHash(col(textCol)))
@@ -65,16 +88,17 @@ object DedupOps {
       .withColumn("_graft_rn", row_number().over(w))
       .filter(col("_graft_rn") === 1)
       .drop("_graft_rn")
-      // Materialize EAGERLY with severed lineage before touching the
-      // ledger: the append below writes to a path the survivors' plan
-      // reads, which invalidates any cache/file-index over it — a plain
-      // persist() would silently recompute against the post-append ledger
-      // and anti-join the batch's own rows away. localCheckpoint pins the
-      // pre-append result (and runs fingerprint + anti-join exactly once).
+      // Materialize EAGERLY with severed lineage: the eventual ledger
+      // append writes to a path this plan reads, which invalidates any
+      // cache/file-index over it — a plain persist() would silently
+      // recompute against the post-append ledger and anti-join the batch's
+      // own rows away. localCheckpoint pins the pre-append result (and runs
+      // fingerprint + anti-join exactly once).
       .localCheckpoint(true)
 
-    survivors.select(col("_graft_fp"), col("_graft_fp2"))
-      .write.mode(SaveMode.Append).parquet(ledgerDir)
-    survivors.drop("_graft_fp", "_graft_fp2")
+    new PendingDedup(
+      survivors.drop("_graft_fp", "_graft_fp2"),
+      survivors.select(col("_graft_fp"), col("_graft_fp2")),
+      ledgerDir)
   }
 }

@@ -17,25 +17,60 @@ import org.apache.spark.sql.functions._
   */
 object SamplingOps {
 
-  private def bucket(idCol: Column, seed: Long): Column =
-    pmod(xxhash64(idCol, lit(seed)), lit(100L))
+  /** Percent-bucket assignment for a row id: a pure function of (id, seed)
+    * into [0, 100). */
+  type BucketFn = (Column, Long) => Column
+
+  /** Default bucket: xxhash64 — full avalanche, so adjacent ids (which
+    * usually correlate with ingest time) scatter uniformly. */
+  val xxhashBucket: BucketFn =
+    (idCol, seed) => pmod(xxhash64(idCol, lit(seed)), lit(100L))
+
+  /** Portable bucket: charHash of `"<id>:<seed>"` — the repo's shared
+    * polynomial hash, restatable verbatim in any SQL engine (used by the
+    * q78 DuckDB oracle). Weaker adjacent-id mixing than xxhash64; prefer
+    * [[xxhashBucket]] unless cross-engine reproducibility is required. */
+  val portableBucket: BucketFn =
+    (idCol, seed) => pmod(
+      graft.functions.TextFunctions.charHash(
+        concat(idCol.cast("string"), lit(":" + seed.toString))),
+      lit(100L))
 
   /** Deterministic train/holdout split: `trainPct`% of ids to the left
     * side. Disjoint, complete, and stable under any repartitioning. */
-  def hashSplit(df: DataFrame, idCol: String, trainPct: Int, seed: Long)
-      : (DataFrame, DataFrame) = {
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      trainPct: Int,
+      seed: Long,
+      bucket: BucketFn = xxhashBucket): (DataFrame, DataFrame) = {
     require(trainPct > 0 && trainPct < 100, s"trainPct out of (0,100): $trainPct")
     val b = bucket(col(idCol), seed)
     (df.filter(b < trainPct), df.filter(b >= trainPct))
   }
 
   /** Deterministic ~`pct`% subsample by id hash (stable under layout). */
-  def hashSample(df: DataFrame, idCol: String, pct: Int, seed: Long): DataFrame =
+  def hashSample(
+      df: DataFrame,
+      idCol: String,
+      pct: Int,
+      seed: Long,
+      bucket: BucketFn = xxhashBucket): DataFrame =
     df.filter(bucket(col(idCol), seed) < pct)
 
   /** Exactly `n` rows per stratum (balanced corpus sampling — e.g. equal
     * docs per language), chosen by seeded id-hash order so the pick is
-    * deterministic and layout-independent. One shuffle on the stratum key.
+    * deterministic and layout-independent.
+    *
+    * Two-phase to survive hot strata: phase 1 splits every stratum into
+    * `splits` deterministic salt groups and keeps each group's top-n, so a
+    * 10 TB stratum is reduced by `splits` parallel tasks instead of
+    * funneling through one sort; phase 2 ranks the ≤ `splits`·n survivors
+    * per stratum — a bounded input no matter how large the stratum was.
+    * The salt is a pure function of (id, seed), so the result is identical
+    * on any layout and equals the single-phase pick (a global top-n row is
+    * necessarily within its salt group's top-n).
+    *
     * A stratum with FEWER than `n` rows contributes all of them — callers
     * needing guaranteed balance should verify per-stratum counts on the
     * result (a distributed pre-count here would double the cost for every
@@ -46,11 +81,34 @@ object SamplingOps {
       strataCol: String,
       idCol: String,
       n: Int,
-      seed: Long): DataFrame = {
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
-    df.withColumn("_graft_rank", row_number().over(w))
+      seed: Long,
+      splits: Int = 64): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("_graft_rk"), col(idCol))
+    localTopN(df, strataCol, idCol, n, seed, splits)
+      .withColumn("_graft_rank", row_number().over(w))
       .filter(col("_graft_rank") <= n)
-      .drop("_graft_rank")
+      .drop("_graft_rank", "_graft_rk", "_graft_salt")
+  }
+
+  /** Phase 1: per-(stratum, salt-group) top-n. Package-visible so the spec
+    * can assert the reduction really spreads a hot stratum over many
+    * groups. Keeps `_graft_rk`/`_graft_salt` for phase 2. */
+  private[operators] def localTopN(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      n: Int,
+      seed: Long,
+      splits: Int): DataFrame = {
+    require(splits > 0, s"splits must be positive: $splits")
+    val w = Window.partitionBy(col(strataCol), col("_graft_salt"))
+      .orderBy(col("_graft_rk"), col(idCol))
+    df.withColumn("_graft_rk", xxhash64(col(idCol), lit(seed)))
+      // Salt from an independent seed: a pure row function, so membership
+      // is layout-stable (spark_partition_id would not be).
+      .withColumn("_graft_salt", pmod(xxhash64(col(idCol), lit(seed + 1)), lit(splits.toLong)))
+      .withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") <= n)
+      .drop("_graft_rn")
   }
 }

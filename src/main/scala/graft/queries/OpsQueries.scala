@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{DedupOps, SamplingOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-backed corpus entries for the pipeline OPERATORS (SURVEY §2.3
+  * E58/E64): unlike the projection corpora, these drive the stateful
+  * operator APIs end-to-end (ledger build → second-batch dedup; split by
+  * portable hash) and assert the RESULT against a DuckDB restatement of the
+  * same semantics.
+  */
+object OpsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** charHash(e) SQL — same fold as TextFunctions.charHash (lockstep rule:
+    * change both or neither). */
+  private def charHashSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      "(a, b) -> (a * 31 + b) % 1000000007)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E58 incremental ledger dedup, end-to-end: even doc_ids are "yesterday's
+    // corpus" (batch 1 → ledger commit), odd doc_ids are "today's crawl";
+    // the result is today's survivors — docs whose text was not ledgered,
+    // one per fingerprint. Runs the real two-step API: batch 1 commits its
+    // fingerprints (write-then-commit protocol), batch 2 stays uncommitted.
+    "q77_ledger_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ledger = java.nio.file.Files
+        .createTempDirectory("graft_q77_ledger").resolve("fp").toString
+      val batch1 = docs.filter(col("doc_id") % 2 === 0)
+      DedupOps.incrementalDedup(s, batch1, "text", "doc_id", ledger).commitLedger()
+      val batch2 = docs.filter(col("doc_id") % 2 === 1)
+      DedupOps.incrementalDedup(s, batch2, "text", "doc_id", ledger)
+        .survivors.select(col("doc_id"))
+    }),
+
+    // E64 layout-stable hash split, via the portable (oracle-expressible)
+    // bucket: every doc labeled with its side. Membership is a pure
+    // function of (doc_id, seed) — DuckDB recomputes it independently.
+    "q78_hash_split" -> ((s, dir) => {
+      val (train, test) = SamplingOps.hashSplit(
+        t(s, dir, "documents"), "doc_id", 80, 42L, SamplingOps.portableBucket)
+      train.select(col("doc_id"), lit("train").as("side"))
+        .unionByName(test.select(col("doc_id"), lit("test").as("side")))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // The oracle asserts on the charHash half of the (charHash, xxhash64)
+    // fingerprint pair — xxhash64 isn't restatable in DuckDB, and on
+    // fixture data the charHash projection alone determines membership.
+    "q77_ledger_dedup" ->
+      s"""WITH fp AS (SELECT doc_id, ${charHashSql("text")} AS fp FROM documents),
+          b1 AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+          b2 AS (SELECT doc_id, fp FROM fp WHERE doc_id % 2 = 1)
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM b2 WHERE fp NOT IN (SELECT fp FROM b1))
+          WHERE rn = 1""",
+    "q78_hash_split" ->
+      s"""SELECT doc_id,
+          CASE WHEN ${charHashSql("CAST(doc_id AS VARCHAR) || ':42'")} % 100 < 80
+               THEN 'train' ELSE 'test' END AS side
+          FROM documents"""
+  )
+}

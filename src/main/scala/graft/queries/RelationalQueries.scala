@@ -512,6 +512,24 @@ object RelationalQueries {
       t(s, dir, "orders")
         .filter(col("o_orderdate") > lit("1997-06-01").cast("timestamp"))
         .agg(count(lit(1)).as("delta_rows"), max(col("o_orderdate")).as("new_wm"))
+    }),
+
+    // TPC-H Q2 shape over the supplier fixture: top-3 suppliers per nation
+    // by lineitem revenue. Fact join shuffles on l_suppkey; nation
+    // broadcasts; the per-group pick is a window over the (small) aggregated
+    // frame. Rank on ROUNDED revenue + suppkey tie-break: never rank raw
+    // floats across engines.
+    "q79_top_supplier_per_nation" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val rev = l.join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), col("s_suppkey"), col("s_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("revenue").desc, col("s_suppkey"))
+      rev.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
     })
   )
 
@@ -765,6 +783,19 @@ object RelationalQueries {
          FROM orders""",
     "q36_cdc_delta" ->
       """SELECT count(*) AS delta_rows, max(o_orderdate) AS new_wm
-         FROM orders WHERE o_orderdate > TIMESTAMP '1997-06-01'"""
+         FROM orders WHERE o_orderdate > TIMESTAMP '1997-06-01'""",
+    "q79_top_supplier_per_nation" ->
+      """SELECT n_name, s_suppkey, s_name, revenue, CAST(rk AS INT) AS rk FROM (
+           SELECT n_name, s_suppkey, s_name,
+                  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                  row_number() OVER (
+                    PARTITION BY n_name
+                    ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 4) DESC,
+                             s_suppkey) AS rk
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY n_name, s_suppkey, s_name)
+         WHERE rk <= 3"""
   )
 }

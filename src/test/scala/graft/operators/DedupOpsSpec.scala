@@ -5,7 +5,9 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Incremental corpus dedup: batch 1 seeds the ledger, batch 2 keeps only
-  * genuinely new docs, a replay of batch 2 keeps nothing. */
+  * genuinely new docs, a replay of batch 2 keeps nothing — and a batch
+  * whose ledger commit never ran (crashed before its sink write finished)
+  * is fully reproduced on retry instead of being silently dropped. */
 class DedupOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -16,21 +18,29 @@ class DedupOpsSpec extends AnyFunSuite {
     // Batch 1: 10 unique texts + one in-batch duplicate pair (ids 100/101).
     val b1 = ((1 to 10).map(i => (i.toLong, s"text number $i")) ++
       Seq((100L, "dup text"), (101L, "dup text"))).toDF("doc_id", "text")
-    val out1 = DedupOps.incrementalDedup(spark, b1, "text", "doc_id", ledger)
-      .as[(Long, String)].collect().toSet
+    val p1 = DedupOps.incrementalDedup(spark, b1, "text", "doc_id", ledger)
+    val out1 = p1.survivors.as[(Long, String)].collect().toSet
     assert(out1.map(_._1).contains(100L) && !out1.map(_._1).contains(101L),
       "in-batch duplicate must keep the smallest id")
     assert(out1.size == 11)
+    p1.commitLedger() // "sink write succeeded" — now the fingerprints stick
 
     // Batch 2: 5 repeats of batch 1 + 3 new docs.
     val b2 = ((1 to 5).map(i => (200L + i, s"text number $i")) ++
       (1 to 3).map(i => (300L + i, s"fresh text $i"))).toDF("doc_id", "text")
-    val out2 = DedupOps.incrementalDedup(spark, b2, "text", "doc_id", ledger)
-      .as[(Long, String)].collect().toSet
+    val p2 = DedupOps.incrementalDedup(spark, b2, "text", "doc_id", ledger)
+    val out2 = p2.survivors.as[(Long, String)].collect().toSet
     assert(out2.map(_._2) == Set("fresh text 1", "fresh text 2", "fresh text 3"))
 
-    // Replay of batch 2: everything is ledgered now.
+    // Crash-before-commit: p2's ledger commit never ran, so a retry of
+    // batch 2 must see the SAME survivors — the docs are not lost.
+    val retry = DedupOps.incrementalDedup(spark, b2, "text", "doc_id", ledger)
+    assert(retry.survivors.as[(Long, String)].collect().toSet == out2,
+      "uncommitted batch must be reproducible on retry")
+    retry.commitLedger()
+
+    // Replay of batch 2 after a successful commit: everything is ledgered.
     val out3 = DedupOps.incrementalDedup(spark, b2, "text", "doc_id", ledger)
-    assert(out3.count() == 0L)
+    assert(out3.survivors.count() == 0L)
   }
 }

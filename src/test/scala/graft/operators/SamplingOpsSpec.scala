@@ -36,6 +36,30 @@ class SamplingOpsSpec extends AnyFunSuite {
     assert(a1 != b)
   }
 
+  test("stratifiedFixedN spreads a hot stratum over many salt groups (two-phase)") {
+    // One 5000-row stratum. Phase 1 must reduce it in PARALLEL groups —
+    // more than one group contributing proves no single-task funnel — and
+    // phase 2's input stays bounded by splits*n regardless of stratum size.
+    val n = 5; val splits = 8
+    val hot = (1L to 5000L).map(i => ("hot", i)).toDF("lang", "doc_id")
+    val reduced = SamplingOps.localTopN(hot, "lang", "doc_id", n, seed = 7L, splits)
+    val perGroup = reduced.groupBy($"_graft_salt").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perGroup.size > 1, s"hot stratum funneled through one group: $perGroup")
+    assert(perGroup.values.forall(_ <= n.toLong))
+    assert(reduced.count() <= (splits * n).toLong)
+
+    // The two-phase pick equals the direct global top-n by (hash, id).
+    val expected = hot
+      .withColumn("rk", org.apache.spark.sql.functions.xxhash64($"doc_id",
+        org.apache.spark.sql.functions.lit(7L)))
+      .orderBy($"rk", $"doc_id").limit(n)
+      .select($"doc_id").as[Long].collect().toSet
+    val got = SamplingOps.stratifiedFixedN(hot, "lang", "doc_id", n, 7L, splits)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == expected)
+  }
+
   test("stratifiedFixedN returns exactly n per stratum, deterministically") {
     val n = 5
     val sampled = SamplingOps.stratifiedFixedN(docs, "lang", "doc_id", n, seed = 7L)
