@@ -34,7 +34,22 @@ object VectorFunctions {
     * hyperplanes; see [[graft.plans.VecOps.srpBucket]] for the grid. This
     * is the scale path for similarity search: group vectors by bucket and
     * only compare within a bucket, turning the O(n²) cross join into
-    * bucket-local joins. */
+    * bucket-local joins.
+    *
+    * ==Sizing `nBits` at corpus scale==
+    * Bucket-local work is quadratic in occupancy, so the knob that matters
+    * is expected occupancy ≈ n / 2^nBits. Keep it in the 10³–10⁵ range:
+    * big enough that true neighbors still collide, small enough that the
+    * per-bucket pair count (occupancy²) stays join-able. Rules of thumb
+    * (uniform vectors; skewed data needs +1–2 bits or a bucket cap like
+    * LshOps'):
+    *   - 10⁶ vectors → 8–10 bits (occupancy ~10³)
+    *   - 10⁹ vectors → 16–20 bits (occupancy ~10³–10⁴)
+    *   - 10¹² vectors (100 TB of 64-dim floats) → 26–30 bits
+    * Each +1 bit halves occupancy (≈4× less bucket work) but lowers recall
+    * for a fixed similarity threshold; recover recall by probing multiple
+    * bucket permutations (the standard multi-probe trade) rather than
+    * dropping bits. */
   def srpBucket(v: Column, nBits: Int): Column = col(SrpBucketExpr(expr(v), nBits))
 
   /** Reference HOF implementations (interpreted; used by parity tests). */

@@ -22,6 +22,12 @@ object MaintenanceOps {
 
   final case class CompactionReport(filesBefore: Int, filesAfter: Int, rows: Long)
 
+  private def dataDirs(fs: org.apache.hadoop.fs.FileSystem, path: Path) =
+    fs.listStatus(path).filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+    }
+
   def compactParquet(
       spark: SparkSession,
       dir: String,
@@ -34,7 +40,23 @@ object MaintenanceOps {
       s.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
 
+    // A Hive-partitioned directory (col=value subdirs — what
+    // PartitionedParquetSink / IdempotentParquetSink write) must NOT be
+    // flat-rewritten: the partition columns would fold into the data files
+    // (readers lose directory pruning) and a later idempotent-batch replay
+    // would write token subdirs BESIDE flat files — a mixed, unreadable
+    // layout that breaks replace-on-replay. Refuse loudly; the
+    // per-partition variant preserves the layout.
+    val subdirs = dataDirs(fs, path)
+    if (subdirs.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$dir contains partition subdirectories " +
+          s"(${subdirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+          "a flat rewrite would fold partition columns into data files; " +
+          "use compactPartitioned to compact leaf-by-leaf")
+
     val before = dataFiles()
+    if (before.isEmpty) return CompactionReport(0, 0, 0L)
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes / (targetMB * 1024.0 * 1024.0)).toInt)
 
@@ -59,5 +81,27 @@ object MaintenanceOps {
     renameOrThrow(tmp, path)
     fs.delete(bak, true)
     CompactionReport(before.length, dataFiles().length, rows)
+  }
+
+  /** Compact a Hive-partitioned directory leaf-by-leaf, preserving the
+    * `col=value` layout (and therefore partition pruning and the
+    * idempotent-sink replace-on-replay contract). Each leaf is an
+    * independent crash-safe swap, so a failure mid-way leaves every leaf
+    * either fully old or fully new — never mixed. */
+  def compactPartitioned(
+      spark: SparkSession,
+      dir: String,
+      targetMB: Int = 128): CompactionReport = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: Path): Seq[Path] = {
+      val subs = dataDirs(fs, p)
+      if (subs.isEmpty) Seq(p) else subs.toSeq.flatMap(s => leaves(s.getPath))
+    }
+    val reports = leaves(path).map(l => compactParquet(spark, l.toString, targetMB))
+    CompactionReport(
+      reports.map(_.filesBefore).sum,
+      reports.map(_.filesAfter).sum,
+      reports.map(_.rows).sum)
   }
 }

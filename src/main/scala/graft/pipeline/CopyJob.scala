@@ -76,9 +76,16 @@ object CopyJob {
         // Batch token = the watermark this delta was read FROM (not to):
         // a crash before the state write replays the exact same token, so
         // the retry REPLACES the earlier attempt (hazard 2 closed for
-        // sinks that can overwrite a batch). Sanitized for path safety.
-        val token = wm.map(_._2.serialized).getOrElse("full")
-          .replaceAll("[^A-Za-z0-9._-]", "_")
+        // sinks that can overwrite a batch). The path-safe encoding is
+        // INJECTIVE — ASCII [A-Za-z0-9.-] pass through, everything else
+        // (including '_', the escape marker) becomes _XXXX hex — because a
+        // lossy sanitizer could collide two distinct watermarks onto one
+        // token, letting a later batch dynamically overwrite an earlier
+        // batch's partition and silently delete its rows.
+        val token = wm.map(_._2.serialized).getOrElse("full").flatMap {
+          case c if (c.isLetterOrDigit && c < 0x80) || c == '.' || c == '-' => c.toString
+          case c => f"_${c.toInt}%04X"
+        }
         is.writeBatch(observed, spec.tableName, token)
       case other => other.write(observed, spec.tableName, mode)
     }

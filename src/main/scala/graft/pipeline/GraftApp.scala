@@ -41,7 +41,11 @@ object GraftApp {
       statePath: Option[String] = None,
       mode: SaveMode = SaveMode.Append,
       parallelism: Int = 4,
-      tableTimeout: Duration = Duration.Inf)
+      tableTimeout: Duration = Duration.Inf,
+      strict: Boolean = false)
+
+  /** Valueless flags (presence = true). */
+  private val boolFlags = Set("strict")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -49,6 +53,8 @@ object GraftApp {
       var kv = Map.empty[String, String]
       var rest = argv.toList
       while (rest.nonEmpty) rest match {
+        case flag :: t if flag.startsWith("--") && boolFlags(flag.stripPrefix("--")) =>
+          kv += (flag.stripPrefix("--") -> "true"); rest = t
         case flag :: v :: t if flag.startsWith("--") =>
           kv += (flag.stripPrefix("--") -> v); rest = t
         case flag :: _ if flag.startsWith("--") =>
@@ -62,9 +68,10 @@ object GraftApp {
       throw new IllegalArgumentException(
         "usage: GraftApp <env> <table|t1,t2|all> [--tables-list-path P] " +
           "[--source fmt:loc] [--sink fmt:loc] [--state P] " +
-          "[--mode append|overwrite] [--parallelism N] [--table-timeout-sec N]")
+          "[--mode append|overwrite] [--parallelism N] [--table-timeout-sec N] " +
+          "[--strict]")
     val known = Set("tables-list-path", "source", "sink", "state",
-      "mode", "parallelism", "table-timeout-sec")
+      "mode", "parallelism", "table-timeout-sec") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
     if (unknown.nonEmpty)
@@ -84,7 +91,8 @@ object GraftApp {
       }.getOrElse(SaveMode.Append),
       parallelism = flags.get("parallelism").map(_.toInt).getOrElse(4),
       tableTimeout =
-        flags.get("table-timeout-sec").map(_.toLong.seconds: Duration).getOrElse(Duration.Inf))
+        flags.get("table-timeout-sec").map(_.toLong.seconds: Duration).getOrElse(Duration.Inf),
+      strict = flags.contains("strict"))
   }
 
   /** Testable core; returns the process exit code. */
@@ -142,9 +150,11 @@ object GraftApp {
     for ((t, e) <- report.failed.toSeq.sortBy(_._1))
       log(s"table $t FAILED: ${e.getMessage}")
 
-    // Per-table errors continue (app.py:175-177) and do not fail the run;
-    // the reference exits non-zero only on setup/unhandled errors.
-    0
+    // Per-table errors continue (app.py:175-177) and do not fail the run —
+    // by default, for reference parity. `--strict` opts into a non-zero
+    // exit when any table failed, so an orchestrator can distinguish
+    // "everything copied" from "silently all-failed" without log scraping.
+    if (a.strict && report.failed.nonEmpty) 1 else 0
   }
 
   def main(argv: Array[String]): Unit = {

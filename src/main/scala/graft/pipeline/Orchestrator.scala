@@ -66,14 +66,25 @@ object Orchestrator {
         val f = Future {
           // A table cancelled while still QUEUED (pool saturated by other
           // hung tables) must not run at all — its job group was never set,
-          // so cancelJobGroup alone could not stop it.
-          if (cancelled.get())
+          // so cancelJobGroup alone could not stop it. The check and the
+          // worker/job-group registration are ONE atomic step under `lock`:
+          // otherwise a timeout firing between them would cancel an
+          // unregistered group and interrupt a null worker, and the table
+          // would run to completion un-killed (committing sink + watermark
+          // despite its recorded timeout failure).
+          val started = lock.synchronized {
+            if (cancelled.get()) false
+            else {
+              worker.set(Thread.currentThread())
+              spark.sparkContext.setJobGroup(group, s"copy ${spec.tableName}",
+                interruptOnCancel = true)
+              true
+            }
+          }
+          if (!started)
             Failure(new java.util.concurrent.TimeoutException(
               s"table ${spec.tableName} cancelled before start"))
           else {
-            worker.set(Thread.currentThread())
-            spark.sparkContext.setJobGroup(group, s"copy ${spec.tableName}",
-              interruptOnCancel = true)
             try Try(CopyJob.run(spark, spec, source, sink, state, mode))
             finally {
               spark.sparkContext.clearJobGroup()
@@ -91,10 +102,15 @@ object Orchestrator {
           case _: java.util.concurrent.TimeoutException =>
             // Kill, don't abandon: forbid a queued start, cancel the
             // table's Spark jobs, and interrupt its driver-side thread so
-            // it cannot commit sink or state later.
-            cancelled.set(true)
-            spark.sparkContext.cancelJobGroup(group)
-            lock.synchronized(Option(worker.get()).foreach(_.interrupt()))
+            // it cannot commit sink or state later. Under the SAME lock as
+            // the task's start step, so exactly one of two worlds holds:
+            // the task never starts, or the cancel/interrupt targets a
+            // fully registered worker + job group.
+            lock.synchronized {
+              cancelled.set(true)
+              spark.sparkContext.cancelJobGroup(group)
+              Option(worker.get()).foreach(_.interrupt())
+            }
             Failure(new java.util.concurrent.TimeoutException(
               s"table $name did not finish within $tableTimeout"))
         }.flatten

@@ -764,7 +764,7 @@ object RelationalQueries {
          CAST(json_extract_string(props, '$.k') AS INT) AS k,
          CAST(json_extract_string(props, '$.k') AS INT) AS k_struct,
          json_keys(props)[1] AS key0,
-         CAST(json_extract_string(props, '$.k') AS INT) AS val0,
+         CAST(json_extract_string(props, '$.' || json_keys(props)[1]) AS INT) AS val0,
          CAST(len(json_keys(props)) AS INT) AS n_keys
          FROM events""",
     "q32_scalar_subquery" ->

@@ -5,10 +5,38 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The multimodal plumbing is real (schema, typed Dataset, per-partition
-  * batch shape); only the byte decode is a deterministic stub. */
+  * batch shape); image decode is real `javax.imageio`, non-image payloads
+  * take the deterministic stub path. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 7 + y * 13) & 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decodeMeta really decodes PNG and JPEG payloads via javax.imageio") {
+    val jpegOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB),
+      "jpg", jpegOut)
+    val payloads = Seq(
+      (1L, pngBytes(2, 2)),
+      (2L, pngBytes(17, 9)),
+      (3L, jpegOut.toByteArray),
+      (4L, "not an image at all".getBytes("UTF-8")))
+    val df = payloads.toDF("media_id", "payload")
+    val metas = Multimodal.decodeMeta(spark, df).collect().map(m => m.media_id -> m).toMap
+    assert(metas(1L).width == 2 && metas(1L).height == 2 && metas(1L).format == "png")
+    assert(metas(1L).channels == 3)
+    assert(metas(2L).width == 17 && metas(2L).height == 9 && metas(2L).format == "png")
+    assert(metas(3L).width == 5 && metas(3L).height == 3 && metas(3L).format == "jpeg")
+    assert(metas(4L).format == "stub", "non-image payloads take the stub path")
+  }
 
   private def media = Multimodal.toMediaTable(
     Tables(spark, TestSpark.sfDir, "documents"), "doc_id", "text")

@@ -23,4 +23,35 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     val back = spark.read.parquet(dir).as[Int].collect().sorted
     assert(back.toSeq == (1 to 4000))
   }
+
+  test("flat compaction refuses a Hive-partitioned directory") {
+    val dir = Files.createTempDirectory("compact_part").resolve("t").toString
+    (1 to 100).map(i => (i, i % 3)).toDF("id", "p")
+      .write.mode(SaveMode.Overwrite).partitionBy("p").parquet(dir)
+    val e = intercept[IllegalArgumentException](
+      MaintenanceOps.compactParquet(spark, dir))
+    assert(e.getMessage.contains("partition subdirectories"), e.getMessage)
+    // The refusal must leave the layout untouched and prunable.
+    assert(spark.read.parquet(dir).filter($"p" === 1).count() == 34L)
+  }
+
+  test("compactPartitioned compacts leaf-by-leaf, preserving layout and pruning") {
+    val dir = Files.createTempDirectory("compact_leaves").resolve("t").toString
+    (1 to 3000).map(i => (i, i % 3)).toDF("id", "p").repartition(16)
+      .write.mode(SaveMode.Overwrite).partitionBy("p").parquet(dir)
+
+    val report = MaintenanceOps.compactPartitioned(spark, dir, targetMB = 128)
+    assert(report.filesBefore >= 16 * 3 / 2, report) // many small parts existed
+    assert(report.filesAfter == 3, report)           // one file per partition value
+    assert(report.rows == 3000L)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3000L)
+    assert(back.filter($"p" === 2).count() == 1000L)
+    // Partition column survives as a PARTITION (directory), not a data col:
+    // the pruned scan must show a PartitionFilters entry, proving readers
+    // still skip directories.
+    val plan = back.filter($"p" === 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+  }
 }

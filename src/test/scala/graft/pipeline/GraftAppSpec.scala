@@ -172,6 +172,21 @@ class GraftAppSpec extends AnyFunSuite {
     assert(GraftApp.run(args, spark, getenv = _ => None, out = _ => (), log = _ => ()) == 1)
   }
 
+  test("--strict turns an all-failed run into a non-zero exit") {
+    val dst = Files.createTempDirectory("app_dst8")
+    val catalog = writeCatalog("orders,yes,order_id,id")
+    def run(extra: String*): Int = {
+      val args = GraftApp.parseArgs(Seq(
+        "dev", "orders",
+        "--tables-list-path", catalog.toString,
+        "--source", "parquet:/nonexistent_source_dir", "--sink", s"parquet:$dst",
+        "--state", s"$dst/state.properties") ++ extra)
+      GraftApp.run(args, spark, getenv = _ => None, out = _ => (), log = _ => ())
+    }
+    assert(run() == 0, "default keeps app.py's log-and-continue exit code")
+    assert(run("--strict") == 1, "--strict must surface the failure")
+  }
+
   test("arg parsing: usage errors and flag forms") {
     intercept[IllegalArgumentException](GraftApp.parseArgs(Seq("dev")))
     intercept[IllegalArgumentException](GraftApp.parseArgs(Seq("dev", "all", "--mode", "upsert")))
@@ -183,5 +198,9 @@ class GraftAppSpec extends AnyFunSuite {
       "--parallelism", "2", "--table-timeout-sec", "30"))
     assert(a.mode == SaveMode.Overwrite && a.parallelism == 2)
     assert(a.tableTimeout.toSeconds == 30L)
+    // --strict is valueless and must not swallow the following token.
+    val b = GraftApp.parseArgs(Seq("dev", "all", "--strict", "--parallelism", "3"))
+    assert(b.strict && b.parallelism == 3)
+    assert(!GraftApp.parseArgs(Seq("dev", "all")).strict)
   }
 }

@@ -39,6 +39,19 @@ class JdbcConnectorSpec extends AnyFunSuite {
     assert(back.count() == 1000L)
   }
 
+  test("watermark `>` predicate is pushed into the JDBC scan (R2 at the source)") {
+    val u = url
+    val df = (1L to 100L).map(i => (i, s"r$i")).toDF("id", "payload")
+    Connectors.JdbcSink(u).write(df, "t_push", SaveMode.Overwrite)
+    // The same shape CopyJob builds for an Id watermark: full.filter(col > v).
+    val scan = Connectors.JdbcSource(u).read(spark, "t_push").filter(col("id") > 50L)
+    val plan = scan.queryExecution.executedPlan.toString
+    // The predicate must reach the JDBC relation (become SQL in the remote
+    // query), not run as a post-scan Spark filter over a full fetch.
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,50)"), plan)
+    assert(scan.count() == 50L)
+  }
+
   test("CopyJob runs parquet -> JDBC with incremental watermark") {
     val u = url
     val src = Files.createTempDirectory("graft_jdbc_src")
