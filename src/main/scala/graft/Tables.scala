@@ -28,6 +28,21 @@ object Tables {
     else df
   }
 
+  /** Spread a compute-heavy narrow pipeline over all cores when the input
+    * arrives in fewer splits than the cluster has slots. Parquet cannot
+    * split a row group, so a single-row-group file (small exports, the sf
+    * fixtures) serializes per-row work like MinHash/SimHash/vector math
+    * onto ONE core no matter how wide the cluster is; one cheap shuffle of
+    * the input buys a cores-× speedup of the dominant stage. Deliberately
+    * CONDITIONAL: at 100 TB inputs arrive in thousands of splits, the
+    * condition is false, and no shuffle is added (filters keep reaching
+    * the scan — Catalyst pushes deterministic predicates through
+    * Repartition anyway). */
+  def parallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Register every fixture table as a temp view so `spark.sql` queries can
     * use the same names the DuckDB oracle sees. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  // Every query here is dominated by per-row text work (hashing, shingling,
+  // regex): ensure it spreads across cores even when the input is a
+  // single-row-group file (no-op on already-parallel inputs).
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables(s, dir, name)
+    Tables.parallel(Tables(s, dir, name))
 
   // ---- shared DuckDB fragments (keep in lockstep with TextFunctions) ----
 

@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
+  // Vector math is per-row compute: spread single-row-group inputs across
+  // cores (no-op on already-parallel inputs).
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables(s, dir, name)
+    Tables.parallel(Tables(s, dir, name))
 
   // DuckDB double-cast vector + dot/norm fragments (lockstep with
   // VectorFunctions: left-to-right IEEE-double folds, rounded at 6 dp).
