@@ -70,4 +70,36 @@ object SkewOps {
     case "min"   => min(c)
     case "max"   => max(c)
   }
+
+  /** Skew-mitigated equi JOIN: the fact side's hot keys are scattered over
+    * `nSalts` shards and the dimension side is replicated `nSalts`×, so the
+    * join key becomes (key, salt) and no single reducer receives a hot
+    * key's entire row set. This is the manual fallback for when AQE's
+    * skew-join split cannot apply (e.g. the skewed side feeds an
+    * aggregation that must share the join's partitioning, or stats hide
+    * the skew until runtime).
+    *
+    * The right side must be the smaller one (it is replicated — cost
+    * `nSalts × |right|`) but too large or too mid-plan to broadcast; for a
+    * genuinely tiny right side, use `broadcast()` instead, which needs no
+    * salting at all. The join is pinned to the shuffle path (shuffle_hash
+    * hint): letting Spark broadcast the replicated side would silently
+    * discard the scatter this operator exists to provide. The left salt is
+    * a pure function of the row (stable under task retry); the result is
+    * identical to a plain inner join on `key`.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      nSalts: Int): DataFrame = {
+    require(nSalts > 0, s"nSalts must be positive: $nSalts")
+    val saltedLeft = left.withColumn("_graft_salt",
+      pmod(hash(left.columns.map(col): _*), lit(nSalts)))
+    val replicatedRight = right
+      .withColumn("_graft_salt", explode(sequence(lit(0), lit(nSalts - 1))))
+      .hint("shuffle_hash")
+    saltedLeft.join(replicatedRight, Seq(key, "_graft_salt"))
+      .drop("_graft_salt")
+  }
 }

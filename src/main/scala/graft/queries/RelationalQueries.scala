@@ -530,6 +530,23 @@ object RelationalQueries {
       val w = Window.partitionBy(col("n_name"))
         .orderBy(col("revenue").desc, col("s_suppkey"))
       rev.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+    }),
+
+    // E66 skew-mitigated equi join: l_returnflag holds 3 values for 600 k
+    // rows — a plain shuffle join funnels each key's entire row set into
+    // one reducer. SkewOps.saltedJoin scatters the fact side over 16 salt
+    // shards and replicates the dim; the oracle proves result equality
+    // with the plain join. (A tiny dim like this one would normally
+    // broadcast — the query pins the shuffle path precisely to exercise
+    // the shape used when the dim is too big or too mid-plan for that.)
+    "q80_salted_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val dim = l.select(col("l_returnflag")).distinct()
+        .withColumn("flag_label", concat(lit("flag_"), col("l_returnflag")))
+      graft.operators.SkewOps.saltedJoin(l, dim, "l_returnflag", 16)
+        .groupBy(col("flag_label"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
     })
   )
 
@@ -796,6 +813,12 @@ object RelationalQueries {
            JOIN supplier ON l_suppkey = s_suppkey
            JOIN nation ON s_nationkey = n_nationkey
            GROUP BY n_name, s_suppkey, s_name)
-         WHERE rk <= 3"""
+         WHERE rk <= 3""",
+    // Equality with the plain join+group is exactly the salted-join claim.
+    "q80_salted_join" ->
+      """SELECT 'flag_' || l_returnflag AS flag_label,
+         round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag"""
   )
 }

@@ -68,6 +68,11 @@ object TextQueries {
     * (fixture: zero) buckets. */
   private val LshMaxBucket = 10000
 
+  /** PII patterns (q82), restricted to syntax Java regex and RE2 (DuckDB)
+    * interpret identically — no backreferences, no lookaround. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
   private def markerListSql(lang: String): String =
     langMarkers.toMap.apply(lang).map(m => s"'$m'").mkString("(", ", ", ")")
 
@@ -265,6 +270,24 @@ object TextQueries {
         charHash(normalized).as("norm_fingerprint"))
     }),
 
+    // E68 PII scrubbing — the redaction pass a training-data pipeline runs
+    // before any text ships: count and replace emails / IPv4 literals.
+    // Synthetic PII is injected deterministically (the word-soup fixture
+    // has none), so the scrubber has real matches and both engines build
+    // the identical input. Narrow regex projection: linear at 100 TB.
+    "q82_pii_scrub" -> ((s, dir) => {
+      val enriched = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(enriched, lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(enriched, lit(Ipv4Re), lit(0))).as("n_ips"),
+        regexp_replace(regexp_replace(enriched, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+          .as("scrubbed"))
+    }),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata.
     // The "decode" is a clearly-stubbed deterministic fake (no image libs
     // in this environment); the schema/expression shape is the real part.
@@ -423,6 +446,17 @@ object TextQueries {
           FROM (SELECT doc_id, text, len(toks) AS n_tok,
                 ${markerCountSql("en")} AS n_stop
                 FROM (SELECT doc_id, text, $TokSql AS toks FROM documents))""",
+    "q82_pii_scrub" ->
+      s"""WITH en AS (SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS s
+            FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(s, '$EmailRe')) AS INT) AS n_emails,
+            CAST(len(regexp_extract_all(s, '$Ipv4Re')) AS INT) AS n_ips,
+            regexp_replace(regexp_replace(s, '$EmailRe', '<EMAIL>', 'g'),
+                           '$Ipv4Re', '<IP>', 'g') AS scrubbed
+          FROM en""",
     "q51_multimodal_meta" ->
       s"""SELECT doc_id,
           CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -113,6 +113,51 @@ object VectorQueries {
             .as(Seq("i", "val")))
     }),
 
+    // E67 IVF SEARCH — the query-time half of the q65 coarse quantizer:
+    // assign each query vector to its nearest centroid (nprobe=1, over a
+    // broadcast 16-row centroid table), then rank ONLY that bucket's
+    // vectors. At 100 TB this is the shape that replaces brute force: the
+    // probe is O(k_centroids) per query and the scan touches one bucket
+    // partition, not the corpus. Centroid elements are rounded at 6 dp
+    // before the probe cosine (as in q65) so both engines rank identical
+    // centroids; all ranks use rounded cosine + id tie-breaks.
+    "q81_ivf_search" -> ((s, dir) => {
+      val vecD = transform(col("embedding"), x => x.cast("double"))
+      val bucketed = t(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding"),
+        srpBucket(col("embedding"), 4).as("bucket"))
+        .persist()
+      bucketed.count() // eager: SRP buckets compute once across build+probe+search
+      val cent = bucketed
+        .select(col("bucket"), posexplode(vecD).as(Seq("i", "x")))
+        .groupBy(col("bucket"), col("i")).agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("bucket"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+      // Probe: tiny (5 queries × 16 centroids) — interpreted HOF math is fine.
+      def dotD(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val qvD = transform(col("qv"), x => x.cast("double"))
+      val pcos = round(dotD(qvD, col("centroid")) /
+        (sqrt(dotD(qvD, qvD)) * sqrt(dotD(col("centroid"), col("centroid")))), 6)
+      val wProbe = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("bucket"))
+      val probe = bucketed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .crossJoin(broadcast(cent))
+        .withColumn("pcos", pcos)
+        .withColumn("prn", row_number().over(wProbe)).filter(col("prn") === 1)
+        .select(col("qid"), col("qv"), col("bucket"))
+      // Search: only the probed bucket, native codegen'd cosine.
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+      probe
+        .join(bucketed.select(col("bucket"), col("vec_id").as("vid"),
+          col("embedding").as("cv")), Seq("bucket"))
+        .filter(col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid"), cosine(col("qv"), col("cv")).as("cos"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+    }),
+
     // L2 distance variant on a bounded pair set.
     "q59_l2_pairs" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -178,7 +223,32 @@ object VectorQueries {
                    round(sqrt(list_sum(list_transform(range(1, 65),
                          i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))), 6) AS l2
             FROM e q JOIN e c ON q.vec_id < c.vec_id
-            WHERE q.vec_id < 10 AND c.vec_id < 200"""
+            WHERE q.vec_id < 10 AND c.vec_id < 200""",
+      "q81_ivf_search" ->
+        s"""WITH e AS (SELECT vec_id, $VecSql AS v FROM embeddings),
+            b AS (SELECT vec_id, v, ${srpBucketSql(4)} AS bucket FROM e),
+            cm AS (SELECT bucket, j, round(avg(v[j]), 6) AS m
+                   FROM b, unnest(range(1, 65)) AS u(j) GROUP BY bucket, j),
+            cent AS (SELECT bucket, list(m ORDER BY j) AS c FROM cm GROUP BY bucket),
+            probe AS (
+              SELECT qid, bucket FROM (
+                SELECT q.vec_id AS qid, cent.bucket,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                         round(${dotSql("q.v", "cent.c")} /
+                           (sqrt(${dotSql("q.v", "q.v")}) * sqrt(${dotSql("cent.c", "cent.c")})), 6) DESC,
+                         cent.bucket) AS prn
+                FROM b q CROSS JOIN cent WHERE q.vec_id < 5)
+              WHERE prn = 1),
+            scored AS (
+              SELECT p.qid, c.vec_id AS vid, ${cosSql("q.v", "c.v")} AS cos
+              FROM probe p
+              JOIN b q ON q.vec_id = p.qid
+              JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.qid)
+            SELECT qid, vid, cos, CAST(rank AS INT) AS rank FROM (
+              SELECT qid, vid, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+              FROM scored)
+            WHERE rank <= 5"""
     )
   }
 }

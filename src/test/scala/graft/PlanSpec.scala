@@ -103,6 +103,20 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q80: salted join shuffles on (key, salt), never broadcast") {
+    val p = plan("q80_salted_join")
+    assert(p.contains("_graft_salt"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q81: IVF probe broadcasts centroids; search joins on the bucket key") {
+    val p = plan("q81_ivf_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the bucket search must be a keyed join, not a cartesian over vectors
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q38: salted aggregation is two-phase (salt key present in phase 1 only)") {
     val p = plan("q38_salted_agg")
     // Phase 1 groups on (key, salt); phase 2 re-groups on the key alone.

@@ -45,6 +45,29 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("saltedJoin equals a plain inner join and scatters the hot key") {
+    // One hot key carrying 10k rows + a cool key: the salted join must
+    // return exactly the plain join's rows.
+    val fact = ((1 to 10000).map(i => ("hot", i)) ++ Seq(("cool", -1)))
+      .toDF("k", "v")
+    val dim = Seq(("hot", "H"), ("cool", "C"), ("unmatched", "U")).toDF("k", "label")
+    val salted = SkewOps.saltedJoin(fact, dim, "k", 16)
+    val direct = fact.join(dim, Seq("k"))
+    assert(salted.columns.toSeq == direct.columns.toSeq)
+    assert(salted.count() == 10001L)
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+    // The join key is (k, salt): the hot key's rows hash to many composite
+    // keys instead of one.
+    val scatter = fact.withColumn("_graft_salt",
+      pmod(hash(fact.columns.map(col): _*), lit(16)))
+      .filter($"k" === "hot").select($"_graft_salt").distinct().count()
+    assert(scatter > 1, "hot key not scattered")
+    // Pinned to the shuffle path: a broadcast would silently discard the
+    // scatter.
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("salted plan spreads a key over multiple pre-aggregation groups") {
     // A single hot key: every row the same group. Direct agg funnels into
     // one reducer; the salted phase-1 must produce multiple partials.
