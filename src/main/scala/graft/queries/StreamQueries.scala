@@ -87,6 +87,17 @@ object StreamQueries {
         .select(col("purchase_id"), col("click_id"))
     }),
 
+    // E69 stream-static enrichment in batch: every event decorated with
+    // its user's static customer attributes via a broadcast left join —
+    // events without a matching dimension row survive with nulls.
+    "q83_stream_enrich" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_name"), col("c_nationkey"))
+      graft.streaming.StreamingOps
+        .enrichStatic(t(s, dir, "events"), dim, Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("c_name"), col("c_nationkey"))
+    }),
+
     // E43 watermark late-data drop semantics in batch: only events within
     // 24h of the stream's max timestamp survive, then windowed counts.
     "q64_watermark_drop" -> ((s, dir) => {
@@ -158,6 +169,9 @@ object StreamQueries {
       s"""SELECT ${bucketSql(3600)} AS window_start, count(*) AS n
           FROM events
           WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOUR
-          GROUP BY 1"""
+          GROUP BY 1""",
+    "q83_stream_enrich" ->
+      """SELECT event_id, user_id, c_name, c_nationkey
+         FROM events LEFT JOIN customer ON user_id = c_custkey"""
   )
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.pipeline.{Sink, StateStore}
+import graft.pipeline.{IdempotentSink, Sink, StateStore}
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -57,6 +57,35 @@ object StreamingOps {
       table: String): DataStreamWriter[Row] =
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink.write(batch, table, SaveMode.Append)
+    }
+
+  /** E69 stream-static enrichment join: decorate each (micro-batch of the)
+    * stream with a STATIC reference frame, broadcast to every task — the
+    * standard decorate-events-with-reference-data shape. No stream state
+    * and no watermark requirement (the static side is not advancing), so
+    * it composes freely with any downstream stateful operator. On batch
+    * frames the same plan is a broadcast left join, which is what the q83
+    * oracle checks.
+    */
+  def enrichStatic(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
+  /** E70 idempotent foreachBatch: key each micro-batch write by its epoch
+    * id through an [[IdempotentSink]], so the at-least-once redelivery of
+    * an epoch (failure between sink write and checkpoint commit) REPLACES
+    * its earlier partial write instead of appending it twice — the
+    * streaming twin of CopyJob's batch-token protocol (hazard 2).
+    */
+  def foreachBatchIdempotent(
+      writer: DataStreamWriter[Row],
+      sink: IdempotentSink,
+      table: String): DataStreamWriter[Row] =
+    writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink.writeBatch(batch, table, s"epoch$batchId")
     }
 
   /** Stream-stream interval join: rows of `b` whose event time falls in

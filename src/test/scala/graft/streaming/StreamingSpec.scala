@@ -189,6 +189,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch to a broadcast dim (E69)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.enrichStatic(mem.toDF(), dim, Seq("user_id"))
+      .select($"user_id", $"event_type", $"name")
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out").start()
+    try {
+      mem.addData(Ev(ts(1), 1, "a", 1.0), Ev(ts(2), 3, "b", 2.0))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .as[(Long, String, Option[String])].collect().toSet
+      assert(out == Set((1L, "a", Some("alice")), (3L, "b", None)),
+        "left join must keep unmatched stream rows with null attributes")
+    } finally q.stop()
+  }
+
+  test("idempotent foreachBatch: an epoch replay overwrites, never duplicates (E70)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dst = Files.createTempDirectory("graft_stream_idem")
+    val sink = Connectors.IdempotentParquetSink(dst.toString)
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.foreachBatchIdempotent(mem.toDF().writeStream, sink, "ev").start()
+    try {
+      mem.addData(Ev(ts(1), 1, "a", 1.0), Ev(ts(2), 2, "b", 2.0))
+      q.processAllAvailable() // epoch 0
+      mem.addData(Ev(ts(3), 3, "c", 3.0))
+      q.processAllAvailable() // epoch 1
+      assert(spark.read.parquet(s"$dst/ev").count() == 3L)
+      // At-least-once redelivery of epoch 1 (failure between sink write and
+      // checkpoint commit): the same epoch token must REPLACE its earlier
+      // write, not append a duplicate.
+      sink.writeBatch(
+        Seq((ts(3), 3L, "c", 3.0)).toDF("ts", "user_id", "event_type", "value"),
+        "ev", "epoch1")
+      assert(spark.read.parquet(s"$dst/ev").count() == 3L,
+        "epoch replay must overwrite its own partition")
+    } finally q.stop()
+  }
+
   test("foreachBatch bridges a stream into a pipeline Sink (E46)") {
     implicit val sqlCtx = spark.sqlContext
     val dst = Files.createTempDirectory("graft_stream_sink")
