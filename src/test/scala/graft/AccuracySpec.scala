@@ -42,6 +42,33 @@ class AccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF search (nprobe=1) beats random-bucket recall vs brute-force top-5") {
+    // q81's correctness is hash-matched against its own oracle; this spec
+    // pins the QUALITY of the approximation instead: how much of the true
+    // (brute-force) top-5 the single-probe bucket search finds. The
+    // fixture embeddings are near-uniform noise — true neighbors barely
+    // correlate with SRP sign patterns — so absolute recall is LOW here by
+    // the nature of the data (clustered real embeddings recall far more).
+    // The mechanism gate is relative: searching the query's own bucket
+    // must recall clearly more than the 1/16 ≈ 0.06 a random 4-bit bucket
+    // assignment would. (Deterministic: fixed data, fixed hashes — the
+    // measured fixture value is 0.16, ~2.5× random.) Raising nprobe or
+    // coarsening buckets is the recall knob at scale.
+    val truth = SparkEntry.queries("q56_knn_bruteforce")(spark, TestSpark.sfDir)
+      .filter($"qid" < 5).select($"qid", $"vid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = SparkEntry.queries("q81_ivf_search")(spark, TestSpark.sfDir)
+      .select($"qid", $"vid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf.keySet == truth.keySet)
+    val recalls = truth.keys.toSeq.sorted.map { q =>
+      val hits = (ivf(q) & truth(q)).size.toDouble / truth(q).size
+      (q, hits)
+    }
+    val mean = recalls.map(_._2).sum / recalls.size
+    assert(mean >= 2.0 / 16, s"mean IVF recall $mean not above random-bucket baseline: $recalls")
+  }
+
   test("current_timestamp has statement-level NOW() semantics in a copy (§2.2)") {
     // The reference's incremental test stamps rows with MySQL NOW()
     // (README.md:233,238): one statement → one timestamp. Spark matches:

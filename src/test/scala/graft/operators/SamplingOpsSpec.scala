@@ -60,6 +60,14 @@ class SamplingOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("a stratum smaller than n contributes all of its rows") {
+    val df = (Seq(("tiny", 1L), ("tiny", 2L)) ++
+      (10L to 200L).map(i => ("big", i))).toDF("lang", "doc_id")
+    val out = SamplingOps.stratifiedFixedN(df, "lang", "doc_id", n = 5, seed = 3L)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(out == Map("tiny" -> 2L, "big" -> 5L))
+  }
+
   test("stratifiedFixedN returns exactly n per stratum, deterministically") {
     val n = 5
     val sampled = SamplingOps.stratifiedFixedN(docs, "lang", "doc_id", n, seed = 7L)
