@@ -82,6 +82,12 @@ object TextFunctions {
     * expression; HOF form in [[hof.simhash30]]. */
   def simhash30(c: Column): Column = toCol(graft.plans.Simhash30Expr(toExpr(c)))
 
+  /** SimHash over distinct n-gram SHINGLE hashes — use n ≥ 2 when the
+    * vocabulary is small enough that token SETS no longer discriminate
+    * documents (same reasoning as [[minhashShingleSignature]]). */
+  def simhashShingle30(c: Column, n: Int): Column =
+    toCol(graft.plans.Simhash30Expr(toExpr(c), n))
+
   /** Interpreted HOF reference implementations (parity tests only). */
   object hof {
     /** Note: Spark sequence(1, 0) counts DOWN ([1, 0]), hence the

@@ -83,6 +83,28 @@ object MaintenanceOps {
     CompactionReport(before.length, dataFiles().length, rows)
   }
 
+  /** Cluster a dataset's FILE layout for scan pruning: range-partition on
+    * the cluster columns, sort within each partition, write parquet. Every
+    * output file then covers a narrow, near-disjoint range of the cluster
+    * key, so parquet min/max statistics (and any engine's file skipping)
+    * prune most files for a selective predicate — at 100 TB, the
+    * difference between scanning a date slice and scanning everything,
+    * WITHOUT the directory explosion a high-cardinality `partitionBy`
+    * would cause. One range shuffle (samples the key distribution) + a
+    * per-partition sort; equal keys land in one file.
+    */
+  def clusterBy(
+      spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      dir: String,
+      cols: Seq[String],
+      nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(nFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
   /** Compact a Hive-partitioned directory leaf-by-leaf, preserving the
     * `col=value` layout (and therefore partition pruning and the
     * idempotent-sink replace-on-replay contract). Each leaf is an

@@ -175,14 +175,16 @@ case class MinhashShingleSig(child: Expression, k: Int, n: Int) extends UnaryExp
   override protected def withNewChildInternal(c: Expression): MinhashShingleSig = copy(child = c)
 }
 
-/** 30-bit SimHash over distinct unigram token hashes. */
-case class Simhash30Expr(child: Expression) extends UnaryExpression {
+/** 30-bit SimHash over distinct word n-gram shingle hashes (n=1 → unigram
+  * tokens; larger n restores discriminative power on small vocabularies,
+  * where nearly every doc shares the same token SET). */
+case class Simhash30Expr(child: Expression, n: Int = 1) extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
-    TextHash.simhash30(TextHash.distinctShingleHashes(v.asInstanceOf[UTF8String].toString, 1))
+    TextHash.simhash30(TextHash.distinctShingleHashes(v.asInstanceOf[UTF8String].toString, n))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.plans.TextHash.simhash30(" +
-        s"graft.plans.TextHash.distinctShingleHashes($c.toString(), 1))")
+        s"graft.plans.TextHash.distinctShingleHashes($c.toString(), $n))")
   override protected def withNewChildInternal(c: Expression): Simhash30Expr = copy(child = c)
 }

@@ -182,6 +182,32 @@ object TextQueries {
         col("doc_id"), simhash30(col("text")).as("simhash"))
     }),
 
+    // E71 SimHash near-dup pairs via hamming-LSH banding: the 30-bit
+    // bigram-shingle SimHash is split into 3 bands of 10 bits; docs
+    // sharing any band value are candidates, then the exact hamming
+    // distance filters to ≤ 3. Same keyed-join-never-cross-join shape as
+    // q48; bigram shingles (not unigram tokens) because the fixture's
+    // small vocabulary makes token-set SimHashes cluster into one
+    // near-identical blob. 3 bands ⇒ pairs with ≤ 2 differing bits are
+    // guaranteed candidates (pigeonhole); beyond that, standard LSH recall.
+    "q84_simhash_neardup" -> ((s, dir) => {
+      val sigs = t(s, dir, "documents")
+        .select(col("doc_id"), simhashShingle30(col("text"), 2).as("sh"))
+        .persist()
+      sigs.count() // eager: simhash computes once, no self-join cache race
+      val bands = sigs.select(col("doc_id"), col("sh"), posexplode(array(
+        col("sh").bitwiseAND(lit(1023L)),
+        shiftright(col("sh"), 10).bitwiseAND(lit(1023L)),
+        shiftright(col("sh"), 20).bitwiseAND(lit(1023L)))).as(Seq("b", "bv")))
+      val a = bands.select(col("b"), col("bv"), col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val b2 = bands.select(col("b"), col("bv"), col("doc_id").as("doc_b"), col("sh").as("shb"))
+      a.join(b2, Seq("b", "bv")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sha"), col("shb")).distinct()
+        .select(col("doc_a"), col("doc_b"),
+          hamming30(col("sha"), col("shb")).cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
+    }),
+
     // n-gram Jaccard similarity on a bounded subset: candidate pairs meet
     // via the shared-ngram join (inverted index), never a cross join.
     "q50_ngram_jaccard" -> ((s, dir) => {
@@ -394,6 +420,32 @@ object TextQueries {
                  THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END))
             AS BIGINT) AS simhash
           FROM (SELECT doc_id, $TokHashesSql AS hs FROM documents)""",
+    "q84_simhash_neardup" ->
+      s"""WITH s AS (
+            SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 30), j ->
+                CASE WHEN list_sum(list_transform(hs, h ->
+                       (CAST(floor(h / power(2, j)) AS BIGINT) % 2) * 2 - 1)) >= 0
+                     THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END))
+                AS BIGINT) AS sh
+            FROM (SELECT doc_id,
+                    list_distinct(list_transform(${shingleStrSql(2)}, g -> ${charHashSql("g")})) AS hs
+                  FROM (SELECT doc_id, $TokSql AS toks FROM documents))),
+          bands AS (
+            SELECT doc_id, sh, b, (sh >> (10 * b)) & 1023 AS bv
+            FROM s, unnest(range(0, 3)) AS u(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                   a.sh AS sha, b2.sh AS shb
+            FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv
+            WHERE a.doc_id < b2.doc_id)
+          SELECT doc_a, doc_b, hamming FROM (
+            SELECT doc_a, doc_b,
+              CAST(list_sum(list_transform(range(0, 30), j ->
+                CASE WHEN ((sha >> j) & 1) <> ((shb >> j) & 1)
+                     THEN 1 ELSE 0 END)) AS INT) AS hamming
+            FROM cand)
+          WHERE hamming <= 3""",
     "q50_ngram_jaccard" ->
       s"""WITH grams AS (
             SELECT doc_id, unnest(list_distinct(

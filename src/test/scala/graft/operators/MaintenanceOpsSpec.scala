@@ -35,6 +35,28 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).filter($"p" === 1).count() == 34L)
   }
 
+  test("clusterBy writes near-disjoint key ranges per file (min/max pruning layout)") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
+    val dir = Files.createTempDirectory("clustered").resolve("t").toString
+    // Shuffled input: without clustering, every file would span the whole
+    // key range and min/max stats would prune nothing.
+    val shuffled = (1 to 10000).map(i => ((i * 7919) % 10000, i)).toDF("k", "v")
+    MaintenanceOps.clusterBy(spark, shuffled, dir, Seq("k"), nFiles = 8)
+
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(fmin(col("k")).as("lo"), fmax(col("k")).as("hi"))
+      .as[(String, Int, Int)].collect().map(r => (r._2, r._3)).sortBy(_._1)
+    assert(ranges.length == 8)
+    // Ranges must be pairwise non-overlapping (boundary equality allowed —
+    // range partitioning keeps equal keys together).
+    for (pair <- ranges.toSeq.sliding(2) if pair.size == 2)
+      assert(pair(0)._2 <= pair(1)._1,
+        s"overlapping file ranges: ${ranges.mkString(", ")}")
+    // Data intact.
+    assert(spark.read.parquet(dir).count() == 10000L)
+  }
+
   test("compactPartitioned compacts leaf-by-leaf, preserving layout and pruning") {
     val dir = Files.createTempDirectory("compact_leaves").resolve("t").toString
     (1 to 3000).map(i => (i, i % 3)).toDF("id", "p").repartition(16)
