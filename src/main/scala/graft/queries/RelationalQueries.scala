@@ -21,6 +21,16 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** For per-row-expression-heavy UNFILTERED projections (BigDecimal
+    * rounds, JSON parses, sort-based percentiles) whose cost is compute,
+    * not I/O: spread a few-split input over all cores first (no-op on
+    * already-parallel inputs). Applied ONLY where the bench showed the
+    * shuffle paying for itself (q27/q31/q39) — on cheap projections the
+    * added exchange costs more than the parallelism buys, and filtered/
+    * pushdown-gated queries keep their pruned single-pass scan. */
+  private def tp(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.parallel(Tables(s, dir, name))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E15 hash aggregate + E8 filter pushdown (TPC-H Q1 shape). The filter
     // reaches the parquet scan (PushedFilters) and aggregation is partial
@@ -259,7 +269,7 @@ object RelationalQueries {
     // Rounded at 4 dp: interpolating 2-dp values at 1-2 dp fractions yields
     // at most 4 true decimals, so the round is at the value's precision.
     "q39_percentiles" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      tp(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("price_p25"),
@@ -409,7 +419,7 @@ object RelationalQueries {
 
     // E29 math functions (ln for DuckDB parity — its `log` is base 10).
     "q27_math_funcs" -> ((s, dir) => {
-      t(s, dir, "lineitem").select(
+      tp(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         // 4 dp ≥ the product's true decimal precision (2 dp × 2 dp), so the
         // round never sits on a .5 boundary where engines could disagree.
@@ -460,7 +470,7 @@ object RelationalQueries {
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.IntegerType))
-      t(s, dir, "events").select(
+      tp(s, dir, "events").select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"),
         from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
