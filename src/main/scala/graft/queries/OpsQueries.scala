@@ -48,6 +48,28 @@ object OpsQueries {
         t(s, dir, "documents"), "doc_id", 80, 42L, SamplingOps.portableBucket)
       train.select(col("doc_id"), lit("train").as("side"))
         .unionByName(test.select(col("doc_id"), lit("test").as("side")))
+    }),
+
+    // The integration showcase: the corpus-curation chain a training-data
+    // pipeline runs end-to-end — normalize → length gate → exact dedup on
+    // the normalized fingerprint (keep-min-id) → deterministic 90/10
+    // split. Each stage is one of the declared operators; the oracle
+    // restates the whole chain, so a semantic drift in ANY stage breaks
+    // the hash. All narrow except one shuffle on the fingerprint and one
+    // on nothing (the split is a pure row function).
+    "q85_curation_pipeline" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{charHash, tokens}
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      val survivors = t(s, dir, "documents")
+        .withColumn("norm", norm)
+        .filter(size(tokens(col("norm"))) >= 50)
+        .groupBy(charHash(col("norm")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      survivors.select(
+        col("doc_id"),
+        when(SamplingOps.portableBucket(col("doc_id"), 7L) < 90, lit("train"))
+          .otherwise(lit("holdout")).as("split"))
     })
   )
 
@@ -67,6 +89,22 @@ object OpsQueries {
       s"""SELECT doc_id,
           CASE WHEN ${charHashSql("CAST(doc_id AS VARCHAR) || ':42'")} % 100 < 80
                THEN 'train' ELSE 'test' END AS side
-          FROM documents"""
+          FROM documents""",
+    "q85_curation_pipeline" ->
+      s"""WITH norm AS (
+            SELECT doc_id,
+              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')) AS norm
+            FROM documents),
+          gated AS (
+            SELECT doc_id, norm FROM norm
+            WHERE len(list_filter(string_split(norm, ' '), t -> t <> '')) >= 50),
+          dedup AS (
+            SELECT min(doc_id) AS doc_id FROM gated
+            GROUP BY ${charHashSql("norm")})
+          SELECT doc_id,
+            CASE WHEN ${charHashSql("CAST(doc_id AS VARCHAR) || ':7'")} % 100 < 90
+                 THEN 'train' ELSE 'holdout' END AS split
+          FROM dedup"""
   )
 }
