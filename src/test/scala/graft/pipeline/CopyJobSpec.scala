@@ -137,6 +137,39 @@ class CopyJobSpec extends AnyFunSuite {
     assert(tokens == Set("full", "100"))
   }
 
+  test("timestamp watermark batch tokens are path-safe and collision-free") {
+    // Timestamp serializations carry spaces and colons; the token encoding
+    // must stay injective (distinct watermarks → distinct partitions — a
+    // lossy sanitizer could let a later batch overwrite an earlier one)
+    // while emitting only path-safe characters.
+    val src = tmp(); val dst = tmp()
+    val state = StateStore(s"$dst/state.properties")
+    val tsSpec = TableSpec("orders_like", toBeLoaded = true,
+      Some("order_date"), Some(WatermarkType.Timestamp))
+    def seed(upTo: Long): Unit =
+      (1L to upTo).map(i => (i, new java.sql.Timestamp(1704067200000L + i * 1000)))
+        .toDF("order_id", "order_date")
+        .write.mode(SaveMode.Overwrite).parquet(s"$src/orders_like")
+    val source = Connectors.ParquetSource(src.toString)
+    val sink = Connectors.IdempotentParquetSink(dst.toString)
+
+    seed(20L)
+    CopyJob.run(spark, tsSpec, source, sink, state) // full
+    seed(40L)
+    CopyJob.run(spark, tsSpec, source, sink, state) // delta from wm t=20s
+    seed(41L)
+    CopyJob.run(spark, tsSpec, source, sink, state) // delta from wm t=40s
+    val target = spark.read.parquet(s"$dst/orders_like")
+    assert(target.count() == 41L)
+    assert(target.select(countDistinct(col("order_id"))).as[Long].head() == 41L)
+    val tokens = target.select(col("_graft_batch")).distinct().as[String].collect().toSet
+    assert(tokens.size == 3, s"tokens collided: $tokens")
+    assert(tokens.contains("full"))
+    // Only path-safe characters survive; the '_' escape marker never
+    // appears bare (it always leads a 4-hex-digit code).
+    assert(tokens.forall(_.matches("([A-Za-z0-9.-]|_[0-9A-F]{4})+|full")), tokens)
+  }
+
   test("orchestrator: bounded parallel run isolates per-table failure (app.py:175-177)") {
     val src = tmp(); val dst = tmp()
     val state = StateStore(s"$dst/state.properties")
