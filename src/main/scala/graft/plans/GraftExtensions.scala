@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the native text/vector expressions: makes every custom
+  * Catalyst expression reachable from `spark.sql(...)` (and therefore from
+  * any SQL-only client), not just the Scala Column API.
+  *
+  * Two registration paths, same builders:
+  *  - config-driven: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (the standard library-injection mechanism — applies to every session
+  *    the submitter creates);
+  *  - imperative: [[GraftExtensions.register]] on an existing session
+  *    (tests, notebooks).
+  *
+  * Arity/argument validation happens at ANALYSIS time (bad literal → the
+  * usual AnalysisException path, not a runtime task failure).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def litInt(fn: String, arg: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an INT literal, got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(s"$fn expects $n arguments, got ${args.length}")
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** (name, info, builder) for every exposed function. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_charhash",
+      info("graft_charhash", "graft_charhash(str) - rolling polynomial document fingerprint"),
+      (args: Seq[Expression]) => { arity("graft_charhash", args, 1); CharPolyHash(args.head) }),
+    ("graft_shingles",
+      info("graft_shingles", "graft_shingles(str, n) - word n-gram shingle strings"),
+      (args: Seq[Expression]) => {
+        arity("graft_shingles", args, 2)
+        ShinglesExpr(args.head, litInt("graft_shingles", "n", args(1)))
+      }),
+    ("graft_minhash",
+      info("graft_minhash", "graft_minhash(str, k, n) - MinHash signature over n-gram shingles"),
+      (args: Seq[Expression]) => {
+        arity("graft_minhash", args, 3)
+        MinhashShingleSig(args.head,
+          litInt("graft_minhash", "k", args(1)), litInt("graft_minhash", "n", args(2)))
+      }),
+    ("graft_simhash",
+      info("graft_simhash", "graft_simhash(str, n) - 30-bit SimHash over n-gram shingles"),
+      (args: Seq[Expression]) => {
+        arity("graft_simhash", args, 2)
+        Simhash30Expr(args.head, litInt("graft_simhash", "n", args(1)))
+      }),
+    ("graft_dot",
+      info("graft_dot", "graft_dot(a, b) - float-vector dot product"),
+      (args: Seq[Expression]) => { arity("graft_dot", args, 2); DotProductExpr(args(0), args(1)) }),
+    ("graft_cosine",
+      info("graft_cosine", "graft_cosine(a, b) - float-vector cosine similarity (unrounded)"),
+      (args: Seq[Expression]) => { arity("graft_cosine", args, 2); CosineSimExpr(args(0), args(1)) }),
+    ("graft_l2",
+      info("graft_l2", "graft_l2(a, b) - float-vector euclidean distance (unrounded)"),
+      (args: Seq[Expression]) => { arity("graft_l2", args, 2); L2DistExpr(args(0), args(1)) }),
+    ("graft_srp_bucket",
+      info("graft_srp_bucket", "graft_srp_bucket(v, bits) - sign-random-projection LSH bucket"),
+      (args: Seq[Expression]) => {
+        arity("graft_srp_bucket", args, 2)
+        SrpBucketExpr(args.head, litInt("graft_srp_bucket", "bits", args(1)))
+      }))
+
+  /** Imperative registration into an existing session (the config path
+    * can't retrofit a session that already exists). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, inf, builder) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerFunction(spark, name, inf, builder)
+    }
+}

@@ -1,0 +1,81 @@
+package graft.plans
+
+import graft.{Tables, TestSpark}
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface of the native expressions: after registration, every
+  * custom Catalyst expression is reachable from `spark.sql` and returns
+  * bit-identical results to the Column API. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    GraftExtensions.register(s)
+    s
+  }
+  import spark.implicits._
+
+  test("graft_* text functions via spark.sql match the Column API") {
+    Tables(spark, TestSpark.sfDir, "documents").createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+              graft_charhash(text) AS fp,
+              graft_simhash(text, 2) AS sh,
+              graft_minhash(text, 8, 3) AS mh,
+              graft_shingles(text, 2) AS bi
+         FROM docs_ext""")
+      .select($"doc_id", $"fp", $"sh", concat_ws(",", $"mh".cast("array<string>")).as("mh"),
+        size($"bi").as("nbi"))
+      .as[(Long, Long, Long, String, Int)].collect().toMap2
+    val viaApi = Tables(spark, TestSpark.sfDir, "documents")
+      .select($"doc_id",
+        TextFunctions.charHash($"text").as("fp"),
+        TextFunctions.simhashShingle30($"text", 2).as("sh"),
+        concat_ws(",", TextFunctions.minhashShingleSignature($"text", 8, 3).cast("array<string>")).as("mh"),
+        size(TextFunctions.shingles($"text", 2)).as("nbi"))
+      .as[(Long, Long, Long, String, Int)].collect().toMap2
+    assert(viaSql == viaApi)
+  }
+
+  test("graft_* vector functions via spark.sql match the Column API") {
+    Tables(spark, TestSpark.sfDir, "embeddings").createOrReplaceTempView("emb_ext")
+    val viaSql = spark.sql(
+      """SELECT e1.vec_id,
+              round(graft_cosine(e1.embedding, e2.embedding), 6) AS cos,
+              round(graft_l2(e1.embedding, e2.embedding), 6) AS l2,
+              graft_srp_bucket(e1.embedding, 8) AS bucket
+         FROM emb_ext e1 JOIN emb_ext e2 ON e2.vec_id = e1.vec_id + 1
+         WHERE e1.vec_id < 20""")
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    val e = Tables(spark, TestSpark.sfDir, "embeddings")
+    val viaApi = e.alias("a")
+      .join(e.alias("b"), expr("b.vec_id = a.vec_id + 1"))
+      .filter($"a.vec_id" < 20)
+      .select($"a.vec_id",
+        VectorFunctions.cosine($"a.embedding", $"b.embedding").as("cos"),
+        VectorFunctions.l2Distance($"a.embedding", $"b.embedding").as("l2"),
+        VectorFunctions.srpBucket($"a.embedding", 8).as("bucket"))
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(viaSql == viaApi)
+  }
+
+  test("argument validation fails at analysis, not at runtime") {
+    Tables(spark, TestSpark.sfDir, "documents").createOrReplaceTempView("docs_ext2")
+    val e1 = intercept[Exception](
+      spark.sql("SELECT graft_minhash(text, 8) FROM docs_ext2").collect())
+    assert(e1.getMessage.contains("3 arguments"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_simhash(text, doc_id) FROM docs_ext2").collect())
+    assert(e2.getMessage.contains("INT literal"), e2.getMessage)
+  }
+
+  test("the config-driven extensions class applies without error") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  private implicit class MapOps[A, B, C, D, E](rows: Array[(A, B, C, D, E)]) {
+    def toMap2: Map[A, (B, C, D, E)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+}
