@@ -53,6 +53,10 @@ object LshOps {
       nBands: Int = 4,
       rowsPerBand: Int = 4,
       maxBucket: Int = 10000): Banded = {
+    require(k == nBands * rowsPerBand,
+      s"signature length k=$k must equal nBands*rowsPerBand=${nBands * rowsPerBand} " +
+        "(a shorter signature would band over missing values; a longer one would ignore rows)")
+    require(maxBucket > 0, s"maxBucket must be positive: $maxBucket")
     val sig = minhashShingleSignature(col(textCol), k, shingleN)
     val exploded = docs
       // Hazard 1: a doc with < shingleN tokens has no shingles — drop it

@@ -94,6 +94,8 @@ object SkewOps {
       key: String,
       nSalts: Int): DataFrame = {
     require(nSalts > 0, s"nSalts must be positive: $nSalts")
+    require(!left.columns.contains("_graft_salt") && !right.columns.contains("_graft_salt"),
+      "inputs already carry a _graft_salt column — rename it before salting")
     val saltedLeft = left.withColumn("_graft_salt",
       pmod(hash(left.columns.map(col): _*), lit(nSalts)))
     val replicatedRight = right
