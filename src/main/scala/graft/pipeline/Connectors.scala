@@ -59,6 +59,26 @@ object Connectors {
       spark.read.json(s"$baseDir/$table.json")
   }
 
+  /** Line-delimited text source: one row per line (`value: string`) — the
+    * rawest LLM-corpus ingestion format (a .txt shard per table). Lines
+    * split by newline at arbitrary byte offsets, so a shard parallelizes
+    * across executors without any row-group structure. */
+  final case class TextSource(baseDir: String) extends Source {
+    def read(spark: SparkSession, table: String): DataFrame =
+      spark.read.text(s"$baseDir/$table.txt")
+  }
+
+  /** Binary-file source: one row per FILE (`path, modificationTime,
+    * length, content: binary`) — the multimodal ingestion path (a
+    * directory of images/audio per table), feeding
+    * [[graft.multimodal.Multimodal.decodeMeta]] directly. Spark lists and
+    * splits by file, so decode parallelism equals file count; payloads are
+    * read executor-side, never through the driver. */
+  final case class BinarySource(baseDir: String) extends Source {
+    def read(spark: SparkSession, table: String): DataFrame =
+      spark.read.format("binaryFile").load(s"$baseDir/$table")
+  }
+
   /** JDBC source with optional partitioned parallel scan — fixes the
     * reference's single-cursor full fetch (`/root/reference/util.py:167,170`,
     * BASELINE.md "source scan parallelism: 1"). With a partition column the
@@ -184,6 +204,8 @@ object Connectors {
       case "parquet" => ParquetSource(baseDirOrUrl)
       case "csv"     => CsvSource(baseDirOrUrl)
       case "json"    => JsonSource(baseDirOrUrl)
+      case "text"    => TextSource(baseDirOrUrl)
+      case "binary"  => BinarySource(baseDirOrUrl)
       case "jdbc"    => JdbcSource(baseDirOrUrl)
       case other     => throw new IllegalArgumentException(s"unknown source format: $other")
     }

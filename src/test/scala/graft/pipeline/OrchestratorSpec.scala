@@ -91,12 +91,40 @@ class OrchestratorSpec extends AnyFunSuite {
   }
 
   test("connector registry covers every declared format, including the idempotent sink") {
-    for (f <- Seq("parquet", "csv", "json"))
+    for (f <- Seq("parquet", "csv", "json", "text", "binary"))
       assert(Connectors.source(f, "/tmp/x") != null, f)
     assert(Connectors.sink("parquet-idempotent", "/tmp/x")
       .isInstanceOf[Connectors.IdempotentParquetSink])
     intercept[IllegalArgumentException](Connectors.source("orc", "/tmp/x"))
     intercept[IllegalArgumentException](Connectors.sink("orc", "/tmp/x"))
+  }
+
+  test("text source reads line-per-row; binary source feeds the multimodal decode") {
+    val src = Files.createTempDirectory("orch_raw_src")
+    Files.writeString(src.resolve("corpus.txt"), "first line\nsecond line\nthird line\n")
+    val lines = Connectors.source("text", src.toString).read(spark, "corpus")
+    assert(lines.columns.toSeq == Seq("value"))
+    assert(lines.as[String].collect().sorted.toSeq ==
+      Seq("first line", "second line", "third line"))
+
+    // binary source: one row per file, payload bytes executor-side — the
+    // ingestion shape decodeMeta consumes.
+    val mediaDir = src.resolve("media"); Files.createDirectory(mediaDir)
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    javax.imageio.ImageIO.write(img, "png", mediaDir.resolve("a.png").toFile)
+    Files.write(mediaDir.resolve("b.bin"), Array[Byte](1, 2, 3))
+    val media = Connectors.source("binary", src.toString).read(spark, "media")
+    assert(media.count() == 2L)
+    assert(media.columns.contains("content") && media.columns.contains("path"))
+    import org.apache.spark.sql.functions.col
+    val rows = graft.multimodal.Multimodal.decodeMeta(spark,
+      media.select(
+        // media_id from the file name's ordinal position is enough here
+        org.apache.spark.sql.functions.length(col("path")).cast("long").as("media_id"),
+        col("content").as("payload")))
+      .collect().map(m => m.format -> ((m.width, m.height))).toMap
+    assert(rows("png") == ((3, 2)))
+    assert(rows.contains("stub"))
   }
 
   test("json source/sink round-trip through the connector registry (E3/E5)") {
