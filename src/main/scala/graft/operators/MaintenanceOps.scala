@@ -94,7 +94,6 @@ object MaintenanceOps {
     * per-partition sort; equal keys land in one file.
     */
   def clusterBy(
-      spark: SparkSession,
       df: org.apache.spark.sql.DataFrame,
       dir: String,
       cols: Seq[String],

@@ -41,7 +41,7 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     // Shuffled input: without clustering, every file would span the whole
     // key range and min/max stats would prune nothing.
     val shuffled = (1 to 10000).map(i => ((i * 7919) % 10000, i)).toDF("k", "v")
-    MaintenanceOps.clusterBy(spark, shuffled, dir, Seq("k"), nFiles = 8)
+    MaintenanceOps.clusterBy(shuffled, dir, Seq("k"), nFiles = 8)
 
     val ranges = spark.read.parquet(dir)
       .groupBy(input_file_name().as("f"))
