@@ -180,15 +180,23 @@ object TextFunctions {
     langMarkerCount(c, "en").cast("double") / size(tokens(c))
 
   /** Quality score ∈ [0,1]: 0.4·min(avgTokenLen/10,1) + 0.4·stopRatio +
-    * 0.2·min(nTokens/100,1), rounded to 4 decimals. */
+    * 0.2·min(nTokens/100,1), rounded to 4 decimals.
+    *
+    * The round uses the multiply-round-divide idiom, NOT `round(x, 4)`:
+    * the 0.4/0.2 blend of dyadic ratios lands EXACTLY on .00005 decimal
+    * boundaries for some inputs (power-of-two token counts), where
+    * Spark's exact-binary HALF_UP and DuckDB's scaled rounding disagree
+    * by one ulp of the last digit. Rounding the shared product double
+    * `x·10⁴` to an integer makes both engines resolve the boundary from
+    * the SAME value. Keep the oracle SQL (TextQueries q44) on the same
+    * idiom — change both or neither. */
   def qualityScore(c: Column): Column = {
     val nTok = size(tokens(c)).cast("double")
     val avgLen = length(c).cast("double") / nTok
-    round(
-      least(avgLen / lit(10.0), lit(1.0)) * lit(0.4)
-        + stopwordRatio(c) * lit(0.4)
-        + least(nTok / lit(100.0), lit(1.0)) * lit(0.2),
-      4)
+    val raw = least(avgLen / lit(10.0), lit(1.0)) * lit(0.4) +
+      stopwordRatio(c) * lit(0.4) +
+      least(nTok / lit(100.0), lit(1.0)) * lit(0.2)
+    round(raw * lit(10000.0)) / lit(10000.0)
   }
 
   /** BPE-ish token-count estimate: number of `\w+|[^\w\s]` matches plus

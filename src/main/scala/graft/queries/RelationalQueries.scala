@@ -184,9 +184,15 @@ object RelationalQueries {
     }),
 
     // E21 rows-frames: running + sliding aggregates under a total order.
+    // l_quantity joins the sort keys because the synthetic fixtures carry
+    // duplicate (orderkey, linenumber) rows: without it one sf0.1 tie
+    // group has differing quantities and the engines' arbitrary tie order
+    // yields different running sums. With it, any remaining ties are
+    // identical in every output column, so the result is a deterministic
+    // multiset.
     "q15_window_frames_rows" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       t(s, dir, "lineitem").select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         round(sum(col("l_quantity")).over(
@@ -642,7 +648,8 @@ object RelationalQueries {
          round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
          round(avg(l_quantity) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS sliding_avg_qty
          FROM lineitem
-         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""",
+         WINDOW w AS (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)""",
     "q16_window_frames_range" ->
       """SELECT o_custkey, o_orderkey,
          count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice

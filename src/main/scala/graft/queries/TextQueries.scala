@@ -361,9 +361,9 @@ object TextQueries {
       s"""SELECT doc_id,
           CAST(n_tok AS INT) AS n_tokens,
           round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stop_ratio,
-          round(least((length(text) / CAST(n_tok AS DOUBLE)) / 10.0, 1.0) * 0.4
+          round((least((length(text) / CAST(n_tok AS DOUBLE)) / 10.0, 1.0) * 0.4
               + (CAST(n_stop AS DOUBLE) / n_tok) * 0.4
-              + least(n_tok / 100.0, 1.0) * 0.2, 4) AS quality
+              + least(n_tok / 100.0, 1.0) * 0.2) * 10000) / 10000 AS quality
           FROM (SELECT doc_id, text, len(toks) AS n_tok,
                 ${markerCountSql("en")} AS n_stop
                 FROM (SELECT doc_id, text, $TokSql AS toks FROM documents))""",
