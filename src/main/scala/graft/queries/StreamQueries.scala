@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Streaming-semantics corpus (SURVEY §2.3 E41-E45), oracle-checked in
+/** Streaming-semantics corpus (SURVEY §2.3 E41-E45, E55-E56, E69),
+  * oracle-checked in
   * batch mode: `window()`, `session_window()` and dedup semantics are
   * identical on batch DataFrames, and DuckDB reproduces them with epoch
   * arithmetic / gap-and-cumsum sessionization. The live Structured

@@ -5,18 +5,21 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Text-analysis + deduplication corpus (SURVEY §2.3 E36-E38 and the
-  * LLM-pipeline extension surface): token stats, n-grams, language ID,
-  * quality scoring, token-count estimation, fingerprinting, MinHash/LSH,
-  * SimHash, n-gram Jaccard, and multimodal (binary column) plumbing.
+/** Text-analysis + deduplication corpus (SURVEY §2.3 E36-E38, E51,
+  * E60-E62, E65, E68, E71 and the LLM-pipeline extension surface): token
+  * stats, n-grams, language ID, quality scoring, token-count estimation,
+  * fingerprinting, MinHash/LSH, SimHash (+ hamming-LSH pairs), n-gram
+  * Jaccard, decontamination, PII scrubbing, and multimodal (binary
+  * column) plumbing.
   *
-  * The Spark side uses only codegen'd higher-order functions from
-  * [[graft.functions.TextFunctions]]; the oracle side restates the same
-  * integer formulas from the shared SQL fragments below, so both engines
-  * produce bit-identical Long results. Everything is a per-row projection
-  * (narrow, whole-stage-codegen'd) except the candidate-pair joins, which
-  * shuffle on (band, hash) / n-gram — the standard scalable shape for
-  * near-dup detection at 100 TB (never an O(n²) cross join).
+  * The Spark side uses the native codegen'd Catalyst expressions behind
+  * [[graft.functions.TextFunctions]] (HOF twins kept for parity tests);
+  * the oracle side restates the same integer formulas from the shared SQL
+  * fragments below, so both engines produce bit-identical Long results.
+  * Everything is a per-row projection (narrow, whole-stage-codegen'd)
+  * except the candidate-pair joins, which shuffle on (band, hash) /
+  * n-gram — the standard scalable shape for near-dup detection at 100 TB
+  * (never an O(n²) cross join).
   */
 object TextQueries {
 

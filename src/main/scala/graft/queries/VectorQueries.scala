@@ -6,8 +6,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Vector-similarity corpus (SURVEY §2.3 E39-E40 + the ANN extension
-  * surface) over the `embeddings` fixture (`array<float>` length 64).
+/** Vector-similarity corpus (SURVEY §2.3 E39-E40, E52-E53, E67 + the ANN
+  * extension surface) over the `embeddings` fixture (`array<float>`,
+  * length 64): cosine/L2/KNN, SRP buckets, bucket-local near-dup, IVF
+  * centroid build and single-probe IVF search.
   *
   * Scale design: the brute-force paths bound one side (a broadcast-able
   * query subset) so the join is broadcast-nested-loop over a small side —
