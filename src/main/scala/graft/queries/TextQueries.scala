@@ -299,6 +299,23 @@ object TextQueries {
         charHash(normalized).as("norm_fingerprint"))
     }),
 
+    // E74 cross-source overlap audit: for every pair of ingestion sources,
+    // how many distinct 5-gram shingles they share — the "is source B just
+    // a re-crawl of source A" question asked before merging corpora.
+    // Inverted-index shape: shuffle on the shingle, so per-shingle work is
+    // bounded by the (small) source count squared, never doc², and the
+    // output is sources² rows regardless of corpus size.
+    "q86_source_overlap" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("source"), explode(array_distinct(shingles(col("text"), 5))).as("sh"))
+        .distinct()
+      val a = sh.select(col("source").as("src_a"), col("sh"))
+      val b = sh.select(col("source").as("src_b"), col("sh"))
+      a.join(b, Seq("sh")).filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
     // E68 PII scrubbing — the redaction pass a training-data pipeline runs
     // before any text ships: count and replace emails / IPv4 literals.
     // Synthetic PII is injected deterministically (the word-soup fixture
@@ -501,6 +518,13 @@ object TextQueries {
           FROM (SELECT doc_id, text, len(toks) AS n_tok,
                 ${markerCountSql("en")} AS n_stop
                 FROM (SELECT doc_id, text, $TokSql AS toks FROM documents))""",
+    "q86_source_overlap" ->
+      s"""WITH sh AS (SELECT DISTINCT source, sh FROM (
+            SELECT source, unnest(list_distinct(${shingleStrSql(5)})) AS sh
+            FROM (SELECT source, $TokSql AS toks FROM documents)))
+          SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+          GROUP BY 1, 2""",
     "q82_pii_scrub" ->
       s"""WITH en AS (SELECT doc_id,
             text || ' contact user' || CAST(doc_id AS VARCHAR)
