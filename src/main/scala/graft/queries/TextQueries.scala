@@ -299,6 +299,31 @@ object TextQueries {
         charHash(normalized).as("norm_fingerprint"))
     }),
 
+    // E75 token entropy (Shannon, natural log) per document — the
+    // "gibberish or natural text" quality signal (low entropy = repeated
+    // boilerplate, high = random noise). H = ln(n) − (Σ c·ln c)/n over
+    // per-token counts. Both engines fold the SAME token-sorted order
+    // (array_sort here, list(... ORDER BY tok) in the oracle), so float
+    // addition order — normally partition-dependent in a groupBy — is
+    // pinned and the result is bit-identical and layout-independent.
+    "q87_token_entropy" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      counts.groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("tok"), col("c")))).as("tc"))
+        .select(col("doc_id"), col("tc"),
+          aggregate(col("tc"), lit(0.0), (acc, x) => acc + x.getField("c")).as("n"))
+        .select(
+          col("doc_id"),
+          round(log(col("n")) -
+            aggregate(col("tc"), lit(0.0),
+              (acc, x) => acc + x.getField("c") * log(x.getField("c"))) / col("n"),
+            6).as("entropy"),
+          size(col("tc")).as("n_unique"))
+    }),
+
     // E74 cross-source overlap audit: for every pair of ingestion sources,
     // how many distinct 5-gram shingles they share — the "is source B just
     // a re-crawl of source A" question asked before merging corpora.
@@ -518,6 +543,16 @@ object TextQueries {
           FROM (SELECT doc_id, text, len(toks) AS n_tok,
                 ${markerCountSql("en")} AS n_stop
                 FROM (SELECT doc_id, text, $TokSql AS toks FROM documents))""",
+    "q87_token_entropy" ->
+      s"""WITH c AS (
+            SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+            FROM (SELECT doc_id, unnest($TokSql) AS tok FROM documents)
+            GROUP BY 1, 2),
+          g AS (SELECT doc_id, list(c ORDER BY tok) AS cs FROM c GROUP BY doc_id)
+          SELECT doc_id,
+            round(ln(n) - list_sum(list_transform(cs, x -> x * ln(x))) / n, 6) AS entropy,
+            CAST(len(cs) AS INT) AS n_unique
+          FROM (SELECT doc_id, cs, list_sum(cs) AS n FROM g)""",
     "q86_source_overlap" ->
       s"""WITH sh AS (SELECT DISTINCT source, sh FROM (
             SELECT source, unnest(list_distinct(${shingleStrSql(5)})) AS sh
