@@ -115,50 +115,10 @@ object VectorQueries {
             .as(Seq("i", "val")))
     }),
 
-    // E67 IVF SEARCH — the query-time half of the q65 coarse quantizer:
-    // assign each query vector to its nearest centroid (nprobe=1, over a
-    // broadcast 16-row centroid table), then rank ONLY that bucket's
-    // vectors. At 100 TB this is the shape that replaces brute force: the
-    // probe is O(k_centroids) per query and the scan touches one bucket
-    // partition, not the corpus. Centroid elements are rounded at 6 dp
-    // before the probe cosine (as in q65) so both engines rank identical
-    // centroids; all ranks use rounded cosine + id tie-breaks.
-    "q81_ivf_search" -> ((s, dir) => {
-      val vecD = transform(col("embedding"), x => x.cast("double"))
-      val bucketed = t(s, dir, "embeddings").select(
-        col("vec_id"), col("embedding"),
-        srpBucket(col("embedding"), 4).as("bucket"))
-        .persist()
-      bucketed.count() // eager: SRP buckets compute once across build+probe+search
-      val cent = bucketed
-        .select(col("bucket"), posexplode(vecD).as(Seq("i", "x")))
-        .groupBy(col("bucket"), col("i")).agg(round(avg(col("x")), 6).as("m"))
-        .groupBy(col("bucket"))
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
-          s => s.getField("m")).as("centroid"))
-      // Probe: tiny (5 queries × 16 centroids) — interpreted HOF math is fine.
-      def dotD(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-      val qvD = transform(col("qv"), x => x.cast("double"))
-      val pcos = round(dotD(qvD, col("centroid")) /
-        (sqrt(dotD(qvD, qvD)) * sqrt(dotD(col("centroid"), col("centroid")))), 6)
-      val wProbe = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("bucket"))
-      val probe = bucketed.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        .crossJoin(broadcast(cent))
-        .withColumn("pcos", pcos)
-        .withColumn("prn", row_number().over(wProbe)).filter(col("prn") === 1)
-        .select(col("qid"), col("qv"), col("bucket"))
-      // Search: only the probed bucket, native codegen'd cosine.
-      val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
-      probe
-        .join(bucketed.select(col("bucket"), col("vec_id").as("vid"),
-          col("embedding").as("cv")), Seq("bucket"))
-        .filter(col("vid") =!= col("qid"))
-        .select(col("qid"), col("vid"), cosine(col("qv"), col("cv")).as("cos"))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= 5)
-    }),
+    // E67 IVF SEARCH — the query-time half of the q65 coarse quantizer;
+    // see [[ivfSearch]]. Declared at nprobe=1; AccuracySpec asserts the
+    // recall knob (recall rises with nprobe).
+    "q81_ivf_search" -> ((s, dir) => ivfSearch(s, dir, nprobe = 1)),
 
     // L2 distance variant on a bounded pair set.
     "q59_l2_pairs" -> ((s, dir) => {
@@ -171,6 +131,57 @@ object VectorQueries {
         .select(col("qid"), col("vid"), l2Distance(col("qv"), col("cv")).as("l2"))
     })
   )
+
+  /** IVF search: assign each query vector (vec_id < 5) to its `nprobe`
+    * nearest centroids (broadcast 16-row centroid table, built as in q65),
+    * then rank ONLY those buckets' vectors by native codegen'd cosine. At
+    * 100 TB this is the shape that replaces brute force: the probe is
+    * O(k_centroids) per query and the scan touches nprobe bucket
+    * partitions, not the corpus. `nprobe` is the recall knob — each extra
+    * probed bucket recovers neighbors the nearest centroid missed at the
+    * cost of one more bucket's candidates. Centroid elements are rounded
+    * at 6 dp before the probe cosine (as in q65) so both engines rank
+    * identical centroids; all ranks use rounded cosine + id tie-breaks.
+    */
+  def ivfSearch(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val vecD = transform(col("embedding"), x => x.cast("double"))
+    val bucketed = t(s, dir, "embeddings").select(
+      col("vec_id"), col("embedding"),
+      srpBucket(col("embedding"), 4).as("bucket"))
+      .persist()
+    bucketed.count() // eager: SRP buckets compute once across build+probe+search
+    val cent = bucketed
+      .select(col("bucket"), posexplode(vecD).as(Seq("i", "x")))
+      .groupBy(col("bucket"), col("i")).agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col("bucket"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        st => st.getField("m")).as("centroid"))
+    // Probe: tiny (5 queries × 16 centroids) — interpreted HOF math is fine.
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val qvD = transform(col("qv"), x => x.cast("double"))
+    val pcos = round(dotD(qvD, col("centroid")) /
+      (sqrt(dotD(qvD, qvD)) * sqrt(dotD(col("centroid"), col("centroid")))), 6)
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("bucket"))
+    val probe = bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("pcos", pcos)
+      .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qv"), col("bucket"))
+    // Search: only the probed buckets, native codegen'd cosine. A vector
+    // can appear through at most one (qid, bucket) pair, so no dedup is
+    // needed before ranking.
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    probe
+      .join(bucketed.select(col("bucket"), col("vec_id").as("vid"),
+        col("embedding").as("cv")), Seq("bucket"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+  }
 
   val oracle: Map[String, String] = {
     def srpBucketSql(bits: Int): String =

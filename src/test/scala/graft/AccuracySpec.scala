@@ -69,6 +69,22 @@ class AccuracySpec extends AnyFunSuite {
     assert(mean >= 2.0 / 16, s"mean IVF recall $mean not above random-bucket baseline: $recalls")
   }
 
+  test("IVF recall rises with nprobe (the documented recall knob)") {
+    def recall(nprobe: Int): Double = {
+      val truth = SparkEntry.queries("q56_knn_bruteforce")(spark, TestSpark.sfDir)
+        .filter($"qid" < 5).select($"qid", $"vid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = graft.queries.VectorQueries.ivfSearch(spark, TestSpark.sfDir, nprobe)
+        .select($"qid", $"vid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = truth.keys.toSeq.map(q => (got.getOrElse(q, Set.empty) & truth(q)).size.toDouble / truth(q).size)
+      rs.sum / rs.size
+    }
+    val r1 = recall(1); val r4 = recall(4)
+    assert(r4 >= r1, s"recall must not drop with more probes: nprobe=1 -> $r1, nprobe=4 -> $r4")
+    assert(r4 > r1, s"on this fixture 4 probes must recover strictly more: $r1 vs $r4")
+  }
+
   test("current_timestamp has statement-level NOW() semantics in a copy (§2.2)") {
     // The reference's incremental test stamps rows with MySQL NOW()
     // (README.md:233,238): one statement → one timestamp. Spark matches:
