@@ -36,6 +36,20 @@ object SamplingOps {
         concat(idCol.cast("string"), lit(":" + seed.toString))),
       lit(100L))
 
+  /** Seeded rank for the stratified pick: a pure (id, seed) function whose
+    * ORDER decides which rows win. */
+  type RankFn = (Column, Long) => Column
+
+  /** Default rank: xxhash64 (full avalanche). */
+  val xxhashRank: RankFn = (idCol, seed) => xxhash64(idCol, lit(seed))
+
+  /** Portable rank: charHash of `"<id>:<seed>"` — restatable in SQL
+    * engines (used by the q88 DuckDB oracle); same trade as
+    * [[portableBucket]]. */
+  val portableRank: RankFn = (idCol, seed) =>
+    graft.functions.TextFunctions.charHash(
+      concat(idCol.cast("string"), lit(":" + seed.toString)))
+
   /** Deterministic train/holdout split: `trainPct`% of ids to the left
     * side. Disjoint, complete, and stable under any repartitioning. */
   def hashSplit(
@@ -82,9 +96,10 @@ object SamplingOps {
       idCol: String,
       n: Int,
       seed: Long,
-      splits: Int = 64): DataFrame = {
+      splits: Int = 64,
+      rank: RankFn = xxhashRank): DataFrame = {
     val w = Window.partitionBy(col(strataCol)).orderBy(col("_graft_rk"), col(idCol))
-    localTopN(df, strataCol, idCol, n, seed, splits)
+    localTopN(df, strataCol, idCol, n, seed, splits, rank)
       .withColumn("_graft_rank", row_number().over(w))
       .filter(col("_graft_rank") <= n)
       .drop("_graft_rank", "_graft_rk", "_graft_salt")
@@ -92,18 +107,23 @@ object SamplingOps {
 
   /** Phase 1: per-(stratum, salt-group) top-n. Package-visible so the spec
     * can assert the reduction really spreads a hot stratum over many
-    * groups. Keeps `_graft_rk`/`_graft_salt` for phase 2. */
+    * groups. Keeps `_graft_rk`/`_graft_salt` for phase 2. The salt stays
+    * xxhash64 regardless of `rank`: it only decides which parallel group
+    * pre-filters a row (any superset works — the global (rank, id) order
+    * alone fixes the final pick), so it never needs to be
+    * oracle-expressible. */
   private[operators] def localTopN(
       df: DataFrame,
       strataCol: String,
       idCol: String,
       n: Int,
       seed: Long,
-      splits: Int): DataFrame = {
+      splits: Int,
+      rank: RankFn = xxhashRank): DataFrame = {
     require(splits > 0, s"splits must be positive: $splits")
     val w = Window.partitionBy(col(strataCol), col("_graft_salt"))
       .orderBy(col("_graft_rk"), col(idCol))
-    df.withColumn("_graft_rk", xxhash64(col(idCol), lit(seed)))
+    df.withColumn("_graft_rk", rank(col(idCol), seed))
       // Salt from an independent seed: a pure row function, so membership
       // is layout-stable (spark_partition_id would not be).
       .withColumn("_graft_salt", pmod(xxhash64(col(idCol), lit(seed + 1)), lit(splits.toLong)))

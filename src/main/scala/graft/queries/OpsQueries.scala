@@ -50,6 +50,18 @@ object OpsQueries {
         .unionByName(test.select(col("doc_id"), lit("test").as("side")))
     }),
 
+    // E64's stratified pick, oracle-backed end-to-end: exactly 10 docs per
+    // language, chosen by the portable seeded rank — DuckDB independently
+    // recomputes the identical rank order, so the exact membership (not
+    // just the per-stratum count) is hash-checked. Runs the real two-phase
+    // operator (salt-group pre-filter, then bounded global pick).
+    "q88_stratified_sample" -> ((s, dir) => {
+      SamplingOps.stratifiedFixedN(
+        t(s, dir, "documents"), "lang", "doc_id", n = 10, seed = 5L,
+        rank = SamplingOps.portableRank)
+        .select(col("lang"), col("doc_id"))
+    }),
+
     // The integration showcase: the corpus-curation chain a training-data
     // pipeline runs end-to-end — normalize → length gate → exact dedup on
     // the normalized fingerprint (keep-min-id) → deterministic 90/10
@@ -90,6 +102,13 @@ object OpsQueries {
           CASE WHEN ${charHashSql("CAST(doc_id AS VARCHAR) || ':42'")} % 100 < 80
                THEN 'train' ELSE 'test' END AS side
           FROM documents""",
+    "q88_stratified_sample" ->
+      s"""SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY ${charHashSql("CAST(doc_id AS VARCHAR) || ':5'")}, doc_id) AS rn
+            FROM documents)
+          WHERE rn <= 10""",
     "q85_curation_pipeline" ->
       s"""WITH norm AS (
             SELECT doc_id,
