@@ -125,6 +125,36 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 4, s"expected partial+final aggregates for both phases, got $aggs:\n$p")
   }
 
+  test("every query stays inside its shuffle budget") {
+    // Each Exchange is a full materialize-and-redistribute of its input —
+    // the dominant cost at 100 TB. This gate pins the shuffle count of
+    // every declared query so an innocent refactor (a dropped broadcast
+    // hint, a lost partitioning reuse, an accidental extra distinct)
+    // cannot silently multiply cluster cost. Counted on the pre-AQE
+    // physical tree (cache-build internals excluded: InMemoryTableScan is
+    // a leaf there). Budgets are the DESIGNED shuffle counts of the
+    // multi-stage pipelines, not aspirations — lower them, never raise
+    // them casually.
+    val budget = Map(
+      "q50_ngram_jaccard" -> 8,   // shingle explode + 3 aggs + 2-key join chain
+      "q81_ivf_search" -> 8,      // centroid build (2 aggs) + probe + bucket join + top-k
+      "q48_lsh_candidates" -> 6,  // repartition + band window + self-join + distinct
+      "q52_neardup_purge" -> 6,
+      "q84_simhash_neardup" -> 6, // band self-join + distinct
+      "q85_curation_pipeline" -> 5,
+      "q86_source_overlap" -> 6,  // distinct + self-join + agg
+      "q87_token_entropy" -> 5,
+      "q88_stratified_sample" -> 5).withDefaultValue(4)
+    val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, TestSpark.sfDir).queryExecution.sparkPlan
+      val n = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      if (n > budget(name)) Some(s"$name: $n > ${budget(name)}") else None
+    }
+    assert(over.isEmpty, s"shuffle budget exceeded: ${over.mkString("; ")}")
+  }
+
   test("scan-heavy queries stay inside whole-stage codegen") {
     // AQE only materializes codegen spans in the FINAL plan — execute first.
     for (name <- Seq("q01_pricing_summary", "q27_math_funcs", "q46_fingerprint")) {
