@@ -71,14 +71,31 @@ object Bench {
     }
     def obj(pairs: Iterable[(String, String)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = obj(results.map { case (k, m, _) => k -> m.toString })
+    val qs = obj(results.map { case (k, m, _) => k -> f"$m%.3f" })
     val runsJson = obj(results.map { case (k, _, rs) =>
       k -> rs.map(r => f"${r._1}%.3f").mkString("[", ",", "]") })
     val gcJson = obj(results.map { case (k, _, rs) =>
       k -> rs.map(_._2.toString).mkString("[", ",", "]") })
     val errJson = obj(errors.map { case (k, v) => k -> ("\"" + v + "\"") })
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"runs":$runsJson,"gc_ms":$gcJson,"errors":$errJson,"sf":"$sfDir"}""")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"runs":$runsJson,"gc_ms":$gcJson,"errors":$errJson,"sf":"$sfDir"}"""
+    // Full per-run detail goes to a FILE (and an early stdout line): the
+    // harness that records this run keeps only the last ~2 KB of output, and
+    // the detail line for an 88-query corpus is ~10 KB — round 3's medians
+    // were invisible in the recorded artifact. The LAST line printed is a
+    // compact summary guaranteed to fit that window: median seconds keyed by
+    // the qNN prefix (unique per corpus; full names in the detail file),
+    // with the headline total at the very end of the line.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAILS.json"),
+        (detail + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_DETAILS.json: ${e.getMessage}")
+    }
+    println(detail)
+    val shortQs = obj(results.map { case (k, m, _) => k.take(3) -> f"$m%.3f" })
+    val errKeys = errors.keys.map(k => "\"" + k.take(3) + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","unit":"sec","runs_per_query":$Runs,"sf":"$sfDir","detail":"BENCH_DETAILS.json","errors":$errKeys,"queries":$shortQs,"value":${f"$total%.2f"}}""")
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
