@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{DedupOps, SamplingOps}
+import graft.operators.{BloomOps, DedupOps, MergeOps, SamplingOps, TopKOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,57 @@ object OpsQueries {
         .select(col("lang"), col("doc_id"))
     }),
 
+    // E76 grouped top-k via partial aggregation: 3 highest-value orders per
+    // customer through the bounded-buffer Aggregator — never a per-group
+    // window sort. One shuffle; map-side partials carry ≤ k entries per
+    // (group × partition).
+    "q89_grouped_topk" -> ((s, dir) =>
+      TopKOps.groupedTopK(
+        t(s, dir, "orders"), "o_custkey", "o_totalprice", "o_orderkey", k = 3)),
+
+    // E78 SCD2 merge, end-to-end: a customer dimension (opened 2026-01-01)
+    // takes an update batch — odd keys change balance (+100), every 10th
+    // key arrives unchanged (no-op update) — effective 2026-06-01. Changed
+    // keys close their open row and open a new one; unchanged and
+    // untouched keys pass through. One keyed full-outer join.
+    "q91_scd2_merge" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val dim = cust
+        .withColumn("valid_from", lit(java.sql.Date.valueOf("2026-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+      val updates = cust.filter(col("c_custkey") % 2 === 1)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .unionByName(cust.filter(col("c_custkey") % 10 === 0))
+      MergeOps.scd2(dim, updates, "c_custkey", Seq("c_acctbal"),
+        lit(java.sql.Date.valueOf("2026-06-01")))
+    }),
+
+    // E78's simpler form — last-write-wins upsert: odd keys take the
+    // updated balance, five brand-new keys insert, evens pass through.
+    "q92_upsert" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val updates = cust.filter(col("c_custkey") % 2 === 1)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .unionByName(cust.filter(col("c_custkey") <= 5)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_acctbal")))
+      MergeOps.upsert(cust, updates, Seq("c_custkey"))
+    }),
+
+    // E79 bloom-prefiltered join: orders against the ~10% of customers
+    // with high balances. The bloom pass drops most non-matching orders
+    // before the join shuffle; the real join makes the result exact, so
+    // the oracle is the PLAIN join — correctness must be independent of
+    // fpp.
+    "q93_bloom_join" -> ((s, dir) => {
+      val rich = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000).select(col("c_custkey"), col("c_acctbal"))
+      BloomOps.bloomJoin(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        "o_custkey", rich, "c_custkey", expectedItems = 200000L)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_acctbal"))
+    }),
+
     // The integration showcase: the corpus-curation chain a training-data
     // pipeline runs end-to-end — normalize → length gate → exact dedup on
     // the normalized fingerprint (keep-min-id) → deterministic 90/10
@@ -109,6 +160,38 @@ object OpsQueries {
                 ORDER BY ${charHashSql("CAST(doc_id AS VARCHAR) || ':5'")}, doc_id) AS rn
             FROM documents)
           WHERE rn <= 10""",
+    // Same rank rule as the operator: (value desc, id asc), rank ≤ k.
+    "q89_grouped_topk" ->
+      """SELECT o_custkey, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice
+         FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rank
+           FROM orders)
+         WHERE rank <= 3""",
+    // SCD2 restated set-wise: kept/closed rows for every base key, plus a
+    // new open row per changed key.
+    "q91_scd2_merge" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal FROM customer)
+         SELECT c_custkey, c_acctbal, DATE '2026-01-01' AS valid_from,
+           CASE WHEN c_custkey % 2 = 1 THEN DATE '2026-06-01' ELSE NULL END AS valid_to,
+           c_custkey % 2 = 0 AS is_current
+         FROM base
+         UNION ALL
+         SELECT c_custkey, c_acctbal + 100, DATE '2026-06-01', NULL, true
+         FROM base WHERE c_custkey % 2 = 1""",
+    "q92_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal FROM customer)
+         SELECT c_custkey,
+           CASE WHEN c_custkey % 2 = 1 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+         FROM base
+         UNION ALL
+         SELECT c_custkey + 1000000, c_acctbal FROM base WHERE c_custkey <= 5""",
+    // The bloom prefilter must be invisible in the result: plain join.
+    "q93_bloom_join" ->
+      """SELECT o_orderkey, o_custkey, c_acctbal
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_acctbal > 9000""",
     "q85_curation_pipeline" ->
       s"""WITH norm AS (
             SELECT doc_id,

@@ -324,6 +324,53 @@ object TextQueries {
           size(col("tc")).as("n_unique"))
     }),
 
+    // E77 BM25 keyword extraction: top-3 highest-BM25 terms per document —
+    // TF-IDF/BM25 scoring as the corpus-relevance primitive plus a per-doc
+    // keyword pick. k1=1.2, b=0.75 (the standard Robertson parameters).
+    // Scale shape: tf is ONE shuffle on (doc_id, token); df reuses tf with
+    // one more agg; the two global scalars (N, avg doc length) ride a
+    // 1-row broadcast; the final per-doc rank windows over doc_id, whose
+    // group size is bounded by a document's vocabulary — never corpus-wide.
+    // Rank is over the ROUNDED score with a token tie-break (cross-engine
+    // float rule), and ln inputs are "random real" ratios so 4 dp is
+    // boundary-safe.
+    "q90_bm25_keywords" -> ((s, dir) => {
+      val k1 = 1.2; val b = 0.75
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dlen = docs.select(
+        col("doc_id"), size(tokens(col("text"))).cast("double").as("dlen"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+      val stats = dlen.agg(
+        count(lit(1)).cast("double").as("n_docs"), avg(col("dlen")).as("avg_len"))
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val tfPart = col("tf") * (k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dlen") / col("avg_len")))
+      val scored = tf
+        .join(dlen, "doc_id")
+        .join(dfreq, "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("score", round(idf * tfPart * 1e4) / 1e4)
+      import org.apache.spark.sql.expressions.Window
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("token"))))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("score"))
+    }),
+
+    // E81 sub-document (segment) dedup — the C4-style boilerplate strip:
+    // any 10-token segment occurring ≥2× corpus-wide is removed from every
+    // doc; unique prose survives. See graft.operators.LineDedupOps.
+    "q95_line_dedup" -> ((s, dir) =>
+      graft.operators.LineDedupOps.stripRepeatedSegments(
+        t(s, dir, "documents"), "text", "doc_id", segTokens = 10, maxOcc = 2)),
+
     // E74 cross-source overlap audit: for every pair of ingestion sources,
     // how many distinct 5-gram shingles they share — the "is source B just
     // a re-crawl of source A" question asked before merging corpora.
@@ -553,6 +600,56 @@ object TextQueries {
             round(ln(n) - list_sum(list_transform(cs, x -> x * ln(x))) / n, 6) AS entropy,
             CAST(len(cs) AS INT) AS n_unique
           FROM (SELECT doc_id, cs, list_sum(cs) AS n FROM g)""",
+    // Segment stripping: same stride segmentation, occurrence window,
+    // ordered reassembly.
+    "q95_line_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS toks FROM documents),
+          seg AS (
+            SELECT doc_id, j AS seg_idx,
+              array_to_string(toks[(j*10+1):(j*10+10)], ' ') AS seg
+            FROM toks,
+              unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))) AS u(j)),
+          occ AS (
+            SELECT doc_id, seg_idx, seg,
+              count(*) OVER (PARTITION BY seg) AS occ
+            FROM seg)
+          SELECT doc_id,
+            coalesce(string_agg(CASE WHEN occ < 2 THEN seg END, ' '
+                                ORDER BY seg_idx), '') AS clean_text,
+            CAST(count(*) FILTER (occ < 2) AS INT) AS n_kept,
+            CAST(count(*) FILTER (occ >= 2) AS INT) AS n_dropped
+          FROM occ GROUP BY doc_id""",
+    // BM25: same k1/b, same round(x*1e4)/1e4 product idiom, same
+    // (rounded score desc, token asc) rank rule.
+    "q90_bm25_keywords" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest($TokSql) AS token FROM documents),
+          tf AS (
+            SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+            FROM toks GROUP BY 1, 2),
+          dlen AS (
+            SELECT doc_id, CAST(len($TokSql) AS DOUBLE) AS dlen FROM documents),
+          dfreq AS (
+            SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+          stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dlen) AS avg_len
+            FROM dlen),
+          scored AS (
+            SELECT tf.doc_id, tf.token,
+              round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * dlen / avg_len))
+                    * 1e4) / 1e4 AS score
+            FROM tf
+            JOIN dlen ON tf.doc_id = dlen.doc_id
+            JOIN dfreq ON tf.token = dfreq.token
+            CROSS JOIN stats)
+          SELECT doc_id, CAST(rank AS INT) AS rank, token, score FROM (
+            SELECT doc_id, token, score,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, token) AS rank
+            FROM scored)
+          WHERE rank <= 3""",
     "q86_source_overlap" ->
       s"""WITH sh AS (SELECT DISTINCT source, sh FROM (
             SELECT source, unnest(list_distinct(${shingleStrSql(5)})) AS sh

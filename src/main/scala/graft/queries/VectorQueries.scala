@@ -115,6 +115,31 @@ object VectorQueries {
             .as(Seq("i", "val")))
     }),
 
+    // E80 int8 scalar quantization — the 4× memory cut that makes
+    // billion-vector ANN fit executor RAM: per-vector (min, scale) affine
+    // codes in 0..255, plus the per-dimension reconstruction error that
+    // tells the user whether 8 bits suffice. Narrow projection (no
+    // shuffle). Codes use floor(y + 0.5) instead of round(): identical
+    // IEEE-double ops in both engines, so the INTEGER codes are
+    // bit-identical (HALF_UP-vs-shortest-repr round() divergence can't
+    // occur).
+    "q94_embed_quantize" -> ((s, dir) => {
+      val segTok = transform(col("embedding"), x => x.cast("double"))
+      t(s, dir, "embeddings")
+        .withColumn("v", segTok)
+        .withColumn("mn", array_min(col("v")))
+        .withColumn("scale", (array_max(col("v")) - col("mn")) / 255.0)
+        .select(col("vec_id"), col("mn"), col("scale"),
+          posexplode(col("v")).as(Seq("i", "x")))
+        .withColumn("code",
+          when(col("scale") === 0.0, lit(0L))
+            .otherwise(floor((col("x") - col("mn")) / col("scale") + 0.5))
+            .cast("int"))
+        .select(col("vec_id"), col("i"), col("code"),
+          (round(abs(col("x") - (col("mn") + col("code") * col("scale"))) * 1e6) / 1e6)
+            .as("err"))
+    }),
+
     // E67 IVF SEARCH — the query-time half of the q65 coarse quantizer;
     // see [[ivfSearch]]. Declared at nprobe=1; AccuracySpec asserts the
     // recall knob (recall rises with nprobe).
@@ -216,6 +241,18 @@ object VectorQueries {
             SELECT a.vec_id AS vid_a, c.vec_id AS vid_b, ${cosSql("a.v", "c.v")} AS cos
             FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
             WHERE ${cosSql("a.v", "c.v")} > 0.35""",
+      // Same floor(y+0.5) code rule and round(x*1e6)/1e6 error idiom.
+      "q94_embed_quantize" ->
+        s"""WITH e AS (SELECT vec_id, $VecSql AS v FROM embeddings),
+            m AS (SELECT vec_id, v, list_min(v) AS mn,
+                    (list_max(v) - list_min(v)) / 255.0 AS scale FROM e),
+            c AS (SELECT vec_id, CAST(j - 1 AS INT) AS i, v[j] AS x, mn, scale,
+                    CAST(CASE WHEN scale = 0 THEN 0
+                         ELSE floor((v[j] - mn) / scale + 0.5) END AS INT) AS code
+                  FROM m, unnest(range(1, 65)) AS u(j))
+            SELECT vec_id, i, code,
+              round(abs(x - (mn + code * scale)) * 1e6) / 1e6 AS err
+            FROM c""",
       "q65_bucket_centroids" ->
         s"""SELECT bucket, CAST(j - 1 AS INT) AS i,
               round(avg(val), 6) AS centroid, count(*) AS n_vecs
