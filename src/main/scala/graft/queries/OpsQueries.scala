@@ -113,6 +113,22 @@ object OpsQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("c_acctbal"))
     }),
 
+    // E83 column profiling: one-scan numeric data-quality report over
+    // lineitem (row/null/distinct counts, min/max per column).
+    "q97_profile" -> ((s, dir) =>
+      graft.operators.ProfileOps.profileNumeric(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // E82 sequence packing: concatenate documents in doc_id order, cut
+    // every 512 tokens into one training example. Runs the two-phase
+    // parallel prefix sum — the oracle restates it as the naive global
+    // window, so the parallel decomposition must be EXACTLY the serial
+    // semantics.
+    "q96_sequence_pack" -> ((s, dir) =>
+      graft.operators.PackOps.packSequences(
+        t(s, dir, "documents"), "text", "doc_id", exampleTokens = 512)),
+
     // The integration showcase: the corpus-curation chain a training-data
     // pipeline runs end-to-end — normalize → length gate → exact dedup on
     // the normalized fingerprint (keep-min-id) → deterministic 90/10
@@ -187,6 +203,30 @@ object OpsQueries {
          FROM base
          UNION ALL
          SELECT c_custkey + 1000000, c_acctbal FROM base WHERE c_custkey <= 5""",
+    // One SELECT per profiled column, stitched with UNION ALL.
+    "q97_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
+            CAST(count(*) - count($c) AS BIGINT) AS n_null,
+            CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+            CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max
+            FROM lineitem""")
+      .mkString("\nUNION ALL\n"),
+    // The serial statement of the packing: one global running sum.
+    "q96_sequence_pack" ->
+      """WITH c AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok
+           FROM documents),
+         s AS (
+           SELECT doc_id, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_tok AS cum0
+           FROM c)
+         SELECT doc_id, n_tok,
+           CAST(cum0 // 512 AS BIGINT) AS pack_id,
+           (cum0 % 512) + n_tok > 512 AS straddles
+         FROM s""",
     // The bloom prefilter must be invisible in the result: plain join.
     "q93_bloom_join" ->
       """SELECT o_orderkey, o_custkey, c_acctbal
