@@ -114,10 +114,12 @@ object OpsQueries {
     }),
 
     // E83 column profiling: one-scan numeric data-quality report over
-    // lineitem (row/null/distinct counts, min/max per column).
+    // lineitem (row/null/distinct counts, min/max per column). The exact
+    // multi-distinct Expand multiplies per-row work ×4 — spread a
+    // single-split input across cores first (no-op on real layouts).
     "q97_profile" -> ((s, dir) =>
       graft.operators.ProfileOps.profileNumeric(
-        t(s, dir, "lineitem"),
+        Tables.parallel(t(s, dir, "lineitem")),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
     // E82 sequence packing: concatenate documents in doc_id order, cut

@@ -341,8 +341,10 @@ object TextQueries {
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).cast("double").as("tf"))
-      val dlen = docs.select(
-        col("doc_id"), size(tokens(col("text"))).cast("double").as("dlen"))
+      // Doc length = Σ tf — derived from the tf frame, never a second
+      // tokenize of the corpus (at 100 TB the raw-text scan is the
+      // dominant cost; everything downstream reads the aggregated frames).
+      val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
       val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
       val stats = dlen.agg(
         count(lit(1)).cast("double").as("n_docs"), avg(col("dlen")).as("avg_len"))
