@@ -50,6 +50,30 @@ object SamplingOps {
     graft.functions.TextFunctions.charHash(
       concat(idCol.cast("string"), lit(":" + seed.toString)))
 
+  /** Deterministic corpus-mixture sampling (SURVEY §2.3 E84): keep each
+    * row with its SOURCE's target rate — the "2 parts web, 1 part code,
+    * 0.1 part forums" weighting every pretraining mix specifies. Rates are
+    * percents per source value; sources not listed keep `defaultPct`.
+    * Membership is the same pure (id, seed) bucket as [[hashSplit]]:
+    * layout-stable, reproducible, and — because the bucket is shared —
+    * composable with the train/holdout split without correlation only if
+    * seeds differ (document the seed-discipline, don't reuse).
+    * Narrow filter: no shuffle, pushes to the scan. */
+  def sourceMixture(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      ratesPct: Map[String, Int],
+      defaultPct: Int,
+      seed: Long,
+      bucket: BucketFn = xxhashBucket): DataFrame = {
+    require((ratesPct.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100))
+    val pct = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (src, p)) =>
+      when(col(sourceCol) === src, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol), seed) < pct)
+  }
+
   /** Deterministic train/holdout split: `trainPct`% of ids to the left
     * side. Disjoint, complete, and stable under any repartitioning. */
   def hashSplit(

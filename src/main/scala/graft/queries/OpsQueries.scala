@@ -113,6 +113,22 @@ object OpsQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("c_acctbal"))
     }),
 
+    // E84 corpus-mixture sampling + context cap: per-source keep rates
+    // (100/50/0%, default 25%) via the portable id-bucket, then truncate
+    // the kept docs to their first 64 tokens — the mixture-weighting +
+    // context-length-cap pass a pretraining pipeline runs last. Narrow:
+    // filter + projection, no shuffle.
+    "q98_source_mixture" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val kept = SamplingOps.sourceMixture(
+        t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 100, "src1" -> 50, "src2" -> 0), defaultPct = 25,
+        seed = 11L, bucket = SamplingOps.portableBucket)
+      kept.select(col("doc_id"), col("source"),
+        array_join(slice(tokens(col("text")), 1, 64), " ").as("text_capped"),
+        least(size(tokens(col("text"))), lit(64)).as("n_tok_out"))
+    }),
+
     // E83 column profiling: one-scan numeric data-quality report over
     // lineitem (row/null/distinct counts, min/max per column). The exact
     // multi-distinct Expand multiplies per-row work ×4 — spread a
@@ -205,6 +221,22 @@ object OpsQueries {
          FROM base
          UNION ALL
          SELECT c_custkey + 1000000, c_acctbal FROM base WHERE c_custkey <= 5""",
+    // Mixture: same portable bucket, same rate table, same 64-token cap.
+    "q98_source_mixture" -> {
+      val toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+      s"""WITH b AS (
+            SELECT doc_id, source, text,
+              ${charHashSql("CAST(doc_id AS VARCHAR) || ':11'")} % 100 AS bucket
+            FROM documents),
+          k AS (
+            SELECT doc_id, source, text FROM b
+            WHERE bucket < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                                       WHEN 'src2' THEN 0 ELSE 25 END)
+          SELECT doc_id, source,
+            array_to_string(($toks)[1:64], ' ') AS text_capped,
+            CAST(least(len($toks), 64) AS INT) AS n_tok_out
+          FROM k"""
+    },
     // One SELECT per profiled column, stitched with UNION ALL.
     "q97_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .map(c =>

@@ -79,4 +79,23 @@ class SamplingOpsSpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().toSet
     assert(again == sampled.select($"doc_id").as[Long].collect().toSet)
   }
+
+  test("sourceMixture: per-source rates hold, zero-rate excludes, layout-stable") {
+    val rates = Map("src0" -> 100, "src1" -> 50, "src2" -> 0)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SamplingOps.sourceMixture(df, "source", "doc_id", rates,
+        defaultPct = 25, seed = 11L)
+    val kept = run(docs)
+    val bySrc = kept.groupBy($"source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val totalPerSrc = docs.groupBy($"source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bySrc("src0") == totalPerSrc("src0"))          // 100% keeps all
+    assert(!bySrc.contains("src2"))                       // 0% keeps none
+    assert(bySrc("src1") > 0 && bySrc("src1") < totalPerSrc("src1"))
+    // Pure (id, seed) membership: identical under any repartitioning.
+    val a = kept.select($"doc_id").as[Long].collect().toSet
+    val b = run(docs.repartition(7)).select($"doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
 }
