@@ -88,6 +88,31 @@ object StreamingOps {
       sink.writeBatch(batch, table, s"epoch$batchId")
     }
 
+  /** E85 streaming corpus ingest with cross-run exact dedup: every
+    * micro-batch drops documents already in the persistent fingerprint
+    * ledger, writes the survivors through the epoch-keyed idempotent sink,
+    * THEN commits its fingerprints into the ledger's epoch partition —
+    * [[graft.operators.DedupOps.incrementalDedupEpoch]]'s replay-safe
+    * protocol. The dedup state is the on-disk ledger (16 bytes/doc), not
+    * Spark's state store: it survives checkpoint resets, is shared with
+    * batch ingests of the same corpus, and — unlike
+    * `dropDuplicatesWithinWatermark` — is never aged out by a watermark.
+    */
+  def foreachBatchLedgerDedup(
+      writer: DataStreamWriter[Row],
+      textCol: String,
+      idCol: String,
+      ledgerDir: String,
+      sink: IdempotentSink,
+      table: String): DataStreamWriter[Row] =
+    writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val token = s"epoch$batchId"
+      val pending = graft.operators.DedupOps.incrementalDedupEpoch(
+        batch.sparkSession, batch, textCol, idCol, ledgerDir, token)
+      sink.writeBatch(pending.survivors, table, token)
+      pending.commitLedger()
+    }
+
   /** Stream-stream interval join: rows of `b` whose event time falls in
     * `[a.ts - range, a.ts]` for the same join keys. On streams BOTH sides
     * must carry watermarks (caller applies them) so Spark can bound the

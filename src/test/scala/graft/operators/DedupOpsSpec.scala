@@ -43,4 +43,30 @@ class DedupOpsSpec extends AnyFunSuite {
     val out3 = DedupOps.incrementalDedup(spark, b2, "text", "doc_id", ledger)
     assert(out3.survivors.count() == 0L)
   }
+
+  test("epoch variant: replay AFTER a committed epoch reproduces identical survivors") {
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_dedup_epoch").resolve("fp").toString
+    val b0 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val p0 = DedupOps.incrementalDedupEpoch(spark, b0, "text", "doc_id", ledger, "epoch0")
+    p0.commitLedger()
+    val b1 = Seq((3L, "beta"), (4L, "gamma"), (5L, "gamma")).toDF("doc_id", "text")
+    val p1 = DedupOps.incrementalDedupEpoch(spark, b1, "text", "doc_id", ledger, "epoch1")
+    val out1 = p1.survivors.as[(Long, String)].collect().toSet
+    assert(out1 == Set((4L, "gamma"))) // beta ledgered, within-batch min id
+    p1.commitLedger()
+
+    // At-least-once replay of epoch 1 after its commit (crash before the
+    // caller's checkpoint advanced): the plain variant would anti-join the
+    // whole batch away; the epoch variant excludes its OWN partition and
+    // reproduces the identical survivors, then its re-commit replaces (not
+    // duplicates) the epoch's fingerprints.
+    val replay = DedupOps.incrementalDedupEpoch(spark, b1, "text", "doc_id", ledger, "epoch1")
+    assert(replay.survivors.as[(Long, String)].collect().toSet == out1,
+      "post-commit epoch replay must reproduce the same survivors")
+    replay.commitLedger()
+    val fps = spark.read.parquet(ledger)
+    assert(fps.count() == fps.dropDuplicates("_graft_fp", "_graft_fp2").count(),
+      "re-committed epoch must replace its partition, never duplicate fingerprints")
+  }
 }

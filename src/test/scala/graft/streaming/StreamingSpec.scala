@@ -229,6 +229,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup: ledger drops cross-batch duplicates, keeps new docs (E85)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_stream_dedup")
+    val sink = Connectors.IdempotentParquetSink(s"$base/out")
+    val ledger = s"$base/ledger"
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.foreachBatchLedgerDedup(
+      mem.toDF().toDF("doc_id", "text").writeStream,
+      "text", "doc_id", ledger, sink, "docs").start()
+    try {
+      // Batch 0: one within-batch duplicate (min doc_id wins).
+      mem.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      // Batch 1: re-sends beta (already ledgered), adds gamma.
+      mem.addData((4L, "beta"), (5L, "gamma"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out/docs")
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+      assert(out == Set((1L, "alpha"), (2L, "beta"), (5L, "gamma")),
+        "corpus must hold exactly one copy of each distinct text")
+    } finally q.stop()
+  }
+
   test("foreachBatch bridges a stream into a pipeline Sink (E46)") {
     implicit val sqlCtx = spark.sqlContext
     val dst = Files.createTempDirectory("graft_stream_sink")
