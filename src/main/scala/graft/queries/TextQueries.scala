@@ -337,28 +337,36 @@ object TextQueries {
     "q90_bm25_keywords" -> ((s, dir) => {
       val k1 = 1.2; val b = 0.75
       val docs = t(s, dir, "documents")
+      // The tf frame feeds three consumers (corpus stats, doc frequency,
+      // the scoring join): checkpoint it so the corpus is tokenized ONCE
+      // — unpersisted, the plan replicates the explode+agg subtree per
+      // consumer (round 4's shuffle-count gate caught exactly that: 13
+      // exchanges, 3 corpus scans).
       val tf = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).cast("double").as("tf"))
-      // Doc length = Σ tf — derived from the tf frame, never a second
-      // tokenize of the corpus (at 100 TB the raw-text scan is the
-      // dominant cost; everything downstream reads the aggregated frames).
-      val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+        .localCheckpoint(true)
+      // Corpus scalars from tf alone: avg doc length = Σtf / #docs (token
+      // counts are integer-valued doubles, so the sums are exact and the
+      // division matches the oracle's avg() bit-for-bit).
+      val stats = tf.agg(
+        countDistinct(col("doc_id")).cast("double").as("n_docs"),
+        sum(col("tf")).as("total_tok"))
       val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
-      val stats = dlen.agg(
-        count(lit(1)).cast("double").as("n_docs"), avg(col("dlen")).as("avg_len"))
+      import org.apache.spark.sql.expressions.Window
       val idf = log(lit(1.0) +
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
       val tfPart = col("tf") * (k1 + 1.0) /
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dlen") / col("avg_len")))
-      val scored = tf
-        .join(dlen, "doc_id")
+      tf
         .join(dfreq, "token")
+        // dlen via a window on doc_id: the rank window below reuses the
+        // same partitioning — one shuffle serves both.
+        .withColumn("dlen", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
         .crossJoin(broadcast(stats))
+        .withColumn("avg_len", col("total_tok") / col("n_docs"))
         .withColumn("score", round(idf * tfPart * 1e4) / 1e4)
-      import org.apache.spark.sql.expressions.Window
-      scored
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("doc_id"))
             .orderBy(col("score").desc, col("token"))))

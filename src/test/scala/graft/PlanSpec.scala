@@ -130,28 +130,53 @@ class PlanSpec extends AnyFunSuite {
     // the dominant cost at 100 TB. This gate pins the shuffle count of
     // every declared query so an innocent refactor (a dropped broadcast
     // hint, a lost partitioning reuse, an accidental extra distinct)
-    // cannot silently multiply cluster cost. Counted on the pre-AQE
-    // physical tree (cache-build internals excluded: InMemoryTableScan is
-    // a leaf there). Budgets are the DESIGNED shuffle counts of the
-    // multi-stage pipelines, not aspirations — lower them, never raise
-    // them casually.
+    // cannot silently multiply cluster cost. Counted on the
+    // EnsureRequirements-applied physical tree with AQE off (round 3's
+    // sparkPlan-based count predated EnsureRequirements and saw only
+    // explicit repartitions — it undercounted by the planner-inserted
+    // exchanges). Cache-BUILD internals are excluded (InMemoryTableScan is
+    // a leaf in the node tree, and the build cost is gated once by the
+    // persisted-frame test above); broadcasts are excluded by design —
+    // replacing a shuffle with a broadcast is the improvement this gate
+    // exists to protect. Budgets are the DESIGNED shuffle counts, not
+    // aspirations — lower them, never raise them casually.
     val budget = Map(
-      "q50_ngram_jaccard" -> 8,   // shingle explode + 3 aggs + 2-key join chain
-      "q81_ivf_search" -> 8,      // centroid build (2 aggs) + probe + bucket join + top-k
-      "q48_lsh_candidates" -> 6,  // repartition + band window + self-join + distinct
-      "q52_neardup_purge" -> 6,
-      "q84_simhash_neardup" -> 6, // band self-join + distinct
-      "q85_curation_pipeline" -> 5,
-      "q86_source_overlap" -> 6,  // distinct + self-join + agg
-      "q87_token_entropy" -> 5,
-      "q88_stratified_sample" -> 5).withDefaultValue(4)
-    val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val p = fn(spark, TestSpark.sfDir).queryExecution.sparkPlan
-      val n = p.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }.size
-      if (n > budget(name)) Some(s"$name: $n > ${budget(name)}") else None
-    }
+      // multi-stage dedup/similarity pipelines (persisted frame + self-join
+      // + distinct, or build+probe):
+      "q48_lsh_candidates" -> 5,  // sig repartition+persist, band self-join, distinct
+      "q50_ngram_jaccard" -> 7,   // shingle agg ×2 sides + pair agg + count joins
+      "q52_neardup_purge" -> 5,
+      "q56_knn_bruteforce" -> 3,  // bounded query side + per-query top-k
+      "q58_embed_neardup" -> 4,
+      "q73_decontaminate" -> 4,   // bench shingles (broadcast) + corpus agg chain
+      "q80_salted_join" -> 4,     // salt-scatter both sides + re-agg
+      "q81_ivf_search" -> 6,      // centroid build aggs + probe + bucket join + top-k
+      "q84_simhash_neardup" -> 5,
+      "q86_source_overlap" -> 5,  // distinct + self-join + agg
+      "q90_bm25_keywords" -> 6,   // tf (1) + df agg + dlen agg + 2 joins + rank window
+      "q95_line_dedup" -> 3,      // segment window + doc re-agg + parallel spread
+      "q97_profile" -> 3,         // multi-distinct Expand partials
+      // two-phase / paired-agg shapes:
+      "q05_full_outer_regions" -> 2, "q19_count_distinct" -> 2,
+      "q23_intersect_except" -> 2, "q38_salted_agg" -> 2,
+      "q39_percentiles" -> 2, "q41_doc_frequency" -> 2, "q42_ngrams" -> 2,
+      "q53_pivot" -> 2, "q54_asof_join" -> 2, "q55_cosine_pairs" -> 2,
+      "q59_l2_pairs" -> 2, "q64_watermark_drop" -> 2,
+      "q65_bucket_centroids" -> 2, "q68_setops_all" -> 2,
+      "q79_top_supplier_per_nation" -> 2, "q87_token_entropy" -> 3,
+      "q88_stratified_sample" -> 2, "q96_sequence_pack" -> 2
+    ).withDefaultValue(1)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val over = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val p = fn(spark, TestSpark.sfDir).queryExecution.executedPlan
+        val n = p.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+        if (n > budget(name)) Some(s"$name: $n > ${budget(name)}") else None
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert(over.isEmpty, s"shuffle budget exceeded: ${over.mkString("; ")}")
   }
 
