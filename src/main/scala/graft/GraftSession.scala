@@ -33,6 +33,18 @@ object GraftSession {
       // Tables convert to a microsecond timestamp (DuckDB-equivalent
       // truncation).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // RocksDB state store: state lives in native memory + local disk
+      // instead of the JVM heap (the 100 TB streaming-state choice), and
+      // it is the only provider with the multi-column-family support that
+      // `transformWithState`'s typed state variables require (E86).
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Snapshot-lag telemetry phones the StateStoreCoordinator RPC
+      // endpoint, which only exists for streaming queries — with it on,
+      // BATCH transformWithState dies in RocksDB maintenance
+      // (RpcEndpointNotFoundException → CANNOT_LOAD_STATE_STORE). It is a
+      // monitoring aid, not a correctness feature.
+      .config("spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag", "false")
 
   def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
     math.max(4, Runtime.getRuntime.availableProcessors()).toString)

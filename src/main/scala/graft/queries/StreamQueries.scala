@@ -20,6 +20,20 @@ object StreamQueries {
     Tables(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E86 transformWithState (typed ValueState/MapState per key): per-user
+    // running profile. In batch mode state starts empty and each key's
+    // rows arrive as one group, so the result is the plain per-user
+    // aggregate — which is exactly what the oracle states. The live
+    // cross-batch state carry is StreamingSpec's TWS test.
+    "q99_tws_stats" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.StreamingOps.runningStats(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("value"))
+          .as[graft.streaming.StreamingOps.TypedEvent])
+        .toDF()
+    }),
+
     // E41 tumbling window (10 min) per event type.
     "q60_tumbling_window" -> ((s, dir) => {
       t(s, dir, "events")
@@ -120,6 +134,12 @@ object StreamQueries {
       s"CAST(to_timestamp(floor((epoch(ts) - $shift) / $sec) * $sec + $shift) AS TIMESTAMP)"
 
   val oracle: Map[String, String] = Map(
+    // Batch TWS with empty initial state ≡ the plain per-key aggregate.
+    "q99_tws_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+         CAST(count(DISTINCT event_type) AS INT) AS n_types,
+         max(value) AS max_value
+         FROM events GROUP BY user_id""",
     "q60_tumbling_window" ->
       s"""SELECT ${bucketSql(600)} AS window_start, event_type,
           count(*) AS n, round(sum(value), 2) AS sum_value

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.pipeline.{IdempotentSink, Sink, StateStore}
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.Row
 
 /** Structured Streaming operator surface (SURVEY §2.3 E41-E46).
@@ -134,6 +134,69 @@ object StreamingOps {
       expr(keys.map(k => s"l.$k = r.$k").mkString(" AND ") +
         s" AND r.$bTs >= l.$aTs - INTERVAL $range AND r.$bTs <= l.$aTs"),
       "inner")
+
+  /** Input/output rows for the transformWithState operator below. */
+  final case class TypedEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserStats(user_id: Long, n_events: Long, n_types: Int, max_value: Double)
+
+  /** E86 modern arbitrary state via `transformWithState` (Spark 4's
+    * successor to `flatMapGroupsWithState`): per-user running profile —
+    * event count, distinct event-type count, running max — held in TYPED
+    * state variables (`ValueState` + `MapState`) instead of one opaque
+    * case-class blob. The practical difference at scale: each state
+    * variable is a separate column family in the RocksDB state store, so
+    * touching the two counters never deserializes the type map, and
+    * per-variable TTL is available when the profile must age out. Emits
+    * one updated profile row per key per micro-batch (Update mode); on a
+    * batch Dataset the same code runs with empty initial state, which
+    * makes it DuckDB-oracle-checkable (q99).
+    */
+  def runningStats(ds: Dataset[TypedEvent]): Dataset[UserStats] = {
+    import ds.sparkSession.implicits._
+    // Batch TWS resolves the StateStoreCoordinator endpoint that only a
+    // streaming query would have created — create it up front (see the
+    // bridge scaladoc for the underlying Spark behavior).
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .ensureStateStoreCoordinator(ds.sparkSession)
+    ds.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  private class RunningStatsProcessor
+      extends StatefulProcessor[Long, TypedEvent, UserStats] {
+    @transient private var nEvents: ValueState[Long] = _
+    @transient private var maxValue: ValueState[Double] = _
+    @transient private var typeCounts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nEvents = getHandle.getValueState[Long]("n_events",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      maxValue = getHandle.getValueState[Double]("max_value",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+      typeCounts = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[UserStats] = {
+      var n = if (nEvents.exists()) nEvents.get() else 0L
+      var mx = if (maxValue.exists()) maxValue.get() else Double.NegativeInfinity
+      rows.foreach { e =>
+        n += 1
+        if (e.value > mx) mx = e.value
+        val prev = if (typeCounts.containsKey(e.event_type))
+          typeCounts.getValue(e.event_type) else 0L
+        typeCounts.updateValue(e.event_type, prev + 1)
+      }
+      nEvents.update(n)
+      maxValue.update(mx)
+      Iterator.single(UserStats(key, n, typeCounts.keys().size, mx))
+    }
+  }
 
   /** Input/output rows for the custom-state operator below. */
   final case class EventKey(event_id: Long, ts: java.sql.Timestamp, user_id: Long)

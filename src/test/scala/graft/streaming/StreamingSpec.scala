@@ -252,6 +252,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState: typed state persists across micro-batches (E86)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.TypedEvent]
+    val q = StreamingOps.runningStats(mem.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("tws_out").start()
+    try {
+      mem.addData(
+        StreamingOps.TypedEvent(1L, "a", 1.0),
+        StreamingOps.TypedEvent(1L, "b", 5.0),
+        StreamingOps.TypedEvent(2L, "a", 2.0))
+      q.processAllAvailable()
+      // Batch 2: user 1's count/types/max must CONTINUE from batch 1.
+      mem.addData(StreamingOps.TypedEvent(1L, "a", 3.0))
+      q.processAllAvailable()
+      val last = spark.table("tws_out")
+        .as[StreamingOps.UserStats].collect()
+        .groupBy(_.user_id).map { case (k, v) => (k, v.maxBy(_.n_events)) }
+      assert(last(1L) == StreamingOps.UserStats(1L, 3L, 2, 5.0),
+        "state (count, type map, max) must carry across micro-batches")
+      assert(last(2L) == StreamingOps.UserStats(2L, 1L, 1, 2.0))
+    } finally q.stop()
+  }
+
   test("foreachBatch bridges a stream into a pipeline Sink (E46)") {
     implicit val sqlCtx = spark.sqlContext
     val dst = Files.createTempDirectory("graft_stream_sink")
