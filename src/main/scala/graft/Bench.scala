@@ -93,8 +93,11 @@ object Bench {
       System.err.println(s"[bench] could not write BENCH_DETAILS.json: ${e.getMessage}")
     }
     println(detail)
-    val shortQs = obj(results.map { case (k, m, _) => k.take(3) -> f"$m%.3f" })
-    val errKeys = errors.keys.map(k => "\"" + k.take(3) + "\"").mkString("[", ",", "]")
+    // Key by the qNN prefix up to the underscore (NOT a fixed take(3):
+    // q100/q101 would collide with q10), 2 dp to keep the line ≤ ~1.9 KB.
+    def short(k: String): String = k.takeWhile(_ != '_')
+    val shortQs = obj(results.map { case (k, m, _) => short(k) -> f"$m%.2f" })
+    val errKeys = errors.keys.map(k => "\"" + short(k) + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","unit":"sec","runs_per_query":$Runs,"sf":"$sfDir","detail":"BENCH_DETAILS.json","errors":$errKeys,"queries":$shortQs,"value":${f"$total%.2f"}}""")
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
     spark.stop()

@@ -1,7 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Explicit bloom-filter join prefilter (SURVEY §2.3 E79) — the runtime-
   * filter pattern for "large fact ⋈ selective dim" when the dim side is too
@@ -17,18 +21,40 @@ import org.apache.spark.sql.functions._
   * filters have no false negatives, so the subsequent real join makes the
   * result exact; false positives only cost wasted shuffle rows.
   *
-  * The filter itself is `DataFrameStatFunctions.bloomFilter` (one pass over
-  * the dim, sketch merged driver-side) + a broadcast probe. The probe is a
-  * deliberate exception to the no-UDF rule: it guards a shuffle that would
-  * otherwise move ~everything, and Spark's own runtime bloom injection
+  * Both halves are Spark's OWN runtime-filter machinery, driven explicitly:
+  * the filter is built by the `BloomFilterAggregate` Catalyst aggregate
+  * (distributed partials, map-side combine — not a driver-side RDD fold)
+  * and the probe is `BloomFilterMightContain`, a codegen'd native
+  * predicate. The probe therefore stays INSIDE whole-stage codegen on the
+  * fact scan — the earlier Scala-UDF probe broke the scan's codegen span —
+  * and both sides hash with the same `XxHash64`, the invariant Spark's own
+  * `InjectRuntimeFilter` relies on. Spark's automatic injection
   * (`spark.sql.optimizer.runtime.bloomFilter.*`) only triggers on
-  * statistics it can see — this operator is the explicit, always-available
+  * statistics it can see; this operator is the explicit, always-available
   * form.
   */
 object BloomOps {
 
+  /** The dim side's key set as a serialized bloom filter (one distributed
+    * aggregate; partials merge map-side). Keys are hashed as
+    * `xxhash64(cast(key as long))` — the probe must use the identical
+    * hash, which [[bloomSemiFilter]] does. */
+  private def buildFilter(
+      dim: DataFrame,
+      dimKey: String,
+      expectedItems: Long,
+      fpp: Double): Array[Byte] = {
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val hashed = new XxHash64(Seq(ColumnBridge.expression(col(dimKey).cast("long"))))
+    val agg = new BloomFilterAggregate(hashed, Literal(expectedItems), Literal(numBits))
+      .toAggregateExpression()
+    dim.select(ColumnBridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+  }
+
   /** `fact` reduced to rows whose `factKey` is PROBABLY in `dim.dimKey`
-    * (no false negatives; ≈`fpp` false positives). */
+    * (no false negatives; ≈`fpp` false positives). The predicate is the
+    * native `might_contain` — codegen'd, so the fact scan's whole-stage
+    * span survives. NULL keys never match (a bloom filter holds no null). */
   def bloomSemiFilter(
       fact: DataFrame,
       factKey: String,
@@ -36,10 +62,11 @@ object BloomOps {
       dimKey: String,
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    fact.filter(might(col(factKey).cast("long")))
+    val bytes = buildFilter(dim, dimKey, expectedItems, fpp)
+    val probe = BloomFilterMightContain(
+      Literal(bytes),
+      new XxHash64(Seq(ColumnBridge.expression(col(factKey).cast("long")))))
+    fact.filter(ColumnBridge.column(probe))
   }
 
   /** Exact inner join with the bloom prefilter applied to the fact side

@@ -19,15 +19,22 @@ import org.apache.spark.sql.functions._
 object ProfileOps {
 
   /** Profile numeric columns: `(column, n, n_null, n_distinct, min, max)`
-    * with min/max as doubles. */
+    * with min/max as doubles.
+    *
+    * `rsd` is the HLL relative standard deviation for `exact=false`.
+    * Spark's HLL++ has no sparse-mode small-cardinality shortcut, so tiny
+    * cardinalities see the full register noise — rsd 0.02 (~2.6 k registers,
+    * ~5 KB per sketch) keeps low-cardinality estimates inside ±5% where the
+    * 0.05 default does not, at negligible memory cost for a profiler. */
   def profileNumeric(
       df: DataFrame,
       cols: Seq[String],
-      exact: Boolean = true): DataFrame = {
+      exact: Boolean = true,
+      rsd: Double = 0.02): DataFrame = {
     require(cols.nonEmpty)
     val n = count(lit(1)).as("_n")
     val metrics = cols.flatMap { c =>
-      val d = if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
+      val d = if (exact) count_distinct(col(c)) else approx_count_distinct(col(c), rsd)
       Seq(
         sum(col(c).isNull.cast("long")).as(s"_null_$c"),
         d.as(s"_dist_$c"),

@@ -12,10 +12,16 @@ import org.apache.spark.sql.functions._
   *
   * Only decomposable aggregates are supported: sum/count/min/max combine
   * with sum/sum/min/max, and avg decomposes into (sum, count) partials that
-  * recombine as sum-of-sums / sum-of-counts. The salt derives from a hash of
-  * the whole row (via `spark_partition_id` + a per-partition counter would
-  * be nondeterministic across retries; `pmod(hash(*), n)` is stable), so
-  * re-computation under task retry lands partials in the same salt bucket.
+  * recombine as sum-of-sums / sum-of-counts. The salt must be a pure
+  * function of the row (via `spark_partition_id` + a per-partition counter
+  * would be nondeterministic across retries; `pmod(hash(...), n)` is
+  * stable), so re-computation under task retry lands partials in the same
+  * salt bucket. By default the hash covers every column; on a wide fact
+  * table that is per-row work proportional to row width, so callers pass
+  * `saltFrom` — the key plus one or two cheap columns that VARY within a
+  * hot key (a line number, an id) — and the salt hashes only those. Any
+  * row-pure subset is correct; the only cost of a low-variation subset is
+  * weaker spread, never a wrong result.
   */
 object SkewOps {
 
@@ -33,10 +39,12 @@ object SkewOps {
       df: DataFrame,
       keys: Seq[Column],
       nSalts: Int,
-      aggs: Seq[AggSpec]): DataFrame = {
+      aggs: Seq[AggSpec],
+      saltFrom: Seq[Column] = Nil): DataFrame = {
     require(aggs.nonEmpty)
+    val saltInputs = if (saltFrom.nonEmpty) saltFrom else df.columns.map(col).toSeq
     val salted = df.withColumn("_graft_salt",
-      pmod(hash(df.columns.map(col): _*), lit(nSalts)))
+      pmod(hash(saltInputs: _*), lit(nSalts)))
     // Phase 1: partials per (keys, salt). avg contributes TWO partial
     // columns (sum + count) so phase 2 can form the exact global mean —
     // averaging per-salt averages would weight salt buckets equally and be
@@ -92,12 +100,14 @@ object SkewOps {
       left: DataFrame,
       right: DataFrame,
       key: String,
-      nSalts: Int): DataFrame = {
+      nSalts: Int,
+      saltFrom: Seq[Column] = Nil): DataFrame = {
     require(nSalts > 0, s"nSalts must be positive: $nSalts")
     require(!left.columns.contains("_graft_salt") && !right.columns.contains("_graft_salt"),
       "inputs already carry a _graft_salt column — rename it before salting")
+    val saltInputs = if (saltFrom.nonEmpty) saltFrom else left.columns.map(col).toSeq
     val saltedLeft = left.withColumn("_graft_salt",
-      pmod(hash(left.columns.map(col): _*), lit(nSalts)))
+      pmod(hash(saltInputs: _*), lit(nSalts)))
     val replicatedRight = right
       .withColumn("_graft_salt", explode(sequence(lit(0), lit(nSalts - 1))))
       .hint("shuffle_hash")

@@ -260,7 +260,10 @@ object RelationalQueries {
           graft.operators.SkewOps.countOf("n_rows"),
           graft.operators.SkewOps.minOf(col("l_extendedprice"), "min_price"),
           graft.operators.SkewOps.maxOf(col("l_extendedprice"), "max_price"),
-          graft.operators.SkewOps.avgOf(col("l_quantity"), "avg_qty")))
+          graft.operators.SkewOps.avgOf(col("l_quantity"), "avg_qty")),
+        // Salt from (orderkey, linenumber) — near-unique within any hot
+        // flag, and two narrow ints instead of hashing the full row width.
+        saltFrom = Seq(col("l_orderkey"), col("l_linenumber")))
         .select(
           col("l_returnflag"),
           round(col("sum_qty"), 2).as("sum_qty"),
@@ -282,6 +285,24 @@ object RelationalQueries {
           round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("price_p50"),
           round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("price_p75"),
           round(percentile(col("l_quantity"), lit(0.9)), 4).as("qty_p90"))
+    }),
+
+    // The 100 TB percentile path: percentile_approx (Greenwald-Khanna,
+    // bounded sketch of ≤`accuracy` entries per group) instead of exact
+    // `percentile`, whose per-group buffer holds EVERY value — at 100×
+    // scale a single l_returnflag group would buffer ~60 M doubles in one
+    // aggregation buffer, an OOM class hazard. The sketch guarantees rank
+    // error ≤ n/accuracy regardless of group size. Approximate by design →
+    // no value-hash oracle (driver records rows+schema); AccuracySpec
+    // asserts the rank-error bound against the exact answer at test scale.
+    "q100_percentiles_approx" -> ((s, dir) => {
+      tp(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("price_p25"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("price_p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.75), lit(10000)).as("price_p75"),
+          percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("qty_p90"))
     }),
 
     // Pivot (long→wide): per-returnflag quantity split over the two
@@ -559,7 +580,8 @@ object RelationalQueries {
       val l = t(s, dir, "lineitem")
       val dim = l.select(col("l_returnflag")).distinct()
         .withColumn("flag_label", concat(lit("flag_"), col("l_returnflag")))
-      graft.operators.SkewOps.saltedJoin(l, dim, "l_returnflag", 16)
+      graft.operators.SkewOps.saltedJoin(l, dim, "l_returnflag", 16,
+        saltFrom = Seq(col("l_orderkey"), col("l_linenumber")))
         .groupBy(col("flag_label"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
           count(lit(1)).as("n_rows"))

@@ -42,6 +42,46 @@ class AccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("q100 percentiles_approx within 1% of q39 exact per group and column") {
+    // q100 is the 100 TB percentile path (bounded GK sketch); its driver
+    // check is rows+schema only, so the VALUE contract lives here: every
+    // approximate percentile within 1% of q39's exact answer. GK's actual
+    // guarantee is rank error ≤ n/accuracy = n/10000 — far tighter than 1%
+    // in value on these distributions.
+    val cols = Seq("price_p25", "price_p50", "price_p75", "qty_p90")
+    def byFlag(q: String) =
+      SparkEntry.queries(q)(spark, TestSpark.sfDir).collect()
+        .map(r => r.getString(0) -> cols.map(c => r.getAs[Double](c))).toMap
+    val exact = byFlag("q39_percentiles")
+    val approx = byFlag("q100_percentiles_approx")
+    assert(approx.keySet == exact.keySet && exact.nonEmpty)
+    for ((flag, est) <- approx; (e, a) <- exact(flag).zip(est)) {
+      val relErr = math.abs(a - e) / math.abs(e)
+      assert(relErr <= 0.01, f"$flag: approx=$a exact=$e relErr=${relErr * 100}%.3f%%")
+    }
+  }
+
+  test("q101 profile_hll: exact fields identical to q97, n_distinct within ±5%") {
+    // q101 swaps the exact multi-distinct (Expand, ×4 input replication)
+    // for HLL. Everything EXCEPT n_distinct must be bit-identical to the
+    // exact profile; n_distinct is the sketch estimate (default rsd 5%,
+    // and the fixture cardinalities sit in HLL++'s near-exact range).
+    def rows(q: String) =
+      SparkEntry.queries(q)(spark, TestSpark.sfDir).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    val exact = rows("q97_profile")
+    val hll = rows("q101_profile_hll")
+    assert(hll.keySet == exact.keySet && exact.nonEmpty)
+    for ((c, (n, nNull, nDist, mn, mx)) <- hll) {
+      val (en, enNull, enDist, emn, emx) = exact(c)
+      assert((n, nNull, mn, mx) == ((en, enNull, emn, emx)),
+        s"$c: exact fields drifted: ($n,$nNull,$mn,$mx) vs ($en,$enNull,$emn,$emx)")
+      val relErr = math.abs(nDist - enDist).toDouble / enDist
+      assert(relErr <= 0.05, f"$c: hll=$nDist exact=$enDist relErr=${relErr * 100}%.2f%%")
+    }
+  }
+
   test("IVF search (nprobe=1) beats random-bucket recall vs brute-force top-5") {
     // q81's correctness is hash-matched against its own oracle; this spec
     // pins the QUALITY of the approximation instead: how much of the true

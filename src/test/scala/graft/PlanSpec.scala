@@ -160,6 +160,8 @@ class PlanSpec extends AnyFunSuite {
       "q05_full_outer_regions" -> 2, "q19_count_distinct" -> 2,
       "q23_intersect_except" -> 2, "q38_salted_agg" -> 2,
       "q39_percentiles" -> 2, "q41_doc_frequency" -> 2, "q42_ngrams" -> 2,
+      "q100_percentiles_approx" -> 2, // parallel-spread repartition + group agg
+      "q101_profile_hll" -> 2,        // parallel-spread repartition + global agg
       "q53_pivot" -> 2, "q54_asof_join" -> 2, "q55_cosine_pairs" -> 2,
       "q59_l2_pairs" -> 2, "q64_watermark_drop" -> 2,
       "q65_bucket_centroids" -> 2, "q68_setops_all" -> 2,

@@ -35,4 +35,26 @@ class BloomOpsSpec extends AnyFunSuite {
     assert(keptN < matchN + (total - matchN) / 10,
       s"prefilter too weak: kept=$keptN match=$matchN total=$total")
   }
+
+  test("native probe keeps the fact scan inside whole-stage codegen") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.execution.{FilterExec, WholeStageCodegenExec}
+    // The round-4 probe was a Scala UDF — the filter evaluated row-by-row
+    // through the interpreter and BROKE the scan's codegen span. The native
+    // BloomFilterMightContain predicate must sit inside a
+    // WholeStageCodegenExec subtree (same shape Spark's own
+    // InjectRuntimeFilter produces).
+    val orders = Tables(spark, TestSpark.sfDir, "orders")
+    val dim = Tables(spark, TestSpark.sfDir, "customer")
+      .filter($"c_acctbal" > 9000).select($"c_custkey")
+    val kept = BloomOps.bloomSemiFilter(orders, "o_custkey", dim, "c_custkey", 10000L)
+    kept.collect() // AQE finalizes codegen spans only after execution
+    val exec = kept.queryExecution.executedPlan
+    val probeInCodegen = exec.collect {
+      case w: WholeStageCodegenExec => w.collect {
+        case f: FilterExec if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+      }
+    }.flatten
+    assert(probeInCodegen.nonEmpty, s"bloom probe not codegen'd:\n$exec")
+  }
 }

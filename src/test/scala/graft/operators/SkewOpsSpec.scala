@@ -68,6 +68,36 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("saltFrom subset salt gives identical results and still scatters") {
+    // Salting from (key + one cheap varying column) must change nothing
+    // about the RESULT — only which salt bucket a row lands in. The subset
+    // is two narrow columns instead of the full row width.
+    val li = Tables(spark, TestSpark.sfDir, "lineitem")
+    val cheap = Seq($"l_orderkey", $"l_linenumber")
+    val direct = li.groupBy($"l_returnflag")
+      .agg(round(sum($"l_quantity"), 2).as("sq"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = SkewOps.saltedAgg(li, Seq($"l_returnflag"), nSalts = 8,
+      Seq(SkewOps.sumOf($"l_quantity", "sq"), SkewOps.countOf("n")),
+      saltFrom = cheap)
+      .select($"l_returnflag", round($"sq", 2).as("sq"), $"n")
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted == direct)
+    // The subset still varies within a hot key, so the spread survives.
+    val scatter = li.withColumn("_graft_salt", pmod(hash(cheap: _*), lit(8)))
+      .filter($"l_returnflag" === "A")
+      .select($"_graft_salt").distinct().count()
+    assert(scatter > 1, "subset salt failed to scatter the hot key")
+
+    val dim = li.select($"l_returnflag").distinct()
+      .withColumn("label", concat(lit("f_"), $"l_returnflag"))
+    val j = SkewOps.saltedJoin(li.select($"l_returnflag", $"l_orderkey", $"l_linenumber"),
+      dim, "l_returnflag", 8, saltFrom = cheap)
+    val jd = li.select($"l_returnflag", $"l_orderkey", $"l_linenumber").join(dim, Seq("l_returnflag"))
+    assert(j.count() == jd.count())
+    assert(j.exceptAll(jd).isEmpty && jd.exceptAll(j).isEmpty)
+  }
+
   test("salted plan spreads a key over multiple pre-aggregation groups") {
     // A single hot key: every row the same group. Direct agg funnels into
     // one reducer; the salted phase-1 must produce multiple partials.
