@@ -88,6 +88,15 @@ object TextFunctions {
   def simhashShingle30(c: Column, n: Int): Column =
     toCol(graft.plans.Simhash30Expr(toExpr(c), n))
 
+  /** 60-bit SimHash over distinct n-gram shingle hashes — the hamming-LSH
+    * banding signature. Bits 0..29 vote over the shingle hash, bits 30..59
+    * over an LCG-derived second hash ([[graft.plans.TextHash.simhash60]]).
+    * 60 bits band as 4×15 (32 768 values per band) where 30 bits could only
+    * band as 3×10 (1 024) — the band space, not the signature quality, is
+    * what bounds candidate-join blowup at corpus scale. */
+  def simhashShingle60(c: Column, n: Int): Column =
+    toCol(graft.plans.Simhash60Expr(toExpr(c), n))
+
   /** Interpreted HOF reference implementations (parity tests only). */
   object hof {
     /** Note: Spark sequence(1, 0) counts DOWN ([1, 0]), hence the
@@ -119,6 +128,34 @@ object TextFunctions {
             (s, h) => s + (floor(h / pow(lit(2.0), j)).cast("long") % lit(2L)) * lit(2L) - lit(1L))
           acc + when(bitSum >= 0, floor(pow(lit(2.0), j)).cast("long")).otherwise(lit(0L))
         })
+    }
+
+    def simhash60(c: Column): Column = {
+      val hs = array_distinct(transform(tokens(c), t => charHash(t)))
+      val lo = aggregate(
+        sequence(lit(0), lit(29)),
+        lit(0L),
+        (acc, j) => {
+          val bitSum = aggregate(
+            hs,
+            lit(0L),
+            (s, h) => s + (floor(h / pow(lit(2.0), j)).cast("long") % lit(2L)) * lit(2L) - lit(1L))
+          acc + when(bitSum >= 0, floor(pow(lit(2.0), j)).cast("long")).otherwise(lit(0L))
+        })
+      val hi = aggregate(
+        sequence(lit(0), lit(29)),
+        lit(0L),
+        (acc, j) => {
+          val bitSum = aggregate(
+            hs,
+            lit(0L),
+            (s, h) => {
+              val h2 = (lit(graft.plans.TextHash.Lcg60A) * h + lit(graft.plans.TextHash.Lcg60C)) % lit(MinhashMod)
+              s + (floor(h2 / pow(lit(2.0), j)).cast("long") % lit(2L)) * lit(2L) - lit(1L)
+            })
+          acc + when(bitSum >= 0, floor(pow(lit(2.0), j + lit(30))).cast("long")).otherwise(lit(0L))
+        })
+      lo + hi
     }
 
     def minhashSignature(c: Column, k: Int): Column = {

@@ -65,6 +65,13 @@ object GraftExtensions {
         arity("graft_simhash", args, 2)
         Simhash30Expr(args.head, litInt("graft_simhash", "n", args(1)))
       }),
+    ("graft_simhash60",
+      info("graft_simhash60",
+        "graft_simhash60(str, n) - 60-bit SimHash over n-gram shingles (hamming-LSH banding signature)"),
+      (args: Seq[Expression]) => {
+        arity("graft_simhash60", args, 2)
+        Simhash60Expr(args.head, litInt("graft_simhash60", "n", args(1)))
+      }),
     ("graft_dot",
       info("graft_dot", "graft_dot(a, b) - float-vector dot product"),
       (args: Seq[Expression]) => { arity("graft_dot", args, 2); DotProductExpr(args(0), args(1)) }),

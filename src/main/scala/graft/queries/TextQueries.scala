@@ -71,6 +71,11 @@ object TextQueries {
     * (fixture: zero) buckets. */
   private val LshMaxBucket = 10000
 
+  /** Per-(band,value) cap for the SimHash hamming-LSH query — organic max
+    * bucket at sf1 is 71, so 200 never binds on non-degenerate data while
+    * bounding candidate pairs linearly (see SimhashOps hazard 3). */
+  private val SimhashMaxBucket = 200
+
   /** PII patterns (q82), restricted to syntax Java regex and RE2 (DuckDB)
     * interpret identically — no backreferences, no lookaround. */
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -185,30 +190,22 @@ object TextQueries {
         col("doc_id"), simhash30(col("text")).as("simhash"))
     }),
 
-    // E71 SimHash near-dup pairs via hamming-LSH banding: the 30-bit
-    // bigram-shingle SimHash is split into 3 bands of 10 bits; docs
-    // sharing any band value are candidates, then the exact hamming
-    // distance filters to ≤ 3. Same keyed-join-never-cross-join shape as
-    // q48; bigram shingles (not unigram tokens) because the fixture's
-    // small vocabulary makes token-set SimHashes cluster into one
-    // near-identical blob. 3 bands ⇒ pairs with ≤ 2 differing bits are
-    // guaranteed candidates (pigeonhole); beyond that, standard LSH recall.
+    // E71 SimHash near-dup pairs via hamming-LSH banding: 60-bit
+    // bigram-shingle SimHash split into 4 bands of 15 bits; docs sharing
+    // any band value are candidates, then the exact hamming distance
+    // filters to ≤ 6. Same keyed-join-never-cross-join shape as q48.
+    // Bigram shingles (not unigram tokens) because the fixture's small
+    // vocabulary makes token-set SimHashes cluster into one near-identical
+    // blob; 60 bits (not 30) because 10-bit bands saturate at corpus scale
+    // — the round-5 sf1 measurement caught candidate pairs growing O(n²)
+    // (58 k → 5.9 M for 10× data). 4 bands ⇒ pairs with ≤ 3 differing bits
+    // are guaranteed candidates (pigeonhole); beyond that, standard LSH
+    // recall. Short-doc filter + per-bucket cap + overflow metric live in
+    // the operator ([[graft.operators.SimhashOps]]), like LshOps.
     "q84_simhash_neardup" -> ((s, dir) => {
-      val sigs = t(s, dir, "documents")
-        .select(col("doc_id"), simhashShingle30(col("text"), 2).as("sh"))
-        .persist()
-      sigs.count() // eager: simhash computes once, no self-join cache race
-      val bands = sigs.select(col("doc_id"), col("sh"), posexplode(array(
-        col("sh").bitwiseAND(lit(1023L)),
-        shiftright(col("sh"), 10).bitwiseAND(lit(1023L)),
-        shiftright(col("sh"), 20).bitwiseAND(lit(1023L)))).as(Seq("b", "bv")))
-      val a = bands.select(col("b"), col("bv"), col("doc_id").as("doc_a"), col("sh").as("sha"))
-      val b2 = bands.select(col("b"), col("bv"), col("doc_id").as("doc_b"), col("sh").as("shb"))
-      a.join(b2, Seq("b", "bv")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sha"), col("shb")).distinct()
-        .select(col("doc_a"), col("doc_b"),
-          hamming30(col("sha"), col("shb")).cast("int").as("hamming"))
-        .filter(col("hamming") <= 3)
+      val banded = graft.operators.SimhashOps.bandedSimhash(
+        t(s, dir, "documents"), "text", "doc_id", 2, SimhashMaxBucket)
+      graft.operators.SimhashOps.neardupPairs(banded.bands, "doc_id", 6)
     }),
 
     // n-gram Jaccard similarity on a bounded subset: candidate pairs meet
@@ -527,27 +524,30 @@ object TextQueries {
             SELECT doc_id,
               CAST(list_sum(list_transform(range(0, 30), j ->
                 CASE WHEN list_sum(list_transform(hs, h ->
-                       (CAST(floor(h / power(2, j)) AS BIGINT) % 2) * 2 - 1)) >= 0
-                     THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END))
+                       ((h >> j) & 1) * 2 - 1)) >= 0
+                     THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+                AS BIGINT)
+              + CAST(list_sum(list_transform(range(0, 30), j ->
+                CASE WHEN list_sum(list_transform(hs, h ->
+                       ((((h * 1103515245 + 12345) % 2147483647) >> j) & 1) * 2 - 1)) >= 0
+                     THEN (CAST(1 AS BIGINT) << (j + 30)) ELSE CAST(0 AS BIGINT) END))
                 AS BIGINT) AS sh
             FROM (SELECT doc_id,
                     list_distinct(list_transform(${shingleStrSql(2)}, g -> ${charHashSql("g")})) AS hs
-                  FROM (SELECT doc_id, $TokSql AS toks FROM documents))),
+                  FROM (SELECT doc_id, $TokSql AS toks FROM documents)
+                  WHERE len(toks) >= 2)),
           bands AS (
-            SELECT doc_id, sh, b, (sh >> (10 * b)) & 1023 AS bv
-            FROM s, unnest(range(0, 3)) AS u(b)),
+            SELECT doc_id, sh, b, (sh >> (15 * b)) & 32767 AS bv
+            FROM s, unnest(range(0, 4)) AS u(b)
+            QUALIFY count(*) OVER (PARTITION BY b, bv) <= $SimhashMaxBucket),
           cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
                    a.sh AS sha, b2.sh AS shb
             FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv
             WHERE a.doc_id < b2.doc_id)
-          SELECT doc_a, doc_b, hamming FROM (
-            SELECT doc_a, doc_b,
-              CAST(list_sum(list_transform(range(0, 30), j ->
-                CASE WHEN ((sha >> j) & 1) <> ((shb >> j) & 1)
-                     THEN 1 ELSE 0 END)) AS INT) AS hamming
-            FROM cand)
-          WHERE hamming <= 3""",
+          SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+          FROM cand
+          WHERE bit_count(xor(sha, shb)) <= 6""",
     "q50_ngram_jaccard" ->
       s"""WITH grams AS (
             SELECT doc_id, unnest(list_distinct(

@@ -31,6 +31,23 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("Simhash60Expr == HOF simhash60") {
+    val diff = docs.select(
+      TextFunctions.simhashShingle60($"text", 1).as("native"),
+      TextFunctions.hof.simhash60($"text").as("ref"))
+      .filter($"native" =!= $"ref").count()
+    assert(diff == 0L)
+  }
+
+  test("simhash60 low 30 bits == simhash30 (shared bit construction)") {
+    val diff = docs.select(
+      (TextFunctions.simhashShingle60($"text", 2).bitwiseAND(lit((1L << 30) - 1)))
+        .as("lo"),
+      TextFunctions.simhashShingle30($"text", 2).as("ref"))
+      .filter($"lo" =!= $"ref").count()
+    assert(diff == 0L)
+  }
+
   test("MinhashShingleSig(n=1) == HOF unigram minhashSignature") {
     val diff = docs.select(
       TextFunctions.minhashShingleSignature($"text", 16, 1).as("native"),

@@ -74,4 +74,15 @@ class TextHashPropertySpec extends AnyFunSuite {
       v >= 0L && v < (1L << 30) && TextHash.simhash30(hs.distinct) == TextHash.simhash30(hs.distinct)
     })
   }
+
+  test("simhash60 stays within 60 bits and its low half IS simhash30") {
+    val hashes = Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000000006L)).map(_.toArray)
+    run("simhash60", Prop.forAll(hashes) { hs =>
+      val v = TextHash.simhash60(hs)
+      // Bits 0..29 use the identical majority vote as simhash30, so the low
+      // half must agree exactly; bits 30..59 come from the LCG-derived hash.
+      v >= 0L && v < (1L << 60) &&
+        (v & ((1L << 30) - 1)) == TextHash.simhash30(hs)
+    })
+  }
 }
