@@ -44,8 +44,16 @@ object Bench {
         System.err.println(s"[bench] warm-up failed (q01 will absorb init): ${e.getMessage}")
     }
     // Fixed name order so per-query timings are comparable across rounds.
+    // SPARK_GRAFT_QUERIES (comma-separated full names or qNN prefixes)
+    // restricts the run — the scale-measurement path (BASELINE.md round 5)
+    // times the heavy-tail subset at sf1 without paying for the corpus.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(s => s.contains(n) || s.contains(n.takeWhile(_ != '_')))
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val runs = (1 to Runs).map { _ =>
         val gc0 = gcMillis()
         val t0 = System.nanoTime()
