@@ -89,22 +89,26 @@ object Connectors {
       props: Map[String, String] = Map.empty,
       partitionColumn: Option[String] = None,
       numPartitions: Int = 8) extends Source {
+    /** The bounds-probe SQL, dialect-quoted. Spark creates tables with
+      * quoted column identifiers, so an unquoted column would be
+      * case-folded by databases like Derby/Postgres and not resolve; the
+      * table name stays unquoted (created unquoted → case-folded by the
+      * database). Factored out so JdbcDialectSpec can pin the generated
+      * SQL per dialect (MySQL backticks vs Postgres double quotes). */
+    def boundsQuery(table: String, pc: String): String = {
+      val q = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier _
+      s"SELECT MIN(${q(pc)}) lo, MAX(${q(pc)}) hi FROM $table"
+    }
+
     def read(spark: SparkSession, table: String): DataFrame = {
       val base = spark.read.format("jdbc")
         .option("url", url).option("dbtable", table)
       val withProps = props.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
       partitionColumn match {
         case Some(pc) =>
-          // Bounds probe is one tiny aggregate pushed to the source. Quote
-          // via the JDBC dialect: Spark creates tables with quoted
-          // identifiers, so an unquoted column would be case-folded by
-          // databases like Derby/Postgres and not resolve.
-          val q = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier _
+          // Bounds probe is one tiny aggregate pushed to the source.
           val bounds = spark.read.format("jdbc").option("url", url)
-            // Table name stays unquoted (created unquoted → case-folded by
-            // the database); only columns are created quoted by Spark.
-            .option("query",
-              s"SELECT MIN(${q(pc)}) lo, MAX(${q(pc)}) hi FROM $table")
+            .option("query", boundsQuery(table, pc))
             .load().collect().headOption
           bounds match {
             case Some(r) if !r.isNullAt(0) =>
