@@ -49,20 +49,26 @@ object GenScale {
     abs(xxhash64((lit(42L) +: lit(tag) +: cols): _*))
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: GenScale <sf> <outDir>")
+    require(args.length == 2 || args.length == 3,
+      "usage: GenScale <sf> <outDir> [tables]  (tables: comma list of lineitem,documents; default both)")
     val sf = args(0).toDouble
     val out = args(1)
+    val tables =
+      if (args.length == 3) args(2).split(",").map(_.trim).toSet
+      else Set("lineitem", "documents")
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val files = math.max(1, (32 * sf).toInt)
-    genLineitem(spark, sf).repartition(files)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
-    genDocuments(spark, sf).repartition(math.max(1, files / 2))
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
-    println(s"[genscale] wrote lineitem + documents at sf=$sf to $out")
+    if (tables("lineitem"))
+      genLineitem(spark, sf).repartition(files)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+    if (tables("documents"))
+      genDocuments(spark, sf).repartition(math.max(1, files / 2))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    println(s"[genscale] wrote ${tables.mkString("+")} at sf=$sf to $out")
     spark.stop()
   }
 
