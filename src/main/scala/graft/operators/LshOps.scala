@@ -27,6 +27,19 @@ import org.apache.spark.sql.functions._
   *     join did not have to materialize; members of a bucket that hot are
   *     boilerplate-identical and better handled by exact dedup upstream.
   *
+  * A third regime is controlled by a PARAMETER, not code: on a
+  * bounded-vocabulary corpus the shingle UNIVERSE (vocabulary^shingleN)
+  * must stay well above the document count, or MinHash order statistics
+  * concentrate on globally-common shingles and band values saturate —
+  * candidate pairs then grow n²/B exactly like SimhashOps hazard 3.
+  * Measured (round 5, BASELINE.md §round-5): 500 k docs over a 31-word
+  * vocabulary with shingleN=3 (≈30 k possible shingles) produce 61.7 M
+  * band-join pairs and a junk-dominated candidate set; shingleN=5
+  * (≈28.6 M possible shingles) on the same corpus produces 68 k. Grow
+  * shingleN when vocabulary^shingleN ≲ ~100× corpus size; the cap is the
+  * backstop that bounds the join and reports saturation, not the primary
+  * control.
+  *
   * The banded frame is persisted and materialized EAGERLY (the signature
   * computation is the dominant cost and must run once, not once per
   * self-join side — and eager materialization means the two join sides can
