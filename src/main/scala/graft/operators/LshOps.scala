@@ -50,8 +50,22 @@ object LshOps {
 
   /** @param bands   capped banded frame: (idCol, b, bh)
     * @param overflowBuckets number of (band, hash) buckets dropped by the cap
+    * @param bandRows        total (doc, band) rows before the cap
+    * @param distinctBuckets number of distinct (band, value) buckets
     */
-  final case class Banded(bands: DataFrame, overflowBuckets: Long)
+  final case class Banded(
+      bands: DataFrame,
+      overflowBuckets: Long,
+      bandRows: Long,
+      distinctBuckets: Long) {
+    /** Mean bucket occupancy = bandRows / distinctBuckets. Near 1 in the
+      * selective regime; growing with the corpus means the band-value
+      * space is SATURATING (hazard 3 above — candidate pairs are heading
+      * to n²/B) and `shingleN` should grow. Callers get the warning as a
+      * number instead of discovering it at 100× scale. */
+    def meanOccupancy: Double =
+      if (distinctBuckets == 0L) 0.0 else bandRows.toDouble / distinctBuckets
+  }
 
   /** Explode docs into capped (id, band, bandHash) rows, ready for the
     * candidate-pair self-join. One shuffle on (b, bh) for the bucket-size
@@ -80,12 +94,22 @@ object LshOps {
       // partitioning the self-join will use.
       .withColumn("_graft_bn", count(lit(1)).over(Window.partitionBy(col("b"), col("bh"))))
       .persist()
-    // This count is the eager materialization AND the overflow metric in
-    // one cheap job: signatures compute exactly once, before any join side
-    // can race on the cache.
-    val overflow = exploded.filter(col("_graft_bn") > maxBucket)
-      .select(col("b"), col("bh")).distinct().count()
-    Banded(exploded.filter(col("_graft_bn") <= maxBucket).drop("_graft_bn"), overflow)
+    // This aggregate is the eager materialization AND all three health
+    // metrics in one cheap job (signatures compute exactly once, before
+    // any join side can race on the cache): one row per (band, value)
+    // bucket, then overflow count, row count, and bucket count together.
+    val stats = exploded
+      .select(col("b"), col("bh"), col("_graft_bn").as("c")).distinct()
+      .agg(
+        sum(when(col("c") > maxBucket, 1L).otherwise(0L)),
+        sum(col("c")),
+        count(lit(1)))
+      .head()
+    Banded(
+      exploded.filter(col("_graft_bn") <= maxBucket).drop("_graft_bn"),
+      overflowBuckets = if (stats.isNullAt(0)) 0L else stats.getLong(0),
+      bandRows = if (stats.isNullAt(1)) 0L else stats.getLong(1),
+      distinctBuckets = stats.getLong(2))
   }
 
   /** Distinct candidate pairs (a < b) from a banded frame: docs sharing any

@@ -40,8 +40,21 @@ object SimhashOps {
 
   /** @param bands capped banded frame: (idCol, sh, b, bv)
     * @param overflowBuckets number of (band, value) buckets dropped by the cap
+    * @param bandRows        total (doc, band) rows before the cap
+    * @param distinctBuckets number of distinct (band, value) buckets
     */
-  final case class Banded(bands: DataFrame, overflowBuckets: Long)
+  final case class Banded(
+      bands: DataFrame,
+      overflowBuckets: Long,
+      bandRows: Long,
+      distinctBuckets: Long) {
+    /** Mean bucket occupancy — the saturation gauge (see LshOps.Banded):
+      * growing with the corpus means the 15-bit band space is filling and
+      * candidate pairs are heading to n²/B; the cap then bounds the join
+      * while this number tells the caller WHY buckets are hot. */
+    def meanOccupancy: Double =
+      if (distinctBuckets == 0L) 0.0 else bandRows.toDouble / distinctBuckets
+  }
 
   /** Explode docs into capped (id, signature, band, bandValue) rows.
     * One shuffle on (b, bv) for the bucket-size window; the downstream
@@ -69,11 +82,22 @@ object SimhashOps {
       // partitioning the self-join will use.
       .withColumn("_graft_bn", count(lit(1)).over(Window.partitionBy(col("b"), col("bv"))))
       .persist()
-    // Eager materialization AND the overflow metric in one job: signatures
-    // compute exactly once, before any join side can race on the cache.
-    val overflow = exploded.filter(col("_graft_bn") > maxBucket)
-      .select(col("b"), col("bv")).distinct().count()
-    Banded(exploded.filter(col("_graft_bn") <= maxBucket).drop("_graft_bn"), overflow)
+    // Eager materialization AND all three health metrics in one job
+    // (signatures compute exactly once, before any join side can race on
+    // the cache): one row per (band, value) bucket, then overflow count,
+    // row count, and bucket count together.
+    val stats = exploded
+      .select(col("b"), col("bv"), col("_graft_bn").as("c")).distinct()
+      .agg(
+        sum(when(col("c") > maxBucket, 1L).otherwise(0L)),
+        sum(col("c")),
+        count(lit(1)))
+      .head()
+    Banded(
+      exploded.filter(col("_graft_bn") <= maxBucket).drop("_graft_bn"),
+      overflowBuckets = if (stats.isNullAt(0)) 0L else stats.getLong(0),
+      bandRows = if (stats.isNullAt(1)) 0L else stats.getLong(1),
+      distinctBuckets = stats.getLong(2))
   }
 
   /** Distinct near-dup pairs (a < b) within `maxHamming` over the 60-bit

@@ -35,6 +35,28 @@ class LshOpsSpec extends AnyFunSuite {
     assert(LshOps.purgeList(banded.bands, "doc_id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("meanOccupancy flags band-space saturation on a bounded-vocabulary corpus") {
+    // Hazard 3: 3000 DISTINCT docs drawn from a 5-word vocabulary — the
+    // 3-shingle universe is 5^3 = 125, so MinHash order statistics
+    // concentrate and buckets fill long before any single bucket is
+    // boilerplate-hot. The occupancy gauge must say so.
+    val vocab = Array("va", "vb", "vc", "vd", "ve")
+    def doc(i: Long) = (0 until 12)
+      .map(j => vocab((math.abs(i * 2654435761L + j * 40503L + i * j) % 5).toInt))
+      .mkString(" ")
+    val saturated = LshOps.bandedMinhash(
+      (1L to 3000L).map(i => (i, doc(i))).toDF("doc_id", "text"), "text", "doc_id")
+    assert(saturated.meanOccupancy > 10.0,
+      s"saturated corpus not flagged: occupancy=${saturated.meanOccupancy}")
+    // A diverse corpus (per-doc vocabulary) stays near 1 — no false alarm.
+    val diverse = LshOps.bandedMinhash(
+      (1L to 3000L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e")).toDF("doc_id", "text"),
+      "text", "doc_id")
+    assert(diverse.meanOccupancy < 1.5,
+      s"diverse corpus false-flagged: occupancy=${diverse.meanOccupancy}")
+    assert(diverse.bandRows == 4L * 3000L && diverse.distinctBuckets > 0L)
+  }
+
   test("hot bucket over the cap is dropped and reported, cool buckets survive") {
     // 50 identical long docs -> one bucket of 50 in each of the 4 bands.
     val hot = (1L to 50L).map(i => (i, "one two three four five six seven")).toDF("doc_id", "text")

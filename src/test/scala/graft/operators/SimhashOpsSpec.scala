@@ -24,6 +24,25 @@ class SimhashOpsSpec extends AnyFunSuite {
     assert(banded.overflowBuckets == 0L, "filtered docs must not count as overflow")
   }
 
+  test("meanOccupancy flags band-space saturation on a bounded-vocabulary corpus") {
+    // Same hazard-3 gauge as LshOps: distinct docs over a 5-word
+    // vocabulary concentrate the bigram-shingle SimHash, filling the
+    // 15-bit band space; a per-doc-vocabulary corpus stays near 1.
+    val vocab = Array("va", "vb", "vc", "vd", "ve")
+    def doc(i: Long) = (0 until 12)
+      .map(j => vocab((math.abs(i * 2654435761L + j * 40503L + i * j) % 5).toInt))
+      .mkString(" ")
+    val saturated = SimhashOps.bandedSimhash(
+      (1L to 3000L).map(i => (i, doc(i))).toDF("doc_id", "text"), "text", "doc_id")
+    assert(saturated.meanOccupancy > 10.0,
+      s"saturated corpus not flagged: occupancy=${saturated.meanOccupancy}")
+    val diverse = SimhashOps.bandedSimhash(
+      (1L to 3000L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e")).toDF("doc_id", "text"),
+      "text", "doc_id")
+    assert(diverse.meanOccupancy < 2.0,
+      s"diverse corpus false-flagged: occupancy=${diverse.meanOccupancy}")
+  }
+
   test("hot bucket over the cap is dropped and reported, cool buckets survive") {
     // 50 identical docs → one bucket of 50 in each of the 4 bands.
     val hot = (1L to 50L).map(i => (i, "one two three four five six seven")).toDF("doc_id", "text")
