@@ -1,10 +1,12 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCoercion
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.DataType
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Explicit bloom-filter join prefilter (SURVEY §2.3 E79) — the runtime-
@@ -32,29 +34,75 @@ import org.apache.spark.util.sketch.BloomFilter
   * (`spark.sql.optimizer.runtime.bloomFilter.*`) only triggers on
   * statistics it can see; this operator is the explicit, always-available
   * form.
+  *
+  * Key typing: the filter accepts ANY key type — `XxHash64` hashes every
+  * Catalyst type. But the hash is physical-type-sensitive
+  * (`xxhash64(5: int) ≠ xxhash64(5L)`), so when the fact and dim key types
+  * differ BOTH sides are cast to the join's own wider common type before
+  * hashing — the same coercion the equi-join applies to its keys, which is
+  * exactly the invariant that guarantees "equal after join coercion ⇒ equal
+  * hash ⇒ no false negatives". (An earlier revision cast every key to
+  * `long`, which silently turned string keys into NULLs and dropped every
+  * fact row; see BloomOpsSpec's string-key case.)
+  *
+  * NULL semantics: a bloom filter holds key values, and SQL equi-joins
+  * never match on NULL, so NULL dim keys are excluded from the build and
+  * NULL fact keys are dropped by the probe (`key IS NOT NULL AND
+  * might_contain(...)`). Without the explicit guards, `XxHash64` would
+  * pass NULLs through as the seed value and a NULL fact key would "match"
+  * a NULL dim key — a row the exact join would never produce.
   */
 object BloomOps {
 
+  private val MaxItemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+  private val MaxBitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+
+  /** The wider common type the equi-join itself would coerce both keys to.
+    * Hashing after this cast keeps the build and probe hashes comparable
+    * for any pair of joinable key types. */
+  private def joinKeyType(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String): DataType = {
+    val ft = fact.schema(factKey).dataType
+    val dt = dim.schema(dimKey).dataType
+    if (ft == dt) ft
+    else TypeCoercion.findWiderTypeForTwo(ft, dt).getOrElse(
+      throw new IllegalArgumentException(
+        s"bloom prefilter keys are not joinable: $factKey is $ft, $dimKey is $dt"))
+  }
+
   /** The dim side's key set as a serialized bloom filter (one distributed
-    * aggregate; partials merge map-side). Keys are hashed as
-    * `xxhash64(cast(key as long))` — the probe must use the identical
-    * hash, which [[bloomSemiFilter]] does. */
+    * aggregate; partials merge map-side). NULL keys are excluded — the
+    * exact join can never match them. `BloomFilterAggregate` silently
+    * clamps its size to the session's runtime-filter limits (4M items /
+    * 64M bits by default), which would degrade the realized fpp for dims
+    * beyond ~4M keys, so the limits are raised for the build when
+    * `expectedItems` needs it and restored after. */
   private def buildFilter(
       dim: DataFrame,
       dimKey: String,
+      keyType: DataType,
       expectedItems: Long,
       fpp: Double): Array[Byte] = {
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
-    val hashed = new XxHash64(Seq(ColumnBridge.expression(col(dimKey).cast("long"))))
+    val hashed = new XxHash64(Seq(ColumnBridge.expression(col(dimKey).cast(keyType))))
     val agg = new BloomFilterAggregate(hashed, Literal(expectedItems), Literal(numBits))
       .toAggregateExpression()
-    dim.select(ColumnBridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+    val conf = dim.sparkSession.conf
+    val (prevItems, prevBits) = (conf.get(MaxItemsConf), conf.get(MaxBitsConf))
+    try {
+      if (expectedItems > prevItems.toLong) conf.set(MaxItemsConf, expectedItems.toString)
+      if (numBits > prevBits.toLong) conf.set(MaxBitsConf, numBits.toString)
+      dim.filter(col(dimKey).isNotNull)
+        .select(ColumnBridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+    } finally {
+      conf.set(MaxItemsConf, prevItems)
+      conf.set(MaxBitsConf, prevBits)
+    }
   }
 
   /** `fact` reduced to rows whose `factKey` is PROBABLY in `dim.dimKey`
     * (no false negatives; ≈`fpp` false positives). The predicate is the
     * native `might_contain` — codegen'd, so the fact scan's whole-stage
-    * span survives. NULL keys never match (a bloom filter holds no null). */
+    * span survives. NULL fact keys never match (SQL join semantics). */
   def bloomSemiFilter(
       fact: DataFrame,
       factKey: String,
@@ -62,11 +110,12 @@ object BloomOps {
       dimKey: String,
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
-    val bytes = buildFilter(dim, dimKey, expectedItems, fpp)
+    val keyType = joinKeyType(fact, factKey, dim, dimKey)
+    val bytes = buildFilter(dim, dimKey, keyType, expectedItems, fpp)
     val probe = BloomFilterMightContain(
       Literal(bytes),
-      new XxHash64(Seq(ColumnBridge.expression(col(factKey).cast("long")))))
-    fact.filter(ColumnBridge.column(probe))
+      new XxHash64(Seq(ColumnBridge.expression(col(factKey).cast(keyType)))))
+    fact.filter(col(factKey).isNotNull && ColumnBridge.column(probe))
   }
 
   /** Exact inner join with the bloom prefilter applied to the fact side

@@ -36,6 +36,57 @@ class BloomOpsSpec extends AnyFunSuite {
       s"prefilter too weak: kept=$keptN match=$matchN total=$total")
   }
 
+  test("string keys: no false negatives (the cast-to-long revision dropped every row)") {
+    // c_mktsegment is a genuine string key: the old probe hashed
+    // cast(key as long) = NULL, built an empty filter, and silently
+    // dropped ALL fact rows. The raw-typed hash must keep every match.
+    val fact = Tables(spark, TestSpark.sfDir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val dim = fact.select($"c_mktsegment".as("seg")).distinct().limit(2)
+    val plain = fact.join(dim, $"c_mktsegment" === $"seg", "left_semi")
+      .select($"c_custkey").collect().map(_.getLong(0)).toSet
+    val kept = BloomOps.bloomSemiFilter(fact, "c_mktsegment", dim, "seg", 100L)
+      .select($"c_custkey").collect().map(_.getLong(0)).toSet
+    assert(plain.nonEmpty, "fixture should produce matches")
+    assert(plain.subsetOf(kept), s"false negatives: ${(plain -- kept).size} matches dropped")
+  }
+
+  test("mixed int/long key types hash on the join's common type — still exact") {
+    // xxhash64(5: int) != xxhash64(5L); both sides must be coerced to the
+    // join's wider type before hashing or true matches vanish.
+    val fact = spark.range(0, 1000).select($"id".cast("int").as("k"), $"id".as("v"))
+    val dim = spark.range(0, 1000, 7).select($"id".as("dk")) // long keys
+    val plain = fact.join(dim, $"k" === $"dk", "left_semi")
+      .select($"v").collect().map(_.getLong(0)).toSet
+    val kept = BloomOps.bloomSemiFilter(fact, "k", dim, "dk", 200L)
+      .select($"v").collect().map(_.getLong(0)).toSet
+    assert(plain.nonEmpty && plain.subsetOf(kept),
+      s"false negatives across types: ${(plain -- kept).size} dropped")
+  }
+
+  test("NULL keys follow SQL join semantics: never match, never pollute the filter") {
+    val fact = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("z")))
+      .toDF("id", "k")
+    val dim = Seq(Some("a"), None, Some("c")).toDF("dk")
+    val plain = fact.join(dim, $"k" === $"dk", "left_semi")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val kept = BloomOps.bloomSemiFilter(fact, "k", dim, "dk", 10L)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    // Exactness on matches, and — the contract the scaladoc states — the
+    // NULL fact row (id=3) must NOT survive via the null-hashes-as-seed path.
+    assert(plain.subsetOf(kept))
+    assert(!kept.contains(3L), "NULL fact key matched a NULL dim key")
+  }
+
+  test("incompatible key types are rejected loudly, not silently empty") {
+    val fact = Seq((1L, Array[Byte](1, 2))).toDF("id", "k")
+    val dim = Seq(Tuple1(java.sql.Date.valueOf("2024-01-01"))).toDF("dk")
+    val e = intercept[IllegalArgumentException] {
+      BloomOps.bloomSemiFilter(fact, "k", dim, "dk", 10L)
+    }
+    assert(e.getMessage.contains("not joinable"))
+  }
+
   test("native probe keeps the fact scan inside whole-stage codegen") {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.execution.{FilterExec, WholeStageCodegenExec}
