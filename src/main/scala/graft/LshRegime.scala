@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** LSH shingle-regime probe: `runMain graft.LshRegime <docsDir> [headroom]`.
+  *
+  * Runs [[graft.operators.LshOps.bandedMinhashAuto]] over a `documents`
+  * parquet table (e.g. a `GenScale` output) and prints one JSON line with
+  * the regime evidence: the auto-chosen `shingleN`, the vocabulary/doc
+  * counts it was derived from, band-join pair count, mean bucket occupancy,
+  * and wall seconds. This is the no-manual-knob re-run of the round-5 sf10
+  * saturation measurement (BASELINE.md §round-5 second decade): the
+  * operator itself now picks the shingle width that round 5 had to find by
+  * hand, and the printed `bandPairs` shows whether the join stayed in the
+  * selective (near-linear) regime.
+  */
+object LshRegime {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: LshRegime <docsDir> [headroom]")
+    val dir = args(0)
+    val headroom = if (args.length > 1) args(1).toDouble else 100.0
+    val cpus = GraftSession.defaultCpus
+    val spark = GraftSession.builder(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val auto = graft.operators.LshOps.bandedMinhashAuto(
+      docs, "text", "doc_id", headroom = headroom)
+    // Band-join pair count = sum over buckets of C(size, 2) — the size of
+    // the self-join the candidate stage would materialize.
+    val pairs = auto.banded.bands
+      .groupBy(col("b"), col("bh")).agg(count(lit(1)).as("c"))
+      .agg(sum((col("c") * (col("c") - 1) / 2).cast("long"))).head().getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"metric":"lsh_regime","shingleN":${auto.shingleN},"vocab":${auto.vocabEstimate},""" +
+        f""""docs":${auto.docCount},"bandPairs":$pairs,"meanOccupancy":${auto.banded.meanOccupancy}%.3f,""" +
+        f""""overflowBuckets":${auto.banded.overflowBuckets},"secs":$secs%.2f}""")
+    spark.stop()
+  }
+}

@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   *     join did not have to materialize; members of a bucket that hot are
   *     boilerplate-identical and better handled by exact dedup upstream.
   *
-  * A third regime is controlled by a PARAMETER, not code: on a
+  * A third regime — band-space SATURATION — is closed by
+  * [[bandedMinhashAuto]] (round 6; round 5 left it a manual knob): on a
   * bounded-vocabulary corpus the shingle UNIVERSE (vocabulary^shingleN)
   * must stay well above the document count, or MinHash order statistics
   * concentrate on globally-common shingles and band values saturate —
@@ -35,10 +36,12 @@ import org.apache.spark.sql.functions._
   * Measured (round 5, BASELINE.md §round-5): 500 k docs over a 31-word
   * vocabulary with shingleN=3 (≈30 k possible shingles) produce 61.7 M
   * band-join pairs and a junk-dominated candidate set; shingleN=5
-  * (≈28.6 M possible shingles) on the same corpus produces 68 k. Grow
-  * shingleN when vocabulary^shingleN ≲ ~100× corpus size; the cap is the
-  * backstop that bounds the join and reports saturation, not the primary
-  * control.
+  * (≈28.6 M possible shingles) on the same corpus produces 68 k. The auto
+  * path applies that measured rule (grow shingleN until
+  * vocabulary^shingleN ≳ ~100× corpus size, from a cheap vocab sketch),
+  * then ENFORCES the [[Banded.meanOccupancy]] gauge as the backstop —
+  * failing loudly instead of handing the caller a quadratic join. The
+  * bucket cap remains the last-resort bound for single hot buckets.
   *
   * The banded frame is persisted and materialized EAGERLY (the signature
   * computation is the dominant cost and must run once, not once per
@@ -65,6 +68,104 @@ object LshOps {
       * number instead of discovering it at 100× scale. */
     def meanOccupancy: Double =
       if (distinctBuckets == 0L) 0.0 else bandRows.toDouble / distinctBuckets
+  }
+
+  /** Result of the auto-tuned banding: the capped frame plus the regime
+    * evidence the selection was based on. */
+  final case class AutoBanded(
+      banded: Banded,
+      shingleN: Int,
+      vocabEstimate: Long,
+      docCount: Long)
+
+  /** Smallest `shingleN ≥ minShingleN` whose shingle universe
+    * (`vocab^shingleN`) clears `headroom ×` the document count — the
+    * round-5 measured rule of thumb (BASELINE.md §round-5 second decade):
+    * at 500 k docs over a 31-word vocabulary, 3-gram shingles (universe
+    * ≈ 30 k, 0.06× the corpus) produced 61.7 M quadratic band pairs while
+    * 5-grams (universe ≈ 28.6 M, 57×) produced 68 k. The default headroom
+    * of 100× sits above the measured-good 57× with margin.
+    *
+    * Cost: one `count()` (parquet metadata at best, one scan at worst) and
+    * one `approx_count_distinct` over exploded tokens — both trivially
+    * cheap next to the MinHash signature computation they tune.
+    *
+    * Throws when no `shingleN ≤ maxShingleN` can clear the headroom — a
+    * corpus that large over a vocabulary that small has no meaningful
+    * shingle near-dup structure (unrelated docs legitimately overlap), and
+    * silent junk candidates would be worse than the error. */
+  def autoShingleN(
+      docs: DataFrame,
+      textCol: String,
+      minShingleN: Int = 3,
+      headroom: Double = 100.0,
+      maxShingleN: Int = 8): Int =
+    chooseShingleN(corpusRegime(docs, textCol), minShingleN, headroom, maxShingleN)
+
+  /** (docCount, vocabulary estimate) — the two numbers the shingle-regime
+    * rule needs. */
+  private def corpusRegime(docs: DataFrame, textCol: String): (Long, Long) = {
+    val nDocs = docs.count()
+    if (nDocs == 0L) return (0L, 2L)
+    val vocab = math.max(2L, docs
+      .select(explode(tokens(col(textCol))).as("t"))
+      .agg(approx_count_distinct(col("t"), 0.05)).head().getLong(0))
+    (nDocs, vocab)
+  }
+
+  private def chooseShingleN(
+      regime: (Long, Long),
+      minShingleN: Int,
+      headroom: Double,
+      maxShingleN: Int): Int = {
+    require(minShingleN >= 1 && maxShingleN >= minShingleN && headroom > 0)
+    val (nDocs, vocab) = regime
+    if (nDocs == 0L) return minShingleN
+    val need = headroom * nDocs
+    // universe vocab^n ≥ need  ⇔  n ≥ log(need) / log(vocab)
+    val n = math.max(minShingleN,
+      math.ceil(math.log(need) / math.log(vocab.toDouble)).toInt)
+    if (n > maxShingleN)
+      throw new IllegalStateException(
+        s"LSH shingle universe cannot clear saturation: vocab≈$vocab, docs=$nDocs — " +
+          s"even $maxShingleN-gram shingles give vocab^$maxShingleN = " +
+          f"${math.pow(vocab.toDouble, maxShingleN)}%.3g < ${headroom}%.0f×docs = $need%.3g. " +
+          "Shingle near-dup is not meaningful on this corpus (unrelated docs " +
+          "legitimately overlap); dedup it exactly or enrich the tokenization.")
+    n
+  }
+
+  /** [[bandedMinhash]] with `shingleN` chosen by [[autoShingleN]] and the
+    * occupancy gauge ENFORCED: if the banded frame still saturates
+    * (`meanOccupancy > maxMeanOccupancy`) the call fails loudly with the
+    * measured rule of thumb instead of handing the caller a quadratic
+    * self-join. The gauge can still trip after auto-selection when the
+    * token DISTRIBUTION is far more concentrated than the distinct count
+    * suggests (a heavy-tailed vocabulary has fewer effective shingles than
+    * `vocab^n`). */
+  def bandedMinhashAuto(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 16,
+      minShingleN: Int = 3,
+      nBands: Int = 4,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 10000,
+      headroom: Double = 100.0,
+      maxMeanOccupancy: Double = 8.0): AutoBanded = {
+    val regime @ (nDocs, vocab) = corpusRegime(docs, textCol)
+    val n = chooseShingleN(regime, minShingleN, headroom, maxShingleN = 8)
+    val banded = bandedMinhash(docs, textCol, idCol, k, n, nBands, rowsPerBand, maxBucket)
+    if (banded.meanOccupancy > maxMeanOccupancy) {
+      banded.bands.unpersist()
+      throw new IllegalStateException(
+        f"LSH band space saturated even at shingleN=$n: meanOccupancy=" +
+          f"${banded.meanOccupancy}%.1f > $maxMeanOccupancy%.1f (bandRows=${banded.bandRows}, " +
+          f"buckets=${banded.distinctBuckets}). The effective shingle universe is far " +
+          "smaller than vocab^n (heavy-tailed tokens); grow minShingleN or dedup exactly.")
+    }
+    AutoBanded(banded, n, vocabEstimate = vocab, docCount = nDocs)
   }
 
   /** Explode docs into capped (id, band, bandHash) rows, ready for the

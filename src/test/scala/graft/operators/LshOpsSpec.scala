@@ -57,6 +57,43 @@ class LshOpsSpec extends AnyFunSuite {
     assert(diverse.bandRows == 4L * 3000L && diverse.distinctBuckets > 0L)
   }
 
+  test("auto banding promotes a bounded-vocabulary corpus to wider shingles") {
+    // 3000 DISTINCT docs over a 5-word vocabulary (per-position seeded RNG
+    // -- unlike the gauge test's generator, no two docs are identical).
+    // 3-gram universe = 125 << 3000 docs, so manual shingleN=3 saturates;
+    // the auto path must choose the smallest n with 5^n >= 100 x 3000 =
+    // 3e5, i.e. n = 8 (5^8 = 390 625), restoring the selective regime.
+    val vocab = Array("va", "vb", "vc", "vd", "ve")
+    def doc(i: Long) = {
+      val rng = new scala.util.Random(i * 12289L + 7L)
+      (0 until 12).map(_ => vocab(rng.nextInt(5))).mkString(" ")
+    }
+    val docs = (1L to 3000L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    val auto = LshOps.bandedMinhashAuto(docs, "text", "doc_id")
+    assert(auto.shingleN == 8, s"expected promotion to 8-grams, got ${auto.shingleN}")
+    assert(auto.docCount == 3000L)
+    assert(auto.banded.meanOccupancy <= 8.0,
+      s"auto-promoted frame still saturated: ${auto.banded.meanOccupancy}")
+    // A diverse corpus keeps the requested minimum -- no needless promotion
+    // (wider shingles cost recall on genuinely-near docs).
+    val diverse = LshOps.bandedMinhashAuto(
+      (1L to 3000L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e")).toDF("doc_id", "text"),
+      "text", "doc_id")
+    assert(diverse.shingleN == 3, s"diverse corpus needlessly promoted: ${diverse.shingleN}")
+  }
+
+  test("auto banding fails loudly when no shingle width can clear saturation") {
+    // 2-word vocabulary, 100k docs: 2^8 = 256 << 100x100k -- near-dup via
+    // shingles is meaningless here and the API must say so, not emit junk.
+    val docs = spark.range(1, 100001).selectExpr(
+      "id as doc_id",
+      "concat('x y x y x y x y x y') as text")
+    val e = intercept[IllegalStateException] {
+      LshOps.bandedMinhashAuto(docs.toDF("doc_id", "text"), "text", "doc_id")
+    }
+    assert(e.getMessage.contains("cannot clear saturation"))
+  }
+
   test("hot bucket over the cap is dropped and reported, cool buckets survive") {
     // 50 identical long docs -> one bucket of 50 in each of the 4 bands.
     val hot = (1L to 50L).map(i => (i, "one two three four five six seven")).toDF("doc_id", "text")
