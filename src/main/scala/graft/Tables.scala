@@ -47,4 +47,38 @@ object Tables {
     * use the same names the DuckDB oracle sees. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Materialize an expensive multi-consumer frame exactly once, cutting
+    * the plan so downstream consumers reuse the computed blocks instead of
+    * replicating the subtree (q90's tf frame feeds three consumers; the
+    * unmaterialized plan re-tokenized the corpus per consumer).
+    *
+    * Two modes, selected by `spark.graft.reliableCheckpoint`:
+    *
+    *  - `false` (default — bench / single-node): `localCheckpoint`, blocks
+    *    held by the executors that computed them. No filesystem round-trip,
+    *    but NON-RESILIENT: on a real cluster, losing one executor fails the
+    *    query instead of recomputing its blocks. Right when the caller owns
+    *    retry (a bench harness, a short job) and wrong for anything long.
+    *  - `true` (cluster): reliable `checkpoint` to the fault-tolerant
+    *    filesystem at `spark.graft.checkpointDir` (default: a `graft-ckpt`
+    *    tmpdir — POINT THIS AT HDFS/S3 in a real deployment). Executor loss
+    *    recomputes from durable storage; the right default for multi-hour
+    *    100 TB jobs, at the price of writing the frame out once.
+    *
+    * Both modes return bit-identical data (MaterializeSpec gates q90 across
+    * the toggle); only the failure-recovery story differs. */
+  def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable =
+      spark.conf.getOption("spark.graft.reliableCheckpoint").exists(_.toBoolean)
+    if (!reliable) df.localCheckpoint(true)
+    else {
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(spark.conf.getOption("spark.graft.checkpointDir")
+          .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-ckpt"))
+      df.checkpoint(true)
+    }
+  }
 }

@@ -32,22 +32,35 @@ object ProfileOps {
       exact: Boolean = true,
       rsd: Double = 0.02): DataFrame = {
     require(cols.nonEmpty)
+    // A profiler's whole point is untrusted new sources, so column NAMES
+    // are untrusted input: nothing user-supplied is ever parsed. Input
+    // columns resolve through a backtick-escaped reference, intermediate
+    // aliases are POSITIONAL (_null_0, not _null_<name>), and the unpivot
+    // is built from Column objects (explode of a struct array — same
+    // single-scan, one-row shape as stack) instead of an expr() string a
+    // quoted/backticked name would break out of.
+    def c(name: String) = col(s"`${name.replace("`", "``")}`")
     val n = count(lit(1)).as("_n")
-    val metrics = cols.flatMap { c =>
-      val d = if (exact) count_distinct(col(c)) else approx_count_distinct(col(c), rsd)
+    val metrics = cols.zipWithIndex.flatMap { case (cn, i) =>
+      val d = if (exact) count_distinct(c(cn)) else approx_count_distinct(c(cn), rsd)
       Seq(
-        sum(col(c).isNull.cast("long")).as(s"_null_$c"),
-        d.as(s"_dist_$c"),
-        min(col(c).cast("double")).as(s"_min_$c"),
-        max(col(c).cast("double")).as(s"_max_$c"))
+        sum(c(cn).isNull.cast("long")).as(s"_null_$i"),
+        d.as(s"_dist_$i"),
+        min(c(cn).cast("double")).as(s"_min_$i"),
+        max(c(cn).cast("double")).as(s"_max_$i"))
     }
     val wide = df.agg(n, metrics: _*)
-    val stacked = cols.map(c =>
-      s"'$c', _null_$c, _dist_$c, _min_$c, _max_$c").mkString(", ")
-    wide.select(
-      expr(s"stack(${cols.size}, $stacked) AS (column, n_null, n_distinct, min, max)"),
-      col("_n").as("n"))
-      .select(col("column"), col("n"), col("n_null"), col("n_distinct"),
-        col("min"), col("max"))
+    val unpivot = explode(array(cols.zipWithIndex.map { case (cn, i) =>
+      struct(
+        lit(cn).as("column"),
+        col(s"_null_$i").as("n_null"),
+        col(s"_dist_$i").as("n_distinct"),
+        col(s"_min_$i").as("min"),
+        col(s"_max_$i").as("max"))
+    }: _*))
+    wide.select(unpivot.as("_m"), col("_n").as("n"))
+      .select(col("_m.column").as("column"), col("n"), col("_m.n_null").as("n_null"),
+        col("_m.n_distinct").as("n_distinct"), col("_m.min").as("min"),
+        col("_m.max").as("max"))
   }
 }

@@ -335,15 +335,17 @@ object TextQueries {
       val k1 = 1.2; val b = 0.75
       val docs = t(s, dir, "documents")
       // The tf frame feeds three consumers (corpus stats, doc frequency,
-      // the scoring join): checkpoint it so the corpus is tokenized ONCE
+      // the scoring join): materialize it so the corpus is tokenized ONCE
       // — unpersisted, the plan replicates the explode+agg subtree per
       // consumer (round 4's shuffle-count gate caught exactly that: 13
-      // exchanges, 3 corpus scans).
-      val tf = docs
+      // exchanges, 3 corpus scans). Tables.materialize picks
+      // localCheckpoint (bench) or reliable checkpoint (cluster) from
+      // spark.graft.reliableCheckpoint — see its scaladoc for the
+      // executor-loss tradeoff.
+      val tf = graft.Tables.materialize(docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).cast("double").as("tf"))
-        .localCheckpoint(true)
+        .agg(count(lit(1)).cast("double").as("tf")))
       // Corpus scalars from tf alone: avg doc length = Σtf / #docs (token
       // counts are integer-valued doubles, so the sums are exact and the
       // division matches the oracle's avg() bit-for-bit).

@@ -26,4 +26,21 @@ class ProfileOpsSpec extends AnyFunSuite {
     // column); the HLL path must not — that's its scale point.
     assert(!approxDf.queryExecution.executedPlan.toString.contains("Expand"))
   }
+
+  test("hostile column names (quotes, backticks, dots, spaces) profile cleanly") {
+    // A profiler exists to meet UNTRUSTED new sources; a column name must
+    // never break out of an identifier or an expr() string. These four
+    // names each killed the old stack()-string construction.
+    import spark.implicits._
+    val hostile = Seq((1.0, 2.0, 3.0, Some(4.0)), (5.0, 6.0, 7.0, None))
+      .toDF("it's", "back`tick", "dot.ted", "with space")
+    val names = Seq("it's", "back`tick", "dot.ted", "with space")
+    for (exact <- Seq(true, false)) {
+      val out = ProfileOps.profileNumeric(hostile, names, exact = exact).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(out.keySet == names.toSet, s"exact=$exact: ${out.keySet}")
+      assert(out("it's") == (2L, 0L))
+      assert(out("with space") == (2L, 1L), "null in a hostile-named column miscounted")
+    }
+  }
 }
