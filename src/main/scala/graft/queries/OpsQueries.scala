@@ -20,6 +20,32 @@ object OpsQueries {
   private val q77Ledgers =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Build (once per input dir) and return q77's committed batch-1 ledger.
+    * Synchronized: TrieMap.getOrElseUpdate may run a racing builder twice
+    * and discard one result — harmless for a value, not for a committed
+    * ledger directory on disk. The temp dir is removed on JVM exit (the
+    * parquet files under it appear after createTempDirectory, so a
+    * recursive shutdown-hook delete, not deleteOnExit, is needed).
+    * Bench calls this from its untimed warm-up so run 1 of 3 measures the
+    * same steady-state anti-join as runs 2-3; Verify does NOT, so its
+    * single call still exercises the full write-then-commit protocol. */
+  def ensureQ77Ledger(s: SparkSession, dir: String): String = q77Ledgers.synchronized {
+    q77Ledgers.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_q77_ledger")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: Throwable => () }
+      }))
+      val path = root.resolve("fp").toString
+      val batch1 = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      DedupOps.incrementalDedup(s, batch1, "text", "doc_id", path).commitLedger()
+      path
+    })
+  }
+
   /** charHash(e) SQL — same fold as TextFunctions.charHash (lockstep rule:
     * change both or neither). */
   private def charHashSql(e: String): String =
@@ -41,13 +67,7 @@ object OpsQueries {
     // the full write-then-commitLedger protocol end-to-end.
     "q77_ledger_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val ledger = q77Ledgers.getOrElseUpdate(dir, {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_q77_ledger").resolve("fp").toString
-        val batch1 = docs.filter(col("doc_id") % 2 === 0)
-        DedupOps.incrementalDedup(s, batch1, "text", "doc_id", path).commitLedger()
-        path
-      })
+      val ledger = ensureQ77Ledger(s, dir)
       val batch2 = docs.filter(col("doc_id") % 2 === 1)
       DedupOps.incrementalDedup(s, batch2, "text", "doc_id", ledger)
         .survivors.select(col("doc_id"))
@@ -154,9 +174,9 @@ object OpsQueries {
     // E83's 100 TB path: the same one-scan profile with HLL distinct counts
     // (`exact=false`) — no Expand, so the input is NOT replicated once per
     // profiled column. n / n_null / min / max stay exact; n_distinct is the
-    // sketch estimate, so there is no value-hash oracle (driver records
-    // rows+schema); AccuracySpec bounds the estimate against the exact
-    // count and ProfileOpsSpec gates the plan against the Expand.
+    // sketch estimate, so the oracle (DuckDB's own HLL) gates rows+schema
+    // rather than the value hash; AccuracySpec bounds the estimate against
+    // the exact count and ProfileOpsSpec gates the plan against the Expand.
     "q101_profile_hll" -> ((s, dir) =>
       graft.operators.ProfileOps.profileNumeric(
         Tables.parallel(t(s, dir, "lineitem")),
@@ -262,6 +282,18 @@ object OpsQueries {
             CAST(least(len($toks), 64) AS INT) AS n_tok_out
           FROM k"""
     },
+    // q101: same restatement as q97 but with DuckDB's own HLL sketch for
+    // n_distinct — approx-by-nature, so the driver's rows+schema checks
+    // (not the value hash) are the cross-engine gate; AccuracySpec bounds
+    // the estimates and tools/check.py compares with a tolerance.
+    "q101_profile_hll" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
+            CAST(count(*) - count($c) AS BIGINT) AS n_null,
+            CAST(approx_count_distinct($c) AS BIGINT) AS n_distinct,
+            CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max
+            FROM lineitem""")
+      .mkString("\nUNION ALL\n"),
     // One SELECT per profiled column, stitched with UNION ALL.
     "q97_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .map(c =>

@@ -369,8 +369,9 @@ object RelationalQueries {
           count(lit(1)).as("n_rows"))
     }),
 
-    // E16 approximate distinct (HLL) — no oracle: sketches aren't
-    // cross-engine comparable; the driver records a rows-only check.
+    // E16 approximate distinct (HLL) — sketch values aren't cross-engine
+    // comparable, so the oracle (DuckDB's own approx_count_distinct)
+    // gates rows+schema; AccuracySpec bounds the estimate vs exact.
     "q20_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -589,6 +590,24 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Approx-by-nature oracles (q20/q100): the DuckDB restatement runs its
+    // OWN sketch (approx_count_distinct / quantile_disc), so the value
+    // hash is expected to differ between engines. The oracle exists so the
+    // driver's rows+schema checks run (VERDICT r5 item 6); the VALUES are
+    // tolerance-gated in AccuracySpec against the exact answer, and
+    // tools/check.py compares these queries with a relative tolerance
+    // instead of exact string equality.
+    "q20_approx_distinct" ->
+      """SELECT l_returnflag,
+         CAST(approx_count_distinct(l_partkey) AS BIGINT) AS approx_parts
+         FROM lineitem GROUP BY l_returnflag""",
+    "q100_percentiles_approx" ->
+      """SELECT l_returnflag,
+         quantile_disc(l_extendedprice, 0.25) AS price_p25,
+         quantile_disc(l_extendedprice, 0.5) AS price_p50,
+         quantile_disc(l_extendedprice, 0.75) AS price_p75,
+         quantile_disc(l_quantity, 0.9) AS qty_p90
+         FROM lineitem GROUP BY l_returnflag""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -21,6 +21,39 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+# Approx-by-nature queries: both engines run their OWN sketch
+# (HLL / quantile summary), so numeric values are compared with a relative
+# tolerance instead of exact string equality. Rows, columns, and string
+# key columns still compare exactly. The true value gate for these is
+# AccuracySpec (vs the exact answer); this keeps the local harness honest
+# about rows+schema without hash-failing expected sketch noise.
+APPROX_TOL = {
+    "q20_approx_distinct": 0.15,       # two independent HLLs (rsd 0.05 each)
+    "q100_percentiles_approx": 0.02,   # GK vs t-digest/disc; measured 0.12% @ sf0.01
+    "q101_profile_hll": 0.15,          # HLL n_distinct; n/null/min/max are exact
+}
+
+
+def approx_compare(name, got, exp, tol):
+    import numpy as np
+    keys = sorted(c for c in got.columns if got[c].dtype == object)
+    nums = sorted(c for c in got.columns if c not in keys)
+    g = got.sort_values(by=keys or list(got.columns)).reset_index(drop=True)
+    e = exp.sort_values(by=keys or list(exp.columns)).reset_index(drop=True)
+    for c in keys:
+        if list(g[c]) != list(e[c]):
+            return f"key column {c} differs: {list(g[c])[:5]} vs {list(e[c])[:5]}"
+    for c in nums:
+        gv = g[c].astype(float).to_numpy()
+        ev = e[c].astype(float).to_numpy()
+        denom = np.maximum(np.abs(ev), 1.0)
+        rel = np.abs(gv - ev) / denom
+        if np.any(rel > tol):
+            i = int(np.argmax(rel))
+            return (f"col {c} beyond tol {tol}: rel={rel[i]:.4f} "
+                    f"(spark={gv[i]} oracle={ev[i]})")
+    return None
+
 
 def canon(df):
     import pandas as pd
@@ -63,6 +96,19 @@ def main():
         if gcols != ecols:
             print(f"FAIL  {name}: columns differ: spark={gcols} oracle={ecols}")
             n_fail += 1
+            continue
+        if name in APPROX_TOL:
+            if len(got) != len(exp):
+                print(f"FAIL  {name}: row count {len(got)} vs {len(exp)}")
+                n_fail += 1
+                continue
+            err = approx_compare(name, got, exp, APPROX_TOL[name])
+            if err:
+                print(f"FAIL  {name}: {err}")
+                n_fail += 1
+            else:
+                print(f"PASS  {name} ({len(got)} rows, approx tol={APPROX_TOL[name]})")
+                n_pass += 1
             continue
         g, gs = canon(got)
         e, es = canon(exp)
