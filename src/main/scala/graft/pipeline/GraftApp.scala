@@ -42,10 +42,15 @@ object GraftApp {
       mode: SaveMode = SaveMode.Append,
       parallelism: Int = 4,
       tableTimeout: Duration = Duration.Inf,
-      strict: Boolean = false)
+      strict: Boolean = false,
+      stream: Boolean = false,
+      ledgerDir: Option[String] = None,
+      checkpointDir: Option[String] = None,
+      textCol: String = "text",
+      idCol: String = "doc_id")
 
   /** Valueless flags (presence = true). */
-  private val boolFlags = Set("strict")
+  private val boolFlags = Set("strict", "stream")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -69,9 +74,11 @@ object GraftApp {
         "usage: GraftApp <env> <table|t1,t2|all> [--tables-list-path P] " +
           "[--source fmt:loc] [--sink fmt:loc] [--state P] " +
           "[--mode append|overwrite] [--parallelism N] [--table-timeout-sec N] " +
-          "[--strict]")
+          "[--strict] [--stream --ledger P --checkpoint P " +
+          "[--text-col C] [--id-col C]]")
     val known = Set("tables-list-path", "source", "sink", "state",
-      "mode", "parallelism", "table-timeout-sec") ++ boolFlags
+      "mode", "parallelism", "table-timeout-sec",
+      "ledger", "checkpoint", "text-col", "id-col") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
     if (unknown.nonEmpty)
@@ -92,7 +99,12 @@ object GraftApp {
       parallelism = flags.get("parallelism").map(_.toInt).getOrElse(4),
       tableTimeout =
         flags.get("table-timeout-sec").map(_.toLong.seconds: Duration).getOrElse(Duration.Inf),
-      strict = flags.contains("strict"))
+      strict = flags.contains("strict"),
+      stream = flags.contains("stream"),
+      ledgerDir = flags.get("ledger"),
+      checkpointDir = flags.get("checkpoint"),
+      textCol = flags.getOrElse("text-col", "text"),
+      idCol = flags.getOrElse("id-col", "doc_id"))
   }
 
   /** Testable core; returns the process exit code. */
@@ -102,6 +114,8 @@ object GraftApp {
       getenv: String => Option[String] = k => sys.env.get(k),
       out: String => Unit = println,
       log: String => Unit = s => System.err.println(s"[graft] $s")): Int = {
+
+    if (a.stream) return runStream(a, spark, out, log)
 
     // Connection resolution is PER SIDE: an explicit override wins and its
     // side's config (env vars, JDBC creds) is never consulted — overriding
@@ -155,6 +169,73 @@ object GraftApp {
     // exit when any table failed, so an orchestrator can distinguish
     // "everything copied" from "silently all-failed" without log scraping.
     if (a.strict && report.failed.nonEmpty) 1 else 0
+  }
+
+  /** Streaming ingest mode (`--stream`) — the sandbox analogue of the
+    * reference's SCHEDULED incremental runs (`dags/…incremental.py`: a
+    * daily drain of whatever arrived since the last run). Each invocation
+    * starts a file-stream over the source directory with
+    * `Trigger.AvailableNow`, processes every file not yet recorded in the
+    * streaming checkpoint, and exits — so a scheduler (cron, Airflow) calls
+    * the CLI exactly as it calls the batch mode, and the checkpoint plays
+    * the watermark's role for files.
+    *
+    * Every micro-batch flows through
+    * [[graft.streaming.StreamingOps.foreachBatchLedgerDedup]]: corpus-wide
+    * exact dedup against the persistent fingerprint ledger, an epoch-keyed
+    * idempotent sink write, then the ledger commit — so a crash at ANY
+    * point (including after the sink write but before the checkpoint
+    * commit) replays the epoch onto itself: exactly-once corpus output
+    * across restarts (GraftAppSpec simulates the crash by deleting the
+    * checkpoint's last commit marker).
+    */
+  private def runStream(
+      a: Args,
+      spark: SparkSession,
+      out: String => Unit,
+      log: String => Unit): Int = {
+    def need(v: Option[String], what: String): String = v.getOrElse(
+      throw new IllegalArgumentException(s"--stream requires $what"))
+    val (srcFmt, srcDir) =
+      PipelineConfig.parseEndpoint(need(a.sourceOverride, "--source parquet:<dir>"))
+    if (srcFmt != "parquet")
+      throw new IllegalArgumentException(
+        s"stream mode reads a parquet file-stream directory; got --source $srcFmt")
+    val (skFmt, skLoc) =
+      PipelineConfig.parseEndpoint(need(a.sinkOverride, "--sink parquet-idempotent:<dir>"))
+    val idem = Connectors.sink(skFmt, skLoc) match {
+      case s: IdempotentSink => s
+      case other => throw new IllegalArgumentException(
+        "stream mode needs an idempotent sink (an epoch replay must REPLACE " +
+          s"its partial write, not append it twice); got ${other.getClass.getSimpleName} " +
+          "— use --sink parquet-idempotent:<dir>")
+    }
+    val table = a.tableArg
+    if (table.equalsIgnoreCase("all") || table.contains(","))
+      throw new IllegalArgumentException("stream mode ingests ONE table; got: " + table)
+    val ledger = need(a.ledgerDir, "--ledger <dir> (persistent fingerprint ledger)")
+    val ckpt = need(a.checkpointDir, "--checkpoint <dir> (streaming checkpoint)")
+    // File streams need an explicit schema; take it from the files already
+    // present (a directory with no files yet has nothing to ingest anyway).
+    val schema =
+      try spark.read.parquet(srcDir).schema
+      catch { case e: Throwable =>
+        log(s"cannot infer schema from $srcDir (no parquet files yet?): ${e.getMessage}")
+        return 1
+      }
+    val q = graft.streaming.StreamingOps.foreachBatchLedgerDedup(
+      spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+      a.textCol, a.idCol, ledger, idem, table).start()
+    q.awaitTermination() // AvailableNow: returns once the backlog is drained
+    // An idle drain still emits a zero-row progress event carrying the last
+    // batch id — only batches that moved rows count as epochs.
+    val epochs = q.recentProgress.filter(_.numInputRows > 0).map(_.batchId).distinct.sorted
+    log(s"stream drain of $srcDir complete: ${epochs.length} epoch(s) this run")
+    out(s"STREAM_EPOCHS_${table.toUpperCase}=${epochs.mkString(",")}")
+    0
   }
 
   def main(argv: Array[String]): Unit = {

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import graft.TestSpark
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.SaveMode
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Streaming ingest E2E through the CLI (`--stream`): the reference's
+  * scheduled-incremental shape, with files in a watched directory playing
+  * the role of upstream deltas. Three invocations — initial drain, a
+  * second drain of newly-dropped files, and a CRASH-REPLAY (the streaming
+  * checkpoint's last commit marker deleted, as if the process died after
+  * the sink write but before the checkpoint commit) — must leave exactly
+  * one copy of every distinct document in the corpus. */
+class StreamAppSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def drop(src: Path, docs: (Long, String)*): Unit =
+    docs.toSeq.toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(src.toString)
+
+  private def cli(src: Path, base: Path): (Int, Seq[String]) = {
+    val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val args = GraftApp.parseArgs(Seq(
+      "dev", "docs", "--stream",
+      "--source", s"parquet:$src",
+      "--sink", s"parquet-idempotent:$base/out",
+      "--ledger", s"$base/ledger",
+      "--checkpoint", s"$base/ckpt"))
+    val code = GraftApp.run(args, spark, out = outs.append(_), log = _ => ())
+    (code, outs.toSeq)
+  }
+
+  private def corpus(base: Path): Set[(Long, String)] =
+    spark.read.parquet(s"$base/out/docs")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+
+  test("stream CLI: drain → new files → crash-replay is exactly-once") {
+    val src = Files.createTempDirectory("sapp_src")
+    val base = Files.createTempDirectory("sapp_base")
+
+    // Run 1: initial drain. Within-batch duplicate alpha keeps min doc_id.
+    drop(src, (1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+    val (c1, out1) = cli(src, base)
+    assert(c1 == 0)
+    assert(out1.exists(_.startsWith("STREAM_EPOCHS_DOCS=")), out1.mkString(";"))
+    assert(corpus(base) == Set((1L, "alpha"), (2L, "beta")))
+
+    // Run 2: new files arrive — beta is already ledgered (cross-RUN dedup),
+    // gamma is new. The checkpoint makes run 1's files invisible to run 2.
+    drop(src, (4L, "beta"), (5L, "gamma"))
+    val (c2, _) = cli(src, base)
+    assert(c2 == 0)
+    assert(corpus(base) == Set((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
+
+    // Run 3: crash-replay. Delete the LAST commit marker — the state a
+    // process killed between its foreachBatch (sink write + ledger commit)
+    // and the checkpoint commit would leave behind. The restart must
+    // replay that epoch ONTO ITSELF (idempotent sink partition + epoch
+    // ledger partition), not append a second copy or drop the batch.
+    val commits = base.resolve("ckpt").resolve("commits")
+    val last = Files.list(commits).iterator.asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toInt)
+    Files.delete(last)
+    // ChecksumFileSystem shadow: leaving the stale .crc behind would make
+    // the replay's commit rename fail in a way a real HDFS crash wouldn't.
+    Files.deleteIfExists(commits.resolve(s".${last.getFileName}.crc"))
+    val (c3, _) = cli(src, base)
+    assert(c3 == 0)
+    assert(corpus(base) == Set((1L, "alpha"), (2L, "beta"), (5L, "gamma")),
+      "epoch replay must be exactly-once")
+
+    // Run 4: nothing new — a no-op drain (zero epochs), corpus unchanged.
+    val (c4, out4) = cli(src, base)
+    assert(c4 == 0)
+    assert(out4.contains("STREAM_EPOCHS_DOCS="), out4.mkString(";"))
+    assert(corpus(base) == Set((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
+  }
+
+  test("stream CLI rejects a non-idempotent sink and a multi-table arg loudly") {
+    val src = Files.createTempDirectory("sapp_src2")
+    drop(src, (1L, "alpha"))
+    val e1 = intercept[IllegalArgumentException] {
+      GraftApp.run(GraftApp.parseArgs(Seq(
+        "dev", "docs", "--stream",
+        "--source", s"parquet:$src", "--sink", s"parquet:/tmp/x",
+        "--ledger", "/tmp/l", "--checkpoint", "/tmp/c")),
+        spark, out = _ => (), log = _ => ())
+    }
+    assert(e1.getMessage.contains("idempotent"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftApp.run(GraftApp.parseArgs(Seq(
+        "dev", "all", "--stream",
+        "--source", s"parquet:$src", "--sink", s"parquet-idempotent:/tmp/x",
+        "--ledger", "/tmp/l", "--checkpoint", "/tmp/c")),
+        spark, out = _ => (), log = _ => ())
+    }
+    assert(e2.getMessage.contains("ONE table"))
+  }
+}
