@@ -13,10 +13,18 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(master: String = s"local[${defaultCpus}]"): SparkSession.Builder =
-    SparkSession
+  def builder(master: String = s"local[${defaultCpus}]"): SparkSession.Builder = {
+    // SPARK_GRAFT_MASTER overrides the caller's master — the
+    // distributed-mode smoke path: `local-cluster[2,16,16384]` runs REAL
+    // multi-executor execution (closure serialization, remote shuffle
+    // fetch, a driver-side state coordinator executors reach over RPC)
+    // against the same corpus, flushing any local[N]-only assumption.
+    // local-cluster workers spawn with Spark's own classpath only, so the
+    // application classes are handed to executors explicitly.
+    val effective = sys.env.getOrElse("SPARK_GRAFT_MASTER", master)
+    val b = SparkSession
       .builder()
-      .master(master)
+      .master(effective)
       .appName("graft")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", defaultCpus)
@@ -45,6 +53,10 @@ object GraftSession {
       // (RpcEndpointNotFoundException → CANNOT_LOAD_STATE_STORE). It is a
       // monitoring aid, not a correctness feature.
       .config("spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag", "false")
+    if (effective.startsWith("local-cluster"))
+      b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+    else b
+  }
 
   def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
     math.max(4, Runtime.getRuntime.availableProcessors()).toString)
