@@ -65,7 +65,8 @@ object SimhashOps {
       textCol: String,
       idCol: String,
       shingleN: Int = 2,
-      maxBucket: Int = 200): Banded = {
+      maxBucket: Int = 200,
+      maxMeanOccupancy: Double = Double.PositiveInfinity): Banded = {
     require(maxBucket > 0, s"maxBucket must be positive: $maxBucket")
     val exploded = docs
       // Hazard 1 (short docs): < shingleN tokens → empty shingle set → the
@@ -93,11 +94,24 @@ object SimhashOps {
         sum(col("c")),
         count(lit(1)))
       .head()
-    Banded(
+    val banded = Banded(
       exploded.filter(col("_graft_bn") <= maxBucket).drop("_graft_bn"),
       overflowBuckets = if (stats.isNullAt(0)) 0L else stats.getLong(0),
       bandRows = if (stats.isNullAt(1)) 0L else stats.getLong(1),
       distinctBuckets = stats.getLong(2))
+    // Optional LOUD saturation gate (parity with LshOps.bandedMinhashAuto):
+    // the 15-bit band space is fixed, so past ~32 k × 4 well-spread docs the
+    // gauge rises by construction — a 100 TB caller sets a threshold and
+    // handles the failure (wider signature, exact dedup) instead of paying
+    // for a junk-dominated candidate join the cap merely bounds.
+    if (banded.meanOccupancy > maxMeanOccupancy) {
+      banded.bands.unpersist()
+      throw new IllegalStateException(
+        f"SimHash band space saturated: meanOccupancy=${banded.meanOccupancy}%.1f > " +
+          f"$maxMeanOccupancy%.1f (bandRows=${banded.bandRows}, buckets=${banded.distinctBuckets}). " +
+          "Candidate pairs are heading to n²/B; widen the signature/bands or dedup exactly.")
+    }
+    banded
   }
 
   /** Distinct near-dup pairs (a < b) within `maxHamming` over the 60-bit

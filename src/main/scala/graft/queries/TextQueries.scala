@@ -54,6 +54,11 @@ object TextQueries {
   private val ShingleHashes3Sql =
     s"list_distinct(list_transform($Shingle3Sql, g -> ${charHashSql("g")}))"
 
+  /** distinct n-gram shingle hashes (from a `toks` column) — the
+    * generalized form for the auto-tuned LSH oracle (q102). */
+  private def shingleHashesSql(n: Int): String =
+    s"list_distinct(list_transform(${shingleStrSql(n)}, g -> ${charHashSql("g")}))"
+
   /** MinHash sig element for permutation i over hash set hs. Empty hs →
     * list_min yields NULL → coalesce to 0, matching the native expression's
     * zero-fill empty-set contract (TextHash.minhashSig). */
@@ -171,6 +176,22 @@ object TextQueries {
       val banded = graft.operators.LshOps.bandedMinhash(
         t(s, dir, "documents"), "text", "doc_id", 16, 3, 4, 4, LshMaxBucket)
       graft.operators.LshOps.candidatePairs(banded.bands, "doc_id")
+    }),
+
+    // E38 auto-tuned LSH (round 6): the engine PICKS the shingle width from
+    // its own regime estimate (vocab sketch + doc count; the measured
+    // saturation rule, SURVEY §7.3 hazard 9) and enforces the occupancy
+    // gauge. On the fixture corpus (31-word vocabulary) the rule lands on
+    // 4-gram shingles at every oracle scale — 31³ ≈ 30 k is below 100× the
+    // doc count, 31⁴ ≈ 923 k clears it — so the oracle restates the 4-gram
+    // construction and the hash-compare doubles as a pin on the choice
+    // being deterministic.
+    "q102_lsh_auto" -> ((s, dir) => {
+      val auto = graft.operators.LshOps.bandedMinhashAuto(
+        t(s, dir, "documents"), "text", "doc_id",
+        k = 16, minShingleN = 3, nBands = 4, rowsPerBand = 4,
+        maxBucket = LshMaxBucket)
+      graft.operators.LshOps.candidatePairs(auto.banded.bands, "doc_id")
     }),
 
     // Dedup purge list: the keep-min-id policy applied to the LSH candidate
@@ -488,6 +509,25 @@ object TextQueries {
             FROM (SELECT doc_id, $ShingleHashes3Sql AS hs
                   FROM (SELECT doc_id, $TokSql AS toks FROM documents)
                   WHERE len(toks) >= 3)),
+          bands AS (
+            SELECT doc_id, CAST(b AS INT) AS b,
+                   list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),
+                               (a, x) -> (a * 31 + x) % 1000000007) AS bh
+            FROM sigs, unnest(range(0, 4)) AS u(b)
+            QUALIFY count(*) OVER (PARTITION BY b, bh) <= $LshMaxBucket)
+          SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+          FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh
+          WHERE a.doc_id < b2.doc_id""",
+    // The auto-tuned construction with the choice the regime rule makes on
+    // this corpus (4-gram shingles) spelled out — a changed choice would
+    // hash-mismatch, pinning the auto path's determinism at oracle scales.
+    "q102_lsh_auto" ->
+      s"""WITH sigs AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
+            FROM (SELECT doc_id, ${shingleHashesSql(4)} AS hs
+                  FROM (SELECT doc_id, $TokSql AS toks FROM documents)
+                  WHERE len(toks) >= 4)),
           bands AS (
             SELECT doc_id, CAST(b AS INT) AS b,
                    list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),

@@ -41,6 +41,18 @@ class SimhashOpsSpec extends AnyFunSuite {
       "text", "doc_id")
     assert(diverse.meanOccupancy < 2.0,
       s"diverse corpus false-flagged: occupancy=${diverse.meanOccupancy}")
+    // The optional hard gate (parity with LshOps.bandedMinhashAuto): the
+    // saturated corpus must FAIL when a threshold is set, and the diverse
+    // corpus must pass the same threshold.
+    val e = intercept[IllegalStateException] {
+      SimhashOps.bandedSimhash(
+        (1L to 3000L).map(i => (i, doc(i))).toDF("doc_id", "text"),
+        "text", "doc_id", maxMeanOccupancy = 8.0)
+    }
+    assert(e.getMessage.contains("saturated"))
+    SimhashOps.bandedSimhash(
+      (1L to 3000L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e")).toDF("doc_id", "text"),
+      "text", "doc_id", maxMeanOccupancy = 8.0) // must not throw
   }
 
   test("hot bucket over the cap is dropped and reported, cool buckets survive") {
