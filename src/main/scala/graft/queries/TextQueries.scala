@@ -194,6 +194,20 @@ object TextQueries {
       graft.operators.LshOps.candidatePairs(auto.banded.bands, "doc_id")
     }),
 
+    // Near-dup CLUSTERS (round 6): connected components over the q48
+    // candidate pairs — the transitive closure pairwise purging lacks
+    // (a–b, b–c with no a–c edge is ONE cluster of three, not two
+    // independent pairs). Iterative min-label propagation, all distributed
+    // (see graft.operators.GraphOps); output labels every paired doc with
+    // its component's minimum doc_id.
+    "q103_dedup_components" -> ((s, dir) => {
+      val banded = graft.operators.LshOps.bandedMinhash(
+        t(s, dir, "documents"), "text", "doc_id", 16, 3, 4, 4, LshMaxBucket)
+      val pairs = graft.operators.LshOps.candidatePairs(banded.bands, "doc_id")
+      graft.operators.GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("v").as("doc_id"), col("component"))
+    }),
+
     // Dedup purge list: the keep-min-id policy applied to the LSH candidate
     // pairs — every doc that collides with a smaller doc_id is dropped.
     // Since candidates are emitted with doc_a < doc_b, the purge set is
@@ -537,6 +551,34 @@ object TextQueries {
           SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
           FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh
           WHERE a.doc_id < b2.doc_id""",
+    // Transitive closure via a recursive CTE: component(v) = min reachable
+    // id. The pairs CTE is q48's construction verbatim.
+    "q103_dedup_components" ->
+      s"""WITH RECURSIVE sigs AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
+            FROM (SELECT doc_id, $ShingleHashes3Sql AS hs
+                  FROM (SELECT doc_id, $TokSql AS toks FROM documents)
+                  WHERE len(toks) >= 3)),
+          bands AS (
+            SELECT doc_id, CAST(b AS INT) AS b,
+                   list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),
+                               (a, x) -> (a * 31 + x) % 1000000007) AS bh
+            FROM sigs, unnest(range(0, 4)) AS u(b)
+            QUALIFY count(*) OVER (PARTITION BY b, bh) <= $LshMaxBucket),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+            FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh
+            WHERE a.doc_id < b2.doc_id),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+          reach AS (
+            SELECT src AS v, src AS r FROM edges
+            UNION
+            SELECT e.src AS v, r.r
+            FROM edges e JOIN reach r ON e.dst = r.v)
+          SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v""",
     "q52_neardup_purge" ->
       s"""WITH sigs AS (
             SELECT doc_id,
