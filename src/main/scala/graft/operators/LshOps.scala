@@ -213,6 +213,95 @@ object LshOps {
       distinctBuckets = stats.getLong(2))
   }
 
+  /** A prepared incremental near-dup batch: survivors plus a ledger commit
+    * the caller invokes strictly AFTER the survivors are durably written —
+    * the same write-then-commit protocol as
+    * [[DedupOps.incrementalDedup]] (a pre-write commit + crash would
+    * anti-join the re-run's own documents away). */
+  final class PendingNeardup private[operators] (
+      /** Batch rows that are near-dups of neither the ledgered corpus nor
+        * a smaller-id batch survivor. */
+      val survivors: DataFrame,
+      /** (idCol) of batch rows dropped by a ledger-bucket collision —
+        * callers wanting verification-before-purge join these back to the
+        * corpus text store. */
+      val ledgerHits: DataFrame,
+      commit: () => Unit) {
+    /** Append the SURVIVORS' band buckets to the ledger. Call ONLY after
+      * the survivors are durably written. */
+    def commitLedger(): Unit = commit()
+  }
+
+  /** Incremental NEAR-dup against a persistent band ledger — the q77
+    * pattern (exact-fingerprint ledger) extended to LSH: "near-dedup
+    * today's crawl against the whole corpus" without re-banding the
+    * corpus. The ledger holds only the corpus survivors' (band, bucket)
+    * keys — `nBands` longs per doc, never the text — so the per-batch
+    * cost is banding the BATCH plus one join against the bucket set.
+    *
+    * Drop-on-collision semantics: a batch doc sharing any band bucket
+    * with the ledgered corpus is dropped (recall-first, the standard
+    * crawl-dedup posture: an LSH bucket collision is strong near-dup
+    * evidence at these band widths, and the corpus copy survives). The
+    * dropped ids are returned in [[PendingNeardup.ledgerHits]] for
+    * pipelines that verify (e.g. exact Jaccard against the corpus text
+    * store) before discarding. Within the batch, survivors then dedup
+    * against each other with the usual keep-min-id policy. Only SURVIVOR
+    * buckets are committed — a dropped doc is not corpus, so its buckets
+    * must not poison future batches.
+    */
+  def incrementalNeardup(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      ledgerDir: String,
+      k: Int = 16,
+      shingleN: Int = 3,
+      nBands: Int = 4,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 10000): PendingNeardup = {
+    val banded = bandedMinhash(batch, textCol, idCol, k, shingleN, nBands, rowsPerBand, maxBucket)
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior: Option[DataFrame] =
+      if (!fs.exists(ledgerPath)) None
+      else {
+        val l = spark.read.parquet(ledgerDir)
+        if (l.columns.toSet != Set("_graft_b", "_graft_bh"))
+          throw new IllegalStateException(
+            s"band ledger at $ledgerDir has columns ${l.columns.mkString("[", ",", "]")}, " +
+              "expected [_graft_b,_graft_bh] — rebuild the ledger before ingesting")
+        Some(l)
+      }
+    // Pinned eagerly: the hit set READS the ledger, and every downstream
+    // frame (keptBands, survivors) must keep seeing the PRE-commit ledger
+    // even if evaluated after commitLedger() appended to it.
+    val hits = (prior match {
+      case Some(l) =>
+        banded.bands.join(
+          l.select(col("_graft_b").as("b"), col("_graft_bh").as("bh")).distinct(),
+          Seq("b", "bh"), "left_semi")
+          .select(col(idCol)).distinct()
+      case None => banded.bands.select(col(idCol)).filter(lit(false))
+    }).localCheckpoint(true)
+    val keptBands = banded.bands.join(hits, Seq(idCol), "left_anti")
+    val batchDrops = purgeList(keptBands, idCol)
+    val survivors = batch
+      .join(hits, Seq(idCol), "left_anti")
+      .join(batchDrops.withColumnRenamed("drop_id", idCol), Seq(idCol), "left_anti")
+    // Pin survivor buckets BEFORE the commit can change what the ledger
+    // read would return (same localCheckpoint rationale as DedupOps).
+    val survivorBuckets = keptBands
+      .join(batchDrops.withColumnRenamed("drop_id", idCol), Seq(idCol), "left_anti")
+      .select(col("b").as("_graft_b"), col("bh").as("_graft_bh")).distinct()
+      .localCheckpoint(true)
+    new PendingNeardup(
+      survivors,
+      hits,
+      () => survivorBuckets.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(ledgerDir))
+  }
+
   /** Distinct candidate pairs (a < b) from a banded frame: docs sharing any
     * band hash meet in the same partition — never a cross join. */
   def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {

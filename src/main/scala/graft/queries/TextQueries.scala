@@ -76,6 +76,31 @@ object TextQueries {
     * (fixture: zero) buckets. */
   private val LshMaxBucket = 10000
 
+  /** q104's committed batch-1 band ledger, keyed by input dir — the same
+    * build-once-per-dir fixture discipline (and Bench prewarm hook) as
+    * OpsQueries' q77 ledger. */
+  private val q104Ledgers =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q104Ledger(s: SparkSession, dir: String): String = q104Ledgers.synchronized {
+    q104Ledgers.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_q104_ledger")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: Throwable => () }
+      }))
+      val path = root.resolve("bands").toString
+      val batch1 = Tables(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      graft.operators.LshOps.incrementalNeardup(
+        s, batch1, "text", "doc_id", path, 16, 3, 4, 4, LshMaxBucket)
+        .commitLedger()
+      path
+    })
+  }
+
   /** Per-(band,value) cap for the SimHash hamming-LSH query — organic max
     * bucket at sf1 is 71, so 200 never binds on non-degenerate data while
     * bounding candidate pairs linearly (see SimhashOps hazard 3). */
@@ -206,6 +231,21 @@ object TextQueries {
       val pairs = graft.operators.LshOps.candidatePairs(banded.bands, "doc_id")
       graft.operators.GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("v").as("doc_id"), col("component"))
+    }),
+
+    // Incremental NEAR-dup (round 6): the q77 ledger pattern extended to
+    // LSH. Even doc_ids are "yesterday's corpus" (their survivor band
+    // buckets committed to a ledger fixture, built once per dir — see the
+    // q77 note on why); odd doc_ids are "today's crawl", near-deduped
+    // against the ledger buckets and then within themselves. Drop-on-
+    // collision semantics; see LshOps.incrementalNeardup.
+    "q104_incr_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ledger = q104Ledger(s, dir)
+      val batch2 = docs.filter(col("doc_id") % 2 === 1)
+      graft.operators.LshOps.incrementalNeardup(
+        s, batch2, "text", "doc_id", ledger, 16, 3, 4, 4, LshMaxBucket)
+        .survivors.select(col("doc_id"))
     }),
 
     // Dedup purge list: the keep-min-id policy applied to the LSH candidate
@@ -579,6 +619,55 @@ object TextQueries {
             SELECT e.src AS v, r.r
             FROM edges e JOIN reach r ON e.dst = r.v)
           SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v""",
+    // Both halves restated: evens band + self-purge → survivor buckets
+    // (the ledger), then odds drop on ledger collision and self-purge.
+    "q104_incr_neardup" ->
+      s"""WITH e_sigs AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
+            FROM (SELECT doc_id, $ShingleHashes3Sql AS hs
+                  FROM (SELECT doc_id, $TokSql AS toks FROM documents
+                        WHERE doc_id % 2 = 0)
+                  WHERE len(toks) >= 3)),
+          e_bands AS (
+            SELECT doc_id, CAST(b AS INT) AS b,
+                   list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),
+                               (a, x) -> (a * 31 + x) % 1000000007) AS bh
+            FROM e_sigs, unnest(range(0, 4)) AS u(b)
+            QUALIFY count(*) OVER (PARTITION BY b, bh) <= $LshMaxBucket),
+          e_drops AS (
+            SELECT DISTINCT b2.doc_id AS drop_id
+            FROM e_bands a JOIN e_bands b2 ON a.b = b2.b AND a.bh = b2.bh
+            WHERE a.doc_id < b2.doc_id),
+          eledger AS (
+            SELECT DISTINCT b, bh FROM e_bands
+            WHERE doc_id NOT IN (SELECT drop_id FROM e_drops)),
+          o_sigs AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
+            FROM (SELECT doc_id, $ShingleHashes3Sql AS hs
+                  FROM (SELECT doc_id, $TokSql AS toks FROM documents
+                        WHERE doc_id % 2 = 1)
+                  WHERE len(toks) >= 3)),
+          o_bands AS (
+            SELECT doc_id, CAST(b AS INT) AS b,
+                   list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),
+                               (a, x) -> (a * 31 + x) % 1000000007) AS bh
+            FROM o_sigs, unnest(range(0, 4)) AS u(b)
+            QUALIFY count(*) OVER (PARTITION BY b, bh) <= $LshMaxBucket),
+          hits AS (
+            SELECT DISTINCT doc_id
+            FROM o_bands JOIN eledger USING (b, bh)),
+          kept AS (
+            SELECT * FROM o_bands
+            WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+          o_drops AS (
+            SELECT DISTINCT b2.doc_id AS drop_id
+            FROM kept a JOIN kept b2 ON a.b = b2.b AND a.bh = b2.bh
+            WHERE a.doc_id < b2.doc_id)
+          SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+            AND doc_id NOT IN (SELECT doc_id FROM hits)
+            AND doc_id NOT IN (SELECT drop_id FROM o_drops)""",
     "q52_neardup_purge" ->
       s"""WITH sigs AS (
             SELECT doc_id,

@@ -155,6 +155,8 @@ class PlanSpec extends AnyFunSuite {
       "q86_source_overlap" -> 5,  // distinct + self-join + agg
       "q90_bm25_keywords" -> 6,   // tf (1) + df agg + dlen agg + 2 joins + rank window
       "q95_line_dedup" -> 3,      // segment window + doc re-agg + parallel spread
+      "q104_incr_neardup" -> 3,   // ledger-hit anti-join + in-batch purge join + its distinct
+                                  // (banding lives in the cached frame, pinned like q48)
       "q97_profile" -> 3,         // multi-distinct Expand partials
       // two-phase / paired-agg shapes:
       "q05_full_outer_regions" -> 2, "q19_count_distinct" -> 2,
