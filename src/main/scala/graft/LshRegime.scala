@@ -16,14 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object LshRegime {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: LshRegime <docsDir> [headroom]")
+    require(args.nonEmpty, "usage: LshRegime <docsDir> [headroom]  |  LshRegime <docsDir> incr <shingleN>")
     val dir = args(0)
-    val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.length > 1 && args(1) == "incr") { incr(spark, dir, args(2).toInt); return }
+    val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
     val auto = graft.operators.LshOps.bandedMinhashAuto(
@@ -38,6 +39,30 @@ object LshRegime {
       f"""{"metric":"lsh_regime","shingleN":${auto.shingleN},"vocab":${auto.vocabEstimate},""" +
         f""""docs":${auto.docCount},"bandPairs":$pairs,"meanOccupancy":${auto.banded.meanOccupancy}%.3f,""" +
         f""""overflowBuckets":${auto.banded.overflowBuckets},"secs":$secs%.2f}""")
+    spark.stop()
+  }
+
+  /** Incremental-ingest regime probe: evens = ledgered corpus, odds =
+    * today's batch, both banded at the given width. Prints hit/survivor
+    * counts + wall seconds — the number that shows 3-grams over-dropping
+    * on a saturated corpus (46% of a gsf10 batch) while the auto width
+    * drops ≈ the true near-dup rate. */
+  private def incr(spark: org.apache.spark.sql.SparkSession, dir: String, shingleN: Int): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_regime_incr").resolve("bands").toString
+    val evens = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val odds = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    operators.LshOps.incrementalNeardup(
+      spark, evens, "text", "doc_id", ledgerDir, shingleN = shingleN).commitLedger()
+    val t0 = System.nanoTime()
+    val pending = operators.LshOps.incrementalNeardup(
+      spark, odds, "text", "doc_id", ledgerDir, shingleN = shingleN)
+    val (nBatch, nHits, nSurv) = (odds.count(), pending.ledgerHits.count(), pending.survivors.count())
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"metric":"lsh_incr","shingleN":$shingleN,"batch":$nBatch,"ledgerHits":$nHits,""" +
+        f""""survivors":$nSurv,"secs":$secs%.2f}""")
     spark.stop()
   }
 }

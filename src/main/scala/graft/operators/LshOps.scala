@@ -264,9 +264,28 @@ object LshOps {
     val banded = bandedMinhash(batch, textCol, idCol, k, shingleN, nBands, rowsPerBand, maxBucket)
     val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val params = s"k=$k,shingleN=$shingleN,nBands=$nBands,rowsPerBand=$rowsPerBand"
     val prior: Option[DataFrame] =
       if (!fs.exists(ledgerPath)) None
       else {
+        // Bucket membership is only meaningful between frames banded with
+        // IDENTICAL construction parameters — a batch banded 4-gram against
+        // a 3-gram ledger would simply never collide and every near-dup
+        // would sail through. The ledger pins its construction in a
+        // metadata file (underscore-prefixed: parquet readers skip it) and
+        // refuses a mismatched ingest loudly.
+        val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, MetaFile)
+        if (fs.exists(metaPath)) {
+          val in = fs.open(metaPath)
+          val stored =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          if (stored != params)
+            throw new IllegalStateException(
+              s"band ledger at $ledgerDir was built with [$stored] but this ingest " +
+                s"bands with [$params] — near-dups would silently never collide. " +
+                "Use the ledger's parameters or rebuild it.")
+        }
         val l = spark.read.parquet(ledgerDir)
         if (l.columns.toSet != Set("_graft_b", "_graft_bh"))
           throw new IllegalStateException(
@@ -299,8 +318,19 @@ object LshOps {
     new PendingNeardup(
       survivors,
       hits,
-      () => survivorBuckets.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(ledgerDir))
+      () => {
+        survivorBuckets.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(ledgerDir)
+        val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, MetaFile)
+        if (!fs.exists(metaPath)) {
+          val outS = fs.create(metaPath, true)
+          try outS.write(params.getBytes("UTF-8")) finally outS.close()
+        }
+      })
   }
+
+  /** Construction-parameter pin inside the band ledger dir (underscore
+    * prefix: parquet directory listings skip it). */
+  private val MetaFile = "_graft_lsh_meta"
 
   /** Distinct candidate pairs (a < b) from a banded frame: docs sharing any
     * band hash meet in the same partition — never a cross join. */

@@ -50,6 +50,18 @@ class LshIncrSpec extends AnyFunSuite {
     assert(replay.ledgerHits.as[Long].collect().toSet == Set(9L))
   }
 
+  test("a parameter-mismatched ingest is refused loudly (silent no-collide hazard)") {
+    val ledger = tmp()
+    val corpus = Seq((2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    LshOps.incrementalNeardup(spark, corpus, "text", "doc_id", ledger).commitLedger()
+    val e = intercept[IllegalStateException] {
+      LshOps.incrementalNeardup(
+        spark, Seq((9L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+        "text", "doc_id", ledger, shingleN = 4)
+    }
+    assert(e.getMessage.contains("never collide"))
+  }
+
   test("a foreign-schema ledger dir is refused loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lsh_incr_bad").toString
     Seq((1L, 2L)).toDF("x", "y").write.parquet(s"$dir/bands")
