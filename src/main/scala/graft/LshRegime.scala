@@ -24,6 +24,7 @@ object LshRegime {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.length > 1 && args(1) == "incr") { incr(spark, dir, args(2).toInt); return }
+    if (args.length > 1 && args(1) == "cc") { cc(spark, dir); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -39,6 +40,27 @@ object LshRegime {
       f"""{"metric":"lsh_regime","shingleN":${auto.shingleN},"vocab":${auto.vocabEstimate},""" +
         f""""docs":${auto.docCount},"bandPairs":$pairs,"meanOccupancy":${auto.banded.meanOccupancy}%.3f,""" +
         f""""overflowBuckets":${auto.banded.overflowBuckets},"secs":$secs%.2f}""")
+    spark.stop()
+  }
+
+  /** Components-at-scale probe: auto-width banding → candidate pairs →
+    * connected components. Prints cluster stats + wall seconds — the
+    * scale path for q103 (whose corpus query keeps the oracle's fixed
+    * 3-gram setting). */
+  private def cc(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val auto = operators.LshOps.bandedMinhashAuto(docs, "text", "doc_id")
+    val pairs = operators.LshOps.candidatePairs(auto.banded.bands, "doc_id")
+    val labels = operators.GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+    val stats = labels.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)), max(col("sz"))).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"metric":"lsh_cc","shingleN":${auto.shingleN},"docs":${auto.docCount},""" +
+        f""""pairedVertices":${labels.count()},"components":${stats.getLong(0)},""" +
+        f""""maxCluster":${stats.getLong(1)},"secs":$secs%.2f}""")
     spark.stop()
   }
 
