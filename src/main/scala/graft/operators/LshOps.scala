@@ -260,11 +260,55 @@ object LshOps {
       shingleN: Int = 3,
       nBands: Int = 4,
       rowsPerBand: Int = 4,
-      maxBucket: Int = 10000): PendingNeardup = {
+      maxBucket: Int = 10000): PendingNeardup =
+    neardupCore(spark, batch, textCol, idCol, ledgerDir,
+      k, shingleN, nBands, rowsPerBand, maxBucket, epochToken = None)
+
+  /** Epoch-keyed variant for at-least-once replayed callers (streaming
+    * foreachBatch) — the same replay protocol as
+    * [[DedupOps.incrementalDedupEpoch]]: survivor buckets land in an
+    * `_graft_epoch=<token>` ledger partition, the collision read EXCLUDES
+    * the batch's own epoch, and the commit dynamically overwrites only
+    * that partition. A crash at any point (before the sink write, between
+    * write and commit, after commit but before the caller's checkpoint)
+    * therefore replays to the identical survivor set — the plain variant
+    * would find its own post-commit buckets and drop the whole replayed
+    * batch as "near-dups of themselves". */
+  def incrementalNeardupEpoch(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      ledgerDir: String,
+      epochToken: String,
+      k: Int = 16,
+      shingleN: Int = 3,
+      nBands: Int = 4,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 10000): PendingNeardup =
+    neardupCore(spark, batch, textCol, idCol, ledgerDir,
+      k, shingleN, nBands, rowsPerBand, maxBucket, epochToken = Some(epochToken))
+
+  private def neardupCore(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      ledgerDir: String,
+      k: Int,
+      shingleN: Int,
+      nBands: Int,
+      rowsPerBand: Int,
+      maxBucket: Int,
+      epochToken: Option[String]): PendingNeardup = {
     val banded = bandedMinhash(batch, textCol, idCol, k, shingleN, nBands, rowsPerBand, maxBucket)
     val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val params = s"k=$k,shingleN=$shingleN,nBands=$nBands,rowsPerBand=$rowsPerBand"
+    val expectedCols = epochToken match {
+      case Some(_) => Set("_graft_b", "_graft_bh", "_graft_epoch")
+      case None    => Set("_graft_b", "_graft_bh")
+    }
     val prior: Option[DataFrame] =
       if (!fs.exists(ledgerPath)) None
       else {
@@ -287,11 +331,12 @@ object LshOps {
                 "Use the ledger's parameters or rebuild it.")
         }
         val l = spark.read.parquet(ledgerDir)
-        if (l.columns.toSet != Set("_graft_b", "_graft_bh"))
+        if (l.columns.toSet != expectedCols)
           throw new IllegalStateException(
             s"band ledger at $ledgerDir has columns ${l.columns.mkString("[", ",", "]")}, " +
-              "expected [_graft_b,_graft_bh] — rebuild the ledger before ingesting")
-        Some(l)
+              s"expected ${expectedCols.toSeq.sorted.mkString("[", ",", "]")} — a plain " +
+              "ledger opened in epoch mode (or vice versa); rebuild before ingesting")
+        Some(epochToken.fold(l)(t => l.filter(col("_graft_epoch") =!= t)))
       }
     // Pinned eagerly: the hit set READS the ledger, and every downstream
     // frame (keptBands, survivors) must keep seeing the PRE-commit ledger
@@ -319,7 +364,17 @@ object LshOps {
       survivors,
       hits,
       () => {
-        survivorBuckets.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(ledgerDir)
+        epochToken match {
+          case None =>
+            survivorBuckets.write
+              .mode(org.apache.spark.sql.SaveMode.Append).parquet(ledgerDir)
+          case Some(t) =>
+            survivorBuckets.withColumn("_graft_epoch", lit(t))
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("_graft_epoch")
+              .parquet(ledgerDir)
+        }
         val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, MetaFile)
         if (!fs.exists(metaPath)) {
           val outS = fs.create(metaPath, true)

@@ -113,6 +113,34 @@ object StreamingOps {
       pending.commitLedger()
     }
 
+  /** Streaming corpus ingest with cross-run NEAR-dup (round 6) — the
+    * band-ledger twin of [[foreachBatchLedgerDedup]]: every micro-batch is
+    * MinHash-banded, docs colliding with the ledgered corpus buckets are
+    * dropped (drop-on-collision, see
+    * [[graft.operators.LshOps.incrementalNeardup]]), survivors write
+    * through the epoch-keyed idempotent sink, THEN their buckets commit
+    * into the ledger's epoch partition
+    * ([[graft.operators.LshOps.incrementalNeardupEpoch]]'s replay-safe
+    * protocol). Dedup state is `nBands` longs per corpus doc on disk —
+    * shared with batch ingests, never aged out by a watermark, and the
+    * corpus text is never re-read.
+    */
+  def foreachBatchLedgerNeardup(
+      writer: DataStreamWriter[Row],
+      textCol: String,
+      idCol: String,
+      ledgerDir: String,
+      sink: IdempotentSink,
+      table: String,
+      shingleN: Int = 3): DataStreamWriter[Row] =
+    writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val token = s"epoch$batchId"
+      val pending = graft.operators.LshOps.incrementalNeardupEpoch(
+        batch.sparkSession, batch, textCol, idCol, ledgerDir, token, shingleN = shingleN)
+      sink.writeBatch(pending.survivors, table, token)
+      pending.commitLedger()
+    }
+
   /** Stream-stream interval join: rows of `b` whose event time falls in
     * `[a.ts - range, a.ts]` for the same join keys. On streams BOTH sides
     * must carry watermarks (caller applies them) so Spark can bound the

@@ -252,6 +252,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming NEAR-dup ingest: band-ledger collisions drop, epoch replay is exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_stream_neardup")
+    val sink = Connectors.IdempotentParquetSink(s"$base/out")
+    val ledger = s"$base/ledger"
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.foreachBatchLedgerNeardup(
+      mem.toDF().toDF("doc_id", "text").writeStream,
+      "text", "doc_id", ledger, sink, "docs").start()
+    try {
+      // Batch 0: an in-batch near-dup pair (identical text collides in
+      // every band) keeps the min id.
+      mem.addData(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "one two three four five six seven"),
+        (3L, "alpha beta gamma delta epsilon zeta"))
+      q.processAllAvailable()
+      // Batch 1: a near-dup of doc 1 (cross-EPOCH, via the ledger) drops;
+      // fresh prose survives.
+      mem.addData(
+        (4L, "alpha beta gamma delta epsilon zeta"),
+        (5L, "totally fresh words appearing nowhere else"))
+      q.processAllAvailable()
+      def corpus() = spark.read.parquet(s"$base/out/docs")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(corpus() == Set(1L, 2L, 5L))
+      // At-least-once redelivery of epoch 1 (crash between sink write and
+      // checkpoint commit): replaying the SAME batch with the SAME token
+      // must land on itself — the epoch-partitioned ledger excludes the
+      // batch's own buckets, so doc 5 is not "a near-dup of itself".
+      val pending = graft.operators.LshOps.incrementalNeardupEpoch(
+        spark,
+        Seq((4L, "alpha beta gamma delta epsilon zeta"),
+          (5L, "totally fresh words appearing nowhere else")).toDF("doc_id", "text"),
+        "text", "doc_id", ledger, "epoch1")
+      sink.writeBatch(pending.survivors, "docs", "epoch1")
+      pending.commitLedger()
+      assert(corpus() == Set(1L, 2L, 5L), "epoch replay must be exactly-once")
+    } finally q.stop()
+  }
+
   test("transformWithState: typed state persists across micro-batches (E86)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingOps.TypedEvent]
