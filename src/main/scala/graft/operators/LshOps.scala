@@ -153,9 +153,10 @@ object LshOps {
       rowsPerBand: Int = 4,
       maxBucket: Int = 10000,
       headroom: Double = 100.0,
-      maxMeanOccupancy: Double = 8.0): AutoBanded = {
+      maxMeanOccupancy: Double = 8.0,
+      maxShingleN: Int = 8): AutoBanded = {
     val regime @ (nDocs, vocab) = corpusRegime(docs, textCol)
-    val n = chooseShingleN(regime, minShingleN, headroom, maxShingleN = 8)
+    val n = chooseShingleN(regime, minShingleN, headroom, maxShingleN)
     val banded = bandedMinhash(docs, textCol, idCol, k, n, nBands, rowsPerBand, maxBucket)
     if (banded.meanOccupancy > maxMeanOccupancy) {
       banded.bands.unpersist()

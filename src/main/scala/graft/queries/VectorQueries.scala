@@ -88,6 +88,27 @@ object VectorQueries {
         .filter(col("cos") > 0.35)
     }),
 
+    // Embedding-cosine dedup CLUSTERS (round 6): connected components over
+    // the q58 near-dup pairs — SEMANTIC dedup's transitive closure, the
+    // same completion GraphOps gives the shingle-LSH pairs in q103 (a
+    // chain a~b, b~c of paraphrases is one cluster even when cos(a,c)
+    // dips under the threshold). Bucketed pair generation, distributed
+    // label propagation; never a cross join, never a driver union-find.
+    "q105_embed_components" -> ((s, dir) => {
+      val b = t(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding"),
+        srpBucket(col("embedding"), 8).as("bucket"))
+        .persist()
+      b.count()
+      val a = b.select(col("bucket"), col("vec_id").as("vid_a"), col("embedding").as("va"))
+      val c = b.select(col("bucket"), col("vec_id").as("vid_b"), col("embedding").as("vb"))
+      val pairs = a.join(c, Seq("bucket")).filter(col("vid_a") < col("vid_b"))
+        .filter(cosine(col("va"), col("vb")) > 0.35)
+        .select(col("vid_a"), col("vid_b"))
+      graft.operators.GraphOps.connectedComponents(pairs, "vid_a", "vid_b")
+        .select(col("v").as("vec_id"), col("component"))
+    }),
+
     // Per-bucket centroids (the IVF coarse-quantizer build step): explode
     // to (bucket, dim, value), aggregate element-wise means. One shuffle on
     // (bucket, dim); output is buckets × 64 rows. 4-bit buckets so each
@@ -241,6 +262,23 @@ object VectorQueries {
             SELECT a.vec_id AS vid_a, c.vec_id AS vid_b, ${cosSql("a.v", "c.v")} AS cos
             FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
             WHERE ${cosSql("a.v", "c.v")} > 0.35""",
+      // q58's pair construction + the same recursive-CTE closure as q103.
+      "q105_embed_components" ->
+        s"""WITH RECURSIVE b AS (SELECT vec_id, v, ${srpBucketSql(8)} AS bucket
+                       FROM (SELECT vec_id, $VecSql AS v FROM embeddings)),
+            pairs AS (
+              SELECT a.vec_id AS vid_a, c.vec_id AS vid_b
+              FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+              WHERE ${cosSql("a.v", "c.v")} > 0.35),
+            edges AS (
+              SELECT vid_a AS src, vid_b AS dst FROM pairs
+              UNION SELECT vid_b, vid_a FROM pairs),
+            reach AS (
+              SELECT src AS v, src AS r FROM edges
+              UNION
+              SELECT e.src AS v, r.r
+              FROM edges e JOIN reach r ON e.dst = r.v)
+            SELECT v AS vec_id, min(r) AS component FROM reach GROUP BY v""",
       // Same floor(y+0.5) code rule and round(x*1e6)/1e6 error idiom.
       "q94_embed_quantize" ->
         s"""WITH e AS (SELECT vec_id, $VecSql AS v FROM embeddings),
