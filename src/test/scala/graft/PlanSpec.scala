@@ -125,6 +125,21 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 4, s"expected partial+final aggregates for both phases, got $aggs:\n$p")
   }
 
+  test("q104: batch filtering is anti joins on the batch side, never inner") {
+    // The incremental near-dup shape: the ledger-bucket probe runs eagerly
+    // inside the pinned hit set (a checkpointed leaf here — that pin IS
+    // the pre/post-commit determinism contract, LshIncrSpec), and the
+    // returned survivor plan filters the batch through two LeftAnti joins
+    // (ledger hits, in-batch purge). An inner join against bucket ids
+    // sneaking in would duplicate batch rows per matching bucket —
+    // row-count corruption, not just a slowdown.
+    val p = plan("q104_incr_neardup")
+    assert("LeftAnti".r.findAllIn(p).size >= 2,
+      s"expected >=2 anti joins (hits + purge):\n${p.take(1500)}")
+    assert(!"(?i)Join Inner".r.findFirstIn(p).isDefined,
+      s"survivor plan must not inner-join the batch:\n${p.take(1500)}")
+  }
+
   test("every query stays inside its shuffle budget") {
     // Each Exchange is a full materialize-and-redistribute of its input —
     // the dominant cost at 100 TB. This gate pins the shuffle count of
