@@ -55,7 +55,7 @@ object GenScale {
     val out = args(1)
     val tables =
       if (args.length == 3) args(2).split(",").map(_.trim).toSet
-      else Set("lineitem", "documents")
+      else Set("lineitem", "documents", "embeddings")
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -68,6 +68,9 @@ object GenScale {
     if (tables("documents"))
       genDocuments(spark, sf).repartition(math.max(1, files / 2))
         .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    if (tables("embeddings"))
+      genEmbeddings(spark, sf).repartition(math.max(1, files / 2))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
     println(s"[genscale] wrote ${tables.mkString("+")} at sf=$sf to $out")
     spark.stop()
   }
@@ -97,6 +100,41 @@ object GenScale {
         date_add(to_date(lit("1995-01-01")),
           pmod(h("sd", o, ln), lit(2500)).cast("int"))
           .cast("timestamp").as("l_shipdate"))
+  }
+
+  /** 20 k vectors/sf matching the fixture's shape (sf0.1 ships 2 000):
+    * 64-dim UNIT vectors (fixture per-element σ = 1/√64 and Σv² = 1.0),
+    * uniform 10-way labels, and ~5 % seeded near-copies of an earlier
+    * vector (perturbed then re-normalized, cosine ≈ 0.95–0.99) so the
+    * embedding near-dup queries (q58/q105) measure a non-empty candidate
+    * load at scale. Deterministic per (id, dim) — Box-Muller over two
+    * xxhash-derived uniforms, no RNG state. */
+  def genEmbeddings(spark: SparkSession, sf: Double): DataFrame = {
+    val nVecs = (20000L * sf).toLong
+    val id = col("vec_id")
+    def unif(tag: String, i: Column, j: Column): Column =
+      (pmod(h(tag, i, j), lit(1000000000L)) + 0.5) / 1e9
+    def gauss(tag: String, i: Column, j: Column): Column =
+      sqrt(lit(-2.0) * log(unif(tag + "u1", i, j))) *
+        cos(lit(2.0 * math.Pi) * unif(tag + "u2", i, j))
+    def normed(v: Column): Column = {
+      val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+      transform(v, x => (x / n).cast("float"))
+    }
+    val base = spark.range(nVecs).toDF("vec_id")
+      .withColumn("raw", transform(sequence(lit(1), lit(64)), j => gauss("g", id, j)))
+    val isDup = pmod(h("vdup", id), lit(100)) < 5 && id >= 100
+    val dups = base.filter(isDup)
+      .select(id.as("dup_id"), pmod(h("vref", id), id).as("src_id"))
+    val dupVecs = dups
+      .join(base.select(id.as("src_id"), col("raw")), "src_id")
+      .select(col("dup_id").as("vec_id"),
+        transform(col("raw"), (x, j) =>
+          x + lit(0.15) * gauss("p", col("dup_id"), j)).as("raw"))
+    base.filter(!isDup).select(id, col("raw"))
+      .unionByName(dupVecs)
+      .select(id, normed(col("raw")).as("embedding"),
+        pmod(h("lbl", id), lit(10)).cast("int").as("label"))
   }
 
   /** 50 k docs/sf with the fixture's seeded near-dup rate. */

@@ -25,6 +25,7 @@ object LshRegime {
     spark.sparkContext.setLogLevel("WARN")
     if (args.length > 1 && args(1) == "incr") { incr(spark, dir, args(2).toInt); return }
     if (args.length > 1 && args(1) == "cc") { cc(spark, dir); return }
+    if (args.length > 1 && args(1) == "srp") { srp(spark, dir); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -61,6 +62,25 @@ object LshRegime {
       f"""{"metric":"lsh_cc","shingleN":${auto.shingleN},"docs":${auto.docCount},""" +
         f""""pairedVertices":${labels.count()},"components":${stats.getLong(0)},""" +
         f""""maxCluster":${stats.getLong(1)},"secs":$secs%.2f}""")
+    spark.stop()
+  }
+
+  /** Banded-SRP probe over an `embeddings` table: the scale path for
+    * embedding near-dup (the single-table 8-bit bucket join measured
+    * 81× slower at 10× vectors — SrpOps scaladoc). Prints candidate/pair
+    * counts + wall seconds. */
+  private def srp(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val t0 = System.nanoTime()
+    val banded = operators.SrpOps.bandedSrp(vecs, "embedding", "vec_id")
+    val pairs = operators.SrpOps.neardupPairs(banded.bands, "embedding", "vec_id", 0.9)
+    val n = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"metric":"srp_banded","vectors":${vecs.count()},"neardupPairs":$n,""" +
+        f""""meanOccupancy":${banded.meanOccupancy}%.3f,"overflowBuckets":${banded.overflowBuckets},""" +
+        f""""secs":$secs%.2f}""")
     spark.stop()
   }
 
