@@ -67,20 +67,21 @@ object LshRegime {
 
   /** Banded-SRP probe over an `embeddings` table: the scale path for
     * embedding near-dup (the single-table 8-bit bucket join measured
-    * 81× slower at 10× vectors — SrpOps scaladoc). Prints candidate/pair
-    * counts + wall seconds. */
+    * 81× slower at 10× vectors — SrpOps scaladoc). No manual knobs:
+    * [[graft.operators.SrpOps.srpAuto]] picks the band width from the
+    * vector count and the default gauge stays enforced. Prints the chosen
+    * width + candidate/pair counts + wall seconds. */
   private def srp(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    import org.apache.spark.sql.functions.col
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
     val t0 = System.nanoTime()
-    val banded = operators.SrpOps.bandedSrp(vecs, "embedding", "vec_id")
-    val pairs = operators.SrpOps.neardupPairs(banded.bands, "embedding", "vec_id", 0.9)
+    val auto = operators.SrpOps.srpAuto(vecs, "embedding", "vec_id")
+    val pairs = operators.SrpOps.neardupPairs(auto.banded.bands, "embedding", "vec_id", 0.9)
     val n = pairs.count()
     val secs = (System.nanoTime() - t0) / 1e9
     println(
-      f"""{"metric":"srp_banded","vectors":${vecs.count()},"neardupPairs":$n,""" +
-        f""""meanOccupancy":${banded.meanOccupancy}%.3f,"overflowBuckets":${banded.overflowBuckets},""" +
-        f""""secs":$secs%.2f}""")
+      f"""{"metric":"srp_banded","vectors":${auto.vecCount},"bitsPerBand":${auto.bitsPerBand},""" +
+        f""""neardupPairs":$n,"meanOccupancy":${auto.banded.meanOccupancy}%.3f,""" +
+        f""""overflowBuckets":${auto.banded.overflowBuckets},"secs":$secs%.2f}""")
     spark.stop()
   }
 

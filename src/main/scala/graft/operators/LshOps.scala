@@ -60,7 +60,8 @@ object LshOps {
       bands: DataFrame,
       overflowBuckets: Long,
       bandRows: Long,
-      distinctBuckets: Long) {
+      distinctBuckets: Long)(
+      private[operators] val persisted: DataFrame) {
     /** Mean bucket occupancy = bandRows / distinctBuckets. Near 1 in the
       * selective regime; growing with the corpus means the band-value
       * space is SATURATING (hazard 3 above — candidate pairs are heading
@@ -68,6 +69,11 @@ object LshOps {
       * number instead of discovering it at 100× scale. */
     def meanOccupancy: Double =
       if (distinctBuckets == 0L) 0.0 else bandRows.toDouble / distinctBuckets
+    /** Release the persisted signature frame. `bands` is a projection OVER
+      * the persisted frame, so `bands.unpersist()` would be a silent no-op
+      * (non-cascading unpersist matches only the exact cached plan) — this
+      * targets the real cache entry. */
+    def unpersist(): Unit = { persisted.unpersist(); () }
   }
 
   /** Result of the auto-tuned banding: the capped frame plus the regime
@@ -159,7 +165,7 @@ object LshOps {
     val n = chooseShingleN(regime, minShingleN, headroom, maxShingleN)
     val banded = bandedMinhash(docs, textCol, idCol, k, n, nBands, rowsPerBand, maxBucket)
     if (banded.meanOccupancy > maxMeanOccupancy) {
-      banded.bands.unpersist()
+      banded.unpersist()
       throw new IllegalStateException(
         f"LSH band space saturated even at shingleN=$n: meanOccupancy=" +
           f"${banded.meanOccupancy}%.1f > $maxMeanOccupancy%.1f (bandRows=${banded.bandRows}, " +
@@ -211,7 +217,7 @@ object LshOps {
       exploded.filter(col("_graft_bn") <= maxBucket).drop("_graft_bn"),
       overflowBuckets = if (stats.isNullAt(0)) 0L else stats.getLong(0),
       bandRows = if (stats.isNullAt(1)) 0L else stats.getLong(1),
-      distinctBuckets = stats.getLong(2))
+      distinctBuckets = stats.getLong(2))(exploded)
   }
 
   /** A prepared incremental near-dup batch: survivors plus a ledger commit

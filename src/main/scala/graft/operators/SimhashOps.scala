@@ -47,13 +47,19 @@ object SimhashOps {
       bands: DataFrame,
       overflowBuckets: Long,
       bandRows: Long,
-      distinctBuckets: Long) {
+      distinctBuckets: Long)(
+      private[operators] val persisted: DataFrame) {
     /** Mean bucket occupancy — the saturation gauge (see LshOps.Banded):
       * growing with the corpus means the 15-bit band space is filling and
       * candidate pairs are heading to n²/B; the cap then bounds the join
       * while this number tells the caller WHY buckets are hot. */
     def meanOccupancy: Double =
       if (distinctBuckets == 0L) 0.0 else bandRows.toDouble / distinctBuckets
+    /** Release the persisted signature frame. `bands` is a projection OVER
+      * the persisted frame, so `bands.unpersist()` would be a silent no-op
+      * (non-cascading unpersist matches only the exact cached plan) — this
+      * targets the real cache entry. */
+    def unpersist(): Unit = { persisted.unpersist(); () }
   }
 
   /** Explode docs into capped (id, signature, band, bandValue) rows.
@@ -98,14 +104,14 @@ object SimhashOps {
       exploded.filter(col("_graft_bn") <= maxBucket).drop("_graft_bn"),
       overflowBuckets = if (stats.isNullAt(0)) 0L else stats.getLong(0),
       bandRows = if (stats.isNullAt(1)) 0L else stats.getLong(1),
-      distinctBuckets = stats.getLong(2))
+      distinctBuckets = stats.getLong(2))(exploded)
     // Optional LOUD saturation gate (parity with LshOps.bandedMinhashAuto):
     // the 15-bit band space is fixed, so past ~32 k × 4 well-spread docs the
     // gauge rises by construction — a 100 TB caller sets a threshold and
     // handles the failure (wider signature, exact dedup) instead of paying
     // for a junk-dominated candidate join the cap merely bounds.
     if (banded.meanOccupancy > maxMeanOccupancy) {
-      banded.bands.unpersist()
+      banded.unpersist()
       throw new IllegalStateException(
         f"SimHash band space saturated: meanOccupancy=${banded.meanOccupancy}%.1f > " +
           f"$maxMeanOccupancy%.1f (bandRows=${banded.bandRows}, buckets=${banded.distinctBuckets}). " +

@@ -37,15 +37,88 @@ object SrpOps {
       bands: DataFrame,
       overflowBuckets: Long,
       bandRows: Long,
-      distinctBuckets: Long) {
+      distinctBuckets: Long)(
+      private[operators] val persisted: DataFrame) {
     /** Saturation gauge — see [[LshOps.Banded.meanOccupancy]]. */
     def meanOccupancy: Double =
       if (distinctBuckets == 0L) 0.0 else bandRows.toDouble / distinctBuckets
+    /** Release the persisted signature frame. `bands` is a projection OVER
+      * the persisted frame, so `bands.unpersist()` would be a silent no-op
+      * (non-cascading unpersist matches only the exact cached plan) — this
+      * targets the real cache entry. */
+    def unpersist(): Unit = { persisted.unpersist(); () }
   }
+
+  /** Result of the auto-tuned banding: the capped frame plus the choice
+    * evidence, mirroring [[LshOps.AutoBanded]]. */
+  final case class AutoBanded(banded: Banded, bitsPerBand: Int, vecCount: Long)
+
+  /** [[bandedSrp]] with `bitsPerBand` chosen from the corpus size — the
+    * vector-side twin of [[LshOps.bandedMinhashAuto]]. The band-value
+    * space `2^bitsPerBand` is FIXED at any given width, so collisions grow
+    * n²/2^bits once the corpus outruns it (the round-6 measurement: an
+    * 8-bit single-table construction went 81× for 10× vectors at 200 k).
+    * The rule: smallest width whose UNIFORM expected occupancy
+    * `n / 2^bits` stays under `targetOccupancy`, clamped to the 60-bit
+    * signature budget (`bits ≤ 60 / nBands`). Real occupancy runs 2–3×
+    * uniform (sign bits of correlated dimensions are biased — measured
+    * 15.9 vs 6.1 uniform at 200 k), which is why the default target sits
+    * an order of magnitude under the enforced gauge — and the gauge itself
+    * remains the backstop: a corpus whose bias exceeds the margin still
+    * fails loudly in [[bandedSrp]] rather than handing the caller a
+    * quadratic join.
+    *
+    * Width also sets RECALL (P(band match) = p_bit^bits), so the auto rule
+    * deliberately never widens beyond what selectivity needs; past
+    * `targetOccupancy × 2^(60/nBands)` vectors (~65 M at 4 bands) there is
+    * no wider band to reach for and the call refuses up front — at that
+    * scale partition the corpus (e.g. by IVF cell, q65/q81) and near-dup
+    * within cells.
+    */
+  def srpAuto(
+      vecs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nBands: Int = 4,
+      minBitsPerBand: Int = 8,
+      maxBucket: Int = 200,
+      targetOccupancy: Double = 2.0,
+      maxMeanOccupancy: Double = DefaultMaxMeanOccupancy): AutoBanded = {
+    require(nBands > 0 && nBands * minBitsPerBand <= 60,
+      s"signature is at most 60 bits: nBands=$nBands x minBitsPerBand=$minBitsPerBand")
+    require(targetOccupancy > 0, s"targetOccupancy must be positive: $targetOccupancy")
+    val n = vecs.count()
+    val maxBits = 60 / nBands
+    // 2^bits ≥ n / targetOccupancy  ⇔  bits ≥ log2(n / targetOccupancy)
+    val wanted = if (n == 0L) minBitsPerBand
+      else math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt
+    val bits = math.min(maxBits, math.max(minBitsPerBand, wanted))
+    val projected = n.toDouble / (1L << bits)
+    if (projected > maxMeanOccupancy)
+      throw new IllegalStateException(
+        f"SRP band space cannot clear saturation: $n vectors over the widest " +
+          f"band ($maxBits bits, ${1L << maxBits} values) still project " +
+          f"$projected%.1f mean occupancy > $maxMeanOccupancy%.1f. Partition the " +
+          "corpus (IVF cells) and near-dup within partitions instead.")
+    AutoBanded(
+      bandedSrp(vecs, vecCol, idCol, nBands, bits, maxBucket, maxMeanOccupancy),
+      bitsPerBand = bits, vecCount = n)
+  }
+
+  /** Default saturation gate, calibrated by the round-6 measurements: the
+    * measured-GOOD regime (4×15 bands at 200 k vectors, 1.4× wall for 10×
+    * data) ran at occupancy 15.9; the measured-CATASTROPHIC regime (the
+    * single-table 8-bit bucket join, 81× wall) ran at 200 k/256 ≈ 780.
+    * 24 sits 1.5× above the former and 30× below the latter — saturation
+    * fails loudly by default while the proven construction keeps running. */
+  val DefaultMaxMeanOccupancy = 24.0
 
   /** Explode vectors into capped (id, vec, band, bandValue) rows. One
     * shuffle on (b, bv) for the occupancy window; the candidate self-join
-    * reuses that partitioning. */
+    * reuses that partitioning. The occupancy gauge is ENFORCED by default
+    * (round 7; the round-6 default of +∞ computed the gauge and ignored
+    * it — exactly the silent-saturation path this operator exists to
+    * close). */
   def bandedSrp(
       vecs: DataFrame,
       vecCol: String,
@@ -53,7 +126,7 @@ object SrpOps {
       nBands: Int = 4,
       bitsPerBand: Int = 15,
       maxBucket: Int = 200,
-      maxMeanOccupancy: Double = Double.PositiveInfinity): Banded = {
+      maxMeanOccupancy: Double = DefaultMaxMeanOccupancy): Banded = {
     require(nBands > 0 && bitsPerBand > 0 && nBands * bitsPerBand <= 60,
       s"signature is at most 60 bits: nBands=$nBands x bitsPerBand=$bitsPerBand")
     require(maxBucket > 0, s"maxBucket must be positive: $maxBucket")
@@ -79,9 +152,9 @@ object SrpOps {
       exploded.filter(col("_graft_bn") <= maxBucket).drop("_graft_bn"),
       overflowBuckets = if (stats.isNullAt(0)) 0L else stats.getLong(0),
       bandRows = if (stats.isNullAt(1)) 0L else stats.getLong(1),
-      distinctBuckets = stats.getLong(2))
+      distinctBuckets = stats.getLong(2))(exploded)
     if (banded.meanOccupancy > maxMeanOccupancy) {
-      banded.bands.unpersist()
+      banded.unpersist()
       throw new IllegalStateException(
         f"SRP band space saturated: meanOccupancy=${banded.meanOccupancy}%.1f > " +
           f"$maxMeanOccupancy%.1f (bandRows=${banded.bandRows}, buckets=${banded.distinctBuckets}). " +

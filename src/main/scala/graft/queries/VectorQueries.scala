@@ -109,6 +109,40 @@ object VectorQueries {
         .select(col("v").as("vec_id"), col("component"))
     }),
 
+    // BANDED-SRP embedding near-dup (round 7) — the scale-safe construction
+    // the round-6 measurement demanded: q58's single-table 8-bit bucket
+    // join is n²/256 (measured 81× wall at 10× vectors, 200 k), while the
+    // banded frame (operators/SrpOps: per-band bucket join + occupancy cap
+    // + enforced saturation gauge + exact cosine on candidates only)
+    // measured 1.4× wall for the same scale-up. Fixture-scale
+    // parameterization: 4 bands × 10 bits — the width SrpOps.srpAuto
+    // derives at the sf0.1 vector count (2 000/2.0 target ⇒ 2^10), pinned
+    // explicitly because the oracle must restate one construction across
+    // all oracle scales (srpAuto would pick 8 bits at sf0.01's 500
+    // vectors). Occupancy measured 2.0 (sf0.01) / 3.7 (sf0.1), far under
+    // the 24.0 default gauge.
+    "q106_srp_neardup" -> ((s, dir) => {
+      val banded = graft.operators.SrpOps.bandedSrp(
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        nBands = 4, bitsPerBand = 10, maxBucket = 200)
+      graft.operators.SrpOps.neardupPairs(banded.bands, "embedding", "vec_id", 0.35)
+    }),
+
+    // Components over the q106 banded-SRP pairs (round 7): the scale-safe
+    // twin of q105 — same distributed label propagation, but the pair
+    // generation is the banded construction above instead of the
+    // fixture-pinned 8-bit bucket join.
+    "q107_srp_components" -> ((s, dir) => {
+      val banded = graft.operators.SrpOps.bandedSrp(
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        nBands = 4, bitsPerBand = 10, maxBucket = 200)
+      val pairs = graft.operators.SrpOps
+        .neardupPairs(banded.bands, "embedding", "vec_id", 0.35)
+        .select(col("vid_a"), col("vid_b"))
+      graft.operators.GraphOps.connectedComponents(pairs, "vid_a", "vid_b")
+        .select(col("v").as("vec_id"), col("component"))
+    }),
+
     // Per-bucket centroids (the IVF coarse-quantizer build step): explode
     // to (bucket, dim, value), aggregate element-wise means. One shuffle on
     // (bucket, dim); output is buckets × 64 rows. 4-bit buckets so each
@@ -236,6 +270,24 @@ object VectorQueries {
                   CAST(((j * 64 + i) * 2654435761) % 97 - 48 AS DOUBLE) * v[i + 1])) >= 0
                 THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END))
          AS BIGINT)"""
+    // The BANDED construction (q106/q107): band b's value packs the sign
+    // bits of hyperplanes b*bits .. b*bits+bits-1 — identical to
+    // (srpBucket(v, nBands*bits) >> b*bits) & (2^bits - 1), restated
+    // per-band so every summed power of two stays far under 2^53 (the
+    // DOUBLE-exact integer ceiling list_sum must respect). The QUALIFY
+    // window restates the per-(band, value) occupancy cap.
+    def srpBandsSql(nBands: Int, bits: Int, maxBucket: Int): String =
+      s"""e AS (SELECT vec_id, $VecSql AS v FROM embeddings),
+          bands AS (
+            SELECT vec_id, v, CAST(b AS INT) AS b,
+                   CAST(list_sum(list_transform(range(0, $bits), r ->
+                     CASE WHEN list_sum(list_transform(range(0, 64), i ->
+                            CAST((((b * $bits + r) * 64 + i) * 2654435761) % 97 - 48 AS DOUBLE)
+                              * v[i + 1])) >= 0
+                          THEN CAST(power(2, r) AS BIGINT) ELSE CAST(0 AS BIGINT) END))
+                     AS BIGINT) AS bv
+            FROM e, unnest(range(0, $nBands)) AS u(b)
+            QUALIFY count(*) OVER (PARTITION BY b, bv) <= $maxBucket)"""
     Map(
       "q55_cosine_pairs" ->
         s"""WITH e AS (SELECT vec_id, $VecSql AS v FROM embeddings)
@@ -278,6 +330,34 @@ object VectorQueries {
               UNION
               SELECT e.src AS v, r.r
               FROM edges e JOIN reach r ON e.dst = r.v)
+            SELECT v AS vec_id, min(r) AS component FROM reach GROUP BY v""",
+      // The banded construction restated: capped bands → distinct candidate
+      // pairs → exact cosine filter, mirroring SrpOps.neardupPairs.
+      "q106_srp_neardup" ->
+        s"""WITH ${srpBandsSql(4, 10, 200)},
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS vid_a, c.vec_id AS vid_b
+              FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv
+              WHERE a.vec_id < c.vec_id)
+            SELECT vid_a, vid_b, ${cosSql("x.v", "y.v")} AS cos
+            FROM pairs JOIN e x ON x.vec_id = vid_a JOIN e y ON y.vec_id = vid_b
+            WHERE ${cosSql("x.v", "y.v")} >= 0.35""",
+      // q106's pair construction + the same recursive-CTE closure as q105.
+      "q107_srp_components" ->
+        s"""WITH RECURSIVE ${srpBandsSql(4, 10, 200)},
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS vid_a, c.vec_id AS vid_b
+              FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv
+              WHERE a.vec_id < c.vec_id
+                AND ${cosSql("a.v", "c.v")} >= 0.35),
+            edges AS (
+              SELECT vid_a AS src, vid_b AS dst FROM pairs
+              UNION SELECT vid_b, vid_a FROM pairs),
+            reach AS (
+              SELECT src AS v, src AS r FROM edges
+              UNION
+              SELECT e2.src AS v, r.r
+              FROM edges e2 JOIN reach r ON e2.dst = r.v)
             SELECT v AS vec_id, min(r) AS component FROM reach GROUP BY v""",
       // Same floor(y+0.5) code rule and round(x*1e6)/1e6 error idiom.
       "q94_embed_quantize" ->

@@ -47,8 +47,12 @@ class SrpOpsSpec extends AnyFunSuite {
     val same = unitVec(42L)
     val hot = (0L until 50L).map(i => (i, same))
     val cool = Seq((900L, unitVec(1L)), (901L, unitVec(1L)))
+    // The 50-identical-vector fixture is a saturated corpus by construction
+    // (occupancy 26 trips the default gauge before the cap is reached) —
+    // disable the gauge to exercise the cap in isolation.
     val banded = SrpOps.bandedSrp((hot ++ cool).toDF("vec_id", "embedding"),
-      "embedding", "vec_id", maxBucket = 10)
+      "embedding", "vec_id", maxBucket = 10,
+      maxMeanOccupancy = Double.PositiveInfinity)
     assert(banded.overflowBuckets >= 4L, s"over-cap buckets: ${banded.overflowBuckets}")
     val pairs = SrpOps.neardupPairs(banded.bands, "embedding", "vec_id", 0.99)
       .select($"vid_a", $"vid_b").as[(Long, Long)].collect().toSet
@@ -62,5 +66,44 @@ class SrpOpsSpec extends AnyFunSuite {
       SrpOps.bandedSrp(docs, "embedding", "vec_id", maxMeanOccupancy = 2.0)
     }
     assert(e.getMessage.contains("saturated"))
+  }
+
+  test("a saturating corpus fails loudly BY DEFAULT (round-7: finite gauge)") {
+    // 200 copies of one vector into a 4-value band space (2 bits/band):
+    // occupancy 200 >> the 24.0 default — the silent-saturation regime the
+    // round-6 default of +inf let through.
+    val same = unitVec(11L)
+    val docs = (0L until 200L).map(i => (i, same)).toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      SrpOps.bandedSrp(docs, "embedding", "vec_id", bitsPerBand = 2, maxBucket = 1000)
+    }
+    assert(e.getMessage.contains("saturated"))
+  }
+
+  test("srpAuto picks the band width from the corpus size") {
+    val vecs = (0L until 2000L).map(i => (i, unitVec(i * 7919L + 3L)))
+      .toDF("vec_id", "embedding")
+    val auto = SrpOps.srpAuto(vecs, "embedding", "vec_id")
+    // 2^bits >= n / targetOccupancy = 1000 => 10 bits.
+    assert(auto.bitsPerBand == 10, s"chose ${auto.bitsPerBand}")
+    assert(auto.vecCount == 2000L)
+    assert(auto.banded.meanOccupancy <= SrpOps.DefaultMaxMeanOccupancy)
+    // A small corpus stays at the floor width (recall is the scarce
+    // resource when selectivity is already free).
+    val small = (0L until 100L).map(i => (i, unitVec(i * 31L + 7L)))
+      .toDF("vec_id", "embedding")
+    assert(SrpOps.srpAuto(small, "embedding", "vec_id").bitsPerBand == 8)
+  }
+
+  test("srpAuto refuses a corpus beyond the 60-bit signature budget") {
+    // Don't build 66M rows: shrink the budget via targetOccupancy/gauge so
+    // the refusal arithmetic (projected occupancy at the WIDEST band still
+    // over the gauge) trips on a small frame.
+    val vecs = (0L until 1000L).map(i => (i, unitVec(i))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      SrpOps.srpAuto(vecs, "embedding", "vec_id", nBands = 15,
+        minBitsPerBand = 4, targetOccupancy = 0.001, maxMeanOccupancy = 0.05)
+    }
+    assert(e.getMessage.contains("cannot clear saturation"))
   }
 }
