@@ -1,9 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.analysis.TypeCoercion
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, EqualTo, Literal, XxHash64}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.DataType
@@ -38,12 +37,14 @@ import org.apache.spark.util.sketch.BloomFilter
   * Key typing: the filter accepts ANY key type — `XxHash64` hashes every
   * Catalyst type. But the hash is physical-type-sensitive
   * (`xxhash64(5: int) ≠ xxhash64(5L)`), so when the fact and dim key types
-  * differ BOTH sides are cast to the join's own wider common type before
-  * hashing — the same coercion the equi-join applies to its keys, which is
-  * exactly the invariant that guarantees "equal after join coercion ⇒ equal
-  * hash ⇒ no false negatives". (An earlier revision cast every key to
-  * `long`, which silently turned string keys into NULLs and dropped every
-  * fact row; see BloomOpsSpec's string-key case.)
+  * differ BOTH sides are cast to the comparison type the equi-join itself
+  * coerces to — read off the ANALYZED join condition, see [[joinKeyType]] —
+  * which is exactly the invariant that guarantees "equal after join
+  * coercion ⇒ equal hash ⇒ no false negatives". (Two earlier revisions got
+  * this wrong in two directions: casting every key to `long` NULLed string
+  * keys, and `findWiderTypeForTwo` widened string-vs-numeric pairs to
+  * string while the join compares them numerically; BloomOpsSpec pins both
+  * cases.)
   *
   * NULL semantics: a bloom filter holds key values, and SQL equi-joins
   * never match on NULL, so NULL dim keys are excluded from the build and
@@ -57,16 +58,49 @@ object BloomOps {
   private val MaxItemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
   private val MaxBitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
 
-  /** The wider common type the equi-join itself would coerce both keys to.
-    * Hashing after this cast keeps the build and probe hashes comparable
-    * for any pair of joinable key types. */
+  /** Serializes the temporary session-conf raise in [[buildFilter]]: the
+    * limits live in SHARED session conf, and concurrent builds on one
+    * session (GraftApp runs tables at parallelism 4) could interleave
+    * set/restore — silently clamping one build's size (degraded fpp) or
+    * leaving a raised limit behind. The build's action runs under the
+    * lock; bloom builds are rare one-row aggregates, so the serialization
+    * cost is noise. */
+  private val buildLock = new Object
+
+  /** The type the equi-join itself coerces both keys to before comparing.
+    * Hashing after a cast to THIS type is the invariant that guarantees
+    * "equal after join coercion ⇒ equal hash ⇒ no false negatives".
+    *
+    * Derived by ANALYZING the join this prefilter fronts and reading the
+    * coerced comparison type off its condition — not recomputed from a
+    * coercion table. An earlier revision used `findWiderTypeForTwo`, which
+    * widens string-vs-numeric pairs to STRING while the join's
+    * binary-comparison rule coerces them to a NUMERIC type: a fact 5.0d
+    * joined to a dim '5' matches in the exact join but hashed as "5.0" vs
+    * "5" in the filter — a false negative that silently dropped rows.
+    * Asking the analyzer makes the filter track whatever rule the session
+    * actually runs (ANSI or legacy) by construction. */
   private def joinKeyType(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String): DataType = {
     val ft = fact.schema(factKey).dataType
     val dt = dim.schema(dimKey).dataType
     if (ft == dt) ft
-    else TypeCoercion.findWiderTypeForTwo(ft, dt).getOrElse(
-      throw new IllegalArgumentException(
-        s"bloom prefilter keys are not joinable: $factKey is $ft, $dimKey is $dt"))
+    else {
+      val analyzed =
+        try fact.join(dim, fact.col(factKey) === dim.col(dimKey)).queryExecution.analyzed
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"bloom prefilter keys are not joinable: $factKey is $ft, $dimKey is $dt", e)
+        }
+      analyzed
+        .collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+        .flatMap(_.condition.toSeq)
+        .flatMap(_.collect { case eq: EqualTo => eq.left.dataType })
+        .headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"bloom prefilter keys are not joinable: $factKey is $ft, $dimKey is $dt " +
+            "(the analyzed join has no coerced equality on them)"))
+    }
   }
 
   /** The dim side's key set as a serialized bloom filter (one distributed
@@ -87,15 +121,17 @@ object BloomOps {
     val agg = new BloomFilterAggregate(hashed, Literal(expectedItems), Literal(numBits))
       .toAggregateExpression()
     val conf = dim.sparkSession.conf
-    val (prevItems, prevBits) = (conf.get(MaxItemsConf), conf.get(MaxBitsConf))
-    try {
-      if (expectedItems > prevItems.toLong) conf.set(MaxItemsConf, expectedItems.toString)
-      if (numBits > prevBits.toLong) conf.set(MaxBitsConf, numBits.toString)
-      dim.filter(col(dimKey).isNotNull)
-        .select(ColumnBridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
-    } finally {
-      conf.set(MaxItemsConf, prevItems)
-      conf.set(MaxBitsConf, prevBits)
+    buildLock.synchronized {
+      val (prevItems, prevBits) = (conf.get(MaxItemsConf), conf.get(MaxBitsConf))
+      try {
+        if (expectedItems > prevItems.toLong) conf.set(MaxItemsConf, expectedItems.toString)
+        if (numBits > prevBits.toLong) conf.set(MaxBitsConf, numBits.toString)
+        dim.filter(col(dimKey).isNotNull)
+          .select(ColumnBridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+      } finally {
+        conf.set(MaxItemsConf, prevItems)
+        conf.set(MaxBitsConf, prevBits)
+      }
     }
   }
 

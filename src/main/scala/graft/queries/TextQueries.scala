@@ -216,6 +216,14 @@ object TextQueries {
         t(s, dir, "documents"), "text", "doc_id",
         k = 16, minShingleN = 3, nBands = 4, rowsPerBand = 4,
         maxBucket = LshMaxBucket)
+      // The oracle SQL hardcodes the 4-gram choice, so the auto rule
+      // flipping (the fixture's 31-word vocabulary flips to 5-grams past
+      // ~9.2 k docs, i.e. beyond sf0.1's 5 k) must fail HERE, not as a
+      // silent hash mismatch at the next fixture scale-up. If this trips,
+      // re-pin shingleHashesSql(n) in the q102 oracle to the new choice.
+      require(auto.shingleN == 4,
+        s"q102's oracle pins 4-gram shingles but the auto rule chose " +
+          s"${auto.shingleN} (docs=${auto.docCount}, vocab=${auto.vocabEstimate})")
       graft.operators.LshOps.candidatePairs(auto.banded.bands, "doc_id")
     }),
 

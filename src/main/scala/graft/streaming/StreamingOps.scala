@@ -106,6 +106,7 @@ object StreamingOps {
       sink: IdempotentSink,
       table: String): DataStreamWriter[Row] =
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      assertNoForeignEpochs(batch, ledgerDir, batchId)
       val token = s"epoch$batchId"
       val pending = graft.operators.DedupOps.incrementalDedupEpoch(
         batch.sparkSession, batch, textCol, idCol, ledgerDir, token)
@@ -134,12 +135,40 @@ object StreamingOps {
       table: String,
       shingleN: Int = 3): DataStreamWriter[Row] =
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      assertNoForeignEpochs(batch, ledgerDir, batchId)
       val token = s"epoch$batchId"
       val pending = graft.operators.LshOps.incrementalNeardupEpoch(
         batch.sparkSession, batch, textCol, idCol, ledgerDir, token, shingleN = shingleN)
       sink.writeBatch(pending.survivors, table, token)
       pending.commitLedger()
     }
+
+  /** Checkpoint-reset guard for the epoch-keyed ledger ingests: epoch
+    * tokens derive from the streaming batchId, and epoch N+1 only starts
+    * after N's checkpoint commit — so a ledger holding an epoch AHEAD of
+    * the current batch is impossible in a healthy run and is exactly the
+    * signature of "checkpoint deleted/relocated while the ledger was
+    * kept". Left undetected, the restarted query's batch 0 would
+    * dynamic-partition-OVERWRITE the old epoch0 corpus buckets and
+    * near-dups of the earliest corpus would silently re-enter. Refuse
+    * loudly instead; an ordinary crash-replay (ledger holds epochs ≤ the
+    * replayed batch) passes untouched. */
+  private def assertNoForeignEpochs(batch: DataFrame, ledgerDir: String, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val foreign = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("_graft_epoch=epoch"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_graft_epoch=epoch").toLong).toOption)
+      .filter(_ > batchId)
+    if (foreign.nonEmpty)
+      throw new IllegalStateException(
+        s"ledger at $ledgerDir already holds epoch${foreign.max} but this query is at " +
+          s"batch $batchId — the streaming checkpoint was reset or relocated while the " +
+          "ledger was kept, and continuing would overwrite committed corpus epochs " +
+          "(silently readmitting their near-dups). Restore the original checkpoint or " +
+          "rebuild the ledger.")
+  }
 
   /** Stream-stream interval join: rows of `b` whose event time falls in
     * `[a.ts - range, a.ts]` for the same join keys. On streams BOTH sides

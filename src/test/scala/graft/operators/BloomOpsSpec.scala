@@ -64,6 +64,23 @@ class BloomOpsSpec extends AnyFunSuite {
       s"false negatives across types: ${(plain -- kept).size} dropped")
   }
 
+  test("string-vs-numeric keys hash on the join's COMPARISON type — still exact") {
+    // findWiderTypeForTwo(string, double) widens to STRING, but the
+    // analyzed join coerces the comparison to DOUBLE (`k = cast(dk as
+    // double)`): fact 5.0d matches dim '5' in the exact join but "5.0" vs
+    // "5" never hash-match — the false-negative path the round-6 revision
+    // had. The filter must read the type off the analyzed join.
+    val fact = spark.range(0, 100).select($"id".cast("double").as("k"), $"id".as("v"))
+    val dim = spark.range(0, 100, 9).select($"id".cast("string").as("dk"))
+    val plain = fact.join(dim, $"k" === $"dk", "left_semi")
+      .select($"v").collect().map(_.getLong(0)).toSet
+    val kept = BloomOps.bloomSemiFilter(fact, "k", dim, "dk", 20L)
+      .select($"v").collect().map(_.getLong(0)).toSet
+    assert(plain.nonEmpty, "the exact join should match across the coercion")
+    assert(plain.subsetOf(kept),
+      s"false negatives across string-vs-numeric: ${(plain -- kept).size} dropped")
+  }
+
   test("NULL keys follow SQL join semantics: never match, never pollute the filter") {
     val fact = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("z")))
       .toDF("id", "k")

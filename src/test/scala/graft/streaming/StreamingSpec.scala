@@ -293,6 +293,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint reset against a kept ledger is refused, not silently overwritten") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_stream_foreign")
+    val sink = Connectors.IdempotentParquetSink(s"$base/out")
+    val ledger = s"$base/ledger"
+    // A prior run committed epochs 0 and 1 into the ledger...
+    Seq(("epoch0", 1L, "alpha beta gamma delta epsilon zeta"),
+      ("epoch1", 2L, "one two three four five six seven")).foreach { case (tok, id, txt) =>
+      graft.operators.LshOps.incrementalNeardupEpoch(
+        spark, Seq((id, txt)).toDF("doc_id", "text"), "text", "doc_id", ledger, tok)
+        .commitLedger()
+    }
+    // ...then the checkpoint was lost: a fresh query restarts batchIds at 0,
+    // and its epoch0 would dynamic-partition-overwrite the committed corpus
+    // epoch0 — readmitting that epoch's near-dups forever after. The guard
+    // must kill the query loudly instead.
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.foreachBatchLedgerNeardup(
+      mem.toDF().toDF("doc_id", "text").writeStream,
+      "text", "doc_id", ledger, sink, "docs").start()
+    try {
+      mem.addData((9L, "totally fresh words appearing nowhere else"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("checkpoint was reset or relocated"),
+        s"expected the foreign-epoch refusal, got:\n$msgs")
+      // Nothing was overwritten: both committed epochs still hold buckets.
+      val epochs = spark.read.parquet(ledger)
+        .select($"_graft_epoch").distinct().as[String].collect().toSet
+      assert(epochs == Set("epoch0", "epoch1"))
+    } finally q.stop()
+  }
+
   test("transformWithState: typed state persists across micro-batches (E86)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingOps.TypedEvent]
