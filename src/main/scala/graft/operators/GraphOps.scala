@@ -68,26 +68,116 @@ object GraphOps {
     var round = 0
     while (moved > 0L && round < maxIter) {
       round += 1
-      // Each vertex adopts min(own label, neighbors' labels). The join
-      // shuffles (edge, label) on the vertex id; the aggregation combines
-      // map-side, so a high-degree hub contributes one partial min per
-      // partition, not one row per neighbor.
-      val next = Tables.materialize(
-        sym.join(labels.withColumnRenamed("v", "src"), "src")
-          .select(col("dst").as("v"), col("component"))
-          .union(labels)
-          .groupBy(col("v")).agg(min(col("component")).as("component")))
-      // Convergence = one scalar to the driver, not a data collect. The
-      // superseded rounds' checkpoint blocks are dereferenced here and
-      // reaped by the ContextCleaner.
-      moved = next.join(labels.withColumnRenamed("component", "prev"), "v")
-        .filter(col("component") =!= col("prev")).count()
-      labels = next
+      val next = Tables.materialize(propagateOnce(sym, labels))
+      // Convergence = one scalar to the driver, read as a filter-count
+      // over the ALREADY-materialized round — not a second join (round 6
+      // paid a next⋈labels join per round just to count movers; the prev
+      // label now rides through the round's one aggregation instead).
+      moved = next.filter(col("component") =!= col("_graft_prev")).count()
+      labels = next.drop("_graft_prev")
     }
     if (moved > 0L)
       throw new IllegalStateException(
         s"connected components still moving after $maxIter rounds — " +
-          "pathologically deep graph; raise maxIter or use a star-contraction variant")
+          s"pathologically deep graph; raise maxIter or use [[connectedComponentsStars]]")
     labels
+  }
+
+  /** One propagation round — exactly ONE join (gated by GraphOpsSpec).
+    * Each vertex adopts min(own label, neighbors' labels). The join
+    * shuffles (edge, label) on the vertex id; the aggregation combines
+    * map-side, so a high-degree hub contributes one partial min per
+    * partition, not one row per neighbor. The vertex's own-label branch of
+    * the union carries the label AGAIN as `_graft_prev` (each vertex has
+    * exactly one labels row, so `max` reconstructs it through the
+    * aggregation), letting the caller count movers without re-joining. */
+  private[graft] def propagateOnce(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val prevType = labels.schema("component").dataType
+    sym.join(labels.withColumnRenamed("v", "src"), "src")
+      .select(col("dst").as("v"), col("component"), lit(null).cast(prevType).as("_graft_prev"))
+      .union(labels.select(col("v"), col("component"), col("component").as("_graft_prev")))
+      .groupBy(col("v"))
+      .agg(min(col("component")).as("component"), max(col("_graft_prev")).as("_graft_prev"))
+  }
+
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond": large-star / small-star
+    * rounds) — the deep-graph fallback [[connectedComponents]]'s failure
+    * message points at. Label propagation needs diameter-many rounds, the
+    * right default for near-dup graphs (shallow quasi-cliques) but a
+    * refusal on path-shaped graphs; star contraction halves path lengths
+    * every round pair, converging in O(log² n) rounds on ANY shape, at the
+    * cost of heavier rounds (two grouped rewrites per iteration instead of
+    * one join).
+    *
+    * Each round is edge-local: large-star points every larger neighbor of
+    * u at u's minimum neighbor, small-star does the same for the
+    * smaller-or-equal neighbors. Both are one groupBy over the (distinct,
+    * canonically oriented) edge list — never a cross join, lineage cut per
+    * round like the propagation loop. At the fixed point the edges form
+    * stars centered at each component's minimum id, which is exactly the
+    * (vertex, component) labeling.
+    *
+    * Same contract as [[connectedComponents]]: one row per vertex that
+    * appears in an edge; singletons are the caller's union; loud failure
+    * past `maxIter`.
+    */
+  def connectedComponentsStars(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive: $maxIter")
+    var e = Tables.materialize(
+      edges.select(col(aCol).as("x"), col(bCol).as("y"))
+        .filter(col("x") =!= col("y"))
+        .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+        .distinct())
+    var changed = 1L
+    var round = 0
+    while (changed > 0L && round < maxIter) {
+      round += 1
+      val next = Tables.materialize(smallStar(largeStar(e)))
+      // Fixed point = edge SET unchanged. |A △ B| = 2|A ∪ B| − |A| − |B|;
+      // both sides are materialized and distinct, so this is one cheap
+      // distinct-count over small (id, id) pairs.
+      changed = 2L * next.union(e).distinct().count() - next.count() - e.count()
+      e = next
+    }
+    if (changed > 0L)
+      throw new IllegalStateException(
+        s"star contraction still moving after $maxIter rounds — " +
+          "raise maxIter (O(log^2 n) rounds suffice for any graph)")
+    // Stars: every remaining edge (u, m) points a vertex at its component
+    // minimum; the minima label themselves.
+    e.select(col("u").as("v"), col("v").as("component"))
+      .union(e.select(col("v"), col("v")))
+      .distinct()
+  }
+
+  /** Large-star round: for each vertex x, point every STRICTLY LARGER
+    * neighbor at m = min(Γ(x) ∪ {x}). Output is canonically oriented
+    * (first > second) and distinct. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbr = e.select(col("u").as("x"), col("v").as("y"))
+      .union(e.select(col("v"), col("u")))
+    val mins = nbr.groupBy(col("x")).agg(min(col("y")).as("_my"))
+      .select(col("x"), least(col("_my"), col("x")).as("m"))
+    nbr.join(mins, "x")
+      .filter(col("y") > col("x") && col("y") =!= col("m"))
+      .select(col("y").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star round: for each vertex u, point itself and every
+    * SMALLER neighbor at m = min of the smaller neighborhood. Input and
+    * output are canonically oriented (first > second) and distinct. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val withM = e.join(mins, "u")
+    withM.select(col("u"), col("m").as("v"))
+      .union(withM.filter(col("v") =!= col("m")).select(col("v").as("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
   }
 }

@@ -38,4 +38,50 @@ class GraphOpsSpec extends AnyFunSuite {
   test("empty edge list yields an empty labeling") {
     assert(cc(Seq.empty) == Map.empty)
   }
+
+  test("a propagation round is exactly ONE join (round 7: no convergence re-join)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.functions.col
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b"), col("a")))
+    val labels = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("component"))
+    val round = GraphOps.propagateOnce(sym, labels)
+    val joins = round.queryExecution.analyzed.collect { case j: Join => j }
+    assert(joins.size == 1, s"expected 1 join per round, found ${joins.size}")
+    // The mover count must still be readable off the round itself.
+    assert(round.columns.contains("_graft_prev"))
+  }
+
+  private def stars(edges: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] =
+    GraphOps.connectedComponentsStars(edges.toDF("a", "b"), "a", "b", maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("star contraction solves the path graph label propagation refuses") {
+    // A 1000-vertex path has diameter 999: label propagation at the
+    // default 25 rounds must refuse loudly...
+    val path = (1L until 1000L).map(i => (i, i + 1))
+    val refusal = intercept[IllegalStateException] {
+      cc(path, maxIter = 5)
+    }
+    assert(refusal.getMessage.contains("still moving"))
+    // ...while alternating large-star/small-star halves path lengths every
+    // round pair and lands the same labeling in O(log^2 n) rounds.
+    assert(stars(path) == (1L to 1000L).map(_ -> 1L).toMap)
+  }
+
+  test("star contraction agrees with label propagation on a clustered graph") {
+    val rng = new scala.util.Random(7)
+    // 40 clusters of 5 around hubs + random intra-cluster chords: the
+    // near-dup shape, plus orientation noise.
+    val edges = (0L until 40L).flatMap { c =>
+      val base = c * 100L
+      val members = (0 to 4).map(base + _)
+      val spokes = members.tail.map(m => (m, base))
+      val chords = Seq.fill(3)((members(rng.nextInt(5)), members(rng.nextInt(5))))
+      spokes ++ chords
+    }
+    assert(stars(edges) == cc(edges))
+  }
 }
