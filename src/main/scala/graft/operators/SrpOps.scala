@@ -174,4 +174,168 @@ object SrpOps {
       .select(col("vid_a"), col("vid_b"), cosine(col("_va"), col("_vb")).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** A prepared incremental batch: survivors plus a ledger commit the
+    * caller invokes strictly AFTER the survivors are durably written —
+    * the [[LshOps.PendingNeardup]] write-then-commit protocol. */
+  final class PendingNeardup private[operators] (
+      /** Batch vectors near-dup of neither the ledgered corpus nor a
+        * smaller-id batch survivor. */
+      val survivors: DataFrame,
+      /** (idCol) of batch vectors dropped by a VERIFIED corpus collision
+        * (exact cosine ≥ minCos against a ledgered vector). */
+      val ledgerHits: DataFrame,
+      commit: () => Unit) {
+    /** Append the survivors' (band, bucket, vector) rows to the ledger.
+      * Call ONLY after the survivors are durably written. */
+    def commitLedger(): Unit = commit()
+  }
+
+  /** Incremental embedding near-dup against a persistent SRP band ledger —
+    * "near-dedup today's embeddings against the whole corpus" without
+    * re-banding the corpus, the vector twin of
+    * [[LshOps.incrementalNeardup]] with ONE deliberate difference: the
+    * MinHash ledger drops on bucket collision alone (its per-band hash
+    * space is ~10⁹, so a collision is near-proof), while an SRP band
+    * space is 2^bitsPerBand — small by construction — and random
+    * cos-≈-0 pairs collide at 2^-bits per band. On a corpus that fills
+    * its bucket space, collision-only dropping would purge essentially
+    * EVERYTHING. The ledger therefore stores the survivors' VECTORS
+    * alongside their (band, bucket) keys (nBands rows × the embedding per
+    * corpus vector) and every collision is verified by exact cosine
+    * before it drops a batch vector — the same
+    * candidates-then-verify shape as [[neardupPairs]], with the corpus
+    * side pre-banded on disk. Batch cost: band the batch + one
+    * bucket-keyed join against the ledger + cosine on candidates only.
+    *
+    * Construction parameters (and the threshold) are pinned in a ledger
+    * metadata file; a mismatched ingest is refused loudly — batch bands at
+    * a different width would simply never collide and every near-dup
+    * would sail through ([[LshOps]] learned this the measured way).
+    */
+  def incrementalNeardup(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      ledgerDir: String,
+      nBands: Int = 4,
+      bitsPerBand: Int = 10,
+      maxBucket: Int = 200,
+      minCos: Double = 0.9,
+      maxMeanOccupancy: Double = DefaultMaxMeanOccupancy): PendingNeardup =
+    neardupCore(spark, batch, vecCol, idCol, ledgerDir,
+      nBands, bitsPerBand, maxBucket, minCos, maxMeanOccupancy, epochToken = None)
+
+  /** Epoch-keyed variant for at-least-once replayed callers (streaming
+    * foreachBatch) — survivor rows land in an `_graft_epoch=<token>`
+    * partition, the collision read EXCLUDES the batch's own epoch, and the
+    * commit dynamically overwrites only that partition, so a crash at any
+    * point replays to the identical survivor set. Same protocol as
+    * [[LshOps.incrementalNeardupEpoch]]. */
+  def incrementalNeardupEpoch(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      ledgerDir: String,
+      epochToken: String,
+      nBands: Int = 4,
+      bitsPerBand: Int = 10,
+      maxBucket: Int = 200,
+      minCos: Double = 0.9,
+      maxMeanOccupancy: Double = DefaultMaxMeanOccupancy): PendingNeardup =
+    neardupCore(spark, batch, vecCol, idCol, ledgerDir,
+      nBands, bitsPerBand, maxBucket, minCos, maxMeanOccupancy, Some(epochToken))
+
+  private def neardupCore(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      ledgerDir: String,
+      nBands: Int,
+      bitsPerBand: Int,
+      maxBucket: Int,
+      minCos: Double,
+      maxMeanOccupancy: Double,
+      epochToken: Option[String]): PendingNeardup = {
+    val banded = bandedSrp(batch, vecCol, idCol, nBands, bitsPerBand, maxBucket, maxMeanOccupancy)
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val params = s"nBands=$nBands,bitsPerBand=$bitsPerBand,minCos=$minCos"
+    val expectedCols = epochToken match {
+      case Some(_) => Set("_graft_b", "_graft_bv", "_graft_vec", "_graft_epoch")
+      case None    => Set("_graft_b", "_graft_bv", "_graft_vec")
+    }
+    val prior: Option[DataFrame] =
+      if (!fs.exists(ledgerPath)) None
+      else {
+        val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, MetaFile)
+        if (fs.exists(metaPath)) {
+          val in = fs.open(metaPath)
+          val stored =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          if (stored != params)
+            throw new IllegalStateException(
+              s"SRP band ledger at $ledgerDir was built with [$stored] but this ingest " +
+                s"bands with [$params] — near-dups would silently never collide. " +
+                "Use the ledger's parameters or rebuild it.")
+        }
+        val l = spark.read.parquet(ledgerDir)
+        if (l.columns.toSet != expectedCols)
+          throw new IllegalStateException(
+            s"SRP band ledger at $ledgerDir has columns ${l.columns.mkString("[", ",", "]")}, " +
+              s"expected ${expectedCols.toSeq.sorted.mkString("[", ",", "]")} — a plain " +
+              "ledger opened in epoch mode (or vice versa); rebuild before ingesting")
+        Some(epochToken.fold(l)(t => l.filter(col("_graft_epoch") =!= t)))
+      }
+    // Pinned eagerly: every downstream frame must keep seeing the
+    // PRE-commit ledger even when evaluated after commitLedger().
+    val hits = (prior match {
+      case Some(l) =>
+        banded.bands.join(
+          l.select(col("_graft_b").as("b"), col("_graft_bv").as("bv"), col("_graft_vec")),
+          Seq("b", "bv"))
+          .filter(cosine(col(vecCol), col("_graft_vec")) >= minCos)
+          .select(col(idCol)).distinct()
+      case None => banded.bands.select(col(idCol)).filter(lit(false))
+    }).localCheckpoint(true)
+    val keptBands = banded.bands.join(hits, Seq(idCol), "left_anti")
+    val batchDrops = neardupPairs(keptBands, vecCol, idCol, minCos)
+      .select(col("vid_b").as(idCol)).distinct()
+    val survivors = batch
+      .join(hits, Seq(idCol), "left_anti")
+      .join(batchDrops, Seq(idCol), "left_anti")
+    val survivorRows = keptBands
+      .join(batchDrops, Seq(idCol), "left_anti")
+      .select(col("b").as("_graft_b"), col("bv").as("_graft_bv"), col(vecCol).as("_graft_vec"))
+      .localCheckpoint(true)
+    new PendingNeardup(
+      survivors,
+      hits,
+      () => {
+        epochToken match {
+          case None =>
+            survivorRows.write
+              .mode(org.apache.spark.sql.SaveMode.Append).parquet(ledgerDir)
+          case Some(t) =>
+            survivorRows.withColumn("_graft_epoch", lit(t))
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("_graft_epoch")
+              .parquet(ledgerDir)
+        }
+        val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, MetaFile)
+        if (!fs.exists(metaPath)) {
+          val outS = fs.create(metaPath, true)
+          try outS.write(params.getBytes("UTF-8")) finally outS.close()
+        }
+      })
+  }
+
+  /** Construction-parameter pin inside the SRP band ledger dir
+    * (underscore prefix: parquet directory listings skip it). */
+  private val MetaFile = "_graft_srp_meta"
 }

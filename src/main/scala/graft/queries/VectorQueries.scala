@@ -27,6 +27,32 @@ object VectorQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.parallel(Tables(s, dir, name))
 
+  /** q108's committed batch-1 SRP band ledger (even vec_ids = "yesterday's
+    * corpus"), keyed by input dir — the same build-once-per-dir fixture
+    * discipline (and Bench prewarm hook) as TextQueries.q104Ledger. */
+  private val q108Ledgers =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q108Ledger(s: SparkSession, dir: String): String = q108Ledgers.synchronized {
+    q108Ledgers.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_q108_ledger")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: Throwable => () }
+      }))
+      val path = root.resolve("bands").toString
+      val batch1 = Tables(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
+      graft.operators.SrpOps.incrementalNeardup(
+        s, batch1, "embedding", "vec_id", path,
+        nBands = 4, bitsPerBand = 10, maxBucket = 200, minCos = 0.35)
+        .commitLedger()
+      path
+    })
+  }
+
   // DuckDB double-cast vector + dot/norm fragments (lockstep with
   // VectorFunctions: left-to-right IEEE-double folds, rounded at 6 dp).
   private val VecSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -141,6 +167,24 @@ object VectorQueries {
         .select(col("vid_a"), col("vid_b"))
       graft.operators.GraphOps.connectedComponents(pairs, "vid_a", "vid_b")
         .select(col("v").as("vec_id"), col("component"))
+    }),
+
+    // Incremental EMBEDDING near-dup (round 7) — the q104 ledger pattern in
+    // vector space: even vec_ids are "yesterday's corpus" (their survivor
+    // (band, bucket, vector) rows committed to a ledger fixture, built once
+    // per dir); odd vec_ids are "today's embeddings", near-deduped against
+    // the ledger and then within themselves. Unlike the MinHash twin,
+    // every ledger collision is VERIFIED by exact cosine before it drops —
+    // an SRP bucket space is small by construction, so collision-only
+    // dropping would mass-purge on a full corpus (see
+    // SrpOps.incrementalNeardup). Same 4×10 construction as q106.
+    "q108_srp_incr_neardup" -> ((s, dir) => {
+      val ledger = q108Ledger(s, dir)
+      val batch2 = t(s, dir, "embeddings").filter(col("vec_id") % 2 === 1)
+      graft.operators.SrpOps.incrementalNeardup(
+        s, batch2, "embedding", "vec_id", ledger,
+        nBands = 4, bitsPerBand = 10, maxBucket = 200, minCos = 0.35)
+        .survivors.select(col("vec_id"))
     }),
 
     // Per-bucket centroids (the IVF coarse-quantizer build step): explode
@@ -276,9 +320,9 @@ object VectorQueries {
     // per-band so every summed power of two stays far under 2^53 (the
     // DOUBLE-exact integer ceiling list_sum must respect). The QUALIFY
     // window restates the per-(band, value) occupancy cap.
-    def srpBandsSql(nBands: Int, bits: Int, maxBucket: Int): String =
-      s"""e AS (SELECT vec_id, $VecSql AS v FROM embeddings),
-          bands AS (
+    def srpBandsSqlF(pfx: String, filt: String, nBands: Int, bits: Int, maxBucket: Int): String =
+      s"""${pfx}e AS (SELECT vec_id, $VecSql AS v FROM embeddings WHERE $filt),
+          ${pfx}bands AS (
             SELECT vec_id, v, CAST(b AS INT) AS b,
                    CAST(list_sum(list_transform(range(0, $bits), r ->
                      CASE WHEN list_sum(list_transform(range(0, 64), i ->
@@ -286,8 +330,10 @@ object VectorQueries {
                               * v[i + 1])) >= 0
                           THEN CAST(power(2, r) AS BIGINT) ELSE CAST(0 AS BIGINT) END))
                      AS BIGINT) AS bv
-            FROM e, unnest(range(0, $nBands)) AS u(b)
+            FROM ${pfx}e, unnest(range(0, $nBands)) AS u(b)
             QUALIFY count(*) OVER (PARTITION BY b, bv) <= $maxBucket)"""
+    def srpBandsSql(nBands: Int, bits: Int, maxBucket: Int): String =
+      srpBandsSqlF("", "TRUE", nBands, bits, maxBucket)
     Map(
       "q55_cosine_pairs" ->
         s"""WITH e AS (SELECT vec_id, $VecSql AS v FROM embeddings)
@@ -359,6 +405,33 @@ object VectorQueries {
               SELECT e2.src AS v, r.r
               FROM edges e2 JOIN reach r ON e2.dst = r.v)
             SELECT v AS vec_id, min(r) AS component FROM reach GROUP BY v""",
+      // Both halves restated: evens band + verified self-purge → ledger
+      // rows (band, bucket, vector); odds drop on a cosine-VERIFIED ledger
+      // collision, then self-purge. Mirrors SrpOps.incrementalNeardup.
+      "q108_srp_incr_neardup" ->
+        s"""WITH ${srpBandsSqlF("e_", "vec_id % 2 = 0", 4, 10, 200)},
+            e_drops AS (
+              SELECT DISTINCT c.vec_id AS drop_id
+              FROM e_bands a JOIN e_bands c ON a.b = c.b AND a.bv = c.bv
+              WHERE a.vec_id < c.vec_id AND ${cosSql("a.v", "c.v")} >= 0.35),
+            eledger AS (
+              SELECT b, bv, v FROM e_bands
+              WHERE vec_id NOT IN (SELECT drop_id FROM e_drops)),
+            ${srpBandsSqlF("o_", "vec_id % 2 = 1", 4, 10, 200)},
+            hits AS (
+              SELECT DISTINCT o.vec_id
+              FROM o_bands o JOIN eledger l ON o.b = l.b AND o.bv = l.bv
+              WHERE ${cosSql("o.v", "l.v")} >= 0.35),
+            kept AS (
+              SELECT * FROM o_bands
+              WHERE vec_id NOT IN (SELECT vec_id FROM hits)),
+            o_drops AS (
+              SELECT DISTINCT c.vec_id AS drop_id
+              FROM kept a JOIN kept c ON a.b = c.b AND a.bv = c.bv
+              WHERE a.vec_id < c.vec_id AND ${cosSql("a.v", "c.v")} >= 0.35)
+            SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1
+              AND vec_id NOT IN (SELECT vec_id FROM hits)
+              AND vec_id NOT IN (SELECT drop_id FROM o_drops)""",
       // Same floor(y+0.5) code rule and round(x*1e6)/1e6 error idiom.
       "q94_embed_quantize" ->
         s"""WITH e AS (SELECT vec_id, $VecSql AS v FROM embeddings),
