@@ -47,7 +47,10 @@ object GraftApp {
       ledgerDir: Option[String] = None,
       checkpointDir: Option[String] = None,
       textCol: String = "text",
-      idCol: String = "doc_id")
+      idCol: String = "doc_id",
+      dedup: String = "exact",
+      vecCol: String = "embedding",
+      minCos: Double = 0.9)
 
   /** Valueless flags (presence = true). */
   private val boolFlags = Set("strict", "stream")
@@ -75,10 +78,12 @@ object GraftApp {
           "[--source fmt:loc] [--sink fmt:loc] [--state P] " +
           "[--mode append|overwrite] [--parallelism N] [--table-timeout-sec N] " +
           "[--strict] [--stream --ledger P --checkpoint P " +
-          "[--text-col C] [--id-col C]]")
+          "[--dedup exact|neardup|embed] [--text-col C] [--id-col C] " +
+          "[--vec-col C] [--min-cos X]]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
-      "ledger", "checkpoint", "text-col", "id-col") ++ boolFlags
+      "ledger", "checkpoint", "text-col", "id-col",
+      "dedup", "vec-col", "min-cos") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
     if (unknown.nonEmpty)
@@ -104,7 +109,14 @@ object GraftApp {
       ledgerDir = flags.get("ledger"),
       checkpointDir = flags.get("checkpoint"),
       textCol = flags.getOrElse("text-col", "text"),
-      idCol = flags.getOrElse("id-col", "doc_id"))
+      idCol = flags.getOrElse("id-col", "doc_id"),
+      dedup = flags.get("dedup").map {
+        case m @ ("exact" | "neardup" | "embed") => m
+        case other => throw new IllegalArgumentException(
+          s"unknown --dedup mode: $other (expected exact|neardup|embed)")
+      }.getOrElse("exact"),
+      vecCol = flags.getOrElse("vec-col", "embedding"),
+      minCos = flags.get("min-cos").map(_.toDouble).getOrElse(0.9))
   }
 
   /** Testable core; returns the process exit code. */
@@ -223,12 +235,22 @@ object GraftApp {
         log(s"cannot infer schema from $srcDir (no parquet files yet?): ${e.getMessage}")
         return 1
       }
-    val q = graft.streaming.StreamingOps.foreachBatchLedgerDedup(
-      spark.readStream.schema(schema).parquet(srcDir)
-        .writeStream
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
-      a.textCol, a.idCol, ledger, idem, table).start()
+    val writer = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    // --dedup selects the corpus-wide ledger operator the drain flows
+    // through: exact fingerprints (default), MinHash band near-dup, or the
+    // cosine-verified SRP embedding near-dup — all three share the
+    // epoch-replay exactly-once protocol.
+    val q = (a.dedup match {
+      case "exact" => graft.streaming.StreamingOps.foreachBatchLedgerDedup(
+        writer, a.textCol, a.idCol, ledger, idem, table)
+      case "neardup" => graft.streaming.StreamingOps.foreachBatchLedgerNeardup(
+        writer, a.textCol, a.idCol, ledger, idem, table)
+      case "embed" => graft.streaming.StreamingOps.foreachBatchLedgerNeardupVec(
+        writer, a.vecCol, a.idCol, ledger, idem, table, minCos = a.minCos)
+    }).start()
     q.awaitTermination() // AvailableNow: returns once the backlog is drained
     // An idle drain still emits a zero-row progress event carrying the last
     // batch id — only batches that moved rows count as epochs.

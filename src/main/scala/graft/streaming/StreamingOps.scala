@@ -143,6 +143,37 @@ object StreamingOps {
       pending.commitLedger()
     }
 
+  /** Streaming EMBEDDING ingest with cross-run near-dup (round 7) — the
+    * vector twin of [[foreachBatchLedgerNeardup]], built on
+    * [[graft.operators.SrpOps.incrementalNeardupEpoch]]: every micro-batch
+    * is SRP-banded, collisions against the ledgered corpus are verified by
+    * EXACT COSINE before dropping (an SRP bucket space is small by
+    * construction — collision-only dropping would mass-purge on a full
+    * corpus, see SrpOps scaladoc), survivors write through the epoch-keyed
+    * idempotent sink, then their (band, bucket, vector) rows commit into
+    * the ledger's epoch partition. Replay-safe under the same protocol as
+    * the text twins; same foreign-epoch checkpoint-reset guard.
+    */
+  def foreachBatchLedgerNeardupVec(
+      writer: DataStreamWriter[Row],
+      vecCol: String,
+      idCol: String,
+      ledgerDir: String,
+      sink: IdempotentSink,
+      table: String,
+      nBands: Int = 4,
+      bitsPerBand: Int = 10,
+      minCos: Double = 0.9): DataStreamWriter[Row] =
+    writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      assertNoForeignEpochs(batch, ledgerDir, batchId)
+      val token = s"epoch$batchId"
+      val pending = graft.operators.SrpOps.incrementalNeardupEpoch(
+        batch.sparkSession, batch, vecCol, idCol, ledgerDir, token,
+        nBands = nBands, bitsPerBand = bitsPerBand, minCos = minCos)
+      sink.writeBatch(pending.survivors, table, token)
+      pending.commitLedger()
+    }
+
   /** Checkpoint-reset guard for the epoch-keyed ledger ingests: epoch
     * tokens derive from the streaming batchId, and epoch N+1 only starts
     * after N's checkpoint commit — so a ledger holding an epoch AHEAD of

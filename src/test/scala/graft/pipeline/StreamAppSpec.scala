@@ -80,6 +80,61 @@ class StreamAppSpec extends AnyFunSuite {
     assert(corpus(base) == Set((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
   }
 
+  test("stream CLI --dedup embed: drain → new vectors → crash-replay is exactly-once") {
+    val dim = 32
+    def unitVec(seed: Long, noiseOf: Option[(Array[Float], Double)] = None): Array[Float] = {
+      val rng = new scala.util.Random(seed)
+      val raw = noiseOf match {
+        case None => Array.fill(dim)(rng.nextGaussian())
+        case Some((base, eps)) => base.map(_.toDouble + eps * rng.nextGaussian())
+      }
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => (x / n).toFloat)
+    }
+    val src = Files.createTempDirectory("sapp_vsrc")
+    val base = Files.createTempDirectory("sapp_vbase")
+    def dropVec(vecs: (Long, Array[Float])*): Unit =
+      vecs.toSeq.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(src.toString)
+    def cliVec(): (Int, Seq[String]) = {
+      val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val args = GraftApp.parseArgs(Seq(
+        "dev", "vecs", "--stream", "--dedup", "embed", "--id-col", "vec_id",
+        "--source", s"parquet:$src",
+        "--sink", s"parquet-idempotent:$base/out",
+        "--ledger", s"$base/ledger",
+        "--checkpoint", s"$base/ckpt"))
+      (GraftApp.run(args, spark, out = outs.append(_), log = _ => ()), outs.toSeq)
+    }
+    def ids(): Set[Long] = spark.read.parquet(s"$base/out/vecs")
+      .select($"vec_id").as[Long].collect().toSet
+
+    // Run 1: v1 and an exact duplicate of it in one batch → min id wins.
+    val v1 = unitVec(1L)
+    dropVec((1L, v1), (2L, unitVec(2L)), (3L, v1))
+    val (c1, out1) = cliVec()
+    assert(c1 == 0)
+    assert(out1.exists(_.startsWith("STREAM_EPOCHS_VECS=")), out1.mkString(";"))
+    assert(ids() == Set(1L, 2L))
+
+    // Run 2: an exact copy of the ledgered v1 (cross-RUN, cosine-verified
+    // drop) plus a fresh vector.
+    dropVec((4L, v1), (5L, unitVec(5L)))
+    assert(cliVec()._1 == 0)
+    assert(ids() == Set(1L, 2L, 5L))
+
+    // Run 3: crash-replay — delete the last checkpoint commit marker; the
+    // restart must replay the epoch onto itself.
+    val commits = base.resolve("ckpt").resolve("commits")
+    val last = Files.list(commits).iterator.asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toInt)
+    Files.delete(last)
+    Files.deleteIfExists(commits.resolve(s".${last.getFileName}.crc"))
+    assert(cliVec()._1 == 0)
+    assert(ids() == Set(1L, 2L, 5L), "epoch replay must be exactly-once")
+  }
+
   test("stream CLI rejects a non-idempotent sink and a multi-table arg loudly") {
     val src = Files.createTempDirectory("sapp_src2")
     drop(src, (1L, "alpha"))
