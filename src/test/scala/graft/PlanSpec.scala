@@ -172,6 +172,9 @@ class PlanSpec extends AnyFunSuite {
       "q95_line_dedup" -> 3,      // segment window + doc re-agg + parallel spread
       "q104_incr_neardup" -> 3,   // ledger-hit anti-join + in-batch purge join + its distinct
                                   // (banding lives in the cached frame, pinned like q48)
+      "q108_srp_incr_neardup" -> 5, // hit/purge anti-joins on the id key + banded self-join
+                                    // + pair and drop distincts (banding cached; ledger-hit
+                                    // verification is eager, outside this plan)
       "q97_profile" -> 3,         // multi-distinct Expand partials
       // two-phase / paired-agg shapes:
       "q05_full_outer_regions" -> 2, "q19_count_distinct" -> 2,
