@@ -26,6 +26,7 @@ object LshRegime {
     if (args.length > 1 && args(1) == "incr") { incr(spark, dir, args(2).toInt); return }
     if (args.length > 1 && args(1) == "cc") { cc(spark, dir); return }
     if (args.length > 1 && args(1) == "srp") { srp(spark, dir); return }
+    if (args.length > 1 && args(1) == "srpincr") { srpIncr(spark, dir); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -82,6 +83,32 @@ object LshRegime {
       f"""{"metric":"srp_banded","vectors":${auto.vecCount},"bitsPerBand":${auto.bitsPerBand},""" +
         f""""neardupPairs":$n,"meanOccupancy":${auto.banded.meanOccupancy}%.3f,""" +
         f""""overflowBuckets":${auto.banded.overflowBuckets},"secs":$secs%.2f}""")
+    spark.stop()
+  }
+
+  /** Incremental EMBEDDING ingest probe: even vec_ids = ledgered corpus,
+    * odds = today's embeddings, banded at the full 15-bit width (what
+    * srpAuto picks at these counts). Prints hit/survivor counts + wall
+    * seconds for the batch ingest alone — the q108 operator's scale
+    * shape: band the batch + one bucket-keyed ledger join + exact cosine
+    * on candidates only. */
+  private def srpIncr(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_regime_srpincr").resolve("bands").toString
+    val evens = vecs.filter(col("vec_id") % 2 === 0)
+    val odds = vecs.filter(col("vec_id") % 2 === 1)
+    operators.SrpOps.incrementalNeardup(
+      spark, evens, "embedding", "vec_id", ledgerDir, bitsPerBand = 15).commitLedger()
+    val t0 = System.nanoTime()
+    val pending = operators.SrpOps.incrementalNeardup(
+      spark, odds, "embedding", "vec_id", ledgerDir, bitsPerBand = 15)
+    val (nBatch, nHits, nSurv) = (odds.count(), pending.ledgerHits.count(), pending.survivors.count())
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"metric":"srp_incr","batch":$nBatch,"ledgerHits":$nHits,""" +
+        f""""survivors":$nSurv,"secs":$secs%.2f}""")
     spark.stop()
   }
 
