@@ -52,6 +52,16 @@ object VectorFunctions {
     * dropping bits. */
   def srpBucket(v: Column, nBits: Int): Column = col(SrpBucketExpr(expr(v), nBits))
 
+  /** One BAND of a banded SRP construction: the ≤60-bit bucket over planes
+    * `planeOffset .. planeOffset + nBits - 1`. Bit r equals plane
+    * `planeOffset + r`, i.e. exactly what
+    * `(srpBucket(v, planeOffset + nBits) >> planeOffset) & (2^nBits - 1)`
+    * would give — but each band owns its own long, so a banded signature
+    * is NOT capped at 60 total bits (the round-6 SrpOps construction was,
+    * which is what forced srpAuto's refusal cliff at ~786 k vectors). */
+  def srpBand(v: Column, nBits: Int, planeOffset: Int): Column =
+    col(SrpBucketExpr(expr(v), nBits, planeOffset))
+
   /** Reference HOF implementations (interpreted; used by parity tests). */
   object hof {
     private def d(c: Column): Column = transform(c, x => x.cast("double"))

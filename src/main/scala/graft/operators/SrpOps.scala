@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * join (q58's fixture-scale construction) is n²/256 — measured 0.52 s →
   * 42.3 s (81×) for 10× vectors at 200 k, exactly SimhashOps hazard 3 in
   * embedding space. This operator is [[SimhashOps]] transplanted onto SRP
-  * signatures: a 60-bit signature (60 independent pseudo-random
-  * hyperplanes via the codegen'd `SrpBucketExpr`), banded 4 × 15 bits, a
-  * per-bucket occupancy cap with an overflow metric, and an exact cosine
-  * verification on candidates only.
+  * signatures: per-band bucket words over disjoint ranges of one
+  * deterministic hyperplane family (the codegen'd `SrpBucketExpr` with a
+  * plane offset — 4 × 15 bits by default, but each band owns its own
+  * ≤60-bit long, so width × bands is unbounded), a per-bucket occupancy
+  * cap with an overflow metric, and an exact cosine verification on
+  * candidates only.
   *
   * Geometry sets the recall: P(one bit agrees) = 1 − θ/π for angle θ, so
   * a 15-bit band retains ≈ (1 − θ/π)¹⁵ and 4 bands give
@@ -59,21 +61,23 @@ object SrpOps {
     * n²/2^bits once the corpus outruns it (the round-6 measurement: an
     * 8-bit single-table construction went 81× for 10× vectors at 200 k).
     * The rule: smallest width whose UNIFORM expected occupancy
-    * `n / 2^bits` stays under `targetOccupancy`, clamped to the 60-bit
-    * signature budget (`bits ≤ 60 / nBands`). Real occupancy runs 2–3×
-    * uniform (sign bits of correlated dimensions are biased — measured
-    * 15.9 vs 6.1 uniform at 200 k), which is why the default target sits
-    * an order of magnitude under the enforced gauge — and the gauge itself
-    * remains the backstop: a corpus whose bias exceeds the margin still
-    * fails loudly in [[bandedSrp]] rather than handing the caller a
-    * quadratic join.
+    * `n / 2^bits` stays under `targetOccupancy`, clamped to
+    * `maxBitsPerBand`. Real occupancy runs 2–3× uniform (sign bits of
+    * correlated dimensions are biased — measured 15.9 vs 6.1 uniform at
+    * 200 k), which is why the default target sits an order of magnitude
+    * under the enforced gauge — and the gauge itself remains the
+    * backstop: a corpus whose bias exceeds the margin still fails loudly
+    * in [[bandedSrp]] rather than handing the caller a quadratic join.
     *
-    * Width also sets RECALL (P(band match) = p_bit^bits), so the auto rule
-    * deliberately never widens beyond what selectivity needs; past
-    * `targetOccupancy × 2^(60/nBands)` vectors (~65 M at 4 bands) there is
-    * no wider band to reach for and the call refuses up front — at that
-    * scale partition the corpus (e.g. by IVF cell, q65/q81) and near-dup
-    * within cells.
+    * Width also sets RECALL (P(band match) = p_bit^bits: at cos 0.99 a
+    * 15-bit band retains ~0.50, a 30-bit band ~0.25), so the auto rule
+    * never widens beyond what selectivity needs, and `maxBitsPerBand`
+    * defaults to 30 — at the default target that covers ~2 G vectors per
+    * band before the up-front refusal, and recall at max width is
+    * recovered by MORE BANDS (1 − (1 − p_band)^nBands), not more bits.
+    * Since round 7 each band owns its own ≤60-bit word over its own plane
+    * range, so nBands × bitsPerBand is NOT capped at 60 — the round-6
+    * refusal cliff at ~786 k vectors is gone.
     */
   def srpAuto(
       vecs: DataFrame,
@@ -81,25 +85,27 @@ object SrpOps {
       idCol: String,
       nBands: Int = 4,
       minBitsPerBand: Int = 8,
+      maxBitsPerBand: Int = 30,
       maxBucket: Int = 200,
       targetOccupancy: Double = 2.0,
       maxMeanOccupancy: Double = DefaultMaxMeanOccupancy): AutoBanded = {
-    require(nBands > 0 && nBands * minBitsPerBand <= 60,
-      s"signature is at most 60 bits: nBands=$nBands x minBitsPerBand=$minBitsPerBand")
+    require(nBands > 0 && minBitsPerBand > 0 && minBitsPerBand <= maxBitsPerBand
+      && maxBitsPerBand <= 60,
+      s"band width bounds out of range: $minBitsPerBand..$maxBitsPerBand (≤ 60)")
     require(targetOccupancy > 0, s"targetOccupancy must be positive: $targetOccupancy")
     val n = vecs.count()
-    val maxBits = 60 / nBands
     // 2^bits ≥ n / targetOccupancy  ⇔  bits ≥ log2(n / targetOccupancy)
     val wanted = if (n == 0L) minBitsPerBand
       else math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt
-    val bits = math.min(maxBits, math.max(minBitsPerBand, wanted))
+    val bits = math.min(maxBitsPerBand, math.max(minBitsPerBand, wanted))
     val projected = n.toDouble / (1L << bits)
     if (projected > maxMeanOccupancy)
       throw new IllegalStateException(
         f"SRP band space cannot clear saturation: $n vectors over the widest " +
-          f"band ($maxBits bits, ${1L << maxBits} values) still project " +
-          f"$projected%.1f mean occupancy > $maxMeanOccupancy%.1f. Partition the " +
-          "corpus (IVF cells) and near-dup within partitions instead.")
+          f"allowed band ($maxBitsPerBand bits, ${1L << maxBitsPerBand} values) still " +
+          f"project $projected%.1f mean occupancy > $maxMeanOccupancy%.1f. Raise " +
+          "maxBitsPerBand (recall at fixed width drops — add bands to recover) or " +
+          "partition the corpus (IVF cells) and near-dup within partitions.")
     AutoBanded(
       bandedSrp(vecs, vecCol, idCol, nBands, bits, maxBucket, maxMeanOccupancy),
       bitsPerBand = bits, vecCount = n)
@@ -127,15 +133,18 @@ object SrpOps {
       bitsPerBand: Int = 15,
       maxBucket: Int = 200,
       maxMeanOccupancy: Double = DefaultMaxMeanOccupancy): Banded = {
-    require(nBands > 0 && bitsPerBand > 0 && nBands * bitsPerBand <= 60,
-      s"signature is at most 60 bits: nBands=$nBands x bitsPerBand=$bitsPerBand")
+    require(nBands > 0 && bitsPerBand > 0 && bitsPerBand <= 60,
+      s"a band value is one long, at most 60 bits: bitsPerBand=$bitsPerBand")
     require(maxBucket > 0, s"maxBucket must be positive: $maxBucket")
-    val mask = (1L << bitsPerBand) - 1
-    val sig = srpBucket(col(vecCol), nBands * bitsPerBand)
+    // Each band is its own ≤60-bit word over its own plane range (round 7;
+    // round 6 sliced ONE 60-bit signature, capping nBands × bitsPerBand at
+    // 60 total and forcing srpAuto's refusal cliff). Plane numbering is
+    // unchanged — band b's bit r is plane b*bitsPerBand + r — so existing
+    // parameterizations and their oracles are bit-identical.
     val exploded = vecs
       .select(col(idCol), col(vecCol), posexplode(array(
         (0 until nBands).map(b =>
-          shiftright(sig, b * bitsPerBand).bitwiseAND(lit(mask))): _*
+          srpBand(col(vecCol), bitsPerBand, b * bitsPerBand)): _*
       )).as(Seq("b", "bv")))
       .withColumn("_graft_bn", count(lit(1)).over(Window.partitionBy(col("b"), col("bv"))))
       .persist()

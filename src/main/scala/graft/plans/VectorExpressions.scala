@@ -46,15 +46,20 @@ object VecOps {
   }
 
   /** Sign-random-projection bucket; hyperplane grid
-    * w(j,i) = ((j*64+i)*2654435761) mod 97 - 48 (same as the oracle). */
-  def srpBucket(v: Array[Double], nBits: Int): Long = {
+    * w(j,i) = ((j*64+i)*2654435761) mod 97 - 48 (same as the oracle).
+    * `planeOffset` selects planes planeOffset..planeOffset+nBits-1, so a
+    * BANDED construction can give every band its own ≤60-bit word from one
+    * unbounded plane family (bit r of the offset-o bucket = plane o+r,
+    * identical numbering to slicing one long signature — which is why the
+    * offset form is oracle-compatible with the shifted form). */
+  def srpBucket(v: Array[Double], nBits: Int, planeOffset: Int): Long = {
     var bucket = 0L
     var j = 0
     while (j < nBits) {
       var proj = 0.0
       var i = 0
       while (i < v.length) {
-        val w = ((j * 64L + i) * 2654435761L) % 97L - 48L
+        val w = (((planeOffset + j) * 64L + i) * 2654435761L) % 97L - 48L
         proj += w.toDouble * v(i)
         i += 1
       }
@@ -63,6 +68,8 @@ object VecOps {
     }
     bucket
   }
+
+  def srpBucket(v: Array[Double], nBits: Int): Long = srpBucket(v, nBits, 0)
 }
 
 sealed trait VecBinary extends BinaryExpression {
@@ -113,15 +120,17 @@ case class L2DistExpr(left: Expression, right: Expression) extends VecBinary {
     copy(left = l, right = r)
 }
 
-case class SrpBucketExpr(child: Expression, nBits: Int) extends UnaryExpression {
+case class SrpBucketExpr(child: Expression, nBits: Int, planeOffset: Int = 0)
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   private def elemFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override protected def nullSafeEval(v: Any): Any =
-    VecOps.srpBucket(VecOps.toDoubles(v.asInstanceOf[ArrayData], elemFloat), nBits)
+    VecOps.srpBucket(
+      VecOps.toDoubles(v.asInstanceOf[ArrayData], elemFloat), nBits, planeOffset)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.plans.VecOps.srpBucket(" +
-        s"graft.plans.VecOps.toDoubles($c, $elemFloat), $nBits)")
+        s"graft.plans.VecOps.toDoubles($c, $elemFloat), $nBits, $planeOffset)")
   override protected def withNewChildInternal(c: Expression): SrpBucketExpr = copy(child = c)
 }

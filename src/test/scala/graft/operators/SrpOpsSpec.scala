@@ -95,15 +95,31 @@ class SrpOpsSpec extends AnyFunSuite {
     assert(SrpOps.srpAuto(small, "embedding", "vec_id").bitsPerBand == 8)
   }
 
-  test("srpAuto refuses a corpus beyond the 60-bit signature budget") {
-    // Don't build 66M rows: shrink the budget via targetOccupancy/gauge so
-    // the refusal arithmetic (projected occupancy at the WIDEST band still
-    // over the gauge) trips on a small frame.
+  test("srpAuto refuses a corpus beyond the allowed band width, up front") {
+    // Don't build a billion rows: shrink the width/occupancy budget so the
+    // refusal arithmetic (projected occupancy at the WIDEST allowed band
+    // still over the gauge) trips on a small frame.
     val vecs = (0L until 1000L).map(i => (i, unitVec(i))).toDF("vec_id", "embedding")
     val e = intercept[IllegalStateException] {
-      SrpOps.srpAuto(vecs, "embedding", "vec_id", nBands = 15,
-        minBitsPerBand = 4, targetOccupancy = 0.001, maxMeanOccupancy = 0.05)
+      SrpOps.srpAuto(vecs, "embedding", "vec_id",
+        minBitsPerBand = 4, maxBitsPerBand = 4,
+        targetOccupancy = 0.001, maxMeanOccupancy = 0.05)
     }
     assert(e.getMessage.contains("cannot clear saturation"))
+  }
+
+  test("wide bands past the old 60-bit total: 4 x 20-bit bands recall exact dups") {
+    // Round 6 sliced one 60-bit signature (4 x 20 was impossible); per-band
+    // plane ranges lift the cap. An exact copy shares every plane sign, so
+    // recall is guaranteed at ANY width; random dim-32 vectors never reach
+    // cos 0.9, so the wide bands keep them out.
+    val base = unitVec(3L)
+    val vecs = ((0L until 300L).map(i => (i, unitVec(i * 6151L + 11L))) ++
+      Seq((900L, base), (901L, base))).toDF("vec_id", "embedding")
+    val banded = SrpOps.bandedSrp(vecs, "embedding", "vec_id",
+      nBands = 4, bitsPerBand = 20)
+    val pairs = SrpOps.neardupPairs(banded.bands, "embedding", "vec_id", 0.9)
+      .select($"vid_a", $"vid_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((900L, 901L)), s"got $pairs")
   }
 }
