@@ -86,6 +86,17 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("graft_srp_bucket", args, 2)
         SrpBucketExpr(args.head, litInt("graft_srp_bucket", "bits", args(1)))
+      }),
+    ("graft_srp_band",
+      info("graft_srp_band",
+        "graft_srp_band(v, bits, planeOffset) - one band of a banded SRP signature " +
+          "(bit r = hyperplane planeOffset + r; bands over disjoint plane ranges " +
+          "compose an unbounded-width signature)"),
+      (args: Seq[Expression]) => {
+        arity("graft_srp_band", args, 3)
+        SrpBucketExpr(args.head,
+          litInt("graft_srp_band", "bits", args(1)),
+          litInt("graft_srp_band", "planeOffset", args(2)))
       }))
 
   /** Imperative registration into an existing session (the config path

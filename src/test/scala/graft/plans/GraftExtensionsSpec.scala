@@ -44,10 +44,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       """SELECT e1.vec_id,
               round(graft_cosine(e1.embedding, e2.embedding), 6) AS cos,
               round(graft_l2(e1.embedding, e2.embedding), 6) AS l2,
-              graft_srp_bucket(e1.embedding, 8) AS bucket
+              graft_srp_bucket(e1.embedding, 8) AS bucket,
+              graft_srp_band(e1.embedding, 10, 10) AS band
          FROM emb_ext e1 JOIN emb_ext e2 ON e2.vec_id = e1.vec_id + 1
          WHERE e1.vec_id < 20""")
-      .as[(Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
+      .as[(Long, Double, Double, Long, Long)].collect().sortBy(_._1).toSeq
     val e = Tables(spark, TestSpark.sfDir, "embeddings")
     val viaApi = e.alias("a")
       .join(e.alias("b"), expr("b.vec_id = a.vec_id + 1"))
@@ -55,9 +56,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .select($"a.vec_id",
         VectorFunctions.cosine($"a.embedding", $"b.embedding").as("cos"),
         VectorFunctions.l2Distance($"a.embedding", $"b.embedding").as("l2"),
-        VectorFunctions.srpBucket($"a.embedding", 8).as("bucket"))
-      .as[(Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
+        VectorFunctions.srpBucket($"a.embedding", 8).as("bucket"),
+        VectorFunctions.srpBand($"a.embedding", 10, 10).as("band"))
+      .as[(Long, Double, Double, Long, Long)].collect().sortBy(_._1).toSeq
     assert(viaSql == viaApi)
+    // The offset form really is the sliced-signature band: band 1 of a
+    // 4x10 construction equals bits 10..19 of the 20-bit bucket.
+    val sliced = spark.sql(
+      """SELECT count(*) FROM emb_ext
+         WHERE graft_srp_band(embedding, 10, 10)
+               != CAST(shiftright(graft_srp_bucket(embedding, 20), 10) & 1023 AS BIGINT)""")
+      .head().getLong(0)
+    assert(sliced == 0L, "plane-offset band diverged from the sliced signature")
   }
 
   test("argument validation fails at analysis, not at runtime") {
