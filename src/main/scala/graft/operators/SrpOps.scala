@@ -53,7 +53,23 @@ object SrpOps {
 
   /** Result of the auto-tuned banding: the capped frame plus the choice
     * evidence, mirroring [[LshOps.AutoBanded]]. */
-  final case class AutoBanded(banded: Banded, bitsPerBand: Int, vecCount: Long)
+  final case class AutoBanded(
+      banded: Banded,
+      bitsPerBand: Int,
+      vecCount: Long,
+      nBands: Int = 4)
+
+  /** Expected banded-LSH recall for a pair at cosine `cos`: each plane
+    * agrees with probability 1 − θ/π, a band matches when all `bits`
+    * planes agree, and a pair is a candidate when ANY band matches. The
+    * closed form both auto rules share — selectivity picks `bits`, then
+    * recall picks `bands` back. */
+  def bandRecall(cos: Double, bits: Int, bands: Int): Double = {
+    require(cos > -1.0 && cos <= 1.0 && bits > 0 && bands > 0)
+    val pBit = 1.0 - math.acos(cos) / math.Pi
+    val pBand = math.pow(pBit, bits)
+    1.0 - math.pow(1.0 - pBand, bands)
+  }
 
   /** [[bandedSrp]] with `bitsPerBand` chosen from the corpus size — the
     * vector-side twin of [[LshOps.bandedMinhashAuto]]. The band-value
@@ -78,6 +94,15 @@ object SrpOps {
     * Since round 7 each band owns its own ≤60-bit word over its own plane
     * range, so nBands × bitsPerBand is NOT capped at 60 — the round-6
     * refusal cliff at ~786 k vectors is gone.
+    *
+    * `targetRecall > 0` closes the second loop: the band COUNT is then
+    * derived from [[bandRecall]] at the chosen width (the smallest
+    * `bands` with expected recall ≥ the target for a `recallAtCos` pair),
+    * overriding `nBands`, so BOTH knobs come from stated requirements —
+    * selectivity picks the width, recall picks the bands back. A target
+    * unreachable within `maxBands` refuses loudly (signature cost grows
+    * with bands; an unbounded auto-escalation would hide a mis-stated
+    * threshold).
     */
   def srpAuto(
       vecs: DataFrame,
@@ -88,11 +113,15 @@ object SrpOps {
       maxBitsPerBand: Int = 30,
       maxBucket: Int = 200,
       targetOccupancy: Double = 2.0,
-      maxMeanOccupancy: Double = DefaultMaxMeanOccupancy): AutoBanded = {
+      maxMeanOccupancy: Double = DefaultMaxMeanOccupancy,
+      targetRecall: Double = 0.0,
+      recallAtCos: Double = 0.99,
+      maxBands: Int = 16): AutoBanded = {
     require(nBands > 0 && minBitsPerBand > 0 && minBitsPerBand <= maxBitsPerBand
       && maxBitsPerBand <= 60,
       s"band width bounds out of range: $minBitsPerBand..$maxBitsPerBand (≤ 60)")
     require(targetOccupancy > 0, s"targetOccupancy must be positive: $targetOccupancy")
+    require(targetRecall < 1.0, s"targetRecall must be < 1: $targetRecall")
     val n = vecs.count()
     // 2^bits ≥ n / targetOccupancy  ⇔  bits ≥ log2(n / targetOccupancy)
     val wanted = if (n == 0L) minBitsPerBand
@@ -106,9 +135,20 @@ object SrpOps {
           f"project $projected%.1f mean occupancy > $maxMeanOccupancy%.1f. Raise " +
           "maxBitsPerBand (recall at fixed width drops — add bands to recover) or " +
           "partition the corpus (IVF cells) and near-dup within partitions.")
+    val bands =
+      if (targetRecall <= 0.0) nBands
+      else {
+        val chosen = (1 to maxBands)
+          .find(b => bandRecall(recallAtCos, bits, b) >= targetRecall)
+        chosen.getOrElse(throw new IllegalStateException(
+          f"recall target unreachable: $maxBands bands of $bits bits reach " +
+            f"${bandRecall(recallAtCos, bits, maxBands)}%.3f < $targetRecall%.3f expected " +
+            f"recall at cos $recallAtCos%.2f. Raise maxBands (cost grows linearly) or " +
+            "lower the width via targetOccupancy."))
+      }
     AutoBanded(
-      bandedSrp(vecs, vecCol, idCol, nBands, bits, maxBucket, maxMeanOccupancy),
-      bitsPerBand = bits, vecCount = n)
+      bandedSrp(vecs, vecCol, idCol, bands, bits, maxBucket, maxMeanOccupancy),
+      bitsPerBand = bits, vecCount = n, nBands = bands)
   }
 
   /** Default saturation gate, calibrated by the round-6 measurements: the

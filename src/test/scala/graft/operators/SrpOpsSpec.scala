@@ -95,6 +95,25 @@ class SrpOpsSpec extends AnyFunSuite {
     assert(SrpOps.srpAuto(small, "embedding", "vec_id").bitsPerBand == 8)
   }
 
+  test("srpAuto derives the band count from a recall target") {
+    val vecs = (0L until 2000L).map(i => (i, unitVec(i * 7919L + 3L)))
+      .toDF("vec_id", "embedding")
+    // At the 10-bit width the occupancy rule picks here, a cos-0.99 pair
+    // retains p_band = 0.955^10 ~ 0.63 per band: 2 bands give 0.86, 3 give
+    // 0.95 — the smallest count clearing 0.9 is 3.
+    val auto = SrpOps.srpAuto(vecs, "embedding", "vec_id", targetRecall = 0.9)
+    assert(auto.bitsPerBand == 10 && auto.nBands == 3, s"$auto")
+    assert(SrpOps.bandRecall(0.99, auto.bitsPerBand, auto.nBands) >= 0.9)
+    assert(auto.banded.bands.select($"b").distinct().count() == 3L,
+      "the built frame must actually carry the derived band count")
+    // An unreachable target refuses loudly instead of silently under-recalling.
+    val e = intercept[IllegalStateException] {
+      SrpOps.srpAuto(vecs, "embedding", "vec_id",
+        targetRecall = 0.999, recallAtCos = 0.9, maxBands = 2)
+    }
+    assert(e.getMessage.contains("recall target unreachable"))
+  }
+
   test("srpAuto refuses a corpus beyond the allowed band width, up front") {
     // Don't build a billion rows: shrink the width/occupancy budget so the
     // refusal arithmetic (projected occupancy at the WIDEST allowed band
