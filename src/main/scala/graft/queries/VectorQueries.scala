@@ -169,6 +169,25 @@ object VectorQueries {
         .select(col("v").as("vec_id"), col("component"))
     }),
 
+    // AUTO-TUNED banded SRP (round 7) — the q102 pattern for vectors: the
+    // engine derives BOTH construction knobs from stated requirements
+    // (width from the occupancy target, band count from a 0.9 recall
+    // target at cos 0.99) and the oracle restates the derived choice, so
+    // the hash-compare pins the derivation as deterministic. The vec_id <
+    // 500 subset makes the corpus size — and therefore the choice (8-bit
+    // bands, 2 of them) — identical at every oracle scale; the loud
+    // require converts a future drift into an error, not a silent
+    // hash mismatch.
+    "q109_srp_auto" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val auto = graft.operators.SrpOps.srpAuto(
+        vecs, "embedding", "vec_id", targetRecall = 0.9)
+      require(auto.bitsPerBand == 8 && auto.nBands == 2,
+        s"q109's oracle pins 2 bands x 8 bits but the auto rules chose " +
+          s"${auto.nBands} x ${auto.bitsPerBand} (n=${auto.vecCount}) — re-pin the oracle")
+      graft.operators.SrpOps.neardupPairs(auto.banded.bands, "embedding", "vec_id", 0.35)
+    }),
+
     // Incremental EMBEDDING near-dup (round 7) — the q104 ledger pattern in
     // vector space: even vec_ids are "yesterday's corpus" (their survivor
     // (band, bucket, vector) rows committed to a ledger fixture, built once
@@ -405,6 +424,18 @@ object VectorQueries {
               SELECT e2.src AS v, r.r
               FROM edges e2 JOIN reach r ON e2.dst = r.v)
             SELECT v AS vec_id, min(r) AS component FROM reach GROUP BY v""",
+      // The auto-derived construction (2 bands × 8 bits on the 500-vector
+      // subset) restated — a changed derivation would hash-mismatch,
+      // pinning both auto rules as deterministic (the q102 discipline).
+      "q109_srp_auto" ->
+        s"""WITH ${srpBandsSqlF("", "vec_id < 500", 2, 8, 200)},
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS vid_a, c.vec_id AS vid_b
+              FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv
+              WHERE a.vec_id < c.vec_id)
+            SELECT vid_a, vid_b, ${cosSql("x.v", "y.v")} AS cos
+            FROM pairs JOIN e x ON x.vec_id = vid_a JOIN e y ON y.vec_id = vid_b
+            WHERE ${cosSql("x.v", "y.v")} >= 0.35""",
       // Both halves restated: evens band + verified self-purge → ledger
       // rows (band, bucket, vector); odds drop on a cosine-VERIFIED ledger
       // collision, then self-purge. Mirrors SrpOps.incrementalNeardup.
