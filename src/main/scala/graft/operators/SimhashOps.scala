@@ -72,7 +72,7 @@ object SimhashOps {
       idCol: String,
       shingleN: Int = 2,
       maxBucket: Int = 200,
-      maxMeanOccupancy: Double = Double.PositiveInfinity): Banded = {
+      maxMeanOccupancy: Double = SrpOps.DefaultMaxMeanOccupancy): Banded = {
     require(maxBucket > 0, s"maxBucket must be positive: $maxBucket")
     val exploded = docs
       // Hazard 1 (short docs): < shingleN tokens → empty shingle set → the
@@ -105,11 +105,15 @@ object SimhashOps {
       overflowBuckets = if (stats.isNullAt(0)) 0L else stats.getLong(0),
       bandRows = if (stats.isNullAt(1)) 0L else stats.getLong(1),
       distinctBuckets = stats.getLong(2))(exploded)
-    // Optional LOUD saturation gate (parity with LshOps.bandedMinhashAuto):
-    // the 15-bit band space is fixed, so past ~32 k × 4 well-spread docs the
-    // gauge rises by construction — a 100 TB caller sets a threshold and
-    // handles the failure (wider signature, exact dedup) instead of paying
-    // for a junk-dominated candidate join the cap merely bounds.
+    // LOUD saturation gate, ENFORCED by default since round 7 (the shared
+    // 24.0 calibration: the measured-good regime — 500 k docs at gsf10 —
+    // runs at occupancy 15.7 with the cap reporting 258 over-limit
+    // buckets, while genuine saturation like the round-5 30-bit
+    // construction runs at 100s). The 15-bit band space is fixed, so past
+    // ~32 k × 4 well-spread docs the gauge rises by construction — a
+    // 100 TB caller handles the failure (wider signature, exact dedup)
+    // instead of paying for a junk-dominated candidate join the cap
+    // merely bounds.
     if (banded.meanOccupancy > maxMeanOccupancy) {
       banded.unpersist()
       throw new IllegalStateException(

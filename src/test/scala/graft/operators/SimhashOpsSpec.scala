@@ -32,8 +32,11 @@ class SimhashOpsSpec extends AnyFunSuite {
     def doc(i: Long) = (0 until 12)
       .map(j => vocab((math.abs(i * 2654435761L + j * 40503L + i * j) % 5).toInt))
       .mkString(" ")
+    // Gauge disabled here: this block MEASURES the gauge value on a
+    // saturated-by-construction corpus; enforcement is asserted below.
     val saturated = SimhashOps.bandedSimhash(
-      (1L to 3000L).map(i => (i, doc(i))).toDF("doc_id", "text"), "text", "doc_id")
+      (1L to 3000L).map(i => (i, doc(i))).toDF("doc_id", "text"), "text", "doc_id",
+      maxMeanOccupancy = Double.PositiveInfinity)
     assert(saturated.meanOccupancy > 10.0,
       s"saturated corpus not flagged: occupancy=${saturated.meanOccupancy}")
     val diverse = SimhashOps.bandedSimhash(
@@ -53,6 +56,13 @@ class SimhashOpsSpec extends AnyFunSuite {
     SimhashOps.bandedSimhash(
       (1L to 3000L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e")).toDF("doc_id", "text"),
       "text", "doc_id", maxMeanOccupancy = 8.0) // must not throw
+    // Round 7: the gate is ON BY DEFAULT (shared 24.0 calibration) — the
+    // saturated corpus fails with no knob at all.
+    val e2 = intercept[IllegalStateException] {
+      SimhashOps.bandedSimhash(
+        (1L to 3000L).map(i => (i, doc(i))).toDF("doc_id", "text"), "text", "doc_id")
+    }
+    assert(e2.getMessage.contains("saturated"))
   }
 
   test("hot bucket over the cap is dropped and reported, cool buckets survive") {
@@ -61,8 +71,11 @@ class SimhashOpsSpec extends AnyFunSuite {
     val cool = Seq(
       (900L, "red orange yellow green blue indigo violet"),
       (901L, "red orange yellow green blue indigo violet")).toDF("doc_id", "text")
+    // The 50-identical-doc fixture is saturated by construction (occupancy
+    // 26 trips the round-7 default gauge) — disable it to exercise the cap
+    // in isolation, as in SrpOpsSpec.
     val banded = SimhashOps.bandedSimhash(hot.union(cool), "text", "doc_id",
-      shingleN = 2, maxBucket = 10)
+      shingleN = 2, maxBucket = 10, maxMeanOccupancy = Double.PositiveInfinity)
     assert(banded.overflowBuckets == 4L, "one over-cap bucket per band")
     val pairs = SimhashOps.neardupPairs(banded.bands, "doc_id")
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
