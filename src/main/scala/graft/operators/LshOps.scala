@@ -84,6 +84,19 @@ object LshOps {
       vocabEstimate: Long,
       docCount: Long)
 
+  /** Expected banded-MinHash recall for a pair at Jaccard similarity `s`:
+    * each signature row matches with probability s, a band matches when
+    * all `rowsPerBand` rows agree, and a pair is a candidate when ANY
+    * band matches — 1 − (1 − s^r)^b. The Jaccard twin of
+    * [[SrpOps.bandRecall]]; at the corpus construction (4 bands × 4 rows)
+    * this gives ~0.99 at s = 0.9, ~0.88 at s = 0.8, and ~0.10 at
+    * s = 0.4 — the near-dups-yes / mere-overlap-no S-curve the dedup
+    * queries rely on. */
+  def bandRecall(s: Double, rowsPerBand: Int, nBands: Int): Double = {
+    require(s >= 0.0 && s <= 1.0 && rowsPerBand > 0 && nBands > 0)
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), nBands)
+  }
+
   /** Smallest `shingleN ≥ minShingleN` whose shingle universe
     * (`vocab^shingleN`) clears `headroom ×` the document count — the
     * round-5 measured rule of thumb (BASELINE.md §round-5 second decade):

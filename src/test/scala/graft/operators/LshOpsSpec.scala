@@ -106,4 +106,15 @@ class LshOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((900L, 901L)), "capped bucket emits no pairs; cool bucket unaffected")
   }
+
+  test("bandRecall: the S-curve separates near-dups from mere overlap") {
+    // The 16-hash 4x4 corpus construction: strong recall above s ~ 0.8,
+    // strong rejection below s ~ 0.4 - and the closed form is monotone in
+    // s, rises with bands, falls with rows per band.
+    assert(LshOps.bandRecall(0.9, 4, 4) > 0.95)
+    assert(LshOps.bandRecall(0.4, 4, 4) < 0.15)
+    assert(LshOps.bandRecall(0.9, 4, 4) > LshOps.bandRecall(0.8, 4, 4))
+    assert(LshOps.bandRecall(0.6, 4, 8) > LshOps.bandRecall(0.6, 4, 4))
+    assert(LshOps.bandRecall(0.6, 8, 4) < LshOps.bandRecall(0.6, 4, 4))
+  }
 }
