@@ -94,42 +94,36 @@ object VectorQueries {
         srpBucket(col("embedding"), 8).as("bucket"))
     }),
 
-    // Embedding near-dup: pairs in the SAME SRP bucket with cosine above
-    // threshold — the bucket join replaces the cross join at scale.
+    // Embedding near-dup (re-pinned round 8): banded-SRP candidates +
+    // exact cosine on candidates only. Through round 7 this ran the
+    // single-table 8-bit bucket join — a FIXED 256-value bucket space, so
+    // the self-join is n²/256 at any corpus size (measured 81× wall for
+    // 10× vectors at 200 k; BASELINE.md round-6 vector table). The banded
+    // construction keeps candidates bounded by maxBucket·nBands·n. 5
+    // bands × 12 bits here — deliberately a DIFFERENT parameterization
+    // than q106's 4×10, so the corpus pins the per-band plane-offset
+    // packing at two widths (recall ≈0.99 at cos 0.99 vs q106's ≈0.94).
     "q58_embed_neardup" -> ((s, dir) => {
-      // Persist the bucketed frame: SRP projections compute once, and both
-      // self-join sides read the cache (staging table at cluster scale).
-      val b = t(s, dir, "embeddings").select(
-        col("vec_id"), col("embedding"),
-        srpBucket(col("embedding"), 8).as("bucket"))
-        .persist()
-      // Eager materialization: on a single-split input a lazy persist lets
-      // both self-join sides race to populate the cache and compute the
-      // projections twice.
-      b.count()
-      val a = b.select(col("bucket"), col("vec_id").as("vid_a"), col("embedding").as("va"))
-      val c = b.select(col("bucket"), col("vec_id").as("vid_b"), col("embedding").as("vb"))
-      a.join(c, Seq("bucket")).filter(col("vid_a") < col("vid_b"))
-        .select(col("vid_a"), col("vid_b"), cosine(col("va"), col("vb")).as("cos"))
-        .filter(col("cos") > 0.35)
+      val banded = graft.operators.SrpOps.bandedSrp(
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        nBands = 5, bitsPerBand = 12, maxBucket = 200)
+      graft.operators.SrpOps.neardupPairs(banded.bands, "embedding", "vec_id", 0.35)
     }),
 
-    // Embedding-cosine dedup CLUSTERS (round 6): connected components over
-    // the q58 near-dup pairs — SEMANTIC dedup's transitive closure, the
-    // same completion GraphOps gives the shingle-LSH pairs in q103 (a
-    // chain a~b, b~c of paraphrases is one cluster even when cos(a,c)
-    // dips under the threshold). Bucketed pair generation, distributed
-    // label propagation; never a cross join, never a driver union-find.
+    // Embedding-cosine dedup CLUSTERS (re-pinned round 8): connected
+    // components over the q58 banded-SRP pairs — SEMANTIC dedup's
+    // transitive closure, the same completion GraphOps gives the
+    // shingle-LSH pairs in q103 (a chain a~b, b~c of paraphrases is one
+    // cluster even when cos(a,c) dips under the threshold). Banded pair
+    // generation (q58's 5×12 construction; the 8-bit fixed-bucket join is
+    // gone from the corpus), distributed label propagation; never a cross
+    // join, never a driver union-find.
     "q105_embed_components" -> ((s, dir) => {
-      val b = t(s, dir, "embeddings").select(
-        col("vec_id"), col("embedding"),
-        srpBucket(col("embedding"), 8).as("bucket"))
-        .persist()
-      b.count()
-      val a = b.select(col("bucket"), col("vec_id").as("vid_a"), col("embedding").as("va"))
-      val c = b.select(col("bucket"), col("vec_id").as("vid_b"), col("embedding").as("vb"))
-      val pairs = a.join(c, Seq("bucket")).filter(col("vid_a") < col("vid_b"))
-        .filter(cosine(col("va"), col("vb")) > 0.35)
+      val banded = graft.operators.SrpOps.bandedSrp(
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        nBands = 5, bitsPerBand = 12, maxBucket = 200)
+      val pairs = graft.operators.SrpOps
+        .neardupPairs(banded.bands, "embedding", "vec_id", 0.35)
         .select(col("vid_a"), col("vid_b"))
       graft.operators.GraphOps.connectedComponents(pairs, "vid_a", "vid_b")
         .select(col("v").as("vec_id"), col("component"))
@@ -373,28 +367,36 @@ object VectorQueries {
       "q57_ann_srp_buckets" ->
         s"""SELECT vec_id, ${srpBucketSql(8)} AS bucket
             FROM (SELECT vec_id, $VecSql AS v FROM embeddings)""",
+      // The banded 5×12 construction restated (the 8-bit fixed-bucket join
+      // was retired round 8): capped bands → distinct candidate pairs →
+      // exact cosine filter, mirroring SrpOps.neardupPairs at q58's
+      // parameterization.
       "q58_embed_neardup" ->
-        s"""WITH b AS (SELECT vec_id, v, ${srpBucketSql(8)} AS bucket
-                       FROM (SELECT vec_id, $VecSql AS v FROM embeddings))
-            SELECT a.vec_id AS vid_a, c.vec_id AS vid_b, ${cosSql("a.v", "c.v")} AS cos
-            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-            WHERE ${cosSql("a.v", "c.v")} > 0.35""",
-      // q58's pair construction + the same recursive-CTE closure as q103.
-      "q105_embed_components" ->
-        s"""WITH RECURSIVE b AS (SELECT vec_id, v, ${srpBucketSql(8)} AS bucket
-                       FROM (SELECT vec_id, $VecSql AS v FROM embeddings)),
+        s"""WITH ${srpBandsSql(5, 12, 200)},
             pairs AS (
-              SELECT a.vec_id AS vid_a, c.vec_id AS vid_b
-              FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-              WHERE ${cosSql("a.v", "c.v")} > 0.35),
+              SELECT DISTINCT a.vec_id AS vid_a, c.vec_id AS vid_b
+              FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv
+              WHERE a.vec_id < c.vec_id)
+            SELECT vid_a, vid_b, ${cosSql("x.v", "y.v")} AS cos
+            FROM pairs JOIN e x ON x.vec_id = vid_a JOIN e y ON y.vec_id = vid_b
+            WHERE ${cosSql("x.v", "y.v")} >= 0.35""",
+      // q58's banded pair construction + the same recursive-CTE closure as
+      // q103.
+      "q105_embed_components" ->
+        s"""WITH RECURSIVE ${srpBandsSql(5, 12, 200)},
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS vid_a, c.vec_id AS vid_b
+              FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv
+              WHERE a.vec_id < c.vec_id
+                AND ${cosSql("a.v", "c.v")} >= 0.35),
             edges AS (
               SELECT vid_a AS src, vid_b AS dst FROM pairs
               UNION SELECT vid_b, vid_a FROM pairs),
             reach AS (
               SELECT src AS v, src AS r FROM edges
               UNION
-              SELECT e.src AS v, r.r
-              FROM edges e JOIN reach r ON e.dst = r.v)
+              SELECT e2.src AS v, r.r
+              FROM edges e2 JOIN reach r ON e2.dst = r.v)
             SELECT v AS vec_id, min(r) AS component FROM reach GROUP BY v""",
       // The banded construction restated: capped bands → distinct candidate
       // pairs → exact cosine filter, mirroring SrpOps.neardupPairs.

@@ -162,7 +162,9 @@ class PlanSpec extends AnyFunSuite {
       "q50_ngram_jaccard" -> 7,   // shingle agg ×2 sides + pair agg + count joins
       "q52_neardup_purge" -> 5,
       "q56_knn_bruteforce" -> 3,  // bounded query side + per-query top-k
-      "q58_embed_neardup" -> 4,
+      // q58 re-pinned to the banded-SRP construction (round 8): banding is
+      // cached, the self-join reuses the cache's (b, bv) partitioning, so
+      // like q106 it runs at the default budget of 1 (the pair distinct).
       "q73_decontaminate" -> 4,   // bench shingles (broadcast) + corpus agg chain
       "q80_salted_join" -> 4,     // salt-scatter both sides + re-agg
       "q81_ivf_search" -> 6,      // centroid build aggs + probe + bucket join + top-k
