@@ -24,25 +24,53 @@ object Bench {
     * itself and records BOTH numbers. */
   private[graft] val OutlierFactor = 2.0
 
+  /** A run whose headline total exceeds the committed full-corpus reference
+    * by this factor is labeled polluted at the RUN level (the per-query 2×
+    * gate binds later because a noisy window inflates everything a little,
+    * not one query a lot). */
+  private[graft] val PollutedTotalFactor = 1.5
+
   /** Outlier triage record: the committed reference median, this run's
-    * polluted median, and the flagged re-run. */
-  final case class Outlier(ref: Double, median: Double, rerun: Double)
+    * polluted median, and the flagged re-run median (None when the run was
+    * already established as polluted and further re-runs were skipped). */
+  final case class Outlier(ref: Double, median: Double, rerun: Option[Double])
 
   /** Compare a query's median against the committed reference and, when it
-    * deviates by more than [[OutlierFactor]], re-run ONCE (the thunk) and
-    * report the smaller time plus the full triage record. A genuine
-    * regression reproduces in the re-run (min ≈ median, still flagged); a
+    * deviates by more than [[OutlierFactor]], re-run a full median-of-runs
+    * (the thunk) and report THAT median plus the full triage record — the
+    * recorded statistic stays like-for-like with the committed per-query
+    * medians (round 7 reported min(median, single re-run), a hybrid that
+    * could understate an intermittent genuine regression). A genuine
+    * regression reproduces in the re-run (rerun ≈ median, still flagged); a
     * co-tenant phantom collapses back to the reference band. */
   private[graft] def reconcile(
       median: Double,
       ref: Option[Double],
-      rerunOnce: () => Double): (Double, Option[Outlier]) =
+      rerunMedian: () => Double): (Double, Option[Outlier]) =
     ref match {
       case Some(r) if r > 0 && median > OutlierFactor * r =>
-        val again = rerunOnce()
-        (math.min(median, again), Some(Outlier(r, median, again)))
+        val again = rerunMedian()
+        (again, Some(Outlier(r, median, Some(again))))
       case _ => (median, None)
     }
+
+  /** Per-query triage cannot rescue a fully-polluted recording window (the
+    * round-7 driver artifact: 33/109 medians >2× reference with re-runs
+    * polluted in BOTH directions, forcing yet another hand re-run). The
+    * RUN-level verdict: polluted when more than ~10% of the corpus flagged
+    * as outliers, or when the headline total exceeds
+    * [[PollutedTotalFactor]] × the committed reference total. The artifact
+    * then carries `"polluted":true` + the committed total, so a reader
+    * compares against the reference instead of trusting the noisy number. */
+  private[graft] def maxCleanOutliers(nQueries: Int): Int = math.max(3, nQueries / 10)
+
+  private[graft] def runPolluted(
+      total: Double,
+      refTotal: Option[Double],
+      nOutliers: Int,
+      nQueries: Int): Boolean =
+    nOutliers > maxCleanOutliers(nQueries) ||
+      refTotal.exists(rt => rt > 0 && total > PollutedTotalFactor * rt)
 
   /** Per-query reference medians from a committed BENCH_DETAILS.json,
     * usable only when it was recorded at the same scale dir. */
@@ -144,9 +172,17 @@ object Bench {
       val rawMedian = runs.map(_._1).sorted.apply(Runs / 2)
       // Only a query that RAN cleanly gets outlier triage (a failed run's
       // timing is meaningless and the error map already tells the story).
+      // Once enough queries have flagged to establish RUN-level pollution,
+      // stop paying for re-runs — they are as polluted as the medians
+      // (round 7's driver artifact measured exactly that) and the verdict
+      // below labels the whole artifact anyway.
+      val flaggedRaw = refs.get(name).exists(r => r > 0 && rawMedian > OutlierFactor * r)
       val (median, outlier) =
         if (errors.contains(name)) (rawMedian, None)
-        else reconcile(rawMedian, refs.get(name), () => timedRun()._1)
+        else if (flaggedRaw && outliers.size > maxCleanOutliers(selected.size))
+          (rawMedian, Some(Outlier(refs(name), rawMedian, rerun = None)))
+        else reconcile(rawMedian, refs.get(name),
+          () => (1 to Runs).map(_ => timedRun()._1).sorted.apply(Runs / 2))
       outlier.foreach(o => outliers(name) = o)
       (name, median, runs)
     }
@@ -162,13 +198,26 @@ object Bench {
     // reference, the >2x polluted median, and the flagged re-run — the
     // reader never has to re-run a phantom by hand to adjudicate it.
     val outJson = obj(outliers.map { case (k, o) =>
-      k -> f"""{"ref":${o.ref}%.3f,"median":${o.median}%.3f,"rerun":${o.rerun}%.3f}""" })
+      val rr = o.rerun.map(r => f"$r%.3f").getOrElse("null")
+      k -> f"""{"ref":${o.ref}%.3f,"median":${o.median}%.3f,"rerun":$rr}""" })
     val total = results.map(_._2).sum
+    // RUN-level pollution verdict (a 33-outlier window cannot be rescued
+    // query-by-query): compare this total against the committed reference
+    // total over the SAME query set, and the outlier count against the
+    // ~10% clean bound. The committed total rides along so a reader of a
+    // polluted artifact has the honest comparison number in hand.
+    val refTotal: Option[Double] =
+      if (results.nonEmpty && results.forall { case (n, _, _) => refs.contains(n) })
+        Some(results.map { case (n, _, _) => refs(n) }.sum)
+      else None
+    val polluted = runPolluted(total, refTotal, outliers.size, results.size)
+    val pollutedTag = s""","polluted":$polluted""" +
+      refTotal.map(rt => f""","committed_total":$rt%.2f""").getOrElse("")
     // A SPARK_GRAFT_QUERIES-restricted total must never be mistaken for (or
     // compared against) a full-corpus baseline: tag the JSON explicitly.
     val subsetTag = only.map(s =>
       s""","subset":true,"subset_filter":"${s.toSeq.sorted.mkString(",")}"""").getOrElse("")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs$subsetTag,"queries":$qs,"runs":$runsJson,"gc_ms":$gcJson,"errors":$errJson,"outliers":$outJson,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs$subsetTag$pollutedTag,"queries":$qs,"runs":$runsJson,"gc_ms":$gcJson,"errors":$errJson,"outliers":$outJson,"sf":"$sfDir"}"""
     // Full per-run detail goes to a FILE (and an early stdout line): the
     // harness that records this run keeps only the last ~2 KB of output, and
     // the detail line for an 88-query corpus is ~10 KB — round 3's medians
@@ -176,11 +225,23 @@ object Bench {
     // compact summary guaranteed to fit that window: median seconds keyed by
     // the qNN prefix (unique per corpus; full names in the detail file),
     // with the headline total at the very end of the line.
+    // A subset run or a polluted run must never REPLACE the committed
+    // quiet-window reference on disk (the next run's triage baseline —
+    // and anything uncommitted can end up committed at round end): those
+    // runs keep their full detail in a side file. A polluted run with no
+    // reference at all still writes the main file (first run at a new
+    // scale has nothing to protect).
+    val detailFile =
+      if (only.nonEmpty) "BENCH_DETAILS_SUBSET.json"
+      else if (polluted && refs.nonEmpty) "BENCH_DETAILS_POLLUTED.json"
+      else "BENCH_DETAILS.json"
+    if (detailFile != "BENCH_DETAILS.json")
+      System.err.println(s"[bench] detail diverted to $detailFile (reference preserved)")
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAILS.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
         (detail + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_DETAILS.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $detailFile: ${e.getMessage}")
     }
     println(detail)
     // Key by the qNN prefix up to the underscore (NOT a fixed take(3):
@@ -189,7 +250,7 @@ object Bench {
     val shortQs = obj(results.map { case (k, m, _) => short(k) -> f"$m%.2f" })
     val errKeys = errors.keys.map(k => "\"" + short(k) + "\"").mkString("[", ",", "]")
     val outKeys = outliers.keys.map(k => "\"" + short(k) + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","unit":"sec","runs_per_query":$Runs$subsetTag,"sf":"$sfDir","detail":"BENCH_DETAILS.json","errors":$errKeys,"outliers":$outKeys,"queries":$shortQs,"value":${f"$total%.2f"}}""")
+    println(s"""{"metric":"total","unit":"sec","runs_per_query":$Runs$subsetTag$pollutedTag,"sf":"$sfDir","detail":"$detailFile","errors":$errKeys,"outliers":$outKeys,"queries":$shortQs,"value":${f"$total%.2f"}}""")
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
     spark.stop()
   }

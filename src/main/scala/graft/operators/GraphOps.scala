@@ -71,7 +71,12 @@ object GraphOps {
       sym.groupBy(col("src")).agg(min(col("dst")).as("_mn"))
         .select(col("src").as("v"), least(col("src"), col("_mn")).as("component")))
     var moved = 1L
-    var round = 0
+    // The join-free init IS round 1's output, so it counts as round 1:
+    // the loop then adds at most maxIter-1 join rounds, keeping the
+    // documented "maxIter propagation rounds before the loud failure"
+    // contract exact (round 7 started at 0 and ran up to maxIter+1
+    // effective rounds).
+    var round = 1
     while (moved > 0L && round < maxIter) {
       round += 1
       val next = Tables.materialize(propagateOnce(sym, labels))

@@ -370,7 +370,12 @@ object LshOps {
       case None => banded.bands.select(col(idCol)).filter(lit(false))
     }).localCheckpoint(true)
     val keptBands = banded.bands.join(hits, Seq(idCol), "left_anti")
-    val batchDrops = purgeList(keptBands, idCol)
+    // Eager so the banded cache can be RELEASED before this call returns:
+    // a streaming caller runs one neardupCore per micro-batch, and Spark's
+    // CacheManager holds persisted frames until explicit unpersist — the
+    // pre-round-8 lazy batchDrops kept the cache referenced, leaking one
+    // cached signature frame per epoch for the whole drain.
+    val batchDrops = purgeList(keptBands, idCol).localCheckpoint(true)
     val survivors = batch
       .join(hits, Seq(idCol), "left_anti")
       .join(batchDrops.withColumnRenamed("drop_id", idCol), Seq(idCol), "left_anti")
@@ -380,6 +385,9 @@ object LshOps {
       .join(batchDrops.withColumnRenamed("drop_id", idCol), Seq(idCol), "left_anti")
       .select(col("b").as("_graft_b"), col("bh").as("_graft_bh")).distinct()
       .localCheckpoint(true)
+    // Everything downstream (hits, batchDrops, survivorBuckets) is pinned;
+    // survivors only references the caller's batch plus pinned frames.
+    banded.unpersist()
     new PendingNeardup(
       survivors,
       hits,

@@ -6,10 +6,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Banded signed-random-projection LSH for embedding near-dup — the scale
-  * path the round-6 measurement demands: the single-table 8-bit SRP bucket
-  * join (q58's fixture-scale construction) is n²/256 — measured 0.52 s →
-  * 42.3 s (81×) for 10× vectors at 200 k, exactly SimhashOps hazard 3 in
-  * embedding space. This operator is [[SimhashOps]] transplanted onto SRP
+  * path the round-6 measurement demands: a single-table 8-bit SRP bucket
+  * join (q58's construction through round 7, retired round 8) is n²/256 —
+  * measured 0.52 s → 42.3 s (81×) for 10× vectors at 200 k, exactly
+  * SimhashOps hazard 3 in embedding space. This operator is [[SimhashOps]] transplanted onto SRP
   * signatures: per-band bucket words over disjoint ranges of one
   * deterministic hyperplane family (the codegen'd `SrpBucketExpr` with a
   * plane offset — 4 × 15 bits by default, but each band owns its own
@@ -116,13 +116,22 @@ object SrpOps {
       maxMeanOccupancy: Double = DefaultMaxMeanOccupancy,
       targetRecall: Double = 0.0,
       recallAtCos: Double = 0.99,
-      maxBands: Int = 16): AutoBanded = {
+      maxBands: Int = 16,
+      knownCount: Option[Long] = None): AutoBanded = {
     require(nBands > 0 && minBitsPerBand > 0 && minBitsPerBand <= maxBitsPerBand
       && maxBitsPerBand <= 60,
       s"band width bounds out of range: $minBitsPerBand..$maxBitsPerBand (≤ 60)")
     require(targetOccupancy > 0, s"targetOccupancy must be positive: $targetOccupancy")
     require(targetRecall < 1.0, s"targetRecall must be < 1: $targetRecall")
-    val n = vecs.count()
+    require(knownCount.forall(_ >= 0L), s"knownCount must be >= 0: $knownCount")
+    // Deriving the width costs one count() ACTION on top of bandedSrp's
+    // materialization job — two passes over the batch per call. Fine for
+    // a batch job; a per-micro-batch caller (foreachBatch) should pass
+    // `knownCount` (e.g. the batch row count it already has) to skip the
+    // extra pass. Note the ledger operators deliberately do NOT
+    // auto-parameterize at all: a ledger pins its construction, so width
+    // must never drift with batch size.
+    val n = knownCount.getOrElse(vecs.count())
     // 2^bits ≥ n / targetOccupancy  ⇔  bits ≥ log2(n / targetOccupancy)
     val wanted = if (n == 0L) minBitsPerBand
       else math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt
@@ -352,8 +361,14 @@ object SrpOps {
       case None => banded.bands.select(col(idCol)).filter(lit(false))
     }).localCheckpoint(true)
     val keptBands = banded.bands.join(hits, Seq(idCol), "left_anti")
+    // Eager so the banded cache can be RELEASED before this call returns:
+    // a streaming caller runs one neardupCore per micro-batch, and Spark's
+    // CacheManager holds persisted frames until explicit unpersist — the
+    // pre-round-8 lazy batchDrops kept the cache referenced, leaking one
+    // cached signature frame per epoch for the whole drain.
     val batchDrops = neardupPairs(keptBands, vecCol, idCol, minCos)
       .select(col("vid_b").as(idCol)).distinct()
+      .localCheckpoint(true)
     val survivors = batch
       .join(hits, Seq(idCol), "left_anti")
       .join(batchDrops, Seq(idCol), "left_anti")
@@ -361,6 +376,9 @@ object SrpOps {
       .join(batchDrops, Seq(idCol), "left_anti")
       .select(col("b").as("_graft_b"), col("bv").as("_graft_bv"), col(vecCol).as("_graft_vec"))
       .localCheckpoint(true)
+    // Everything downstream (hits, batchDrops, survivorRows) is pinned;
+    // survivors only references the caller's batch plus pinned frames.
+    banded.unpersist()
     new PendingNeardup(
       survivors,
       hits,

@@ -31,6 +31,24 @@ class LshIncrSpec extends AnyFunSuite {
     assert(pending.ledgerHits.as[Long].collect().toSet == Set(11L))
   }
 
+  test("the banded signature cache is released before the pending batch returns") {
+    // Same per-micro-batch leak hazard as the SRP twin (SrpIncrSpec): the
+    // caller-visible frames are localCheckpoint-pinned, so the banded
+    // cache must be unpersisted before incrementalNeardup returns.
+    spark.catalog.clearCache()
+    val ledger = tmp()
+    LshOps.incrementalNeardup(spark,
+      Seq((2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "text", "doc_id", ledger).commitLedger()
+    val pending = LshOps.incrementalNeardup(spark,
+      Seq((9L, "completely different prose lives right here")).toDF("doc_id", "text"),
+      "text", "doc_id", ledger)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "incrementalNeardup leaked its banded signature cache")
+    pending.commitLedger()
+    assert(pending.survivors.select($"doc_id").as[Long].collect().toSet == Set(9L))
+  }
+
   test("write-then-commit: survivors are stable across the ledger commit") {
     val ledger = tmp()
     val corpus = Seq((2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")

@@ -100,6 +100,27 @@ class SrpIncrSpec extends AnyFunSuite {
     assert(e.getMessage.contains("never collide"))
   }
 
+  test("the banded signature cache is released before the pending batch returns") {
+    // A streaming drain runs one incrementalNeardup per micro-batch;
+    // CacheManager holds persisted frames until explicit unpersist, so a
+    // leaked signature cache grows one entry per epoch for the whole
+    // drain. Every frame the caller touches after return (survivors,
+    // ledgerHits, the commit's rows) is localCheckpoint-pinned, so the
+    // cache must already be gone here.
+    spark.catalog.clearCache()
+    val ledger = tmp()
+    SrpOps.incrementalNeardup(spark,
+      Seq((2L, unitVec(2L))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", ledger).commitLedger()
+    val pending = SrpOps.incrementalNeardup(spark,
+      Seq((9L, unitVec(9L))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", ledger)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "incrementalNeardup leaked its banded signature cache")
+    pending.commitLedger()
+    assert(pending.survivors.select($"vec_id").as[Long].collect().toSet == Set(9L))
+  }
+
   test("epoch replay is exactly-once: same token lands on itself") {
     val ledger = tmp()
     val base2 = unitVec(2L)

@@ -95,6 +95,24 @@ class SrpOpsSpec extends AnyFunSuite {
     assert(SrpOps.srpAuto(small, "embedding", "vec_id").bitsPerBand == 8)
   }
 
+  test("srpAuto accepts a precomputed count and derives the same construction") {
+    // A micro-batch caller already knows its row count; knownCount skips
+    // the extra count() action. The derivation must not care which path
+    // supplied n — and the stated count is authoritative (width follows
+    // it, not the frame).
+    val vecs = (0L until 2000L).map(i => (i, unitVec(i * 7919L + 3L)))
+      .toDF("vec_id", "embedding")
+    val counted = SrpOps.srpAuto(vecs, "embedding", "vec_id")
+    val stated = SrpOps.srpAuto(vecs, "embedding", "vec_id",
+      knownCount = Some(2000L))
+    assert(stated.bitsPerBand == counted.bitsPerBand
+      && stated.nBands == counted.nBands && stated.vecCount == 2000L)
+    // A different stated count changes the width exactly as a different
+    // corpus would: 100 /2.0 target => the 8-bit floor.
+    assert(SrpOps.srpAuto(vecs, "embedding", "vec_id",
+      knownCount = Some(100L)).bitsPerBand == 8)
+  }
+
   test("srpAuto derives the band count from a recall target") {
     val vecs = (0L until 2000L).map(i => (i, unitVec(i * 7919L + 3L)))
       .toDF("vec_id", "embedding")

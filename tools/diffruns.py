@@ -16,27 +16,30 @@ import duckdb
 
 # Sketch-backed queries whose VALUES legitimately depend on partial-merge
 # order (a GK quantile summary or HLL merged in a different partition
-# order is a different-but-equally-valid summary). Rows and key columns
-# still compare exactly; numerics compare within the same relative
-# tolerance check.py grants them against the DuckDB oracle. Everything
-# else stays bit-exact — a tie broken by physical row order in an EXACT
-# query is still a bug this tool exists to catch.
+# order is a different-but-equally-valid summary). ONLY the named sketch
+# value columns get the relative tolerance; every other column — string
+# keys, integer group/bucket ids, and exact numerics riding alongside the
+# sketch (q101's n/n_null/min/max) — still compares exactly, so two runs
+# with genuinely different keys or exact values can never slip through
+# the tolerance. Everything else stays bit-exact — a tie broken by
+# physical row order in an EXACT query is still a bug this tool catches.
 APPROX_TOL = {
-    "q20_approx_distinct": 0.15,
-    "q100_percentiles_approx": 0.02,
-    "q101_profile_hll": 0.15,
+    "q20_approx_distinct": (0.15, {"approx_parts"}),
+    "q100_percentiles_approx": (0.02, {"price_p25", "price_p50", "price_p75", "qty_p90"}),
+    "q101_profile_hll": (0.15, {"n_distinct"}),
 }
 
 
-def approx_equal(name, da, db, tol):
+def approx_equal(name, da, db, tol, approx_cols):
     import numpy as np
-    keys = sorted(c for c in da.columns if da[c].dtype == object)
-    nums = [c for c in sorted(da.columns) if c not in keys]
+    keys = sorted(c for c in da.columns if c not in approx_cols)
+    nums = [c for c in sorted(da.columns) if c in approx_cols]
     da = da.sort_values(by=keys + nums).reset_index(drop=True)
     db = db.sort_values(by=keys + nums).reset_index(drop=True)
     if len(da) != len(db):
         return False
-    if keys and not da[keys].equals(db[keys]):
+    if keys and not da[keys].apply(lambda c: c.map(repr)).equals(
+            db[keys].apply(lambda c: c.map(repr))):
         return False
     for c in nums:
         x = da[c].astype(float).to_numpy()
@@ -63,7 +66,8 @@ def main():
                 mismatches.append(f"{name} (columns differ)")
                 continue
             if name in APPROX_TOL:
-                if not approx_equal(name, da[ca], db[ca], APPROX_TOL[name]):
+                tol, approx_cols = APPROX_TOL[name]
+                if not approx_equal(name, da[ca], db[ca], tol, approx_cols):
                     mismatches.append(f"{name} (beyond sketch tolerance)")
                 continue
             da = da[ca].apply(lambda c: c.map(repr)).sort_values(by=ca).reset_index(drop=True)
