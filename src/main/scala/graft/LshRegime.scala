@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object LshRegime {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: LshRegime <docsDir> [headroom]  |  LshRegime <docsDir> incr <shingleN>")
+    require(args.nonEmpty,
+      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | stars | srp | srpincr | streamembed [nBatches]]")
     val dir = args(0)
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
@@ -25,8 +26,12 @@ object LshRegime {
     spark.sparkContext.setLogLevel("WARN")
     if (args.length > 1 && args(1) == "incr") { incr(spark, dir, args(2).toInt); return }
     if (args.length > 1 && args(1) == "cc") { cc(spark, dir); return }
+    if (args.length > 1 && args(1) == "stars") { stars(spark, dir); return }
     if (args.length > 1 && args(1) == "srp") { srp(spark, dir); return }
     if (args.length > 1 && args(1) == "srpincr") { srpIncr(spark, dir); return }
+    if (args.length > 1 && args(1) == "streamembed") {
+      streamEmbed(spark, dir, if (args.length > 2) args(2).toInt else 8); return
+    }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -63,6 +68,72 @@ object LshRegime {
       f"""{"metric":"lsh_cc","shingleN":${auto.shingleN},"docs":${auto.docCount},""" +
         f""""pairedVertices":${labels.count()},"components":${stats.getLong(0)},""" +
         f""""maxCluster":${stats.getLong(1)},"secs":$secs%.2f}""")
+    spark.stop()
+  }
+
+  /** Star-contraction twin of [[cc]]: the SAME auto-width pairs, labeled
+    * by [[graft.operators.GraphOps.connectedComponentsStars]] instead of
+    * label propagation. Run both at one scale and compare `secs`: on
+    * near-dup graphs (shallow quasi-cliques, diameter 2-4) propagation's
+    * one-join rounds win; stars exists for the deep-path shapes where
+    * propagation refuses past maxIter. The printed stats must MATCH cc's
+    * (same components by construction) — only the wall differs. */
+  private def stars(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val auto = operators.LshOps.bandedMinhashAuto(docs, "text", "doc_id")
+    val pairs = operators.LshOps.candidatePairs(auto.banded.bands, "doc_id")
+    val labels = operators.GraphOps.connectedComponentsStars(pairs, "doc_a", "doc_b")
+    val stats = labels.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)), max(col("sz"))).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"metric":"lsh_stars","shingleN":${auto.shingleN},"docs":${auto.docCount},""" +
+        f""""pairedVertices":${labels.count()},"components":${stats.getLong(0)},""" +
+        f""""maxCluster":${stats.getLong(1)},"secs":$secs%.2f}""")
+    spark.stop()
+  }
+
+  /** Sustained-ingest probe for the STREAMING embed-ledger path (the CLI's
+    * `--stream --dedup embed`): feeds the embeddings table through a
+    * MemoryStream in `nBatches` micro-batches into
+    * [[graft.streaming.StreamingOps.foreachBatchLedgerNeardupVec]] — the
+    * full per-epoch protocol (foreign-epoch guard, epoch banding, ledger
+    * join, cosine verify, idempotent survivor write, epoch-partition
+    * commit). Prints per-batch wall seconds and sustained rows/sec; the
+    * batch operator alone is measured by [[srpIncr]], so the DELTA here is
+    * the protocol overhead (checkpointing, epoch partition writes). */
+  private def streamEmbed(
+      spark: org.apache.spark.sql.SparkSession, dir: String, nBatches: Int): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val root = java.nio.file.Files.createTempDirectory("graft_regime_streamembed")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val writer = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream.option("checkpointLocation", root.resolve("ckpt").toString)
+    val q = graft.streaming.StreamingOps.foreachBatchLedgerNeardupVec(
+      writer, "embedding", "vec_id", root.resolve("bands").toString,
+      pipeline.Connectors.IdempotentParquetSink(root.resolve("out").toString),
+      "stream_embed", nBands = 4, bitsPerBand = 15, minCos = 0.9).start()
+    val per = rows.grouped(math.max(1, rows.length / nBatches)).map { slice =>
+      val t0 = System.nanoTime()
+      mem.addData(slice.toSeq)
+      q.processAllAvailable()
+      (slice.length, (System.nanoTime() - t0) / 1e9)
+    }.toSeq
+    q.stop()
+    val survivors = spark.read.parquet(root.resolve("out").resolve("stream_embed").toString).count()
+    val total = per.map(_._2).sum
+    println(
+      f"""{"metric":"stream_embed","rows":${rows.length},"batches":${per.length},""" +
+        f""""survivors":$survivors,"rowsPerSec":${rows.length / total}%.0f,""" +
+        s""""batchSecs":${per.map(p => f"${p._2}%.2f").mkString("[", ",", "]")}}""")
     spark.stop()
   }
 

@@ -116,8 +116,14 @@ object VectorQueries {
     // shingle-LSH pairs in q103 (a chain a~b, b~c of paraphrases is one
     // cluster even when cos(a,c) dips under the threshold). Banded pair
     // generation (q58's 5×12 construction; the 8-bit fixed-bucket join is
-    // gone from the corpus), distributed label propagation; never a cross
-    // join, never a driver union-find.
+    // gone from the corpus), labeled by STAR CONTRACTION rather than
+    // propagation: a 0.35-cosine graph chains weak links into genuinely
+    // deep components once the corpus grows (measured: propagation's loud
+    // maxIter refusal at 20 k vectors), which is the O(log² n) fallback's
+    // home turf — and the fixed point (so the oracle) is identical, which
+    // puts BOTH labeling algorithms under oracle coverage (q107 pins
+    // propagation on the shallower 4×10 graph). Never a cross join, never
+    // a driver union-find.
     "q105_embed_components" -> ((s, dir) => {
       val banded = graft.operators.SrpOps.bandedSrp(
         t(s, dir, "embeddings"), "embedding", "vec_id",
@@ -125,7 +131,7 @@ object VectorQueries {
       val pairs = graft.operators.SrpOps
         .neardupPairs(banded.bands, "embedding", "vec_id", 0.35)
         .select(col("vid_a"), col("vid_b"))
-      graft.operators.GraphOps.connectedComponents(pairs, "vid_a", "vid_b")
+      graft.operators.GraphOps.connectedComponentsStars(pairs, "vid_a", "vid_b")
         .select(col("v").as("vec_id"), col("component"))
     }),
 
