@@ -25,7 +25,12 @@ object MaintenanceOps {
   private def dataDirs(fs: org.apache.hadoop.fs.FileSystem, path: Path) =
     fs.listStatus(path).filter { s =>
       val n = s.getPath.getName
-      s.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      // A `col=value` name is a Hive partition directory even when the
+      // column is underscore-prefixed — the idempotent sink's
+      // `_graft_batch=` and the band ledgers' `_graft_epoch=` layouts.
+      // Excluding those here made compactPartitioned a silent NO-OP on
+      // exactly the directories its scaladoc promises to preserve.
+      s.isDirectory && (n.contains("=") || (!n.startsWith("_") && !n.startsWith(".")))
     }
 
   def compactParquet(
@@ -102,6 +107,61 @@ object MaintenanceOps {
     df.repartitionByRange(nFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
+  /** Compact a near-dup band LEDGER directory ([[LshOps]]/[[SrpOps]]
+    * incremental ingest state). Epoch-keyed ledgers grow one
+    * `_graft_epoch=<token>` partition per micro-batch FOREVER — a daily
+    * 100 TB ingest accumulates thousands of small parquet leaves, and the
+    * per-batch ledger read comes to be dominated by file listing/opens.
+    * This compacts the data files while preserving the two things a
+    * ledger cannot lose:
+    *
+    *  - the `_graft_*_meta` construction-parameter pin. A partitioned
+    *    ledger keeps it naturally (only `col=value` leaves are rewritten);
+    *    a FLAT ledger's [[compactParquet]] swap replaces the whole
+    *    directory, so the root-level `_`-prefixed metadata files are
+    *    snapshotted (they are bytes-small) and restored after the swap.
+    *    Losing the pin would not corrupt data but would disarm the
+    *    width-drift refusal — the next mismatched ingest would silently
+    *    never collide and then RE-pin at the drifted parameters.
+    *  - the epoch partition layout (replay safety): leaves are compacted
+    *    in place, never folded together, so a crash-replayed epoch still
+    *    dynamically overwrites exactly its own partition. Fold/expire of
+    *    epochs known to be beyond checkpoint replay is a separate,
+    *    deliberately manual decision.
+    *
+    * Run it between drains (the ingest protocol holds no locks). Safe on
+    * both ledger families and both layouts; refuses nothing a plain
+    * compaction would accept.
+    */
+  def compactLedger(
+      spark: SparkSession,
+      ledgerDir: String,
+      targetMB: Int = 128): CompactionReport = {
+    val path = new Path(ledgerDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaFiles = fs.listStatus(path).filter { s =>
+      s.isFile && s.getPath.getName.startsWith("_graft_")
+    }.map { s =>
+      val in = fs.open(s.getPath)
+      try s.getPath.getName -> {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toByteArray
+      } finally in.close()
+    }.toMap
+    val report =
+      if (dataDirs(fs, path).nonEmpty) compactPartitioned(spark, ledgerDir, targetMB)
+      else compactParquet(spark, ledgerDir, targetMB)
+    metaFiles.foreach { case (name, bytes) =>
+      val p = new Path(path, name)
+      if (!fs.exists(p)) {
+        val out = fs.create(p, true)
+        try out.write(bytes) finally out.close()
+      }
+    }
+    report
   }
 
   /** Compact a Hive-partitioned directory leaf-by-leaf, preserving the

@@ -50,10 +50,11 @@ object GraftApp {
       idCol: String = "doc_id",
       dedup: String = "exact",
       vecCol: String = "embedding",
-      minCos: Double = 0.9)
+      minCos: Double = 0.9,
+      compactLedger: Boolean = false)
 
   /** Valueless flags (presence = true). */
-  private val boolFlags = Set("strict", "stream")
+  private val boolFlags = Set("strict", "stream", "compact-ledger")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -79,7 +80,7 @@ object GraftApp {
           "[--mode append|overwrite] [--parallelism N] [--table-timeout-sec N] " +
           "[--strict] [--stream --ledger P --checkpoint P " +
           "[--dedup exact|neardup|embed] [--text-col C] [--id-col C] " +
-          "[--vec-col C] [--min-cos X]]")
+          "[--vec-col C] [--min-cos X]] | [--compact-ledger --ledger P]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
       "ledger", "checkpoint", "text-col", "id-col",
@@ -116,7 +117,8 @@ object GraftApp {
           s"unknown --dedup mode: $other (expected exact|neardup|embed)")
       }.getOrElse("exact"),
       vecCol = flags.getOrElse("vec-col", "embedding"),
-      minCos = flags.get("min-cos").map(_.toDouble).getOrElse(0.9))
+      minCos = flags.get("min-cos").map(_.toDouble).getOrElse(0.9),
+      compactLedger = flags.contains("compact-ledger"))
   }
 
   /** Testable core; returns the process exit code. */
@@ -126,6 +128,19 @@ object GraftApp {
       getenv: String => Option[String] = k => sys.env.get(k),
       out: String => Unit = println,
       log: String => Unit = s => System.err.println(s"[graft] $s")): Int = {
+
+    // Ledger maintenance is a standalone mode: compact the band-ledger
+    // directory (file counts dominate the per-batch ledger read after
+    // enough epochs) and exit. Run it between drains; construction
+    // metadata and the epoch partition layout are preserved
+    // (MaintenanceOps.compactLedger).
+    if (a.compactLedger) {
+      val dir = a.ledgerDir.getOrElse(
+        throw new IllegalArgumentException("--compact-ledger requires --ledger P"))
+      val r = graft.operators.MaintenanceOps.compactLedger(spark, dir)
+      out(s"COMPACT_LEDGER_ files=${r.filesBefore}->${r.filesAfter} rows=${r.rows}")
+      return 0
+    }
 
     if (a.stream) return runStream(a, spark, out, log)
 

@@ -76,4 +76,96 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     val plan = back.filter($"p" === 2).queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan)
   }
+
+  private val Dim = 32
+  private def unitVec(seed: Long, noiseOf: Option[(Array[Float], Double)] = None): Array[Float] = {
+    val rng = new scala.util.Random(seed)
+    val raw = noiseOf match {
+      case None => Array.fill(Dim)(rng.nextGaussian())
+      case Some((base, eps)) => base.map(_.toDouble + eps * rng.nextGaussian())
+    }
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(x => (x / n).toFloat)
+  }
+
+  test("compactLedger: epoch SRP ledger keeps its pin, partitions, and drift refusal") {
+    val ledger = Files.createTempDirectory("compact_srp_ledger").resolve("bands").toString
+    val base2 = unitVec(2L)
+    // Two epochs of commits → two _graft_epoch partitions of small files.
+    SrpOps.incrementalNeardupEpoch(spark,
+      Seq((2L, base2), (4L, unitVec(4L))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", ledger, "epoch0").commitLedger()
+    SrpOps.incrementalNeardupEpoch(spark,
+      Seq((6L, unitVec(6L))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", ledger, "epoch1").commitLedger()
+
+    val report = MaintenanceOps.compactLedger(spark, ledger, targetMB = 128)
+    assert(report.filesAfter <= report.filesBefore && report.filesAfter >= 2, report)
+    // The construction pin survived (epoch leaves were rewritten in place).
+    val fs = new org.apache.hadoop.fs.Path(ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(ledger, "_graft_srp_meta")))
+    // Epoch partitions survived as partitions (replay overwrites in place).
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(ledger))
+      .count(_.getPath.getName.startsWith("_graft_epoch=")) == 2)
+    // Post-compaction ingest still VERIFIES and drops a near-dup of the
+    // compacted corpus...
+    val pending = SrpOps.incrementalNeardupEpoch(spark,
+      Seq((11L, unitVec(111L, Some((base2, 0.02))))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", ledger, "epoch2")
+    assert(pending.ledgerHits.as[Long].collect().toSet == Set(11L))
+    // ...and still refuses a width-drifted ingest loudly.
+    val e = intercept[IllegalStateException] {
+      SrpOps.incrementalNeardupEpoch(spark,
+        Seq((13L, unitVec(13L))).toDF("vec_id", "embedding"),
+        "embedding", "vec_id", ledger, "epoch2", bitsPerBand = 12)
+    }
+    assert(e.getMessage.contains("never collide"))
+  }
+
+  test("compactLedger: flat LSH ledger restores the pin the dir swap would drop") {
+    val ledger = Files.createTempDirectory("compact_lsh_ledger").resolve("bands").toString
+    LshOps.incrementalNeardup(spark,
+      Seq((2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "text", "doc_id", ledger).commitLedger()
+    LshOps.incrementalNeardup(spark,
+      Seq((4L, "one two three four five six seven")).toDF("doc_id", "text"),
+      "text", "doc_id", ledger).commitLedger()
+
+    MaintenanceOps.compactLedger(spark, ledger, targetMB = 128)
+    // The flat compaction swap replaces the whole directory — the meta pin
+    // must have been carried across, or the drift refusal is disarmed.
+    val fs = new org.apache.hadoop.fs.Path(ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(ledger, "_graft_lsh_meta")))
+    val pending = LshOps.incrementalNeardup(spark,
+      Seq((9L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "text", "doc_id", ledger)
+    assert(pending.ledgerHits.as[Long].collect().toSet == Set(9L))
+    val e = intercept[IllegalStateException] {
+      LshOps.incrementalNeardup(spark,
+        Seq((13L, "totally different words here")).toDF("doc_id", "text"),
+        "text", "doc_id", ledger, shingleN = 4)
+    }
+    assert(e.getMessage.contains("never collide"))
+  }
+
+  test("the --compact-ledger CLI mode compacts and exits zero") {
+    val ledger = Files.createTempDirectory("compact_cli_ledger").resolve("bands").toString
+    SrpOps.incrementalNeardup(spark,
+      Seq((2L, unitVec(2L))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", ledger).commitLedger()
+    var lines = Vector.empty[String]
+    val code = graft.pipeline.GraftApp.run(
+      graft.pipeline.GraftApp.parseArgs(
+        Seq("prod", "all", "--compact-ledger", "--ledger", ledger)),
+      spark, getenv = _ => None, out = lines :+= _)
+    assert(code == 0)
+    assert(lines.exists(_.startsWith("COMPACT_LEDGER_")), lines)
+    // The ledger still answers: an exact copy of the corpus vector drops.
+    val pending = SrpOps.incrementalNeardup(spark,
+      Seq((11L, unitVec(2L))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", ledger)
+    assert(pending.ledgerHits.as[Long].collect().toSet == Set(11L))
+  }
 }
