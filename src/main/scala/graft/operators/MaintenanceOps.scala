@@ -164,6 +164,88 @@ object MaintenanceOps {
     report
   }
 
+  /** Fold committed epoch partitions of a band ledger into one `base`
+    * partition — the lifecycle step AFTER [[compactLedger]]: compaction
+    * shrinks files within partitions, but a year of daily drains is still
+    * 365 directories, and the per-batch ledger read pays the listing.
+    * Folding is safe exactly for epochs that can never be REPLAYED (the
+    * epoch replay protocol dynamically overwrites the replayed epoch's own
+    * partition — folding a replayable epoch would duplicate it on replay):
+    * the caller states the highest provably-committed batch id, and the
+    * CLI derives it from the streaming checkpoint's commit log rather
+    * than trusting a human.
+    *
+    * The fold token `base` is outside the `epoch<N>` namespace, so (a) it
+    * can never collide with a live epoch's dynamic overwrite, (b) the
+    * foreign-epoch checkpoint-reset guard ignores it, and (c) collision
+    * reads (`_graft_epoch =!= "epoch<batchId>"`) always include it.
+    *
+    * Crash contract: base is rewritten FIRST (base ∪ folded epochs, one
+    * dynamic partition overwrite), folded epoch directories are deleted
+    * after. A crash between the two leaves duplicate rows — harmless to
+    * correctness (bucket membership is a set; hit reads are
+    * semi-join/distinct) — and re-running the same fold converges. Run
+    * between drains, like compaction.
+    */
+  def foldEpochs(
+      spark: SparkSession,
+      ledgerDir: String,
+      upToBatchId: Long): CompactionReport = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(upToBatchId >= 0L, s"upToBatchId must be >= 0: $upToBatchId")
+    val path = new Path(ledgerDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def epochDirs() = fs.listStatus(path).filter { s =>
+      s.isDirectory && s.getPath.getName.startsWith("_graft_epoch=epoch") &&
+        scala.util.Try(s.getPath.getName
+          .stripPrefix("_graft_epoch=epoch").toLong).toOption
+          .exists(_ <= upToBatchId)
+    }
+    val folded = epochDirs()
+    if (folded.isEmpty) return CompactionReport(0, 0, 0L)
+    val foldTokens = folded.map(_.getPath.getName.stripPrefix("_graft_epoch=")).toSet
+    val filesBefore = folded.map(d => fs.listStatus(d.getPath).count(_.isFile)).sum
+    // One read of the whole ledger, filtered to base + the folded epochs;
+    // rewrite as the new base via dynamic partition overwrite (only the
+    // base partition is replaced — live epochs are untouched).
+    // Materialized BEFORE the write: the write replaces the base partition
+    // of the very directory the rows were read from, and Spark (rightly)
+    // refuses a write whose input files live under the output path. The
+    // pinned copy also makes the subsequent write independent of the
+    // delete step. Maintenance-sized data by construction (band/bucket
+    // keys + vectors, not the corpus).
+    val rowsDf = spark.read.parquet(ledgerDir)
+      .filter(col("_graft_epoch") === "base" ||
+        col("_graft_epoch").isInCollection(foldTokens))
+      .withColumn("_graft_epoch", lit("base"))
+      .localCheckpoint(true)
+    val rows = rowsDf.count()
+    rowsDf.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_graft_epoch")
+      .parquet(ledgerDir)
+    folded.foreach(d => fs.delete(d.getPath, true))
+    val filesAfter = fs.listStatus(new Path(path, "_graft_epoch=base"))
+      .count(_.isFile)
+    CompactionReport(filesBefore, filesAfter, rows)
+  }
+
+  /** Highest batch id with a COMMIT entry in a Structured Streaming
+    * checkpoint — the replay horizon [[foldEpochs]] needs: a committed
+    * batch never re-executes, so its ledger epoch can be folded. Returns
+    * None for a missing/empty commit log (refuse to fold rather than
+    * guess). */
+  def lastCommittedBatch(
+      spark: SparkSession,
+      checkpointDir: String): Option[Long] = {
+    val commits = new Path(checkpointDir, "commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(commits)) None
+    else fs.listStatus(commits)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .reduceOption(_ max _)
+  }
+
   /** Compact a Hive-partitioned directory leaf-by-leaf, preserving the
     * `col=value` layout (and therefore partition pruning and the
     * idempotent-sink replace-on-replay contract). Each leaf is an

@@ -51,10 +51,11 @@ object GraftApp {
       dedup: String = "exact",
       vecCol: String = "embedding",
       minCos: Double = 0.9,
-      compactLedger: Boolean = false)
+      compactLedger: Boolean = false,
+      foldEpochs: Boolean = false)
 
   /** Valueless flags (presence = true). */
-  private val boolFlags = Set("strict", "stream", "compact-ledger")
+  private val boolFlags = Set("strict", "stream", "compact-ledger", "fold-epochs")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -80,7 +81,8 @@ object GraftApp {
           "[--mode append|overwrite] [--parallelism N] [--table-timeout-sec N] " +
           "[--strict] [--stream --ledger P --checkpoint P " +
           "[--dedup exact|neardup|embed] [--text-col C] [--id-col C] " +
-          "[--vec-col C] [--min-cos X]] | [--compact-ledger --ledger P]")
+          "[--vec-col C] [--min-cos X]] | [--compact-ledger --ledger P] | " +
+          "[--fold-epochs --ledger P --checkpoint P]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
       "ledger", "checkpoint", "text-col", "id-col",
@@ -118,7 +120,8 @@ object GraftApp {
       }.getOrElse("exact"),
       vecCol = flags.getOrElse("vec-col", "embedding"),
       minCos = flags.get("min-cos").map(_.toDouble).getOrElse(0.9),
-      compactLedger = flags.contains("compact-ledger"))
+      compactLedger = flags.contains("compact-ledger"),
+      foldEpochs = flags.contains("fold-epochs"))
   }
 
   /** Testable core; returns the process exit code. */
@@ -139,6 +142,24 @@ object GraftApp {
         throw new IllegalArgumentException("--compact-ledger requires --ledger P"))
       val r = graft.operators.MaintenanceOps.compactLedger(spark, dir)
       out(s"COMPACT_LEDGER_ files=${r.filesBefore}->${r.filesAfter} rows=${r.rows}")
+      return 0
+    }
+
+    // Epoch folding derives its replay horizon from the streaming
+    // checkpoint's commit log — never from a human-stated batch id: a
+    // committed batch can never re-execute, so its ledger epoch is safe
+    // to fold; anything newer must keep its own partition for replay
+    // overwrite.
+    if (a.foldEpochs) {
+      val dir = a.ledgerDir.getOrElse(
+        throw new IllegalArgumentException("--fold-epochs requires --ledger P"))
+      val ckpt = a.checkpointDir.getOrElse(
+        throw new IllegalArgumentException("--fold-epochs requires --checkpoint P"))
+      val horizon = graft.operators.MaintenanceOps.lastCommittedBatch(spark, ckpt)
+        .getOrElse(throw new IllegalStateException(
+          s"no commit log at $ckpt/commits - cannot establish a replay horizon, refusing to fold"))
+      val r = graft.operators.MaintenanceOps.foldEpochs(spark, dir, horizon)
+      out(s"FOLD_EPOCHS_ upTo=$horizon files=${r.filesBefore}->${r.filesAfter} rows=${r.rows}")
       return 0
     }
 

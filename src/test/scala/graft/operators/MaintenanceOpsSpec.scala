@@ -150,6 +150,89 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("never collide"))
   }
 
+  test("foldEpochs merges only committed epochs into base; the ledger still answers") {
+    val ledger = Files.createTempDirectory("fold_srp_ledger").resolve("bands").toString
+    val base2 = unitVec(2L)
+    val v6 = unitVec(6L)
+    SrpOps.incrementalNeardupEpoch(spark,
+      Seq((2L, base2)).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", ledger, "epoch0").commitLedger()
+    SrpOps.incrementalNeardupEpoch(spark,
+      Seq((4L, unitVec(4L))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", ledger, "epoch1").commitLedger()
+    SrpOps.incrementalNeardupEpoch(spark,
+      Seq((6L, v6)).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", ledger, "epoch2").commitLedger()
+
+    val r = MaintenanceOps.foldEpochs(spark, ledger, upToBatchId = 1L)
+    assert(r.rows == 8L, r) // 2 vectors x 4 bands folded
+    val fs = new org.apache.hadoop.fs.Path(ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts() = fs.listStatus(new org.apache.hadoop.fs.Path(ledger))
+      .map(_.getPath.getName).filter(_.startsWith("_graft_epoch=")).toSet
+    // epoch0/epoch1 folded into base; epoch2 (beyond the stated horizon)
+    // keeps its own partition for replay overwrite.
+    assert(parts() == Set("_graft_epoch=base", "_graft_epoch=epoch2"), parts())
+    // A near-dup of a FOLDED corpus vector still drops (base partition is
+    // included in every collision read)...
+    val pending = SrpOps.incrementalNeardupEpoch(spark,
+      Seq((11L, unitVec(111L, Some((base2, 0.02))))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", ledger, "epoch3")
+    assert(pending.ledgerHits.as[Long].collect().toSet == Set(11L))
+    // ...and the unfolded epoch2 still replays exactly-once onto itself
+    // (its own partition exists to be overwritten; base is excluded from
+    // nothing, so 6 is not "a near-dup of itself" only because the replay
+    // excludes epoch2 — the protocol must be undisturbed by the fold).
+    val replay = SrpOps.incrementalNeardupEpoch(spark,
+      Seq((6L, v6)).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", ledger, "epoch2")
+    replay.commitLedger()
+    assert(replay.survivors.select($"vec_id").as[Long].collect().toSet == Set(6L))
+    // Folding again with a horizon covering epoch2 converges to base only.
+    MaintenanceOps.foldEpochs(spark, ledger, upToBatchId = 2L)
+    assert(parts() == Set("_graft_epoch=base"), parts())
+    val pending2 = SrpOps.incrementalNeardupEpoch(spark,
+      Seq((13L, unitVec(113L, Some((v6, 0.02))))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", ledger, "epoch3")
+    assert(pending2.ledgerHits.as[Long].collect().toSet == Set(13L))
+  }
+
+  test("lastCommittedBatch reads the streaming commit log; missing log refuses") {
+    val ckpt = Files.createTempDirectory("fold_ckpt").toString
+    assert(MaintenanceOps.lastCommittedBatch(spark, ckpt).isEmpty)
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    Files.createDirectories(commits)
+    Seq("0", "1", "2").foreach(b => Files.write(commits.resolve(b), "v1".getBytes))
+    assert(MaintenanceOps.lastCommittedBatch(spark, ckpt).contains(2L))
+  }
+
+  test("the --fold-epochs CLI mode derives its horizon from the checkpoint") {
+    val root = Files.createTempDirectory("fold_cli")
+    val ledger = root.resolve("bands").toString
+    SrpOps.incrementalNeardupEpoch(spark,
+      Seq((2L, unitVec(2L))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", ledger, "epoch0").commitLedger()
+    SrpOps.incrementalNeardupEpoch(spark,
+      Seq((4L, unitVec(4L))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", ledger, "epoch1").commitLedger()
+    val ckpt = root.resolve("ckpt")
+    Files.createDirectories(ckpt.resolve("commits"))
+    Files.write(ckpt.resolve("commits").resolve("0"), "v1".getBytes)
+    var lines = Vector.empty[String]
+    val code = graft.pipeline.GraftApp.run(
+      graft.pipeline.GraftApp.parseArgs(Seq("prod", "all",
+        "--fold-epochs", "--ledger", ledger, "--checkpoint", ckpt.toString)),
+      spark, getenv = _ => None, out = lines :+= _)
+    assert(code == 0)
+    assert(lines.exists(_.startsWith("FOLD_EPOCHS_ upTo=0")), lines)
+    // Only the committed batch 0 folded; epoch1 kept for replay.
+    val fs = new org.apache.hadoop.fs.Path(ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(ledger))
+      .map(_.getPath.getName).filter(_.startsWith("_graft_epoch=")).toSet
+    assert(parts == Set("_graft_epoch=base", "_graft_epoch=epoch1"), parts)
+  }
+
   test("the --compact-ledger CLI mode compacts and exits zero") {
     val ledger = Files.createTempDirectory("compact_cli_ledger").resolve("bands").toString
     SrpOps.incrementalNeardup(spark,
