@@ -133,6 +133,30 @@ object GraphOps {
     * appears in an edge; singletons are the caller's union; loud failure
     * past `maxIter`.
     */
+  /** [[connectedComponents]] with the deep-graph fallback applied
+    * AUTOMATICALLY: propagation first (lighter rounds — the right default
+    * for near-dup graphs, whose measured diameter is 2–4), and on its
+    * loud maxIter refusal — the shape signal that the graph is deep, not
+    * a transient — one [[connectedComponentsStars]] run from scratch.
+    * Both algorithms land on the same fixed point, so the switch is
+    * invisible in the labeling; the cost in the fallback case is the
+    * wasted `maxIter` propagation rounds, which is why `maxIter` here
+    * defaults LOWER than propagation's own (a graph that hasn't settled
+    * in 8 rounds is already past every measured near-dup diameter).
+    * Callers that KNOW their graph shape should call the specific
+    * algorithm; this is for pipelines over graphs of unknown depth. */
+  def connectedComponentsAuto(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 8,
+      starsMaxIter: Int = 50): DataFrame =
+    try connectedComponents(edges, aCol, bCol, maxIter)
+    catch {
+      case e: IllegalStateException if e.getMessage.contains("still moving") =>
+        connectedComponentsStars(edges, aCol, bCol, starsMaxIter)
+    }
+
   def connectedComponentsStars(
       edges: DataFrame,
       aCol: String,

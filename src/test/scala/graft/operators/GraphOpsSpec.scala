@@ -54,6 +54,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(round.columns.contains("_graft_prev"))
   }
 
+  test("auto components: propagation solves the shallow graph, stars rescues the deep one") {
+    // Shallow clustered graph: propagation converges well inside the auto
+    // default, labels match the direct call.
+    val clustered = Seq((5L, 2L), (2L, 9L), (20L, 21L))
+    val auto = GraphOps.connectedComponentsAuto(clustered.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(auto == cc(clustered))
+    // Deep path: propagation's refusal fires internally and the stars
+    // fallback lands the identical fixed point — every vertex labeled to
+    // the global min.
+    val path = (0L until 200L).map(i => (i, i + 1))
+    val labels = GraphOps.connectedComponentsAuto(path.toDF("a", "b"), "a", "b")
+    import org.apache.spark.sql.functions.col
+    val m = labels.select(col("v"), col("component"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 201 && m.values.forall(_ == 0L))
+  }
+
   private def stars(edges: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] =
     GraphOps.connectedComponentsStars(edges.toDF("a", "b"), "a", "b", maxIter)
       .as[(Long, Long)].collect().toMap
