@@ -102,7 +102,9 @@ object VectorQueries {
     // construction keeps candidates bounded by maxBucket·nBands·n. 5
     // bands × 12 bits here — deliberately a DIFFERENT parameterization
     // than q106's 4×10, so the corpus pins the per-band plane-offset
-    // packing at two widths (recall ≈0.99 at cos 0.99 vs q106's ≈0.94).
+    // packing at two widths (bandRecall at cos 0.99: ≈0.986 here, ≈0.981
+    // for q106 — wider bands are more selective per band, recovered by
+    // the extra band).
     "q58_embed_neardup" -> ((s, dir) => {
       val banded = graft.operators.SrpOps.bandedSrp(
         t(s, dir, "embeddings"), "embedding", "vec_id",
