@@ -72,6 +72,34 @@ object Bench {
     nOutliers > maxCleanOutliers(nQueries) ||
       refTotal.exists(rt => rt > 0 && total > PollutedTotalFactor * rt)
 
+  /** The committed reference may only be REFRESHED by a run at least as
+    * quiet as it (within this slack): broad co-tenant load routinely
+    * inflates a run 1.2–1.4× with zero per-query outliers — under the
+    * pollution verdict but clearly not a quiet window — and letting such
+    * a run replace the reference would ratchet the triage baseline
+    * upward round over round. A slower-but-honest run (a deliberately
+    * costlier construction, a grown corpus at unchanged names) diverts
+    * to a side file instead; BLESSING it as the new reference is the
+    * builder's deliberate act (commit the diverted file), not the
+    * harness's. */
+  private[graft] val RefRefreshSlack = 1.05
+
+  /** Which file this run's detail may be written to. `None` for refTotal
+    * means the committed reference doesn't cover this run's query set
+    * (new scale, new/renamed queries) — nothing comparable to protect,
+    * so the run establishes the reference. */
+  private[graft] def detailFileFor(
+      subset: Boolean,
+      polluted: Boolean,
+      hasRefs: Boolean,
+      total: Double,
+      refTotal: Option[Double]): String =
+    if (subset) "BENCH_DETAILS_SUBSET.json"
+    else if (polluted && hasRefs) "BENCH_DETAILS_POLLUTED.json"
+    else if (refTotal.exists(rt => rt > 0 && total > RefRefreshSlack * rt))
+      "BENCH_DETAILS_NOISY.json"
+    else "BENCH_DETAILS.json"
+
   /** Per-query reference medians from a committed BENCH_DETAILS.json,
     * usable only when it was recorded at the same scale dir. */
   private[graft] def refMedians(json: String, sfDir: String): Map[String, Double] =
@@ -225,16 +253,15 @@ object Bench {
     // compact summary guaranteed to fit that window: median seconds keyed by
     // the qNN prefix (unique per corpus; full names in the detail file),
     // with the headline total at the very end of the line.
-    // A subset run or a polluted run must never REPLACE the committed
+    // A subset run, a polluted run, or a merely-noisy run (slower than
+    // the committed reference beyond the refresh slack — broad co-tenant
+    // load under the pollution gate) must never REPLACE the committed
     // quiet-window reference on disk (the next run's triage baseline —
     // and anything uncommitted can end up committed at round end): those
-    // runs keep their full detail in a side file. A polluted run with no
-    // reference at all still writes the main file (first run at a new
-    // scale has nothing to protect).
-    val detailFile =
-      if (only.nonEmpty) "BENCH_DETAILS_SUBSET.json"
-      else if (polluted && refs.nonEmpty) "BENCH_DETAILS_POLLUTED.json"
-      else "BENCH_DETAILS.json"
+    // runs keep their full detail in a side file. A run with no
+    // comparable reference still writes the main file (first run at a
+    // new scale or changed corpus has nothing to protect).
+    val detailFile = detailFileFor(only.nonEmpty, polluted, refs.nonEmpty, total, refTotal)
     if (detailFile != "BENCH_DETAILS.json")
       System.err.println(s"[bench] detail diverted to $detailFile (reference preserved)")
     try {

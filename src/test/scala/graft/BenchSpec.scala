@@ -58,6 +58,28 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.runPolluted(500.0, None, nOutliers = 20, nQueries = 109))
   }
 
+  test("only a quiet comparable run may refresh the committed reference file") {
+    import Bench.detailFileFor
+    // Quiet full run at/below the reference (within slack): refreshes.
+    assert(detailFileFor(subset = false, polluted = false, hasRefs = true,
+      total = 46.1, refTotal = Some(49.4)) == "BENCH_DETAILS.json")
+    assert(detailFileFor(subset = false, polluted = false, hasRefs = true,
+      total = 50.0, refTotal = Some(49.4)) == "BENCH_DETAILS.json")
+    // The measured co-tenant shape: 1.3x total, zero outliers, under the
+    // pollution gate — must NOT ratchet the baseline upward.
+    assert(detailFileFor(subset = false, polluted = false, hasRefs = true,
+      total = 64.1, refTotal = Some(49.4)) == "BENCH_DETAILS_NOISY.json")
+    // Polluted and subset runs keep their own side files.
+    assert(detailFileFor(subset = false, polluted = true, hasRefs = true,
+      total = 95.7, refTotal = Some(47.8)) == "BENCH_DETAILS_POLLUTED.json")
+    assert(detailFileFor(subset = true, polluted = false, hasRefs = true,
+      total = 2.5, refTotal = None) == "BENCH_DETAILS_SUBSET.json")
+    // No comparable reference (new scale / changed corpus): the run
+    // establishes the reference.
+    assert(detailFileFor(subset = false, polluted = false, hasRefs = false,
+      total = 99.0, refTotal = None) == "BENCH_DETAILS.json")
+  }
+
   test("reference medians parse from the committed detail JSON, scale-matched") {
     val json =
       """{"metric":"total","value":40.1,"unit":"sec","queries":{"q01_agg":1.250,"q03_join":0.470},"sf":"/root/testdata/sf0.1"}"""
