@@ -170,14 +170,19 @@ object GraphOps {
         .distinct())
     var changed = 1L
     var round = 0
+    // |e| carries across rounds (this round's |B| is next round's |A|),
+    // so the fixed-point check costs two jobs per round, not three.
+    var eCount = e.count()
     while (changed > 0L && round < maxIter) {
       round += 1
       val next = Tables.materialize(smallStar(largeStar(e)))
       // Fixed point = edge SET unchanged. |A △ B| = 2|A ∪ B| − |A| − |B|;
       // both sides are materialized and distinct, so this is one cheap
       // distinct-count over small (id, id) pairs.
-      changed = 2L * next.union(e).distinct().count() - next.count() - e.count()
+      val nextCount = next.count()
+      changed = 2L * next.union(e).distinct().count() - nextCount - eCount
       e = next
+      eCount = nextCount
     }
     if (changed > 0L)
       throw new IllegalStateException(
