@@ -130,7 +130,14 @@ object Bench {
     try {
       spark.range(1000000).selectExpr("sum(id) as s")
         .write.format("noop").mode("overwrite").save()
-      spark.read.parquet(s"$sfDir/nation.parquet")
+      // Any small fixture table warms the parquet reader path; GenScale
+      // probe dirs carry only documents/embeddings, not the TPC-H tables.
+      val warmTable = Seq("nation", "documents", "embeddings")
+        .map(t => new java.io.File(s"$sfDir/$t.parquet"))
+        .find(_.exists())
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no warm-up table under $sfDir"))
+      spark.read.parquet(warmTable.getPath)
         .write.format("noop").mode("overwrite").save()
     } catch {
       case e: Throwable =>
