@@ -84,19 +84,43 @@ object Bench {
     * harness's. */
   private[graft] val RefRefreshSlack = 1.05
 
-  /** Which file this run's detail may be written to. `None` for refTotal
-    * means the committed reference doesn't cover this run's query set
-    * (new scale, new/renamed queries) — nothing comparable to protect,
-    * so the run establishes the reference. */
+  /** The committed reference stays comparable as long as it covers at least
+    * this fraction of the run's queries. Requiring FULL coverage opened a
+    * hole: adding one query to the corpus (q110, round 8) voided the
+    * comparison entirely and let a 1.2×-inflated co-tenant window establish
+    * itself as the new reference — exactly the ratchet [[RefRefreshSlack]]
+    * exists to stop. Below this coverage (new scale, renamed corpus) there
+    * genuinely is nothing comparable and the run establishes the reference. */
+  private[graft] val MinRefCoverage = 0.9
+
+  /** This run's subtotal and the committed reference's subtotal over the
+    * queries BOTH cover, or `None` when coverage is below
+    * [[MinRefCoverage]]. All reference comparisons (pollution verdict,
+    * noisy-run routing) happen over this covered subset, so a grown corpus
+    * still protects the reference for the queries it has numbers for. */
+  private[graft] def coveredTotals(
+      medians: Seq[(String, Double)],
+      refs: Map[String, Double]): Option[(Double, Double)] = {
+    val covered = medians.filter { case (n, _) => refs.contains(n) }
+    if (medians.nonEmpty && covered.size >= MinRefCoverage * medians.size)
+      Some((covered.map(_._2).sum, covered.map { case (n, _) => refs(n) }.sum))
+    else None
+  }
+
+  /** Which file this run's detail may be written to. `coveredTotal` is this
+    * run's subtotal over the reference-covered queries; `None` for refTotal
+    * means the committed reference doesn't cover enough of this run's query
+    * set (new scale, renamed corpus) — nothing comparable to protect, so
+    * the run establishes the reference. */
   private[graft] def detailFileFor(
       subset: Boolean,
       polluted: Boolean,
       hasRefs: Boolean,
-      total: Double,
+      coveredTotal: Double,
       refTotal: Option[Double]): String =
     if (subset) "BENCH_DETAILS_SUBSET.json"
     else if (polluted && hasRefs) "BENCH_DETAILS_POLLUTED.json"
-    else if (refTotal.exists(rt => rt > 0 && total > RefRefreshSlack * rt))
+    else if (refTotal.exists(rt => rt > 0 && coveredTotal > RefRefreshSlack * rt))
       "BENCH_DETAILS_NOISY.json"
     else "BENCH_DETAILS.json"
 
@@ -237,17 +261,25 @@ object Bench {
       k -> f"""{"ref":${o.ref}%.3f,"median":${o.median}%.3f,"rerun":$rr}""" })
     val total = results.map(_._2).sum
     // RUN-level pollution verdict (a 33-outlier window cannot be rescued
-    // query-by-query): compare this total against the committed reference
-    // total over the SAME query set, and the outlier count against the
-    // ~10% clean bound. The committed total rides along so a reader of a
-    // polluted artifact has the honest comparison number in hand.
-    val refTotal: Option[Double] =
-      if (results.nonEmpty && results.forall { case (n, _, _) => refs.contains(n) })
-        Some(results.map { case (n, _, _) => refs(n) }.sum)
-      else None
-    val polluted = runPolluted(total, refTotal, outliers.size, results.size)
+    // query-by-query): compare this run against the committed reference
+    // over the COVERED query subset (a corpus grown by one query must not
+    // void the comparison — see MinRefCoverage), and the outlier count
+    // against the ~10% clean bound. The committed (covered) total rides
+    // along so a reader of a polluted artifact has the honest comparison
+    // number in hand; when coverage is partial, the covered run subtotal
+    // and coverage count are recorded beside it.
+    val medians = results.map { case (n, m, _) => (n, m) }
+    val cov = coveredTotals(medians, refs)
+    val coveredTotal = cov.map(_._1).getOrElse(total)
+    val refTotal: Option[Double] = cov.map(_._2)
+    val nCovered = medians.count { case (n, _) => refs.contains(n) }
+    val polluted = runPolluted(coveredTotal, refTotal, outliers.size, results.size)
+    val coverageTag =
+      if (refTotal.isDefined && nCovered < results.size)
+        f""","covered_total":$coveredTotal%.2f,"ref_coverage":"$nCovered/${results.size}""""
+      else ""
     val pollutedTag = s""","polluted":$polluted""" +
-      refTotal.map(rt => f""","committed_total":$rt%.2f""").getOrElse("")
+      refTotal.map(rt => f""","committed_total":$rt%.2f""").getOrElse("") + coverageTag
     // A SPARK_GRAFT_QUERIES-restricted total must never be mistaken for (or
     // compared against) a full-corpus baseline: tag the JSON explicitly.
     val subsetTag = only.map(s =>
@@ -268,7 +300,7 @@ object Bench {
     // runs keep their full detail in a side file. A run with no
     // comparable reference still writes the main file (first run at a
     // new scale or changed corpus has nothing to protect).
-    val detailFile = detailFileFor(only.nonEmpty, polluted, refs.nonEmpty, total, refTotal)
+    val detailFile = detailFileFor(only.nonEmpty, polluted, refs.nonEmpty, coveredTotal, refTotal)
     if (detailFile != "BENCH_DETAILS.json")
       System.err.println(s"[bench] detail diverted to $detailFile (reference preserved)")
     try {

@@ -62,22 +62,50 @@ class BenchSpec extends AnyFunSuite {
     import Bench.detailFileFor
     // Quiet full run at/below the reference (within slack): refreshes.
     assert(detailFileFor(subset = false, polluted = false, hasRefs = true,
-      total = 46.1, refTotal = Some(49.4)) == "BENCH_DETAILS.json")
+      coveredTotal = 46.1, refTotal = Some(49.4)) == "BENCH_DETAILS.json")
     assert(detailFileFor(subset = false, polluted = false, hasRefs = true,
-      total = 50.0, refTotal = Some(49.4)) == "BENCH_DETAILS.json")
+      coveredTotal = 50.0, refTotal = Some(49.4)) == "BENCH_DETAILS.json")
     // The measured co-tenant shape: 1.3x total, zero outliers, under the
     // pollution gate — must NOT ratchet the baseline upward.
     assert(detailFileFor(subset = false, polluted = false, hasRefs = true,
-      total = 64.1, refTotal = Some(49.4)) == "BENCH_DETAILS_NOISY.json")
+      coveredTotal = 64.1, refTotal = Some(49.4)) == "BENCH_DETAILS_NOISY.json")
     // Polluted and subset runs keep their own side files.
     assert(detailFileFor(subset = false, polluted = true, hasRefs = true,
-      total = 95.7, refTotal = Some(47.8)) == "BENCH_DETAILS_POLLUTED.json")
+      coveredTotal = 95.7, refTotal = Some(47.8)) == "BENCH_DETAILS_POLLUTED.json")
     assert(detailFileFor(subset = true, polluted = false, hasRefs = true,
-      total = 2.5, refTotal = None) == "BENCH_DETAILS_SUBSET.json")
+      coveredTotal = 2.5, refTotal = None) == "BENCH_DETAILS_SUBSET.json")
     // No comparable reference (new scale / changed corpus): the run
     // establishes the reference.
     assert(detailFileFor(subset = false, polluted = false, hasRefs = false,
-      total = 99.0, refTotal = None) == "BENCH_DETAILS.json")
+      coveredTotal = 99.0, refTotal = None) == "BENCH_DETAILS.json")
+  }
+
+  test("a corpus grown by one query still protects the covered reference") {
+    // The round-8 hole: the committed reference covered 109 of the run's
+    // 110 queries; requiring FULL coverage voided the comparison and a
+    // 1.2×-inflated window (59.5 s covered subtotal vs 49.4 committed)
+    // established itself as the reference. coveredTotals must compare over
+    // the intersection instead.
+    val refs = (1 to 109).map(i => s"q$i" -> 0.453).toMap // ≈ 49.4 total
+    val run = (1 to 110).map(i => s"q$i" -> 0.541)        // ≈ 59.5 total
+    val cov = Bench.coveredTotals(run, refs)
+    assert(cov.isDefined, "109/110 coverage is comparable")
+    val (covered, committed) = cov.get
+    assert(math.abs(covered - 109 * 0.541) < 1e-9, "new query excluded from the subtotal")
+    assert(math.abs(committed - 109 * 0.453) < 1e-9)
+    // ...and the noisy-window routing now fires on the covered numbers.
+    assert(Bench.detailFileFor(subset = false, polluted = false, hasRefs = true,
+      coveredTotal = covered, refTotal = Some(committed)) == "BENCH_DETAILS_NOISY.json")
+    // A QUIET run over the grown corpus refreshes the reference as before.
+    val quiet = (1 to 110).map(i => s"q$i" -> 0.45)
+    val covQ = Bench.coveredTotals(quiet, refs).get
+    assert(Bench.detailFileFor(subset = false, polluted = false, hasRefs = true,
+      coveredTotal = covQ._1, refTotal = Some(covQ._2)) == "BENCH_DETAILS.json")
+    // Below MinRefCoverage (renamed corpus / new scale) there is nothing
+    // comparable: the run establishes the reference.
+    val renamed = (1 to 110).map(i => s"r$i" -> 0.6)
+    assert(Bench.coveredTotals(renamed, refs).isEmpty)
+    assert(Bench.coveredTotals(Seq.empty, refs).isEmpty)
   }
 
   test("reference medians parse from the committed detail JSON, scale-matched") {
