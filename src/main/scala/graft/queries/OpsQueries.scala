@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{BloomOps, DedupOps, MergeOps, SamplingOps, TopKOps}
+import graft.operators.{BloomOps, DedupOps, GateOps, MergeOps, SamplingOps, TopKOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -102,6 +102,36 @@ object OpsQueries {
     "q89_grouped_topk" -> ((s, dir) =>
       TopKOps.groupedTopK(
         t(s, dir, "orders"), "o_custkey", "o_totalprice", "o_orderkey", k = 3)),
+
+    // E92 per-source cap (domain balancing): no source may contribute more
+    // than K documents to the corpus, keeping its best K (longest, doc_id
+    // tie-break) — the standard web-corpus step that stops one crawled
+    // domain from dominating a training mix. The keep-list is the
+    // bounded-buffer grouped top-k (one shuffle, ≤ k entries per group ×
+    // map partition) and is sources × K rows — tiny at ANY corpus size —
+    // so the cap applies back to the full rows as a BROADCAST semi-join:
+    // no second shuffle, no window sort over whole sources.
+    "q110_source_cap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keep = TopKOps.groupedTopK(docs, "source", "n_chars", "doc_id", k = 5)
+        .select(col("doc_id"))
+      docs.join(broadcast(keep), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    }),
+
+    // E93 group-relative quantile gate: each source keeps its documents at
+    // or above that source's OWN median length — the heterogeneous-corpus
+    // fix for fixed-threshold gates (q75's cutoffs tuned for one source's
+    // regime purge or flood another's). One shuffle (grouped exact
+    // percentile — the q39 pairing that matches DuckDB's quantile_cont);
+    // the |sources|-row threshold frame applies back as a BROADCAST join.
+    // `percentile_approx` is the documented 100 TB-group-size path
+    // (GateOps scaladoc), exactly as q100 is for q39.
+    "q111_quantile_gate" -> ((s, dir) => {
+      GateOps.groupQuantileGate(t(s, dir, "documents"), "source", "n_chars", q = 0.5)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("gate_threshold"), 4).as("source_p50"))
+    }),
 
     // E78 SCD2 merge, end-to-end: a customer dimension (opened 2026-01-01)
     // takes an update batch — odd keys change balance (+100), every 10th
@@ -239,6 +269,20 @@ object OpsQueries {
                 ORDER BY ${charHashSql("CAST(doc_id AS VARCHAR) || ':5'")}, doc_id) AS rn
             FROM documents)
           WHERE rn <= 10""",
+    // The cap restated: rank within source by (n_chars desc, doc_id), keep
+    // rank ≤ K, return the surviving document rows.
+    "q110_source_cap" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+         QUALIFY row_number() OVER (PARTITION BY source
+           ORDER BY n_chars DESC, doc_id) <= 5""",
+    // The gate restated: per-source median (quantile_cont ≡ Spark's exact
+    // interpolating `percentile`, the q39 pairing), keep rows at/above it.
+    "q111_quantile_gate" ->
+      """SELECT d.doc_id, d.source, d.n_chars, round(t.thr, 4) AS source_p50
+         FROM documents d
+         JOIN (SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS thr
+               FROM documents GROUP BY source) t USING (source)
+         WHERE CAST(d.n_chars AS DOUBLE) >= t.thr""",
     // Same rank rule as the operator: (value desc, id asc), rank ≤ k.
     "q89_grouped_topk" ->
       """SELECT o_custkey, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice

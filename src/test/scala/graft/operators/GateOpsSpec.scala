@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E93 group-relative quantile gate: the threshold comes from each group's
+  * OWN distribution, ties at the threshold survive, and the plan applies
+  * the |groups|-row threshold frame back as a broadcast join over ONE
+  * shuffle (the grouped percentile) — never a per-group window sort. */
+class GateOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df = Seq(
+    // group a: values 1..4 → median 2.5, survivors 3,4
+    ("a", 1.0, 1L), ("a", 2.0, 2L), ("a", 3.0, 3L), ("a", 4.0, 4L),
+    // group b: all-equal values → median 7, EVERY row ties and survives
+    ("b", 7.0, 5L), ("b", 7.0, 6L), ("b", 7.0, 7L),
+    // group c: odd count 10,20,30 → median 20, survivors 20,30
+    ("c", 10.0, 8L), ("c", 20.0, 9L), ("c", 30.0, 10L))
+    .toDF("g", "v", "id")
+
+  test("each group gates on its own median; ties at the threshold survive") {
+    val got = GateOps.groupQuantileGate(df, "g", "v", q = 0.5)
+      .select($"id", $"gate_threshold")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(3L -> 2.5, 4L -> 2.5, 5L -> 7.0, 6L -> 7.0,
+      7L -> 7.0, 9L -> 20.0, 10L -> 20.0))
+  }
+
+  test("at q=0.5 at least half of every group survives") {
+    val in = df.groupBy($"g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = GateOps.groupQuantileGate(df, "g", "v", q = 0.5)
+      .groupBy($"g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    in.foreach { case (g, n) =>
+      assert(out.getOrElse(g, 0L) * 2 >= n, s"group $g lost more than half") }
+  }
+
+  test("the approx path thresholds on a GROUP ELEMENT, never an interpolation") {
+    // percentile_approx (Greenwald-Khanna) returns an actual group member;
+    // exact `percentile` interpolates. On odd-count and all-equal groups
+    // the two coincide; on even-count group a the exact threshold is 2.5
+    // (interpolated) while GK's is the element 2.0 — so the approx gate
+    // additionally keeps the row AT that element. This is the designed
+    // difference of the 100 TB-group-size path, pinned here so a silent
+    // semantic change in either function shows up.
+    val exact = GateOps.groupQuantileGate(df, "g", "v", q = 0.5)
+      .select($"id").as[Long].collect().toSet
+    val approx = GateOps.groupQuantileGate(df, "g", "v", q = 0.5,
+        approxAccuracy = Some(10000))
+      .select($"id").as[Long].collect().toSet
+    assert(exact == Set(3L, 4L, 5L, 6L, 7L, 9L, 10L))
+    assert(approx == exact + 2L)
+  }
+
+  test("plans as one shuffle + broadcast application — no window sort") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = GateOps.groupQuantileGate(df, "g", "v", q = 0.5)
+        .queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        "threshold frame must apply back as a broadcast join")
+      assert(!plan.toString.contains("Window"),
+        "a per-group window sort would shuffle and sort the full rows")
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      assert(shuffles <= 1, s"expected ≤1 shuffle (grouped percentile), got $shuffles")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("invalid quantile and accuracy refuse loudly") {
+    intercept[IllegalArgumentException](
+      GateOps.groupQuantileGate(df, "g", "v", q = 0.0))
+    intercept[IllegalArgumentException](
+      GateOps.groupQuantileGate(df, "g", "v", q = 1.0))
+    intercept[IllegalArgumentException](
+      GateOps.groupQuantileGate(df, "g", "v", q = 0.5, approxAccuracy = Some(0)))
+  }
+}
