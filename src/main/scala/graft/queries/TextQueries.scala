@@ -76,6 +76,37 @@ object TextQueries {
     * (fixture: zero) buckets. */
   private val LshMaxBucket = 10000
 
+  /** The MinHash→bands→pairs→min-label-closure restatement shared by the
+    * components oracles (q103 appends its projection; q112 extends with the
+    * canonical pick). Ends at the `reach` CTE — append `SELECT ...` or
+    * `, more AS (...) SELECT ...`. The pairs CTE is q48's construction
+    * verbatim. */
+  private lazy val MinhashComponentsCteSql =
+    s"""WITH RECURSIVE sigs AS (
+          SELECT doc_id,
+                 list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
+          FROM (SELECT doc_id, $ShingleHashes3Sql AS hs
+                FROM (SELECT doc_id, $TokSql AS toks FROM documents)
+                WHERE len(toks) >= 3)),
+        bands AS (
+          SELECT doc_id, CAST(b AS INT) AS b,
+                 list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),
+                             (a, x) -> (a * 31 + x) % 1000000007) AS bh
+          FROM sigs, unnest(range(0, 4)) AS u(b)
+          QUALIFY count(*) OVER (PARTITION BY b, bh) <= $LshMaxBucket),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+          FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh
+          WHERE a.doc_id < b2.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT src AS v, src AS r FROM edges
+          UNION
+          SELECT e.src AS v, r.r
+          FROM edges e JOIN reach r ON e.dst = r.v)"""
+
   /** q104's committed batch-1 band ledger, keyed by input dir — the same
     * build-once-per-dir fixture discipline (and Bench prewarm hook) as
     * OpsQueries' q77 ledger. */
@@ -239,6 +270,38 @@ object TextQueries {
       val pairs = graft.operators.LshOps.candidatePairs(banded.bands, "doc_id")
       graft.operators.GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("v").as("doc_id"), col("component"))
+    }),
+
+    // E94 cluster-canonical selection: the retention policy production
+    // near-dup dedup actually wants — per cluster keep the BEST member
+    // (longest, doc_id tie-break), not an arbitrary id (q52's keep-min-id
+    // drops the richer copy whenever the fuller document has the larger
+    // id). Components as q103; the member→length join shuffles on doc_id;
+    // the canonical pick is the bounded-buffer grouped top-1 (≤1 row per
+    // cluster×partition in the shuffle) with the cluster size riding the
+    // same frame — never a per-cluster window sort over the members.
+    "q112_canonical_pick" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val banded = graft.operators.LshOps.bandedMinhash(
+        docs, "text", "doc_id", 16, 3, 4, 4, LshMaxBucket)
+      val pairs = graft.operators.LshOps.candidatePairs(banded.bands, "doc_id")
+      val comp = graft.operators.GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("v").as("doc_id"), col("component"))
+      val sized = comp.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      // ONE aggregation: the bounded-buffer top-1 AND the cluster size ride
+      // the same shuffle (a separate size agg would re-shuffle the members
+      // and pay a second component-keyed join).
+      sized.groupBy(col("component"))
+        .agg(
+          graft.operators.TopKOps.topK(1)(col("n_chars"), col("doc_id")).as("_tk"),
+          count(lit(1)).cast("int").as("cluster_size"))
+        .select(col("component"),
+          element_at(col("_tk.items"), 1).getField("id").as("canonical_doc_id"),
+          // topK carries the value as Double; restore the column's own type
+          // (lossless: n_chars are exact in a double) for oracle parity.
+          element_at(col("_tk.items"), 1).getField("v").cast("long")
+            .as("canonical_n_chars"),
+          col("cluster_size"))
     }),
 
     // Incremental NEAR-dup (round 6): the q77 ledger pattern extended to
@@ -600,33 +663,26 @@ object TextQueries {
           FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh
           WHERE a.doc_id < b2.doc_id""",
     // Transitive closure via a recursive CTE: component(v) = min reachable
-    // id. The pairs CTE is q48's construction verbatim.
+    // id. The pairs CTE is q48's construction verbatim (shared prefix:
+    // MinhashComponentsCteSql).
     "q103_dedup_components" ->
-      s"""WITH RECURSIVE sigs AS (
-            SELECT doc_id,
-                   list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
-            FROM (SELECT doc_id, $ShingleHashes3Sql AS hs
-                  FROM (SELECT doc_id, $TokSql AS toks FROM documents)
-                  WHERE len(toks) >= 3)),
-          bands AS (
-            SELECT doc_id, CAST(b AS INT) AS b,
-                   list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),
-                               (a, x) -> (a * 31 + x) % 1000000007) AS bh
-            FROM sigs, unnest(range(0, 4)) AS u(b)
-            QUALIFY count(*) OVER (PARTITION BY b, bh) <= $LshMaxBucket),
-          pairs AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-            FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bh = b2.bh
-            WHERE a.doc_id < b2.doc_id),
-          edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM pairs
-            UNION SELECT doc_b, doc_a FROM pairs),
-          reach AS (
-            SELECT src AS v, src AS r FROM edges
-            UNION
-            SELECT e.src AS v, r.r
-            FROM edges e JOIN reach r ON e.dst = r.v)
+      s"""$MinhashComponentsCteSql
           SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v""",
+    // The retention policy on top of the same closure: rank each cluster
+    // member by (n_chars desc, doc_id), keep rank 1 as the canonical.
+    "q112_canonical_pick" ->
+      s"""$MinhashComponentsCteSql,
+          comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+          sized AS (SELECT c.component, c.doc_id, d.n_chars
+                    FROM comp c JOIN documents d USING (doc_id))
+          SELECT component, doc_id AS canonical_doc_id,
+                 n_chars AS canonical_n_chars, CAST(sz AS INT) AS cluster_size
+          FROM (SELECT component, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY component
+                         ORDER BY n_chars DESC, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY component) AS sz
+                FROM sized)
+          WHERE rn = 1""",
     // Both halves restated: evens band + self-purge → survivor buckets
     // (the ledger), then odds drop on ledger collision and self-purge.
     "q104_incr_neardup" ->

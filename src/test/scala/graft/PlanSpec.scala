@@ -172,6 +172,10 @@ class PlanSpec extends AnyFunSuite {
       "q86_source_overlap" -> 5,  // distinct + self-join + agg
       "q90_bm25_keywords" -> 6,   // tf (1) + df agg + dlen agg + 2 joins + rank window
       "q95_line_dedup" -> 3,      // segment window + doc re-agg + parallel spread
+      "q112_canonical_pick" -> 3, // member↔length join re-hashes both sides on
+                                  // doc_id (the cluster-member frame is unbounded
+                                  // — broadcasting it would be a scale lie) + the
+                                  // single component agg carrying top-1 AND size
       "q104_incr_neardup" -> 3,   // ledger-hit anti-join + in-batch purge join + its distinct
                                   // (banding lives in the cached frame, pinned like q48)
       "q108_srp_incr_neardup" -> 5, // hit/purge anti-joins on the id key + banded self-join
