@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object LshRegime {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | stars | srp | srpincr | streamembed [nBatches]]")
+      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches]]")
     val dir = args(0)
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
@@ -26,6 +26,7 @@ object LshRegime {
     spark.sparkContext.setLogLevel("WARN")
     if (args.length > 1 && args(1) == "incr") { incr(spark, dir, args(2).toInt); return }
     if (args.length > 1 && args(1) == "cc") { cc(spark, dir); return }
+    if (args.length > 1 && args(1) == "canon") { canon(spark, dir); return }
     if (args.length > 1 && args(1) == "stars") { stars(spark, dir); return }
     if (args.length > 1 && args(1) == "srp") { srp(spark, dir); return }
     if (args.length > 1 && args(1) == "srpincr") { srpIncr(spark, dir); return }
@@ -68,6 +69,37 @@ object LshRegime {
       f"""{"metric":"lsh_cc","shingleN":${auto.shingleN},"docs":${auto.docCount},""" +
         f""""pairedVertices":${labels.count()},"components":${stats.getLong(0)},""" +
         f""""maxCluster":${stats.getLong(1)},"secs":$secs%.2f}""")
+    spark.stop()
+  }
+
+  /** E94 probe: [[cc]]'s pipeline extended by the canonical pick — the
+    * member↔length join plus the single component agg (bounded-buffer
+    * top-1 + cluster size). The DELTA vs cc at the same dir is the cost
+    * of the retention policy itself; it is one linear join + one agg on
+    * the member frame, so the delta must stay a small constant fraction
+    * of cc's wall at every decade. */
+  private def canon(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, element_at, lit, max}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val auto = operators.LshOps.bandedMinhashAuto(docs, "text", "doc_id")
+    val pairs = operators.LshOps.candidatePairs(auto.banded.bands, "doc_id")
+    val labels = operators.GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("v").as("doc_id"), col("component"))
+    val sized = labels.join(
+      docs.selectExpr("doc_id", "length(text) AS n_chars"), Seq("doc_id"))
+    val canonical = sized.groupBy(col("component"))
+      .agg(operators.TopKOps.topK(1)(col("n_chars"), col("doc_id")).as("_tk"),
+        count(lit(1)).cast("int").as("cluster_size"))
+      .select(col("component"),
+        element_at(col("_tk.items"), 1).getField("id").as("canonical_doc_id"),
+        col("cluster_size"))
+    val stats = canonical.agg(count(lit(1)), max(col("cluster_size"))).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"metric":"lsh_canon","shingleN":${auto.shingleN},"docs":${auto.docCount},""" +
+        f""""clusters":${stats.getLong(0)},"maxCluster":${stats.getInt(1)},""" +
+        f""""secs":$secs%.2f}""")
     spark.stop()
   }
 
