@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{BloomOps, DedupOps, GateOps, MergeOps, SamplingOps, TopKOps}
+import graft.operators.{BloomOps, DedupOps, ExportOps, GateOps, MergeOps, SamplingOps, TopKOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -132,6 +132,21 @@ object OpsQueries {
         .select(col("doc_id"), col("source"), col("n_chars"),
           round(col("gate_threshold"), 4).as("source_p50"))
     }),
+
+    // E95 export-integrity manifest: the order-independent per-shard
+    // (count, xor, modular-sum) census a downstream trainer re-derives to
+    // trust a shipped corpus. ONE aggregation over (shard, rowHash) pairs
+    // — map-side partials reduce every task to ≤nShards rows, so the
+    // shuffle is tiny at any corpus size. The portable charHash row hash
+    // lets DuckDB recompute the identical checksums; the sum rides a
+    // decimal accumulator then reduces mod 1e9+7 (a long sum would
+    // ANSI-overflow at ~1e10 rows). The full export+verify protocol
+    // (write, manifest file, re-derive from the files BY DIRECTORY,
+    // refuse loudly) is spec-gated in ExportOpsSpec.
+    "q113_shard_manifest" -> ((s, dir) =>
+      ExportOps.shardManifest(
+        t(s, dir, "documents"), "doc_id", Seq("text"),
+        nShards = 8, seed = 7L, ExportOps.portableRowHash)),
 
     // E78 SCD2 merge, end-to-end: a customer dimension (opened 2026-01-01)
     // takes an update batch — odd keys change balance (+100), every 10th
@@ -283,6 +298,19 @@ object OpsQueries {
          JOIN (SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS thr
                FROM documents GROUP BY source) t USING (source)
          WHERE CAST(d.n_chars AS DOUBLE) >= t.thr""",
+    // The manifest restated: shard = charHash(id:seed) % 8, row hash =
+    // charHash(id:text:seed); per shard the count, the bit-XOR, and the
+    // exact (HUGEINT) sum reduced mod 1e9+7.
+    "q113_shard_manifest" ->
+      s"""SELECT CAST(shard AS INT) AS shard,
+          count(*) AS n_rows,
+          bit_xor(h) AS xor_hash,
+          CAST(sum(h) % 1000000007 AS BIGINT) AS sum_hash
+          FROM (SELECT
+                  ${charHashSql("CAST(doc_id AS VARCHAR) || ':7'")} % 8 AS shard,
+                  ${charHashSql("CAST(doc_id AS VARCHAR) || ':' || text || ':7'")} AS h
+                FROM documents)
+          GROUP BY shard""",
     // Same rank rule as the operator: (value desc, id asc), rank ≤ k.
     "q89_grouped_topk" ->
       """SELECT o_custkey, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice
