@@ -52,10 +52,17 @@ object GraftApp {
       vecCol: String = "embedding",
       minCos: Double = 0.9,
       compactLedger: Boolean = false,
-      foldEpochs: Boolean = false)
+      foldEpochs: Boolean = false,
+      exportShards: Boolean = false,
+      verifyExport: Boolean = false,
+      exportDir: Option[String] = None,
+      contentCols: Seq[String] = Seq("text"),
+      nShards: Int = 16,
+      seed: Long = 7L)
 
   /** Valueless flags (presence = true). */
-  private val boolFlags = Set("strict", "stream", "compact-ledger", "fold-epochs")
+  private val boolFlags = Set("strict", "stream", "compact-ledger", "fold-epochs",
+    "export-shards", "verify-export")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -82,11 +89,14 @@ object GraftApp {
           "[--strict] [--stream --ledger P --checkpoint P " +
           "[--dedup exact|neardup|embed] [--text-col C] [--id-col C] " +
           "[--vec-col C] [--min-cos X]] | [--compact-ledger --ledger P] | " +
-          "[--fold-epochs --ledger P --checkpoint P]")
+          "[--fold-epochs --ledger P --checkpoint P] | " +
+          "[--export-shards --export-dir P [--content-cols a,b] [--shards N] [--seed S]] | " +
+          "[--verify-export --export-dir P [--content-cols a,b] [--seed S]]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
       "ledger", "checkpoint", "text-col", "id-col",
-      "dedup", "vec-col", "min-cos") ++ boolFlags
+      "dedup", "vec-col", "min-cos",
+      "export-dir", "content-cols", "shards", "seed") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
     if (unknown.nonEmpty)
@@ -121,7 +131,15 @@ object GraftApp {
       vecCol = flags.getOrElse("vec-col", "embedding"),
       minCos = flags.get("min-cos").map(_.toDouble).getOrElse(0.9),
       compactLedger = flags.contains("compact-ledger"),
-      foldEpochs = flags.contains("fold-epochs"))
+      foldEpochs = flags.contains("fold-epochs"),
+      exportShards = flags.contains("export-shards"),
+      verifyExport = flags.contains("verify-export"),
+      exportDir = flags.get("export-dir"),
+      contentCols = flags.get("content-cols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq("text")),
+      nShards = flags.get("shards").map(_.toInt).getOrElse(16),
+      seed = flags.get("seed").map(_.toLong).getOrElse(7L))
   }
 
   /** Testable core; returns the process exit code. */
@@ -160,6 +178,31 @@ object GraftApp {
           s"no commit log at $ckpt/commits - cannot establish a replay horizon, refusing to fold"))
       val r = graft.operators.MaintenanceOps.foldEpochs(spark, dir, horizon)
       out(s"FOLD_EPOCHS_ upTo=$horizon files=${r.filesBefore}->${r.filesAfter} rows=${r.rows}")
+      return 0
+    }
+
+    // Export integrity is a standalone mode: write deterministic id-hash
+    // shards + the order-independent manifest, then IMMEDIATELY verify the
+    // files just written (write-then-verify — an export that cannot be
+    // re-derived from disk never reports success). --verify-export alone
+    // re-checks an existing export (the consumer-side trust step); any
+    // damage throws with the shard named, which --strict turns into a
+    // nonzero exit like every other failure.
+    if (a.exportShards || a.verifyExport) {
+      val dir = a.exportDir.getOrElse(throw new IllegalArgumentException(
+        (if (a.exportShards) "--export-shards" else "--verify-export") +
+          " requires --export-dir P"))
+      if (a.exportShards) {
+        val src = a.sourceOverride
+          .map(PipelineConfig.parseEndpoint).map { case (f, l) => Connectors.source(f, l) }
+          .getOrElse(PipelineConfig.loadEndpoint(a.env, "SOURCE", getenv).asSource)
+        val df = src.read(spark, a.tableArg)
+        graft.operators.ExportOps.shardedExport(
+          df, dir, a.idCol, a.contentCols, a.nShards, a.seed)
+        out(s"EXPORT_SHARDS_ dir=$dir shards=${a.nShards}")
+      }
+      graft.operators.ExportOps.verifyShards(spark, dir, a.idCol, a.contentCols, a.seed)
+      out(s"VERIFY_EXPORT_ dir=$dir OK")
       return 0
     }
 

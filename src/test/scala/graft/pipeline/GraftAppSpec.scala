@@ -187,6 +187,48 @@ class GraftAppSpec extends AnyFunSuite {
     assert(run("--strict") == 1, "--strict must surface the failure")
   }
 
+test("--export-shards writes manifested shards; --verify-export re-checks and refuses damage") {
+    val src = Files.createTempDirectory("exp_src")
+    val out = Files.createTempDirectory("exp_out").resolve("shards").toString
+    // A tiny documents-shaped table under the source dir.
+    (1L to 40L).map(i => (i, s"doc text number $i"))
+      .toDF("doc_id", "text")
+      .write.mode(SaveMode.Overwrite).parquet(s"$src/documents")
+
+    def cli(extra: String*): (Int, Seq[String]) = {
+      val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val args = GraftApp.parseArgs(Seq(
+        "dev", "documents", "--source", s"parquet:$src",
+        "--export-dir", out, "--shards", "4") ++ extra)
+      val code = GraftApp.run(args, spark, getenv = _ => None,
+        out = outs.append(_), log = _ => ())
+      (code, outs.toSeq)
+    }
+
+    // Export writes, then immediately verifies what it just wrote.
+    val (code, lines) = cli("--export-shards")
+    assert(code == 0 && lines.exists(_.startsWith("EXPORT_SHARDS_"))
+      && lines.exists(_.startsWith("VERIFY_EXPORT_")), lines.mkString("; "))
+
+    // The consumer-side re-check passes against the same files...
+    val (code2, lines2) = cli("--verify-export")
+    assert(code2 == 0 && lines2.exists(_.endsWith("OK")))
+
+    // ...and refuses loudly once a shard file disappears.
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("_graft_shard=")).sortBy(_.getName)
+    dirs.head.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.delete()))
+    val e = intercept[IllegalStateException](cli("--verify-export"))
+    assert(e.getMessage.contains("shard"), e.getMessage)
+
+    // Flag hygiene: export-dir is required.
+    intercept[IllegalArgumentException] {
+      GraftApp.run(GraftApp.parseArgs(Seq("dev", "documents", "--verify-export")),
+        spark, getenv = _ => None, out = _ => (), log = _ => ())
+    }
+  }
+
   test("arg parsing: usage errors and flag forms") {
     intercept[IllegalArgumentException](GraftApp.parseArgs(Seq("dev")))
     intercept[IllegalArgumentException](GraftApp.parseArgs(Seq("dev", "all", "--mode", "upsert")))
