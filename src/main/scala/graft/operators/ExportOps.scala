@@ -157,4 +157,29 @@ object ExportOps {
       throw new IllegalStateException(
         s"export verification FAILED for $outDir:\n  ${problems.mkString("\n  ")}")
   }
+
+  /** Verify every `_graft_epoch=<n>` export under `rootDir` (the layout
+    * [[graft.streaming.StreamingOps.foreachBatchShardedExport]] writes) and
+    * return the number of epochs checked. An empty tree is refused — "no
+    * epochs found" must never read as "verified". */
+  def verifyExportTree(
+      spark: SparkSession,
+      rootDir: String,
+      idCol: String,
+      contentCols: Seq[String],
+      seed: Long,
+      rowHash: RowHashFn = xxRowHash): Int = {
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochs =
+      if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.Path]
+      else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("_graft_epoch="))
+    if (epochs.isEmpty)
+      throw new IllegalStateException(
+        s"no _graft_epoch=* exports under $rootDir — nothing to verify is a failure, not a pass")
+    epochs.sortBy(_.getName).foreach(p =>
+      verifyShards(spark, p.toString, idCol, contentCols, seed, rowHash))
+    epochs.length
+  }
 }

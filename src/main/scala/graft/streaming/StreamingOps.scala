@@ -174,6 +174,31 @@ object StreamingOps {
       pending.commitLedger()
     }
 
+  /** E95's streaming side — continuous training-data delivery: every
+    * micro-batch exports as deterministic id-hash shards WITH the
+    * order-independent manifest under its own `_graft_epoch=<batchId>`
+    * directory, write-then-VERIFIED before the epoch commits (an epoch
+    * whose files can't be re-derived from disk fails the batch instead of
+    * poisoning the feed). Crash replay is idempotent for free: the epoch
+    * token derives from the batchId, so a re-executed batch overwrites
+    * exactly its own directory with identical content and an identical
+    * manifest. Consumers re-check any epoch (or the whole tree,
+    * [[graft.operators.ExportOps.verifyExportTree]]) after transfer. */
+  def foreachBatchShardedExport(
+      writer: DataStreamWriter[Row],
+      outDir: String,
+      idCol: String,
+      contentCols: Seq[String],
+      nShards: Int = 16,
+      seed: Long = 7L): DataStreamWriter[Row] =
+    writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val dir = s"$outDir/_graft_epoch=$batchId"
+      graft.operators.ExportOps.shardedExport(
+        batch, dir, idCol, contentCols, nShards, seed)
+      graft.operators.ExportOps.verifyShards(
+        batch.sparkSession, dir, idCol, contentCols, seed)
+    }
+
   /** Checkpoint-reset guard for the epoch-keyed ledger ingests: epoch
     * tokens derive from the streaming batchId, and epoch N+1 only starts
     * after N's checkpoint commit — so a ledger holding an epoch AHEAD of
