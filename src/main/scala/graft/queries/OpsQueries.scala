@@ -148,6 +148,30 @@ object OpsQueries {
         t(s, dir, "documents"), "doc_id", Seq("text"),
         nShards = 8, seed = 7L, ExportOps.portableRowHash)),
 
+    // E96 corpus drift monitor: per source, compare yesterday's snapshot
+    // (even doc_ids) against today's (odd) — volume log-ratio and mean
+    // document length, flagging sources whose inflow shifted. The plan
+    // lesson: ONE-PASS conditional aggregation (count/avg over CASE) —
+    // one scan and one shuffle — where the naive restatement aggregates
+    // each snapshot separately and joins, i.e. two scans of a 100 TB
+    // corpus plus a join. A source missing a cohort yields NULL ratio and
+    // drifts by definition (appeared/vanished is the loudest drift).
+    "q114_drift_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old_ = col("doc_id") % 2 === 0
+      val neu = col("doc_id") % 2 === 1
+      docs.groupBy(col("source")).agg(
+          count(when(old_, 1)).as("n_old"),
+          count(when(neu, 1)).as("n_new"),
+          round(avg(when(old_, col("n_chars"))), 4).as("mean_chars_old"),
+          round(avg(when(neu, col("n_chars"))), 4).as("mean_chars_new"))
+        .withColumn("count_log_ratio",
+          when(col("n_old") > 0 && col("n_new") > 0,
+            round(log(col("n_new").cast("double") / col("n_old")), 4)))
+        .withColumn("drifted",
+          col("count_log_ratio").isNull || abs(col("count_log_ratio")) > 0.15)
+    }),
+
     // E78 SCD2 merge, end-to-end: a customer dimension (opened 2026-01-01)
     // takes an update batch — odd keys change balance (+100), every 10th
     // key arrives unchanged (no-op update) — effective 2026-06-01. Changed
@@ -311,6 +335,24 @@ object OpsQueries {
                   ${charHashSql("CAST(doc_id AS VARCHAR) || ':' || text || ':7'")} AS h
                 FROM documents)
           GROUP BY shard""",
+    // The drift report restated with FILTERed aggregates (the same
+    // one-pass conditional aggregation).
+    "q114_drift_report" ->
+      """SELECT source, n_old, n_new, mean_chars_old, mean_chars_new,
+           count_log_ratio,
+           (count_log_ratio IS NULL OR abs(count_log_ratio) > 0.15) AS drifted
+         FROM (
+           SELECT source,
+             count(*) FILTER (doc_id % 2 = 0) AS n_old,
+             count(*) FILTER (doc_id % 2 = 1) AS n_new,
+             round(avg(n_chars) FILTER (doc_id % 2 = 0), 4) AS mean_chars_old,
+             round(avg(n_chars) FILTER (doc_id % 2 = 1), 4) AS mean_chars_new,
+             CASE WHEN count(*) FILTER (doc_id % 2 = 0) > 0
+                   AND count(*) FILTER (doc_id % 2 = 1) > 0
+                  THEN round(ln(CAST(count(*) FILTER (doc_id % 2 = 1) AS DOUBLE)
+                              / count(*) FILTER (doc_id % 2 = 0)), 4)
+             END AS count_log_ratio
+           FROM documents GROUP BY source)""",
     // Same rank rule as the operator: (value desc, id asc), rank ≤ k.
     "q89_grouped_topk" ->
       """SELECT o_custkey, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice
