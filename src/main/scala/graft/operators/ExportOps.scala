@@ -79,9 +79,14 @@ object ExportOps {
   /** Write `df` under `outDir` partitioned by `_graft_shard` and store the
     * manifest beside it as `_graft_manifest.json` (one JSON object per
     * line, shard-ordered — nShards lines, driver-side tiny by
-    * construction). The data write runs FIRST: a crash between the two
-    * leaves data without a manifest, which [[verifyShards]] refuses
-    * loudly, never silently passes. */
+    * construction). The manifest is derived from the FILES just written
+    * (re-read, attributed by shard directory), never from a second
+    * evaluation of `df`: a non-deterministic input frame (a re-read
+    * mutable source, a sampled subset) must not yield a manifest
+    * describing rows that are not the ones on disk — the manifest's only
+    * job is to describe the bytes shipped. The data write runs FIRST: a
+    * crash between the two leaves data without a manifest, which
+    * [[verifyShards]] refuses loudly, never silently passes. */
   def shardedExport(
       df: DataFrame,
       outDir: String,
@@ -90,6 +95,7 @@ object ExportOps {
       nShards: Int,
       seed: Long,
       rowHash: RowHashFn = xxRowHash): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val spark = df.sparkSession
     df.withColumn("_graft_shard", shardCol(idCol, nShards, seed, rowHash))
       // one shuffle keyed on the shard id: each task writes whole shards
@@ -97,7 +103,10 @@ object ExportOps {
       // files — the manifest is layout-independent either way)
       .repartition(nShards, col("_graft_shard"))
       .write.mode("overwrite").partitionBy("_graft_shard").parquet(outDir)
-    val rows = shardManifest(df, idCol, contentCols, nShards, seed, rowHash)
+    val written = spark.read.parquet(outDir)
+    val h = rowHash((idCol +: contentCols).map(col), seed)
+    val rows = aggManifest(written.select(
+        col("_graft_shard").cast("int").as("shard"), h.as("h")))
       .orderBy(col("shard")).collect()
     val json = rows.map { r =>
       s"""{"shard":${r.getInt(0)},"n_rows":${r.getLong(1)},""" +

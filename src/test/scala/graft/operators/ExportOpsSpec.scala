@@ -83,6 +83,19 @@ class ExportOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no _graft_manifest.json"), e.getMessage)
   }
 
+  test("the manifest describes the files on disk even for a non-deterministic input") {
+    // A frame whose content changes on every evaluation: if the manifest
+    // were computed by RE-EVALUATING the input (instead of re-reading the
+    // files just written), it would describe rows that are not on disk
+    // and verification would fail immediately.
+    import org.apache.spark.sql.functions._
+    val out = freshDir().resolve("nondet").toString
+    val nondet = docs.limit(20)
+      .withColumn("text", concat(lit("r"), rand()))
+    ExportOps.shardedExport(nondet, out, "doc_id", Seq("text"), nShards = 4, seed = 7L)
+    ExportOps.verifyShards(spark, out, "doc_id", Seq("text"), seed = 7L)
+  }
+
   test("the portable manifest matches the xx manifest's counts but not its hashes") {
     // Same sharding semantics, different hash functions: counts per shard
     // differ (different shard assignment is allowed — the hash IS the
