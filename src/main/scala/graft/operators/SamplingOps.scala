@@ -155,4 +155,43 @@ object SamplingOps {
       .filter(col("_graft_rn") <= n)
       .drop("_graft_rn")
   }
+
+  /** Weighted sampling WITHOUT replacement (SURVEY §2.3 E99) — pick `n`
+    * rows where a row's inclusion probability is proportional to its
+    * weight, by the Efraimidis–Spirakis priority scheme: each row gets a
+    * deterministic uniform u ∈ (0, 1] from the portable charHash of
+    * (id, seed), its priority is log(u)/w (the log form of u^(1/w) — same
+    * order, no underflow for huge weights), and the n LARGEST priorities
+    * win. The quality-weighted subcorpus pick every curation pipeline
+    * needs ("sample 1B docs, favor high quality-score") — `sample()`
+    * can't weight rows and a per-row RNG isn't reproducible across
+    * layouts (the same argument as [[hashSplit]]).
+    *
+    * Scale: one narrow projection (hash + log, no shuffle, pushes to the
+    * scan) into a `TakeOrderedAndProject` — every partition forwards at
+    * most n candidate rows, never a global sort. Driver holds n rows;
+    * callers wanting a big n should semi-join the returned ids instead of
+    * collecting. Rows with non-positive weight are excluded (they have
+    * zero sampling mass).
+    *
+    * Priorities are rounded at 6 dp with id tie-breaks (the repo's
+    * cross-engine float rule), making the pick restatable in SQL — the
+    * q117 oracle replays it verbatim in DuckDB.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      n: Int,
+      seed: Long): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val u = (pmod(
+      graft.functions.TextFunctions.charHash(
+        concat(col(idCol).cast("string"), lit(":" + seed.toString))),
+      lit(1000000L)) + lit(1L)).cast("double") / lit(1000001.0)
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("priority", round(log(u) / col(weightCol).cast("double"), 6))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(n)
+  }
 }

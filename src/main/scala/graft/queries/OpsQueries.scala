@@ -172,6 +172,16 @@ object OpsQueries {
           col("count_log_ratio").isNull || abs(col("count_log_ratio")) > 0.15)
     }),
 
+    // E99 weighted sampling without replacement (Efraimidis–Spirakis
+    // priorities): 100 documents, inclusion probability ∝ n_chars,
+    // deterministic portable-hash uniforms — narrow projection into a
+    // TakeOrdered, never a global sort. The oracle replays the exact
+    // priority formula.
+    "q117_weighted_sample" -> ((s, dir) =>
+      SamplingOps.weightedSample(
+          t(s, dir, "documents"), "doc_id", "n_chars", n = 100, seed = 13L)
+        .select(col("doc_id"), col("n_chars"), col("priority"))),
+
     // E78 SCD2 merge, end-to-end: a customer dimension (opened 2026-01-01)
     // takes an update batch — odd keys change balance (+100), every 10th
     // key arrives unchanged (no-op update) — effective 2026-06-01. Changed
@@ -353,6 +363,17 @@ object OpsQueries {
                               / count(*) FILTER (doc_id % 2 = 0)), 4)
              END AS count_log_ratio
            FROM documents GROUP BY source)""",
+    // Lockstep with SamplingOps.weightedSample: u = (charHash("<id>:13")
+    // mod 1e6 + 1) / 1000001, priority = round(ln(u)/w, 6), top-100 by
+    // (priority desc, id).
+    "q117_weighted_sample" ->
+      s"""SELECT doc_id, n_chars,
+            round(ln((${charHashSql("CAST(doc_id AS VARCHAR) || ':13'")} % 1000000 + 1)
+                     / 1000001.0) / n_chars, 6) AS priority
+          FROM documents
+          WHERE n_chars > 0
+          ORDER BY priority DESC, doc_id
+          LIMIT 100""",
     // Same rank rule as the operator: (value desc, id asc), rank ≤ k.
     "q89_grouped_topk" ->
       """SELECT o_custkey, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice

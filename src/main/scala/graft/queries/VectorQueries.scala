@@ -274,6 +274,27 @@ object VectorQueries {
         .select(col("vec_id").as("vid"), col("embedding").as("cv"))
       c.join(broadcast(q), col("qid") < col("vid"))
         .select(col("qid"), col("vid"), l2Distance(col("qv"), col("cv")).as("l2"))
+    }),
+
+    // E97 distributed k-means (Lloyd, k=8, 2 update rounds, deterministic
+    // smallest-id seed): final assignment + 6-dp distance to the settled
+    // centroid. Assignment is a zero-shuffle codegen'd projection; each
+    // update is one map-side-combined (cluster, dim) aggregation — the
+    // oracle replays the whole fit as unrolled SQL.
+    "q115_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.KmeansOps.fit(e, "embedding", "vec_id", k = 8, iters = 2)
+        .assignments
+    }),
+
+    // E98 SemDeDup semantic dedup: q115's clusters, cosine pairs WITHIN a
+    // cluster only, purge the larger id of any pair at cos >= 0.4
+    // (keep-min-id, q52's embedding twin). One row per vector with its
+    // cluster and keep verdict.
+    "q116_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.KmeansOps.semanticPurge(
+        e, "embedding", "vec_id", k = 8, iters = 2, minCos = 0.4)
     })
   )
 
@@ -355,6 +376,41 @@ object VectorQueries {
             QUALIFY count(*) OVER (PARTITION BY b, bv) <= $maxBucket)"""
     def srpBandsSql(nBands: Int, bits: Int, maxBucket: Int): String =
       srpBandsSqlF("", "TRUE", nBands, bits, maxBucket)
+    // q115/q116: the whole k-means fit unrolled — c0 = smallest-id seed,
+    // then per round an assignment CTE (arg-min of 6-dp L2, ties to the
+    // smaller cluster) and an update CTE (6-dp per-dim mean; LEFT JOIN
+    // keeps the previous centroid for clusters that captured nothing),
+    // ending in `af`, the final assignment against the settled centroids.
+    // Lockstep rule with KmeansOps: change both or neither.
+    def l2Sql(a: String, b: String): String =
+      s"round(sqrt(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))), 6)"
+    def kmeansCtes(k: Int, iters: Int): String = {
+      def assignCte(name: String, cents: String, withDist: Boolean): String = {
+        val d = if (withDist) s", ${l2Sql("e.v", s"$cents.c")} AS d" else ""
+        val dOut = if (withDist) ", d" else ""
+        s"""$name AS (SELECT vec_id, v, cl$dOut FROM (
+             SELECT e.vec_id, e.v, $cents.cl$d,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${l2Sql("e.v", s"$cents.c")}, $cents.cl) AS rn
+             FROM e CROSS JOIN $cents) WHERE rn = 1)"""
+      }
+      val sb = new StringBuilder
+      sb ++= s"""e AS (SELECT vec_id, $VecSql AS v FROM embeddings),
+        c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v AS c
+               FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))"""
+      for (r <- 0 until iters) {
+        sb ++= ",\n" + assignCte(s"a$r", s"c$r", withDist = false)
+        sb ++= s""",
+          c${r + 1} AS (SELECT p.cl, coalesce(u.c, p.c) AS c
+            FROM c$r p LEFT JOIN (
+              SELECT cl, list(m ORDER BY j) AS c FROM (
+                SELECT cl, j, round(avg(v[j]), 6) AS m
+                FROM a$r, unnest(range(1, 65)) AS u(j) GROUP BY cl, j)
+              GROUP BY cl) u ON u.cl = p.cl)"""
+      }
+      sb ++= ",\n" + assignCte("af", s"c$iters", withDist = true)
+      sb.toString
+    }
     Map(
       "q55_cosine_pairs" ->
         s"""WITH e AS (SELECT vec_id, $VecSql AS v FROM embeddings)
@@ -530,7 +586,18 @@ object VectorQueries {
               SELECT qid, vid, cos,
                      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
               FROM scored)
-            WHERE rank <= 5"""
+            WHERE rank <= 5""",
+      "q115_kmeans" ->
+        s"""WITH ${kmeansCtes(8, 2)}
+            SELECT vec_id, cl AS cluster, d AS dist FROM af""",
+      "q116_semdedup" ->
+        s"""WITH ${kmeansCtes(8, 2)},
+            purged AS (SELECT DISTINCT y.vec_id
+              FROM af x JOIN af y ON x.cl = y.cl AND x.vec_id < y.vec_id
+              WHERE ${cosSql("x.v", "y.v")} >= 0.4)
+            SELECT af.vec_id, af.cl AS cluster,
+                   purged.vec_id IS NULL AS kept
+            FROM af LEFT JOIN purged ON purged.vec_id = af.vec_id"""
     )
   }
 }

@@ -98,4 +98,31 @@ class SamplingOpsSpec extends AnyFunSuite {
     val b = run(docs.repartition(7)).select($"doc_id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("weightedSample: top-k plan, layout-stable membership, n rows") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SamplingOps.weightedSample(df, "doc_id", "n_chars", n = 50, seed = 7L)
+    val picked = run(docs)
+    // TakeOrdered carries <= n rows per partition to the driver — a global
+    // Sort before the limit would be the 100 TB mistake.
+    val plan = picked.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"expected TakeOrdered plan:\n$plan")
+    val ids = picked.select($"doc_id").as[Long].collect()
+    assert(ids.length == 50 && ids.toSet.size == 50)
+    val again = run(docs.repartition(13)).select($"doc_id").as[Long].collect()
+    assert(ids.toSet == again.toSet, "membership must be layout-independent")
+  }
+
+  test("weightedSample favors heavy rows across seeds (E-S weighting)") {
+    // 100 rows: one with weight 200, the rest weight 1. Over 40 seeds the
+    // heavy row should make the top-10 far more often than a uniform
+    // sampler's ~10% (its E-S inclusion probability is near 1).
+    val df = (0L until 100L).map(i => (i, if (i == 7L) 200 else 1))
+      .toDF("id", "w")
+    val hits = (1 to 40).count { s =>
+      SamplingOps.weightedSample(df, "id", "w", n = 10, seed = s.toLong)
+        .select($"id").as[Long].collect().contains(7L)
+    }
+    assert(hits >= 35, s"heavy row picked only $hits/40 times")
+  }
 }
