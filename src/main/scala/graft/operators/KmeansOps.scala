@@ -175,9 +175,14 @@ object KmeansOps {
       minCos: Double,
       maxClusterForPairs: Long = 10000L): DataFrame = {
     val fitted = fit(df, vecCol, idCol, k, iters)
+    // Materialized ALREADY PARTITIONED on the cluster key: both sides of
+    // the pair self-join below read the same hash layout, so the join
+    // re-shuffles neither side — one up-front shuffle instead of two
+    // join-time shuffles of the same frame (PlanSpec budgets the plan).
     val asg = Tables.materialize(
       assign(df.select(col(idCol), col(vecCol)), vecCol, idCol, fitted.centroids)
-        .select(col(idCol), col(vecCol), col("cluster")))
+        .select(col(idCol), col(vecCol), col("cluster"))
+        .repartition(col("cluster")))
     val biggest = asg.groupBy(col("cluster")).count()
       .agg(max(col("count"))).first().getLong(0)
     if (biggest > maxClusterForPairs)

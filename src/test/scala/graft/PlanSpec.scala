@@ -182,6 +182,12 @@ class PlanSpec extends AnyFunSuite {
                                     // + pair and drop distincts (banding cached; ledger-hit
                                     // verification is eager, outside this plan)
       "q97_profile" -> 3,         // multi-distinct Expand partials
+      "q116_semdedup" -> 2,       // purge distinct re-keys band pairs on the id +
+                                  // the verdict left join re-keys the assignment
+                                  // frame on the id; the pair self-join itself
+                                  // pays ZERO exchanges — the materialized
+                                  // assignment is pre-partitioned on cluster and
+                                  // both sides reuse that layout
       // two-phase / paired-agg shapes:
       "q05_full_outer_regions" -> 2, "q19_count_distinct" -> 2,
       "q23_intersect_except" -> 2, "q38_salted_agg" -> 2,
