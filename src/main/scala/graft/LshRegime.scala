@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object LshRegime {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches]]")
+      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | wsample]")
     val dir = args(0)
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
@@ -33,6 +33,8 @@ object LshRegime {
     if (args.length > 1 && args(1) == "streamembed") {
       streamEmbed(spark, dir, if (args.length > 2) args(2).toInt else 8); return
     }
+    if (args.length > 1 && args(1) == "kmeans") { kmeans(spark, dir); return }
+    if (args.length > 1 && args(1) == "wsample") { wsample(spark, dir); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -175,6 +177,49 @@ object LshRegime {
     * [[graft.operators.SrpOps.srpAuto]] picks the band width from the
     * vector count and the default gauge stays enforced. Prints the chosen
     * width + candidate/pair counts + wall seconds. */
+  /** E97/E98 probe: k-means fit + SemDeDup purge at the decade's scale.
+    * k follows the SemDeDup discipline — scale it with the corpus so
+    * cluster size (the quadratic term) stays constant: k = ⌈n/256⌉,
+    * which at both decades lands in the broadcast-join assignment path
+    * (k > 64), the one that must prove itself at scale. `purgeSecs` is
+    * the operator end-to-end (it runs its own fit — by design the purge
+    * is self-contained); the fit-only number isolates Lloyd's share. */
+  private def kmeans(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = vecs.count()
+    val k = math.max(8, math.ceil(n / 256.0).toInt)
+    val t0 = System.nanoTime()
+    val fitted = operators.KmeansOps.fit(vecs, "embedding", "vec_id", k, iters = 2)
+    val assigned = fitted.assignments.count()
+    val fitSecs = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val verdict = operators.KmeansOps.semanticPurge(
+      vecs, "embedding", "vec_id", k, iters = 2, minCos = 0.9)
+    val purged = verdict.filter(!col("kept")).count()
+    val purgeSecs = (System.nanoTime() - t1) / 1e9
+    println(
+      f"""{"metric":"kmeans_semdedup","vectors":$n,"k":$k,"assigned":$assigned,""" +
+        f""""fitSecs":$fitSecs%.2f,"purged":$purged,"purgeSecs":$purgeSecs%.2f}""")
+    spark.stop()
+  }
+
+  /** E99 probe: weighted sample (n=1000, weight = n_chars) over the
+    * decade's documents — the narrow-projection + TakeOrdered shape whose
+    * wall must track the scan, not a sort. */
+  private def wsample(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val picked = operators.SamplingOps
+      .weightedSample(docs, "doc_id", "n_chars", n = 1000, seed = 7L)
+      .count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"metric":"weighted_sample","docs":${docs.count()},"picked":$picked,""" +
+        f""""secs":$secs%.2f}""")
+    spark.stop()
+  }
+
   private def srp(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
     val t0 = System.nanoTime()

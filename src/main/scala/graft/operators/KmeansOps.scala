@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   *    whole-stage codegen: zero shuffle, zero join, pushes to the scan.
   *    For larger k (an IVF-grade quantizer) the same arg-min runs as a
   *    broadcast nested-loop join against the centroid table followed by a
-  *    `min(struct(dist, cluster))` aggregation whose map-side combine
-  *    reduces every partition to one row per vector id before the exchange.
+  *    `min` over a packed (dist, cluster) long whose map-side combine
+  *    reduces every partition to one row per vector id before the exchange
+  *    (a primitive buffer — a struct-valued min would silently degrade to
+  *    SortAggregate over the n×k explosion).
   *  - '''The update is one aggregation''' over (cluster, dim) cells —
   *    `posexplode` + `avg` with map-side partial aggregation, so each task
   *    contributes at most k×dim partial sums regardless of row count. The
@@ -47,6 +49,11 @@ object KmeansOps {
     * expression tree grows linearly with k and codegen methods hit JVM
     * size limits); the broadcast-join path takes over. */
   val LiteralPathMaxK = 64
+
+  /** Cluster-index bits in the join path's packed arg-min code (k < 2^20 ≈
+    * 1M clusters; distances up to ~8.8e6 before the long overflows — unit
+    * or near-unit embeddings are far inside both bounds). */
+  val ClusterBits = 20
 
   /** Fitted model: `centroids(c)(d)` after the final update, and the final
     * assignment `(idCol, cluster: int, dist: double)` — dist is the 6-dp
@@ -111,18 +118,35 @@ object KmeansOps {
     } else {
       val spark = df.sparkSession
       import spark.implicits._
+      require(cents.length < (1 << ClusterBits),
+        s"join-path assignment packs the cluster index into $ClusterBits bits; " +
+          s"k=${cents.length} exceeds ${1 << ClusterBits} — use a two-level " +
+          "(IVF-style) assignment instead")
       val centDf = broadcast(
         cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
           .toSeq.toDF("_graft_cl", "_graft_c"))
+      // The arg-min rides ONE long: code = round(dist·1e6)·2^20 + cluster.
+      // min(code) is a primitive-buffer aggregate, so it HASH-aggregates
+      // with map-side combine — the n×k exploded rows reduce to one row
+      // per vector per partition before any exchange. (min over a
+      // struct(dist, cluster) has no mutable buffer type and silently
+      // degrades to SortAggregate: the gsf10 probe measured the sort of
+      // the 156 M-row explosion dominating the whole fit.) The 6-dp
+      // distance survives the round trip exactly — round(dist·1e6) is
+      // integral, and long/1e6 re-yields the same nearest double as
+      // round(dist, 6). Tie-break: equal-dist codes order by cluster,
+      // the literal path's first-match rule.
+      val code = round(l2Distance(col(vecCol), col("_graft_c")) * 1e6).cast("long") *
+        lit(1L << ClusterBits) + col("_graft_cl")
       val best = df.select(col(idCol), col(vecCol))
         .crossJoin(centDf)
+        .select(col(idCol), code.as("_graft_code"))
         .groupBy(col(idCol))
-        .agg(min(struct(
-          l2Distance(col(vecCol), col("_graft_c")).as("dist"),
-          col("_graft_cl").as("cluster"))).as("_graft_best"))
+        .agg(min(col("_graft_code")).as("_graft_code"))
         .select(col(idCol),
-          col("_graft_best.dist").as("dist"),
-          col("_graft_best.cluster").as("cluster"))
+          (shiftright(col("_graft_code"), ClusterBits).cast("double") / 1e6).as("dist"),
+          col("_graft_code").bitwiseAND(lit((1L << ClusterBits) - 1))
+            .cast("int").as("cluster"))
       df.join(best, idCol)
     }
 
