@@ -51,6 +51,7 @@ object GraftApp {
       dedup: String = "exact",
       vecCol: String = "embedding",
       minCos: Double = 0.9,
+      k: Int = 8,
       compactLedger: Boolean = false,
       foldEpochs: Boolean = false,
       exportShards: Boolean = false,
@@ -87,15 +88,15 @@ object GraftApp {
           "[--source fmt:loc] [--sink fmt:loc] [--state P] " +
           "[--mode append|overwrite] [--parallelism N] [--table-timeout-sec N] " +
           "[--strict] [--stream --ledger P --checkpoint P " +
-          "[--dedup exact|neardup|embed] [--text-col C] [--id-col C] " +
-          "[--vec-col C] [--min-cos X]] | [--compact-ledger --ledger P] | " +
+          "[--dedup exact|neardup|embed|semantic] [--text-col C] [--id-col C] " +
+          "[--vec-col C] [--min-cos X] [--k N]] | [--compact-ledger --ledger P] | " +
           "[--fold-epochs --ledger P --checkpoint P] | " +
           "[--export-shards --export-dir P [--content-cols a,b] [--shards N] [--seed S]] | " +
           "[--verify-export --export-dir P [--content-cols a,b] [--seed S]]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
       "ledger", "checkpoint", "text-col", "id-col",
-      "dedup", "vec-col", "min-cos",
+      "dedup", "vec-col", "min-cos", "k",
       "export-dir", "content-cols", "shards", "seed") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
@@ -124,12 +125,13 @@ object GraftApp {
       textCol = flags.getOrElse("text-col", "text"),
       idCol = flags.getOrElse("id-col", "doc_id"),
       dedup = flags.get("dedup").map {
-        case m @ ("exact" | "neardup" | "embed") => m
+        case m @ ("exact" | "neardup" | "embed" | "semantic") => m
         case other => throw new IllegalArgumentException(
-          s"unknown --dedup mode: $other (expected exact|neardup|embed)")
+          s"unknown --dedup mode: $other (expected exact|neardup|embed|semantic)")
       }.getOrElse("exact"),
       vecCol = flags.getOrElse("vec-col", "embedding"),
       minCos = flags.get("min-cos").map(_.toDouble).getOrElse(0.9),
+      k = flags.get("k").map(_.toInt).getOrElse(8),
       compactLedger = flags.contains("compact-ledger"),
       foldEpochs = flags.contains("fold-epochs"),
       exportShards = flags.contains("export-shards"),
@@ -319,9 +321,10 @@ object GraftApp {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
     // --dedup selects the corpus-wide ledger operator the drain flows
-    // through: exact fingerprints (default), MinHash band near-dup, or the
-    // cosine-verified SRP embedding near-dup — all three share the
-    // epoch-replay exactly-once protocol.
+    // through: exact fingerprints (default), MinHash band near-dup, the
+    // cosine-verified SRP embedding near-dup, or k-means SemDeDup against
+    // a pinned model — all four share the epoch-replay exactly-once
+    // protocol.
     val q = (a.dedup match {
       case "exact" => graft.streaming.StreamingOps.foreachBatchLedgerDedup(
         writer, a.textCol, a.idCol, ledger, idem, table)
@@ -329,6 +332,8 @@ object GraftApp {
         writer, a.textCol, a.idCol, ledger, idem, table)
       case "embed" => graft.streaming.StreamingOps.foreachBatchLedgerNeardupVec(
         writer, a.vecCol, a.idCol, ledger, idem, table, minCos = a.minCos)
+      case "semantic" => graft.streaming.StreamingOps.foreachBatchLedgerSemantic(
+        writer, a.vecCol, a.idCol, ledger, idem, table, k = a.k, minCos = a.minCos)
     }).start()
     q.awaitTermination() // AvailableNow: returns once the backlog is drained
     // An idle drain still emits a zero-row progress event carrying the last

@@ -53,6 +53,32 @@ object VectorQueries {
     })
   }
 
+  /** q119's committed batch-1 semantic ledger (even vec_ids = "yesterday's
+    * corpus", model pinned at their fit), keyed by input dir — the same
+    * build-once-per-dir fixture discipline (and Bench prewarm hook) as
+    * [[q108Ledger]]. */
+  private val q119Ledgers =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q119Ledger(s: SparkSession, dir: String): String = q119Ledgers.synchronized {
+    q119Ledgers.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_q119_ledger")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: Throwable => () }
+      }))
+      val path = root.resolve("clusters").toString
+      val batch1 = Tables(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
+      graft.operators.KmeansOps.incrementalSemantic(
+        s, batch1, "embedding", "vec_id", path, k = 8, iters = 2, minCos = 0.4)
+        .commitLedger()
+      path
+    })
+  }
+
   // DuckDB double-cast vector + dot/norm fragments (lockstep with
   // VectorFunctions: left-to-right IEEE-double folds, rounded at 6 dp).
   private val VecSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -295,6 +321,38 @@ object VectorQueries {
       val e = t(s, dir, "embeddings")
       graft.operators.KmeansOps.semanticPurge(
         e, "embedding", "vec_id", k = 8, iters = 2, minCos = 0.4)
+    }),
+
+    // E100 derived-k SemDeDup (round 9) — the knob-free rule the round-8
+    // verdict asked for: k = ceil(n / targetClusterSize), the family's
+    // srpAuto twin. Pinned on the 500-vector subset (identical at every
+    // oracle scale) at target 64 ⇒ k=8; the loud require converts a
+    // future drift of the derivation into an error, not a silent hash
+    // mismatch (the q109 discipline).
+    "q118_semdedup_auto" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val n = e.count()
+      val k = graft.operators.KmeansOps.deriveK(n, 64L)
+      require(k == 8,
+        s"q118's oracle pins k=8 but deriveK chose $k (n=$n) — re-pin the oracle")
+      graft.operators.KmeansOps.semanticPurgeAuto(
+        e, "embedding", "vec_id", iters = 2, minCos = 0.4,
+        targetClusterSize = Some(64L), knownCount = Some(n))
+    }),
+
+    // E101 incremental SemDeDup (round 9) — the q104/q108 ledger pattern
+    // in cluster space: even vec_ids are "yesterday's corpus" (model
+    // FITTED and PINNED on them, their purge survivors' (cluster, vector)
+    // rows committed to a ledger fixture, built once per dir); odd
+    // vec_ids are "today's crawl", assigned against the PINNED centroids
+    // (never re-fit), dropped on a same-cluster cosine hit against the
+    // ledger, then purged keep-min-id within their own clusters.
+    "q119_incr_semdedup" -> ((s, dir) => {
+      val ledger = q119Ledger(s, dir)
+      val batch2 = t(s, dir, "embeddings").filter(col("vec_id") % 2 === 1)
+      graft.operators.KmeansOps.incrementalSemantic(
+        s, batch2, "embedding", "vec_id", ledger, k = 8, iters = 2, minCos = 0.4)
+        .survivors.select(col("vec_id"))
     })
   )
 
@@ -376,41 +434,46 @@ object VectorQueries {
             QUALIFY count(*) OVER (PARTITION BY b, bv) <= $maxBucket)"""
     def srpBandsSql(nBands: Int, bits: Int, maxBucket: Int): String =
       srpBandsSqlF("", "TRUE", nBands, bits, maxBucket)
-    // q115/q116: the whole k-means fit unrolled — c0 = smallest-id seed,
-    // then per round an assignment CTE (arg-min of 6-dp L2, ties to the
-    // smaller cluster) and an update CTE (6-dp per-dim mean; LEFT JOIN
-    // keeps the previous centroid for clusters that captured nothing),
-    // ending in `af`, the final assignment against the settled centroids.
-    // Lockstep rule with KmeansOps: change both or neither.
+    // q115/q116/q118/q119: the whole k-means fit unrolled — c0 =
+    // smallest-id seed, then per round an assignment CTE (arg-min of 6-dp
+    // L2, ties to the smaller cluster) and an update CTE (6-dp per-dim
+    // mean; LEFT JOIN keeps the previous centroid for clusters that
+    // captured nothing), ending in `${pfx}af`, the final assignment
+    // against the settled centroids. `pfx`/`where` parameterize the CTE
+    // names and the fit population (the srpBandsSqlF discipline) so q119
+    // can fit on the even half only; `assignAgainst` restates the pinned-
+    // model assignment of a DIFFERENT population against those settled
+    // centroids. Lockstep rule with KmeansOps: change both or neither.
     def l2Sql(a: String, b: String): String =
       s"round(sqrt(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))), 6)"
-    def kmeansCtes(k: Int, iters: Int): String = {
-      def assignCte(name: String, cents: String, withDist: Boolean): String = {
-        val d = if (withDist) s", ${l2Sql("e.v", s"$cents.c")} AS d" else ""
-        val dOut = if (withDist) ", d" else ""
-        s"""$name AS (SELECT vec_id, v, cl$dOut FROM (
-             SELECT e.vec_id, e.v, $cents.cl$d,
-                    row_number() OVER (PARTITION BY e.vec_id
-                      ORDER BY ${l2Sql("e.v", s"$cents.c")}, $cents.cl) AS rn
-             FROM e CROSS JOIN $cents) WHERE rn = 1)"""
-      }
+    def assignAgainst(name: String, src: String, cents: String, withDist: Boolean): String = {
+      val d = if (withDist) s", ${l2Sql(s"$src.v", s"$cents.c")} AS d" else ""
+      val dOut = if (withDist) ", d" else ""
+      s"""$name AS (SELECT vec_id, v, cl$dOut FROM (
+           SELECT $src.vec_id, $src.v, $cents.cl$d,
+                  row_number() OVER (PARTITION BY $src.vec_id
+                    ORDER BY ${l2Sql(s"$src.v", s"$cents.c")}, $cents.cl) AS rn
+           FROM $src CROSS JOIN $cents) WHERE rn = 1)"""
+    }
+    def kmeansCtesF(pfx: String, where: String, k: Int, iters: Int): String = {
       val sb = new StringBuilder
-      sb ++= s"""e AS (SELECT vec_id, $VecSql AS v FROM embeddings),
-        c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v AS c
-               FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))"""
+      sb ++= s"""${pfx}e AS (SELECT vec_id, $VecSql AS v FROM embeddings WHERE $where),
+        ${pfx}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v AS c
+               FROM (SELECT vec_id, v FROM ${pfx}e ORDER BY vec_id LIMIT $k))"""
       for (r <- 0 until iters) {
-        sb ++= ",\n" + assignCte(s"a$r", s"c$r", withDist = false)
+        sb ++= ",\n" + assignAgainst(s"${pfx}a$r", s"${pfx}e", s"${pfx}c$r", withDist = false)
         sb ++= s""",
-          c${r + 1} AS (SELECT p.cl, coalesce(u.c, p.c) AS c
-            FROM c$r p LEFT JOIN (
+          ${pfx}c${r + 1} AS (SELECT p.cl, coalesce(u.c, p.c) AS c
+            FROM ${pfx}c$r p LEFT JOIN (
               SELECT cl, list(m ORDER BY j) AS c FROM (
                 SELECT cl, j, round(avg(v[j]), 6) AS m
-                FROM a$r, unnest(range(1, 65)) AS u(j) GROUP BY cl, j)
+                FROM ${pfx}a$r, unnest(range(1, 65)) AS u(j) GROUP BY cl, j)
               GROUP BY cl) u ON u.cl = p.cl)"""
       }
-      sb ++= ",\n" + assignCte("af", s"c$iters", withDist = true)
+      sb ++= ",\n" + assignAgainst(s"${pfx}af", s"${pfx}e", s"${pfx}c$iters", withDist = true)
       sb.toString
     }
+    def kmeansCtes(k: Int, iters: Int): String = kmeansCtesF("", "TRUE", k, iters)
     Map(
       "q55_cosine_pairs" ->
         s"""WITH e AS (SELECT vec_id, $VecSql AS v FROM embeddings)
@@ -597,7 +660,47 @@ object VectorQueries {
               WHERE ${cosSql("x.v", "y.v")} >= 0.4)
             SELECT af.vec_id, af.cl AS cluster,
                    purged.vec_id IS NULL AS kept
-            FROM af LEFT JOIN purged ON purged.vec_id = af.vec_id"""
+            FROM af LEFT JOIN purged ON purged.vec_id = af.vec_id""",
+      // The derived construction (k=8 from 500/64 on the pinned subset)
+      // restated — a changed derivation would hash-mismatch (the q109
+      // discipline).
+      "q118_semdedup_auto" ->
+        s"""WITH ${kmeansCtesF("", "vec_id < 500", 8, 2)},
+            purged AS (SELECT DISTINCT y.vec_id
+              FROM af x JOIN af y ON x.cl = y.cl AND x.vec_id < y.vec_id
+              WHERE ${cosSql("x.v", "y.v")} >= 0.4)
+            SELECT af.vec_id, af.cl AS cluster,
+                   purged.vec_id IS NULL AS kept
+            FROM af LEFT JOIN purged ON purged.vec_id = af.vec_id""",
+      // Both halves restated: evens fit the model (e_c2 = the settled,
+      // pinned centroids) and self-purge into the ledger; odds assign
+      // against e_c2, drop on a same-cluster cosine hit, then self-purge
+      // keep-min-id. Mirrors KmeansOps.incrementalSemantic.
+      "q119_incr_semdedup" ->
+        s"""WITH ${kmeansCtesF("e_", "vec_id % 2 = 0", 8, 2)},
+            e_drops AS (
+              SELECT DISTINCT y.vec_id AS drop_id
+              FROM e_af x JOIN e_af y ON x.cl = y.cl AND x.vec_id < y.vec_id
+              WHERE ${cosSql("x.v", "y.v")} >= 0.4),
+            eledger AS (
+              SELECT cl, v FROM e_af
+              WHERE vec_id NOT IN (SELECT drop_id FROM e_drops)),
+            o AS (SELECT vec_id, $VecSql AS v FROM embeddings WHERE vec_id % 2 = 1),
+            ${assignAgainst("oa", "o", "e_c2", withDist = false)},
+            hits AS (
+              SELECT DISTINCT oa.vec_id
+              FROM oa JOIN eledger l ON oa.cl = l.cl
+              WHERE ${cosSql("oa.v", "l.v")} >= 0.4),
+            kept AS (
+              SELECT * FROM oa
+              WHERE vec_id NOT IN (SELECT vec_id FROM hits)),
+            o_drops AS (
+              SELECT DISTINCT c.vec_id AS drop_id
+              FROM kept a JOIN kept c ON a.cl = c.cl AND a.vec_id < c.vec_id
+              WHERE ${cosSql("a.v", "c.v")} >= 0.4)
+            SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1
+              AND vec_id NOT IN (SELECT vec_id FROM hits)
+              AND vec_id NOT IN (SELECT drop_id FROM o_drops)"""
     )
   }
 }

@@ -174,6 +174,42 @@ object StreamingOps {
       pending.commitLedger()
     }
 
+  /** Streaming SEMANTIC ingest with cross-run SemDeDup (round 9) — the
+    * cluster-space member of the ledger trio, built on
+    * [[graft.operators.KmeansOps.incrementalSemanticEpoch]]: the FIRST
+    * micro-batch fits the k-means model (deterministic smallest-id seed)
+    * and pins it in the ledger; every later batch is assigned against the
+    * PINNED centroids (never re-fit — a per-batch re-fit would relabel the
+    * cluster space and orphan the ledger), dropped on a same-cluster
+    * cosine ≥ minCos match against ledgered survivors, purged
+    * keep-min-id within its own clusters, written through the epoch-keyed
+    * idempotent sink, then committed into the ledger's epoch partition.
+    * Replay-safe under the same protocol as the other three; the
+    * `maxClusterForPairs` gauge fails a batch loudly when the pinned
+    * model's clusters outgrow the pair bound (the re-fit signal).
+    */
+  def foreachBatchLedgerSemantic(
+      writer: DataStreamWriter[Row],
+      vecCol: String,
+      idCol: String,
+      ledgerDir: String,
+      sink: IdempotentSink,
+      table: String,
+      k: Int = 8,
+      iters: Int = 2,
+      minCos: Double = 0.9,
+      maxClusterForPairs: Long = 10000L): DataStreamWriter[Row] =
+    writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      assertNoForeignEpochs(batch, ledgerDir, batchId)
+      val token = s"epoch$batchId"
+      val pending = graft.operators.KmeansOps.incrementalSemanticEpoch(
+        batch.sparkSession, batch, vecCol, idCol, ledgerDir, token,
+        k = k, iters = iters, minCos = minCos,
+        maxClusterForPairs = maxClusterForPairs)
+      sink.writeBatch(pending.survivors, table, token)
+      pending.commitLedger()
+    }
+
   /** E95's streaming side — continuous training-data delivery: every
     * micro-batch exports as deterministic id-hash shards WITH the
     * order-independent manifest under its own `_graft_epoch=<batchId>`

@@ -76,4 +76,55 @@ class KmeansOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxClusterForPairs"))
   }
+
+  test("deriveK: ceil(n/target), never below 1, loud past the packing bound") {
+    assert(KmeansOps.deriveK(500L, 64L) == 8)
+    assert(KmeansOps.deriveK(64L, 64L) == 1)
+    assert(KmeansOps.deriveK(65L, 64L) == 2)
+    assert(KmeansOps.deriveK(1L, 1000000L) == 1)
+    // A derived k the join path cannot pack is a design refusal (two-level
+    // the assignment), not a silent clamp that would quietly hand back
+    // clusters 2^20x the stated target.
+    val e = intercept[IllegalStateException] {
+      KmeansOps.deriveK(3_000_000_000L, 1L)
+    }
+    assert(e.getMessage.contains("two-level"))
+    intercept[IllegalArgumentException](KmeansOps.deriveK(0L, 10L))
+    intercept[IllegalArgumentException](KmeansOps.deriveK(10L, 0L))
+  }
+
+  test("kmeansAuto derives k from the corpus and carries the choice evidence") {
+    val auto = KmeansOps.kmeansAuto(
+      emb, "embedding", "vec_id", targetClusterSize = 64L, iters = 1)
+    assert(auto.count == emb.count())
+    assert(auto.k == KmeansOps.deriveK(auto.count, 64L))
+    assert(auto.fit.centroids.length == auto.k)
+    assert(auto.fit.assignments.count() == auto.count)
+    // knownCount skips the counting action but must derive identically.
+    val known = KmeansOps.kmeansAuto(
+      emb, "embedding", "vec_id", targetClusterSize = 64L, iters = 1,
+      knownCount = Some(auto.count))
+    assert(known.k == auto.k)
+  }
+
+  test("semanticPurgeAuto matches semanticPurge at the derived k") {
+    val n = emb.count()
+    val k = KmeansOps.deriveK(n, 64L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    val auto = KmeansOps.semanticPurgeAuto(
+      emb, "embedding", "vec_id", iters = 1, minCos = 0.4,
+      targetClusterSize = Some(64L), knownCount = Some(n))
+    val pinned = KmeansOps.semanticPurge(
+      emb, "embedding", "vec_id", k, iters = 1, minCos = 0.4)
+    assert(rows(auto) == rows(pinned))
+    // The default target derives from the gauge (one order of magnitude
+    // under it — cluster-skew margin), so the 100 TB caller states only
+    // the gauge it can afford.
+    val byGauge = KmeansOps.semanticPurgeAuto(
+      emb, "embedding", "vec_id", iters = 0, minCos = 0.4,
+      maxClusterForPairs = 640L, knownCount = Some(n))
+    assert(rows(byGauge) == rows(KmeansOps.semanticPurge(
+      emb, "embedding", "vec_id", KmeansOps.deriveK(n, 64L), iters = 0, minCos = 0.4)))
+  }
 }

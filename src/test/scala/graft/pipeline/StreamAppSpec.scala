@@ -135,6 +135,61 @@ class StreamAppSpec extends AnyFunSuite {
     assert(ids() == Set(1L, 2L, 5L), "epoch replay must be exactly-once")
   }
 
+  test("stream CLI --dedup semantic: drain → new vectors → crash-replay is exactly-once") {
+    val dim = 8
+    def axisVec(axis: Int, eps: Double = 0.0, tilt: Int = 0): Array[Float] = {
+      val raw = Array.tabulate(dim)(i =>
+        (if (i == axis) 1.0 else 0.0) + (if (eps != 0.0 && i == tilt) eps else 0.0))
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => (x / n).toFloat)
+    }
+    val src = Files.createTempDirectory("sapp_ssrc")
+    val base = Files.createTempDirectory("sapp_sbase")
+    def dropVec(vecs: (Long, Array[Float])*): Unit =
+      vecs.toSeq.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(src.toString)
+    def cliSem(): (Int, Seq[String]) = {
+      val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val args = GraftApp.parseArgs(Seq(
+        "dev", "vecs", "--stream", "--dedup", "semantic", "--id-col", "vec_id",
+        "--k", "2",
+        "--source", s"parquet:$src",
+        "--sink", s"parquet-idempotent:$base/out",
+        "--ledger", s"$base/ledger",
+        "--checkpoint", s"$base/ckpt"))
+      (GraftApp.run(args, spark, out = outs.append(_), log = _ => ()), outs.toSeq)
+    }
+    def ids(): Set[Long] = spark.read.parquet(s"$base/out/vecs")
+      .select($"vec_id").as[Long].collect().toSet
+
+    // Run 1 fits AND pins the k=2 model: axis-0 and axis-1 clusters, plus
+    // an exact within-batch duplicate -> min id wins.
+    val v1 = axisVec(0)
+    dropVec((1L, v1), (2L, axisVec(1)), (3L, v1))
+    val (c1, out1) = cliSem()
+    assert(c1 == 0)
+    assert(out1.exists(_.startsWith("STREAM_EPOCHS_VECS=")), out1.mkString(";"))
+    assert(ids() == Set(1L, 2L))
+
+    // Run 2 assigns against the PINNED model: an exact copy of ledgered v1
+    // drops in its cluster; a fresh direction (tilted into cluster 0 so
+    // assignment is tie-free) survives.
+    dropVec((4L, v1), (5L, axisVec(2, eps = 0.1)))
+    assert(cliSem()._1 == 0)
+    assert(ids() == Set(1L, 2L, 5L))
+
+    // Run 3: crash-replay — delete the last checkpoint commit marker; the
+    // restart must replay the epoch onto itself.
+    val commits = base.resolve("ckpt").resolve("commits")
+    val last = Files.list(commits).iterator.asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toInt)
+    Files.delete(last)
+    Files.deleteIfExists(commits.resolve(s".${last.getFileName}.crc"))
+    assert(cliSem()._1 == 0)
+    assert(ids() == Set(1L, 2L, 5L), "epoch replay must be exactly-once")
+  }
+
   test("stream CLI rejects a non-idempotent sink and a multi-table arg loudly") {
     val src = Files.createTempDirectory("sapp_src2")
     drop(src, (1L, "alpha"))
