@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object LshRegime {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | wsample]")
+      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | semincr | wsample]")
     val dir = args(0)
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
@@ -34,6 +34,7 @@ object LshRegime {
       streamEmbed(spark, dir, if (args.length > 2) args(2).toInt else 8); return
     }
     if (args.length > 1 && args(1) == "kmeans") { kmeans(spark, dir); return }
+    if (args.length > 1 && args(1) == "semincr") { semIncr(spark, dir); return }
     if (args.length > 1 && args(1) == "wsample") { wsample(spark, dir); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -188,7 +189,11 @@ object LshRegime {
     import org.apache.spark.sql.functions.col
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
     val n = vecs.count()
-    val k = math.max(8, math.ceil(n / 256.0).toInt)
+    // The round-9 derivation rule itself (deriveK at target 256), so the
+    // probe measures exactly what semanticPurgeAuto would run; at both
+    // decades this lands in the broadcast-join assignment path (k > 64),
+    // the one that must prove itself at scale.
+    val k = math.max(8, operators.KmeansOps.deriveK(n, 256L))
     val t0 = System.nanoTime()
     val fitted = operators.KmeansOps.fit(vecs, "embedding", "vec_id", k, iters = 2)
     val assigned = fitted.assignments.count()
@@ -198,9 +203,25 @@ object LshRegime {
       vecs, "embedding", "vec_id", k, iters = 2, minCos = 0.9)
     val purged = verdict.filter(!col("kept")).count()
     val purgeSecs = (System.nanoTime() - t1) / 1e9
+    // The LOUD path, on record like the SRP refusal table: a deliberately
+    // under-clustered purge (k=8 ⇒ ~n/8 members per cluster, far past the
+    // default gauge) must refuse up front — time-to-refusal is the cost of
+    // the guard, not of the quadratic join it prevented.
+    val t2 = System.nanoTime()
+    val refusal =
+      try {
+        operators.KmeansOps.semanticPurge(
+          vecs, "embedding", "vec_id", k = 8, iters = 0, minCos = 0.9)
+          .count()
+        "NOT-REFUSED"
+      } catch { case e: IllegalStateException =>
+        if (e.getMessage.contains("maxClusterForPairs")) "refused" else "wrong-error"
+      }
+    val refuseSecs = (System.nanoTime() - t2) / 1e9
     println(
       f"""{"metric":"kmeans_semdedup","vectors":$n,"k":$k,"assigned":$assigned,""" +
-        f""""fitSecs":$fitSecs%.2f,"purged":$purged,"purgeSecs":$purgeSecs%.2f}""")
+        f""""fitSecs":$fitSecs%.2f,"purged":$purged,"purgeSecs":$purgeSecs%.2f,""" +
+        f""""k8Gauge":"$refusal","refuseSecs":$refuseSecs%.2f}""")
     spark.stop()
   }
 
@@ -256,6 +277,36 @@ object LshRegime {
     val secs = (System.nanoTime() - t0) / 1e9
     println(
       f"""{"metric":"srp_incr","batch":$nBatch,"ledgerHits":$nHits,""" +
+        f""""survivors":$nSurv,"secs":$secs%.2f}""")
+    spark.stop()
+  }
+
+  /** Incremental SEMANTIC ingest probe (E101): evens = yesterday's corpus
+    * (model fitted and pinned on them at the deriveK(n,256) width — the
+    * k > 64 broadcast-join assignment path at both decades), odds =
+    * today's crawl, assigned against the PINNED model. Prints hit /
+    * survivor counts + wall seconds for the batch ingest alone — the
+    * q119 operator's scale shape: one assignment pass + one cluster-keyed
+    * ledger join + exact cosine on same-cluster candidates. */
+  private def semIncr(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_regime_semincr").resolve("clusters").toString
+    val evens = vecs.filter(col("vec_id") % 2 === 0)
+    val odds = vecs.filter(col("vec_id") % 2 === 1)
+    val k = math.max(8, operators.KmeansOps.deriveK(evens.count(), 256L))
+    operators.KmeansOps.incrementalSemantic(
+      spark, evens, "embedding", "vec_id", ledgerDir,
+      k = k, iters = 2, minCos = 0.9).commitLedger()
+    val t0 = System.nanoTime()
+    val pending = operators.KmeansOps.incrementalSemantic(
+      spark, odds, "embedding", "vec_id", ledgerDir,
+      k = k, iters = 2, minCos = 0.9)
+    val (nBatch, nHits, nSurv) = (odds.count(), pending.ledgerHits.count(), pending.survivors.count())
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"metric":"sem_incr","batch":$nBatch,"k":$k,"ledgerHits":$nHits,""" +
         f""""survivors":$nSurv,"secs":$secs%.2f}""")
     spark.stop()
   }

@@ -188,6 +188,11 @@ class PlanSpec extends AnyFunSuite {
                                   // pays ZERO exchanges — the materialized
                                   // assignment is pre-partitioned on cluster and
                                   // both sides reuse that layout
+      "q118_semdedup_auto" -> 2,  // q116's exact shape at the derived k
+      "q119_incr_semdedup" -> 2,  // the two survivor anti-joins re-key on the id
+                                  // (ledger hits and in-batch drops are eager
+                                  // checkpoint-pinned, outside this plan — the
+                                  // q108 discipline)
       // two-phase / paired-agg shapes:
       "q05_full_outer_regions" -> 2, "q19_count_distinct" -> 2,
       "q23_intersect_except" -> 2, "q38_salted_agg" -> 2,
