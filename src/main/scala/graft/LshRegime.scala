@@ -204,16 +204,20 @@ object LshRegime {
     val purged = verdict.filter(!col("kept")).count()
     val purgeSecs = (System.nanoTime() - t1) / 1e9
     // The LOUD path, on record like the SRP refusal table: a deliberately
-    // under-clustered purge (k=8 ⇒ ~n/8 members per cluster, far past the
-    // default gauge) must refuse up front — time-to-refusal is the cost of
-    // the guard, not of the quadratic join it prevented.
+    // under-clustered purge (k=8 ⇒ ~n/8 members per cluster) must refuse
+    // up front once n/8 outruns the default gauge (gsf10: 25 k-member
+    // clusters vs the 10 k gauge) — time-to-refusal is the cost of the
+    // guard, not of the quadratic join it prevented. At gsf1 n/8 = 2.5 k
+    // sits INSIDE the gauge, so the same call legitimately runs —
+    // "within-gauge-ran" there is the gauge telling the truth, not a
+    // missed refusal.
     val t2 = System.nanoTime()
     val refusal =
       try {
         operators.KmeansOps.semanticPurge(
           vecs, "embedding", "vec_id", k = 8, iters = 0, minCos = 0.9)
           .count()
-        "NOT-REFUSED"
+        "within-gauge-ran"
       } catch { case e: IllegalStateException =>
         if (e.getMessage.contains("maxClusterForPairs")) "refused" else "wrong-error"
       }
