@@ -185,6 +185,32 @@ object Bench {
         // JVM/parquet init back onto the first timed query.
         System.err.println(s"[bench] warm-up failed (q01 will absorb init): ${e.getMessage}")
     }
+    // Machine-speed calibration: a fixed CPU-bound, shuffle-free workload
+    // (hash-aggregate over a generated range — no input data, no disk)
+    // timed median-of-3 before and after the corpus. Round 9 measured the
+    // HOST silently running the whole corpus 1.5× slower at zero guest
+    // load and zero steal (BASELINE.md round-9 adjudication, pinned by a
+    // controlled same-code/same-data experiment); this number puts that
+    // context INSIDE the artifact — a reader divides the run's medians by
+    // calib/committed-calib to separate "the code got slower" from "the
+    // machine got slower" without re-running anything. Informational:
+    // nothing in the reference protocol reads it.
+    def calibrate(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // bit_xor, not sum: an ANSI-mode sum of 100 M hashes overflows.
+        spark.range(8000000000L)
+          .selectExpr("bit_xor(xxhash64(id)) as h")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try (1 to 3).map(_ => once()).sorted.apply(1)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+    val calibPre = calibrate()
     // Fixed name order so per-query timings are comparable across rounds.
     // SPARK_GRAFT_QUERIES (comma-separated full names or qNN prefixes)
     // restricts the run — the scale-measurement path (BASELINE.md round 5)
@@ -306,7 +332,9 @@ object Bench {
     val subsetTag = only.map(s =>
       s""","subset":true,"subset_filter":"${s.toSeq.sorted.mkString(",")}"""").getOrElse("")
     val refQs = refQueriesJson(refs, results.map(_._1))
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs$subsetTag$pollutedTag,"queries":$qs$refQs,"runs":$runsJson,"gc_ms":$gcJson,"errors":$errJson,"outliers":$outJson,"sf":"$sfDir"}"""
+    val calibPost = calibrate()
+    val calibTag = f""","calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs$subsetTag$pollutedTag$calibTag,"queries":$qs$refQs,"runs":$runsJson,"gc_ms":$gcJson,"errors":$errJson,"outliers":$outJson,"sf":"$sfDir"}"""
     // Full per-run detail goes to a FILE (and an early stdout line): the
     // harness that records this run keeps only the last ~2 KB of output, and
     // the detail line for an 88-query corpus is ~10 KB — round 3's medians
