@@ -198,7 +198,7 @@ object Bench {
     def calibrate(): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        // bit_xor, not sum: an ANSI-mode sum of 100 M hashes overflows.
+        // bit_xor, not sum: an ANSI-mode sum of the 8 B hashes overflows.
         spark.range(8000000000L)
           .selectExpr("bit_xor(xxhash64(id)) as h")
           .write.format("noop").mode("overwrite").save()

@@ -258,25 +258,38 @@ object KmeansOps {
           s"(> maxClusterForPairs=$maxClusterForPairs); the within-cluster " +
           s"pair join would be quadratic in that. Raise k (currently $k) so " +
           "clusters shrink, or raise the gauge knowingly.")
-    // Distinct column names on each side: a self-join condition written as
-    // a("cluster") === b("cluster") resolves BOTH sides to the same
-    // attribute (Spark's self-join ambiguity) and collapses to `true`,
-    // silently turning the bounded within-cluster join into a corpus-wide
-    // cross join. KmeansOpsSpec gates the plan for the equi-join.
-    val a = asg.select(col("cluster").as("_graft_cla"),
+    val purged = pairDrops(asg, vecCol, idCol, minCos)
+    asg.select(col(idCol), col("cluster"))
+      .join(purged.withColumn("_graft_hit", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(!col("_graft_hit"), lit(true)).as("kept"))
+  }
+
+  /** Within-cluster keep-min-id drop set over an assigned frame holding
+    * (idCol, vecCol, `cluster`): the ids that have a same-cluster
+    * SMALLER-id partner at cosine ≥ `minCos`. Distinct column names per
+    * side: a self-join condition written as a("cluster") === b("cluster")
+    * resolves BOTH sides to the same attribute (Spark's self-join
+    * ambiguity), collapses to `true`, and silently turns the bounded
+    * within-cluster join into a corpus-wide cross join — KmeansOpsSpec
+    * gates the plan for the equi-join. Shared by [[semanticPurge]] and
+    * the incremental path so the trap is worked around in exactly one
+    * place. */
+  private def pairDrops(
+      assigned: DataFrame,
+      vecCol: String,
+      idCol: String,
+      minCos: Double): DataFrame = {
+    val a = assigned.select(col("cluster").as("_graft_cla"),
       col(idCol).as("_graft_ida"), col(vecCol).as("_graft_va"))
-    val b = asg.select(col("cluster").as("_graft_clb"),
+    val b = assigned.select(col("cluster").as("_graft_clb"),
       col(idCol).as("_graft_idb"), col(vecCol).as("_graft_vb"))
-    val purged = a.join(b,
+    a.join(b,
         col("_graft_cla") === col("_graft_clb") &&
           col("_graft_ida") < col("_graft_idb"))
       .filter(cosine(col("_graft_va"), col("_graft_vb")) >= minCos)
       .select(col("_graft_idb").as(idCol))
       .distinct()
-    asg.select(col(idCol), col("cluster"))
-      .join(purged.withColumn("_graft_hit", lit(true)), Seq(idCol), "left")
-      .select(col(idCol), col("cluster"),
-        coalesce(!col("_graft_hit"), lit(true)).as("kept"))
   }
 
   /** [[semanticPurge]] with k derived by [[deriveK]] — closes the loop the
@@ -331,7 +344,11 @@ object KmeansOps {
     * The FIRST ingest fits k-means on its own batch (the deterministic
     * smallest-id seed, so a replay re-derives the identical model) and the
     * commit pins `(k, iters, minCos)` plus the settled centroids in a
-    * model file inside the ledger directory. Every later ingest loads the
+    * model file inside the ledger directory. A bootstrap batch SMALLER
+    * than k (including an empty replayed epoch) passes through
+    * un-deduplicated with a no-op commit instead of throwing — a
+    * streaming caller replaying its first tiny batch must not wedge — and
+    * the model pins at the first batch with ≥ k rows. Every later ingest loads the
     * PINNED centroids — assignment is a broadcast arg-min against a fixed
     * model, never a re-fit: re-fitting per batch would relabel the whole
     * cluster space and silently orphan every ledgered row (the SRP twin's
@@ -404,11 +421,24 @@ object KmeansOps {
       !n.startsWith(".") && (!n.startsWith("_") || n.contains("="))
     val hasRows = fs.exists(ledgerPath) &&
       fs.listStatus(ledgerPath).exists(st => isDataName(st.getPath.getName))
+    val modelExists = fs.exists(modelPath)
+    // Bootstrap pass-through: with no model pinned yet, a batch smaller
+    // than k cannot seed the fit — and a streaming caller would otherwise
+    // WEDGE (the replayed first batch re-throws forever; every sibling
+    // ledger mode tolerates any batch size). Such a batch passes through
+    // un-deduplicated and un-ledgered, and the commit is a no-op, so a
+    // replay is trivially identical; the model pins at the first batch
+    // with ≥ k rows. Callers who need the bootstrap rows deduped use a
+    // smaller k or a larger first batch.
+    if (!modelExists && !hasRows && batch.count() < k) {
+      val noHits = batch.select(col(idCol)).filter(lit(false)).localCheckpoint(true)
+      return new PendingSemantic(batch, noHits, () => ())
+    }
     // Load-or-fit, pinned: the model is written strictly BEFORE the first
     // rows commit, so rows without a model mean a manually-damaged ledger
     // — refuse rather than re-fit on the batch and orphan every row.
     val cents: Array[Array[Double]] =
-      if (fs.exists(modelPath)) {
+      if (modelExists) {
         val in = fs.open(modelPath)
         val lines =
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
@@ -419,7 +449,17 @@ object KmeansOps {
               s"this ingest asks [$params] — assignment against a differently-shaped " +
               "model would relabel the cluster space. Use the ledger's parameters or " +
               "rebuild it.")
-        lines.tail.map(_.split(",").map(_.toDouble)).toArray
+        val loaded = lines.tail.map(_.split(",").map(_.toDouble)).toArray
+        // A torn write can leave an intact params line over m < k centroid
+        // rows; assigning against the survivors would silently orphan the
+        // missing clusters' ledger rows — every other damage mode here is
+        // loud, so this one is too.
+        if (loaded.length != k)
+          throw new IllegalStateException(
+            s"semantic ledger model at $ledgerDir pins k=$k but holds " +
+              s"${loaded.length} centroid rows — torn model file; restore it or " +
+              "rebuild the ledger.")
+        loaded
       } else if (hasRows) {
         throw new IllegalStateException(
           s"semantic ledger at $ledgerDir has data rows but no $ModelFile model pin — " +
@@ -447,16 +487,26 @@ object KmeansOps {
     val asg = assign(batch.select(col(idCol), col(vecCol)), vecCol, idCol, cents)
       .select(col(idCol), col(vecCol), col("cluster"))
       .localCheckpoint(true)
+    // The ledger is read ONCE per ingest: sliced to the batch's TOUCHED
+    // clusters (a ≤ k-row broadcast semi-join — at a multi-epoch ledger
+    // far larger than any batch, a second full scan for the gauge would
+    // be the dominant per-batch I/O) and pinned; the gauge count and the
+    // hits join below both read the slice.
+    val priorSlice: Option[DataFrame] = prior.map { l =>
+      l.select(col("_graft_cluster").as("cluster"), col("_graft_vec"))
+        .join(broadcast(asg.select(col("cluster")).distinct()), Seq("cluster"), "left_semi")
+        .localCheckpoint(true)
+    }
     // The pair gauge counts ledger + batch members per TOUCHED cluster
     // (ledger-only clusters never join). Refusal here is the "re-fit with
     // larger k" signal — the pinned model cannot adapt, so growth past the
     // gauge must surface loudly, exactly like the batch operator's.
     val batchCounts = asg.groupBy(col("cluster")).agg(count(lit(1)).as("_graft_bn"))
-    val biggestRow = (prior match {
+    val biggestRow = (priorSlice match {
       case Some(l) =>
         batchCounts.join(
-          l.groupBy(col("_graft_cluster")).agg(count(lit(1)).as("_graft_ln")),
-          col("cluster") === col("_graft_cluster"), "left")
+          l.groupBy(col("cluster")).agg(count(lit(1)).as("_graft_ln")),
+          Seq("cluster"), "left")
           .select((col("_graft_bn") + coalesce(col("_graft_ln"), lit(0L))).as("n"))
       case None => batchCounts.select(col("_graft_bn").as("n"))
     }).agg(max(col("n"))).first()
@@ -466,28 +516,15 @@ object KmeansOps {
           s"ledger+batch members (> maxClusterForPairs=$maxClusterForPairs) — the pinned " +
           s"model's clusters have outgrown the pair gauge. Re-fit the corpus with a " +
           s"larger k (rebuild the ledger), or raise the gauge knowingly.")
-    val hits = (prior match {
+    val hits = (priorSlice match {
       case Some(l) =>
-        asg.join(
-          l.select(col("_graft_cluster").as("cluster"), col("_graft_vec")),
-          Seq("cluster"))
+        asg.join(l, Seq("cluster"))
           .filter(cosine(col(vecCol), col("_graft_vec")) >= minCos)
           .select(col(idCol)).distinct()
       case None => asg.select(col(idCol)).filter(lit(false))
     }).localCheckpoint(true)
     val kept = asg.join(hits, Seq(idCol), "left_anti")
-    // Distinct names per side: the self-join ambiguity trap semanticPurge
-    // documents — an ambiguous cluster equality collapses to `true` and
-    // turns the bounded within-cluster join into a corpus-wide cross join.
-    val a = kept.select(col("cluster").as("_graft_cla"),
-      col(idCol).as("_graft_ida"), col(vecCol).as("_graft_va"))
-    val b = kept.select(col("cluster").as("_graft_clb"),
-      col(idCol).as("_graft_idb"), col(vecCol).as("_graft_vb"))
-    val batchDrops = a.join(b,
-        col("_graft_cla") === col("_graft_clb") &&
-          col("_graft_ida") < col("_graft_idb"))
-      .filter(cosine(col("_graft_va"), col("_graft_vb")) >= minCos)
-      .select(col("_graft_idb").as(idCol)).distinct()
+    val batchDrops = pairDrops(kept, vecCol, idCol, minCos)
       .localCheckpoint(true)
     val survivors = batch
       .join(hits, Seq(idCol), "left_anti")
@@ -503,8 +540,13 @@ object KmeansOps {
         // Model BEFORE rows: a crash in between leaves a pinned model and
         // no rows — the next ingest loads the pin and proceeds; rows
         // without a model are unreachable except by manual damage.
+        // create(overwrite = false): two jobs bootstrapping the same
+        // ledger concurrently would otherwise BOTH pass the !exists guard
+        // and the second would silently replace the first's pin while the
+        // first's rows stay labeled by the replaced model — the race dies
+        // loudly here instead.
         if (!fs.exists(modelPath)) {
-          val outS = fs.create(modelPath, true)
+          val outS = fs.create(modelPath, false)
           val body = (params +: cents.map(_.mkString(","))).mkString("\n")
           try outS.write(body.getBytes("UTF-8")) finally outS.close()
         }

@@ -161,6 +161,61 @@ class SemanticIncrSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Re-fit"))
   }
 
+  test("a bootstrap batch smaller than k passes through; the model pins at the first big-enough batch") {
+    val ledger = tmp()
+    // 2 vectors < k=3: no model can seed — the batch must pass through
+    // (a streaming caller replaying this epoch must not wedge) and the
+    // commit must be a no-op.
+    val tiny = Seq((1L, axisVec(0)), (2L, axisVec(0))).toDF("vec_id", "embedding")
+    val pending = KmeansOps.incrementalSemantic(
+      spark, tiny, "embedding", "vec_id", ledger, k = 3, iters = 1, minCos = 0.9)
+    assert(pending.survivors.select($"vec_id").as[Long].collect().toSet == Set(1L, 2L),
+      "bootstrap pass-through must keep every row, even exact dups")
+    assert(pending.ledgerHits.count() == 0L)
+    pending.commitLedger()
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ledger, "_graft_semantic_model")),
+      "a pass-through commit must pin nothing")
+    // The next batch with >= k rows fits and pins as the FIRST ingest.
+    val big = Seq((11L, axisVec(0)), (12L, axisVec(1)), (13L, axisVec(2)))
+      .toDF("vec_id", "embedding")
+    KmeansOps.incrementalSemantic(
+      spark, big, "embedding", "vec_id", ledger, k = 3, iters = 1, minCos = 0.9)
+      .commitLedger()
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ledger, "_graft_semantic_model")))
+    // And an EMPTY replayed batch against the now-pinned ledger is a
+    // clean no-op, not a crash.
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val p2 = KmeansOps.incrementalSemantic(
+      spark, empty, "embedding", "vec_id", ledger, k = 3, iters = 1, minCos = 0.9)
+    assert(p2.survivors.count() == 0L)
+    p2.commitLedger()
+  }
+
+  test("a torn model file (params intact, centroid rows missing) is refused loudly") {
+    val ledger = tmp()
+    KmeansOps.incrementalSemantic(
+      spark, Seq((2L, axisVec(0)), (4L, axisVec(1))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", ledger, k = 2, iters = 1, minCos = 0.9)
+      .commitLedger()
+    val modelPath = java.nio.file.Paths.get(ledger, "_graft_semantic_model")
+    val lines = new String(java.nio.file.Files.readAllBytes(modelPath), "UTF-8")
+      .split("\n")
+    // Simulate a torn write: params line + only one of the two centroids.
+    // (Drop the Hadoop LocalFileSystem checksum sidecar too — otherwise
+    // the rewrite trips ChecksumException before the torn check can.)
+    java.nio.file.Files.write(modelPath, lines.take(2).mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ledger, "._graft_semantic_model.crc"))
+    val e = intercept[IllegalStateException] {
+      KmeansOps.incrementalSemantic(
+        spark, Seq((9L, axisVec(2))).toDF("vec_id", "embedding"),
+        "embedding", "vec_id", ledger, k = 2, iters = 1, minCos = 0.9)
+    }
+    assert(e.getMessage.contains("torn"))
+  }
+
   test("epoch replay is exactly-once: same token lands on itself") {
     val ledger = tmp()
     val base = axisVec(0)
