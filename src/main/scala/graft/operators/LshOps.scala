@@ -433,4 +433,43 @@ object LshOps {
     a.join(b2, Seq("b", "bh")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_b").as("drop_id")).distinct()
   }
+
+  /** FUZZY cross-corpus decontamination (SURVEY §2.3 E103): distinct
+    * (train_id, ref_id) evidence pairs where a training document shares
+    * any MinHash band bucket with a held-out/benchmark document — the
+    * near-dup generalization of the exact 13-gram decontamination pass
+    * (q73). Exact n-gram matching misses the paraphrased or lightly
+    * reformatted benchmark copy a crawl actually contains; a band
+    * collision at these widths is strong near-dup evidence (the q48
+    * S-curve), and the PAIR output (rather than a bare purge list) is
+    * what a contamination audit publishes: which benchmark doc each
+    * dropped training doc matched.
+    *
+    * Scale shape: each side banded independently ([[bandedMinhash]] — its
+    * sub-shingle filter, per-side bucket caps, and eager single
+    * materialization apply), then ONE equi-join on (band, bucket) —
+    * bipartite, so candidates meet in the partition the band key already
+    * placed them in; never a cross join and never quadratic in corpus
+    * size. The reference side (benchmarks) is typically tiny next to the
+    * training corpus, so its banded frame broadcasts at real scale; the
+    * plan is then one narrow pass over the training side's bands. Both
+    * caps surface in the returned [[Banded]] stats the caller can gauge.
+    */
+  def crossCorpusPairs(
+      train: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 16,
+      shingleN: Int = 3,
+      nBands: Int = 4,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    val tb = bandedMinhash(train, textCol, idCol, k, shingleN, nBands, rowsPerBand, maxBucket)
+    val rb = bandedMinhash(ref, textCol, idCol, k, shingleN, nBands, rowsPerBand, maxBucket)
+    tb.bands.select(col("b"), col("bh"), col(idCol).as("train_id"))
+      .join(rb.bands.select(col("b"), col("bh"), col(idCol).as("ref_id")),
+        Seq("b", "bh"))
+      .select(col("train_id"), col("ref_id")).distinct()
+  }
 }

@@ -133,6 +133,23 @@ object OpsQueries {
           round(col("gate_threshold"), 4).as("source_p50"))
     }),
 
+    // E93's 100 TB path, oracle-pinned: the SAME group-relative gate with
+    // the threshold from `percentile_approx` (Greenwald–Khanna bounded
+    // sketch) instead of the exact buffering `percentile` — the q39→q100
+    // pairing applied to the gate. At oracle scale the sketch retains
+    // every sample (accuracy ≫ group size), so GK's pick degenerates to a
+    // deterministic DISCRETE element and the oracle can restate it
+    // exactly: the smallest group value whose 1-based rank reaches
+    // ceil(q·n) — unlike q100, where both engines run their own sketch
+    // and only a tolerance gate is possible. Same plan as q111: one
+    // grouped shuffle, |sources|-row broadcast back, filter.
+    "q120_quantile_gate_gk" -> ((s, dir) => {
+      GateOps.groupQuantileGate(t(s, dir, "documents"), "source", "n_chars",
+          q = 0.5, approxAccuracy = Some(1000000))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("gate_threshold"), 4).as("source_p50"))
+    }),
+
     // E95 export-integrity manifest: the order-independent per-shard
     // (count, xor, modular-sum) census a downstream trainer re-derives to
     // trust a shipped corpus. ONE aggregation over (shard, rowHash) pairs
@@ -332,6 +349,26 @@ object OpsQueries {
          JOIN (SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS thr
                FROM documents GROUP BY source) t USING (source)
          WHERE CAST(d.n_chars AS DOUBLE) >= t.thr""",
+    // The GK gate restated discretely: at accuracy ≫ n the sketch keeps
+    // every sample, and its pick is the smallest value with 1-based rank
+    // ≥ ceil(q·n) in the group's ascending order — restated with an
+    // explicit row_number, NOT quantile_disc (engines differ on the
+    // discrete rank rule; the explicit rank pins Spark's).
+    "q120_quantile_gate_gk" ->
+      """WITH ranked AS (
+           SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM documents),
+         thr AS (
+           SELECT source, min(n_chars) AS thr
+           FROM ranked WHERE rk >= CAST(ceil(0.5 * n) AS BIGINT)
+           GROUP BY source)
+         SELECT d.doc_id, d.source, d.n_chars,
+           round(CAST(t.thr AS DOUBLE), 4) AS source_p50
+         FROM documents d JOIN thr t USING (source)
+         WHERE CAST(d.n_chars AS DOUBLE) >= t.thr""",
+
     // The manifest restated: shard = charHash(id:seed) % 8, row hash =
     // charHash(id:text:seed); per shard the count, the bit-XOR, and the
     // exact (HUGEINT) sum reduced mod 1e9+7.

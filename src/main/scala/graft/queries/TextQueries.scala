@@ -319,6 +319,30 @@ object TextQueries {
         .survivors.select(col("doc_id"))
     }),
 
+    // E103 FUZZY cross-corpus decontamination: MinHash-banded BIPARTITE
+    // join — training docs (even ids) that near-dup any held-out/benchmark
+    // doc (odd ids), as (train_id, ref_id) evidence pairs. The near-dup
+    // generalization of q73's exact 13-gram pass: exact matching misses
+    // the paraphrased benchmark copy a crawl actually contains. One
+    // equi-join on (band, bucket); at real scale the benchmark side is
+    // tiny and broadcasts. See LshOps.crossCorpusPairs.
+    "q122_cross_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.LshOps.crossCorpusPairs(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", 16, 3, 4, 4, LshMaxBucket)
+    }),
+
+    // E102 overlapping token-window chunking: 64-token windows advancing
+    // by 48 (16-token overlap) — the context-window preparation step
+    // between curation and encoding. Narrow end to end (tokenize, window
+    // count, posexplode, slice); no shuffle. See ChunkOps.chunkByTokens.
+    "q121_chunk_windows" -> ((s, dir) =>
+      graft.operators.ChunkOps.chunkByTokens(
+        t(s, dir, "documents"), "text", "doc_id",
+        chunkTokens = 64, strideTokens = 48)),
+
     // Dedup purge list: the keep-min-id policy applied to the LSH candidate
     // pairs — every doc that collides with a smaller doc_id is dropped.
     // Since candidates are emitted with doc_a < doc_b, the purge set is
@@ -732,6 +756,52 @@ object TextQueries {
           SELECT doc_id FROM documents WHERE doc_id % 2 = 1
             AND doc_id NOT IN (SELECT doc_id FROM hits)
             AND doc_id NOT IN (SELECT drop_id FROM o_drops)""",
+    // Bipartite restatement of q122: evens' bands × odds' bands, per-side
+    // occupancy caps (each side is banded independently), distinct pairs.
+    "q122_cross_contamination" ->
+      s"""WITH e_sigs AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
+            FROM (SELECT doc_id, $ShingleHashes3Sql AS hs
+                  FROM (SELECT doc_id, $TokSql AS toks FROM documents
+                        WHERE doc_id % 2 = 0)
+                  WHERE len(toks) >= 3)),
+          e_bands AS (
+            SELECT doc_id, CAST(b AS INT) AS b,
+                   list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),
+                               (a, x) -> (a * 31 + x) % 1000000007) AS bh
+            FROM e_sigs, unnest(range(0, 4)) AS u(b)
+            QUALIFY count(*) OVER (PARTITION BY b, bh) <= $LshMaxBucket),
+          o_sigs2 AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
+            FROM (SELECT doc_id, $ShingleHashes3Sql AS hs
+                  FROM (SELECT doc_id, $TokSql AS toks FROM documents
+                        WHERE doc_id % 2 = 1)
+                  WHERE len(toks) >= 3)),
+          o_bands2 AS (
+            SELECT doc_id, CAST(b AS INT) AS b,
+                   list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),
+                               (a, x) -> (a * 31 + x) % 1000000007) AS bh
+            FROM o_sigs2, unnest(range(0, 4)) AS u(b)
+            QUALIFY count(*) OVER (PARTITION BY b, bh) <= $LshMaxBucket)
+          SELECT DISTINCT e.doc_id AS train_id, o.doc_id AS ref_id
+          FROM e_bands e JOIN o_bands2 o ON e.b = o.b AND e.bh = o.bh""",
+    // The window rule restated serially: m = 1 + ceil((n-64)/48) windows,
+    // starts i*48, slice truncated at the document end.
+    "q121_chunk_windows" ->
+      s"""WITH tk AS (
+            SELECT doc_id, $TokSql AS toks FROM documents),
+          m AS (
+            SELECT doc_id, toks,
+              CASE WHEN len(toks) <= 64 THEN 1
+                   ELSE ((len(toks) - 17) // 48) + 1 END AS m
+            FROM tk WHERE len(toks) > 0)
+          SELECT doc_id, CAST(i AS INT) AS chunk_id,
+            CAST(i * 48 AS INT) AS start_tok,
+            CAST(len(toks[i*48+1 : i*48+64]) AS INT) AS n_tok,
+            array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
+          FROM m, unnest(range(0, m)) AS u(i)""",
     "q52_neardup_purge" ->
       s"""WITH sigs AS (
             SELECT doc_id,

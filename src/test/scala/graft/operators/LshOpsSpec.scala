@@ -107,6 +107,30 @@ class LshOpsSpec extends AnyFunSuite {
     assert(pairs == Set((900L, 901L)), "capped bucket emits no pairs; cool bucket unaffected")
   }
 
+  test("crossCorpusPairs: bipartite evidence pairs, no within-side pairs") {
+    val train = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "alpha beta gamma delta epsilon zeta"), // dup of 2 AND of ref 1
+      (6L, "totally unrelated training document content here")).toDF("doc_id", "text")
+    val ref = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // benchmark copy
+      (3L, "another benchmark question nothing like the corpus")).toDF("doc_id", "text")
+    val pairs = LshOps.crossCorpusPairs(train, ref, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    // Both contaminated training docs pair with the benchmark copy; the
+    // train-train dup (2,4) and ref-ref relations are NOT emitted — this
+    // is decontamination evidence, not corpus self-dedup.
+    assert(pairs == Set((2L, 1L), (4L, 1L)))
+  }
+
+  test("crossCorpusPairs: short docs filtered on both sides") {
+    val train = Seq((2L, "a b"), (4L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val ref = Seq((1L, "a b"), (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val pairs = LshOps.crossCorpusPairs(train, ref, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((4L, 3L)), "sub-shingle docs must never pair")
+  }
+
   test("bandRecall: the S-curve separates near-dups from mere overlap") {
     // The 16-hash 4x4 corpus construction: strong recall above s ~ 0.8,
     // strong rejection below s ~ 0.4 - and the closed form is monotone in
