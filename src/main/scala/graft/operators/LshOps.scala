@@ -472,4 +472,49 @@ object LshOps {
         Seq("b", "bh"))
       .select(col("train_id"), col("ref_id")).distinct()
   }
+
+  /** [[crossCorpusPairs]] with the VERIFICATION stage a production purge
+    * wants before dropping training data: every band-collision pair is
+    * re-scored with the EXACT n-gram Jaccard of the two documents and
+    * only pairs at/above `minJaccard` survive — the text twin of the
+    * SRP/SemDeDup cosine-verify rule (a bucket collision is evidence, a
+    * verified similarity is a decision; purging on evidence alone
+    * over-drops whenever a band saturates). Output: (train_id, ref_id,
+    * jaccard) audit rows; the purge list is `select(train_id).distinct`.
+    *
+    * Scale shape: the LSH stage bounds the candidate set (never
+    * all-pairs); verification then joins the pairs to each side's
+    * distinct-shingle-hash set (two keyed joins — the shingle projection
+    * is NARROW and computed once per side, not once per pair) and scores
+    * each pair with set intersection arithmetic — per-pair work linear
+    * in document shingles, only on candidates. */
+  def verifiedContamination(
+      train: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      minJaccard: Double,
+      k: Int = 16,
+      shingleN: Int = 3,
+      nBands: Int = 4,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    require(minJaccard >= 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in [0,1]: $minJaccard")
+    val pairs = crossCorpusPairs(train, ref, textCol, idCol,
+      k, shingleN, nBands, rowsPerBand, maxBucket)
+    def shingleSets(side: DataFrame, outId: String, outHs: String) =
+      side.select(col(idCol).as(outId),
+        array_distinct(transform(shingles(col(textCol), shingleN),
+          g => charHash(g))).as(outHs))
+    val inter = size(array_intersect(col("_graft_hs_t"), col("_graft_hs_r")))
+    pairs
+      .join(shingleSets(train, "train_id", "_graft_hs_t"), Seq("train_id"))
+      .join(shingleSets(ref, "ref_id", "_graft_hs_r"), Seq("ref_id"))
+      .select(col("train_id"), col("ref_id"),
+        round(inter.cast("double") /
+          (size(col("_graft_hs_t")) + size(col("_graft_hs_r")) - inter), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
 }

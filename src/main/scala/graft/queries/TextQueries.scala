@@ -334,6 +334,20 @@ object TextQueries {
         "text", "doc_id", 16, 3, 4, 4, LshMaxBucket)
     }),
 
+    // E104 VERIFIED decontamination: q122's candidate pairs re-scored with
+    // the exact n-gram Jaccard of the two documents, keeping pairs ≥ 0.5
+    // — the text twin of the SRP/SemDeDup cosine-verify rule (purge on a
+    // verified similarity, not on bucket-collision evidence alone). The
+    // shingle-set projection is narrow and computed once per SIDE; only
+    // LSH candidates pay the set-intersection score.
+    "q123_contamination_verified" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.LshOps.verifiedContamination(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", minJaccard = 0.5, 16, 3, 4, 4, LshMaxBucket)
+    }),
+
     // E102 overlapping token-window chunking: 64-token windows advancing
     // by 48 (16-token overlap) — the context-window preparation step
     // between curation and encoding. Narrow end to end (tokenize, window
@@ -787,6 +801,55 @@ object TextQueries {
             QUALIFY count(*) OVER (PARTITION BY b, bh) <= $LshMaxBucket)
           SELECT DISTINCT e.doc_id AS train_id, o.doc_id AS ref_id
           FROM e_bands e JOIN o_bands2 o ON e.b = o.b AND e.bh = o.bh""",
+    // q122's pair CTEs + the exact-Jaccard verification: per side the
+    // distinct shingle-hash set, per pair |∩| / (|a|+|b|−|∩|), keep ≥ 0.5.
+    "q123_contamination_verified" ->
+      s"""WITH e_sigs AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
+            FROM (SELECT doc_id, $ShingleHashes3Sql AS hs
+                  FROM (SELECT doc_id, $TokSql AS toks FROM documents
+                        WHERE doc_id % 2 = 0)
+                  WHERE len(toks) >= 3)),
+          e_bands AS (
+            SELECT doc_id, CAST(b AS INT) AS b,
+                   list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),
+                               (a, x) -> (a * 31 + x) % 1000000007) AS bh
+            FROM e_sigs, unnest(range(0, 4)) AS u(b)
+            QUALIFY count(*) OVER (PARTITION BY b, bh) <= $LshMaxBucket),
+          o_sigs2 AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
+            FROM (SELECT doc_id, $ShingleHashes3Sql AS hs
+                  FROM (SELECT doc_id, $TokSql AS toks FROM documents
+                        WHERE doc_id % 2 = 1)
+                  WHERE len(toks) >= 3)),
+          o_bands2 AS (
+            SELECT doc_id, CAST(b AS INT) AS b,
+                   list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),
+                               (a, x) -> (a * 31 + x) % 1000000007) AS bh
+            FROM o_sigs2, unnest(range(0, 4)) AS u(b)
+            QUALIFY count(*) OVER (PARTITION BY b, bh) <= $LshMaxBucket),
+          pairs AS (
+            SELECT DISTINCT e.doc_id AS train_id, o.doc_id AS ref_id
+            FROM e_bands e JOIN o_bands2 o ON e.b = o.b AND e.bh = o.bh),
+          ths AS (
+            SELECT doc_id AS train_id, $ShingleHashes3Sql AS hs
+            FROM (SELECT doc_id, $TokSql AS toks FROM documents
+                  WHERE doc_id % 2 = 0)),
+          rhs AS (
+            SELECT doc_id AS ref_id, $ShingleHashes3Sql AS hs
+            FROM (SELECT doc_id, $TokSql AS toks FROM documents
+                  WHERE doc_id % 2 = 1))
+          SELECT train_id, ref_id, jaccard FROM (
+            SELECT p.train_id, p.ref_id,
+              round(CAST(len(list_intersect(t.hs, r.hs)) AS DOUBLE)
+                / (len(t.hs) + len(r.hs) - len(list_intersect(t.hs, r.hs))), 4)
+                AS jaccard
+            FROM pairs p
+            JOIN ths t USING (train_id)
+            JOIN rhs r USING (ref_id))
+          WHERE jaccard >= 0.5""",
     // The window rule restated serially: m = 1 + ceil((n-64)/48) windows,
     // starts i*48, slice truncated at the document end.
     "q121_chunk_windows" ->

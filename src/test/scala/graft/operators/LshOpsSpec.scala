@@ -131,6 +131,34 @@ class LshOpsSpec extends AnyFunSuite {
     assert(pairs == Set((4L, 3L)), "sub-shingle docs must never pair")
   }
 
+  test("verifiedContamination: collision evidence must survive exact Jaccard") {
+    // Docs 2 and 1 are exact dups (jaccard 1.0). Doc 4 is a NEAR-dup of
+    // ref 1 (shared 20-token body + 3 appended tokens → jaccard 18/21 ≈
+    // 0.857): high enough to band-collide at 4×4 (the premise below
+    // asserts it does, deterministically — the hash family is fixed),
+    // but below the 0.9 bar, so the verification stage must drop the
+    // pair a collision-only purge keeps.
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val train = Seq(
+      (2L, boiler),
+      (4L, s"$boiler extra1 extra2 extra3")
+    ).toDF("doc_id", "text")
+    val ref = Seq((1L, boiler)).toDF("doc_id", "text")
+    val candidates = LshOps.crossCorpusPairs(train, ref, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(candidates == Set((2L, 1L), (4L, 1L)),
+      "both docs should band-collide (the premise of the verify stage)")
+    val verified = LshOps.verifiedContamination(
+        train, ref, "text", "doc_id", minJaccard = 0.9)
+      .select($"train_id", $"ref_id", $"jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(verified == Set((2L, 1L, 1.0)),
+      s"only the exact dup clears 0.9, got $verified")
+    intercept[IllegalArgumentException](
+      LshOps.verifiedContamination(train, ref, "text", "doc_id", minJaccard = 1.5))
+  }
+
   test("bandRecall: the S-curve separates near-dups from mere overlap") {
     // The 16-hash 4x4 corpus construction: strong recall above s ~ 0.8,
     // strong rejection below s ~ 0.4 - and the closed form is monotone in
