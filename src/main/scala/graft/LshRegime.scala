@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object LshRegime {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | semincr | wsample]")
+      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | semincr | wsample | contam | chunk]")
     val dir = args(0)
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
@@ -36,6 +36,8 @@ object LshRegime {
     if (args.length > 1 && args(1) == "kmeans") { kmeans(spark, dir); return }
     if (args.length > 1 && args(1) == "semincr") { semIncr(spark, dir); return }
     if (args.length > 1 && args(1) == "wsample") { wsample(spark, dir); return }
+    if (args.length > 1 && args(1) == "contam") { contam(spark, dir); return }
+    if (args.length > 1 && args(1) == "chunk") { chunk(spark, dir); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -242,6 +244,53 @@ object LshRegime {
     println(
       f"""{"metric":"weighted_sample","docs":${docs.count()},"picked":$picked,""" +
         f""""secs":$secs%.2f}""")
+    spark.stop()
+  }
+
+  /** E103/E104 probe: fuzzy cross-corpus decontamination at decade scale.
+    * The corpus is hash-split 49:1 into a "training" side and a small
+    * "benchmark" side (the real-world shape: the reference side is orders
+    * of magnitude smaller and broadcastable). Measures BOTH stages at the
+    * corpus' auto-derived shingle width: the banded bipartite candidate
+    * join (q122) and the exact-Jaccard verification (q123) — the verified
+    * count must be ≤ candidates, and the verify DELTA must stay linear in
+    * candidate count, never in |train|×|ref|. */
+  private def contam(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.{abs, col, xxhash64}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val isRef = abs(xxhash64(col("doc_id"))) % 50 === 0
+    val train = docs.filter(!isRef)
+    val ref = docs.filter(isRef)
+    val t0 = System.nanoTime()
+    val candidates = operators.LshOps
+      .crossCorpusPairs(train, ref, "text", "doc_id").count()
+    val t1 = System.nanoTime()
+    val verified = operators.LshOps
+      .verifiedContamination(train, ref, "text", "doc_id", minJaccard = 0.5)
+      .count()
+    val t2 = System.nanoTime()
+    println(
+      f"""{"metric":"contam","train":${train.count()},"ref":${ref.count()},""" +
+        f""""candidates":$candidates,"verified":$verified,""" +
+        f""""candidateSecs":${(t1 - t0) / 1e9}%.2f,"verifiedSecs":${(t2 - t1) / 1e9}%.2f}""")
+    spark.stop()
+  }
+
+  /** E102 probe: token-window chunking (64/48) over the decade's
+    * documents. Narrow end to end — the wall must track the scan+tokenize
+    * cost and the chunk fan-out must sit at the construction-bounded
+    * ratio, both decades. */
+  private def chunk(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val chunks = operators.ChunkOps
+      .chunkByTokens(docs, "text", "doc_id", chunkTokens = 64, strideTokens = 48)
+      .count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val nDocs = docs.count()
+    println(
+      f"""{"metric":"chunk","docs":$nDocs,"chunks":$chunks,""" +
+        f""""fanOut":${chunks.toDouble / nDocs}%.2f,"secs":$secs%.2f}""")
     spark.stop()
   }
 

@@ -148,4 +148,105 @@ object DedupOps {
       .drop("_graft_rn")
       .localCheckpoint(true)
   }
+
+  /** E105: cross-document duplicate-SPAN detection — every `spanTokens`-token
+    * window that appears verbatim in at least `minDocs` DISTINCT documents,
+    * emitted as (doc, start_tok, n_docs) flags. This is the span-level pass
+    * document-level dedup cannot replace: two documents 1 % identical (a
+    * shared license header, a boilerplate footer, a quoted passage) never
+    * near-dup as WHOLES, yet the repeated span still memorizes.
+    * Deduplicating repeated substrings rather than whole documents is the
+    * published remedy (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" — their ExactSubstr pass); a suffix array is
+    * the single-machine tool, and this is its shuffle-native restatement:
+    * rolling token windows → window key → corpus-wide frequency → flag
+    * positions.
+    *
+    * Scale shape: the window explode is NARROW with fan-out ≈ tokens/doc
+    * (each token starts at most one window — same bound as tokenization
+    * itself); the frequency pass is ONE key-grouped aggregation with
+    * map-side partial counts; the flag pass re-derives the (cheap, narrow)
+    * window frame and joins it to the flagged-key set, which is tiny
+    * relative to the corpus (only keys repeated across documents survive
+    * the HAVING), so AQE broadcasts it in practice. Nothing here is
+    * quadratic and nothing holds per-doc state: a 100 TB corpus pays two
+    * scans plus one agg-shuffle of (key, id) longs.
+    *
+    * The window key is the (xxhash64, charHash) PAIR — the same ~94-bit
+    * fingerprint rule as [[incrementalDedup]], because a corpus-scale span
+    * frequency table holds ~10^12 distinct windows and a single 30-bit
+    * charHash would collide pervasively (birthday bound ~35 k), silently
+    * flagging unrelated spans. The key never appears in the output, so the
+    * oracle restates the semantics by grouping on the window STRING — the
+    * two differ only on a 94-bit collision.
+    *
+    * `countDistinct` (exact) on the doc id is deliberate: a repeated span
+    * WITHIN one document (a chorus, a table row) is intra-doc structure,
+    * not cross-doc contamination, and must not trip the `minDocs` bar.
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      spanTokens: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive: $spanTokens")
+    require(minDocs >= 2,
+      s"minDocs must be at least 2 (1 would flag every window): $minDocs")
+    def spans = df
+      .select(col(idCol),
+        posexplode(TextFunctions.shingles(col(textCol), spanTokens))
+          .as(Seq("start_tok", "_graft_g")))
+      .select(col(idCol), col("start_tok").cast("int"),
+        xxhash64(col("_graft_g")).as("_graft_h1"),
+        TextFunctions.charHash(col("_graft_g")).as("_graft_h2"))
+    val flagged = spans
+      .groupBy(col("_graft_h1"), col("_graft_h2"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    spans.join(flagged, Seq("_graft_h1", "_graft_h2"))
+      .select(col(idCol), col("start_tok"), col("n_docs"))
+  }
+
+  /** E106: span SURGERY — remove every [[duplicateSpans]]-flagged window
+    * from the document and keep the rest, instead of purging the whole
+    * document. Whole-doc near-dup purging over-applies to boilerplate: a
+    * document that is 1 % shared license header and 99 % unique content
+    * should lose the header, not the corpus its content. Returns
+    * (id, clean_text, n_removed) for EVERY input document (unflagged docs
+    * pass through with n_removed = 0); `clean_text` is the surviving
+    * tokens joined by single spaces — the same whitespace normalization
+    * the tokenizer itself applies, stated contract of this operator.
+    *
+    * Scale shape: the flagged frame aggregates to ONE small array of
+    * start positions per flagged doc (bounded by doc length, and only
+    * flagged docs appear), which joins back to the corpus — tiny build
+    * side, broadcast in practice under AQE. The removal itself is NARROW:
+    * an index-aware `filter` over the token array against the start-set
+    * (`exists` over a per-doc array bounded by doc length), no explode of
+    * the text, no shuffle of the text beyond the one join.
+    */
+  def scrubSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      spanTokens: Int,
+      minDocs: Int = 2): DataFrame = {
+    val starts = duplicateSpans(df, textCol, idCol, spanTokens, minDocs)
+      .groupBy(col(idCol))
+      .agg(collect_set(col("start_tok")).as("_graft_starts"))
+    df.join(starts, Seq(idCol), "left")
+      .select(col(idCol),
+        TextFunctions.tokens(col(textCol)).as("_graft_toks"),
+        coalesce(col("_graft_starts"), array().cast("array<int>"))
+          .as("_graft_starts"))
+      .withColumn("_graft_kept",
+        filter(col("_graft_toks"), (_, i) =>
+          !exists(col("_graft_starts"),
+            st => i >= st && i < st + lit(spanTokens))))
+      .select(col(idCol),
+        array_join(col("_graft_kept"), " ").as("clean_text"),
+        (size(col("_graft_toks")) - size(col("_graft_kept")))
+          .cast("int").as("n_removed"))
+  }
 }

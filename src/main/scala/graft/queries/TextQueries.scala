@@ -348,6 +348,24 @@ object TextQueries {
         "text", "doc_id", minJaccard = 0.5, 16, 3, 4, 4, LshMaxBucket)
     }),
 
+    // E105 cross-document duplicate-SPAN detection (Lee et al. 2022
+    // ExactSubstr, restated shuffle-native): every 8-token window appearing
+    // verbatim in >= 2 distinct documents, flagged at its position. The
+    // span-level pass document-level dedup cannot replace — shared
+    // license headers / boilerplate never near-dup as whole documents.
+    "q124_duplicate_spans" -> ((s, dir) =>
+      graft.operators.DedupOps.duplicateSpans(
+        t(s, dir, "documents"), "text", "doc_id",
+        spanTokens = 8, minDocs = 2)),
+
+    // E106 span surgery: REMOVE every flagged duplicate span and keep the
+    // document — the remedy for boilerplate that whole-doc purging
+    // over-applies (dropping a 1 %-contaminated doc loses the 99 %).
+    "q125_scrub_spans" -> ((s, dir) =>
+      graft.operators.DedupOps.scrubSpans(
+        t(s, dir, "documents"), "text", "doc_id",
+        spanTokens = 8, minDocs = 2)),
+
     // E102 overlapping token-window chunking: 64-token windows advancing
     // by 48 (16-token overlap) — the context-window preparation step
     // between curation and encoding. Narrow end to end (tokenize, window
@@ -850,6 +868,40 @@ object TextQueries {
             JOIN ths t USING (train_id)
             JOIN rhs r USING (ref_id))
           WHERE jaccard >= 0.5""",
+    // Span semantics restated by grouping on the window STRING (the native
+    // side groups on the 94-bit hash pair it never emits; the two differ
+    // only on a hash collision). DuckDB slices are inclusive and lambda
+    // indexes are 1-based — hence toks[i:i+7] and the i-1 shift.
+    "q124_duplicate_spans" ->
+      s"""WITH tk AS (SELECT doc_id, $TokSql AS toks FROM documents),
+          sp AS (
+            SELECT doc_id, CAST(i - 1 AS INT) AS start_tok,
+                   array_to_string(toks[i:i+7], ' ') AS g
+            FROM tk, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)),
+          f AS (
+            SELECT g, count(DISTINCT doc_id) AS n_docs
+            FROM sp GROUP BY g HAVING count(DISTINCT doc_id) >= 2)
+          SELECT sp.doc_id, sp.start_tok, f.n_docs FROM sp JOIN f USING (g)""",
+    "q125_scrub_spans" ->
+      s"""WITH tk AS (SELECT doc_id, $TokSql AS toks FROM documents),
+          sp AS (
+            SELECT doc_id, CAST(i - 1 AS INT) AS start_tok,
+                   array_to_string(toks[i:i+7], ' ') AS g
+            FROM tk, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)),
+          f AS (SELECT g FROM sp GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+          starts AS (
+            SELECT doc_id, list(DISTINCT start_tok) AS sts
+            FROM sp JOIN f USING (g) GROUP BY doc_id),
+          clean AS (
+            SELECT tk.doc_id, toks,
+              list_filter(toks, (x, i) ->
+                len(list_filter(coalesce(sts, CAST([] AS INT[])),
+                                st -> i - 1 >= st AND i - 1 < st + 8)) = 0) AS kept
+            FROM tk LEFT JOIN starts USING (doc_id))
+          SELECT doc_id,
+                 coalesce(array_to_string(kept, ' '), '') AS clean_text,
+                 CAST(len(toks) - len(kept) AS INT) AS n_removed
+          FROM clean""",
     // The window rule restated serially: m = 1 + ceil((n-64)/48) windows,
     // starts i*48, slice truncated at the document end.
     "q121_chunk_windows" ->

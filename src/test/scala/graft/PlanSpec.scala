@@ -182,6 +182,22 @@ class PlanSpec extends AnyFunSuite {
                                     // + pair and drop distincts (banding cached; ledger-hit
                                     // verification is eager, outside this plan)
       "q97_profile" -> 3,         // multi-distinct Expand partials
+      "q123_contamination_verified" -> 3, // band equi-join + the two per-side
+                                  // shingle-set verification joins re-keying
+                                  // on train_id then ref_id (at real scale
+                                  // the ref side broadcasts under AQE;
+                                  // this gate runs AQE-off)
+      "q124_duplicate_spans" -> 3, // exact countDistinct is two-phase
+                                  // ((key,id) then key) + the flag-back join
+                                  // shuffles the span side; the flagged set
+                                  // reuses its agg layout (AQE-off floor —
+                                  // at runtime the tiny flagged set
+                                  // broadcasts)
+      "q125_scrub_spans" -> 5,    // q124's 3 + per-doc starts agg re-keys to
+                                  // the id + the corpus↔starts left join
+                                  // (starts reuses its agg layout; under AQE
+                                  // the starts side broadcasts and the
+                                  // corpus never shuffles)
       "q116_semdedup" -> 2,       // purge distinct re-keys band pairs on the id +
                                   // the verdict left join re-keys the assignment
                                   // frame on the id; the pair self-join itself

@@ -69,4 +69,70 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(fps.count() == fps.dropDuplicates("_graft_fp", "_graft_fp2").count(),
       "re-committed epoch must replace its partition, never duplicate fingerprints")
   }
+
+  test("duplicateSpans flags cross-doc windows at their positions, not intra-doc repeats") {
+    val docs = Seq(
+      (1L, "the shared legal header text one unique tail"),
+      (2L, "prefix words the shared legal header text two"),
+      (3L, "loop loop loop loop loop loop loop loop")).toDF("doc_id", "text")
+    val out = DedupOps
+      .duplicateSpans(docs, "text", "doc_id", spanTokens = 5, minDocs = 2)
+      .as[(Long, Int, Long)].collect().toSet
+    // "the shared legal header text" sits at doc1@0 and doc2@2; doc3's
+    // repeated "loop loop loop loop loop" occurs in ONE doc only and the
+    // countDistinct bar must ignore it.
+    assert(out == Set((1L, 0, 2L), (2L, 2, 2L)))
+  }
+
+  test("duplicateSpans refuses spanTokens <= 0 and minDocs < 2") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      DedupOps.duplicateSpans(docs, "text", "doc_id", spanTokens = 0)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.duplicateSpans(docs, "text", "doc_id", spanTokens = 3, minDocs = 1)
+    }
+  }
+
+  test("scrubSpans removes exactly the covered tokens and passes clean docs through") {
+    val docs = Seq(
+      (1L, "the shared legal header text one unique tail"),
+      (2L, "prefix words the shared legal header text two"),
+      (3L, "entirely original content with no shared spans at all"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = DedupOps
+      .scrubSpans(docs, "text", "doc_id", spanTokens = 5, minDocs = 2)
+      .as[(Long, String, Int)].collect().toMap2
+    assert(out(1L) == ("one unique tail", 5))
+    assert(out(2L) == ("prefix words two", 5))
+    assert(out(3L) == ("entirely original content with no shared spans at all", 0))
+    assert(out(4L) == ("", 0), "empty doc must survive with empty clean text")
+  }
+
+  test("scrubSpans coalesces overlapping flagged windows") {
+    // Every 3-gram of "a b c d e" is shared, so the flagged windows at
+    // starts 0/1/2 overlap; tokens 0-4 are covered ONCE each, leaving only
+    // the differing tail.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e g")).toDF("doc_id", "text")
+    val out = DedupOps
+      .scrubSpans(docs, "text", "doc_id", spanTokens = 3, minDocs = 2)
+      .as[(Long, String, Int)].collect().toMap2
+    assert(out(1L) == ("f", 5))
+    assert(out(2L) == ("g", 5))
+  }
+
+  test("scrubSpans normalizes whitespace like the tokenizer (stated contract)") {
+    val docs = Seq(
+      (1L, "solo  doc   with    runs of spaces")).toDF("doc_id", "text")
+    val out = DedupOps
+      .scrubSpans(docs, "text", "doc_id", spanTokens = 3, minDocs = 2)
+      .as[(Long, String, Int)].collect().head
+    assert(out == ((1L, "solo doc with runs of spaces", 0)))
+  }
+
+  private implicit class TripleOps[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
 }
