@@ -38,6 +38,7 @@ object LshRegime {
     if (args.length > 1 && args(1) == "wsample") { wsample(spark, dir); return }
     if (args.length > 1 && args(1) == "contam") { contam(spark, dir); return }
     if (args.length > 1 && args(1) == "chunk") { chunk(spark, dir); return }
+    if (args.length > 1 && args(1) == "spans") { spans(spark, dir); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -273,6 +274,30 @@ object LshRegime {
       f"""{"metric":"contam","train":${train.count()},"ref":${ref.count()},""" +
         f""""candidates":$candidates,"verified":$verified,""" +
         f""""candidateSecs":${(t1 - t0) / 1e9}%.2f,"verifiedSecs":${(t2 - t1) / 1e9}%.2f}""")
+    spark.stop()
+  }
+
+  /** E105/E106 probe: duplicate-span detection + span surgery at decade
+    * scale. Measures BOTH stages separately: the detection agg (narrow
+    * explode → one key-grouped agg → flag-back join) and the surgery
+    * (per-doc starts agg + corpus join + narrow rebuild). Both walls must
+    * track the corpus linearly — nothing here may go quadratic, and the
+    * flagged-position count is the workload gauge. */
+  private def spans(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val flagged = operators.DedupOps
+      .duplicateSpans(docs, "text", "doc_id", spanTokens = 8).count()
+    val t1 = System.nanoTime()
+    val scrub = operators.DedupOps
+      .scrubSpans(docs, "text", "doc_id", spanTokens = 8)
+    val removedDocs = scrub.filter(org.apache.spark.sql.functions
+      .col("n_removed") > 0).count()
+    val t2 = System.nanoTime()
+    println(
+      f"""{"metric":"spans","docs":${docs.count()},"flaggedPositions":$flagged,""" +
+        f""""scrubbedDocs":$removedDocs,"detectSecs":${(t1 - t0) / 1e9}%.2f,""" +
+        f""""scrubSecs":${(t2 - t1) / 1e9}%.2f}""")
     spark.stop()
   }
 
