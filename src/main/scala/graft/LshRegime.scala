@@ -39,6 +39,8 @@ object LshRegime {
     if (args.length > 1 && args(1) == "contam") { contam(spark, dir); return }
     if (args.length > 1 && args(1) == "chunk") { chunk(spark, dir); return }
     if (args.length > 1 && args(1) == "spans") { spans(spark, dir); return }
+    if (args.length > 1 && args(1) == "contamauto") { contamAuto(spark, dir); return }
+    if (args.length > 1 && args(1) == "shuffleorder") { shuffleOrder(spark, dir); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -274,6 +276,54 @@ object LshRegime {
       f"""{"metric":"contam","train":${train.count()},"ref":${ref.count()},""" +
         f""""candidates":$candidates,"verified":$verified,""" +
         f""""candidateSecs":${(t1 - t0) / 1e9}%.2f,"verifiedSecs":${(t2 - t1) / 1e9}%.2f}""")
+    spark.stop()
+  }
+
+  /** E107 probe: the KNOB-FREE decontamination at decade scale — same
+    * 49:1 hash split as [[contam]], but the width comes from the train
+    * regime. The point of the comparison: [[contam]]'s fixed 3-gram
+    * candidates grow superlinearly as the bucket space fills (110× for
+    * 10× docs at gsf10); the derived width must keep candidate growth
+    * near-linear while the verified count stays in the same band. */
+  private def contamAuto(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.{abs, col, xxhash64}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val isRef = abs(xxhash64(col("doc_id"))) % 50 === 0
+    val train = docs.filter(!isRef)
+    val ref = docs.filter(isRef)
+    val t0 = System.nanoTime()
+    val auto = operators.LshOps.crossCorpusPairsAuto(train, ref, "text", "doc_id")
+    val candidates = auto.pairs.count()
+    val t1 = System.nanoTime()
+    val verified = operators.LshOps
+      .verifiedContaminationAuto(train, ref, "text", "doc_id", minJaccard = 0.5)
+      .count()
+    val t2 = System.nanoTime()
+    println(
+      f"""{"metric":"contam_auto","train":${auto.trainCount},"ref":${ref.count()},""" +
+        f""""shingleN":${auto.shingleN},"candidates":$candidates,"verified":$verified,""" +
+        f""""candidateSecs":${(t1 - t0) / 1e9}%.2f,"verifiedSecs":${(t2 - t1) / 1e9}%.2f}""")
+    spark.stop()
+  }
+
+  /** E108 probe: the per-epoch corpus shuffle at decade scale. A
+    * range-partitioned global sort's wall must track n·log(n) on the
+    * scan — the gauge here is simply that 10× docs cost ~10× wall, never
+    * a single-task funnel (the plan gate lives in SamplingOpsSpec; this
+    * measures the executed shape). */
+  private def shuffleOrder(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_regime_shuffle").resolve("epoch3").toString
+    val t0 = System.nanoTime()
+    // Write the ordered corpus (a bare count would let Catalyst eliminate
+    // the sort) — part files land in partition order, so the written
+    // concatenation IS the epoch's order, the operator's real use.
+    operators.SamplingOps.epochShuffle(docs, "doc_id", epoch = 3L)
+      .write.mode("overwrite").parquet(out)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val n = spark.read.parquet(out).count()
+    println(f"""{"metric":"epoch_shuffle","docs":$n,"secs":$secs%.2f}""")
     spark.stop()
   }
 

@@ -503,6 +503,23 @@ object LshOps {
       s"minJaccard must be in [0,1]: $minJaccard")
     val pairs = crossCorpusPairs(train, ref, textCol, idCol,
       k, shingleN, nBands, rowsPerBand, maxBucket)
+    scorePairs(pairs, train, ref, textCol, idCol, shingleN, minJaccard)
+  }
+
+  /** Exact n-gram Jaccard scoring of candidate (train_id, ref_id) pairs —
+    * the shared verification stage of [[verifiedContamination]] and
+    * [[verifiedContaminationAuto]]. Each side's distinct-shingle-hash set
+    * is computed ONCE per side (narrow projection), then two keyed joins
+    * bring the sets to the pairs; per-pair work is linear in document
+    * shingles and paid only on candidates. */
+  private def scorePairs(
+      pairs: DataFrame,
+      train: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int,
+      minJaccard: Double): DataFrame = {
     def shingleSets(side: DataFrame, outId: String, outHs: String) =
       side.select(col(idCol).as(outId),
         array_distinct(transform(shingles(col(textCol), shingleN),
@@ -516,5 +533,71 @@ object LshOps {
           (size(col("_graft_hs_t")) + size(col("_graft_hs_r")) - inter), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** [[crossCorpusPairs]]' candidate stage plus the E87 width derivation:
+    * the shingle width comes from the TRAIN side's measured regime
+    * ([[autoShingleN]] — the train corpus is the side that grows to
+    * 100 TB and saturates a fixed width; the gsf10 measurement in
+    * BASELINE.md round-9 shows 3-gram/16-perm collisions growing 110×
+    * for 10× docs), is pinned IDENTICALLY on both sides (a construction
+    * mismatch would make the bipartite join meaningless), and the train
+    * side's occupancy gauge is ENFORCED ([[bandedMinhashAuto]] refuses
+    * loudly instead of handing back a saturated join). */
+  final case class AutoCrossCorpus(
+      pairs: DataFrame,
+      shingleN: Int,
+      trainCount: Long,
+      vocabEstimate: Long)
+
+  def crossCorpusPairsAuto(
+      train: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 16,
+      nBands: Int = 4,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 10000,
+      headroom: Double = 100.0,
+      maxMeanOccupancy: Double = 8.0,
+      minShingleN: Int = 3,
+      maxShingleN: Int = 8): AutoCrossCorpus = {
+    val auto = bandedMinhashAuto(train, textCol, idCol, k, minShingleN,
+      nBands, rowsPerBand, maxBucket, headroom, maxMeanOccupancy, maxShingleN)
+    val rb = bandedMinhash(ref, textCol, idCol, k, auto.shingleN,
+      nBands, rowsPerBand, maxBucket)
+    val pairs = auto.banded.bands
+      .select(col("b"), col("bh"), col(idCol).as("train_id"))
+      .join(rb.bands.select(col("b"), col("bh"), col(idCol).as("ref_id")),
+        Seq("b", "bh"))
+      .select(col("train_id"), col("ref_id")).distinct()
+    AutoCrossCorpus(pairs, auto.shingleN, auto.docCount, auto.vocabEstimate)
+  }
+
+  /** [[verifiedContamination]] at the [[crossCorpusPairsAuto]]-derived
+    * width — the knob-free decontamination decision a 100 TB caller runs:
+    * width from the train regime, gauge enforced, candidates verified by
+    * exact n-gram Jaccard AT THE SAME derived width before any purge. */
+  def verifiedContaminationAuto(
+      train: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      minJaccard: Double,
+      k: Int = 16,
+      nBands: Int = 4,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 10000,
+      headroom: Double = 100.0,
+      maxMeanOccupancy: Double = 8.0,
+      minShingleN: Int = 3,
+      maxShingleN: Int = 8): DataFrame = {
+    require(minJaccard >= 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in [0,1]: $minJaccard")
+    val auto = crossCorpusPairsAuto(train, ref, textCol, idCol, k,
+      nBands, rowsPerBand, maxBucket, headroom, maxMeanOccupancy,
+      minShingleN, maxShingleN)
+    scorePairs(auto.pairs, train, ref, textCol, idCol, auto.shingleN, minJaccard)
   }
 }

@@ -194,4 +194,61 @@ object SamplingOps {
       .orderBy(col("priority").desc, col(idCol))
       .limit(n)
   }
+
+  /** Portable shuffle key: the multiplicative map `(id mod p)·A_e mod p`
+    * in Z_p (p = 1e9+7, the repo's portable-hash field), with the
+    * epoch's multiplier A_e = A^(epoch+1) mod p (A = Knuth's constant
+    * reduced mod p) — a BIJECTION of the residue ring at every epoch.
+    * Exactly restatable in any SQL engine's BIGINT arithmetic (the q127
+    * oracle inlines the power chain). Two deliberate non-choices, both
+    * pinned by the epochShuffle spec: [[portableRank]]'s charHash (a
+    * polynomial fold of a short decimal id string never wraps the
+    * modulus, so it sorts almost exactly by id — no shuffle at all) and
+    * any small epoch PERTURBATION of the key (an epoch offset `+ e·B`
+    * only rotates the ring, and even an epoch-shifted multiplier
+    * `A + e·B` barely reorders a point set — both replay near-identical
+    * permutations every epoch). The inner `mod p` keeps the product
+    * within Long for any id (id·A alone overflows past id ≈ 3.4e9 — a
+    * real corpus size); ids p apart share a key and fall to the id
+    * tie-break. */
+  val affineRank: RankFn = (idCol, epoch) => {
+    require(epoch >= 0, s"epoch must be non-negative: $epoch")
+    val p = 1000000007L
+    val a = 2654435761L % p
+    // A_e = a^(epoch+1) mod p. Successive POWERS are uncorrelated ring
+    // elements; a merely epoch-SHIFTED multiplier (A + epoch·B) is the
+    // third pinned-out non-choice — perturbing the multiplier slightly
+    // provably barely reorders a point set (the order pattern of
+    // {i·α mod 1} is rigid in α), so epochs replayed near-identical
+    // permutations. a is coprime to the prime p, so a^k mod p is never 0
+    // and the map stays a bijection at every epoch.
+    val mult = BigInt(a).modPow(BigInt(epoch + 1L), BigInt(p)).toLong
+    pmod(pmod(idCol.cast("long"), lit(p)) * lit(mult), lit(p))
+  }
+
+  /** E108: deterministic per-epoch corpus shuffle — the reproducible
+    * global training ORDER a multi-epoch run needs. Training frameworks
+    * shuffle data every epoch; at corpus scale that shuffle must be (a) a
+    * pure function of (id, epoch) so any re-run — after a crash, on a
+    * different cluster layout, from a different reader — yields the SAME
+    * order (elastic training resumes mid-epoch by global position), and
+    * (b) a DISTRIBUTED sort, never a single-point shuffle. `sample()` /
+    * `rand()` fail (a): they are layout- and partition-order-dependent.
+    *
+    * The key is [[affineRank]] (SQL-restatable — the q127 oracle replays
+    * it), with the id as tie-break so the order is TOTAL even on a key
+    * collision. `orderBy` plans a range-partitioned global sort (one
+    * sampling pass picks partition bounds, then each partition sorts
+    * locally) — the 1000-executor shape; writers then emit part files in
+    * partition order and the concatenation IS the epoch's order.
+    * Different epochs derive independent permutations from the same
+    * corpus with zero extra state.
+    */
+  def epochShuffle(
+      df: DataFrame,
+      idCol: String,
+      epoch: Long,
+      rank: RankFn = affineRank): DataFrame =
+    df.withColumn("shuffle_key", rank(col(idCol), epoch))
+      .orderBy(col("shuffle_key"), col(idCol))
 }

@@ -199,6 +199,15 @@ object OpsQueries {
           t(s, dir, "documents"), "doc_id", "n_chars", n = 100, seed = 13L)
         .select(col("doc_id"), col("n_chars"), col("priority"))),
 
+    // E108 deterministic per-epoch corpus shuffle: reproducible global
+    // training order as a pure function of (id, epoch) — range-partitioned
+    // distributed sort, portable rank key. The oracle pins the key values;
+    // the ORDER itself (and its layout-independence) is gated in
+    // SamplingOpsSpec, since the driver compare is order-insensitive.
+    "q127_epoch_shuffle" -> ((s, dir) =>
+      SamplingOps.epochShuffle(t(s, dir, "documents"), "doc_id", epoch = 3L)
+        .select(col("doc_id"), col("shuffle_key"))),
+
     // E78 SCD2 merge, end-to-end: a customer dimension (opened 2026-01-01)
     // takes an update batch — odd keys change balance (+100), every 10th
     // key arrives unchanged (no-op update) — effective 2026-06-01. Changed
@@ -411,6 +420,16 @@ object OpsQueries {
           WHERE n_chars > 0
           ORDER BY priority DESC, doc_id
           LIMIT 100""",
+    // The multiplicative permutation key restated in BIGINT arithmetic:
+    // p = 1e9+7, a = 2654435761 mod p = 654435747, multiplier a^(3+1)
+    // mod p inlined as a power chain (each product < 2^63).
+    "q127_epoch_shuffle" ->
+      s"""SELECT doc_id,
+            ((doc_id % 1000000007) *
+             ((((((CAST(654435747 AS BIGINT) * 654435747) % 1000000007)
+                * 654435747) % 1000000007) * 654435747) % 1000000007))
+             % 1000000007 AS shuffle_key
+          FROM documents""",
     // Same rank rule as the operator: (value desc, id asc), rank ≤ k.
     "q89_grouped_topk" ->
       """SELECT o_custkey, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice

@@ -366,6 +366,28 @@ object TextQueries {
         t(s, dir, "documents"), "text", "doc_id",
         spanTokens = 8, minDocs = 2)),
 
+    // E107 knob-free decontamination: q123's verified decision at the
+    // width DERIVED from the train side's regime (E87 rule), gauge
+    // enforced — the construction a 100 TB corpus needs after the gsf10
+    // measurement showed fixed 3-gram collisions growing 110× for 10×
+    // docs. headroom=200 keeps the derivation at 4-grams across all
+    // three fixture scales; the oracle pins 4, so a rule flip fails HERE
+    // loudly (the q102 discipline), never as a silent hash mismatch.
+    "q126_contamination_auto" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val auto = graft.operators.LshOps.crossCorpusPairsAuto(
+        train, docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", 16, 4, 4, LshMaxBucket, headroom = 200.0)
+      require(auto.shingleN == 4,
+        s"q126's oracle pins 4-gram shingles but the auto rule chose " +
+          s"${auto.shingleN} (docs=${auto.trainCount}, vocab=${auto.vocabEstimate})")
+      graft.operators.LshOps.verifiedContaminationAuto(
+        train, docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", minJaccard = 0.5, 16, 4, 4, LshMaxBucket,
+        headroom = 200.0)
+    }),
+
     // E102 overlapping token-window chunking: 64-token windows advancing
     // by 48 (16-token overlap) — the context-window preparation step
     // between curation and encoding. Narrow end to end (tokenize, window
@@ -902,6 +924,56 @@ object TextQueries {
                  coalesce(array_to_string(kept, ' '), '') AS clean_text,
                  CAST(len(toks) - len(kept) AS INT) AS n_removed
           FROM clean""",
+    // q123's construction re-pinned at the auto-derived 4-gram width
+    // (headroom=200 holds the derivation at 4 across all fixture scales;
+    // the Spark side REQUIREs the match before running).
+    "q126_contamination_auto" ->
+      s"""WITH e_sigs AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
+            FROM (SELECT doc_id, ${shingleHashesSql(4)} AS hs
+                  FROM (SELECT doc_id, $TokSql AS toks FROM documents
+                        WHERE doc_id % 2 = 0)
+                  WHERE len(toks) >= 4)),
+          e_bands AS (
+            SELECT doc_id, CAST(b AS INT) AS b,
+                   list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),
+                               (a, x) -> (a * 31 + x) % 1000000007) AS bh
+            FROM e_sigs, unnest(range(0, 4)) AS u(b)
+            QUALIFY count(*) OVER (PARTITION BY b, bh) <= $LshMaxBucket),
+          o_sigs2 AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
+            FROM (SELECT doc_id, ${shingleHashesSql(4)} AS hs
+                  FROM (SELECT doc_id, $TokSql AS toks FROM documents
+                        WHERE doc_id % 2 = 1)
+                  WHERE len(toks) >= 4)),
+          o_bands2 AS (
+            SELECT doc_id, CAST(b AS INT) AS b,
+                   list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),
+                               (a, x) -> (a * 31 + x) % 1000000007) AS bh
+            FROM o_sigs2, unnest(range(0, 4)) AS u(b)
+            QUALIFY count(*) OVER (PARTITION BY b, bh) <= $LshMaxBucket),
+          pairs AS (
+            SELECT DISTINCT e.doc_id AS train_id, o.doc_id AS ref_id
+            FROM e_bands e JOIN o_bands2 o ON e.b = o.b AND e.bh = o.bh),
+          ths AS (
+            SELECT doc_id AS train_id, ${shingleHashesSql(4)} AS hs
+            FROM (SELECT doc_id, $TokSql AS toks FROM documents
+                  WHERE doc_id % 2 = 0)),
+          rhs AS (
+            SELECT doc_id AS ref_id, ${shingleHashesSql(4)} AS hs
+            FROM (SELECT doc_id, $TokSql AS toks FROM documents
+                  WHERE doc_id % 2 = 1))
+          SELECT train_id, ref_id, jaccard FROM (
+            SELECT p.train_id, p.ref_id,
+              round(CAST(len(list_intersect(t.hs, r.hs)) AS DOUBLE)
+                / (len(t.hs) + len(r.hs) - len(list_intersect(t.hs, r.hs))), 4)
+                AS jaccard
+            FROM pairs p
+            JOIN ths t USING (train_id)
+            JOIN rhs r USING (ref_id))
+          WHERE jaccard >= 0.5""",
     // The window rule restated serially: m = 1 + ceil((n-64)/48) windows,
     // starts i*48, slice truncated at the document end.
     "q121_chunk_windows" ->

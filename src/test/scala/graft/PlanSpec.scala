@@ -187,6 +187,10 @@ class PlanSpec extends AnyFunSuite {
                                   // on train_id then ref_id (at real scale
                                   // the ref side broadcasts under AQE;
                                   // this gate runs AQE-off)
+      "q126_contamination_auto" -> 3, // q123's exact shape at the derived
+                                  // width (the regime derivation runs
+                                  // eagerly at build time, outside this
+                                  // plan)
       "q124_duplicate_spans" -> 3, // exact countDistinct is two-phase
                                   // ((key,id) then key) + the flag-back join
                                   // shuffles the span side; the flagged set

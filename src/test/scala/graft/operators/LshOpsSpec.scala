@@ -159,6 +159,32 @@ class LshOpsSpec extends AnyFunSuite {
       LshOps.verifiedContamination(train, ref, "text", "doc_id", minJaccard = 1.5))
   }
 
+  test("crossCorpusPairsAuto: one derived width, pinned identically on both sides") {
+    val train = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "alpha beta gamma delta epsilon zeta"),
+      (6L, "totally unrelated training document content here")).toDF("doc_id", "text")
+    val ref = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "another benchmark question nothing like the corpus")).toDF("doc_id", "text")
+    val auto = LshOps.crossCorpusPairsAuto(train, ref, "text", "doc_id")
+    // Whatever width the train regime derives, the result must equal the
+    // fixed-width construction at that SAME width on both sides — the
+    // identical-construction contract.
+    val fixed = LshOps.crossCorpusPairs(train, ref, "text", "doc_id",
+      shingleN = auto.shingleN)
+    assert(auto.pairs.as[(Long, Long)].collect().toSet ==
+      fixed.as[(Long, Long)].collect().toSet)
+    assert(auto.pairs.as[(Long, Long)].collect().toSet == Set((2L, 1L), (4L, 1L)))
+    // And the verified twin scores at the derived width: the exact dup
+    // clears any bar, the unrelated docs never appear.
+    val verified = LshOps.verifiedContaminationAuto(
+        train, ref, "text", "doc_id", minJaccard = 0.9)
+      .select($"train_id", $"ref_id", $"jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(verified == Set((2L, 1L, 1.0), (4L, 1L, 1.0)))
+  }
+
   test("bandRecall: the S-curve separates near-dups from mere overlap") {
     // The 16-hash 4x4 corpus construction: strong recall above s ~ 0.8,
     // strong rejection below s ~ 0.4 - and the closed form is monotone in

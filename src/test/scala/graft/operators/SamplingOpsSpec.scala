@@ -125,4 +125,26 @@ class SamplingOpsSpec extends AnyFunSuite {
     }
     assert(hits >= 35, s"heavy row picked only $hits/40 times")
   }
+
+  test("epochShuffle: total order is layout-independent and epoch-decorrelated") {
+    val df = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def order(d: org.apache.spark.sql.DataFrame, epoch: Long): Seq[Long] =
+      SamplingOps.epochShuffle(d, "doc_id", epoch)
+        .select($"doc_id").as[Long].collect().toSeq
+    val e1 = order(df, 1L)
+    assert(order(df.repartition(7), 1L) == e1,
+      "the epoch order must not depend on the input layout")
+    val e2 = order(df, 2L)
+    assert(e1 != e2, "different epochs must derive different permutations")
+    assert(e1.sorted == e2.sorted, "every epoch is a permutation of the corpus")
+    assert(e1 != e1.sorted, "epoch 1 must actually shuffle, not echo id order")
+  }
+
+  test("epochShuffle plans a range-partitioned distributed sort") {
+    val df = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val plan = SamplingOps.epochShuffle(df, "doc_id", 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"global order must range-partition, never single-task sort:\n$plan")
+  }
 }
