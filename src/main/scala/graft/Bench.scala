@@ -90,8 +90,18 @@ object Bench {
     * comparison entirely and let a 1.2×-inflated co-tenant window establish
     * itself as the new reference — exactly the ratchet [[RefRefreshSlack]]
     * exists to stop. Below this coverage (new scale, renamed corpus) there
-    * genuinely is nothing comparable and the run establishes the reference. */
-  private[graft] val MinRefCoverage = 0.9
+    * genuinely is nothing comparable and the run establishes the reference.
+    *
+    * 0.80, not the original 0.9: round 9 grew the corpus from 114 to 127
+    * queries during a multi-week degraded-host window in which no quiet
+    * refresh was possible, putting coverage at 114/127 ≈ 0.898 — one more
+    * growth round under the same conditions would have crossed 0.9 and
+    * re-opened the self-blessing hole from the other side. The threshold's
+    * only job is distinguishing "same corpus, grown" from "different
+    * corpus"; a reference covering 4 of 5 queries is still unambiguously
+    * the former, and the comparison math is coverage-proportional either
+    * way (both subtotals are over the intersection). */
+  private[graft] val MinRefCoverage = 0.80
 
   /** This run's subtotal and the committed reference's subtotal over the
     * queries BOTH cover, or `None` when coverage is below

@@ -106,6 +106,21 @@ class BenchSpec extends AnyFunSuite {
     val renamed = (1 to 110).map(i => s"r$i" -> 0.6)
     assert(Bench.coveredTotals(renamed, refs).isEmpty)
     assert(Bench.coveredTotals(Seq.empty, refs).isEmpty)
+    // The round-9 shape: a reference stuck at 114 queries (degraded host,
+    // no quiet refresh possible) against a corpus grown to 127 — 89.8 %
+    // coverage MUST stay comparable, else a polluted window self-blesses.
+    val refs114 = (1 to 114).map(i => s"q$i" -> 0.348).toMap
+    val run127 = (1 to 127).map(i => s"q$i" -> 0.63)
+    val cov127 = Bench.coveredTotals(run127, refs114)
+    assert(cov127.isDefined, "114/127 coverage must stay comparable")
+    assert(Bench.detailFileFor(subset = false, polluted = true, hasRefs = true,
+      coveredTotal = cov127.get._1, refTotal = Some(cov127.get._2))
+      == "BENCH_DETAILS_POLLUTED.json")
+    // ...while 4/5 of the queries sharing nothing with the reference is a
+    // different corpus: not comparable.
+    val mostlyRenamed = (1 to 100).map(i => s"r$i" -> 0.6) ++
+      (1 to 14).map(i => s"q$i" -> 0.6)
+    assert(Bench.coveredTotals(mostlyRenamed, refs114).isEmpty)
   }
 
   test("reference medians parse from the committed detail JSON, scale-matched") {
