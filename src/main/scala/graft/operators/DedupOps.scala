@@ -208,6 +208,155 @@ object DedupOps {
       .select(col(idCol), col("start_tok"), col("n_docs"))
   }
 
+  /** [[incrementalSpans]]' two-step result: flagged positions now, ledger
+    * append only after the caller's sink commit — the same write-then-
+    * commit protocol as [[PendingDedup]]. */
+  final class PendingSpanFlags private[operators] (
+      /** (id, start_tok, n_docs) positions in THIS batch whose span
+        * appears in ≥ minDocs distinct documents across ledger + batch. */
+      val flags: DataFrame,
+      commit: () => Unit) {
+    /** Append the batch's span frequencies to the ledger. Call ONLY after
+      * the batch's processed output is durably written. */
+    def commitLedger(): Unit = commit()
+  }
+
+  /** E109: INCREMENTAL duplicate-span detection — [[duplicateSpans]]
+    * against a persistent span-frequency ledger, so today's crawl is
+    * flagged against every span the corpus has EVER seen without
+    * re-reading the corpus (the q77/q104/q108/q119 ledger rule applied to
+    * its fifth space: exact fingerprints, band buckets, SRP buckets,
+    * cluster ids, and now span keys). The ledger holds one
+    * (spanKey → distinct-doc-count) row per committed batch per span —
+    * APPEND-only, read back as one sum-aggregate — so the per-batch cost
+    * is the batch's own span explode plus one key-grouped join against
+    * counts, never a corpus rescan.
+    *
+    * A span flags when ledgered + in-batch distinct docs reach `minDocs`;
+    * `n_docs` in the output is that combined count. Within-batch-only
+    * duplication therefore still flags exactly as the batch operator
+    * would. Contract: batch ids are NEW to the corpus (run the exact
+    * fingerprint ledger upstream, the same assumption every ledger
+    * operator here makes) — a re-ingested doc would double-count its own
+    * spans. `spanTokens` is pinned in ledger metadata with a loud drift
+    * refusal (a 4-token batch against an 8-token ledger would silently
+    * never collide); `minDocs` is a READ-time knob, deliberately not
+    * pinned — tightening the bar next epoch needs no ledger rebuild.
+    */
+  def incrementalSpans(
+      spark: SparkSession,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      ledgerDir: String,
+      spanTokens: Int,
+      minDocs: Int = 2): PendingSpanFlags =
+    spansCore(spark, batch, textCol, idCol, ledgerDir, spanTokens, minDocs,
+      epochToken = None)
+
+  /** Epoch-keyed [[incrementalSpans]] for at-least-once replayed callers
+    * (streaming foreachBatch): the batch's counts land in an
+    * `_graft_epoch=<token>` partition, the frequency read EXCLUDES the
+    * batch's own epoch, and the commit dynamically overwrites only that
+    * partition — a replayed batch reproduces identical flags instead of
+    * double-counting its own spans. */
+  def incrementalSpansEpoch(
+      spark: SparkSession,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      ledgerDir: String,
+      epochToken: String,
+      spanTokens: Int,
+      minDocs: Int = 2): PendingSpanFlags =
+    spansCore(spark, batch, textCol, idCol, ledgerDir, spanTokens, minDocs,
+      epochToken = Some(epochToken))
+
+  private val SpanMetaFile = "_graft_span_construction"
+
+  private def spansCore(
+      spark: SparkSession,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      ledgerDir: String,
+      spanTokens: Int,
+      minDocs: Int,
+      epochToken: Option[String]): PendingSpanFlags = {
+    require(spanTokens > 0, s"spanTokens must be positive: $spanTokens")
+    require(minDocs >= 2,
+      s"minDocs must be at least 2 (1 would flag every window): $minDocs")
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val params = s"spanTokens=$spanTokens"
+    val prior: Option[DataFrame] =
+      if (!fs.exists(ledgerPath)) None
+      else {
+        val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, SpanMetaFile)
+        if (fs.exists(metaPath)) {
+          val in = fs.open(metaPath)
+          val stored =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          if (stored != params)
+            throw new IllegalStateException(
+              s"span ledger at $ledgerDir was built with [$stored] but this ingest " +
+                s"windows with [$params] — duplicate spans would silently never " +
+                "collide. Use the ledger's width or rebuild it.")
+        }
+        Some(epochToken.fold(spark.read.parquet(ledgerDir))(t =>
+          spark.read.parquet(ledgerDir).filter(col("_graft_epoch") =!= t)))
+      }
+    // Pinned eagerly: every downstream frame must keep seeing the
+    // PRE-commit batch/ledger state even if evaluated after commitLedger.
+    val spans = batch
+      .select(col(idCol),
+        posexplode(TextFunctions.shingles(col(textCol), spanTokens))
+          .as(Seq("start_tok", "_graft_g")))
+      .select(col(idCol), col("start_tok").cast("int"),
+        xxhash64(col("_graft_g")).as("_graft_h1"),
+        TextFunctions.charHash(col("_graft_g")).as("_graft_h2"))
+      .localCheckpoint(true)
+    val batchCounts = spans
+      .groupBy(col("_graft_h1"), col("_graft_h2"))
+      .agg(countDistinct(col(idCol)).as("_graft_n"))
+      .localCheckpoint(true)
+    val totals = prior match {
+      case Some(l) =>
+        val ln = l.groupBy(col("_graft_h1"), col("_graft_h2"))
+          .agg(sum(col("_graft_n")).as("_graft_ln"))
+        batchCounts.join(ln, Seq("_graft_h1", "_graft_h2"), "left")
+          .withColumn("n_docs",
+            col("_graft_n") + coalesce(col("_graft_ln"), lit(0L)))
+      case None => batchCounts.withColumn("n_docs", col("_graft_n"))
+    }
+    val flags = spans
+      .join(totals.filter(col("n_docs") >= minDocs)
+          .select(col("_graft_h1"), col("_graft_h2"), col("n_docs")),
+        Seq("_graft_h1", "_graft_h2"))
+      .select(col(idCol), col("start_tok"), col("n_docs"))
+      .localCheckpoint(true)
+    new PendingSpanFlags(
+      flags,
+      () => {
+        epochToken match {
+          case None =>
+            batchCounts.write.mode(SaveMode.Append).parquet(ledgerDir)
+          case Some(t) =>
+            batchCounts.withColumn("_graft_epoch", lit(t))
+              .write.mode(SaveMode.Overwrite)
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("_graft_epoch")
+              .parquet(ledgerDir)
+        }
+        val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, SpanMetaFile)
+        if (!fs.exists(metaPath)) {
+          val outS = fs.create(metaPath, true)
+          try outS.write(params.getBytes("UTF-8")) finally outS.close()
+        }
+      })
+  }
+
   /** E106: span SURGERY — remove every [[duplicateSpans]]-flagged window
     * from the document and keep the rest, instead of purging the whole
     * document. Whole-doc near-dup purging over-applies to boilerplate: a

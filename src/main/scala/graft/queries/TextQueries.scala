@@ -132,6 +132,31 @@ object TextQueries {
     })
   }
 
+  /** q128's committed even-docs span-frequency ledger, keyed by input
+    * dir — the same build-once-per-dir fixture discipline as
+    * [[q104Ledger]]. */
+  private val q128Ledgers =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q128Ledger(s: SparkSession, dir: String): String = q128Ledgers.synchronized {
+    q128Ledgers.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_q128_ledger")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: Throwable => () }
+      }))
+      val path = root.resolve("spans").toString
+      val batch1 = Tables(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      graft.operators.DedupOps.incrementalSpans(
+        s, batch1, "text", "doc_id", path, spanTokens = 8)
+        .commitLedger()
+      path
+    })
+  }
+
   /** Per-(band,value) cap for the SimHash hamming-LSH query — organic max
     * bucket at sf1 is 71, so 200 never binds on non-degenerate data while
     * bounding candidate pairs linearly (see SimhashOps hazard 3). */
@@ -365,6 +390,19 @@ object TextQueries {
       graft.operators.DedupOps.scrubSpans(
         t(s, dir, "documents"), "text", "doc_id",
         spanTokens = 8, minDocs = 2)),
+
+    // E109 incremental duplicate-span detection: odd docs flagged against
+    // the committed even-docs span-frequency ledger — cross-batch span
+    // duplication the batch-local q124 pass cannot see. The ledger rule's
+    // fifth space (fingerprints, band buckets, SRP buckets, clusters,
+    // spans); see DedupOps.incrementalSpans.
+    "q128_incr_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ledger = q128Ledger(s, dir)
+      graft.operators.DedupOps.incrementalSpans(
+        s, docs.filter(col("doc_id") % 2 === 1), "text", "doc_id", ledger,
+        spanTokens = 8).flags
+    }),
 
     // E107 knob-free decontamination: q123's verified decision at the
     // width DERIVED from the train side's regime (E87 rule), gauge
@@ -924,6 +962,26 @@ object TextQueries {
                  coalesce(array_to_string(kept, ' '), '') AS clean_text,
                  CAST(len(toks) - len(kept) AS INT) AS n_removed
           FROM clean""",
+    // Ledger counts restated as the even side's per-gram distinct-doc
+    // counts; a flag needs even + odd distinct docs >= 2 and reports the
+    // combined count (the operator's n_docs contract).
+    "q128_incr_spans" ->
+      s"""WITH tk AS (SELECT doc_id, $TokSql AS toks FROM documents),
+          sp AS (
+            SELECT doc_id, CAST(i - 1 AS INT) AS start_tok,
+                   array_to_string(toks[i:i+7], ' ') AS g
+            FROM tk, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)),
+          ec AS (
+            SELECT g, count(DISTINCT doc_id) AS n FROM sp
+            WHERE doc_id % 2 = 0 GROUP BY g),
+          osp AS (SELECT * FROM sp WHERE doc_id % 2 = 1),
+          oc AS (SELECT g, count(DISTINCT doc_id) AS n FROM osp GROUP BY g),
+          tot AS (
+            SELECT oc.g, oc.n + coalesce(ec.n, 0) AS n_docs
+            FROM oc LEFT JOIN ec USING (g)
+            WHERE oc.n + coalesce(ec.n, 0) >= 2)
+          SELECT osp.doc_id, osp.start_tok, tot.n_docs
+          FROM osp JOIN tot USING (g)""",
     // q123's construction re-pinned at the auto-derived 4-gram width
     // (headroom=200 holds the derivation at 4 across all fixture scales;
     // the Spark side REQUIREs the match before running).

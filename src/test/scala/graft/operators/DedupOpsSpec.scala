@@ -132,6 +132,66 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(out == ((1L, "solo doc with runs of spaces", 0)))
   }
 
+  test("incrementalSpans flags across committed batches, not just within one") {
+    val ledger = Files.createTempDirectory("span_ledger").resolve("spans").toString
+    val b1 = Seq(
+      (1L, "the shared legal header text plus body one"),
+      (2L, "completely unrelated first batch content here")).toDF("doc_id", "text")
+    val p1 = DedupOps.incrementalSpans(spark, b1, "text", "doc_id", ledger,
+      spanTokens = 5)
+    // Nothing repeats within batch 1: no flags yet.
+    assert(p1.flags.count() == 0L)
+    p1.commitLedger()
+
+    // Batch 2 reuses batch 1's header — the batch-local operator would see
+    // ONE doc and stay silent; the ledger makes it flag at n_docs = 2.
+    val b2 = Seq(
+      (3L, "intro words the shared legal header text trailing")).toDF("doc_id", "text")
+    val p2 = DedupOps.incrementalSpans(spark, b2, "text", "doc_id", ledger,
+      spanTokens = 5)
+    val flags = p2.flags.as[(Long, Int, Long)].collect().toSet
+    assert(flags == Set((3L, 2, 2L)),
+      s"header span at doc3 position 2 must flag with combined count 2, got $flags")
+    assert(DedupOps.duplicateSpans(b2, "text", "doc_id", spanTokens = 5)
+      .count() == 0L, "the batch-local operator alone cannot see the ledgered copy")
+
+    // A batch whose commit never ran (crash before sink write finished)
+    // reproduces identical flags on retry.
+    val retry = DedupOps.incrementalSpans(spark, b2, "text", "doc_id", ledger,
+      spanTokens = 5)
+    assert(retry.flags.as[(Long, Int, Long)].collect().toSet == flags)
+  }
+
+  test("incrementalSpans refuses a construction-drifted ledger loudly") {
+    val ledger = Files.createTempDirectory("span_drift").resolve("spans").toString
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    DedupOps.incrementalSpans(spark, b1, "text", "doc_id", ledger, spanTokens = 3)
+      .commitLedger()
+    val e = intercept[IllegalStateException] {
+      DedupOps.incrementalSpans(spark, b1, "text", "doc_id", ledger, spanTokens = 4)
+    }
+    assert(e.getMessage.contains("spanTokens=3"), e.getMessage)
+  }
+
+  test("incrementalSpansEpoch: a replayed epoch never double-counts its own spans") {
+    val ledger = Files.createTempDirectory("span_epoch").resolve("spans").toString
+    val b1 = Seq((1L, "one two three four five")).toDF("doc_id", "text")
+    DedupOps.incrementalSpansEpoch(spark, b1, "text", "doc_id", ledger, "e1",
+      spanTokens = 5).commitLedger()
+    // Replay of epoch e1 AFTER its commit: the read excludes the epoch's
+    // own partition, so the single-doc span must NOT flag against itself.
+    val replay = DedupOps.incrementalSpansEpoch(spark, b1, "text", "doc_id",
+      ledger, "e1", spanTokens = 5)
+    assert(replay.flags.count() == 0L,
+      "a replayed batch must not collide with its own committed counts")
+    replay.commitLedger() // dynamic overwrite of e1, not a duplicate append
+    // A genuinely new epoch sharing the span DOES flag.
+    val b2 = Seq((2L, "one two three four five")).toDF("doc_id", "text")
+    val p2 = DedupOps.incrementalSpansEpoch(spark, b2, "text", "doc_id",
+      ledger, "e2", spanTokens = 5)
+    assert(p2.flags.as[(Long, Int, Long)].collect().toSet == Set((2L, 0, 2L)))
+  }
+
   private implicit class TripleOps[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
