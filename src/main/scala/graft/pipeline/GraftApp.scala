@@ -59,11 +59,15 @@ object GraftApp {
       exportDir: Option[String] = None,
       contentCols: Seq[String] = Seq("text"),
       nShards: Int = 16,
-      seed: Long = 7L)
+      seed: Long = 7L,
+      scrubSpans: Boolean = false,
+      spanTokens: Int = 8,
+      minDocs: Int = 2,
+      epochShuffle: Option[Long] = None)
 
   /** Valueless flags (presence = true). */
   private val boolFlags = Set("strict", "stream", "compact-ledger", "fold-epochs",
-    "export-shards", "verify-export")
+    "export-shards", "verify-export", "scrub-spans")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -92,12 +96,15 @@ object GraftApp {
           "[--vec-col C] [--min-cos X] [--k N]] | [--compact-ledger --ledger P] | " +
           "[--fold-epochs --ledger P --checkpoint P] | " +
           "[--export-shards --export-dir P [--content-cols a,b] [--shards N] [--seed S]] | " +
-          "[--verify-export --export-dir P [--content-cols a,b] [--seed S]]")
+          "[--verify-export --export-dir P [--content-cols a,b] [--seed S]] | " +
+          "[--scrub-spans [--span-tokens N] [--min-docs N]] | " +
+          "[--epoch-shuffle E]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
       "ledger", "checkpoint", "text-col", "id-col",
       "dedup", "vec-col", "min-cos", "k",
-      "export-dir", "content-cols", "shards", "seed") ++ boolFlags
+      "export-dir", "content-cols", "shards", "seed",
+      "span-tokens", "min-docs", "epoch-shuffle") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
     if (unknown.nonEmpty)
@@ -141,7 +148,11 @@ object GraftApp {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq("text")),
       nShards = flags.get("shards").map(_.toInt).getOrElse(16),
-      seed = flags.get("seed").map(_.toLong).getOrElse(7L))
+      seed = flags.get("seed").map(_.toLong).getOrElse(7L),
+      scrubSpans = flags.contains("scrub-spans"),
+      spanTokens = flags.get("span-tokens").map(_.toInt).getOrElse(8),
+      minDocs = flags.get("min-docs").map(_.toInt).getOrElse(2),
+      epochShuffle = flags.get("epoch-shuffle").map(_.toLong))
   }
 
   /** Testable core; returns the process exit code. */
@@ -205,6 +216,36 @@ object GraftApp {
       }
       graft.operators.ExportOps.verifyShards(spark, dir, a.idCol, a.contentCols, a.seed)
       out(s"VERIFY_EXPORT_ dir=$dir OK")
+      return 0
+    }
+
+    // Curation batch modes: read the table from the source side, apply the
+    // operator, write the result through the sink side — the same per-side
+    // endpoint resolution as the copy path, so `--source parquet:… --sink
+    // parquet:…` works without any env config. Span surgery rewrites the
+    // corpus minus cross-document duplicate windows (DedupOps.scrubSpans);
+    // epoch shuffle writes the reproducible epoch ORDER (part files land
+    // in range-partition order — the concatenation is the epoch's order).
+    if (a.scrubSpans || a.epochShuffle.isDefined) {
+      require(!(a.scrubSpans && a.epochShuffle.isDefined),
+        "--scrub-spans and --epoch-shuffle are separate modes; run them as two passes")
+      val src = a.sourceOverride
+        .map(PipelineConfig.parseEndpoint).map { case (f, l) => Connectors.source(f, l) }
+        .getOrElse(PipelineConfig.loadEndpoint(a.env, "SOURCE", getenv).asSource)
+      val sink = a.sinkOverride
+        .map(PipelineConfig.parseEndpoint).map { case (f, l) => Connectors.sink(f, l) }
+        .getOrElse(PipelineConfig.loadEndpoint(a.env, "TARGET", getenv).asSink)
+      val df = src.read(spark, a.tableArg)
+      if (a.scrubSpans) {
+        sink.write(graft.operators.DedupOps.scrubSpans(
+          df, a.textCol, a.idCol, a.spanTokens, a.minDocs), a.tableArg, a.mode)
+        out(s"SCRUB_SPANS_ table=${a.tableArg} spanTokens=${a.spanTokens} minDocs=${a.minDocs}")
+      } else {
+        val epoch = a.epochShuffle.get
+        sink.write(graft.operators.SamplingOps.epochShuffle(df, a.idCol, epoch),
+          a.tableArg, a.mode)
+        out(s"EPOCH_SHUFFLE_ table=${a.tableArg} epoch=$epoch")
+      }
       return 0
     }
 

@@ -229,6 +229,49 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
     }
   }
 
+  test("--scrub-spans and --epoch-shuffle run as sourced batch passes") {
+    val src = Files.createTempDirectory("cur_src")
+    val dst = Files.createTempDirectory("cur_dst")
+    // Two docs sharing a 3-token boilerplate prefix + one clean doc.
+    Seq(
+      (1L, "shared legal header unique tail one"),
+      (2L, "shared legal header other words two"),
+      (3L, "entirely different content")).toDF("doc_id", "text")
+      .write.mode(SaveMode.Overwrite).parquet(s"$src/documents")
+
+    def cli(extra: String*): (Int, Seq[String]) = {
+      val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val args = GraftApp.parseArgs(Seq(
+        "dev", "documents", "--source", s"parquet:$src",
+        "--sink", s"parquet:$dst", "--mode", "overwrite") ++ extra)
+      val code = GraftApp.run(args, spark, getenv = _ => None,
+        out = outs.append(_), log = _ => ())
+      (code, outs.toSeq)
+    }
+
+    val (c1, l1) = cli("--scrub-spans", "--span-tokens", "3")
+    assert(c1 == 0 && l1.exists(_.startsWith("SCRUB_SPANS_")), l1.mkString("; "))
+    val scrubbed = spark.read.parquet(s"$dst/documents")
+      .as[(Long, String, Int)].collect().toMap2
+    assert(scrubbed(1L) == ("unique tail one", 3))
+    assert(scrubbed(2L) == ("other words two", 3))
+    assert(scrubbed(3L) == ("entirely different content", 0))
+
+    val (c2, l2) = cli("--epoch-shuffle", "2")
+    assert(c2 == 0 && l2.exists(_.startsWith("EPOCH_SHUFFLE_")), l2.mkString("; "))
+    val shuffled = spark.read.parquet(s"$dst/documents")
+    assert(shuffled.columns.contains("shuffle_key"))
+    assert(shuffled.count() == 3L)
+
+    // The two curation modes are separate passes, never one.
+    intercept[IllegalArgumentException](
+      cli("--scrub-spans", "--epoch-shuffle", "2"))
+  }
+
+  private implicit class TripleRows[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
   test("arg parsing: usage errors and flag forms") {
     intercept[IllegalArgumentException](GraftApp.parseArgs(Seq("dev")))
     intercept[IllegalArgumentException](GraftApp.parseArgs(Seq("dev", "all", "--mode", "upsert")))
