@@ -221,6 +221,16 @@ object Bench {
       }
     }
     val calibPre = calibrate()
+    // SPARK_GRAFT_CALIB_ONLY: print the calibration reading and exit —
+    // the ~30 s host-health poll a builder runs BEFORE spending an
+    // 8-minute corpus window on a machine that round 9 showed can sit
+    // 1.5× degraded for days (idle-machine baseline: ~1.12 s). Never
+    // writes any BENCH file.
+    if (sys.env.contains("SPARK_GRAFT_CALIB_ONLY")) {
+      println(f"""{"metric":"calib_only","calib":$calibPre%.3f,"idle_baseline":1.12}""")
+      spark.stop()
+      return
+    }
     // Fixed name order so per-query timings are comparable across rounds.
     // SPARK_GRAFT_QUERIES (comma-separated full names or qNN prefixes)
     // restricts the run — the scale-measurement path (BASELINE.md round 5)
