@@ -41,6 +41,7 @@ object LshRegime {
     if (args.length > 1 && args(1) == "spans") { spans(spark, dir); return }
     if (args.length > 1 && args(1) == "contamauto") { contamAuto(spark, dir); return }
     if (args.length > 1 && args(1) == "shuffleorder") { shuffleOrder(spark, dir); return }
+    if (args.length > 1 && args(1) == "spansincr") { spansIncr(spark, dir); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -348,6 +349,32 @@ object LshRegime {
       f"""{"metric":"spans","docs":${docs.count()},"flaggedPositions":$flagged,""" +
         f""""scrubbedDocs":$removedDocs,"detectSecs":${(t1 - t0) / 1e9}%.2f,""" +
         f""""scrubSecs":${(t2 - t1) / 1e9}%.2f}""")
+    spark.stop()
+  }
+
+  /** E109 probe: incremental span ingest — evens committed as the
+    * span-frequency ledger, odds flagged against it. The batch wall must
+    * track the BATCH's span volume (one explode + one key-grouped join
+    * against summed counts), never the ledger's row count — the
+    * append-only ledger grows with corpus history and the sum-aggregate
+    * is the only thing that reads it. */
+  private def spansIncr(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_regime_spansincr").resolve("spans").toString
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    operators.DedupOps.incrementalSpans(
+      spark, evens, "text", "doc_id", ledgerDir, spanTokens = 8).commitLedger()
+    val t0 = System.nanoTime()
+    val pending = operators.DedupOps.incrementalSpans(
+      spark, odds, "text", "doc_id", ledgerDir, spanTokens = 8)
+    val nFlags = pending.flags.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"metric":"spans_incr","batch":${odds.count()},"flaggedPositions":$nFlags,""" +
+        f""""secs":$secs%.2f}""")
     spark.stop()
   }
 

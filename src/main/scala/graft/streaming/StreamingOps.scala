@@ -114,6 +114,36 @@ object StreamingOps {
       pending.commitLedger()
     }
 
+  /** Streaming duplicate-SPAN flagging with cross-run frequencies — the
+    * span-ledger member of the foreachBatch family, built on
+    * [[graft.operators.DedupOps.incrementalSpansEpoch]]: every
+    * micro-batch's token windows are counted against the persistent
+    * span-frequency ledger, positions whose span reaches `minDocs`
+    * distinct documents across corpus history + batch are emitted as
+    * (id, start_tok, n_docs) FLAG rows through the epoch-keyed idempotent
+    * sink (the audit output a downstream scrub pass consumes), then the
+    * batch's counts commit into the ledger's epoch partition. Replay-safe
+    * under the same write-then-commit + own-epoch-exclusion protocol as
+    * the dedup twins; same foreign-epoch checkpoint-reset guard. */
+  def foreachBatchLedgerSpans(
+      writer: DataStreamWriter[Row],
+      textCol: String,
+      idCol: String,
+      ledgerDir: String,
+      sink: IdempotentSink,
+      table: String,
+      spanTokens: Int = 8,
+      minDocs: Int = 2): DataStreamWriter[Row] =
+    writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      assertNoForeignEpochs(batch, ledgerDir, batchId)
+      val token = s"epoch$batchId"
+      val pending = graft.operators.DedupOps.incrementalSpansEpoch(
+        batch.sparkSession, batch, textCol, idCol, ledgerDir, token,
+        spanTokens, minDocs)
+      sink.writeBatch(pending.flags, table, token)
+      pending.commitLedger()
+    }
+
   /** Streaming corpus ingest with cross-run NEAR-dup (round 6) — the
     * band-ledger twin of [[foreachBatchLedgerDedup]]: every micro-batch is
     * MinHash-banded, docs colliding with the ledgered corpus buckets are

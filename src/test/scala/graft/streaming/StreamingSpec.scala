@@ -252,6 +252,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming span flagging: ledger surfaces cross-epoch duplicate spans, replay is exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_stream_spans")
+    val sink = Connectors.IdempotentParquetSink(s"$base/out")
+    val ledger = s"$base/ledger"
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.foreachBatchLedgerSpans(
+      mem.toDF().toDF("doc_id", "text").writeStream,
+      "text", "doc_id", ledger, sink, "flags", spanTokens = 5).start()
+    try {
+      // Batch 0: no span repeats across its two docs — zero flags.
+      mem.addData(
+        (1L, "the shared legal header text plus body one"),
+        (2L, "completely unrelated first epoch content words"))
+      q.processAllAvailable()
+      // Batch 1: reuses batch 0's header — flags via the LEDGER (a
+      // batch-local pass sees one doc and stays silent).
+      mem.addData((3L, "intro words the shared legal header text trailing"))
+      q.processAllAvailable()
+      def flags() = spark.read.parquet(s"$base/out/flags")
+        .select($"doc_id", $"start_tok", $"n_docs")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(flags() == Set((3L, 2, 2L)),
+        s"cross-epoch header span must flag once, got ${flags()}")
+      // At-least-once redelivery of epoch 1: same batch, same token —
+      // identical flags (own-epoch counts excluded), idempotent sink
+      // lands on itself.
+      val pending = graft.operators.DedupOps.incrementalSpansEpoch(
+        spark,
+        Seq((3L, "intro words the shared legal header text trailing"))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", ledger, "epoch1", spanTokens = 5)
+      sink.writeBatch(pending.flags, "flags", "epoch1")
+      pending.commitLedger()
+      assert(flags() == Set((3L, 2, 2L)),
+        "a replayed epoch must reproduce identical flags, not double-count")
+    } finally q.stop()
+  }
+
   test("streaming NEAR-dup ingest: band-ledger collisions drop, epoch replay is exact") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft_stream_neardup")
