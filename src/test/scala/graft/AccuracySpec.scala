@@ -144,4 +144,47 @@ class AccuracySpec extends AnyFunSuite {
     val ms = stamps.head.getTime
     assert(ms >= t0 && ms <= t1, s"stamp $ms outside [$t0, $t1]")
   }
+
+  test("contamination recall: every true cross-pair at jaccard >= 0.9 is found (q123/q126)") {
+    // The LSH stage is probabilistic, so the oracle can only confirm WHAT
+    // the construction emits — this gate pins how much it MISSES. Ground
+    // truth: exact all-pairs 3-gram Jaccard between the two fixture sides
+    // (affordable at sf0.001 only — this is precisely the quadratic pass
+    // the banded construction exists to avoid at scale). bandRecall(0.9,
+    // 4, 4) > 0.95 per pair; the fixture's qualifying pairs are all
+    // EXACT duplicates (jaccard 1.0), where recall is certainty.
+    import graft.functions.TextFunctions.{charHash, shingles, tokens}
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+    def side(par: Int) = docs.filter($"doc_id" % 2 === par)
+      .filter(size(tokens($"text")) >= 3)
+      .select($"doc_id",
+        array_distinct(transform(shingles($"text", 3), g => charHash(g))).as("hs"))
+    val inter = size(array_intersect($"hs_t", $"hs_r"))
+    val truth = side(0).withColumnsRenamed(Map("doc_id" -> "train_id", "hs" -> "hs_t"))
+      .crossJoin(side(1).withColumnsRenamed(Map("doc_id" -> "ref_id", "hs" -> "hs_r")))
+      .withColumn("j",
+        inter.cast("double") / (size($"hs_t") + size($"hs_r") - inter))
+      .filter($"j" >= 0.9)
+      .select($"train_id", $"ref_id").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture must contain cross-side near-dups for this gate to bite")
+    val found = SparkEntry.queries("q123_contamination_verified")(spark, dir)
+      .select($"train_id", $"ref_id").as[(Long, Long)].collect().toSet
+    val missed = truth -- found
+    assert(missed.isEmpty,
+      s"${missed.size}/${truth.size} true contamination pairs at j>=0.9 missed: " +
+        missed.take(5).mkString(", "))
+    // The knob-free q126 variant verifies at its own derived width — its
+    // DECISIONS must still cover every exact-duplicate pair (j = 1.0 at
+    // ANY n-gram width; band collision is certain for identical docs).
+    val exactDups = side(0).withColumnsRenamed(Map("doc_id" -> "train_id", "hs" -> "hs_t"))
+      .crossJoin(side(1).withColumnsRenamed(Map("doc_id" -> "ref_id", "hs" -> "hs_r")))
+      .filter(inter === size($"hs_t") && inter === size($"hs_r"))
+      .select($"train_id", $"ref_id").as[(Long, Long)].collect().toSet
+    val foundAuto = SparkEntry.queries("q126_contamination_auto")(spark, dir)
+      .select($"train_id", $"ref_id").as[(Long, Long)].collect().toSet
+    val missedAuto = exactDups -- foundAuto
+    assert(missedAuto.isEmpty,
+      s"${missedAuto.size}/${exactDups.size} exact-dup pairs missed at the derived width")
+  }
 }
