@@ -110,4 +110,145 @@ object Multimodal {
       .map(r => MediaRow(r.media_id, r.payload.take(maxBytes)))
       .toDF("media_id", "payload")
   }
+
+  final case class MediaEmbedding(media_id: Long, embedding: Array[Float])
+
+  /** Image FEATURE EXTRACTION — the bridge from the opaque-binary column
+    * to the ANN/dedup family: decode, downscale to a `grid`×`grid` mean-
+    * luminance thumbnail, L2-normalize → an `Array[Float]` embedding the
+    * vector operators (cosine KNN, SRP near-dup, SemDeDup) consume
+    * directly. A grayscale thumbnail is the classic perceptual-hash
+    * feature (aHash's real-valued parent): near-identical images — crops
+    * aside — land at cosine ≈ 1, unrelated images decorrelate. Real
+    * `javax.imageio` decode for PNG/JPEG/GIF/BMP; non-image payloads get
+    * the deterministic stub vector so a mixed corpus keeps flowing
+    * (filter on `decodeMeta().format` upstream to exclude them).
+    *
+    * Narrow map, per-partition decoder init, only (id, g² floats) flows
+    * onward — at 100 TB of images this is the step that turns a binary
+    * lake into a 64-float-per-row table every downstream dedup runs on.
+    */
+  def imageEmbedding(
+      spark: SparkSession,
+      media: DataFrame,
+      grid: Int = 8): Dataset[MediaEmbedding] = {
+    import spark.implicits._
+    require(grid > 0, s"grid must be positive: $grid")
+    media.as[MediaRow].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = sniffImageFormat(r.payload).flatMap(_ =>
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))))
+        val vec = img match {
+          case Some(im) =>
+            val (w, h) = (im.getWidth, im.getHeight)
+            val sums = new Array[Double](grid * grid)
+            val counts = new Array[Long](grid * grid)
+            var y = 0
+            while (y < h) {
+              val gy = math.min(y * grid / h, grid - 1)
+              var x = 0
+              while (x < w) {
+                val gx = math.min(x * grid / w, grid - 1)
+                val rgb = im.getRGB(x, y)
+                // ITU-R BT.601 luma weights.
+                val lum = 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                sums(gy * grid + gx) += lum
+                counts(gy * grid + gx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            sums.indices.map(i =>
+              if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat).toArray
+          case None =>
+            // Deterministic stub: a payload-hash-seeded vector, so mixed
+            // corpora stay runnable end to end.
+            val h0 = r.payload.foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+            Array.tabulate(grid * grid)(i =>
+              (((h0 * (i + 1) + 7919L * i) % 1000L).toFloat / 1000f))
+        }
+        val norm = math.sqrt(vec.foldLeft(0.0)((a, v) => a + v.toDouble * v)).toFloat
+        MediaEmbedding(r.media_id,
+          if (norm == 0f) vec else vec.map(_ / norm))
+      }
+    }
+  }
+
+  final case class AudioMeta(
+      media_id: Long,
+      sample_rate: Int,
+      n_frames: Long,
+      channels: Int,
+      format: String,
+      envelope: Array[Float])
+
+  /** Audio decode + amplitude-envelope extraction. WAV/PCM decode is REAL:
+    * `javax.sound.sampled` ships with the JDK, so RIFF/WAVE payloads go
+    * through `AudioSystem` (no external codec needed) — sample rate, frame
+    * count, and channel layout from the actual header, and the envelope is
+    * the per-bin mean |amplitude| of the decoded 16-bit PCM, normalized to
+    * [0, 1]. The envelope is the cheapest useful audio feature: silence
+    * detection, clipping detection, and coarse content fingerprinting for
+    * the dedup family all read it. Non-audio payloads take the
+    * deterministic stub (compressed codecs — MP3/AAC/Opus — do not exist
+    * in this environment; at production scale this map body swaps in a
+    * real decoder, the Spark plumbing is unchanged). Narrow map, same
+    * batch shape as [[decodeMeta]].
+    */
+  def audioEnvelope(
+      spark: SparkSession,
+      media: DataFrame,
+      bins: Int = 16): Dataset[AudioMeta] = {
+    import spark.implicits._
+    require(bins > 0, s"bins must be positive: $bins")
+    def isRiffWave(b: Array[Byte]): Boolean =
+      b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val decoded =
+          if (!isRiffWave(r.payload)) None
+          else scala.util.Try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            try {
+              val fmt = in.getFormat
+              val frameSize = fmt.getFrameSize
+              val nFrames = in.getFrameLength
+              val all = in.readAllBytes()
+              val bytesPerSample = fmt.getSampleSizeInBits / 8
+              val ch = fmt.getChannels
+              val sums = new Array[Double](bins)
+              val counts = new Array[Long](bins)
+              val totalFrames = math.max(all.length / math.max(frameSize, 1), 1)
+              var f = 0
+              while (f < all.length / math.max(frameSize, 1)) {
+                // First channel's sample, 16-bit little-endian PCM.
+                val off = f * frameSize
+                val amp =
+                  if (bytesPerSample == 2 && off + 1 < all.length)
+                    math.abs(((all(off + 1) << 8) | (all(off) & 0xff)).toDouble / 32768.0)
+                  else if (bytesPerSample == 1 && off < all.length)
+                    math.abs(((all(off) & 0xff) - 128).toDouble / 128.0)
+                  else 0.0
+                val bin = math.min(f * bins / totalFrames, bins - 1)
+                sums(bin) += amp
+                counts(bin) += 1
+                f += 1
+              }
+              AudioMeta(r.media_id, fmt.getSampleRate.toInt, nFrames, ch, "wav",
+                sums.indices.map(i =>
+                  if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat).toArray)
+            } finally in.close()
+          }.toOption
+        decoded.getOrElse {
+          val h0 = r.payload.foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+          AudioMeta(r.media_id, 16000, r.payload.length.toLong, 1, "stub",
+            Array.tabulate(bins)(i => ((h0 * (i + 1)) % 1000L).toFloat / 1000f))
+        }
+      }
+    }
+  }
 }

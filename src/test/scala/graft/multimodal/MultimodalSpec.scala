@@ -80,4 +80,89 @@ class MultimodalSpec extends AnyFunSuite {
     assert(maxLen <= 100)
     assert(resized.schema("payload").dataType.typeName == "binary")
   }
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    d / (na * nb)
+  }
+
+  test("imageEmbedding: near-identical images land at cosine ~1, unrelated decorrelate") {
+    def gradientPng(flip: Boolean, blemish: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 32; y <- 0 until 32) {
+        val v = if (flip) 255 - (x * 8 + y) % 256 else (x * 8 + y) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      if (blemish) img.setRGB(5, 5, 0xff0000) // one-pixel edit
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, gradientPng(flip = false, blemish = false)),
+      (2L, gradientPng(flip = false, blemish = true)), // near-dup of 1
+      (3L, gradientPng(flip = true, blemish = false))  // inverted: unrelated
+    ).toDF("media_id", "payload")
+    val embs = Multimodal.imageEmbedding(spark, df, grid = 8)
+      .collect().map(e => e.media_id -> e.embedding).toMap
+    assert(embs.values.forall(_.length == 64))
+    assert(embs.values.forall(v =>
+      math.abs(math.sqrt(v.map(x => x.toDouble * x).sum) - 1.0) < 1e-4),
+      "embeddings must be L2-normalized")
+    val near = cos(embs(1L), embs(2L))
+    val far = cos(embs(1L), embs(3L))
+    assert(near > 0.999, s"one-pixel edit must stay near-identical: $near")
+    assert(near > far + 0.05, s"inverted image must decorrelate: near=$near far=$far")
+  }
+
+  test("imageEmbedding feeds the native vector operators (the ANN bridge)") {
+    val img1 = pngBytes(16, 16)
+    val df = Seq((1L, img1), (2L, img1), (3L, "other payload".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val embs = Multimodal.imageEmbedding(spark, df).toDF("media_id", "embedding")
+    // Exact-duplicate payloads must be cosine-1 under the NATIVE expression
+    // — the handshake the SRP/KNN/SemDeDup family consumes.
+    val c = embs.as("a").join(embs.as("b"),
+        $"a.media_id" === 1L && $"b.media_id" === 2L)
+      .select(graft.functions.VectorFunctions.cosine(
+        $"a.embedding", $"b.embedding").as("c"))
+      .as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-6, s"identical images must be cosine 1, got $c")
+  }
+
+  test("audioEnvelope really decodes WAV via javax.sound: header + silence/tone envelope") {
+    def wavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // 8000 samples at 8 kHz: first half silence, second half a loud square.
+    val samples = Array.tabulate[Short](8000)(i =>
+      if (i < 4000) 0 else if ((i / 8) % 2 == 0) 30000 else -30000)
+    val df = Seq(
+      (1L, wavBytes(8000, samples)),
+      (2L, "definitely not audio".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val metas = Multimodal.audioEnvelope(spark, df, bins = 8)
+      .collect().map(m => m.media_id -> m).toMap
+    val wav = metas(1L)
+    assert(wav.format == "wav" && wav.sample_rate == 8000 && wav.channels == 1)
+    assert(wav.n_frames == 8000L)
+    val env = wav.envelope
+    assert(env.length == 8)
+    assert(env.take(4).forall(_ < 0.01), s"first half must be silence: ${env.toSeq}")
+    assert(env.drop(4).forall(_ > 0.8), s"second half must be loud: ${env.toSeq}")
+    assert(metas(2L).format == "stub", "non-audio payloads take the stub path")
+  }
 }
