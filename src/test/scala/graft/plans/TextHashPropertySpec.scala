@@ -85,4 +85,26 @@ class TextHashPropertySpec extends AnyFunSuite {
         (v & ((1L << 30) - 1)) == TextHash.simhash30(hs)
     })
   }
+
+  test("epoch-shuffle multiplier is a bijection of Z_p at every epoch") {
+    val p = 1000000007L
+    val a = 2654435761L % p
+    def mult(epoch: Long): Long =
+      BigInt(a).modPow(BigInt(epoch + 1L), BigInt(p)).toLong
+    // The multiplier is never 0 mod the prime (a is coprime to p), so
+    // id -> id*A_e mod p is injective on [0, p): distinct ids below p can
+    // never share a key. And distinct epochs give distinct multipliers
+    // within the generator's period — spot-checked over a realistic range.
+    val epochs = Gen.chooseNum(0L, 10000L)
+    run("mult nonzero", Prop.forAll(epochs)(e => mult(e) != 0L))
+    run("injective per epoch",
+      Prop.forAll(epochs, Gen.chooseNum(0L, p - 1), Gen.chooseNum(0L, p - 1)) {
+        (e, id1, id2) =>
+          val m = BigInt(mult(e))
+          id1 == id2 ||
+            (BigInt(id1) * m % p) != (BigInt(id2) * m % p)
+      })
+    run("epochs decorrelate",
+      Prop.forAll(epochs, epochs)((e1, e2) => e1 == e2 || mult(e1) != mult(e2)))
+  }
 }
