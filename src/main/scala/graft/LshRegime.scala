@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object LshRegime {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | semincr | wsample | contam | chunk]")
+      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | semincr | wsample | contam | contamauto | chunk | spans | spansincr | shuffleorder]")
     val dir = args(0)
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
@@ -266,11 +266,16 @@ object LshRegime {
     val train = docs.filter(!isRef)
     val ref = docs.filter(isRef)
     val t0 = System.nanoTime()
-    val candidates = operators.LshOps
-      .crossCorpusPairs(train, ref, "text", "doc_id").count()
+    // Mine once, verify the SAME pairs frame: verifiedSecs must be the
+    // verification DELTA (linear in candidate count), not a re-run of the
+    // banding stage — re-mining inside the verify leg would misattribute
+    // a superlinear candidate stage to verification.
+    val pairs = operators.LshOps
+      .crossCorpusPairs(train, ref, "text", "doc_id").localCheckpoint(true)
+    val candidates = pairs.count()
     val t1 = System.nanoTime()
     val verified = operators.LshOps
-      .verifiedContamination(train, ref, "text", "doc_id", minJaccard = 0.5)
+      .verifyPairs(pairs, train, ref, "text", "doc_id", 3, minJaccard = 0.5)
       .count()
     val t2 = System.nanoTime()
     println(
@@ -294,10 +299,14 @@ object LshRegime {
     val ref = docs.filter(isRef)
     val t0 = System.nanoTime()
     val auto = operators.LshOps.crossCorpusPairsAuto(train, ref, "text", "doc_id")
-    val candidates = auto.pairs.count()
+    val pairs = auto.pairs.localCheckpoint(true)
+    val candidates = pairs.count()
     val t1 = System.nanoTime()
+    // Same mine-once rule as [[contam]]: verify the pinned pairs frame at
+    // the derived width instead of re-running derivation + banding.
     val verified = operators.LshOps
-      .verifiedContaminationAuto(train, ref, "text", "doc_id", minJaccard = 0.5)
+      .verifyPairs(pairs, train, ref, "text", "doc_id", auto.shingleN,
+        minJaccard = 0.5)
       .count()
     val t2 = System.nanoTime()
     println(

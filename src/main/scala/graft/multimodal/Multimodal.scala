@@ -137,8 +137,12 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
+        // Try, not just Option: a TRUNCATED image passes the magic-byte
+        // sniff and then throws IIOException mid-decode — at crawl scale
+        // one damaged file must fall to the stub, never kill the job.
         val img = sniffImageFormat(r.payload).flatMap(_ =>
-          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))))
+          scala.util.Try(Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload)))).toOption.flatten)
         val vec = img match {
           case Some(im) =>
             val (w, h) = (im.getWidth, im.getHeight)
@@ -162,18 +166,31 @@ object Multimodal {
             }
             sums.indices.map(i =>
               if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat).toArray
-          case None =>
-            // Deterministic stub: a payload-hash-seeded vector, so mixed
-            // corpora stay runnable end to end.
-            val h0 = r.payload.foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
-            Array.tabulate(grid * grid)(i =>
-              (((h0 * (i + 1) + 7919L * i) % 1000L).toFloat / 1000f))
+          case None => stubVec(r.payload, grid * grid)
         }
         val norm = math.sqrt(vec.foldLeft(0.0)((a, v) => a + v.toDouble * v)).toFloat
-        MediaEmbedding(r.media_id,
-          if (norm == 0f) vec else vec.map(_ / norm))
+        // A zero-luminance (all-black) image has no structure to embed and
+        // a zero vector would poison every downstream cosine with NaN —
+        // take the payload-derived stub like any other undecodable input,
+        // keeping the L2-normalized contract total.
+        val unit =
+          if (norm == 0f) {
+            val s = stubVec(r.payload, grid * grid)
+            val sn = math.sqrt(s.foldLeft(0.0)((a, v) => a + v.toDouble * v)).toFloat
+            s.map(_ / sn)
+          } else vec.map(_ / norm)
+        MediaEmbedding(r.media_id, unit)
       }
     }
+  }
+
+  /** Deterministic payload-hash-seeded vector — the fallback that keeps a
+    * mixed/damaged corpus flowing end to end. Strictly positive entries,
+    * so its norm is never zero. */
+  private def stubVec(payload: Array[Byte], dim: Int): Array[Float] = {
+    val h0 = payload.foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+    Array.tabulate(dim)(i =>
+      (((h0 * (i + 1) + 7919L * i) % 1000L).toFloat + 1f) / 1001f)
   }
 
   final case class AudioMeta(
@@ -215,24 +232,42 @@ object Multimodal {
               new java.io.ByteArrayInputStream(r.payload))
             try {
               val fmt = in.getFormat
-              val frameSize = fmt.getFrameSize
+              val bytesPerSample = fmt.getSampleSizeInBits / 8
+              // NOT_SPECIFIED (-1) frame size, or a sample width outside
+              // 8/16/24/32-bit PCM, must refuse into the stub — an
+              // all-zero envelope labeled "wav" would classify a loud
+              // file as silence downstream.
+              require(bytesPerSample >= 1 && bytesPerSample <= 4,
+                s"unsupported PCM sample width: ${fmt.getSampleSizeInBits} bits")
+              val frameSize =
+                if (fmt.getFrameSize > 0) fmt.getFrameSize
+                else bytesPerSample * math.max(fmt.getChannels, 1)
               val nFrames = in.getFrameLength
               val all = in.readAllBytes()
-              val bytesPerSample = fmt.getSampleSizeInBits / 8
               val ch = fmt.getChannels
               val sums = new Array[Double](bins)
               val counts = new Array[Long](bins)
-              val totalFrames = math.max(all.length / math.max(frameSize, 1), 1)
+              val totalFrames = math.max(all.length / frameSize, 1)
+              val fullScale = math.pow(2, bytesPerSample * 8 - 1)
               var f = 0
-              while (f < all.length / math.max(frameSize, 1)) {
-                // First channel's sample, 16-bit little-endian PCM.
+              while (f < all.length / frameSize) {
+                // First channel's sample: signed little-endian PCM of any
+                // 1/2/3/4-byte width (8-bit WAV is unsigned by spec).
                 val off = f * frameSize
                 val amp =
-                  if (bytesPerSample == 2 && off + 1 < all.length)
-                    math.abs(((all(off + 1) << 8) | (all(off) & 0xff)).toDouble / 32768.0)
-                  else if (bytesPerSample == 1 && off < all.length)
+                  if (bytesPerSample == 1) {
                     math.abs(((all(off) & 0xff) - 128).toDouble / 128.0)
-                  else 0.0
+                  } else {
+                    var v = 0L
+                    var b = 0
+                    while (b < bytesPerSample) {
+                      v |= (all(off + b) & 0xffL) << (8 * b)
+                      b += 1
+                    }
+                    // Sign-extend from the sample width.
+                    val shift = 64 - bytesPerSample * 8
+                    math.abs(((v << shift) >> shift).toDouble / fullScale)
+                  }
                 val bin = math.min(f * bins / totalFrames, bins - 1)
                 sums(bin) += amp
                 counts(bin) += 1

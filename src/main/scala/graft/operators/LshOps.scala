@@ -508,10 +508,26 @@ object LshOps {
 
   /** Exact n-gram Jaccard scoring of candidate (train_id, ref_id) pairs —
     * the shared verification stage of [[verifiedContamination]] and
-    * [[verifiedContaminationAuto]]. Each side's distinct-shingle-hash set
-    * is computed ONCE per side (narrow projection), then two keyed joins
-    * bring the sets to the pairs; per-pair work is linear in document
-    * shingles and paid only on candidates. */
+    * [[verifiedContaminationAuto]], public so a caller holding an
+    * already-computed candidate frame (an [[AutoCrossCorpus]], a probe, a
+    * re-scored audit) can verify WITHOUT re-running the banding stage.
+    * Each side's distinct-shingle-hash set is computed ONCE per side
+    * (narrow projection), then two keyed joins bring the sets to the
+    * pairs; per-pair work is linear in document shingles and paid only on
+    * candidates. `shingleN` must be the width the pairs were mined at. */
+  def verifyPairs(
+      pairs: DataFrame,
+      train: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard >= 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in [0,1]: $minJaccard")
+    scorePairs(pairs, train, ref, textCol, idCol, shingleN, minJaccard)
+  }
+
   private def scorePairs(
       pairs: DataFrame,
       train: DataFrame,

@@ -237,8 +237,16 @@ object GraftApp {
         .getOrElse(PipelineConfig.loadEndpoint(a.env, "TARGET", getenv).asSink)
       val df = src.read(spark, a.tableArg)
       if (a.scrubSpans) {
-        sink.write(graft.operators.DedupOps.scrubSpans(
-          df, a.textCol, a.idCol, a.spanTokens, a.minDocs), a.tableArg, a.mode)
+        // Round-trippable rewrite: the operator emits (id, clean_text,
+        // n_removed); the CLI pass must hand the NEXT pass the same table
+        // shape it read — every other column preserved and the scrubbed
+        // text back under its original name (a follow-up --epoch-shuffle
+        // or --scrub-spans reads --text-col unchanged).
+        val scrubbed = graft.operators.DedupOps.scrubSpans(
+            df, a.textCol, a.idCol, a.spanTokens, a.minDocs)
+          .withColumnRenamed("clean_text", a.textCol)
+        sink.write(df.drop(a.textCol).join(scrubbed, Seq(a.idCol)),
+          a.tableArg, a.mode)
         out(s"SCRUB_SPANS_ table=${a.tableArg} spanTokens=${a.spanTokens} minDocs=${a.minDocs}")
       } else {
         val epoch = a.epochShuffle.get

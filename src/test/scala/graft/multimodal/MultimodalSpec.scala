@@ -118,6 +118,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(near > far + 0.05, s"inverted image must decorrelate: near=$near far=$far")
   }
 
+  test("imageEmbedding edge inputs: truncated payloads fall to the stub, black images stay unit-norm") {
+    val truncated = pngBytes(32, 32).take(60) // valid magic, dies mid-decode
+    val black = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val embs = Multimodal.imageEmbedding(spark,
+        Seq((1L, truncated), (2L, black)).toDF("media_id", "payload"))
+      .collect().map(e => e.media_id -> e.embedding).toMap
+    // One damaged file must never kill the job — and EVERY embedding,
+    // including the zero-luminance image's, honors the unit-norm contract
+    // (a zero vector would NaN-poison downstream cosines).
+    for ((id, v) <- embs) {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4, s"media $id norm $n")
+    }
+  }
+
+  test("audioEnvelope decodes wider PCM than 16-bit (24-bit must not read as silence)") {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 24, 1, true, false)
+    // 2000 frames of a loud 24-bit square wave, little-endian.
+    val pcm = new Array[Byte](2000 * 3)
+    for (i <- 0 until 2000) {
+      val v = if ((i / 8) % 2 == 0) 6000000 else -6000000
+      pcm(3 * i) = (v & 0xff).toByte
+      pcm(3 * i + 1) = ((v >> 8) & 0xff).toByte
+      pcm(3 * i + 2) = ((v >> 16) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 2000L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val meta = Multimodal.audioEnvelope(spark,
+        Seq((1L, out.toByteArray)).toDF("media_id", "payload"), bins = 4)
+      .collect().head
+    assert(meta.format == "wav" && meta.sample_rate == 8000)
+    assert(meta.envelope.forall(_ > 0.5),
+      s"a loud 24-bit file must not read as silence: ${meta.envelope.toSeq}")
+  }
+
   test("imageEmbedding feeds the native vector operators (the ANN bridge)") {
     val img1 = pngBytes(16, 16)
     val df = Seq((1L, img1), (2L, img1), (3L, "other payload".getBytes("UTF-8")))

@@ -251,15 +251,23 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
 
     val (c1, l1) = cli("--scrub-spans", "--span-tokens", "3")
     assert(c1 == 0 && l1.exists(_.startsWith("SCRUB_SPANS_")), l1.mkString("; "))
-    val scrubbed = spark.read.parquet(s"$dst/documents")
+    // Round-trippable: the text stays under its original name (+ the
+    // n_removed audit column) so a follow-up pass reads it unchanged.
+    val scrubbedDf = spark.read.parquet(s"$dst/documents")
+    assert(scrubbedDf.columns.toSet == Set("doc_id", "text", "n_removed"),
+      scrubbedDf.columns.mkString(","))
+    val scrubbed = scrubbedDf.select($"doc_id", $"text", $"n_removed")
       .as[(Long, String, Int)].collect().toMap2
     assert(scrubbed(1L) == ("unique tail one", 3))
     assert(scrubbed(2L) == ("other words two", 3))
     assert(scrubbed(3L) == ("entirely different content", 0))
 
-    val (c2, l2) = cli("--epoch-shuffle", "2")
+    // ...and the recommended second pass really does run off the first
+    // pass's output shape.
+    val (c2, l2) = cli("--epoch-shuffle", "2", "--source", s"parquet:$dst",
+      "--sink", s"parquet:$dst/epoch")
     assert(c2 == 0 && l2.exists(_.startsWith("EPOCH_SHUFFLE_")), l2.mkString("; "))
-    val shuffled = spark.read.parquet(s"$dst/documents")
+    val shuffled = spark.read.parquet(s"$dst/epoch/documents")
     assert(shuffled.columns.contains("shuffle_key"))
     assert(shuffled.count() == 3L)
 
