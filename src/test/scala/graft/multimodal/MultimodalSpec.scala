@@ -177,6 +177,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(c - 1.0) < 1e-6, s"identical images must be cosine 1, got $c")
   }
 
+  test("image embeddings flow through SemDeDup end to end (binary -> vector -> purge)") {
+    // Two byte-identical renders of the same scene + one unrelated image:
+    // the full multimodal curation path — decode, embed, cluster, purge
+    // the semantic duplicate — with the near-dup's LARGER id dropped.
+    def scene(invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 16; y <- 0 until 16) {
+        val v = if (invert) 255 - x * 16 else x * 16
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, scene(invert = false)),
+      (2L, scene(invert = false)),
+      (3L, scene(invert = true))).toDF("media_id", "payload")
+    val embs = Multimodal.imageEmbedding(spark, media)
+      .toDF("media_id", "embedding")
+    val verdicts = graft.operators.KmeansOps.semanticPurge(
+        embs, "embedding", "media_id", k = 2, iters = 2, minCos = 0.999)
+      .select($"media_id", $"kept").as[(Long, Boolean)].collect().toMap
+    assert(verdicts == Map(1L -> true, 2L -> false, 3L -> true),
+      s"the duplicate render's larger id must purge, got $verdicts")
+  }
+
   test("audioEnvelope really decodes WAV via javax.sound: header + silence/tone envelope") {
     def wavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
       val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
