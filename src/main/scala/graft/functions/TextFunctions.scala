@@ -241,4 +241,39 @@ object TextFunctions {
   def tokenCountEstimate(c: Column): Column =
     size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))) +
       ceil(length(c).cast("double") / lit(4.0)).cast("int")
+
+  /** E112: hashed-feature LINEAR classifier score — the fastText/CCNet
+    * quality-filter shape (score every document with a linear model over
+    * hashed token features, keep above a threshold) with the weights
+    * supplied as a pure function of the bucket index. Per token: bucket =
+    * charHash(token) mod `nBuckets`, weight = `weightOf(bucket)`; the doc
+    * score is the Σ over the token MULTISET (a repeated token counts
+    * every time — exactly the bag-of-words dot product w·x).
+    *
+    * Deliberately INTEGER arithmetic end to end: a float sigmoid is
+    * monotone in w·x, so thresholding the integer dot product decides
+    * identically — and the integer sum is bit-exact across engines
+    * (float summation order is not), which is what lets the q129 oracle
+    * hash-match instead of tolerance-gate. A trained model plugs in by
+    * swapping `weightOf` for an `element_at` over a broadcast weights
+    * array literal; the plumbing (hash, bucket, multiset sum, threshold)
+    * is unchanged. Narrow, codegen'd, no shuffle — the filter pushes to
+    * the scan like every quality gate here. */
+  def hashedLinearScore(
+      c: Column,
+      nBuckets: Int,
+      weightOf: Column => Column): Column = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    aggregate(
+      transform(tokens(c), t => weightOf(pmod(charHash(t), lit(nBuckets)))),
+      lit(0L),
+      (acc, w) => acc + w)
+  }
+
+  /** The fixture weight rule for [[hashedLinearScore]]: a deterministic
+    * pseudo-random weight in [-1000, 1000] from the bucket index alone —
+    * SQL-restatable, so the classifier path is oracle-checked without
+    * shipping a trained model. */
+  def fixtureWeight(bucket: Column): Column =
+    pmod(bucket * lit(2654435761L), lit(1000000007L)) % lit(2001L) - lit(1000L)
 }

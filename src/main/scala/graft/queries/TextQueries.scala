@@ -404,6 +404,16 @@ object TextQueries {
         spanTokens = 8).flags
     }),
 
+    // E112 hashed-feature linear classifier — the fastText/CCNet quality-
+    // filter shape with fixture weights (pure function of the bucket
+    // index, SQL-restatable) and integer scoring so the oracle
+    // hash-matches instead of tolerance-gating. kept = score >= 0.
+    "q129_classifier_gate" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        hashedLinearScore(col("text"), 4096, fixtureWeight).as("score"))
+        .withColumn("kept", col("score") >= 0L)),
+
     // E107 knob-free decontamination: q123's verified decision at the
     // width DERIVED from the train side's regime (E87 rule), gauge
     // enforced — the construction a 100 TB corpus needs after the gsf10
@@ -963,6 +973,18 @@ object TextQueries {
                  coalesce(array_to_string(kept, ' '), '') AS clean_text,
                  CAST(len(toks) - len(kept) AS INT) AS n_removed
           FROM clean""",
+    // Integer bag-of-words dot product over hashed buckets; empty token
+    // lists coalesce to 0 (list_sum of [] is NULL in DuckDB, Spark's
+    // aggregate seed is 0).
+    "q129_classifier_gate" ->
+      s"""SELECT doc_id,
+            CAST(coalesce(list_sum(list_transform($TokSql, t ->
+              ((${charHashSql("t")} % 4096) * CAST(2654435761 AS BIGINT))
+                % 1000000007 % 2001 - 1000)), 0) AS BIGINT) AS score,
+            CAST(coalesce(list_sum(list_transform($TokSql, t ->
+              ((${charHashSql("t")} % 4096) * CAST(2654435761 AS BIGINT))
+                % 1000000007 % 2001 - 1000)), 0) AS BIGINT) >= 0 AS kept
+          FROM documents""",
     // Ledger counts restated as the even side's per-gram distinct-doc
     // counts; a flag needs even + odd distinct docs >= 2 and reports the
     // combined count (the operator's n_docs contract).

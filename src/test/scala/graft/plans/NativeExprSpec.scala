@@ -119,6 +119,25 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("hashedLinearScore is the exact bag-of-words dot product (multiset, not set)") {
+    val df = Seq(
+      (1L, "spark spark spark"), // one token, three occurrences
+      (2L, "spark"),
+      (3L, "")).toDF("doc_id", "text")
+    val scores = df.select($"doc_id",
+        TextFunctions.hashedLinearScore($"text", 4096, TextFunctions.fixtureWeight)
+          .as("score"))
+      .as[(Long, Long)].collect().toMap
+    assert(scores(1L) == 3 * scores(2L),
+      "a repeated token must count once per occurrence (bag-of-words)")
+    assert(scores(3L) == 0L, "an empty document scores the additive identity")
+    // The fixture weight rule spans negative and positive weights — a
+    // degenerate all-positive rule would make the >= 0 gate vacuous.
+    val w = (0 until 4096).map(b =>
+      (BigInt(b) * 2654435761L % 1000000007L % 2001L - 1000L).toLong)
+    assert(w.exists(_ < 0) && w.exists(_ > 0))
+  }
+
   test("native expressions participate in codegen (no CodegenFallback in plan)") {
     val plan = docs.select(TextFunctions.charHash($"text"))
       .queryExecution.executedPlan.toString
