@@ -72,6 +72,40 @@ object Bench {
     nOutliers > maxCleanOutliers(nQueries) ||
       refTotal.exists(rt => rt > 0 && total > PollutedTotalFactor * rt)
 
+  /** Quiet-gauge ceiling (seconds) for the split-window protocol: a part
+    * run may only contribute to a blessed merged reference when BOTH its
+    * book-end calibration gauges read at or below this. The idle-machine
+    * baseline for the fixed calibration workload is ~1.12 s; round-9
+    * attempts 17-19 all STARTED quiet (1.016-1.073 s) and lost their
+    * window mid-run (calib_post 1.29-1.45 s), so 1.20 s cleanly separates
+    * "quiet" from "the co-tenant returned". Belt-and-suspenders with
+    * [[RefRefreshSlack]]: the gauges are the only protection for queries
+    * the committed reference has no number for (a grown corpus), where
+    * the covered-subtotal guard cannot see inflation. */
+  private[graft] val QuietCalib = 1.20
+
+  /** `SPARK_GRAFT_PART="i/n"` → `(i, n)`, 1-based, i ≤ n, n ≥ 2. */
+  private[graft] def parsePart(s: String): Option[(Int, Int)] =
+    s.split("/") match {
+      case Array(i, n) =>
+        try {
+          val (pi, pn) = (i.trim.toInt, n.trim.toInt)
+          if (pn >= 2 && pi >= 1 && pi <= pn) Some((pi, pn)) else None
+        } catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+
+  /** Part i of n from the name-sorted corpus by ROUND-ROBIN index (not a
+    * contiguous split): the corpus sorts by family-clustered names, so
+    * interleaving balances both duration and family composition across
+    * parts — each part is a representative miniature of the corpus, and
+    * a mid-part pollution verdict stays meaningful. */
+  private[graft] def partFilter[T](xs: Seq[T], part: Option[(Int, Int)]): Seq[T] =
+    part match {
+      case Some((i, n)) => xs.zipWithIndex.collect { case (x, j) if j % n == i - 1 => x }
+      case None => xs
+    }
+
   /** The committed reference may only be REFRESHED by a run at least as
     * quiet as it (within this slack): broad co-tenant load routinely
     * inflates a run 1.2–1.4× with zero per-query outliers — under the
@@ -127,12 +161,156 @@ object Bench {
       polluted: Boolean,
       hasRefs: Boolean,
       coveredTotal: Double,
-      refTotal: Option[Double]): String =
+      refTotal: Option[Double],
+      part: Option[(Int, Int)] = None): String =
     if (subset) "BENCH_DETAILS_SUBSET.json"
+    else if (part.isDefined) partFile(part.get)
     else if (polluted && hasRefs) "BENCH_DETAILS_POLLUTED.json"
     else if (refTotal.exists(rt => rt > 0 && coveredTotal > RefRefreshSlack * rt))
       "BENCH_DETAILS_NOISY.json"
     else "BENCH_DETAILS.json"
+
+  private[graft] def partFile(part: (Int, Int)): String =
+    s"BENCH_DETAILS_PART_${part._1}_of_${part._2}.json"
+
+  /** One part-run's detail, parsed back for the merge step. `runs`/`gc`
+    * keep the raw per-query JSON fragments (arrays) — the merge re-emits
+    * them verbatim rather than re-modeling them. */
+  private[graft] final case class PartDetail(
+      sf: String,
+      part: (Int, Int),
+      polluted: Boolean,
+      calibPre: Double,
+      calibPost: Double,
+      runsPerQuery: Int,
+      errors: Seq[String],
+      outliers: Seq[String],
+      queries: Seq[(String, Double)],
+      runs: Map[String, String],
+      gc: Map[String, String])
+
+  private[graft] def parsePartDetail(json: String): Either[String, PartDetail] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val partStr = root.path("part").asText("")
+      parsePart(partStr) match {
+        case None => Left(s"not a part artifact (part=\"$partStr\")")
+        case Some(p) =>
+          def strMap(field: String): Map[String, String] =
+            root.path(field).properties().asScala
+              .map(e => e.getKey -> e.getValue.toString).toMap
+          Right(PartDetail(
+            sf = root.path("sf").asText(""),
+            part = p,
+            polluted = root.path("polluted").asBoolean(true),
+            calibPre = root.path("calib_pre").asDouble(-1.0),
+            calibPost = root.path("calib_post").asDouble(-1.0),
+            runsPerQuery = root.path("runs_per_query").asInt(0),
+            errors = root.path("errors").properties().asScala.map(_.getKey).toSeq,
+            outliers = root.path("outliers").properties().asScala.map(_.getKey).toSeq,
+            queries = root.path("queries").properties().asScala
+              .map(e => e.getKey -> e.getValue.asDouble()).toSeq,
+            runs = strMap("runs"),
+            gc = strMap("gc_ms")))
+      }
+    } catch { case e: Throwable => Left(s"unparseable part artifact: ${e.getMessage}") }
+
+  /** The split-window blessing: merge n part-runs into one full-coverage
+    * detail artifact, refusing unless EVERY gauge on EVERY part read
+    * quiet. Returns `Left(reason)` on refusal, `Right((file, json))` on
+    * success — where `file` is BENCH_DETAILS.json for a blessing, or the
+    * NOISY side file when the merged covered subtotal still exceeds the
+    * committed reference beyond [[RefRefreshSlack]] (quiet gauges with a
+    * slower corpus = an honest slower construction, the builder's call
+    * to bless by committing the diverted file, same as a full run). */
+  private[graft] def mergeParts(
+      parts: Seq[PartDetail],
+      refs: Map[String, Double]): Either[String, (String, String)] = {
+    if (parts.isEmpty) return Left("no parts given")
+    val n = parts.head.part._2
+    val sf = parts.head.sf
+    if (parts.exists(_.part._2 != n)) return Left("parts disagree on n")
+    if (parts.exists(_.sf != sf)) return Left("parts disagree on scale dir")
+    if (parts.map(_.part._1).sorted != (1 to n))
+      return Left(s"need exactly parts 1..$n once each, got ${parts.map(_.part._1).sorted.mkString(",")}")
+    if (parts.exists(_.runsPerQuery != parts.head.runsPerQuery))
+      return Left("parts disagree on runs_per_query")
+    for (p <- parts) {
+      val tag = s"part ${p.part._1}/${p.part._2}"
+      if (p.polluted) return Left(s"$tag is polluted")
+      if (p.errors.nonEmpty) return Left(s"$tag has errors: ${p.errors.mkString(",")}")
+      if (p.outliers.nonEmpty) return Left(s"$tag has outliers: ${p.outliers.mkString(",")}")
+      if (p.calibPre <= 0 || p.calibPre > QuietCalib)
+        return Left(f"$tag calib_pre ${p.calibPre}%.3f outside quiet bound $QuietCalib")
+      if (p.calibPost <= 0 || p.calibPost > QuietCalib)
+        return Left(f"$tag calib_post ${p.calibPost}%.3f outside quiet bound $QuietCalib")
+    }
+    val names = parts.flatMap(_.queries.map(_._1))
+    if (names.distinct.size != names.size)
+      return Left("parts overlap in query names — not a partition of the corpus")
+    val sorted = parts.sortBy(_.part._1)
+    val medians = sorted.flatMap(_.queries).sortBy(_._1)
+    val total = medians.map(_._2).sum
+    val cov = coveredTotals(medians, refs)
+    val (coveredTotal, refTotal) = (cov.map(_._1).getOrElse(total), cov.map(_._2))
+    val file =
+      if (refTotal.exists(rt => rt > 0 && coveredTotal > RefRefreshSlack * rt))
+        "BENCH_DETAILS_NOISY.json"
+      else "BENCH_DETAILS.json"
+    def obj(pairs: Iterable[(String, String)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(medians.map { case (k, m) => k -> f"$m%.3f" })
+    val runsJson = obj(medians.map { case (k, _) =>
+      k -> sorted.flatMap(_.runs.get(k)).headOption.getOrElse("[]") })
+    val gcJson = obj(medians.map { case (k, _) =>
+      k -> sorted.flatMap(_.gc.get(k)).headOption.getOrElse("[]") })
+    val gauges = sorted.flatMap(p => Seq(p.calibPre, p.calibPost))
+      .map(g => f"$g%.3f").mkString("[", ",", "]")
+    val refQs = refQueriesJson(refs, medians.map(_._1))
+    val committedTag = refTotal.map(rt => f""","committed_total":$rt%.2f""").getOrElse("")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":${parts.head.runsPerQuery},"protocol":"split","parts":$n,"calib_gauges":$gauges,"polluted":false$committedTag,"queries":$qs$refQs,"runs":$runsJson,"gc_ms":$gcJson,"errors":{},"outliers":{},"sf":"$sf"}"""
+    Right((file, json))
+  }
+
+  /** `graft.Bench --merge-parts fileA fileB …` — no SparkSession, pure
+    * file work: validate + merge the part artifacts and write the result
+    * where [[mergeParts]] routed it. */
+  private def mergePartsCli(files: Array[String]): Unit = {
+    def read(p: String): Either[String, String] =
+      try Right(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8"))
+      catch { case e: Throwable => Left(s"cannot read $p: ${e.getMessage}") }
+    val parsed = files.toSeq
+      .foldLeft[Either[String, Vector[PartDetail]]](Right(Vector.empty)) {
+        case (Left(e), _) => Left(e)
+        case (Right(acc), f) =>
+          read(f).flatMap(j => parsePartDetail(j).left.map(err => s"$f: $err"))
+            .map(acc :+ _)
+      }
+    val outcome = parsed.flatMap { parts =>
+      if (parts.isEmpty) Left("no part files given")
+      else {
+        val refs = read("BENCH_DETAILS.json").toOption
+          .map(refMedians(_, parts.head.sf)).getOrElse(Map.empty[String, Double])
+        mergeParts(parts, refs).map { case (file, json) => (file, json, parts.size) }
+      }
+    }
+    outcome match {
+      case Left(reason) =>
+        System.err.println(s"[bench-merge] REFUSED: $reason")
+        println(s"""{"metric":"merge_parts","ok":false,"reason":"${reason.replaceAll("[\"\\\\]", " ")}"}""")
+        sys.exit(1)
+      case Right((file, json, nParts)) =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(file),
+          (json + "\n").getBytes("UTF-8"))
+        val blessed = file == "BENCH_DETAILS.json"
+        System.err.println(s"[bench-merge] merged $nParts parts -> $file" +
+          (if (blessed) " (reference refreshed)"
+           else " (diverted: quiet gauges but slower than the committed reference)"))
+        println(s"""{"metric":"merge_parts","ok":true,"blessed":$blessed,"file":"$file"}""")
+    }
+  }
 
   /** The committed reference's per-query medians restated INSIDE this run's
     * artifact (name-sorted, only queries this run selected): a reader of a
@@ -167,6 +345,9 @@ object Bench {
       .asScala.map(_.getCollectionTime).sum
 
   def main(args: Array[String]): Unit = {
+    // Split-window merge mode: pure file work, no SparkSession. The driver
+    // invokes Bench with no args, so this path is builder-only.
+    if (args.headOption.contains("--merge-parts")) { mergePartsCli(args.tail); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
@@ -237,9 +418,24 @@ object Bench {
     // times the heavy-tail subset at sf1 without paying for the corpus.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      only.forall(s => s.contains(n) || s.contains(n.takeWhile(_ != '_')))
+    // SPARK_GRAFT_PART="i/n": run only the i-th round-robin slice of the
+    // (filtered, name-sorted) corpus — the split-window protocol. Round 9
+    // established that this host's quiet state recurs but never holds a
+    // full 8-minute corpus window (attempts 17-19 all started sub-1.1 s
+    // and lost the window mid-run); n part-runs each need only a 1/n-size
+    // window, each book-ended by its own calibration, and --merge-parts
+    // blesses the union only when every gauge read quiet.
+    val part = sys.env.get("SPARK_GRAFT_PART").flatMap(parsePart)
+    sys.env.get("SPARK_GRAFT_PART").foreach { raw =>
+      if (part.isEmpty) {
+        System.err.println(s"[bench] bad SPARK_GRAFT_PART '$raw' (want i/n, 1<=i<=n, n>=2)")
+        spark.stop(); sys.exit(1)
+      }
     }
+    val selected = partFilter(
+      SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+        only.forall(s => s.contains(n) || s.contains(n.takeWhile(_ != '_')))
+      }, part)
     // The ledger queries' batch-1 state is a per-dir fixture; built here
     // (untimed) so run 1 of 3 measures the same steady-state anti-join as
     // runs 2-3 instead of a mixed-mode mean. Verify skips this
@@ -350,7 +546,8 @@ object Bench {
     // A SPARK_GRAFT_QUERIES-restricted total must never be mistaken for (or
     // compared against) a full-corpus baseline: tag the JSON explicitly.
     val subsetTag = only.map(s =>
-      s""","subset":true,"subset_filter":"${s.toSeq.sorted.mkString(",")}"""").getOrElse("")
+      s""","subset":true,"subset_filter":"${s.toSeq.sorted.mkString(",")}"""").getOrElse("") +
+      part.map { case (i, n) => s""","part":"$i/$n"""" }.getOrElse("")
     val refQs = refQueriesJson(refs, results.map(_._1))
     val calibPost = calibrate()
     val calibTag = f""","calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f"""
@@ -370,7 +567,7 @@ object Bench {
     // runs keep their full detail in a side file. A run with no
     // comparable reference still writes the main file (first run at a
     // new scale or changed corpus has nothing to protect).
-    val detailFile = detailFileFor(only.nonEmpty, polluted, refs.nonEmpty, coveredTotal, refTotal)
+    val detailFile = detailFileFor(only.nonEmpty, polluted, refs.nonEmpty, coveredTotal, refTotal, part)
     if (detailFile != "BENCH_DETAILS.json")
       System.err.println(s"[bench] detail diverted to $detailFile (reference preserved)")
     try {

@@ -123,6 +123,127 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.coveredTotals(mostlyRenamed, refs114).isEmpty)
   }
 
+  // ---- split-window protocol (round 10) ---------------------------------
+  // The host's quiet state recurs but never holds a full corpus window
+  // (round-9 attempts 17-19: three consecutive sub-1.1 s starts, all lost
+  // mid-run). Part-runs each fit a 1/n window; the merge blesses the union
+  // only when all 2n calibration gauges read quiet.
+
+  private def part(
+      i: Int, n: Int,
+      queries: Seq[(String, Double)],
+      calibPre: Double = 1.05,
+      calibPost: Double = 1.08,
+      polluted: Boolean = false,
+      errors: Seq[String] = Nil,
+      outliers: Seq[String] = Nil,
+      sf: String = "/root/testdata/sf0.1"): Bench.PartDetail =
+    Bench.PartDetail(sf, (i, n), polluted, calibPre, calibPost, 3,
+      errors, outliers, queries,
+      queries.map { case (k, _) => k -> "[0.1,0.1,0.1]" }.toMap,
+      queries.map { case (k, _) => k -> "[0,0,0]" }.toMap)
+
+  test("SPARK_GRAFT_PART parses strictly and slices round-robin") {
+    assert(Bench.parsePart("1/2").contains((1, 2)))
+    assert(Bench.parsePart("3/4").contains((3, 4)))
+    for (bad <- Seq("0/2", "3/2", "1/1", "2", "a/b", "1/0", "", "1/2/3"))
+      assert(Bench.parsePart(bad).isEmpty, s"'$bad' must not parse")
+    // Round-robin, not contiguous: both halves sample every name region.
+    val xs = (1 to 7).map(i => s"q$i")
+    assert(Bench.partFilter(xs, Some((1, 2))) == Seq("q1", "q3", "q5", "q7"))
+    assert(Bench.partFilter(xs, Some((2, 2))) == Seq("q2", "q4", "q6"))
+    assert(Bench.partFilter(xs, Some((2, 3))) == Seq("q2", "q5"))
+    assert(Bench.partFilter(xs, None) == xs)
+    // The parts are a partition: disjoint, union = corpus, order kept.
+    val all = (1 to 3).flatMap(i => Bench.partFilter(xs, Some((i, 3))))
+    assert(all.sortBy(_.drop(1).toInt) == xs)
+  }
+
+  test("a part run always keeps its own side file, never the reference") {
+    assert(Bench.detailFileFor(subset = false, polluted = false, hasRefs = true,
+      coveredTotal = 20.0, refTotal = Some(19.0), part = Some((1, 2)))
+      == "BENCH_DETAILS_PART_1_of_2.json")
+    // ...even polluted (the merge step refuses it later; the artifact
+    // records what happened either way).
+    assert(Bench.detailFileFor(subset = false, polluted = true, hasRefs = true,
+      coveredTotal = 40.0, refTotal = Some(19.0), part = Some((2, 2)))
+      == "BENCH_DETAILS_PART_2_of_2.json")
+    // A subset-restricted part run is a subset run first.
+    assert(Bench.detailFileFor(subset = true, polluted = false, hasRefs = false,
+      coveredTotal = 2.0, refTotal = None, part = Some((1, 2)))
+      == "BENCH_DETAILS_SUBSET.json")
+  }
+
+  test("part artifacts round-trip through the parser") {
+    val json =
+      """{"metric":"total","value":20.1,"unit":"sec","runs_per_query":3,"part":"1/2","polluted":false,"committed_total":19.80,"calib_pre":1.044,"calib_post":1.101,"queries":{"q01_agg":1.250,"q03_join":0.470},"runs":{"q01_agg":[1.2,1.25,1.3],"q03_join":[0.4,0.47,0.5]},"gc_ms":{"q01_agg":[1,2,3],"q03_join":[0,0,0]},"errors":{},"outliers":{},"sf":"/root/testdata/sf0.1"}"""
+    val p = Bench.parsePartDetail(json)
+    assert(p.isRight, p)
+    val d = p.toOption.get
+    assert(d.part == (1, 2) && !d.polluted && d.runsPerQuery == 3)
+    assert(d.calibPre == 1.044 && d.calibPost == 1.101)
+    assert(d.queries == Seq("q01_agg" -> 1.25, "q03_join" -> 0.47))
+    assert(d.runs("q03_join") == "[0.4,0.47,0.5]")
+    assert(d.errors.isEmpty && d.outliers.isEmpty)
+    // A full-run artifact (no part tag) must not masquerade as a part.
+    assert(Bench.parsePartDetail(json.replace(""""part":"1/2",""", "")).isLeft)
+    assert(Bench.parsePartDetail("garbage").isLeft)
+  }
+
+  test("the merge blesses only when every gauge on every part is quiet") {
+    val refs = Map("q1" -> 1.0, "q2" -> 1.0, "q3" -> 1.0, "q4" -> 1.0)
+    val ok = Seq(
+      part(1, 2, Seq("q1" -> 0.95, "q3" -> 1.02)),
+      part(2, 2, Seq("q2" -> 1.01, "q4" -> 0.99)))
+    val merged = Bench.mergeParts(ok, refs)
+    assert(merged.isRight, merged)
+    val (file, json) = merged.toOption.get
+    assert(file == "BENCH_DETAILS.json", "quiet + within slack = blessed")
+    // The merged artifact is readable as the next round's triage baseline.
+    val reread = Bench.refMedians(json, "/root/testdata/sf0.1")
+    assert(reread == Map("q1" -> 0.95, "q2" -> 1.01, "q3" -> 1.02, "q4" -> 0.99))
+    assert(json.contains(""""protocol":"split""""))
+    assert(json.contains(""""calib_gauges":[1.050,1.080,1.050,1.080]"""))
+    // One hot gauge anywhere refuses the whole merge — the exact round-9
+    // failure shape (quiet start, co-tenant returns mid-run).
+    assert(Bench.mergeParts(Seq(ok.head, ok(1).copy(calibPost = 1.45)), refs).isLeft)
+    assert(Bench.mergeParts(Seq(ok.head.copy(calibPre = 1.31), ok(1)), refs).isLeft)
+    // A failed calibration (-1) is not quiet.
+    assert(Bench.mergeParts(Seq(ok.head.copy(calibPre = -1.0), ok(1)), refs).isLeft)
+  }
+
+  test("the merge refuses structural defects") {
+    val refs = Map.empty[String, Double]
+    val a = part(1, 2, Seq("q1" -> 1.0))
+    val b = part(2, 2, Seq("q2" -> 1.0))
+    assert(Bench.mergeParts(Nil, refs).isLeft)
+    assert(Bench.mergeParts(Seq(a, a), refs).isLeft, "duplicate part index")
+    assert(Bench.mergeParts(Seq(a), refs).isLeft, "missing part 2/2")
+    assert(Bench.mergeParts(Seq(a, b.copy(sf = "elsewhere")), refs).isLeft)
+    assert(Bench.mergeParts(Seq(a, part(2, 3, Seq("q2" -> 1.0))), refs).isLeft)
+    assert(Bench.mergeParts(Seq(a, b.copy(polluted = true)), refs).isLeft)
+    assert(Bench.mergeParts(Seq(a, b.copy(errors = Seq("q2"))), refs).isLeft)
+    assert(Bench.mergeParts(Seq(a, b.copy(outliers = Seq("q2"))), refs).isLeft)
+    assert(Bench.mergeParts(Seq(a, b.copy(queries = Seq("q1" -> 1.0))), refs)
+      .isLeft, "overlapping query names")
+    assert(Bench.mergeParts(Seq(a, b.copy(runsPerQuery = 5)), refs).isLeft)
+  }
+
+  test("a quiet-gauged merge slower than the committed reference diverts, not blesses") {
+    // Quiet gauges + slower corpus = an honest slower construction (or a
+    // reference recorded on a faster day): the merge must not ratchet the
+    // triage baseline — same RefRefreshSlack rule as a full run.
+    val refs = Map("q1" -> 1.0, "q2" -> 1.0)
+    val slow = Seq(
+      part(1, 2, Seq("q1" -> 1.4)),
+      part(2, 2, Seq("q2" -> 1.3)))
+    val merged = Bench.mergeParts(slow, refs)
+    assert(merged.isRight)
+    assert(merged.toOption.get._1 == "BENCH_DETAILS_NOISY.json")
+    // With no comparable reference the quiet merge establishes one.
+    assert(Bench.mergeParts(slow, Map.empty).toOption.get._1 == "BENCH_DETAILS.json")
+  }
+
   test("reference medians parse from the committed detail JSON, scale-matched") {
     val json =
       """{"metric":"total","value":40.1,"unit":"sec","queries":{"q01_agg":1.250,"q03_join":0.470},"sf":"/root/testdata/sf0.1"}"""
