@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.functions.TextFunctions.{shingles, tokens}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical ranking + statistical language-model scoring over a document
+  * corpus (SURVEY §2.3 extension surface: text analysis / quality
+  * scoring; reference scope per `Etl_data_pipeline/README.md:1-40` —
+  * the reference moves tables and leaves analysis to downstream SQL;
+  * here the analysis operators are first-class).
+  *
+  * All three operators share one scalable shape:
+  *
+  *   1. per-document term explode (narrow after the scan — the only
+  *      row-count amplification, bounded by token count);
+  *   2. corpus-statistic aggregation (term / bigram counts) — ONE
+  *      shuffle whose output is VOCABULARY-sized, not corpus-sized, so
+  *      at 100 TB the statistics tables are orders of magnitude smaller
+  *      than the input and usually auto-broadcast back (AQE sizes the
+  *      join side at runtime; no hint needed, and at trillion-token
+  *      scale where the vocab outgrows the broadcast threshold the same
+  *      plan degrades gracefully to a shuffle hash join keyed on the
+  *      term — never a cross join);
+  *   3. a score projection + (for the ranked variants) per-document
+  *      window or global top-N, both partition-parallel.
+  *
+  * Determinism contract: scores are ROUNDED (4 dp) and every rank/top-N
+  * breaks ties on the token / doc id, so the selected rows are a pure
+  * function of the data — the DuckDB oracles restate the same integer
+  * counts and the same `ln`-based formulas.
+  */
+object RankOps {
+
+  /** (id, token, tf) — within-document term frequencies, plus `dl`
+    * (document length in tokens). Map-side combine does the heavy
+    * lifting: the shuffle carries (id, token) partial counts. */
+  def termFrequencies(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), size(col("toks")).as("dl"), explode(col("toks")).as("token"))
+      .groupBy(col(idCol), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (token, df) — document frequencies: in how many documents each
+    * token appears. Vocabulary-sized output. */
+  def docFrequencies(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+
+  /** Top-`k` keyword extraction per document by tf-idf:
+    * `score = (tf / dl) * ln(N / df)`, rank within document by
+    * (rounded score desc, token asc). The classic per-doc keyword
+    * summary (inverted-index weighting, Spärck Jones 1972 — public). */
+  def tfidfTopK(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k out of range: $k")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = termFrequencies(docs, textCol, idCol)
+      .join(docFrequencies(docs, textCol, idCol), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(
+        col("tf").cast("double") / col("dl") *
+          log(col("n_docs").cast("double") / col("df")), 4))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("token"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("token"), col("score"), col("rn"))
+  }
+
+  /** BM25 ranked retrieval (Robertson–Spärck Jones, public): global
+    * top-`topN` documents for a bag of query `terms`.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * The query-term filter lands BEFORE the per-term join (an `isin`
+    * prune on the exploded terms), so the join input is |terms|·N_docs
+    * rows at most — at scale the df/avgdl statistics are a handful of
+    * broadcast scalars and the whole query is scan → narrow score →
+    * TakeOrderedAndProject (no global sort materialization). */
+  def bm25(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topN: Int = 100): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    require(topN >= 1, s"topN out of range: $topN")
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(tokens(col(textCol)))).as("avgdl"))
+    val tf = termFrequencies(docs, textCol, idCol)
+      .filter(col("token").isin(terms.map(x => x: Any): _*))
+    val df = docFrequencies(docs, textCol, idCol)
+      .filter(col("token").isin(terms.map(x => x: Any): _*))
+    val idf: Column = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    // Constant arithmetic stays INSIDE the expression tree (folded by
+    // Catalyst with the same IEEE semantics DuckDB folds its literals
+    // with) — `lit(k1 + 1.0)` computed in Scala can differ in the last
+    // ulp from the SQL literal the oracle would parse.
+    val termScore: Column =
+      idf * (col("tf") * (lit(k1) + lit(1.0))) /
+        (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(round(sum(termScore), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topN)
+  }
+
+  /** Bigram language-model scoring with add-one smoothing — the
+    * perplexity-proxy quality signal of CCNet-style pipelines (Wenzek et
+    * al. 2019, public), self-trained on the corpus it scores:
+    *
+    * score(d) = avg over adjacent token pairs of −ln P(w2 | w1),
+    * P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V),  V = |vocabulary|.
+    *
+    * Gibberish and boilerplate land far from the corpus mean; the score
+    * feeds a quality gate the same way a trained LM's perplexity would,
+    * with zero external model. Documents with fewer than 2 tokens have
+    * no bigrams and are excluded (score undefined, not zero).
+    *
+    * Scale: bigram/unigram count tables are vocab²-bounded but Zipf-
+    * concentrated (far below corpus size); both joins key on the bigram /
+    * its first token. All counts are integers, so P is exactly rational
+    * and the only float step is the final `ln`. */
+  def bigramLmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val docBigrams = docs
+      .select(col(idCol), explode(shingles(col(textCol), 2)).as("bigram"))
+    val bigramCounts = docBigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val unigramCounts = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val vocab = unigramCounts.agg(count(lit(1)).as("v"))
+    docBigrams
+      .join(bigramCounts, "bigram")
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(unigramCounts.withColumnRenamed("token", "w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("c2") + lit(1)).cast("double") / (col("c1") + col("v")))), 4)
+          .as("nll"))
+  }
+}

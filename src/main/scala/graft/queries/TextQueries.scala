@@ -446,6 +446,28 @@ object TextQueries {
         t(s, dir, "documents"), "text", "doc_id",
         chunkTokens = 64, strideTokens = 48)),
 
+    // E113 tf-idf keyword extraction: top-3 terms per document. Corpus
+    // statistics (df, N) are vocabulary-sized aggregates broadcast back;
+    // the per-doc rank is a doc-partitioned window.
+    "q130_tfidf_keywords" -> ((s, dir) =>
+      graft.operators.RankOps.tfidfTopK(
+        t(s, dir, "documents"), "text", "doc_id", k = 3)),
+
+    // E114 BM25 ranked retrieval: global top-100 docs for a fixed bag of
+    // query terms — scan → isin-pruned term explode → broadcast-joined
+    // statistics → TakeOrderedAndProject (no full sort materialization).
+    "q131_bm25_search" -> ((s, dir) =>
+      graft.operators.RankOps.bm25(
+        t(s, dir, "documents"), "text", "doc_id",
+        terms = Seq("scan", "merge", "window", "stream"))),
+
+    // E115 bigram-LM negative-log-likelihood scoring (the CCNet-style
+    // perplexity-proxy quality signal), self-trained on the corpus: LM
+    // count tables are vocab-sized, joined back by bigram / first token.
+    "q132_bigram_lm" -> ((s, dir) =>
+      graft.operators.RankOps.bigramLmScore(
+        t(s, dir, "documents"), "text", "doc_id")),
+
     // Dedup purge list: the keep-min-id policy applied to the LSH candidate
     // pairs — every doc that collides with a smaller doc_id is dropped.
     // Since candidates are emitted with doc_a < doc_b, the purge set is
@@ -1070,6 +1092,68 @@ object TextQueries {
             CAST(len(toks[i*48+1 : i*48+64]) AS INT) AS n_tok,
             array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
           FROM m, unnest(range(0, m)) AS u(i)""",
+    // tf-idf restated: within-doc term frequencies joined to the
+    // vocabulary-sized df table; rank on the ROUNDED score (both engines
+    // order identically), token as the deterministic tiebreak.
+    "q130_tfidf_keywords" ->
+      s"""WITH t AS (SELECT doc_id, $TokSql AS toks FROM documents),
+          ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM t),
+          tf AS (SELECT doc_id, dl, token, count(*) AS tf
+                 FROM ex GROUP BY doc_id, dl, token),
+          df AS (SELECT token, count(*) AS df
+                 FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t)
+                 GROUP BY token),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          sc AS (SELECT tf.doc_id, tf.token,
+                   round(CAST(tf.tf AS DOUBLE) / tf.dl
+                         * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score
+                 FROM tf JOIN df USING (token), n)
+          SELECT doc_id, token, score, CAST(rn AS INT) AS rn FROM (
+            SELECT doc_id, token, score,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, token) AS rn
+            FROM sc)
+          WHERE rn <= 3""",
+    // BM25 with k1=1.2, b=0.75 over the fixed query bag; constant
+    // arithmetic is written unfolded ((1.2 + 1.0), (1.0 - 0.75)) so both
+    // engines fold it with the same IEEE semantics.
+    "q131_bm25_search" ->
+      s"""WITH t AS (SELECT doc_id, $TokSql AS toks FROM documents),
+          ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM t),
+          tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM ex
+                 WHERE token IN ('scan', 'merge', 'window', 'stream')
+                 GROUP BY doc_id, dl, token),
+          df AS (SELECT token, count(*) AS df
+                 FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t)
+                 WHERE token IN ('scan', 'merge', 'window', 'stream')
+                 GROUP BY token),
+          s AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t)
+          SELECT doc_id,
+                 round(sum(
+                   ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / s.avgdl))), 4)
+                   AS score
+          FROM tf JOIN df USING (token), s
+          GROUP BY doc_id
+          ORDER BY score DESC, doc_id
+          LIMIT 100""",
+    // Bigram LM with add-one smoothing, self-trained: all counts are
+    // integers, so P(w2|w1) is exactly rational and ln is the only float
+    // step; the per-doc mean is rounded on both sides.
+    "q132_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $TokSql AS toks FROM documents),
+          db AS (SELECT doc_id, unnest(${shingleStrSql(2)}) AS bigram FROM t),
+          c2 AS (SELECT bigram, count(*) AS c2 FROM db GROUP BY bigram),
+          c1 AS (SELECT token, count(*) AS c1
+                 FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token),
+          v AS (SELECT count(*) AS v FROM c1)
+          SELECT db.doc_id, count(*) AS n_bigrams,
+                 round(avg(-ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v))), 4)
+                   AS nll
+          FROM db JOIN c2 USING (bigram)
+               JOIN c1 ON c1.token = string_split(db.bigram, ' ')[1], v
+          GROUP BY db.doc_id""",
     "q52_neardup_purge" ->
       s"""WITH sigs AS (
             SELECT doc_id,

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic gates for the lexical ranking + LM-scoring operators (the
+  * DuckDB oracles pin exact values; these pin the RANKING behavior a
+  * hash-diff can't explain when it breaks). */
+class RankOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("tfidf ranks a document's distinctive term above ubiquitous ones") {
+    val d = docs(
+      1L -> "alpha beta common common",
+      2L -> "gamma beta common common",
+      3L -> "delta common common common")
+    val top = RankOps.tfidfTopK(d, "text", "doc_id", k = 1)
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    // 'common' appears in every doc -> idf = ln(1) = 0; the unique term
+    // wins every document.
+    assert(top == Map(1L -> "alpha", 2L -> "gamma", 3L -> "delta"))
+  }
+
+  test("tfidf top-k is deterministic under score ties (token tiebreak)") {
+    val d = docs(1L -> "zz aa common", 2L -> "aa zz common", 3L -> "common x")
+    // 'aa' and 'zz' both appear in docs 1-2 with identical tf/df -> equal
+    // scores; rank 1 must be the lexicographically smaller token.
+    val r = RankOps.tfidfTopK(d, "text", "doc_id", k = 2)
+      .filter($"doc_id" === 1L).orderBy($"rn")
+      .select("token").as[String].collect().toSeq
+    assert(r == Seq("aa", "zz"))
+  }
+
+  test("bm25 scores a doc matching more query terms higher, caps at topN") {
+    val d = docs(
+      1L -> "scan merge window pad pad",
+      2L -> "scan pad pad pad pad",
+      3L -> "pad pad pad pad pad",
+      4L -> "scan merge pad pad pad")
+    val r = RankOps.bm25(d, "text", "doc_id", Seq("scan", "merge", "window"), topN = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(r == Seq(1L, 4L), s"three-term > two-term > one-term match: $r")
+    // Doc 3 matches nothing: absent even with a generous topN.
+    val all = RankOps.bm25(d, "text", "doc_id", Seq("scan", "merge", "window"), topN = 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(all == Seq(1L, 4L, 2L) && !all.contains(3L))
+  }
+
+  test("bm25 term-frequency saturates (k1) instead of growing linearly") {
+    val d = docs(
+      1L -> "scan scan scan scan scan scan scan scan pad pad",
+      2L -> "scan pad pad pad pad pad pad pad pad pad",
+      3L -> "pad pad pad pad pad pad pad pad pad pad")
+    val scores = RankOps.bm25(d, "text", "doc_id", Seq("scan"), topN = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // 8x the tf must score higher but NOWHERE NEAR 8x (k1=1.2 saturation:
+    // bounded by (k1+1)/1 over the tf->inf limit).
+    assert(scores(1L) > scores(2L))
+    assert(scores(1L) < 3.0 * scores(2L), s"saturation violated: $scores")
+  }
+
+  test("bigram LM: boilerplate scores lower nll than a novel word order") {
+    val boiler = "the quick brown fox jumps"
+    val rows = (1L to 9L).map(i => i -> boiler) :+ (10L -> "fox the jumps quick brown")
+    val r = RankOps.bigramLmScore(rows.toDF("doc_id", "text"), "text", "doc_id")
+      .select("doc_id", "nll").as[(Long, Double)].collect().toMap
+    // Doc 10's bigrams each occur once (smoothed near-zero prob); the
+    // repeated template's bigrams occur 9-10x.
+    assert(r(1L) < r(10L), s"template must be more probable: $r")
+    assert(r.size == 10)
+  }
+
+  test("bigram LM excludes documents with no bigrams") {
+    val d = docs(1L -> "solo", 2L -> "", 3L -> "two tokens")
+    val r = RankOps.bigramLmScore(d, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(r == Seq(3L))
+  }
+}
