@@ -109,6 +109,43 @@ object MaintenanceOps {
       .write.mode(SaveMode.Overwrite).parquet(dir)
   }
 
+  /** Morton z-value of two columns, low `bits` bits each (inputs are cast
+    * to long; callers fold high-cardinality keys into the budget with a
+    * `% (1 << bits)` first — the curve only needs enough resolution to
+    * separate files, not to order every key). */
+  def zorderValue(x: org.apache.spark.sql.Column,
+                  y: org.apache.spark.sql.Column,
+                  bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.BitInterleaveExpr(
+      ColumnBridge.expression(x.cast("long")),
+      ColumnBridge.expression(y.cast("long")), bits))
+  }
+
+  /** Z-order clustering: [[clusterBy]]'s two-dimensional sibling. A
+    * single-column range cluster gives file-level min/max locality in ONE
+    * column and none in the other; range-partitioning by the interleaved
+    * z-value bounds every output file in BOTH columns at once, so
+    * selective predicates on EITHER (or both) prune files/row-groups at
+    * the scan (`PartitionFilters`/parquet stats). Same cost shape as
+    * clusterBy: one range shuffle (samples the z distribution) + a
+    * per-partition sort; the z column is dropped before the write. */
+  def zorderCluster(
+      df: org.apache.spark.sql.DataFrame,
+      dir: String,
+      colX: String,
+      colY: String,
+      bits: Int,
+      nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = zorderValue(col(colX), col(colY), bits).as("_graft_zval")
+    df.withColumn("_graft_zval", z)
+      .repartitionByRange(nFiles, col("_graft_zval"))
+      .sortWithinPartitions(col("_graft_zval"))
+      .drop("_graft_zval")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
   /** Compact a near-dup band LEDGER directory ([[LshOps]]/[[SrpOps]]
     * incremental ingest state). Epoch-keyed ledgers grow one
     * `_graft_epoch=<token>` partition per micro-batch FOREVER — a daily

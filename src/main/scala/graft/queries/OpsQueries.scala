@@ -317,6 +317,27 @@ object OpsQueries {
         col("doc_id"),
         when(SamplingOps.portableBucket(col("doc_id"), 7L) < 90, lit("train"))
           .otherwise(lit("holdout")).as("split"))
+    }),
+
+    // E116 Z-order clustering key: the Morton z-value that
+    // MaintenanceOps.zorderCluster range-partitions files by. The query
+    // pins the interleave arithmetic AND demonstrates the locality
+    // contract the layout relies on: bucketing by the z-value's high
+    // bits bounds EVERY bucket's min/max box in BOTH key columns (what
+    // parquet file/row-group skipping prunes on). Pure integer math —
+    // hash-exact against the oracle; one vocabulary-of-32 aggregation.
+    "q133_zorder_stats" -> ((s, dir) => {
+      import graft.operators.MaintenanceOps
+      val z = MaintenanceOps.zorderValue(
+        col("l_partkey") % 65536, col("l_suppkey") % 65536, 16)
+      t(s, dir, "lineitem")
+        .select(z.as("zval"), col("l_partkey"), col("l_suppkey"))
+        .groupBy(shiftright(col("zval"), 27).as("zbucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"),
+          min(col("zval")).as("min_z"), max(col("zval")).as("max_z"))
     })
   )
 
@@ -529,6 +550,21 @@ object OpsQueries {
           SELECT doc_id,
             CASE WHEN ${charHashSql("CAST(doc_id AS VARCHAR) || ':7'")} % 100 < 90
                  THEN 'train' ELSE 'holdout' END AS split
-          FROM dedup"""
+          FROM dedup""",
+    // The interleave restated as a per-bit list fold: even positions from
+    // l_partkey, odd from l_suppkey (disjoint bits, so + is |).
+    "q133_zorder_stats" ->
+      """WITH z AS (
+           SELECT l_partkey, l_suppkey,
+             CAST(list_sum(list_transform(range(0, 16), i ->
+               ((((l_partkey % 65536) >> i) & 1) << (2*i))
+               + ((((l_suppkey % 65536) >> i) & 1) << (2*i + 1)))) AS BIGINT)
+               AS zval
+           FROM lineitem)
+         SELECT zval >> 27 AS zbucket, count(*) AS n,
+                min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+                min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp,
+                min(zval) AS min_z, max(zval) AS max_z
+         FROM z GROUP BY zbucket"""
   )
 }
