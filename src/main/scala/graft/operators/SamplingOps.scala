@@ -87,6 +87,29 @@ object SamplingOps {
     (df.filter(b < trainPct), df.filter(b >= trainPct))
   }
 
+  /** Leakage-safe group-aware split: the side is a pure function of the
+    * GROUP key, so every member of a group lands on the same side.
+    * The group key is whatever "must not leak across the boundary"
+    * means for the corpus — a near-dup cluster id (a train/eval split
+    * that separates near-duplicates leaks the training distribution
+    * into the holdout and inflates eval; Lee et al. 2021's
+    * deduplication argument, public), a source domain, a user id.
+    * Composes with [[hashSplit]]'s seed discipline: same bucket
+    * function, keyed on the group instead of the row. Narrow (the
+    * caller supplies the group column, usually from a components
+    * join); no shuffle of its own. */
+  def groupSplit(
+      df: DataFrame,
+      groupCol: String,
+      trainPct: Int,
+      seed: Long,
+      bucket: BucketFn = xxhashBucket): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, s"trainPct out of (0,100): $trainPct")
+    df.withColumn("split",
+      when(bucket(col(groupCol), seed) < trainPct, lit("train"))
+        .otherwise(lit("holdout")))
+  }
+
   /** Deterministic ~`pct`% subsample by id hash (stable under layout). */
   def hashSample(
       df: DataFrame,

@@ -446,6 +446,36 @@ object TextQueries {
         t(s, dir, "documents"), "text", "doc_id",
         chunkTokens = 64, strideTokens = 48)),
 
+    // E117 leakage-safe group-aware split: assign train/holdout by the
+    // NEAR-DUP CLUSTER (components as q103; docs without candidates are
+    // their own singleton group), so no near-duplicate pair ever spans
+    // the boundary. The output carries the leak gate computed IN-ENGINE
+    // (clusters with >1 distinct split — zero by construction, and the
+    // oracle must reproduce that zero end-to-end) beside the per-split
+    // doc/group counts.
+    "q134_group_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val banded = graft.operators.LshOps.bandedMinhash(
+        docs, "text", "doc_id", 16, 3, 4, 4, LshMaxBucket)
+      val pairs = graft.operators.LshOps.candidatePairs(banded.bands, "doc_id")
+      val comp = graft.operators.GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("v", "doc_id")
+      val assigned = graft.operators.SamplingOps.groupSplit(
+        docs.select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("grp", coalesce(col("component"), col("doc_id"))),
+        "grp", trainPct = 90, seed = 42L,
+        bucket = graft.operators.SamplingOps.portableBucket)
+      val leaked = assigned.groupBy(col("grp"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") > 1)
+        .agg(count(lit(1)).as("n_leaked_groups"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("grp")).as("n_groups"))
+        .crossJoin(broadcast(leaked))
+    }),
+
     // E113 tf-idf keyword extraction: top-3 terms per document. Corpus
     // statistics (df, N) are vocabulary-sized aggregates broadcast back;
     // the per-doc rank is a doc-partitioned window.
@@ -1092,6 +1122,26 @@ object TextQueries {
             CAST(len(toks[i*48+1 : i*48+64]) AS INT) AS n_tok,
             array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
           FROM m, unnest(range(0, m)) AS u(i)""",
+    // The closure as q103, then the split keyed on the group: singleton
+    // docs group under their own id; the leak count (always 0) is
+    // recomputed from the doc-level assignment, not assumed.
+    "q134_group_split" ->
+      s"""$MinhashComponentsCteSql,
+          comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+          assigned AS (
+            SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp,
+              CASE WHEN ${charHashSql(
+                "CAST(coalesce(c.component, d.doc_id) AS VARCHAR) || ':42'")} % 100 < 90
+                   THEN 'train' ELSE 'holdout' END AS split
+            FROM documents d LEFT JOIN comp c USING (doc_id)),
+          leaked AS (
+            SELECT count(*) AS n_leaked_groups FROM (
+              SELECT grp FROM assigned
+              GROUP BY grp HAVING count(DISTINCT split) > 1))
+          SELECT split, count(*) AS n_docs,
+                 count(DISTINCT grp) AS n_groups, n_leaked_groups
+          FROM assigned, leaked
+          GROUP BY split, n_leaked_groups""",
     // tf-idf restated: within-doc term frequencies joined to the
     // vocabulary-sized df table; rank on the ROUNDED score (both engines
     // order identically), token as the deterministic tiebreak.

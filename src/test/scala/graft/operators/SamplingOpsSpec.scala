@@ -140,6 +140,30 @@ class SamplingOpsSpec extends AnyFunSuite {
     assert(e1 != e1.sorted, "epoch 1 must actually shuffle, not echo id order")
   }
 
+  test("groupSplit keeps every group on one side; sides are group-proportional") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    // 200 groups x 5 members, member ids deliberately interleaved so a
+    // row-keyed split WOULD scatter a group across sides.
+    val rows = (0 until 1000).map(i => (i.toLong, (i % 200).toLong))
+      .toDF("doc_id", "grp")
+    val assigned = SamplingOps.groupSplit(rows, "grp", trainPct = 80, seed = 7L)
+    // Leak gate: no group spans sides.
+    val leaked = assigned.groupBy(col("grp"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter($"ns" > 1).count()
+    assert(leaked == 0L)
+    // Sizing is ~80/20 in GROUPS (every group carries 5 rows here).
+    val trainGroups = assigned.filter($"split" === "train")
+      .select($"grp").distinct().count()
+    assert(trainGroups >= 140 && trainGroups <= 190, s"train groups: $trainGroups")
+    // Stable under layout.
+    val again = SamplingOps.groupSplit(rows.repartition(13), "grp", 80, 7L)
+      .filter($"split" === "train").select($"doc_id").as[Long].collect().toSet
+    val first = assigned.filter($"split" === "train")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == first)
+  }
+
   test("epochShuffle plans a range-partitioned distributed sort") {
     val df = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val plan = SamplingOps.epochShuffle(df, "doc_id", 1L)
