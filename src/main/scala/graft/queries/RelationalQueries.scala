@@ -586,6 +586,34 @@ object RelationalQueries {
         .groupBy(col("flag_label"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
           count(lit(1)).as("n_rows"))
+    }),
+
+    // E118 ordered-sequence assembly + sequence n-gram mining: per-user
+    // event-type bigram counts (the behavioral-sequence statistic
+    // conversation/session corpora need — which action follows which).
+    // ONE shuffle on user_id builds each user's time-ordered sequence
+    // (sort key (ts, event_id): event_id breaks same-timestamp ties so
+    // the order is a pure function of the data on both engines); the
+    // bigram explode is narrow. Per-user arrays are bounded by user
+    // activity — a pathological power user is the documented hazard, and
+    // the mitigation is the same salt-and-merge as any hot key (the
+    // counts here are decomposable). Users with <2 events have no
+    // bigrams and drop out.
+    "q135_sequence_bigrams" -> ((s, dir) => {
+      val seqs = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))).as("seq"))
+        .select(col("user_id"),
+          transform(col("seq"), x => x.getField("event_type")).as("types"))
+        .filter(size(col("types")) >= 2)
+      seqs
+        .select(col("user_id"), explode(transform(
+          sequence(lit(0), size(col("types")) - 2),
+          i => concat(col("types").getItem(i), lit(">"),
+            col("types").getItem(i + 1)))).as("bg"))
+        .groupBy(col("bg"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
     })
   )
 
@@ -877,6 +905,22 @@ object RelationalQueries {
       """SELECT 'flag_' || l_returnflag AS flag_label,
          round(sum(l_quantity), 2) AS sum_qty,
          count(*) AS n_rows
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+    // The fixture's ts is nanosecond; Spark reads it truncated to µs
+    // (Tables' nanosAsLong conversion), so the oracle orders by the SAME
+    // µs key (epoch_us) + event_id — ordering by raw ns could disagree
+    // with Spark inside a microsecond.
+    "q135_sequence_bigrams" ->
+      """WITH seqs AS (
+           SELECT user_id,
+                  list(event_type ORDER BY epoch_us(ts), event_id) AS types
+           FROM events GROUP BY user_id),
+         bg AS (
+           SELECT user_id,
+             unnest(list_transform(range(1, greatest(len(types) - 1, 0) + 1),
+               i -> types[i] || '>' || types[i+1])) AS bg
+           FROM seqs)
+         SELECT bg, count(*) AS n, count(DISTINCT user_id) AS n_users
+         FROM bg GROUP BY bg"""
   )
 }
