@@ -87,6 +87,39 @@ object SamplingOps {
     (df.filter(b < trainPct), df.filter(b >= trainPct))
   }
 
+  /** Temperature-scaled source mixture at α = 1/2 (square-root sampling
+    * — the multilingual/multi-source mixing rule of mC4-style pipelines,
+    * public): per-source keep-rate ∝ n_s^(α−1) normalized so the
+    * SMALLEST source keeps 100 %, i.e. rate_s = ⌊100·√(n_min/n_s)⌋ —
+    * dominant sources are damped toward √-proportions instead of
+    * drowning the tail. Unlike [[sourceMixture]] the rates are DERIVED
+    * from the corpus, not configured.
+    *
+    * α is fixed at 1/2 deliberately: the rate then needs only sqrt and
+    * division, both correctly-rounded IEEE ops, so the derived integer
+    * rates are bit-identical on any engine — a general-α `pow` is not
+    * correctly rounded and would make the keep-set engine-dependent.
+    *
+    * Scale shape: one vocabulary-of-sources aggregation, the rate table
+    * broadcast back, then the same narrow pure-(id,seed) membership
+    * filter as every sampler here. The derived `_graft_rate` column
+    * rides on the output for observability. */
+  def temperatureMixture(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      seed: Long,
+      bucket: BucketFn = xxhashBucket): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_graft_n"))
+    val nmin = counts.agg(min(col("_graft_n")).as("_graft_nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col(sourceCol),
+        floor(lit(100.0) * sqrt(col("_graft_nmin").cast("double") / col("_graft_n")))
+          .cast("long").as("_graft_rate"))
+    df.join(broadcast(rates), sourceCol)
+      .filter(bucket(col(idCol), seed) < col("_graft_rate"))
+  }
+
   /** Leakage-safe group-aware split: the side is a pure function of the
     * GROUP key, so every member of a group lands on the same side.
     * The group key is whatever "must not leak across the boundary"

@@ -319,6 +319,21 @@ object OpsQueries {
           .otherwise(lit("holdout")).as("split"))
     }),
 
+    // E119 temperature-scaled source mixture (α = 1/2): keep-rates
+    // DERIVED from per-source counts — rate_s = floor(100·√(n_min/n_s)),
+    // so the dominant source is damped toward √-proportions. The result
+    // reports (source, derived rate, totals, kept) so the oracle pins
+    // BOTH the rate derivation and the membership filter.
+    "q136_temperature_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      SamplingOps.temperatureMixture(docs, "source", "doc_id", seed = 11L,
+          bucket = SamplingOps.portableBucket)
+        .groupBy(col("source"), col("_graft_rate").as("rate_pct"))
+        .agg(count(lit(1)).as("n_kept"))
+        .join(broadcast(totals), "source")
+    }),
+
     // E116 Z-order clustering key: the Morton z-value that
     // MaintenanceOps.zorderCluster range-partitions files by. The query
     // pins the interleave arithmetic AND demonstrates the locality
@@ -551,6 +566,22 @@ object OpsQueries {
             CASE WHEN ${charHashSql("CAST(doc_id AS VARCHAR) || ':7'")} % 100 < 90
                  THEN 'train' ELSE 'holdout' END AS split
           FROM dedup""",
+    // Rates re-derived in SQL: sqrt and division are correctly-rounded
+    // IEEE ops, so the floor'd integer rates match Spark's exactly.
+    "q136_temperature_mixture" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+          m AS (SELECT min(n) AS nmin FROM c),
+          r AS (SELECT source, n AS n_total,
+                  CAST(floor(100.0 * sqrt(CAST(nmin AS DOUBLE) / n)) AS BIGINT)
+                    AS rate_pct
+                FROM c, m),
+          kept AS (
+            SELECT d.source, r.rate_pct, r.n_total FROM documents d
+            JOIN r USING (source)
+            WHERE ${charHashSql("CAST(doc_id AS VARCHAR) || ':11'")} % 100
+                  < r.rate_pct)
+          SELECT source, rate_pct, count(*) AS n_kept, n_total
+          FROM kept GROUP BY source, rate_pct, n_total""",
     // The interleave restated as a per-bit list fold: even positions from
     // l_partkey, odd from l_suppkey (disjoint bits, so + is |).
     "q133_zorder_stats" ->

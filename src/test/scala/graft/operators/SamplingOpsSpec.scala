@@ -164,6 +164,30 @@ class SamplingOpsSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("temperatureMixture derives sqrt-damped rates; smallest source keeps 100%") {
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 6400).map(i => (i.toLong, "web")) ++
+      (10000 until 10400).map(i => (i.toLong, "code")) ++
+      (20000 until 20100).map(i => (i.toLong, "forum"))
+    val df = rows.toDF("doc_id", "source")
+    val kept = SamplingOps.temperatureMixture(df, "source", "doc_id", seed = 3L)
+    // Exact derived rates: floor(100*sqrt(100/6400)) = 12, sqrt(100/400) = 50%.
+    val rates = kept.select(col("source"), col("_graft_rate"))
+      .distinct().as[(String, Long)].collect().toMap
+    assert(rates == Map("web" -> 12L, "code" -> 50L, "forum" -> 100L), rates)
+    val counts = kept.groupBy(col("source")).count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("forum") == 100L, "smallest source fully kept")
+    // Hash membership is ~rate with binomial slack.
+    assert(counts("code") > 120 && counts("code") < 280, counts)
+    assert(counts("web") > 550 && counts("web") < 1000, counts)
+    // Layout-stable membership.
+    val again = SamplingOps.temperatureMixture(
+      df.repartition(17), "source", "doc_id", seed = 3L)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(again == kept.select(col("doc_id")).as[Long].collect().toSet)
+  }
+
   test("epochShuffle plans a range-partitioned distributed sort") {
     val df = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val plan = SamplingOps.epochShuffle(df, "doc_id", 1L)
