@@ -195,6 +195,63 @@ object GraphOps {
       .distinct()
   }
 
+  /** Fixed-iteration PageRank (Page et al. 1999, public) over the
+    * undirected graph `edges` — the centrality signal on top of the same
+    * near-dup evidence the components operators consume: within a dedup
+    * cluster, the highest-rank member is the best-connected template
+    * (most duplicated ⇒ most "endorsed"), a retention-policy signal
+    * complementary to q112's longest-member pick.
+    *
+    * r₀(v) = 1/N;  r_{k+1}(v) = (1−d)/N + d·Σ_{u∈Γ(v)} r_k(u)/deg(u),
+    * rounded to 6 dp each iteration — the rounding quantizes away
+    * float-summation order, so every iteration's input (and therefore
+    * the fixed output) is a pure function of the graph on any engine.
+    * N counts vertices WITH edges (symmetrized, so deg ≥ 1 everywhere:
+    * no dangling mass to redistribute by construction).
+    *
+    * Scale shape: each iteration is one shuffle join on the vertex id +
+    * one aggregation over (vertex, double) pairs — the same profile as a
+    * label-propagation round; lineage is cut per iteration with
+    * [[Tables.materialize]]. Fixed `iters` (not convergence-tested):
+    * ranking stabilizes in a handful of iterations on shallow near-dup
+    * graphs, and a fixed count keeps the oracle expressible as unrolled
+    * CTEs. */
+  def pageRank(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of [1,20]: $iters")
+    require(damping > 0 && damping < 1, s"damping out of (0,1): $damping")
+    val sym = Tables.materialize(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+    val deg = Tables.materialize(
+      sym.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val nDf = deg.agg(count(lit(1)).as("n"))
+    var ranks = deg.select(col("src").as("v")).crossJoin(broadcast(nDf))
+      .select(col("v"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("v"), (col("rank") / col("deg")).as("c"))
+      // (1.0 - damping), not a pre-computed 0.15: both engines fold the
+      // subtraction with the same IEEE semantics, and 1.0 - 0.85 is NOT
+      // the same double as the literal 0.15.
+      ranks = Tables.materialize(
+        contrib.groupBy(col("v")).agg(sum(col("c")).as("in"))
+          .crossJoin(broadcast(nDf))
+          .select(col("v"), round(
+            (lit(1.0) - lit(damping)) / col("n") + lit(damping) * col("in"),
+            6).as("rank")))
+    }
+    ranks
+  }
+
   /** Large-star round: for each vertex x, point every STRICTLY LARGER
     * neighbor at m = min(Γ(x) ∪ {x}). Output is canonically oriented
     * (first > second) and distinct. */

@@ -446,6 +446,20 @@ object TextQueries {
         t(s, dir, "documents"), "text", "doc_id",
         chunkTokens = 64, strideTokens = 48)),
 
+    // E120 PageRank centrality over the near-dup candidate graph (3
+    // fixed iterations, d = 0.85): within a dedup cluster the
+    // highest-rank member is the best-connected template — a retention
+    // signal beside q112's longest-member pick. Per-iteration 6-dp
+    // rounding quantizes away float-summation order, so the ranks are a
+    // pure function of the graph on both engines.
+    "q137_pagerank" -> ((s, dir) => {
+      val banded = graft.operators.LshOps.bandedMinhash(
+        t(s, dir, "documents"), "text", "doc_id", 16, 3, 4, 4, LshMaxBucket)
+      val pairs = graft.operators.LshOps.candidatePairs(banded.bands, "doc_id")
+      graft.operators.GraphOps.pageRank(pairs, "doc_a", "doc_b", iters = 3)
+        .select(col("v").as("doc_id"), col("rank"))
+    }),
+
     // E117 leakage-safe group-aware split: assign train/holdout by the
     // NEAR-DUP CLUSTER (components as q103; docs without candidates are
     // their own singleton group), so no near-duplicate pair ever spans
@@ -1122,6 +1136,25 @@ object TextQueries {
             CAST(len(toks[i*48+1 : i*48+64]) AS INT) AS n_tok,
             array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
           FROM m, unnest(range(0, m)) AS u(i)""",
+    // Three unrolled iterations over the shared edges CTE (the recursive
+    // `reach` CTE in the fragment goes unreferenced and unplanned).
+    // (1.0 - 0.85) stays unfolded: it is NOT the same double as 0.15.
+    "q137_pagerank" -> {
+      def iter(prev: String): String =
+        s"""SELECT e.dst AS v,
+              round((1.0 - 0.85) / nn.n + 0.85 * sum(r.rank / d.deg), 6) AS rank
+            FROM edges e JOIN $prev r ON e.src = r.v
+                 JOIN deg d ON e.src = d.src, nn
+            GROUP BY e.dst, nn.n"""
+      s"""$MinhashComponentsCteSql,
+          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+          nn AS (SELECT count(*) AS n FROM deg),
+          r0 AS (SELECT d.src AS v, 1.0 / nn.n AS rank FROM deg d, nn),
+          r1 AS (${iter("r0")}),
+          r2 AS (${iter("r1")}),
+          r3 AS (${iter("r2")})
+          SELECT v AS doc_id, rank FROM r3"""
+    },
     // The closure as q103, then the split keyed on the group: singleton
     // docs group under their own id; the leak count (always 0) is
     // recomputed from the doc-level assignment, not assumed.

@@ -89,6 +89,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(stars(path) == (1L to 1000L).map(_ -> 1L).toMap)
   }
 
+  test("pageRank: hub outranks leaves, mass ~conserved, determinism across layouts") {
+    // Star: hub 0 with leaves 1..6, plus a detached 2-clique (7, 8).
+    val edges = ((1L to 6L).map(i => (0L, i)) :+ (7L, 8L)).toDF("a", "b")
+    val r = GraphOps.pageRank(edges, "a", "b", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(r.size == 9)
+    // The hub receives 6 leaves' full rank each iteration.
+    assert(r(0L) > r(1L) * 3, s"hub must dominate: $r")
+    // Leaves are symmetric.
+    assert((1L to 6L).map(r).distinct.size == 1)
+    // The 2-clique members exchange rank losslessly: exactly 1/N each.
+    assert(math.abs(r(7L) - 1.0 / 9) < 1e-6 && r(7L) == r(8L))
+    // Total mass stays ~1 (no dangling nodes by construction).
+    assert(math.abs(r.values.sum - 1.0) < 1e-3, r.values.sum)
+    // Layout-independent (the 6-dp per-iteration quantization contract).
+    val again = GraphOps.pageRank(edges.repartition(7), "a", "b", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(again == r)
+  }
+
   test("star contraction agrees with label propagation on a clustered graph") {
     val rng = new scala.util.Random(7)
     // 40 clusters of 5 around hubs + random intra-cluster chords: the
