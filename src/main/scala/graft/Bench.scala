@@ -184,10 +184,23 @@ object Bench {
       calibPost: Double,
       runsPerQuery: Int,
       errors: Seq[String],
-      outliers: Seq[String],
+      outliers: Seq[PartOutlier],
       queries: Seq[(String, Double)],
       runs: Map[String, String],
       gc: Map[String, String])
+
+  /** A triaged outlier inside a part artifact. `resolved` = the re-run
+    * median collapsed back under the 2× gate — a co-tenant phantom that
+    * the recorded median already reflects (reconcile reports the re-run),
+    * so it must not poison an otherwise-quiet part. An UNRESOLVED outlier
+    * (no re-run, or the re-run reproduced the slowdown) is either a
+    * genuine regression or sustained pollution; either way the part is
+    * not blessing material. */
+  private[graft] final case class PartOutlier(
+      name: String, ref: Double, rerun: Option[Double]) {
+    def resolved: Boolean =
+      rerun.exists(r => ref > 0 && r <= OutlierFactor * ref)
+  }
 
   private[graft] def parsePartDetail(json: String): Either[String, PartDetail] =
     try {
@@ -207,7 +220,11 @@ object Bench {
             calibPost = root.path("calib_post").asDouble(-1.0),
             runsPerQuery = root.path("runs_per_query").asInt(0),
             errors = root.path("errors").properties().asScala.map(_.getKey).toSeq,
-            outliers = root.path("outliers").properties().asScala.map(_.getKey).toSeq,
+            outliers = root.path("outliers").properties().asScala.map { e =>
+              val rr = e.getValue.path("rerun")
+              PartOutlier(e.getKey, e.getValue.path("ref").asDouble(-1.0),
+                if (rr.isNumber) Some(rr.asDouble()) else None)
+            }.toSeq,
             queries = root.path("queries").properties().asScala
               .map(e => e.getKey -> e.getValue.asDouble()).toSeq,
             runs = strMap("runs"),
@@ -239,7 +256,9 @@ object Bench {
       val tag = s"part ${p.part._1}/${p.part._2}"
       if (p.polluted) return Left(s"$tag is polluted")
       if (p.errors.nonEmpty) return Left(s"$tag has errors: ${p.errors.mkString(",")}")
-      if (p.outliers.nonEmpty) return Left(s"$tag has outliers: ${p.outliers.mkString(",")}")
+      val unresolved = p.outliers.filterNot(_.resolved)
+      if (unresolved.nonEmpty)
+        return Left(s"$tag has unresolved outliers: ${unresolved.map(_.name).mkString(",")}")
       if (p.calibPre <= 0 || p.calibPre > QuietCalib)
         return Left(f"$tag calib_pre ${p.calibPre}%.3f outside quiet bound $QuietCalib")
       if (p.calibPost <= 0 || p.calibPost > QuietCalib)

@@ -136,7 +136,7 @@ class BenchSpec extends AnyFunSuite {
       calibPost: Double = 1.08,
       polluted: Boolean = false,
       errors: Seq[String] = Nil,
-      outliers: Seq[String] = Nil,
+      outliers: Seq[Bench.PartOutlier] = Nil,
       sf: String = "/root/testdata/sf0.1"): Bench.PartDetail =
     Bench.PartDetail(sf, (i, n), polluted, calibPre, calibPost, 3,
       errors, outliers, queries,
@@ -176,7 +176,7 @@ class BenchSpec extends AnyFunSuite {
 
   test("part artifacts round-trip through the parser") {
     val json =
-      """{"metric":"total","value":20.1,"unit":"sec","runs_per_query":3,"part":"1/2","polluted":false,"committed_total":19.80,"calib_pre":1.044,"calib_post":1.101,"queries":{"q01_agg":1.250,"q03_join":0.470},"runs":{"q01_agg":[1.2,1.25,1.3],"q03_join":[0.4,0.47,0.5]},"gc_ms":{"q01_agg":[1,2,3],"q03_join":[0,0,0]},"errors":{},"outliers":{},"sf":"/root/testdata/sf0.1"}"""
+      """{"metric":"total","value":20.1,"unit":"sec","runs_per_query":3,"part":"1/2","polluted":false,"committed_total":19.80,"calib_pre":1.044,"calib_post":1.101,"queries":{"q01_agg":1.250,"q03_join":0.470},"runs":{"q01_agg":[1.2,1.25,1.3],"q03_join":[0.4,0.47,0.5]},"gc_ms":{"q01_agg":[1,2,3],"q03_join":[0,0,0]},"errors":{},"outliers":{"q03_join":{"ref":0.400,"median":0.900,"rerun":0.470},"q01_agg":{"ref":1.000,"median":2.300,"rerun":null}},"sf":"/root/testdata/sf0.1"}"""
     val p = Bench.parsePartDetail(json)
     assert(p.isRight, p)
     val d = p.toOption.get
@@ -184,7 +184,14 @@ class BenchSpec extends AnyFunSuite {
     assert(d.calibPre == 1.044 && d.calibPost == 1.101)
     assert(d.queries == Seq("q01_agg" -> 1.25, "q03_join" -> 0.47))
     assert(d.runs("q03_join") == "[0.4,0.47,0.5]")
-    assert(d.errors.isEmpty && d.outliers.isEmpty)
+    assert(d.errors.isEmpty)
+    // Outlier triage records parse with their resolution status: q03's
+    // re-run collapsed (resolved phantom), q01's never ran (unresolved).
+    assert(d.outliers.toSet == Set(
+      Bench.PartOutlier("q03_join", 0.4, Some(0.47)),
+      Bench.PartOutlier("q01_agg", 1.0, None)))
+    assert(d.outliers.find(_.name == "q03_join").get.resolved)
+    assert(!d.outliers.find(_.name == "q01_agg").get.resolved)
     // A full-run artifact (no part tag) must not masquerade as a part.
     assert(Bench.parsePartDetail(json.replace(""""part":"1/2",""", "")).isLeft)
     assert(Bench.parsePartDetail("garbage").isLeft)
@@ -223,7 +230,15 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.mergeParts(Seq(a, part(2, 3, Seq("q2" -> 1.0))), refs).isLeft)
     assert(Bench.mergeParts(Seq(a, b.copy(polluted = true)), refs).isLeft)
     assert(Bench.mergeParts(Seq(a, b.copy(errors = Seq("q2"))), refs).isLeft)
-    assert(Bench.mergeParts(Seq(a, b.copy(outliers = Seq("q2"))), refs).isLeft)
+    // UNRESOLVED outliers refuse: no re-run, or the re-run reproduced it.
+    assert(Bench.mergeParts(Seq(a, b.copy(outliers =
+      Seq(Bench.PartOutlier("q2", 1.0, rerun = None)))), refs).isLeft)
+    assert(Bench.mergeParts(Seq(a, b.copy(outliers =
+      Seq(Bench.PartOutlier("q2", 1.0, rerun = Some(2.8))))), refs).isLeft)
+    // A COLLAPSED phantom (re-run back under the 2x gate — the recorded
+    // median already is the re-run) must not poison a quiet part.
+    assert(Bench.mergeParts(Seq(a, b.copy(outliers =
+      Seq(Bench.PartOutlier("q2", 1.0, rerun = Some(1.3))))), refs).isRight)
     assert(Bench.mergeParts(Seq(a, b.copy(queries = Seq("q1" -> 1.0))), refs)
       .isLeft, "overlapping query names")
     assert(Bench.mergeParts(Seq(a, b.copy(runsPerQuery = 5)), refs).isLeft)
