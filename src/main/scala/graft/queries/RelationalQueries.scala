@@ -588,6 +588,24 @@ object RelationalQueries {
           count(lit(1)).as("n_rows"))
     }),
 
+    // E121 ordered funnel analysis: longest prefix of
+    // view -> click -> purchase matched as a subsequence of each user's
+    // time-ordered events (greedy earliest-match, which is optimal for
+    // subsequence prefixes), then users-reached per step. One shuffle on
+    // user_id; the per-user fold state is a single int.
+    "q138_funnel" -> ((s, dir) =>
+      graft.operators.BehaviorOps.funnel(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"))),
+
+    // E122 weekly cohort retention: users bucketed by first-seen week,
+    // counted in every active week (offset in whole weeks — both ends
+    // Monday-truncated). Two user-keyed aggregations + one user join;
+    // output is |cohorts| x |weeks|.
+    "q139_cohort_retention" -> ((s, dir) =>
+      graft.operators.BehaviorOps.cohortRetention(
+        t(s, dir, "events"), "user_id", "ts")),
+
     // E118 ordered-sequence assembly + sequence n-gram mining: per-user
     // event-type bigram counts (the behavioral-sequence statistic
     // conversation/session corpora need — which action follows which).
@@ -906,6 +924,52 @@ object RelationalQueries {
          round(sum(l_quantity), 2) AS sum_qty,
          count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
+    // The greedy fold restated as sequential firsts: t1 = first 'view'
+    // position, t2 = first 'click' after t1, t3 = first 'purchase' after
+    // t2 (row positions keyed (epoch_us, event_id) — see the q135 note on
+    // the µs sort key). A NULL earlier stage nulls every later one, which
+    // is exactly the fold never advancing.
+    "q138_funnel" ->
+      """WITH idx AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS pos
+           FROM events),
+         s1 AS (
+           SELECT user_id,
+             min(pos) FILTER (WHERE event_type = 'view') AS t1
+           FROM idx GROUP BY user_id),
+         s2 AS (
+           SELECT i.user_id, s1.t1,
+             min(i.pos) FILTER (WHERE i.event_type = 'click' AND i.pos > s1.t1) AS t2
+           FROM idx i JOIN s1 USING (user_id) GROUP BY i.user_id, s1.t1),
+         s3 AS (
+           SELECT i.user_id, s2.t1, s2.t2,
+             min(i.pos) FILTER (WHERE i.event_type = 'purchase' AND i.pos > s2.t2) AS t3
+           FROM idx i JOIN s2 USING (user_id) GROUP BY i.user_id, s2.t1, s2.t2),
+         stages AS (
+           SELECT user_id,
+             CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+           FROM s3)
+         SELECT CAST(st AS INT) AS step,
+                (['view', 'click', 'purchase'])[st] AS step_type,
+                count(*) FILTER (WHERE stage >= st) AS n_users
+         FROM stages, unnest(range(1, 4)) AS u(st)
+         GROUP BY st""",
+    "q139_cohort_retention" ->
+      """WITH first AS (
+           SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+           FROM events GROUP BY user_id),
+         active AS (
+           SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+           FROM events)
+         SELECT cohort_week, CAST((wk - cohort_week) / 7 AS INT) AS week_n,
+                count(*) AS n_users
+         FROM first JOIN active USING (user_id)
+         GROUP BY cohort_week, week_n""",
     // The fixture's ts is nanosecond; Spark reads it truncated to µs
     // (Tables' nanosAsLong conversion), so the oracle orders by the SAME
     // µs key (epoch_us) + event_id — ordering by raw ns could disagree
