@@ -95,14 +95,21 @@ object Bench {
       case _ => None
     }
 
-  /** Part i of n from the name-sorted corpus by ROUND-ROBIN index (not a
-    * contiguous split): the corpus sorts by family-clustered names, so
-    * interleaving balances both duration and family composition across
-    * parts — each part is a representative miniature of the corpus, and
-    * a mid-part pollution verdict stays meaningful. */
-  private[graft] def partFilter[T](xs: Seq[T], part: Option[(Int, Int)]): Seq[T] =
+  /** Part i of n by NAME HASH (Java String.hashCode is spec-fixed, so
+    * the assignment is stable across JVMs and rounds): q → part
+    * (hash(q) mod n) + 1. Hash-keyed rather than index-keyed
+    * deliberately — an index slice of the sorted corpus reshuffles EVERY
+    * part's membership whenever the corpus grows by one query, which
+    * would invalidate quiet parts already banked from earlier pockets;
+    * under the name hash a grown corpus only ADDS names to parts, so a
+    * banked part stays a valid (slightly smaller) piece of the
+    * partition. Hash mixing also keeps parts family-interleaved, each a
+    * representative miniature of the corpus. */
+  private[graft] def partFilter[T](
+      xs: Seq[T], part: Option[(Int, Int)], key: T => String): Seq[T] =
     part match {
-      case Some((i, n)) => xs.zipWithIndex.collect { case (x, j) if j % n == i - 1 => x }
+      case Some((i, n)) =>
+        xs.filter(x => math.floorMod(key(x).hashCode, n) == i - 1)
       case None => xs
     }
 
@@ -454,7 +461,7 @@ object Bench {
     val selected = partFilter(
       SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
         only.forall(s => s.contains(n) || s.contains(n.takeWhile(_ != '_')))
-      }, part)
+      }, part, (q: (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)) => q._1)
     // The ledger queries' batch-1 state is a per-dir fixture; built here
     // (untimed) so run 1 of 3 measures the same steady-state anti-join as
     // runs 2-3 instead of a mixed-mode mean. Verify skips this

@@ -143,20 +143,28 @@ class BenchSpec extends AnyFunSuite {
       queries.map { case (k, _) => k -> "[0.1,0.1,0.1]" }.toMap,
       queries.map { case (k, _) => k -> "[0,0,0]" }.toMap)
 
-  test("SPARK_GRAFT_PART parses strictly and slices round-robin") {
+  test("SPARK_GRAFT_PART parses strictly; slices are a stable name-hash partition") {
     assert(Bench.parsePart("1/2").contains((1, 2)))
     assert(Bench.parsePart("3/4").contains((3, 4)))
     for (bad <- Seq("0/2", "3/2", "1/1", "2", "a/b", "1/0", "", "1/2/3"))
       assert(Bench.parsePart(bad).isEmpty, s"'$bad' must not parse")
-    // Round-robin, not contiguous: both halves sample every name region.
-    val xs = (1 to 7).map(i => s"q$i")
-    assert(Bench.partFilter(xs, Some((1, 2))) == Seq("q1", "q3", "q5", "q7"))
-    assert(Bench.partFilter(xs, Some((2, 2))) == Seq("q2", "q4", "q6"))
-    assert(Bench.partFilter(xs, Some((2, 3))) == Seq("q2", "q5"))
-    assert(Bench.partFilter(xs, None) == xs)
-    // The parts are a partition: disjoint, union = corpus, order kept.
-    val all = (1 to 3).flatMap(i => Bench.partFilter(xs, Some((i, 3))))
-    assert(all.sortBy(_.drop(1).toInt) == xs)
+    val xs = (1 to 29).map(i => s"q${i}_name")
+    def slice(i: Int, n: Int, in: Seq[String] = xs) =
+      Bench.partFilter(in, Some((i, n)), identity[String])
+    assert(Bench.partFilter(xs, None, identity[String]) == xs)
+    // The parts are a partition: disjoint, union = corpus.
+    val all = (1 to 4).flatMap(slice(_, 4))
+    assert(all.sorted == xs.sorted && all.distinct.size == all.size)
+    // Every part is nonempty on a corpus-sized name set (hash spreads).
+    assert((1 to 4).forall(i => slice(i, 4).nonEmpty))
+    // GROWTH STABILITY — the reason slicing is hash-keyed, not
+    // index-keyed: adding a query must not move any existing query to a
+    // different part (a banked quiet part from an earlier pocket stays a
+    // valid piece of the partition).
+    val grown = xs :+ "q99_new_query"
+    for (i <- 1 to 4)
+      assert(slice(i, 4, grown).filterNot(_ == "q99_new_query") == slice(i, 4),
+        s"part $i membership moved under growth")
   }
 
   test("a part run always keeps its own side file, never the reference") {
