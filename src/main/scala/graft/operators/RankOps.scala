@@ -116,6 +116,47 @@ object RankOps {
       .limit(topN)
   }
 
+  /** PMI collocation extraction (Church & Hanks 1990, public): the
+    * corpus's most-associated adjacent word pairs.
+    *
+    * PMI(w1,w2) = ln(N·c(w1 w2) / (c_first(w1)·c_second(w2))) over
+    * bigram INSTANCES (N = total bigrams; c_first/c_second are the
+    * words' occurrence counts in first/second position), floored at
+    * `minCount` instances to kill the noisy tail, global top-`topN` by
+    * (rounded PMI desc, bigram asc) — a deterministic selection.
+    *
+    * Scale: the bigram explode is the only corpus-sized stage; all
+    * three count tables are vocabulary-sized and join on the bigram /
+    * its position words; the final cut is TakeOrderedAndProject. */
+  def pmiCollocations(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Int = 5,
+      topN: Int = 50): DataFrame = {
+    require(minCount >= 1 && topN >= 1, s"bad knobs: $minCount/$topN")
+    val bigrams = docs.select(explode(shingles(col(textCol), 2)).as("bigram"))
+    val c12 = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val firsts = bigrams
+      .groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
+      .agg(count(lit(1)).as("cf"))
+    val seconds = bigrams
+      .groupBy(split(col("bigram"), " ").getItem(1).as("w2"))
+      .agg(count(lit(1)).as("cs"))
+    val n = bigrams.agg(count(lit(1)).as("n_bigrams"))
+    c12.join(firsts, "w1").join(seconds, "w2")
+      .crossJoin(broadcast(n))
+      .select(col("bigram"), col("c12"),
+        // Numerator/denominator go to double BEFORE multiplying: at
+        // trillion-bigram scale N·c12 (and cf·cs) overflow a long.
+        round(log(col("n_bigrams").cast("double") * col("c12") /
+          (col("cf").cast("double") * col("cs"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topN)
+  }
+
   /** Bigram language-model scoring with add-one smoothing — the
     * perplexity-proxy quality signal of CCNet-style pipelines (Wenzek et
     * al. 2019, public), self-trained on the corpus it scores:

@@ -512,6 +512,13 @@ object TextQueries {
       graft.operators.RankOps.bigramLmScore(
         t(s, dir, "documents"), "text", "doc_id")),
 
+    // E123 PMI collocation extraction: top-50 most-associated adjacent
+    // word pairs (≥5 instances), integer counts + one rounded ln,
+    // deterministic (pmi, bigram) cut via TakeOrderedAndProject.
+    "q140_pmi_collocations" -> ((s, dir) =>
+      graft.operators.RankOps.pmiCollocations(
+        t(s, dir, "documents"), "text", minCount = 5, topN = 50)),
+
     // Dedup purge list: the keep-min-id policy applied to the LSH candidate
     // pairs — every doc that collides with a smaller doc_id is dropped.
     // Since candidates are emitted with doc_a < doc_b, the purge set is
@@ -1221,6 +1228,26 @@ object TextQueries {
           GROUP BY doc_id
           ORDER BY score DESC, doc_id
           LIMIT 100""",
+    // PMI over bigram instances; numerator/denominator cast to double
+    // BEFORE multiplying, same as the Spark side (overflow discipline).
+    "q140_pmi_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $TokSql AS toks FROM documents),
+          b AS (SELECT unnest(${shingleStrSql(2)}) AS bigram FROM t),
+          c12 AS (SELECT bigram, count(*) AS c12 FROM b GROUP BY bigram
+                  HAVING count(*) >= 5),
+          firsts AS (SELECT string_split(bigram, ' ')[1] AS w1, count(*) AS cf
+                     FROM b GROUP BY 1),
+          seconds AS (SELECT string_split(bigram, ' ')[2] AS w2, count(*) AS cs
+                      FROM b GROUP BY 1),
+          n AS (SELECT count(*) AS n_bigrams FROM b)
+          SELECT bigram, c12,
+                 round(ln(CAST(n.n_bigrams AS DOUBLE) * c12.c12
+                          / (CAST(f.cf AS DOUBLE) * s.cs)), 4) AS pmi
+          FROM c12
+          JOIN firsts f ON f.w1 = string_split(c12.bigram, ' ')[1]
+          JOIN seconds s ON s.w2 = string_split(c12.bigram, ' ')[2], n
+          ORDER BY pmi DESC, bigram
+          LIMIT 50""",
     // Bigram LM with add-one smoothing, self-trained: all counts are
     // integers, so P(w2|w1) is exactly rational and ln is the only float
     // step; the per-doc mean is rounded on both sides.

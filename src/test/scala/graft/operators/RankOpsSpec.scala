@@ -75,6 +75,25 @@ class RankOpsSpec extends AnyFunSuite {
     assert(r.size == 10)
   }
 
+  test("PMI ranks an exclusive collocation above a chance co-occurrence") {
+    // 'hong kong' always co-occur exclusively; 'the cat'/'the dog' share
+    // 'the' so each pair's association is diluted.
+    val d = docs((1L to 10L).map(i =>
+      i -> "hong kong visit the cat saw the dog"): _*)
+    val r = RankOps.pmiCollocations(d, "text", minCount = 5, topN = 10)
+      .select("bigram", "pmi").as[(String, Double)].collect()
+    // All exclusive pairs tie on PMI and break on the bigram name — the
+    // determinism contract, pinned exactly.
+    assert(r.take(3).map(_._1).toSeq == Seq("cat saw", "hong kong", "kong visit"), r.toSeq)
+    val byName = r.toMap
+    assert(byName("hong kong") > byName("the cat"),
+      s"shared 'the' must dilute: $byName")
+    // minCount kills a rare pair: with only 4 instances it cannot appear.
+    val sparse = docs((1L to 4L).map(i => i -> "rare pair"): _*)
+    assert(RankOps.pmiCollocations(sparse, "text", minCount = 5, topN = 10)
+      .count() == 0L)
+  }
+
   test("bigram LM excludes documents with no bigrams") {
     val d = docs(1L -> "solo", 2L -> "", 3L -> "two tokens")
     val r = RankOps.bigramLmScore(d, "text", "doc_id")
