@@ -213,6 +213,36 @@ class PlanSpec extends AnyFunSuite {
                                   // (ledger hits and in-batch drops are eager
                                   // checkpoint-pinned, outside this plan — the
                                   // q108 discipline)
+      // corpus-statistics rank/LM family (round 10): each branch that
+      // re-reads documents pays the parallel-spread repartition, the
+      // statistics tables are one agg exchange each, and the scoring
+      // join re-keys the corpus-sized side on the statistic's key. At
+      // runtime AQE broadcasts the vocabulary-sized df/count/n sides,
+      // collapsing the join re-keys — these are the AQE-off floors.
+      "q130_tfidf_keywords" -> 7, // 3 spreads (tf/df/N branches) + tf agg +
+                                  // df agg + token re-key + doc_id window
+      "q131_bm25_search" -> 6,    // 2 spreads + tf agg + df agg + stats agg
+                                  // + doc_id score agg (top-100 is
+                                  // TakeOrdered, exchange-free)
+      "q132_bigram_lm" -> 7,      // 3 spreads + c2/c1/V aggs + bigram
+                                  // re-key of the doc side
+      "q140_pmi_collocations" -> 5, // spread + c12/cf/cs/N aggs (joins
+                                  // reuse the c12 layout; TakeOrdered)
+      "q134_group_split" -> 7,    // LSH banding cached (pinned as q48) +
+                                  // CC rounds are materialize-cut; this
+                                  // plan pays the doc↔component join
+                                  // re-keys + split/leak aggs + the spread
+      "q136_temperature_mixture" -> 4, // source counts + n_min single-part
+                                  // + kept re-agg + totals agg (rate table
+                                  // broadcast back, corpus never re-keyed)
+      // per-entity sequence family (round 10): ONE shuffle on the entity
+      // key builds the ordered array; the report agg re-keys the
+      // entity-sized (not corpus-sized) result.
+      "q135_sequence_bigrams" -> 2, // user agg + bigram count agg
+      "q138_funnel" -> 2,           // user agg + step-report agg
+      "q139_cohort_retention" -> 3, // first-week agg + active distinct +
+                                    // cohort matrix agg (user join reuses
+                                    // the firsts layout)
       // two-phase / paired-agg shapes:
       "q05_full_outer_regions" -> 2, "q19_count_distinct" -> 2,
       "q23_intersect_except" -> 2, "q38_salted_agg" -> 2,
