@@ -51,6 +51,20 @@ object RankOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
 
+  /** df DERIVED from an already-computed tf table: tf has exactly one
+    * row per (doc, token), so counting rows per token IS the document
+    * frequency. The caller PERSISTS tf (and materializes it eagerly)
+    * before handing it over — measured round 10: neither Catalyst nor
+    * AQE's stage dedup reuses the tf subtree across the score-join and
+    * df branches (the consumers require different partitionings), so
+    * without the persist this derivation re-pays the corpus explode
+    * AND adds an exchange — strictly worse than an independent df
+    * scan. With it, the corpus-sized explode runs exactly once and df
+    * is one vocabulary-sized re-aggregation of the cache (the q48
+    * banded-frame discipline). */
+  private def dfFromTf(tf: DataFrame): DataFrame =
+    tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+
   /** Top-`k` keyword extraction per document by tf-idf:
     * `score = (tf / dl) * ln(N / df)`, rank within document by
     * (rounded score desc, token asc). The classic per-doc keyword
@@ -58,8 +72,15 @@ object RankOps {
   def tfidfTopK(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k out of range: $k")
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = termFrequencies(docs, textCol, idCol)
-      .join(docFrequencies(docs, textCol, idCol), "token")
+    // Persist + eager materialize: the score join and the df derivation
+    // both read tf; without the cache each would re-run the corpus
+    // explode (no exchange reuse fires across the branches — see
+    // dfFromTf), and eager materialization keeps the two join sides
+    // from racing to populate the cache.
+    val tf = termFrequencies(docs, textCol, idCol).persist()
+    tf.count()
+    val scored = tf
+      .join(dfFromTf(tf), "token")
       .crossJoin(broadcast(n))
       .withColumn("score", round(
         col("tf").cast("double") / col("dl") *
@@ -95,10 +116,17 @@ object RankOps {
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       avg(size(tokens(col(textCol)))).as("avgdl"))
+    // The isin prune is pushed below the tf aggregation by Catalyst
+    // (grouping-key predicate), so only query-term rows survive the
+    // explode's shuffle; df then derives from the pruned tf (one row
+    // per (doc, term)) instead of paying a second corpus explode. The
+    // pruned tf is |terms|·N_docs rows at most — persisted + eagerly
+    // materialized for the same two-consumer reason as tfidfTopK.
     val tf = termFrequencies(docs, textCol, idCol)
       .filter(col("token").isin(terms.map(x => x: Any): _*))
-    val df = docFrequencies(docs, textCol, idCol)
-      .filter(col("token").isin(terms.map(x => x: Any): _*))
+      .persist()
+    tf.count()
+    val df = dfFromTf(tf)
     val idf: Column = log(
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     // Constant arithmetic stays INSIDE the expression tree (folded by
@@ -134,18 +162,24 @@ object RankOps {
       minCount: Int = 5,
       topN: Int = 50): DataFrame = {
     require(minCount >= 1 && topN >= 1, s"bad knobs: $minCount/$topN")
-    val bigrams = docs.select(explode(shingles(col(textCol), 2)).as("bigram"))
-    val c12 = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= minCount)
+    // ONE corpus-sized explode + ONE aggregation; every statistic the
+    // score needs (position marginals, the instance total, the floored
+    // pair counts) derives from the vocabulary-sized bigram-count table.
+    // The marginals sum UNFILTERED counts — the minCount floor applies
+    // only to which pairs are reported, not to the probabilities.
+    // Persisted + eagerly materialized: four statistics branches read
+    // it, and no cross-branch exchange reuse fires (see dfFromTf).
+    val bAll = docs.select(explode(shingles(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("w2", split(col("bigram"), " ").getItem(1))
-    val firsts = bigrams
-      .groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
-      .agg(count(lit(1)).as("cf"))
-    val seconds = bigrams
-      .groupBy(split(col("bigram"), " ").getItem(1).as("w2"))
-      .agg(count(lit(1)).as("cs"))
-    val n = bigrams.agg(count(lit(1)).as("n_bigrams"))
+      .persist()
+    bAll.count()
+    val c12 = bAll.filter(col("c") >= minCount)
+      .select(col("bigram"), col("c").as("c12"), col("w1"), col("w2"))
+    val firsts = bAll.groupBy(col("w1")).agg(sum(col("c")).as("cf"))
+    val seconds = bAll.groupBy(col("w2")).agg(sum(col("c")).as("cs"))
+    val n = bAll.agg(sum(col("c")).as("n_bigrams"))
     c12.join(firsts, "w1").join(seconds, "w2")
       .crossJoin(broadcast(n))
       .select(col("bigram"), col("c12"),

@@ -219,15 +219,23 @@ class PlanSpec extends AnyFunSuite {
       // join re-keys the corpus-sized side on the statistic's key. At
       // runtime AQE broadcasts the vocabulary-sized df/count/n sides,
       // collapsing the join re-keys — these are the AQE-off floors.
-      "q130_tfidf_keywords" -> 7, // 3 spreads (tf/df/N branches) + tf agg +
-                                  // df agg + token re-key + doc_id window
-      "q131_bm25_search" -> 6,    // 2 spreads + tf agg + df agg + stats agg
-                                  // + doc_id score agg (top-100 is
+      "q130_tfidf_keywords" -> 4, // spread + tf agg (ONCE — persisted; df
+                                  // re-derives from the cache) + token
+                                  // re-key + doc_id window; N branch
+                                  // broadcasts
+      "q131_bm25_search" -> 4,    // spread + pruned tf agg (persisted; df
+                                  // from cache) + stats-branch spread +
+                                  // doc_id score agg (top-100 is
                                   // TakeOrdered, exchange-free)
       "q132_bigram_lm" -> 7,      // 3 spreads + c2/c1/V aggs + bigram
-                                  // re-key of the doc side
-      "q140_pmi_collocations" -> 5, // spread + c12/cf/cs/N aggs (joins
-                                  // reuse the c12 layout; TakeOrdered)
+                                  // re-key of the doc side (c1 counts
+                                  // token INSTANCES — not derivable from
+                                  // the bigram table, whose first-position
+                                  // marginal misses each doc's last token)
+      "q140_pmi_collocations" -> 3, // spread + bigram-count agg (ONCE —
+                                  // persisted; marginals and N re-derive
+                                  // from the vocab-sized cache) + one
+                                  // marginal re-agg; TakeOrdered cut
       "q134_group_split" -> 7,    // LSH banding cached (pinned as q48) +
                                   // CC rounds are materialize-cut; this
                                   // plan pays the doc↔component join
