@@ -406,6 +406,45 @@ object StreamingOps {
       }
   }
 
+  final case class TypedFunnelEvent(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
+  final case class FunnelOut(user_id: Long, stage: Int)
+
+  /** E124 LIVE ordered funnel — [[graft.operators.BehaviorOps.funnelStages]]
+    * maintained continuously: per-user keyed state is the single int
+    * "stage reached so far", advanced by each micro-batch's events in
+    * (ts, nanos, event_id) order. Emits the user's stage after every
+    * batch that contained events for them (Update-style progress over an
+    * Append-mode flatMap — downstream dedups on the latest per user, the
+    * same convention as [[runningSeq]]).
+    *
+    * State is ONE int per user — far under any state-store pressure —
+    * and a batch's work is bounded by that batch's events, never
+    * history. In-order processing across batches relies on the source
+    * delivering a user's events in batch order (true of the
+    * CDC/watermark ingest path feeding it); a cross-batch out-of-order
+    * event cannot regress the stage (the fold only advances), it can
+    * only fail to count — the documented at-most semantics of a live
+    * funnel, reconciled by the exact batch operator over the full log. */
+  def streamingFunnelStages(
+      ds: Dataset[TypedFunnelEvent], steps: Seq[String]): Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "empty funnel")
+    import ds.sparkSession.implicits._
+    val k = steps.length
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Int, FunnelOut](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TypedFunnelEvent], state: GroupState[Int]) =>
+          val st0 = state.getOption.getOrElse(0)
+          val sorted = rows.toIndexedSeq
+            .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
+          val st = sorted.foldLeft(st0) { (s, e) =>
+            if (s < k && e.event_type == steps(s)) s + 1 else s
+          }
+          state.update(st)
+          Iterator.single(FunnelOut(uid, st))
+      }
+  }
+
   /** E45 incremental-batch CDC step as a streaming-shaped helper: read the
     * suffix after the stored watermark, return (delta, newWatermark). The
     * caller commits the sink, then advances state — same ordering contract

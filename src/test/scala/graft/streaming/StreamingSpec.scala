@@ -126,6 +126,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel advances per-user stage across micro-batches, never regresses") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.TypedFunnelEvent
+    val mem = MemoryStream[TypedFunnelEvent]
+    val q = StreamingOps.streamingFunnelStages(
+      mem.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      // Batch 1: user 1 views; user 2 clicks WITHOUT a view (no advance).
+      mem.addData(
+        TypedFunnelEvent(10L, ts(1), 1L, "view"),
+        TypedFunnelEvent(20L, ts(1), 2L, "click"))
+      q.processAllAvailable()
+      // Batch 2: user 1's click lands in a LATER batch — the stage must
+      // CONTINUE from the stored state (the cross-batch property no
+      // per-batch groupBy can provide); user 2 finally views.
+      mem.addData(
+        TypedFunnelEvent(11L, ts(2), 1L, "click"),
+        TypedFunnelEvent(21L, ts(2), 2L, "view"))
+      q.processAllAvailable()
+      // Batch 3: user 1 completes; user 2 sends noise (stage holds).
+      mem.addData(
+        TypedFunnelEvent(12L, ts(3), 1L, "purchase"),
+        TypedFunnelEvent(22L, ts(3), 2L, "error"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out")
+        .as[StreamingOps.FunnelOut].collect()
+      // Latest emission per user wins (Update-style progress convention).
+      val stages = rows.groupBy(_.user_id).view
+        .mapValues(_.map(_.stage).max).toMap
+      assert(stages == Map(1L -> 3, 2L -> 1), rows.toSeq)
+      // Per-batch trail for user 1: 1 (view) -> 2 (click) -> 3 (purchase).
+      assert(rows.filter(_.user_id == 1L).map(_.stage).sorted.toSeq == Seq(1, 2, 3))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches pairs within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[(Long, Long, Timestamp)]
