@@ -88,6 +88,84 @@ object MaintenanceOps {
     CompactionReport(before.length, dataFiles().length, rows)
   }
 
+  /** Targeted-delete report: rows scanned, rows removed, requested ids
+    * that were not present (already gone / never existed — the
+    * idempotence signal), and files after the rewrite. */
+  final case class DeleteReport(
+      rowsBefore: Long, deleted: Long, rowsAfter: Long, notFound: Long)
+
+  /** Governance pass: remove specific ids from a parquet corpus
+    * directory — the takedown/right-to-erasure operation every
+    * training-data store eventually owes someone. Same atomic
+    * rewrite-then-swap protocol as [[compactParquet]] (readers never see
+    * a half-deleted directory; a crash before the swap leaves the
+    * original untouched), with the delete audited to `auditDir` as a
+    * tombstone record per requested id: `(id, found)` — the proof of
+    * WHAT was deleted (and what was already absent, making replays
+    * idempotent by inspection) without retaining any deleted CONTENT,
+    * which would defeat the point.
+    *
+    * The denylist is broadcast (takedown lists are small against a
+    * corpus; a list large enough to break that assumption should go
+    * through the anti-join ingest filters instead). The anti-join is
+    * null-safe on the id. Flat directories only — the partitioned
+    * variant would rewrite leaf-by-leaf like [[compactPartitioned]];
+    * refused loudly rather than silently flattened. */
+  def targetedDelete(
+      spark: SparkSession,
+      dir: String,
+      idCol: String,
+      ids: Seq[Long],
+      auditDir: String): DeleteReport = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum, when}
+    require(ids.nonEmpty, "empty deletion list — refusing a no-op audit")
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val subdirs = dataDirs(fs, path)
+    if (subdirs.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$dir contains partition subdirectories — targetedDelete rewrites flat " +
+          "directories only (a flat rewrite would fold partition columns into data files)")
+    val denyDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_graft_deny_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val src = spark.read.parquet(dir)
+    val obs = org.apache.spark.sql.Observation(s"delete_${path.getName}")
+    val tmp = new Path(path.getParent, s".${path.getName}_delete_tmp")
+    // One scan: observe before/after counts on the anti-joined rewrite.
+    src
+      .join(broadcast(denyDf), col(idCol) === col("_graft_deny_id"), "left")
+      .observe(obs,
+        count(lit(1)).as("before"),
+        sum(when(col("_graft_deny_id").isNotNull, 1L).otherwise(0L)).as("hit"))
+      .filter(col("_graft_deny_id").isNull)
+      .drop("_graft_deny_id")
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val before = obs.get("before").asInstanceOf[Long]
+    val hit = Option(obs.get("hit")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    // Tombstone audit BEFORE the swap: if the audit cannot be written,
+    // the corpus must not change (an unaudited takedown is the failure
+    // the audit exists to prevent).
+    val foundIds = src.select(col(idCol))
+      .join(broadcast(denyDf), col(idCol) === col("_graft_deny_id"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    import spark.implicits._
+    ids.map(i => (i, foundIds.contains(i))).toDF("id", "found")
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(auditDir)
+    val bak = new Path(path.getParent, s".${path.getName}_delete_bak")
+    fs.delete(bak, true)
+    def renameOrThrow(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"delete swap failed: rename $from -> $to")
+    renameOrThrow(path, bak)
+    renameOrThrow(tmp, path)
+    fs.delete(bak, true)
+    DeleteReport(before, hit, before - hit, ids.size.toLong - foundIds.size)
+  }
+
   /** Cluster a dataset's FILE layout for scan pruning: range-partition on
     * the cluster columns, sort within each partition, write parquet. Every
     * output file then covers a narrow, near-disjoint range of the cluster

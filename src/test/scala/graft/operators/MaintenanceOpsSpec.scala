@@ -252,6 +252,53 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(pending.ledgerHits.as[Long].collect().toSet == Set(11L))
   }
 
+  test("targetedDelete removes exactly the listed ids, audits, and replays idempotently") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("tdelete")
+    val dir = root.resolve("corpus").toString
+    val audit = root.resolve("audit").toString
+    (1L to 100L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+      .repartition(4).write.mode(SaveMode.Overwrite).parquet(dir)
+
+    // id 999 is not present — it must audit as found=false, not fail.
+    val r = MaintenanceOps.targetedDelete(spark, dir, "doc_id",
+      Seq(7L, 40L, 999L), audit)
+    assert(r == MaintenanceOps.DeleteReport(
+      rowsBefore = 100L, deleted = 2L, rowsAfter = 98L, notFound = 1L), r)
+    val back = spark.read.parquet(dir).select($"doc_id").as[Long].collect().toSet
+    assert(back == ((1L to 100L).toSet -- Set(7L, 40L)))
+    val tomb = spark.read.parquet(audit).as[(Long, Boolean)].collect().toSet
+    assert(tomb == Set((7L, true), (40L, true), (999L, false)))
+    // The audit retains NO deleted content — ids and outcomes only.
+    assert(spark.read.parquet(audit).columns.toSeq == Seq("id", "found"))
+
+    // Replay of the same takedown: nothing left to delete, corpus
+    // byte-stable, audit records the now-absent ids as found=false.
+    val r2 = MaintenanceOps.targetedDelete(spark, dir, "doc_id",
+      Seq(7L, 40L, 999L), audit)
+    assert(r2 == MaintenanceOps.DeleteReport(98L, 0L, 98L, 3L), r2)
+    assert(spark.read.parquet(dir).count() == 98L)
+    assert(spark.read.parquet(audit).count() == 6L, "audit is append-only")
+  }
+
+  test("targetedDelete refuses a partitioned directory and an empty list") {
+    val root = Files.createTempDirectory("tdelete_refuse")
+    val part = root.resolve("part").toString
+    (1 to 50).map(i => (i.toLong, i % 3)).toDF("doc_id", "p")
+      .write.mode(SaveMode.Overwrite).partitionBy("p").parquet(part)
+    val e = intercept[IllegalArgumentException](
+      MaintenanceOps.targetedDelete(spark, part, "doc_id", Seq(1L),
+        root.resolve("a").toString))
+    assert(e.getMessage.contains("partition subdirectories"))
+    assert(spark.read.parquet(part).count() == 50L, "refusal leaves data intact")
+    val flat = root.resolve("flat").toString
+    (1 to 10).map(_.toLong).toDF("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(flat)
+    intercept[IllegalArgumentException](
+      MaintenanceOps.targetedDelete(spark, flat, "doc_id", Seq.empty,
+        root.resolve("a2").toString))
+  }
+
   test("zorderValue matches the bit-interleave model (codegen path)") {
     import org.apache.spark.sql.functions.col
     def model(x: Long, y: Long, bits: Int): Long =
