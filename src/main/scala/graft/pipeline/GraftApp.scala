@@ -63,7 +63,14 @@ object GraftApp {
       scrubSpans: Boolean = false,
       spanTokens: Int = 8,
       minDocs: Int = 2,
-      epochShuffle: Option[Long] = None)
+      epochShuffle: Option[Long] = None,
+      deleteIds: Option[Seq[Long]] = None,
+      auditDir: Option[String] = None,
+      corpusDir: Option[String] = None,
+      zorderCols: Option[(String, String)] = None,
+      zBits: Int = 16,
+      zFiles: Int = 64,
+      outDir: Option[String] = None)
 
   /** Valueless flags (presence = true). */
   private val boolFlags = Set("strict", "stream", "compact-ledger", "fold-epochs",
@@ -98,13 +105,17 @@ object GraftApp {
           "[--export-shards --export-dir P [--content-cols a,b] [--shards N] [--seed S]] | " +
           "[--verify-export --export-dir P [--content-cols a,b] [--seed S]] | " +
           "[--scrub-spans [--span-tokens N] [--min-docs N]] | " +
-          "[--epoch-shuffle E]")
+          "[--epoch-shuffle E] | " +
+          "[--delete-ids i,j,… --corpus-dir P --audit-dir P] | " +
+          "[--zorder colX,colY --corpus-dir P --out-dir P [--z-bits N] [--z-files N]]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
       "ledger", "checkpoint", "text-col", "id-col",
       "dedup", "vec-col", "min-cos", "k",
       "export-dir", "content-cols", "shards", "seed",
-      "span-tokens", "min-docs", "epoch-shuffle") ++ boolFlags
+      "span-tokens", "min-docs", "epoch-shuffle",
+      "delete-ids", "audit-dir", "corpus-dir",
+      "zorder", "z-bits", "z-files", "out-dir") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
     if (unknown.nonEmpty)
@@ -152,7 +163,21 @@ object GraftApp {
       scrubSpans = flags.contains("scrub-spans"),
       spanTokens = flags.get("span-tokens").map(_.toInt).getOrElse(8),
       minDocs = flags.get("min-docs").map(_.toInt).getOrElse(2),
-      epochShuffle = flags.get("epoch-shuffle").map(_.toLong))
+      epochShuffle = flags.get("epoch-shuffle").map(_.toLong),
+      deleteIds = flags.get("delete-ids")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq),
+      auditDir = flags.get("audit-dir"),
+      corpusDir = flags.get("corpus-dir"),
+      zorderCols = flags.get("zorder").map { v =>
+        v.split(",").map(_.trim).filter(_.nonEmpty) match {
+          case Array(x, y) => (x, y)
+          case _ => throw new IllegalArgumentException(
+            s"--zorder wants exactly two columns (colX,colY), got: $v")
+        }
+      },
+      zBits = flags.get("z-bits").map(_.toInt).getOrElse(16),
+      zFiles = flags.get("z-files").map(_.toInt).getOrElse(64),
+      outDir = flags.get("out-dir"))
   }
 
   /** Testable core; returns the process exit code. */
@@ -254,6 +279,38 @@ object GraftApp {
           a.tableArg, a.mode)
         out(s"EPOCH_SHUFFLE_ table=${a.tableArg} epoch=$epoch")
       }
+      return 0
+    }
+
+    // Governance mode: audited targeted delete, in place over a parquet
+    // corpus directory (atomic rewrite-then-swap, tombstone audit written
+    // BEFORE the swap — MaintenanceOps.targetedDelete). The corpus dir is
+    // named directly (not via a source endpoint): an in-place rewrite
+    // must know exactly which directory it owns.
+    if (a.deleteIds.isDefined) {
+      val dir = a.corpusDir.getOrElse(
+        throw new IllegalArgumentException("--delete-ids requires --corpus-dir P"))
+      val audit = a.auditDir.getOrElse(
+        throw new IllegalArgumentException("--delete-ids requires --audit-dir P"))
+      val r = graft.operators.MaintenanceOps.targetedDelete(
+        spark, dir, a.idCol, a.deleteIds.get, audit)
+      out(s"DELETE_IDS_ requested=${a.deleteIds.get.size} deleted=${r.deleted} " +
+        s"notFound=${r.notFound} rows=${r.rowsBefore}->${r.rowsAfter}")
+      return 0
+    }
+
+    // Layout mode: Z-order re-cluster into a NEW directory (the clustered
+    // write is a full rewrite — pointing readers at the new dir is the
+    // caller's cutover step, kept explicit rather than swapped in place).
+    if (a.zorderCols.isDefined) {
+      val dir = a.corpusDir.getOrElse(
+        throw new IllegalArgumentException("--zorder requires --corpus-dir P"))
+      val outd = a.outDir.getOrElse(
+        throw new IllegalArgumentException("--zorder requires --out-dir P"))
+      val (cx, cy) = a.zorderCols.get
+      graft.operators.MaintenanceOps.zorderCluster(
+        spark.read.parquet(dir), outd, cx, cy, a.zBits, a.zFiles)
+      out(s"ZORDER_ cols=$cx,$cy bits=${a.zBits} files=${a.zFiles} out=$outd")
       return 0
     }
 

@@ -280,6 +280,43 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
 
+  test("--delete-ids and --zorder run as standalone maintenance modes") {
+    val root = Files.createTempDirectory("maint_cli")
+    val corpus = s"$root/corpus"
+    val audit = s"$root/audit"
+    (1L to 50L).map(i => (i, i * 3 % 50, s"doc$i")).toDF("doc_id", "k", "text")
+      .repartition(4).write.mode(SaveMode.Overwrite).parquet(corpus)
+
+    def cli(extra: String*): (Int, Seq[String]) = {
+      val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val code = GraftApp.run(GraftApp.parseArgs(Seq("dev", "corpus") ++ extra),
+        spark, getenv = _ => None, out = outs.append(_), log = _ => ())
+      (code, outs.toSeq)
+    }
+
+    val (c1, l1) = cli("--delete-ids", "5,6,999",
+      "--corpus-dir", corpus, "--audit-dir", audit)
+    assert(c1 == 0, l1.mkString("; "))
+    assert(l1.exists(_.startsWith("DELETE_IDS_ requested=3 deleted=2 notFound=1")), l1)
+    assert(spark.read.parquet(corpus).filter($"doc_id".isin(5L, 6L)).count() == 0L)
+    assert(spark.read.parquet(corpus).count() == 48L)
+    assert(spark.read.parquet(audit).count() == 3L)
+
+    val zout = s"$root/zordered"
+    val (c2, l2) = cli("--zorder", "doc_id,k",
+      "--corpus-dir", corpus, "--out-dir", zout, "--z-bits", "7", "--z-files", "4")
+    assert(c2 == 0 && l2.exists(_.startsWith("ZORDER_ cols=doc_id,k bits=7")), l2)
+    // Full rewrite into the NEW dir, data intact.
+    assert(spark.read.parquet(zout).count() == 48L)
+    assert(spark.read.parquet(zout).columns.toSet == Set("doc_id", "k", "text"))
+
+    // Missing required dirs refuse loudly.
+    intercept[IllegalArgumentException](cli("--delete-ids", "1"))
+    intercept[IllegalArgumentException](cli("--zorder", "doc_id,k", "--corpus-dir", corpus))
+    intercept[IllegalArgumentException](
+      GraftApp.parseArgs(Seq("dev", "corpus", "--zorder", "onlyone")))
+  }
+
   test("arg parsing: usage errors and flag forms") {
     intercept[IllegalArgumentException](GraftApp.parseArgs(Seq("dev")))
     intercept[IllegalArgumentException](GraftApp.parseArgs(Seq("dev", "all", "--mode", "upsert")))
