@@ -215,6 +215,13 @@ object Bench {
       val partStr = root.path("part").asText("")
       parsePart(partStr) match {
         case None => Left(s"not a part artifact (part=\"$partStr\")")
+        case Some(_) if root.path("subset").asBoolean(false) =>
+          // A SPARK_GRAFT_QUERIES-restricted part is a SUBSET artifact:
+          // merging it would bless a partial-corpus subtotal as the
+          // full committed reference (and the next full run, at <0.80
+          // coverage against it, would void the comparison and
+          // self-bless — the exact ratchet the protocol stops).
+          Left("subset-restricted run cannot be merged as a part")
         case Some(p) =>
           def strMap(field: String): Map[String, String] =
             root.path(field).properties().asScala
@@ -274,6 +281,14 @@ object Bench {
     val names = parts.flatMap(_.queries.map(_._1))
     if (names.distinct.size != names.size)
       return Left("parts overlap in query names — not a partition of the corpus")
+    // Provenance check: every query must hash to the part that carries it
+    // (the assignment is a pure function of the name) — catches renamed
+    // files, hand-edited artifacts, and any mixed-n provenance the
+    // disjointness check can't see.
+    for (p <- parts; (q, _) <- p.queries)
+      if (math.floorMod(q.hashCode, n) != p.part._1 - 1)
+        return Left(s"query $q does not belong to part ${p.part._1}/$n " +
+          "(name-hash assignment mismatch — artifact renamed or edited?)")
     val sorted = parts.sortBy(_.part._1)
     val medians = sorted.flatMap(_.queries).sortBy(_._1)
     val total = medians.map(_._2).sum
@@ -283,8 +298,6 @@ object Bench {
       if (refTotal.exists(rt => rt > 0 && coveredTotal > RefRefreshSlack * rt))
         "BENCH_DETAILS_NOISY.json"
       else "BENCH_DETAILS.json"
-    def obj(pairs: Iterable[(String, String)]): String =
-      pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = obj(medians.map { case (k, m) => k -> f"$m%.3f" })
     val runsJson = obj(medians.map { case (k, _) =>
       k -> sorted.flatMap(_.runs.get(k)).headOption.getOrElse("[]") })
@@ -366,6 +379,11 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** One JSON object from pre-serialized (key, value-json) pairs — shared
+    * by the full-run and merged artifacts so their format cannot skew. */
+  private def obj(pairs: Iterable[(String, String)]): String =
+    pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
   private def gcMillis(): Long =
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
@@ -444,8 +462,9 @@ object Bench {
     // times the heavy-tail subset at sf1 without paying for the corpus.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // SPARK_GRAFT_PART="i/n": run only the i-th round-robin slice of the
-    // (filtered, name-sorted) corpus — the split-window protocol. Round 9
+    // SPARK_GRAFT_PART="i/n": run only the i-th NAME-HASH slice of the
+    // (filtered) corpus — the split-window protocol; see partFilter for
+    // why the assignment is hash-keyed, not index-keyed. Round 9
     // established that this host's quiet state recurs but never holds a
     // full 8-minute corpus window (attempts 17-19 all started sub-1.1 s
     // and lost the window mid-run); n part-runs each need only a 1/n-size
@@ -534,8 +553,6 @@ object Bench {
       outlier.foreach(o => outliers(name) = o)
       (name, median, runs)
     }
-    def obj(pairs: Iterable[(String, String)]): String =
-      pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = obj(results.map { case (k, m, _) => k -> f"$m%.3f" })
     val runsJson = obj(results.map { case (k, _, rs) =>
       k -> rs.map(r => f"${r._1}%.3f").mkString("[", ",", "]") })

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -32,10 +33,21 @@ object BitInterleave {
 }
 
 /** z-value of two long columns (callers cast/mod into the `bits` budget;
-  * only the low `bits` bits of each input participate). */
+  * only the low `bits` bits of each input participate). Long inputs are
+  * ENFORCED at analysis time (checkInputDataTypes): without the
+  * contract, an int child would pass analysis and then diverge by
+  * evaluation mode — codegen widens int→long silently while the
+  * interpreted path's `asInstanceOf[Long]` throws ClassCastException
+  * mid-job. */
 case class BitInterleaveExpr(left: Expression, right: Expression, bits: Int)
     extends BinaryExpression {
   require(bits >= 1 && bits <= 31, s"bits out of [1,31]: $bits")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bit_interleave expects (bigint, bigint), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
   override def dataType: DataType = LongType
   override protected def nullSafeEval(x: Any, y: Any): Any =
     BitInterleave.interleave(x.asInstanceOf[Long], y.asInstanceOf[Long], bits)

@@ -203,6 +203,32 @@ class BenchSpec extends AnyFunSuite {
     // A full-run artifact (no part tag) must not masquerade as a part.
     assert(Bench.parsePartDetail(json.replace(""""part":"1/2",""", "")).isLeft)
     assert(Bench.parsePartDetail("garbage").isLeft)
+    // A SPARK_GRAFT_QUERIES-restricted part carries "subset":true — it
+    // must never merge (a partial-corpus subtotal blessed as the full
+    // reference would void the next full run's coverage and let it
+    // self-bless: the ratchet, via the side door).
+    val subsetJson = json.replace(""""part":"1/2",""", """"part":"1/2","subset":true,""")
+    val refused = Bench.parsePartDetail(subsetJson)
+    assert(refused.isLeft && refused.swap.toOption.get.contains("subset"), refused)
+  }
+
+  test("the merge refuses a query that does not hash to its declared part") {
+    // Part membership is a pure function of the name
+    // (floorMod(hashCode, n)); a renamed or hand-edited artifact whose
+    // queries sit in the wrong part must refuse, not merge.
+    val q1Part = math.floorMod("q1".hashCode, 2) + 1
+    val wrongPart = 3 - q1Part // the other of {1, 2}
+    val right = part(q1Part, 2, Seq("q1" -> 1.0))
+    val other = part(wrongPart, 2, Seq("q2" -> 1.0))
+    assert(math.floorMod("q2".hashCode, 2) + 1 == wrongPart,
+      "fixture sanity: q1/q2 hash to different halves")
+    assert(Bench.mergeParts(Seq(right, other), Map.empty).isRight)
+    // Swap the queries across the two parts: both refuse.
+    val swapped = Seq(
+      part(q1Part, 2, Seq("q2" -> 1.0)),
+      part(wrongPart, 2, Seq("q1" -> 1.0)))
+    val r = Bench.mergeParts(swapped, Map.empty)
+    assert(r.isLeft && r.swap.toOption.get.contains("name-hash assignment"), r)
   }
 
   test("the merge blesses only when every gauge on every part is quiet") {

@@ -227,11 +227,14 @@ class PlanSpec extends AnyFunSuite {
                                   // from cache) + stats-branch spread +
                                   // doc_id score agg (top-100 is
                                   // TakeOrdered, exchange-free)
-      "q132_bigram_lm" -> 7,      // 3 spreads + c2/c1/V aggs + bigram
-                                  // re-key of the doc side (c1 counts
-                                  // token INSTANCES — not derivable from
-                                  // the bigram table, whose first-position
-                                  // marginal misses each doc's last token)
+      "q132_bigram_lm" -> 3,      // c2 agg over the persisted bigram frame
+                                  // + bigram re-key of the doc side + the
+                                  // per-doc nll agg (the bigram/unigram
+                                  // explodes build caches — leaves here;
+                                  // c1 counts token INSTANCES, not
+                                  // derivable from the bigram table whose
+                                  // first-position marginal misses each
+                                  // doc's last token)
       "q140_pmi_collocations" -> 3, // spread + bigram-count agg (ONCE —
                                   // persisted; marginals and N re-derive
                                   // from the vocab-sized cache) + one
