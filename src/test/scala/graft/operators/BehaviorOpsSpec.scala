@@ -61,6 +61,60 @@ class BehaviorOpsSpec extends AnyFunSuite {
     assert(rep.toSeq == Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
   }
 
+  test("sequence bigrams stream in time order with one element of state") {
+    val e = events(
+      (1L, 1, 1L, "view"), (1L, 3, 3L, "purchase"), (1L, 2, 2L, "click"),
+      (2L, 1, 4L, "view"),                      // <2 events -> no bigrams
+      (3L, 1, 5L, "click"), (3L, 1, 6L, "view")) // same-ts tie: id order
+    val bgs = BehaviorOps.sequenceBigrams(e, "user_id", "ts", "event_id",
+      "event_type").as[(Long, String)].collect().sorted.toSeq
+    assert(bgs == Seq((1L, "click>purchase"), (1L, "view>click"),
+      (3L, "click>view")))
+  }
+
+  /** The round-10 shape held each user's whole sequence in ONE
+    * collect_list array inside a hash aggregate — the only per-entity
+    * unbounded state in the engine. The bounded replacement must show up
+    * structurally: a streaming MapGroups over Spark's external
+    * (spillable) group sort, and NO array-building aggregate anywhere in
+    * the physical plan. This gate is what makes the power-user test
+    * below meaningful — with it, a 10^8-event user costs spilled disk,
+    * not executor heap. */
+  test("per-user operators plan as streaming folds, not collect_list arrays") {
+    val e = events((1L, 1, 1L, "view"))
+    for (df <- Seq(
+        BehaviorOps.funnelStages(e, "user_id", "ts", "event_id", "event_type", Steps),
+        BehaviorOps.sequenceBigrams(e, "user_id", "ts", "event_id", "event_type"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("MapGroups"), s"expected streaming MapGroups in:\n$plan")
+      assert(!plan.toLowerCase.contains("collect_list"),
+        s"per-user array materialization crept back in:\n$plan")
+    }
+  }
+
+  test("a power user orders of magnitude above the rest stays exact") {
+    // 200k events for ONE user (the fixture's busiest user has ~40): under
+    // the old collect_list shape this is a 200k-element in-memory array in
+    // a single aggregate buffer (an OOM at the real-data power-user scale
+    // this models); under the streaming fold it is one int / one string of
+    // state over a spillable sort. Alternating types make every adjacent
+    // pair distinct-checkable in closed form.
+    val n = 200000
+    val big = spark.range(n).selectExpr(
+      "CAST(7 AS LONG) AS user_id",
+      "timestamp_micros(1700000000000000 + id * 1000000) AS ts",
+      "id AS event_id",
+      "CASE WHEN id % 2 = 0 THEN 'view' ELSE 'click' END AS event_type")
+    val bg = BehaviorOps.sequenceBigrams(big, "user_id", "ts", "event_id",
+      "event_type")
+      .groupBy($"bg").count().as[(String, Long)].collect().toMap
+    assert(bg == Map("view>click" -> (n / 2).toLong,
+      "click>view" -> (n / 2 - 1).toLong))
+    val st = BehaviorOps.funnelStages(big, "user_id", "ts", "event_id",
+      "event_type", Steps).as[(Long, Int)].collect().toMap
+    assert(st == Map(7L -> 2)) // view then click, never a purchase
+  }
+
   test("cohort retention: week 0 holds the whole cohort; later weeks only returners") {
     val week = 7 * 24 * 60
     val e = events(
