@@ -29,10 +29,16 @@ import org.apache.spark.sql.functions._
   * Cache lifecycle: the operators persist their shared statistics frame
   * (see dfFromTf for the measured reason) and do NOT unpersist it — the
   * returned DataFrame is lazy and still reads the cache, so releasing it
-  * here would defeat the sharing. Callers in long-lived sessions release
-  * via `spark.catalog.clearCache()` between pipelines (the Bench/query
-  * corpus convention, same as the TextQueries persisted band frames);
-  * one-shot jobs release at session end.
+  * here would defeat the sharing. Each operator eagerly PINS its result
+  * with `localCheckpoint(true)` — the output is orders of magnitude
+  * smaller than the token/bigram explode the cache holds (top-k
+  * keywords, top-N scores, one row per doc) — and unpersists every
+  * internal cache before returning (the round-8 neardupCore
+  * discipline). A long-lived session calling these in a loop therefore
+  * never accumulates corpus-sized cache entries (spec-gated:
+  * RankOpsSpec asserts `cacheManager.isEmpty` after each call); the
+  * pinned result lives as executor-local disk/memory blocks released
+  * by GC with the frame.
   *
   * Determinism contract: scores are ROUNDED (4 dp) and every rank/top-N
   * breaks ties on the token / doc id, so the selected rows are a pure
@@ -86,10 +92,13 @@ object RankOps {
         col("tf").cast("double") / col("dl") *
           log(col("n_docs").cast("double") / col("df")), 4))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("token"))
-    scored
+    val out = scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col(idCol), col("token"), col("score"), col("rn"))
+      .localCheckpoint(true)
+    tf.unpersist()
+    out
   }
 
   /** BM25 ranked retrieval (Robertson–Spärck Jones, public): global
@@ -136,12 +145,15 @@ object RankOps {
     val termScore: Column =
       idf * (col("tf") * (lit(k1) + lit(1.0))) /
         (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * col("dl") / col("avgdl")))
-    tf.join(broadcast(df), "token")
+    val out = tf.join(broadcast(df), "token")
       .crossJoin(broadcast(stats))
       .groupBy(col(idCol))
       .agg(round(sum(termScore), 4).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(topN)
+      .localCheckpoint(true)
+    tf.unpersist()
+    out
   }
 
   /** PMI collocation extraction (Church & Hanks 1990, public): the
@@ -180,7 +192,7 @@ object RankOps {
     val firsts = bAll.groupBy(col("w1")).agg(sum(col("c")).as("cf"))
     val seconds = bAll.groupBy(col("w2")).agg(sum(col("c")).as("cs"))
     val n = bAll.agg(sum(col("c")).as("n_bigrams"))
-    c12.join(firsts, "w1").join(seconds, "w2")
+    val out = c12.join(firsts, "w1").join(seconds, "w2")
       .crossJoin(broadcast(n))
       .select(col("bigram"), col("c12"),
         // Numerator/denominator go to double BEFORE multiplying: at
@@ -189,6 +201,9 @@ object RankOps {
           (col("cf").cast("double") * col("cs"))), 4).as("pmi"))
       .orderBy(col("pmi").desc, col("bigram"))
       .limit(topN)
+      .localCheckpoint(true)
+    bAll.unpersist()
+    out
   }
 
   /** Bigram language-model scoring with add-one smoothing — the
@@ -223,7 +238,7 @@ object RankOps {
       .persist()
     unigramCounts.count()
     val vocab = unigramCounts.agg(count(lit(1)).as("v"))
-    docBigrams
+    val out = docBigrams
       .join(bigramCounts, "bigram")
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .join(unigramCounts.withColumnRenamed("token", "w1"), "w1")
@@ -233,5 +248,9 @@ object RankOps {
         count(lit(1)).as("n_bigrams"),
         round(avg(-log((col("c2") + lit(1)).cast("double") / (col("c1") + col("v")))), 4)
           .as("nll"))
+      .localCheckpoint(true)
+    docBigrams.unpersist()
+    unigramCounts.unpersist()
+    out
   }
 }

@@ -100,4 +100,25 @@ class RankOpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq
     assert(r == Seq(3L))
   }
+
+  test("every operator releases its corpus-sized caches before returning") {
+    // The round-8 neardupCore discipline (LshIncrSpec/SrpIncrSpec twins):
+    // the returned frame is localCheckpoint-pinned, so the token/bigram
+    // explode caches must be unpersisted on return — a long-lived session
+    // calling these in a loop must not accumulate corpus-sized entries.
+    spark.catalog.clearCache()
+    val d = docs(1L -> "alpha beta common", 2L -> "gamma beta common")
+    val calls: Seq[(String, () => Unit)] = Seq(
+      "tfidfTopK" -> (() => { RankOps.tfidfTopK(d, "text", "doc_id", k = 2); () }),
+      "bm25" -> (() => { RankOps.bm25(d, "text", "doc_id", Seq("beta")); () }),
+      "pmiCollocations" -> (() => { RankOps.pmiCollocations(d, "text", 1, 5); () }),
+      "bigramLmScore" -> (() => { RankOps.bigramLmScore(d, "text", "doc_id"); () }))
+    for ((name, call) <- calls) {
+      call()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name leaked a persisted statistics frame")
+    }
+    // And the pinned results stay readable after the release.
+    assert(RankOps.tfidfTopK(d, "text", "doc_id", k = 1).count() == 2L)
+  }
 }
