@@ -254,9 +254,20 @@ object Bench {
     * committed reference beyond [[RefRefreshSlack]] (quiet gauges with a
     * slower corpus = an honest slower construction, the builder's call
     * to bless by committing the diverted file, same as a full run). */
+  /** `corpus` (when non-empty) is the binary's current query-name set:
+    * parts recorded by an OLDER build can union to less than the corpus
+    * (new queries hash into parts that were banked before they existed),
+    * and a silently-partial blessed reference would leave those queries
+    * with no outlier-triage baseline next round. Missing names are
+    * recorded in the artifact (`uncovered_queries`) and warned about by
+    * the CLI rather than refused — the banked-parts-then-grow-the-corpus
+    * sequence is the protocol's normal round boundary, and the merged
+    * reference is still valid for every query it covers (the same
+    * MinRefCoverage math that protects a grown full run). */
   private[graft] def mergeParts(
       parts: Seq[PartDetail],
-      refs: Map[String, Double]): Either[String, (String, String)] = {
+      refs: Map[String, Double],
+      corpus: Set[String] = Set.empty): Either[String, (String, String)] = {
     if (parts.isEmpty) return Left("no parts given")
     val n = parts.head.part._2
     val sf = parts.head.sf
@@ -307,8 +318,13 @@ object Bench {
       .map(g => f"$g%.3f").mkString("[", ",", "]")
     val refQs = refQueriesJson(refs, medians.map(_._1))
     val committedTag = refTotal.map(rt => f""","committed_total":$rt%.2f""").getOrElse("")
+    val uncovered = (corpus -- medians.map(_._1)).toSeq.sorted
+    val uncoveredTag =
+      if (uncovered.isEmpty) ""
+      else uncovered.map("\"" + _ + "\"")
+        .mkString(""","uncovered_queries":[""", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":${parts.head.runsPerQuery},"protocol":"split","parts":$n,"calib_gauges":$gauges,"polluted":false$committedTag,"queries":$qs$refQs,"runs":$runsJson,"gc_ms":$gcJson,"errors":{},"outliers":{},"sf":"$sf"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":${parts.head.runsPerQuery},"protocol":"split","parts":$n,"calib_gauges":$gauges,"polluted":false$committedTag$uncoveredTag,"queries":$qs$refQs,"runs":$runsJson,"gc_ms":$gcJson,"errors":{},"outliers":{},"sf":"$sf"}"""
     Right((file, json))
   }
 
@@ -332,7 +348,11 @@ object Bench {
       else {
         val refs = read("BENCH_DETAILS.json").toOption
           .map(refMedians(_, parts.head.sf)).getOrElse(Map.empty[String, Double])
-        mergeParts(parts, refs).map { case (file, json) => (file, json, parts.size) }
+        // The corpus names come straight off SparkEntry (a Map of
+        // closures — no SparkSession needed): the coverage warning below
+        // is what catches parts banked by an older, smaller build.
+        val corpus = SparkEntry.queries.keySet
+        mergeParts(parts, refs, corpus).map { case (file, json) => (file, json, parts.size) }
       }
     }
     outcome match {
@@ -344,6 +364,11 @@ object Bench {
         java.nio.file.Files.write(java.nio.file.Paths.get(file),
           (json + "\n").getBytes("UTF-8"))
         val blessed = file == "BENCH_DETAILS.json"
+        if (json.contains("\"uncovered_queries\":"))
+          System.err.println("[bench-merge] WARNING: merged parts do not cover the " +
+            "current corpus — the artifact's uncovered_queries lists the gap " +
+            "(parts banked by an older build?); those queries get no triage " +
+            "reference until a quiet re-land covers them")
         System.err.println(s"[bench-merge] merged $nParts parts -> $file" +
           (if (blessed) " (reference refreshed)"
            else " (diverted: quiet gauges but slower than the committed reference)"))

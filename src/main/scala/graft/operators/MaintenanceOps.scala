@@ -107,10 +107,25 @@ object MaintenanceOps {
     *
     * The denylist is broadcast (takedown lists are small against a
     * corpus; a list large enough to break that assumption should go
-    * through the anti-join ingest filters instead). The anti-join is
-    * null-safe on the id. Flat directories only — the partitioned
-    * variant would rewrite leaf-by-leaf like [[compactPartitioned]];
-    * refused loudly rather than silently flattened. */
+    * through the anti-join ingest filters instead) and DEDUPED at entry:
+    * takedown lists routinely repeat ids across request batches, and a
+    * duplicate entry would otherwise multiply matched rows through the
+    * join (inflating the report) and append duplicate tombstones. The
+    * anti-join is null-safe on the id. Flat directories only — the
+    * partitioned variant would rewrite leaf-by-leaf like
+    * [[compactPartitioned]]; refused loudly rather than silently
+    * flattened.
+    *
+    * Atomicity caveat (same as [[compactParquet]]): the swap is two
+    * renames, and between rename(path→bak) and rename(tmp→path) the
+    * corpus directory briefly does not exist — a reader racing that
+    * ~ms window fails its scan, and a crash INSIDE it strands the data
+    * in the hidden `.<name>_delete_bak` sibling (recover by renaming it
+    * back; the rewrite in `_delete_tmp` is complete and can be re-swapped
+    * instead). "Readers never see a HALF-deleted directory" is the
+    * guarantee — they can transiently see a missing one. A cluster
+    * deployment wanting a truly atomic swap puts a table format's
+    * metadata commit (or a view flip) in front of the directory. */
   def targetedDelete(
       spark: SparkSession,
       dir: String,
@@ -119,6 +134,7 @@ object MaintenanceOps {
       auditDir: String): DeleteReport = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum, when}
     require(ids.nonEmpty, "empty deletion list — refusing a no-op audit")
+    val idsDistinct = ids.distinct
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val subdirs = dataDirs(fs, path)
@@ -127,7 +143,7 @@ object MaintenanceOps {
         s"$dir contains partition subdirectories — targetedDelete rewrites flat " +
           "directories only (a flat rewrite would fold partition columns into data files)")
     val denyDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(ids.map(org.apache.spark.sql.Row(_)), 1),
+      spark.sparkContext.parallelize(idsDistinct.map(org.apache.spark.sql.Row(_)), 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("_graft_deny_id",
           org.apache.spark.sql.types.LongType, nullable = false))))
@@ -152,7 +168,7 @@ object MaintenanceOps {
       .join(broadcast(denyDf), col(idCol) === col("_graft_deny_id"), "left_semi")
       .collect().map(_.getLong(0)).toSet
     import spark.implicits._
-    ids.map(i => (i, foundIds.contains(i))).toDF("id", "found")
+    idsDistinct.map(i => (i, foundIds.contains(i))).toDF("id", "found")
       .coalesce(1)
       .write.mode(SaveMode.Append).parquet(auditDir)
     val bak = new Path(path.getParent, s".${path.getName}_delete_bak")
@@ -163,7 +179,7 @@ object MaintenanceOps {
     renameOrThrow(path, bak)
     renameOrThrow(tmp, path)
     fs.delete(bak, true)
-    DeleteReport(before, hit, before - hit, ids.size.toLong - foundIds.size)
+    DeleteReport(before, hit, before - hit, idsDistinct.size.toLong - foundIds.size)
   }
 
   /** Cluster a dataset's FILE layout for scan pruning: range-partition on

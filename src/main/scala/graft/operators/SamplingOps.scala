@@ -90,9 +90,10 @@ object SamplingOps {
   /** Temperature-scaled source mixture at α = 1/2 (square-root sampling
     * — the multilingual/multi-source mixing rule of mC4-style pipelines,
     * public): per-source keep-rate ∝ n_s^(α−1) normalized so the
-    * SMALLEST source keeps 100 %, i.e. rate_s = ⌊100·√(n_min/n_s)⌋ —
-    * dominant sources are damped toward √-proportions instead of
-    * drowning the tail. Unlike [[sourceMixture]] the rates are DERIVED
+    * SMALLEST source keeps 100 %, i.e. rate_s = max(⌊100·√(n_min/n_s)⌋, 1)
+    * — dominant sources are damped toward √-proportions instead of
+    * drowning the tail, and the max(…, 1) clamp keeps a source more than
+    * 10^4× the smallest at 1 % instead of silently dropping it to 0. Unlike [[sourceMixture]] the rates are DERIVED
     * from the corpus, not configured.
     *
     * α is fixed at 1/2 deliberately: the rate then needs only sqrt and
@@ -112,9 +113,16 @@ object SamplingOps {
       bucket: BucketFn = xxhashBucket): DataFrame = {
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_graft_n"))
     val nmin = counts.agg(min(col("_graft_n")).as("_graft_nmin"))
+    // Rate floor of 1: integer-percent granularity means any source more
+    // than 10^4 times the smallest would floor to rate 0 and be DROPPED
+    // ENTIRELY — the opposite of the damped-not-drowned contract. The
+    // clamp caps damping at 1% (the granularity's own limit); callers
+    // needing deeper damping re-bucket at finer granularity upstream.
     val rates = counts.crossJoin(broadcast(nmin))
       .select(col(sourceCol),
-        floor(lit(100.0) * sqrt(col("_graft_nmin").cast("double") / col("_graft_n")))
+        greatest(
+          floor(lit(100.0) * sqrt(col("_graft_nmin").cast("double") / col("_graft_n"))),
+          lit(1L))
           .cast("long").as("_graft_rate"))
     df.join(broadcast(rates), sourceCol)
       .filter(bucket(col(idCol), seed) < col("_graft_rate"))

@@ -572,8 +572,9 @@ object OpsQueries {
       s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
           m AS (SELECT min(n) AS nmin FROM c),
           r AS (SELECT source, n AS n_total,
-                  CAST(floor(100.0 * sqrt(CAST(nmin AS DOUBLE) / n)) AS BIGINT)
-                    AS rate_pct
+                  GREATEST(
+                    CAST(floor(100.0 * sqrt(CAST(nmin AS DOUBLE) / n)) AS BIGINT),
+                    1) AS rate_pct
                 FROM c, m),
           kept AS (
             SELECT d.source, r.rate_pct, r.n_total FROM documents d

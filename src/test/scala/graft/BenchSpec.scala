@@ -253,6 +253,28 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.mergeParts(Seq(ok.head.copy(calibPre = -1.0), ok(1)), refs).isLeft)
   }
 
+  test("the merge records corpus queries the banked parts never covered") {
+    // Parts banked by an older build union to less than the current
+    // corpus (new queries hash into parts recorded before they existed).
+    // The merge still blesses — that sequence is the protocol's normal
+    // round boundary — but the gap must be IN the artifact, not silent
+    // (round-10 advisory: missing queries otherwise get no triage
+    // reference and nobody notices).
+    val parts = Seq(part(1, 2, Seq("q1" -> 1.0)), part(2, 2, Seq("q2" -> 1.0)))
+    val newQ = "q_new_this_round"
+    val json = Bench.mergeParts(parts, Map.empty,
+      corpus = Set("q1", "q2", newQ)).toOption.get._2
+    assert(json.contains(s""""uncovered_queries":["$newQ"]"""), json)
+    // Full coverage (or an unknown corpus) records nothing.
+    assert(!Bench.mergeParts(parts, Map.empty, corpus = Set("q1", "q2"))
+      .toOption.get._2.contains("uncovered_queries"))
+    assert(!Bench.mergeParts(parts, Map.empty).toOption.get._2
+      .contains("uncovered_queries"))
+    // The tagged artifact still parses as a triage baseline.
+    assert(Bench.refMedians(json, "/root/testdata/sf0.1") ==
+      Map("q1" -> 1.0, "q2" -> 1.0))
+  }
+
   test("the merge refuses structural defects") {
     val refs = Map.empty[String, Double]
     val a = part(1, 2, Seq("q1" -> 1.0))

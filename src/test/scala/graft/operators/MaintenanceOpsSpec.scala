@@ -281,6 +281,24 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(audit).count() == 6L, "audit is append-only")
   }
 
+  test("targetedDelete dedupes a repeated denylist: one row, one tombstone, exact report") {
+    // Takedown lists repeat ids across request batches; a duplicate
+    // entry must not multiply matched rows through the join (round-10
+    // advisory: it inflated rowsBefore/deleted, overcounted notFound,
+    // and doubled tombstones).
+    val root = Files.createTempDirectory("tdelete_dupes")
+    val dir = root.resolve("corpus").toString
+    val audit = root.resolve("audit").toString
+    (1L to 20L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    val r = MaintenanceOps.targetedDelete(spark, dir, "doc_id",
+      Seq(5L, 5L, 5L, 999L, 999L), audit)
+    assert(r == MaintenanceOps.DeleteReport(
+      rowsBefore = 20L, deleted = 1L, rowsAfter = 19L, notFound = 1L), r)
+    val tomb = spark.read.parquet(audit).as[(Long, Boolean)].collect().toSeq
+    assert(tomb.sorted == Seq((5L, true), (999L, false)), tomb)
+  }
+
   test("targetedDelete refuses a partitioned directory and an empty list") {
     val root = Files.createTempDirectory("tdelete_refuse")
     val part = root.resolve("part").toString

@@ -188,6 +188,21 @@ class SamplingOpsSpec extends AnyFunSuite {
     assert(again == kept.select(col("doc_id")).as[Long].collect().toSet)
   }
 
+  test("temperatureMixture clamps a 10^4x-dominant source to 1%, never 0") {
+    import org.apache.spark.sql.functions.col
+    // 1-row tail vs 50000-row giant: floor(100*sqrt(1/50000)) = 0 — the
+    // unclamped rate would silently DROP the giant entirely (the
+    // round-10 advisory). The clamp holds it at 1%.
+    val rows = (0L until 50000L).map(i => (i, "giant")) :+ (99999L, "tail")
+    val kept = SamplingOps.temperatureMixture(
+      rows.toDF("doc_id", "source"), "source", "doc_id", seed = 5L)
+    val rates = kept.select(col("source"), col("_graft_rate"))
+      .distinct().as[(String, Long)].collect().toMap
+    assert(rates == Map("giant" -> 1L, "tail" -> 100L), rates)
+    val n = kept.filter(col("source") === "giant").count()
+    assert(n > 200 && n < 900, s"~1% of 50000 expected, got $n")
+  }
+
   test("epochShuffle plans a range-partitioned distributed sort") {
     val df = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val plan = SamplingOps.epochShuffle(df, "doc_id", 1L)
