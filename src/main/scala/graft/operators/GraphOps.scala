@@ -215,7 +215,9 @@ object GraphOps {
     * [[Tables.materialize]]. Fixed `iters` (not convergence-tested):
     * ranking stabilizes in a handful of iterations on shallow near-dup
     * graphs, and a fixed count keeps the oracle expressible as unrolled
-    * CTEs. */
+    * CTEs. For a graph whose depth is NOT known to be shallow, use
+    * [[pageRankConverged]] — the fixed-count variant cannot tell an
+    * under-converged deep chain from a finished ranking. */
   def pageRank(
       edges: DataFrame,
       aCol: String,
@@ -224,6 +226,76 @@ object GraphOps {
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of [1,20]: $iters")
     require(damping > 0 && damping < 1, s"damping out of (0,1): $damping")
+    val (sym, deg, nDf, init) = pageRankInit(edges, aCol, bCol)
+    var ranks = init
+    for (_ <- 1 to iters)
+      ranks = pageRankStep(sym, deg, nDf, ranks, damping)
+    ranks
+  }
+
+  /** Convergence-guarded PageRank — the loud maxIter discipline of the
+    * components siblings ([[connectedComponents]]' still-moving throw),
+    * for graphs whose diameter is not known in advance. Runs the SAME
+    * 6-dp-quantized recurrence as [[pageRank]]; convergence = exact
+    * FIXPOINT or exact PERIOD-2 CYCLE of the quantized map. The cycle
+    * clause is load-bearing, not an escape hatch: on a bipartite graph
+    * (any path or star is) the oscillating eigencomponent decays with
+    * alternating sign, and the rounding feedback locks the iteration
+    * into a genuine period-2 limit cycle — measured amplitude a few to
+    * a few TENS of quanta (30-path: 5e-6, onset round 46; 7-star:
+    * 1.6e-5, onset round 64) — which never reaches fixpoint at ANY
+    * budget, so an amplitude threshold either spins forever or is an
+    * arbitrary tolerance in disguise. Either cycle phase is the answer
+    * to the precision the quantization contract promises; the state at
+    * first detection is returned, and because each iteration is
+    * exact-per-round on any engine, the stopping round (and thus the
+    * returned ranks) is a pure function of the graph. Detection is one
+    * vertex-sized equality join per round over frames the iteration
+    * already materialized. A graph still moving after `maxIter` rounds
+    * (deeper than the budget, or a longer-period cycle) fails loudly
+    * instead of handing the caller a silently under-converged ranking
+    * (the deep-chain hazard: a fixed 3 rounds only propagates rank 3
+    * hops). */
+  def pageRankConverged(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 40,
+      damping: Double = 0.85): DataFrame = {
+    require(maxIter >= 1 && maxIter <= 200, s"maxIter out of [1,200]: $maxIter")
+    require(damping > 0 && damping < 1, s"damping out of (0,1): $damping")
+    val (sym, deg, nDf, init) = pageRankInit(edges, aCol, bCol)
+    def differs(a: DataFrame, b: DataFrame): Boolean = a
+      .join(b.select(col("v"), col("rank").as("_prev")), "v")
+      .filter(col("rank") =!= col("_prev"))
+      .limit(1).count() > 0
+    var prev: DataFrame = null // r_{k-1}
+    var ranks = init           // r_k
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      it += 1
+      val next = pageRankStep(sym, deg, nDf, ranks, damping)
+      converged = !differs(next, ranks) ||
+        (prev != null && !differs(next, prev))
+      prev = ranks
+      ranks = next
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"PageRank still moving after $maxIter iterations — the graph is " +
+          "deeper than the iteration budget (rank needs ~diameter hops to " +
+          "propagate), or the quantized map entered a cycle of period > 2; " +
+          "raise maxIter")
+    ranks
+  }
+
+  /** Shared setup: symmetrized distinct edge list, per-vertex degrees,
+    * the vertex count, and the uniform 1/N initial ranks. */
+  private def pageRankInit(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val sym = Tables.materialize(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -232,24 +304,32 @@ object GraphOps {
     val deg = Tables.materialize(
       sym.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val nDf = deg.agg(count(lit(1)).as("n"))
-    var ranks = deg.select(col("src").as("v")).crossJoin(broadcast(nDf))
+    val init = deg.select(col("src").as("v")).crossJoin(broadcast(nDf))
       .select(col("v"), (lit(1.0) / col("n")).as("rank"))
-    for (_ <- 1 to iters) {
-      val contrib = sym
-        .join(ranks.withColumnRenamed("v", "src"), "src")
-        .join(deg, "src")
-        .select(col("dst").as("v"), (col("rank") / col("deg")).as("c"))
-      // (1.0 - damping), not a pre-computed 0.15: both engines fold the
-      // subtraction with the same IEEE semantics, and 1.0 - 0.85 is NOT
-      // the same double as the literal 0.15.
-      ranks = Tables.materialize(
-        contrib.groupBy(col("v")).agg(sum(col("c")).as("in"))
-          .crossJoin(broadcast(nDf))
-          .select(col("v"), round(
-            (lit(1.0) - lit(damping)) / col("n") + lit(damping) * col("in"),
-            6).as("rank")))
-    }
-    ranks
+    (sym, deg, nDf, init)
+  }
+
+  /** One PageRank iteration: contribution join + aggregation, output
+    * quantized to 6 dp and lineage-cut. */
+  private def pageRankStep(
+      sym: DataFrame,
+      deg: DataFrame,
+      nDf: DataFrame,
+      ranks: DataFrame,
+      damping: Double): DataFrame = {
+    val contrib = sym
+      .join(ranks.withColumnRenamed("v", "src"), "src")
+      .join(deg, "src")
+      .select(col("dst").as("v"), (col("rank") / col("deg")).as("c"))
+    // (1.0 - damping), not a pre-computed 0.15: both engines fold the
+    // subtraction with the same IEEE semantics, and 1.0 - 0.85 is NOT
+    // the same double as the literal 0.15.
+    Tables.materialize(
+      contrib.groupBy(col("v")).agg(sum(col("c")).as("in"))
+        .crossJoin(broadcast(nDf))
+        .select(col("v"), round(
+          (lit(1.0) - lit(damping)) / col("n") + lit(damping) * col("in"),
+          6).as("rank")))
   }
 
   /** Large-star round: for each vertex x, point every STRICTLY LARGER

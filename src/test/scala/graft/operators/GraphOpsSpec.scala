@@ -109,6 +109,40 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(again == r)
   }
 
+  test("pageRankConverged: a deep chain under-budgeted is loud, converged it is exact") {
+    // 30-vertex path: rank needs ~diameter hops to propagate, so 3
+    // iterations are PROVABLY insufficient (the quantized ranks are
+    // still moving) — the fixed-iteration variant would hand back that
+    // under-converged ranking silently; the guard refuses it loudly.
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException](
+      GraphOps.pageRankConverged(chain, "a", "b", maxIter = 3))
+    assert(e.getMessage.contains("still moving after 3"), e.getMessage)
+    // With budget, the same chain converges (period-2 detection fires at
+    // round 46 — the bipartite limit cycle, see the operator scaladoc).
+    val r = GraphOps.pageRankConverged(chain, "a", "b", maxIter = 150)
+      .as[(Long, Double)].collect().toMap
+    assert(r.size == 30)
+    // Symmetric path: mirrored vertices tie (symmetry is preserved by
+    // every iteration); interior outranks endpoints.
+    assert(r(0L) == r(29L) && r(14L) == r(15L) && r(14L) > r(0L), r)
+    assert(math.abs(r.values.sum - 1.0) < 1e-3)
+    // Deterministic across layouts — the stopping round is a pure
+    // function of the graph, so the returned phase is too.
+    val again = GraphOps.pageRankConverged(chain.repartition(7), "a", "b",
+      maxIter = 150).as[(Long, Double)].collect().toMap
+    assert(again == r)
+    // Shallow star (bipartite as well; its cycle onsets at round 64):
+    // the converged semantic properties hold exactly.
+    val star = ((1L to 6L).map(i => (0L, i)) :+ (7L, 8L)).toDF("a", "b")
+    val conv = GraphOps.pageRankConverged(star, "a", "b", maxIter = 100)
+      .as[(Long, Double)].collect().toMap
+    assert(conv(0L) > conv(1L) * 3, s"hub must dominate: $conv")
+    assert((1L to 6L).map(conv).distinct.size == 1)
+    assert(math.abs(conv(7L) - 1.0 / 9) < 1e-5 && conv(7L) == conv(8L))
+    assert(math.abs(conv.values.sum - 1.0) < 1e-3)
+  }
+
   test("star contraction agrees with label propagation on a clustered graph") {
     val rng = new scala.util.Random(7)
     // 40 clusters of 5 around hubs + random intra-cluster chords: the
