@@ -156,6 +156,80 @@ object RankOps {
     out
   }
 
+  /** Conjunctive (AND-semantics) BM25: [[bm25]] restricted to documents
+    * containing EVERY query term — the retrieval-audit gate a bag-of-
+    * terms score can't express (a doc drowning in one term outranks a
+    * doc matching all of them). The gate derives from the same pruned
+    * tf table the score reads: tf has one row per (doc, present term),
+    * so `count(*) = |terms|` per doc IS the conjunction — no second
+    * corpus pass, one doc-keyed semi-join. Output shape matches
+    * [[bm25]]; ties and rounding follow the same determinism contract. */
+  def conjunctiveBm25(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topN: Int = 100): DataFrame = {
+    val qTerms = terms.distinct
+    require(qTerms.nonEmpty, "empty query")
+    require(topN >= 1, s"topN out of range: $topN")
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(tokens(col(textCol)))).as("avgdl"))
+    val tf = termFrequencies(docs, textCol, idCol)
+      .filter(col("token").isin(qTerms.map(x => x: Any): _*))
+      .persist()
+    tf.count()
+    val matched = tf.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nt"))
+      .filter(col("_nt") === qTerms.size)
+      .select(col(idCol))
+    val df = dfFromTf(tf)
+    val idf: Column = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val termScore: Column =
+      idf * (col("tf") * (lit(k1) + lit(1.0))) /
+        (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * col("dl") / col("avgdl")))
+    val out = tf
+      .join(matched, Seq(idCol), "left_semi")
+      .join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(round(sum(termScore), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topN)
+      .localCheckpoint(true)
+    tf.unpersist()
+    out
+  }
+
+  /** Exact-phrase retrieval: documents containing the token sequence
+    * `phrase` verbatim, with the (overlap-counted) occurrence count.
+    * The phrase of length n IS an n-gram shingle, so matching is the
+    * existing shingle explode + an equality filter — the filter sits
+    * directly on the exploded value (narrow, codegen'd, no join), and
+    * the only shuffle is the doc-keyed count. Output is the full match
+    * set (phrase matches are selective by construction); rank the
+    * result with [[bm25]]/[[conjunctiveBm25]] on the phrase terms when
+    * a score is wanted. */
+  def phraseMatch(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, s"phrase needs >= 2 tokens: $phrase")
+    require(phrase.forall(t => t.nonEmpty && !t.contains(" ")),
+      s"phrase tokens must be single non-empty words: $phrase")
+    val p = phrase.mkString(" ")
+    docs
+      .select(col(idCol), explode(shingles(col(textCol), phrase.size)).as("_sh"))
+      .filter(col("_sh") === p)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** PMI collocation extraction (Church & Hanks 1990, public): the
     * corpus's most-associated adjacent word pairs.
     *

@@ -519,6 +519,24 @@ object TextQueries {
       graft.operators.RankOps.pmiCollocations(
         t(s, dir, "documents"), "text", minCount = 5, topN = 50)),
 
+    // E126 conjunctive (AND) BM25: q131's bag restricted to documents
+    // containing EVERY query term — the gate is a count over the same
+    // pruned tf table the score reads (one row per present (doc, term)),
+    // semi-joined back; no second corpus pass.
+    "q141_conjunctive_search" -> ((s, dir) =>
+      graft.operators.RankOps.conjunctiveBm25(
+        t(s, dir, "documents"), "text", "doc_id",
+        terms = Seq("scan", "merge", "window", "stream"))),
+
+    // E127 exact-phrase retrieval: a phrase of length n IS an n-gram
+    // shingle, so the match is the existing shingle explode + an
+    // equality filter (narrow, no join); the only shuffle is the
+    // doc-keyed occurrence count.
+    "q142_phrase_match" -> ((s, dir) =>
+      graft.operators.RankOps.phraseMatch(
+        t(s, dir, "documents"), "text", "doc_id",
+        phrase = Seq("sort", "merge"))),
+
     // Dedup purge list: the keep-min-id policy applied to the LSH candidate
     // pairs — every doc that collides with a smaller doc_id is dropped.
     // Since candidates are emitted with doc_a < doc_b, the purge set is
@@ -1228,6 +1246,38 @@ object TextQueries {
           GROUP BY doc_id
           ORDER BY score DESC, doc_id
           LIMIT 100""",
+    // q131's oracle with the conjunction as a HAVING gate over the same
+    // pruned tf CTE (count of present terms = query size), joined back.
+    "q141_conjunctive_search" ->
+      s"""WITH t AS (SELECT doc_id, $TokSql AS toks FROM documents),
+          ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM t),
+          tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM ex
+                 WHERE token IN ('scan', 'merge', 'window', 'stream')
+                 GROUP BY doc_id, dl, token),
+          m AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = 4),
+          df AS (SELECT token, count(*) AS df
+                 FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t)
+                 WHERE token IN ('scan', 'merge', 'window', 'stream')
+                 GROUP BY token),
+          s AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t)
+          SELECT doc_id,
+                 round(sum(
+                   ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / s.avgdl))), 4)
+                   AS score
+          FROM tf JOIN df USING (token), s
+          WHERE doc_id IN (SELECT doc_id FROM m)
+          GROUP BY doc_id
+          ORDER BY score DESC, doc_id
+          LIMIT 100""",
+    // The phrase restated as a 2-gram shingle equality; occurrences are
+    // overlap-counted exactly like the Spark-side sliding shingles.
+    "q142_phrase_match" ->
+      s"""WITH t AS (SELECT doc_id, $TokSql AS toks FROM documents),
+          sh AS (SELECT doc_id, unnest(${shingleStrSql(2)}) AS s FROM t)
+          SELECT doc_id, count(*) AS n_hits FROM sh
+          WHERE s = 'sort merge' GROUP BY doc_id""",
     // PMI over bigram instances; numerator/denominator cast to double
     // BEFORE multiplying, same as the Spark side (overflow discipline).
     "q140_pmi_collocations" ->

@@ -101,6 +101,48 @@ class RankOpsSpec extends AnyFunSuite {
     assert(r == Seq(3L))
   }
 
+  test("conjunctive bm25 admits only all-terms documents; scores match bm25") {
+    val d = docs(
+      1L -> "scan merge window pad pad",   // all three -> admitted
+      2L -> "scan scan scan scan scan",    // drowning in one term -> OUT
+      3L -> "scan merge pad pad pad",      // missing 'window' -> OUT
+      4L -> "window merge scan scan pad")  // all three -> admitted
+    val terms = Seq("scan", "merge", "window")
+    val conj = RankOps.conjunctiveBm25(d, "text", "doc_id", terms, topN = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(conj.keySet == Set(1L, 4L), conj)
+    // The admitted docs' scores are EXACTLY their bag-of-terms bm25
+    // scores (the gate filters, never rescales).
+    val bag = RankOps.bm25(d, "text", "doc_id", terms, topN = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(conj.forall { case (k, v) => bag(k) == v }, s"$conj vs $bag")
+    // A duplicated query term must not break the |terms| gate.
+    val dup = RankOps.conjunctiveBm25(d, "text", "doc_id",
+      Seq("scan", "scan", "merge", "window"), topN = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(dup == Set(1L, 4L))
+  }
+
+  test("phraseMatch finds the verbatim sequence only, overlap-counted") {
+    val d = docs(
+      1L -> "sort merge join pad",          // 1 hit
+      2L -> "merge sort pad pad",           // reversed -> no hit
+      3L -> "sort pad merge pad",           // gap -> no hit
+      4L -> "sort merge sort merge merge",  // 2 hits
+      5L -> "sort sort sort pad")           // overlap probe (below)
+    val r = RankOps.phraseMatch(d, "text", "doc_id", Seq("sort", "merge"))
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 4L -> 2L), r)
+    // Overlapping occurrences each count (sliding shingles).
+    val o = RankOps.phraseMatch(d, "text", "doc_id", Seq("sort", "sort"))
+      .as[(Long, Long)].collect().toMap
+    assert(o == Map(5L -> 2L), o)
+    intercept[IllegalArgumentException](
+      RankOps.phraseMatch(d, "text", "doc_id", Seq("solo")))
+    intercept[IllegalArgumentException](
+      RankOps.phraseMatch(d, "text", "doc_id", Seq("two words", "x")))
+  }
+
   test("every operator releases its corpus-sized caches before returning") {
     // The round-8 neardupCore discipline (LshIncrSpec/SrpIncrSpec twins):
     // the returned frame is localCheckpoint-pinned, so the token/bigram
@@ -111,6 +153,8 @@ class RankOpsSpec extends AnyFunSuite {
     val calls: Seq[(String, () => Unit)] = Seq(
       "tfidfTopK" -> (() => { RankOps.tfidfTopK(d, "text", "doc_id", k = 2); () }),
       "bm25" -> (() => { RankOps.bm25(d, "text", "doc_id", Seq("beta")); () }),
+      "conjunctiveBm25" -> (() =>
+        { RankOps.conjunctiveBm25(d, "text", "doc_id", Seq("beta")); () }),
       "pmiCollocations" -> (() => { RankOps.pmiCollocations(d, "text", 1, 5); () }),
       "bigramLmScore" -> (() => { RankOps.bigramLmScore(d, "text", "doc_id"); () }))
     for ((name, call) <- calls) {
