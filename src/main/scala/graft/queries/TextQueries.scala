@@ -81,13 +81,13 @@ object TextQueries {
     * canonical pick). Ends at the `reach` CTE — append `SELECT ...` or
     * `, more AS (...) SELECT ...`. The pairs CTE is q48's construction
     * verbatim. */
-  private lazy val MinhashComponentsCteSql =
+  private def minhashComponentsCteSql(shingleN: Int) =
     s"""WITH RECURSIVE sigs AS (
           SELECT doc_id,
                  list_transform(range(0, 16), i -> $MinhashElemSql) AS sig
-          FROM (SELECT doc_id, $ShingleHashes3Sql AS hs
+          FROM (SELECT doc_id, ${shingleHashesSql(shingleN)} AS hs
                 FROM (SELECT doc_id, $TokSql AS toks FROM documents)
-                WHERE len(toks) >= 3)),
+                WHERE len(toks) >= $shingleN)),
         bands AS (
           SELECT doc_id, CAST(b AS INT) AS b,
                  list_reduce(list_prepend(CAST(7 AS BIGINT), sig[b*4+1:b*4+4]),
@@ -106,6 +106,8 @@ object TextQueries {
           UNION
           SELECT e.src AS v, r.r
           FROM edges e JOIN reach r ON e.dst = r.v)"""
+
+  private lazy val MinhashComponentsCteSql = minhashComponentsCteSql(3)
 
   /** q104's committed batch-1 band ledger, keyed by input dir — the same
     * build-once-per-dir fixture discipline (and Bench prewarm hook) as
@@ -518,6 +520,42 @@ object TextQueries {
     "q140_pmi_collocations" -> ((s, dir) =>
       graft.operators.RankOps.pmiCollocations(
         t(s, dir, "documents"), "text", minCount = 5, topN = 50)),
+
+    // E128 auto-width leakage-safe split: q134's plan with the banding
+    // width chosen by the corpus-regime rule instead of pinned 3-grams
+    // (the decade probe shows the 3-gram pair input saturating at
+    // gsf10; the auto rule is the corpus path). The q102/q126 oracle
+    // discipline: the oracle SQL hardcodes the 4-gram choice the rule
+    // makes on this corpus, so a flipped choice must fail HERE, loudly,
+    // not as a silent hash mismatch at the next fixture scale-up. If
+    // this trips, re-pin minhashComponentsCteSql(n) in the q143 oracle.
+    "q143_group_split_auto" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val auto = graft.operators.LshOps.bandedMinhashAuto(
+        docs, "text", "doc_id",
+        k = 16, minShingleN = 3, nBands = 4, rowsPerBand = 4,
+        maxBucket = LshMaxBucket)
+      require(auto.shingleN == 4,
+        s"q143's oracle pins 4-gram shingles but the auto rule chose " +
+          s"${auto.shingleN} (docs=${auto.docCount}, vocab=${auto.vocabEstimate})")
+      val pairs = graft.operators.LshOps.candidatePairs(auto.banded.bands, "doc_id")
+      val comp = graft.operators.GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("v", "doc_id")
+      val assigned = graft.operators.SamplingOps.groupSplit(
+        docs.select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("grp", coalesce(col("component"), col("doc_id"))),
+        "grp", trainPct = 90, seed = 42L,
+        bucket = graft.operators.SamplingOps.portableBucket)
+      val leaked = assigned.groupBy(col("grp"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") > 1)
+        .agg(count(lit(1)).as("n_leaked_groups"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("grp")).as("n_groups"))
+        .crossJoin(broadcast(leaked))
+    }),
 
     // E126 conjunctive (AND) BM25: q131's bag restricted to documents
     // containing EVERY query term — the gate is a count over the same
@@ -1246,6 +1284,25 @@ object TextQueries {
           GROUP BY doc_id
           ORDER BY score DESC, doc_id
           LIMIT 100""",
+    // q134's oracle at the width the auto rule derives on this corpus
+    // (4-gram shingles — a changed choice fails the Spark-side REQUIRE).
+    "q143_group_split_auto" ->
+      s"""${minhashComponentsCteSql(4)},
+          comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+          assigned AS (
+            SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp,
+              CASE WHEN ${charHashSql(
+                "CAST(coalesce(c.component, d.doc_id) AS VARCHAR) || ':42'")} % 100 < 90
+                   THEN 'train' ELSE 'holdout' END AS split
+            FROM documents d LEFT JOIN comp c USING (doc_id)),
+          leaked AS (
+            SELECT count(*) AS n_leaked_groups FROM (
+              SELECT grp FROM assigned
+              GROUP BY grp HAVING count(DISTINCT split) > 1))
+          SELECT split, count(*) AS n_docs,
+                 count(DISTINCT grp) AS n_groups, n_leaked_groups
+          FROM assigned, leaked
+          GROUP BY split, n_leaked_groups""",
     // q131's oracle with the conjunction as a HAVING gate over the same
     // pruned tf CTE (count of present terms = query size), joined back.
     "q141_conjunctive_search" ->
