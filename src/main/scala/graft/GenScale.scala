@@ -49,13 +49,15 @@ object GenScale {
     abs(xxhash64((lit(42L) +: lit(tag) +: cols): _*))
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 || args.length == 3,
-      "usage: GenScale <sf> <outDir> [tables]  (tables: comma list of lineitem,documents; default both)")
+    require(args.length >= 2 && args.length <= 4,
+      "usage: GenScale <sf> <outDir> [tables] [powerPct]  (tables: comma list of " +
+        "lineitem,documents,embeddings,events; powerPct: % of events on user 0)")
     val sf = args(0).toDouble
     val out = args(1)
     val tables =
-      if (args.length == 3) args(2).split(",").map(_.trim).toSet
+      if (args.length >= 3) args(2).split(",").map(_.trim).toSet
       else Set("lineitem", "documents", "embeddings")
+    val powerPct = if (args.length == 4) args(3).toInt else 0
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -71,6 +73,9 @@ object GenScale {
     if (tables("embeddings"))
       genEmbeddings(spark, sf).repartition(math.max(1, files / 2))
         .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    if (tables("events"))
+      genEvents(spark, sf, powerPct).repartition(files)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
     println(s"[genscale] wrote ${tables.mkString("+")} at sf=$sf to $out")
     spark.stop()
   }
@@ -135,6 +140,39 @@ object GenScale {
       .unionByName(dupVecs)
       .select(id, normed(col("raw")).as("embedding"),
         pmod(h("lbl", id), lit(10)).cast("int").as("label"))
+  }
+
+  /** 1 M events/sf matching the fixture's shape (sf0.1 ships 100 k
+    * rows over 1 500 users, 5 uniform event types, timestamps uniform
+    * over January 2024, `value` in cents, `props` a one-key JSON blob) —
+    * the scale fixture the behavioral family (q135/q138/q139) lacked
+    * (TESTDATA events caps at sf0.1; BASELINE round-10 note).
+    *
+    * `powerPct`: percent of ALL events routed to user 0 — the
+    * power-user skew knob. The behavioral operators' scale hazard is
+    * per-entity state, not shuffle shape; a probe at powerPct=10 on a
+    * 10 M-row corpus hands one user a million-event sequence, exactly
+    * the shape the round-11 streaming fold must absorb via spillable
+    * sort instead of an aggregation-buffer array. Deterministic per
+    * event id like every other generator here. */
+  def genEvents(spark: SparkSession, sf: Double, powerPct: Int = 0): DataFrame = {
+    require(powerPct >= 0 && powerPct < 100, s"powerPct out of [0,100): $powerPct")
+    val nEvents = (1000000L * sf).toLong
+    val nUsers = math.max(2L, (15000L * sf).toLong)
+    val id = col("event_id")
+    val types = array(Seq("view", "click", "purchase", "signup", "error").map(lit): _*)
+    spark.range(nEvents).toDF("event_id")
+      .select(
+        id,
+        to_timestamp(lit("2024-01-01 00:00:00"))
+          .cast("long").plus(pmod(h("ts", id), lit(2592000L)))
+          .cast("timestamp").as("ts"),
+        when(pmod(h("pu", id), lit(100)) < powerPct, lit(0L))
+          .otherwise(pmod(h("u", id), lit(nUsers - 1)) + 1).as("user_id"),
+        element_at(types, (pmod(h("et", id), lit(5)) + 1).cast("int"))
+          .as("event_type"),
+        round(pmod(h("val", id), lit(20000L)) / 100.0, 2).as("value"),
+        concat(lit("{\"k\": "), pmod(h("pk", id), lit(100)), lit("}")).as("props"))
   }
 
   /** 50 k docs/sf with the fixture's seeded near-dup rate. */

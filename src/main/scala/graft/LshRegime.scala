@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object LshRegime {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | semincr | wsample | contam | contamauto | chunk | spans | spansincr | shuffleorder]")
+      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | semincr | wsample | contam | contamauto | chunk | spans | spansincr | shuffleorder | split]")
     val dir = args(0)
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
@@ -42,6 +42,7 @@ object LshRegime {
     if (args.length > 1 && args(1) == "contamauto") { contamAuto(spark, dir); return }
     if (args.length > 1 && args(1) == "shuffleorder") { shuffleOrder(spark, dir); return }
     if (args.length > 1 && args(1) == "spansincr") { spansIncr(spark, dir); return }
+    if (args.length > 1 && args(1) == "split") { split(spark, dir); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -78,6 +79,41 @@ object LshRegime {
       f"""{"metric":"lsh_cc","shingleN":${auto.shingleN},"docs":${auto.docCount},""" +
         f""""pairedVertices":${labels.count()},"components":${stats.getLong(0)},""" +
         f""""maxCluster":${stats.getLong(1)},"secs":$secs%.2f}""")
+    spark.stop()
+  }
+
+  /** E128 probe: [[cc]]'s pipeline extended by the leakage-safe group
+    * split + leak gate — the scale path for q143 (whose corpus query
+    * REQUIRE-pins the oracle's fixed 4-gram setting). The delta vs cc
+    * at the same dir is one broadcast-ish left join on doc_id, the
+    * narrow hash-bucket projection, and two small aggregations — it
+    * must stay a small constant fraction of cc's wall at every decade,
+    * and n_leaked_groups must be 0 by construction. */
+  private def split(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, countDistinct, lit}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val auto = operators.LshOps.bandedMinhashAuto(docs, "text", "doc_id")
+    val pairs = operators.LshOps.candidatePairs(auto.banded.bands, "doc_id")
+    val comp = operators.GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("v", "doc_id")
+    val assigned = operators.SamplingOps.groupSplit(
+      docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("component"), col("doc_id"))),
+      "grp", trainPct = 90, seed = 42L,
+      bucket = operators.SamplingOps.portableBucket)
+    val leaked = assigned.groupBy(col("grp"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    val bySide = assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"metric":"lsh_split","shingleN":${auto.shingleN},"docs":${auto.docCount},""" +
+        f""""train":${bySide.getOrElse("train", 0L)},"holdout":${bySide.getOrElse("holdout", 0L)},""" +
+        f""""leakedGroups":$leaked,"secs":$secs%.2f}""")
     spark.stop()
   }
 
