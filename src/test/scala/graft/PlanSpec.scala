@@ -239,6 +239,13 @@ class PlanSpec extends AnyFunSuite {
                                   // persisted; marginals and N re-derive
                                   // from the vocab-sized cache) + one
                                   // marginal re-agg; TakeOrdered cut
+      "q142_phrase_match" -> 2,   // parallel-spread repartition + the
+                                  // per-doc hit agg (explode + equality
+                                  // filter are narrow)
+      "q143_group_split_auto" -> 7, // q134's shape at the auto width:
+                                  // banding cached + CC materialize-cut
+                                  // + doc<->component join re-keys +
+                                  // split/leak aggs + spread
       "q134_group_split" -> 7,    // LSH banding cached (pinned as q48) +
                                   // CC rounds are materialize-cut; this
                                   // plan pays the doc↔component join
@@ -246,10 +253,22 @@ class PlanSpec extends AnyFunSuite {
       "q136_temperature_mixture" -> 4, // source counts + n_min single-part
                                   // + kept re-agg + totals agg (rate table
                                   // broadcast back, corpus never re-keyed)
-      // per-entity sequence family (round 10): ONE shuffle on the entity
-      // key builds the ordered array; the report agg re-keys the
+      // per-entity sequence family (round 10; round 11 moved the
+      // assembly from collect_list arrays to the bounded streaming
+      // fold): ONE shuffle keys the fold; the report agg re-keys the
       // entity-sized (not corpus-sized) result.
-      "q135_sequence_bigrams" -> 2, // user agg + bigram count agg
+      "q135_sequence_bigrams" -> 3, // fold key + countDistinct pair
+                                  // ((bg,user) then bg). The round-10
+                                  // plan did this in 2: the collect_list
+                                  // agg's user partitioning satisfied the
+                                  // (bg,user) clustering of the distinct
+                                  // phase, but MapGroups re-serializes
+                                  // its output, so the fold's
+                                  // partitioning is not visible
+                                  // downstream. The extra exchange
+                                  // carries bigram instances and is the
+                                  // price of bounded per-user state —
+                                  // accepted deliberately (round-11).
       "q138_funnel" -> 2,           // user agg + step-report agg
       "q139_cohort_retention" -> 3, // first-week agg + active distinct +
                                     // cohort matrix agg (user join reuses
