@@ -323,8 +323,18 @@ object Bench {
       if (uncovered.isEmpty) ""
       else uncovered.map("\"" + _ + "\"")
         .mkString(""","uncovered_queries":[""", ",", "]")
+    // The symmetric half of the coverage check: a part query the current
+    // binary no longer declares (a rename) would otherwise fold its
+    // stale median into the blessed total under the old name, silently.
+    val stale =
+      if (corpus.isEmpty) Nil
+      else (medians.map(_._1).toSet -- corpus).toSeq.sorted
+    val staleTag =
+      if (stale.isEmpty) ""
+      else stale.map("\"" + _ + "\"")
+        .mkString(""","stale_queries":[""", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":${parts.head.runsPerQuery},"protocol":"split","parts":$n,"calib_gauges":$gauges,"polluted":false$committedTag$uncoveredTag,"queries":$qs$refQs,"runs":$runsJson,"gc_ms":$gcJson,"errors":{},"outliers":{},"sf":"$sf"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":${parts.head.runsPerQuery},"protocol":"split","parts":$n,"calib_gauges":$gauges,"polluted":false$committedTag$uncoveredTag$staleTag,"queries":$qs$refQs,"runs":$runsJson,"gc_ms":$gcJson,"errors":{},"outliers":{},"sf":"$sf"}"""
     Right((file, json))
   }
 
@@ -369,6 +379,11 @@ object Bench {
             "current corpus — the artifact's uncovered_queries lists the gap " +
             "(parts banked by an older build?); those queries get no triage " +
             "reference until a quiet re-land covers them")
+        if (json.contains("\"stale_queries\":"))
+          System.err.println("[bench-merge] WARNING: merged parts carry queries the " +
+            "current binary does not declare (renamed/removed?) — their medians " +
+            "are folded into the total under stale names; see the artifact's " +
+            "stale_queries")
         System.err.println(s"[bench-merge] merged $nParts parts -> $file" +
           (if (blessed) " (reference refreshed)"
            else " (diverted: quiet gauges but slower than the committed reference)"))

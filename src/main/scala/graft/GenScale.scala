@@ -144,9 +144,10 @@ object GenScale {
 
   /** 1 M events/sf matching the fixture's shape (sf0.1 ships 100 k
     * rows over 1 500 users, 5 uniform event types, timestamps uniform
-    * over January 2024, `value` in cents, `props` a one-key JSON blob) —
-    * the scale fixture the behavioral family (q135/q138/q139) lacked
-    * (TESTDATA events caps at sf0.1; BASELINE round-10 note).
+    * over the fixture's 30-day window from 2024-01-01, `value` in
+    * cents, `props` a one-key JSON blob) — the scale fixture the
+    * behavioral family (q135/q138/q139) lacked (TESTDATA events caps
+    * at sf0.1; BASELINE round-10 note).
     *
     * `powerPct`: percent of ALL events routed to user 0 — the
     * power-user skew knob. The behavioral operators' scale hazard is
@@ -167,8 +168,12 @@ object GenScale {
         to_timestamp(lit("2024-01-01 00:00:00"))
           .cast("long").plus(pmod(h("ts", id), lit(2592000L)))
           .cast("timestamp").as("ts"),
+        // Regular draws cover ALL of 0..nUsers-1 (so the distinct-user
+        // count matches the fixture parity at every powerPct, including
+        // 0); user 0 doubles as the skew target, receiving the powerPct
+        // share ON TOP of its uniform share.
         when(pmod(h("pu", id), lit(100)) < powerPct, lit(0L))
-          .otherwise(pmod(h("u", id), lit(nUsers - 1)) + 1).as("user_id"),
+          .otherwise(pmod(h("u", id), lit(nUsers))).as("user_id"),
         element_at(types, (pmod(h("et", id), lit(5)) + 1).cast("int"))
           .as("event_type"),
         round(pmod(h("val", id), lit(20000L)) / 100.0, 2).as("value"),

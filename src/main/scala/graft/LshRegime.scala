@@ -90,18 +90,12 @@ object LshRegime {
     * must stay a small constant fraction of cc's wall at every decade,
     * and n_leaked_groups must be 0 by construction. */
   private def split(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, col, count, countDistinct, lit}
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
     val auto = operators.LshOps.bandedMinhashAuto(docs, "text", "doc_id")
-    val pairs = operators.LshOps.candidatePairs(auto.banded.bands, "doc_id")
-    val comp = operators.GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
-      .withColumnRenamed("v", "doc_id")
-    val assigned = operators.SamplingOps.groupSplit(
-      docs.select(col("doc_id"))
-        .join(comp, Seq("doc_id"), "left")
-        .withColumn("grp", coalesce(col("component"), col("doc_id"))),
-      "grp", trainPct = 90, seed = 42L,
+    val assigned = operators.SamplingOps.componentSplit(
+      docs, "doc_id", auto.banded.bands, trainPct = 90, seed = 42L,
       bucket = operators.SamplingOps.portableBucket)
     val leaked = assigned.groupBy(col("grp"))
       .agg(countDistinct(col("split")).as("ns"))

@@ -75,7 +75,13 @@ object BehaviorOps {
         var stage = 0
         var u: Any = null
         var first = true
-        it.foreach { r =>
+        // Stop consuming once the funnel is complete: a power user who
+        // finishes a short funnel in their first events must not pay
+        // deserialization for the remaining millions of rows
+        // (abandoning the group iterator is permitted — Spark skips to
+        // the next group).
+        while (it.hasNext && (first || stage < k)) {
+          val r = it.next()
           if (first) { u = r.get(1); first = false }
           if (stage < k && r.getString(4) == stepArr(stage)) stage += 1
         }

@@ -260,15 +260,14 @@ object GraphOps {
       edges: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 40,
+      maxIter: Int = 100,
       damping: Double = 0.85): DataFrame = {
+    // Default 100, not a round 40: the measured cycle onsets above (46
+    // and 64) are where CONVERGENT graphs stop — a default below them
+    // would throw on the scaladoc's own examples.
     require(maxIter >= 1 && maxIter <= 200, s"maxIter out of [1,200]: $maxIter")
     require(damping > 0 && damping < 1, s"damping out of (0,1): $damping")
     val (sym, deg, nDf, init) = pageRankInit(edges, aCol, bCol)
-    def differs(a: DataFrame, b: DataFrame): Boolean = a
-      .join(b.select(col("v"), col("rank").as("_prev")), "v")
-      .filter(col("rank") =!= col("_prev"))
-      .limit(1).count() > 0
     var prev: DataFrame = null // r_{k-1}
     var ranks = init           // r_k
     var converged = false
@@ -276,8 +275,21 @@ object GraphOps {
     while (!converged && it < maxIter) {
       it += 1
       val next = pageRankStep(sym, deg, nDf, ranks, damping)
-      converged = !differs(next, ranks) ||
-        (prev != null && !differs(next, prev))
+      // ONE vertex-sized join+aggregation answers both the fixpoint and
+      // the period-2 test (two separate probe jobs per round doubled the
+      // driver's job count for nothing — all three frames are
+      // materialized already).
+      val probe = next.join(ranks.select(col("v"), col("rank").as("_r1")), "v")
+      val row = (if (prev == null) probe.withColumn("_r2", col("_r1"))
+                 else probe.join(prev.select(col("v"), col("rank").as("_r2")), "v"))
+        .agg(
+          max(when(col("rank") =!= col("_r1"), 1).otherwise(0)).as("m1"),
+          max(when(col("rank") =!= col("_r2"), 1).otherwise(0)).as("m2"))
+        .head()
+      // max over ZERO rows is null — an empty graph is trivially fixed.
+      val fixpoint = row.isNullAt(0) || row.getInt(0) == 0
+      val cycle2 = prev != null && (row.isNullAt(1) || row.getInt(1) == 0)
+      converged = fixpoint || cycle2
       prev = ranks
       ranks = next
     }

@@ -38,7 +38,13 @@ import org.apache.spark.sql.functions._
   * never accumulates corpus-sized cache entries (spec-gated:
   * RankOpsSpec asserts `cacheManager.isEmpty` after each call); the
   * pinned result lives as executor-local disk/memory blocks released
-  * by GC with the frame.
+  * by GC with the frame. The pin is `localCheckpoint`, which truncates
+  * lineage: on a cluster, losing the executor holding a block makes
+  * the returned frame unrecoverable (same accepted trade as
+  * neardupCore — the alternative is keeping the corpus-sized explode
+  * cache alive for re-derivation). A deployment with preemptible
+  * executors that needs recoverable results writes the frame to its
+  * own storage immediately, or swaps in a reliable `checkpoint` dir.
   *
   * Determinism contract: scores are ROUNDED (4 dp) and every rank/top-N
   * breaks ties on the token / doc id, so the selected rows are a pure

@@ -151,6 +151,33 @@ object SamplingOps {
         .otherwise(lit("holdout")))
   }
 
+  /** The canonical leakage-safe split PIPELINE over LSH evidence:
+    * banded signatures → candidate pairs → connected components →
+    * [[groupSplit]] keyed on the component (singletons key on their own
+    * id). One definition for the three call sites that previously
+    * duplicated it verbatim (q134, q143, the LshRegime scale probe) —
+    * the knobs (trainPct/seed/bucket) can no longer drift apart.
+    * `bands` is any [[LshOps.bandedMinhash]]/`bandedMinhashAuto` band
+    * frame; width policy stays the CALLER's decision (the queries pin
+    * oracle widths, the probe runs auto). Output: (idCol, grp, split). */
+  def componentSplit(
+      docs: DataFrame,
+      idCol: String,
+      bands: DataFrame,
+      trainPct: Int,
+      seed: Long,
+      bucket: BucketFn = xxhashBucket): DataFrame = {
+    val pairs = LshOps.candidatePairs(bands, idCol)
+    val comp = GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("v", idCol)
+    groupSplit(
+      docs.select(col(idCol))
+        .join(comp, Seq(idCol), "left")
+        .withColumn("grp", coalesce(col("component"), col(idCol)))
+        .drop("component"),
+      "grp", trainPct, seed, bucket)
+  }
+
   /** Deterministic ~`pct`% subsample by id hash (stable under layout). */
   def hashSample(
       df: DataFrame,

@@ -76,6 +76,21 @@ object TextQueries {
     * (fixture: zero) buckets. */
   private val LshMaxBucket = 10000
 
+  /** The split-quality report q134/q143 share over a
+    * [[graft.operators.SamplingOps.componentSplit]] assignment:
+    * per-side doc/group counts plus the IN-ENGINE leak gate (groups
+    * seen on both sides — 0 by construction of the group key). */
+  private def groupSplitReport(assigned: DataFrame): DataFrame = {
+    val leaked = assigned.groupBy(col("grp"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as("n_leaked_groups"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"))
+      .crossJoin(broadcast(leaked))
+  }
+
   /** The MinHash→bands→pairs→min-label-closure restatement shared by the
     * components oracles (q103 appends its projection; q112 extends with the
     * canonical pick). Ends at the `reach` CTE — append `SELECT ...` or
@@ -470,26 +485,11 @@ object TextQueries {
     // oracle must reproduce that zero end-to-end) beside the per-split
     // doc/group counts.
     "q134_group_split" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
       val banded = graft.operators.LshOps.bandedMinhash(
-        docs, "text", "doc_id", 16, 3, 4, 4, LshMaxBucket)
-      val pairs = graft.operators.LshOps.candidatePairs(banded.bands, "doc_id")
-      val comp = graft.operators.GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
-        .withColumnRenamed("v", "doc_id")
-      val assigned = graft.operators.SamplingOps.groupSplit(
-        docs.select(col("doc_id"))
-          .join(comp, Seq("doc_id"), "left")
-          .withColumn("grp", coalesce(col("component"), col("doc_id"))),
-        "grp", trainPct = 90, seed = 42L,
-        bucket = graft.operators.SamplingOps.portableBucket)
-      val leaked = assigned.groupBy(col("grp"))
-        .agg(countDistinct(col("split")).as("ns"))
-        .filter(col("ns") > 1)
-        .agg(count(lit(1)).as("n_leaked_groups"))
-      assigned.groupBy(col("split"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("grp")).as("n_groups"))
-        .crossJoin(broadcast(leaked))
+        t(s, dir, "documents"), "text", "doc_id", 16, 3, 4, 4, LshMaxBucket)
+      groupSplitReport(graft.operators.SamplingOps.componentSplit(
+        t(s, dir, "documents"), "doc_id", banded.bands, trainPct = 90,
+        seed = 42L, bucket = graft.operators.SamplingOps.portableBucket))
     }),
 
     // E113 tf-idf keyword extraction: top-3 terms per document. Corpus
@@ -538,23 +538,9 @@ object TextQueries {
       require(auto.shingleN == 4,
         s"q143's oracle pins 4-gram shingles but the auto rule chose " +
           s"${auto.shingleN} (docs=${auto.docCount}, vocab=${auto.vocabEstimate})")
-      val pairs = graft.operators.LshOps.candidatePairs(auto.banded.bands, "doc_id")
-      val comp = graft.operators.GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
-        .withColumnRenamed("v", "doc_id")
-      val assigned = graft.operators.SamplingOps.groupSplit(
-        docs.select(col("doc_id"))
-          .join(comp, Seq("doc_id"), "left")
-          .withColumn("grp", coalesce(col("component"), col("doc_id"))),
-        "grp", trainPct = 90, seed = 42L,
-        bucket = graft.operators.SamplingOps.portableBucket)
-      val leaked = assigned.groupBy(col("grp"))
-        .agg(countDistinct(col("split")).as("ns"))
-        .filter(col("ns") > 1)
-        .agg(count(lit(1)).as("n_leaked_groups"))
-      assigned.groupBy(col("split"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("grp")).as("n_groups"))
-        .crossJoin(broadcast(leaked))
+      groupSplitReport(graft.operators.SamplingOps.componentSplit(
+        docs, "doc_id", auto.banded.bands, trainPct = 90, seed = 42L,
+        bucket = graft.operators.SamplingOps.portableBucket))
     }),
 
     // E126 conjunctive (AND) BM25: q131's bag restricted to documents

@@ -273,6 +273,12 @@ class BenchSpec extends AnyFunSuite {
     // The tagged artifact still parses as a triage baseline.
     assert(Bench.refMedians(json, "/root/testdata/sf0.1") ==
       Map("q1" -> 1.0, "q2" -> 1.0))
+    // The symmetric half: a part query the binary no longer declares (a
+    // rename) is flagged as stale, not silently folded into the total.
+    val staleJson = Bench.mergeParts(parts, Map.empty,
+      corpus = Set("q1")).toOption.get._2
+    assert(staleJson.contains(""""stale_queries":["q2"]"""), staleJson)
+    assert(!json.contains("stale_queries"), "covered parts must not flag")
   }
 
   test("the merge refuses structural defects") {
