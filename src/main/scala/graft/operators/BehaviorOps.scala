@@ -146,6 +146,46 @@ object BehaviorOps {
       }(Encoders.row(outSchema))
   }
 
+  /** Gap-based SESSIONIZATION (batch): segment each user's time-ordered
+    * events into sessions wherever the inter-event gap exceeds
+    * `gapSeconds`, and report one row per session (ordinal, event
+    * count, start/end, duration in whole seconds — all integers or
+    * timestamps, hash-exact on any engine). The batch twin of the
+    * streaming session window (q62).
+    *
+    * Shape: ONE shuffle on the user key; the session ordinal is a
+    * running sum of boundary flags over the (ts, id)-ordered user
+    * window (WindowExec's per-group buffer is Spark's spillable array),
+    * and the per-session aggregation re-uses the window's user
+    * partitioning (grouping on (user, session) is clustered by user),
+    * so no second corpus exchange. */
+  def sessionize(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds >= 1, s"gapSeconds out of range: $gapSeconds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val run = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events
+      .withColumn("_prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev_ts").isNull ||
+          unix_timestamp(col(tsCol)) - unix_timestamp(col("_prev_ts")) > gapSeconds,
+          1L).otherwise(0L))
+      .withColumn("session_n", sum(col("_new")).over(run))
+      .groupBy(col(userCol), col("session_n"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("sess_start"),
+        max(col(tsCol)).as("sess_end"),
+        (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
+          .as("duration_s"))
+  }
+
   /** Weekly cohort retention: users bucketed by first-seen week, counted
     * in every week they were active. `week_n` is the offset in weeks
     * (both ends are Monday-truncated so the difference is an exact

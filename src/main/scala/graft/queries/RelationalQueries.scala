@@ -598,6 +598,33 @@ object RelationalQueries {
         t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
         Seq("view", "click", "purchase"))),
 
+    // E129 gap-based batch sessionization: per-user sessions cut at
+    // 6-hour inter-event gaps, one row per session (ordinal, count,
+    // bounds, whole-second duration). The batch twin of the streaming
+    // session window (q62); ONE shuffle on user_id — the per-session
+    // aggregation's (user, session) grouping is clustered by the
+    // window's user partitioning, so no second corpus exchange.
+    "q144_sessions" -> ((s, dir) =>
+      graft.operators.BehaviorOps.sessionize(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        gapSeconds = 21600)),
+
+    // E130 event-type TRANSITION MATRIX (first-order Markov): global
+    // row-normalized probabilities over the same per-user ordered
+    // bigram stream as q135 — which action follows which, as P(to|from).
+    // Count tables are alphabet²-bounded; the row totals broadcast back.
+    "q145_event_transitions" -> ((s, dir) => {
+      val counts = graft.operators.BehaviorOps.sequenceBigrams(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+        .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+        .withColumn("from_type", split(col("bg"), ">").getItem(0))
+        .withColumn("to_type", split(col("bg"), ">").getItem(1))
+      val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+      counts.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n") / col("n_from"), 4).as("p"))
+    }),
+
     // E122 weekly cohort retention: users bucketed by first-seen week,
     // counted in every active week (offset in whole weeks — both ends
     // Monday-truncated). Two user-keyed aggregations + one user join;
@@ -946,6 +973,30 @@ object RelationalQueries {
                 count(*) FILTER (WHERE stage >= st) AS n_users
          FROM stages, unnest(range(1, 4)) AS u(st)
          GROUP BY st""",
+    // Gap/duration arithmetic on FLOOR-SECONDS (epoch_us // 1e6 = Spark's
+    // unix_timestamp floorDiv), ordering on the µs key + event_id — the
+    // same ns-fixture discipline as q135 below.
+    "q144_sessions" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) // 1000000
+                       - epoch_us(lag(ts) OVER w) // 1000000 > 21600
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         sess AS (
+           SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+           FROM flagged)
+         SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+                count(*) AS n_events,
+                min(ts) AS sess_start, max(ts) AS sess_end,
+                epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000
+                  AS duration_s
+         FROM sess GROUP BY user_id, session_n""",
     "q139_cohort_retention" ->
       """WITH first AS (
            SELECT user_id,
@@ -963,6 +1014,24 @@ object RelationalQueries {
     // (Tables' nanosAsLong conversion), so the oracle orders by the SAME
     // µs key (epoch_us) + event_id — ordering by raw ns could disagree
     // with Spark inside a microsecond.
+    // q135's bigram stream re-aggregated to the row-normalized Markov
+    // matrix; integer/integer division is true (double) division on
+    // both engines.
+    "q145_event_transitions" ->
+      """WITH seqs AS (
+           SELECT user_id,
+                  list(event_type ORDER BY epoch_us(ts), event_id) AS types
+           FROM events GROUP BY user_id),
+         bg AS (
+           SELECT unnest(list_transform(range(1, greatest(len(types) - 1, 0) + 1),
+             i -> types[i] || '>' || types[i+1])) AS bg
+           FROM seqs),
+         c AS (SELECT bg, count(*) AS n FROM bg GROUP BY bg),
+         tr AS (SELECT string_split(bg, '>')[1] AS from_type,
+                       string_split(bg, '>')[2] AS to_type, n FROM c),
+         tot AS (SELECT from_type, sum(n) AS n_from FROM tr GROUP BY from_type)
+         SELECT from_type, to_type, n, round(n / n_from, 4) AS p
+         FROM tr JOIN tot USING (from_type)""",
     "q135_sequence_bigrams" ->
       """WITH seqs AS (
            SELECT user_id,

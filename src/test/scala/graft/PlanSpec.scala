@@ -273,6 +273,11 @@ class PlanSpec extends AnyFunSuite {
       "q139_cohort_retention" -> 3, // first-week agg + active distinct +
                                     // cohort matrix agg (user join reuses
                                     // the firsts layout)
+      "q144_sessions" -> 1,         // ONE user-keyed window exchange; the
+                                    // (user, session) agg is clustered by
+                                    // the window's partitioning
+      "q145_event_transitions" -> 3, // fold key + bg count agg + row-total
+                                    // agg (totals broadcast back)
       // two-phase / paired-agg shapes:
       "q05_full_outer_regions" -> 2, "q19_count_distinct" -> 2,
       "q23_intersect_except" -> 2, "q38_salted_agg" -> 2,

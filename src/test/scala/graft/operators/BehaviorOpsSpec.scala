@@ -115,6 +115,35 @@ class BehaviorOpsSpec extends AnyFunSuite {
     assert(st == Map(7L -> 2)) // view then click, never a purchase
   }
 
+  test("sessionize cuts strictly-greater-than-gap boundaries, per user") {
+    // Gap 600 s. User 1: events at 0, 5, 15, 16 min -> gap 10 min is NOT
+    // > 600 s (exactly equal), so one session... 0->5 (300 s), 5->15
+    // (600 s, equal -> same session), 15->16. All one session.
+    val e = events(
+      (1L, 0, 1L, "view"), (1L, 5, 2L, "view"),
+      (1L, 15, 3L, "view"), (1L, 16, 4L, "view"),
+      // User 2: 0, then 11 min (660 s > 600) -> two sessions.
+      (2L, 0, 5L, "view"), (2L, 11, 6L, "view"))
+    val r = BehaviorOps.sessionize(e, "user_id", "ts", "event_id", 600L)
+      .select($"user_id", $"session_n", $"n_events", $"duration_s")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(r == Set(
+      (1L, 1L, 4L, 16 * 60L),
+      (2L, 1L, 1L, 0L), (2L, 2L, 1L, 0L)), r)
+  }
+
+  test("sessionize ordinals are time-ordered and ties break on event_id") {
+    val e = events(
+      (1L, 0, 2L, "b"), (1L, 0, 1L, "a"),     // same ts: one session
+      (1L, 60, 3L, "c"))                       // 60 min later: new session
+    val r = BehaviorOps.sessionize(e, "user_id", "ts", "event_id", 600L)
+      .orderBy($"session_n")
+      .select($"session_n", $"n_events").as[(Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L), (2L, 1L)), r)
+    intercept[IllegalArgumentException](
+      BehaviorOps.sessionize(e, "user_id", "ts", "event_id", 0L))
+  }
+
   test("cohort retention: week 0 holds the whole cohort; later weeks only returners") {
     val week = 7 * 24 * 60
     val e = events(
