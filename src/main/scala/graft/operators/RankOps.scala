@@ -97,11 +97,17 @@ object RankOps {
       .withColumn("score", round(
         col("tf").cast("double") / col("dl") *
           log(col("n_docs").cast("double") / col("df")), 4))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("token"))
+    // Bounded-buffer grouped top-k (the E76/q112 discipline), NOT a
+    // row_number window: the window shuffles EVERY scored (doc, token)
+    // row to its doc's reducer and sorts whole per-doc vocabularies
+    // there; the k-bounded partial aggregate ships at most k entries per
+    // (doc × map partition) and never sorts a whole group.
     val out = scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col(idCol), col("token"), col("score"), col("rn"))
+      .groupBy(col(idCol))
+      .agg(TopKOps.topKStr(k)(col("score"), col("token")).as("_tk"))
+      .select(col(idCol), posexplode(col("_tk.items")))
+      .select(col(idCol), col("col.id").as("token"), col("col.v").as("score"),
+        (col("pos") + 1).cast("int").as("rn"))
       .localCheckpoint(true)
     tf.unpersist()
     out

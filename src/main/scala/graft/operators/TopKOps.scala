@@ -62,6 +62,43 @@ object TopKOps {
     udaf(TopKAgg(k), Encoders.product[ScoredId])(
       value.cast("double"), id.cast("long"))
 
+  /** String-keyed twin of [[ScoredId]]/[[TopKAgg]] for groups whose
+    * deterministic tie-break is a STRING (e.g. tf-idf's token): ranked
+    * by (value desc, id asc in Unicode order — DuckDB's default binary
+    * collation agrees on the fixture's ASCII tokens). A parallel
+    * concrete type rather than a generic: Aggregator buffers need
+    * product encoders, and two small case classes beat a TypeTag dance. */
+  final case class ScoredStr(v: Double, id: String)
+
+  final case class TopKStrBuf(items: List[ScoredStr])
+
+  private def beforeStr(a: ScoredStr, b: ScoredStr): Boolean =
+    a.v > b.v || (a.v == b.v && a.id < b.id)
+
+  final case class TopKStrAgg(k: Int)
+      extends Aggregator[ScoredStr, TopKStrBuf, TopKStrBuf] {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    override def zero: TopKStrBuf = TopKStrBuf(Nil)
+
+    override def reduce(b: TopKStrBuf, x: ScoredStr): TopKStrBuf =
+      if (b.items.sizeIs >= k && !beforeStr(x, b.items.last)) b
+      else TopKStrBuf((x :: b.items).sortWith(beforeStr).take(k))
+
+    override def merge(a: TopKStrBuf, b: TopKStrBuf): TopKStrBuf =
+      TopKStrBuf((a.items ++ b.items).sortWith(beforeStr).take(k))
+
+    override def finish(b: TopKStrBuf): TopKStrBuf = b
+
+    override def bufferEncoder: Encoder[TopKStrBuf] = Encoders.product[TopKStrBuf]
+    override def outputEncoder: Encoder[TopKStrBuf] = Encoders.product[TopKStrBuf]
+  }
+
+  /** [[topK]] with a string tie-break id. */
+  def topKStr(k: Int)(value: Column, id: Column): Column =
+    udaf(TopKStrAgg(k), Encoders.product[ScoredStr])(
+      value.cast("double"), id.cast("string"))
+
   /** Whole-operator form: one row per kept (group, rank, id, value).
     * Exactly one shuffle (the group-by exchange); ranks are 1-based in
     * (value desc, id asc) order.
