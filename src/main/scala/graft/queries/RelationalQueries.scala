@@ -614,11 +614,16 @@ object RelationalQueries {
     // bigram stream as q135 — which action follows which, as P(to|from).
     // Count tables are alphabet²-bounded; the row totals broadcast back.
     "q145_event_transitions" -> ((s, dir) => {
-      val counts = graft.operators.BehaviorOps.sequenceBigrams(
-        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
-        .groupBy(col("bg")).agg(count(lit(1)).as("n"))
-        .withColumn("from_type", split(col("bg"), ">").getItem(0))
-        .withColumn("to_type", split(col("bg"), ">").getItem(1))
+      // materialize: the count table feeds BOTH the output and the row
+      // totals — without the pin each branch re-runs the corpus fold
+      // (no cross-branch subtree reuse; the dfFromTf lesson). The frame
+      // is alphabet²-bounded, so the pin costs nothing.
+      val counts = graft.Tables.materialize(
+        graft.operators.BehaviorOps.sequenceBigrams(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+          .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+          .withColumn("from_type", split(col("bg"), ">").getItem(0))
+          .withColumn("to_type", split(col("bg"), ">").getItem(1)))
       val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
       counts.join(broadcast(totals), "from_type")
         .select(col("from_type"), col("to_type"), col("n"),

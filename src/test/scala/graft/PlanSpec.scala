@@ -276,8 +276,11 @@ class PlanSpec extends AnyFunSuite {
       "q144_sessions" -> 1,         // ONE user-keyed window exchange; the
                                     // (user, session) agg is clustered by
                                     // the window's partitioning
-      "q145_event_transitions" -> 3, // fold key + bg count agg + row-total
-                                    // agg (totals broadcast back)
+      "q145_event_transitions" -> 1, // row-total agg over the PINNED
+                                    // count table (the fold + bg agg are
+                                    // materialize-cut — they'd otherwise
+                                    // run once per branch); totals
+                                    // broadcast back
       // two-phase / paired-agg shapes:
       "q05_full_outer_regions" -> 2, "q19_count_distinct" -> 2,
       "q23_intersect_except" -> 2, "q38_salted_agg" -> 2,
