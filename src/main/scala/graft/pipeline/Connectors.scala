@@ -125,9 +125,27 @@ object Connectors {
     }
   }
 
+  /** ORC source/sink: the other columnar format real warehouses hold
+    * (Hive-lineage lakes are ORC-first); Spark's native vectorized ORC
+    * reader gives the same pushdown/pruning surface as parquet, so the
+    * scan-shape guarantees elsewhere in this file carry over unchanged. */
+  final case class OrcSource(baseDir: String) extends Source {
+    def read(spark: SparkSession, table: String): DataFrame = {
+      val dir = new org.apache.hadoop.fs.Path(s"$baseDir/$table")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = if (fs.exists(dir)) dir.toString else s"$baseDir/$table.orc"
+      spark.read.orc(p)
+    }
+  }
+
   final case class ParquetSink(baseDir: String) extends Sink {
     def write(df: DataFrame, table: String, mode: SaveMode): Unit =
       df.write.mode(mode).parquet(s"$baseDir/$table")
+  }
+
+  final case class OrcSink(baseDir: String) extends Sink {
+    def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+      df.write.mode(mode).orc(s"$baseDir/$table")
   }
 
   final case class CsvSink(baseDir: String) extends Sink {
@@ -210,6 +228,7 @@ object Connectors {
       case "json"    => JsonSource(baseDirOrUrl)
       case "text"    => TextSource(baseDirOrUrl)
       case "binary"  => BinarySource(baseDirOrUrl)
+      case "orc"     => OrcSource(baseDirOrUrl)
       case "jdbc"    => JdbcSource(baseDirOrUrl)
       case other     => throw new IllegalArgumentException(s"unknown source format: $other")
     }
@@ -220,6 +239,7 @@ object Connectors {
       case "parquet-idempotent" => IdempotentParquetSink(baseDirOrUrl)
       case "csv"     => CsvSink(baseDirOrUrl)
       case "json"    => JsonSink(baseDirOrUrl)
+      case "orc"     => OrcSink(baseDirOrUrl)
       case "jdbc"    => JdbcSink(baseDirOrUrl)
       case other     => throw new IllegalArgumentException(s"unknown sink format: $other")
     }

@@ -91,12 +91,25 @@ class OrchestratorSpec extends AnyFunSuite {
   }
 
   test("connector registry covers every declared format, including the idempotent sink") {
-    for (f <- Seq("parquet", "csv", "json", "text", "binary"))
+    for (f <- Seq("parquet", "csv", "json", "text", "binary", "orc"))
       assert(Connectors.source(f, "/tmp/x") != null, f)
     assert(Connectors.sink("parquet-idempotent", "/tmp/x")
       .isInstanceOf[Connectors.IdempotentParquetSink])
-    intercept[IllegalArgumentException](Connectors.source("orc", "/tmp/x"))
-    intercept[IllegalArgumentException](Connectors.sink("orc", "/tmp/x"))
+    intercept[IllegalArgumentException](Connectors.source("xml", "/tmp/x"))
+    intercept[IllegalArgumentException](Connectors.sink("xml", "/tmp/x"))
+  }
+
+  test("orc round-trips through the registry with pushdown-capable scans") {
+    val root = java.nio.file.Files.createTempDirectory("orc_rt")
+    val df = (1L to 200L).map(i => (i, s"name$i", i % 7)).toDF("id", "name", "grp")
+    Connectors.sink("orc", root.toString).write(df, "t", SaveMode.Overwrite)
+    val back = Connectors.source("orc", root.toString).read(spark, "t")
+    assert(back.count() == 200L)
+    assert(back.columns.toSeq == Seq("id", "name", "grp"))
+    // The native vectorized ORC scan takes filters, like parquet.
+    val plan = back.filter($"id" > 100L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,100)]"),
+      s"orc scan must push the predicate:\n$plan")
   }
 
   test("text source reads line-per-row; binary source feeds the multimodal decode") {
