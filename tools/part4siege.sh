@@ -1,0 +1,50 @@
+#!/bin/bash
+# Part-4/4 SIEGE (round 11): the poll-then-fire hunt loses every pocket
+# shorter than its own ~90 s detection+startup lag (measured 18:41 — the
+# poll read quiet, the part's pre-gauge 90 s later read 1.271). Siege
+# mode removes detection latency entirely: run part attempts
+# back-to-back, letting each attempt's own calib_pre/calib_post be the
+# poll — any pocket at least one attempt long that aligns with an
+# attempt gets banked, and a refused attempt costs only itself. Pauses
+# while the builder holds /tmp/graft_busy.
+set -u
+cd /root/repo
+CP="/tmp/bench_classes_r10:/opt/spark/jars/*"
+LOG=/tmp/part4siege.log
+PART=${PART4_PART:-4/4}
+PARTFILE="BENCH_DETAILS_PART_${PART/\//_of_}.json"
+echo "$(date +%T) siege start (part $PART -> $PARTFILE)" >> "$LOG"
+N=0
+while true; do
+  while [ -f /tmp/graft_busy ]; do sleep 30; done
+  N=$((N+1))
+  SPARK_GRAFT_PART="$PART" SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    java -cp "$CP" graft.Bench > /tmp/part4_attempt.out 2>&1
+  VERDICT=$(python3 - "$PARTFILE" <<'EOF'
+import json,sys
+try: d=json.load(open(sys.argv[1]))
+except Exception as e: print(f"unreadable:{e}"); sys.exit(0)
+bad=[]
+if d.get("polluted"): bad.append("polluted")
+for g in ("calib_pre","calib_post"):
+    v=d.get(g,-1)
+    if not (0 < v <= 1.20): bad.append(f"{g}={v}")
+if d.get("errors"): bad.append("errors")
+for q,o in (d.get("outliers") or {}).items():
+    rr=o.get("rerun")
+    if rr is None or not (o.get("ref",0)>0 and rr<=2.0*o["ref"]): bad.append(f"unresolved:{q}")
+print("QUIET" if not bad else ";".join(bad))
+EOF
+)
+  echo "$(date +%T) attempt $N: $VERDICT" >> "$LOG"
+  if [ "$VERDICT" = "QUIET" ]; then
+    java -cp "$CP" graft.Bench --merge-parts \
+      BENCH_DETAILS_PART_1_of_4.json BENCH_DETAILS_PART_2_of_4.json \
+      BENCH_DETAILS_PART_3_of_4.json BENCH_DETAILS_PART_4_of_4.json \
+      >> "$LOG" 2>&1
+    touch /tmp/part4_banked
+    echo "$(date +%T) BANKED after $N attempts" >> "$LOG"
+    exit 0
+  fi
+  sleep 5
+done
