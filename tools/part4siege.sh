@@ -9,8 +9,8 @@
 # while the builder holds /tmp/graft_busy.
 set -u
 cd /root/repo
-CP="/tmp/bench_classes_r10:/opt/spark/jars/*"
-LOG=/tmp/part4siege.log
+CP="${PART4_CP:-/tmp/bench_classes_r10}:/opt/spark/jars/*"
+LOG=${PART4_LOG:-/tmp/part4siege.log}
 PART=${PART4_PART:-4/4}
 PARTFILE="BENCH_DETAILS_PART_${PART/\//_of_}.json"
 echo "$(date +%T) siege start (part $PART -> $PARTFILE)" >> "$LOG"
@@ -42,7 +42,7 @@ EOF
       BENCH_DETAILS_PART_1_of_4.json BENCH_DETAILS_PART_2_of_4.json \
       BENCH_DETAILS_PART_3_of_4.json BENCH_DETAILS_PART_4_of_4.json \
       >> "$LOG" 2>&1
-    touch /tmp/part4_banked
+    touch "${PART4_DONE:-/tmp/part4_banked}"
     echo "$(date +%T) BANKED after $N attempts" >> "$LOG"
     exit 0
   fi
