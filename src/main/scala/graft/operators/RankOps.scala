@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.TextFunctions.{shingles, tokens}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lexical ranking + statistical language-model scoring over a document

@@ -64,16 +64,36 @@ object TopKOps {
 
   /** String-keyed twin of [[ScoredId]]/[[TopKAgg]] for groups whose
     * deterministic tie-break is a STRING (e.g. tf-idf's token): ranked
-    * by (value desc, id asc in Unicode order — DuckDB's default binary
-    * collation agrees on the fixture's ASCII tokens). A parallel
-    * concrete type rather than a generic: Aggregator buffers need
-    * product encoders, and two small case classes beat a TypeTag dance. */
+    * by (value desc, id asc in UTF-8 BYTE order). Byte order, not
+    * Scala's `<`: String comparison is UTF-16 code-unit order, which
+    * DISAGREES with both Spark's UTF8String ordering and DuckDB's
+    * binary collation for supplementary-plane characters (an emoji's
+    * surrogates 0xD83D… sort below U+FFFD in UTF-16 but above in
+    * UTF-8) — real corpus text contains emoji even when fixtures don't.
+    * A parallel concrete type rather than a generic: Aggregator buffers
+    * need product encoders, and two small case classes beat a TypeTag
+    * dance. */
   final case class ScoredStr(v: Double, id: String)
 
   final case class TopKStrBuf(items: List[ScoredStr])
 
+  /** UTF-8 unsigned-byte lexicographic `<` — the collation Spark's
+    * UTF8String and DuckDB share. */
+  private[operators] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   private def beforeStr(a: ScoredStr, b: ScoredStr): Boolean =
-    a.v > b.v || (a.v == b.v && a.id < b.id)
+    a.v > b.v || (a.v == b.v && utf8Less(a.id, b.id))
 
   final case class TopKStrAgg(k: Int)
       extends Aggregator[ScoredStr, TopKStrBuf, TopKStrBuf] {

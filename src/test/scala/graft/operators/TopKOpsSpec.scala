@@ -36,6 +36,21 @@ class TopKOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, 2L), (2, 5L), (3, 9L)))
   }
 
+  test("string tie-break is UTF-8 byte order, not UTF-16 code units") {
+    // U+FFFD (UTF-8: EF BF BD) vs U+1F600 emoji (UTF-8: F0 9F 98 80):
+    // byte order ranks the replacement char FIRST; UTF-16 code units
+    // (0xFFFD vs surrogate 0xD83D) would rank it LAST. Spark's
+    // UTF8String and DuckDB's binary collation both use byte order —
+    // the aggregator must agree on real (emoji-bearing) corpus text.
+    val replacement = "\uFFFD"
+    val emoji = new String(Character.toChars(0x1F600))
+    val agg = TopKOps.TopKStrAgg(1)
+    val picked = agg.finish(Seq(emoji, replacement).foldLeft(agg.zero)(
+      (b, t) => agg.reduce(b, TopKOps.ScoredStr(1.0, t)))).items.head.id
+    assert(picked == replacement, "UTF-8 byte order must win the tie")
+    assert(TopKOps.utf8Less(replacement, emoji) && !TopKOps.utf8Less(emoji, replacement))
+  }
+
   test("plans as partial aggregation before one exchange — never a window sort") {
     // The fixture parquet is one split (where the exchange is elided);
     // repartition first so the multi-partition (cluster) shape is what's
