@@ -307,6 +307,64 @@ object RankOps {
     * concentrated (far below corpus size); both joins key on the bigram /
     * its first token. All counts are integers, so P is exactly rational
     * and the only float step is the final `ln`. */
+  /** Class-based tf-idf (c-TF-IDF, Grootendorst 2022 / BERTopic —
+    * public): the top-`k` terms that CHARACTERIZE each document class
+    * (source, domain, cluster), treating each class as one
+    * concatenated pseudo-document:
+    *
+    *   score(t, c) = (ctf(t,c) / len(c)) · ln(1 + A / ctf_all(t))
+    *
+    * ctf(t,c) = occurrences of t in class c, len(c) = class token
+    * count, ctf_all(t) = t's total occurrences, A = average class
+    * length. The `1 +` keeps the idf positive, so a term present in
+    * every class is damped, not zeroed — the corpus-auditing view
+    * ("what is each source actually made of") the per-document tf-idf
+    * (E113) cannot give.
+    *
+    * Scale: one corpus-sized token explode into a (class × vocab)-sized
+    * count table — the ONLY corpus-sized stage; len/A/ctf_all all
+    * derive from that table (persisted, four branches — the dfFromTf
+    * measurement); the per-class cut is the bounded-buffer grouped
+    * top-k (E76 discipline), never a window over whole class
+    * vocabularies. Integer counts throughout; the single float step is
+    * the final divide·ln, rounded 4 dp with (score desc, token asc)
+    * tie-break — the repo's cross-engine float rule. */
+  def classTfidf(
+      docs: DataFrame,
+      textCol: String,
+      classCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k out of range: $k")
+    val ctf = docs
+      .select(col(classCol).as("cls"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("cls"), col("token"))
+      .agg(count(lit(1)).as("ctf"))
+      .persist()
+    ctf.count()
+    val classLen = ctf.groupBy(col("cls")).agg(sum(col("ctf")).as("cls_len"))
+    val termAll = ctf.groupBy(col("token")).agg(sum(col("ctf")).as("ctf_all"))
+    // A = total tokens / number of classes: two broadcast scalars.
+    val avgLen = classLen
+      .agg((sum(col("cls_len")).cast("double") /
+        count(lit(1))).as("avg_len"))
+    val scored = ctf
+      .join(termAll, "token")
+      .join(classLen, "cls") // classes-sized; broadcasts
+      .crossJoin(broadcast(avgLen))
+      .withColumn("score", round(
+        col("ctf").cast("double") / col("cls_len") *
+          log(lit(1.0) + col("avg_len") / col("ctf_all")), 4))
+    val out = scored
+      .groupBy(col("cls"))
+      .agg(TopKOps.topKStr(k)(col("score"), col("token")).as("_tk"))
+      .select(col("cls"), posexplode(col("_tk.items")))
+      .select(col("cls").as(classCol), col("col.id").as("token"),
+        col("col.v").as("score"), (col("pos") + 1).cast("int").as("rn"))
+      .localCheckpoint(true)
+    ctf.unpersist()
+    out
+  }
+
   def bigramLmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     // Same two-consumer persist discipline as the siblings (see dfFromTf):
     // the corpus-sized bigram explode feeds BOTH the count table and the

@@ -561,6 +561,24 @@ object TextQueries {
         t(s, dir, "documents"), "text", "doc_id",
         phrase = Seq("sort", "merge"))),
 
+    // E131 EXACT Jaccard τ-join via prefix filtering (AllPairs/PPJoin):
+    // q50's contract without its per-shared-element join — candidates
+    // only from short rarest-first prefixes, then exact verification.
+    // The oracle is the NAIVE all-pairs join: the filter must reproduce
+    // it bit for bit (exactness is the whole point).
+    "q146_prefix_jaccard_join" -> ((s, dir) =>
+      graft.operators.SetJoinOps.prefixJaccardJoin(
+        t(s, dir, "documents")
+          .select(col("doc_id"), shingles(col("text"), 2).as("sh")),
+        "doc_id", "sh", tau = 0.5)),
+
+    // E132 class-based tf-idf (c-TF-IDF): top-5 terms characterizing
+    // each SOURCE, each class one concatenated pseudo-document — the
+    // corpus-auditing complement of per-doc tf-idf (q130).
+    "q147_source_ctfidf" -> ((s, dir) =>
+      graft.operators.RankOps.classTfidf(
+        t(s, dir, "documents"), "text", "source", k = 5)),
+
     // Dedup purge list: the keep-min-id policy applied to the LSH candidate
     // pairs — every doc that collides with a smaller doc_id is dropped.
     // Since candidates are emitted with doc_a < doc_b, the purge set is
@@ -1321,6 +1339,42 @@ object TextQueries {
           sh AS (SELECT doc_id, unnest(${shingleStrSql(2)}) AS s FROM t)
           SELECT doc_id, count(*) AS n_hits FROM sh
           WHERE s = 'sort merge' GROUP BY doc_id""",
+    // The NAIVE exact all-pairs join — the prefix-filtered Spark plan
+    // must reproduce it exactly (same τ gate on the same 4-dp round).
+    "q146_prefix_jaccard_join" ->
+      s"""WITH t AS (SELECT doc_id, $TokSql AS toks FROM documents),
+          grams AS (SELECT doc_id, unnest(list_distinct(${shingleStrSql(2)})) AS ng
+                    FROM t),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM grams a JOIN grams b ON a.ng = b.ng AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+          SELECT doc_a, doc_b,
+                 round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.5""",
+    // c-TF-IDF per source: integer counts, one divide·ln float step
+    // rounded 4 dp, (score desc, token asc) tie-break.
+    "q147_source_ctfidf" ->
+      s"""WITH ex AS (SELECT source AS cls, unnest($TokSql) AS token
+                      FROM documents),
+          ctf AS (SELECT cls, token, count(*) AS ctf FROM ex GROUP BY cls, token),
+          cl AS (SELECT cls, sum(ctf) AS cls_len FROM ctf GROUP BY cls),
+          ta AS (SELECT token, sum(ctf) AS ctf_all FROM ctf GROUP BY token),
+          a AS (SELECT CAST(sum(cls_len) AS DOUBLE) / count(*) AS avg_len FROM cl),
+          sc AS (SELECT ctf.cls, ctf.token,
+                   round(CAST(ctf.ctf AS DOUBLE) / cl.cls_len
+                         * ln(1.0 + a.avg_len / ta.ctf_all), 4) AS score
+                 FROM ctf JOIN cl USING (cls) JOIN ta USING (token), a)
+          SELECT cls AS source, token, score, CAST(rn AS INT) AS rn FROM (
+            SELECT cls, token, score,
+                   row_number() OVER (PARTITION BY cls
+                     ORDER BY score DESC, token) AS rn
+            FROM sc)
+          WHERE rn <= 5""",
     // PMI over bigram instances; numerator/denominator cast to double
     // BEFORE multiplying, same as the Spark side (overflow discipline).
     "q140_pmi_collocations" ->

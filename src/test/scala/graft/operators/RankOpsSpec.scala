@@ -143,6 +143,37 @@ class RankOpsSpec extends AnyFunSuite {
       RankOps.phraseMatch(d, "text", "doc_id", Seq("two words", "x")))
   }
 
+  test("classTfidf surfaces class-exclusive terms, damps ubiquitous ones") {
+    val d = Seq(
+      ("news", "election election vote common common"),
+      ("news", "election poll common"),
+      ("code", "compile compile link common common"),
+      ("code", "compile debug common")).toDF("src", "text")
+    val r = RankOps.classTfidf(d, "text", "src", k = 2)
+      .select("src", "token", "rn").as[(String, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // The class-exclusive high-frequency term wins each class; 'common'
+    // (present everywhere, damped by ln(1 + A/ctf_all)) never ranks
+    // above the exclusive terms.
+    assert(r("news").head == "election", r)
+    assert(r("code").head == "compile", r)
+    // The idf is ln(1 + ...) > 0: ubiquitous terms are damped, not
+    // zeroed — with k covering the whole vocabulary 'common' still
+    // carries a positive score.
+    val all = RankOps.classTfidf(d, "text", "src", k = 10)
+      .filter($"token" === "common").select("score").as[Double].collect()
+    assert(all.length == 2 && all.forall(_ > 0.0), all.toSeq)
+  }
+
+  test("classTfidf is deterministic under score ties (token tiebreak)") {
+    // Two terms with identical counts everywhere tie exactly; the
+    // lexicographically smaller token must take the lower rank.
+    val d = Seq(("s1", "zz aa"), ("s1", "aa zz")).toDF("src", "text")
+    val r = RankOps.classTfidf(d, "text", "src", k = 2)
+      .orderBy($"rn").select("token").as[String].collect().toSeq
+    assert(r == Seq("aa", "zz"), r)
+  }
+
   test("every operator releases its corpus-sized caches before returning") {
     // The round-8 neardupCore discipline (LshIncrSpec/SrpIncrSpec twins):
     // the returned frame is localCheckpoint-pinned, so the token/bigram
@@ -156,7 +187,11 @@ class RankOpsSpec extends AnyFunSuite {
       "conjunctiveBm25" -> (() =>
         { RankOps.conjunctiveBm25(d, "text", "doc_id", Seq("beta")); () }),
       "pmiCollocations" -> (() => { RankOps.pmiCollocations(d, "text", 1, 5); () }),
-      "bigramLmScore" -> (() => { RankOps.bigramLmScore(d, "text", "doc_id"); () }))
+      "bigramLmScore" -> (() => { RankOps.bigramLmScore(d, "text", "doc_id"); () }),
+      "classTfidf" -> (() => {
+        RankOps.classTfidf(
+          Seq(("s1", "alpha beta"), ("s2", "gamma beta")).toDF("src", "text"),
+          "text", "src", k = 1); () }))
     for ((name, call) <- calls) {
       call()
       assert(spark.sharedState.cacheManager.isEmpty,
