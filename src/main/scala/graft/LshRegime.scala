@@ -43,6 +43,7 @@ object LshRegime {
     if (args.length > 1 && args(1) == "shuffleorder") { shuffleOrder(spark, dir); return }
     if (args.length > 1 && args(1) == "spansincr") { spansIncr(spark, dir); return }
     if (args.length > 1 && args(1) == "split") { split(spark, dir); return }
+    if (args.length > 1 && args(1) == "prefixjoin") { prefixJoin(spark, dir); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -58,6 +59,29 @@ object LshRegime {
       f"""{"metric":"lsh_regime","shingleN":${auto.shingleN},"vocab":${auto.vocabEstimate},""" +
         f""""docs":${auto.docCount},"bandPairs":$pairs,"meanOccupancy":${auto.banded.meanOccupancy}%.3f,""" +
         f""""overflowBuckets":${auto.banded.overflowBuckets},"secs":$secs%.2f}""")
+    spark.stop()
+  }
+
+  /** Exact prefix-join-at-scale probe (E131): regime-rule shingle width
+    * → prefix-filtered exact Jaccard τ-join. Prints the chosen width,
+    * result pairs, and wall seconds — the corpus path for q146 (whose
+    * fixture query REQUIRE-pins the rule's 4-gram choice against the
+    * oracle). Near-linear wall across a decade means the rarest-first
+    * prefixes stayed selective at the width the rule picked. */
+  private def prefixJoin(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val n = operators.LshOps.autoShingleN(docs, "text")
+    val pairs = operators.SetJoinOps.prefixJaccardJoin(
+      docs.select(col("doc_id"),
+        functions.TextFunctions.shingles(col("text"), n).as("sh")),
+      "doc_id", "sh", tau = 0.5)
+    val nPairs = pairs.agg(count(lit(1))).head().getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"metric":"prefix_join","shingleN":$n,"docs":${docs.count()},""" +
+        f""""pairs":$nPairs,"secs":$secs%.2f}""")
     spark.stop()
   }
 

@@ -565,12 +565,24 @@ object TextQueries {
     // q50's contract without its per-shared-element join — candidates
     // only from short rarest-first prefixes, then exact verification.
     // The oracle is the NAIVE all-pairs join: the filter must reproduce
-    // it bit for bit (exactness is the whole point).
-    "q146_prefix_jaccard_join" -> ((s, dir) =>
+    // it bit for bit (exactness is the whole point). The prefix
+    // filter's pruning power IS element rarity (measured at sf0.1:
+    // 3-gram shingles saturate this generator's phrase inventory —
+    // avg df 9.6, 409 k candidates for 256 true pairs — while 4-grams
+    // prune perfectly: 256 candidates = 256 pairs), so the shingle
+    // width comes from the SAME corpus-regime rule as the banded
+    // family, with the q143 oracle discipline: the oracle SQL
+    // hardcodes the 4-gram choice the rule makes on this corpus, and a
+    // flipped choice fails HERE loudly, not as a silent hash mismatch.
+    "q146_prefix_jaccard_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = graft.operators.LshOps.autoShingleN(docs, "text")
+      require(n == 4,
+        s"q146's oracle pins 4-gram shingles but the regime rule chose $n")
       graft.operators.SetJoinOps.prefixJaccardJoin(
-        t(s, dir, "documents")
-          .select(col("doc_id"), shingles(col("text"), 2).as("sh")),
-        "doc_id", "sh", tau = 0.5)),
+        docs.select(col("doc_id"), shingles(col("text"), n).as("sh")),
+        "doc_id", "sh", tau = 0.5)
+    }),
 
     // E132 class-based tf-idf (c-TF-IDF): top-5 terms characterizing
     // each SOURCE, each class one concatenated pseudo-document — the
@@ -1343,7 +1355,7 @@ object TextQueries {
     // must reproduce it exactly (same τ gate on the same 4-dp round).
     "q146_prefix_jaccard_join" ->
       s"""WITH t AS (SELECT doc_id, $TokSql AS toks FROM documents),
-          grams AS (SELECT doc_id, unnest(list_distinct(${shingleStrSql(2)})) AS ng
+          grams AS (SELECT doc_id, unnest(list_distinct(${shingleStrSql(4)})) AS ng
                     FROM t),
           sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
           inter AS (
