@@ -61,7 +61,9 @@ object SetJoinOps {
   /** All pairs of rows whose element sets have Jaccard ≥ `tau`,
     * exactly. `elemsCol` is an array column (deduplicated here);
     * output is (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard
-    * rounded to 4 dp.
+    * rounded to 4 dp. Ids must be unique — two rows sharing an id
+    * would have their element sets silently merged WITH multiplicity
+    * (the same contract as every id-keyed operator here).
     */
   def prefixJaccardJoin(
       items: DataFrame,
