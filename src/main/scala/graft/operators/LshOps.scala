@@ -123,7 +123,7 @@ object LshOps {
 
   /** (docCount, vocabulary estimate) — the two numbers the shingle-regime
     * rule needs. */
-  private def corpusRegime(docs: DataFrame, textCol: String): (Long, Long) = {
+  private[graft] def corpusRegime(docs: DataFrame, textCol: String): (Long, Long) = {
     val nDocs = docs.count()
     if (nDocs == 0L) return (0L, 2L)
     val vocab = math.max(2L, docs

@@ -577,8 +577,14 @@ object TextQueries {
     "q146_prefix_jaccard_join" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val n = graft.operators.LshOps.autoShingleN(docs, "text")
-      require(n == 4,
-        s"q146's oracle pins 4-gram shingles but the regime rule chose $n")
+      require(n == 4, {
+        // Lazy: the regime re-derivation runs only when the pin fires,
+        // and reports the numbers the re-pin decision needs (the q143
+        // message discipline).
+        val (nDocs, vocab) = graft.operators.LshOps.corpusRegime(docs, "text")
+        s"q146's oracle pins 4-gram shingles but the regime rule chose " +
+          s"$n (docs=$nDocs, vocab=$vocab)"
+      })
       graft.operators.SetJoinOps.prefixJaccardJoin(
         docs.select(col("doc_id"), shingles(col("text"), n).as("sh")),
         "doc_id", "sh", tau = 0.5)

@@ -17,20 +17,22 @@ cd /root/repo
 CP="${FULL_CP:-/tmp/bench_classes_r11b}:/opt/spark/jars/*"
 LOG=${FULL_LOG:-/tmp/fullrefresh.log}
 MAX=${FULL_MAX:-12}
+rm -f "${FULL_DONE:-/tmp/fullrefresh_done}" # a stale marker reads as instant success
 echo "$(date +%T) full-refresh siege start" >> "$LOG"
 N=0
 while [ "$N" -lt "$MAX" ]; do
   while [ -f /tmp/graft_busy ]; do sleep 30; done
   N=$((N+1))
-  BEFORE=$(stat -c %Y BENCH_DETAILS.json 2>/dev/null || echo 0)
   if ! SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
       java -cp "$CP" graft.Bench > /tmp/full_attempt.out 2>&1; then
     echo "$(date +%T) attempt $N: bench FAILED — see /tmp/full_attempt.out" >> "$LOG"
     sleep 120; continue
   fi
-  AFTER=$(stat -c %Y BENCH_DETAILS.json 2>/dev/null || echo 0)
   SUMMARY=$(tail -1 /tmp/full_attempt.out)
-  if [ "$AFTER" != "$BEFORE" ]; then
+  # The harness's OWN routing decision is the detector: a refreshing run
+  # stamps its summary with the reference filename (an mtime check would
+  # mistake any builder touch of the file mid-attempt for a refresh).
+  if echo "$SUMMARY" | grep -q '"detail":"BENCH_DETAILS.json"'; then
     echo "$(date +%T) attempt $N: REFRESHED — $SUMMARY" >> "$LOG"
     touch "${FULL_DONE:-/tmp/fullrefresh_done}"
     exit 0
