@@ -86,24 +86,23 @@ object SetJoinOps {
 
     // Candidate pairs: prefixes sharing any element. distinct() caps a
     // pair that shares several prefix elements at one verification.
-    val cand = prefix.select(col("id").as("a"), col("e"))
-      .join(prefix.select(col("id").as("b"), col("e")), "e")
+    // Set sizes ride along from the prefix's own window pass (sz is a
+    // pure function of the id, so distinct-on-(a,b,sizes) is
+    // distinct-on-(a,b)) — carrying them here saves a separate size
+    // aggregation plus two per-pair joins at the end.
+    val cand = prefix.select(col("id").as("a"), col("e"), col("sz").as("sz_a"))
+      .join(prefix.select(col("id").as("b"), col("e"), col("sz").as("sz_b")), "e")
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
+      .select(col("a"), col("b"), col("sz_a"), col("sz_b"))
       .distinct()
 
     // Exact verification, candidate-bounded: re-attach a's elements,
     // keep those also in b, count — the true intersection size.
-    val inter = cand
+    val out = cand
       .join(elems.select(col("id").as("a"), col("e")), "a")
       .join(elems.select(col("id").as("b"), col("e")), Seq("b", "e"))
-      .groupBy(col("a"), col("b"))
+      .groupBy(col("a"), col("b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
-
-    val sizes = elems.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val out = inter
-      .join(sizes.select(col("id").as("a"), col("sz").as("sz_a")), "a")
-      .join(sizes.select(col("id").as("b"), col("sz").as("sz_b")), "b")
       .select(
         col("a").as("doc_a"), col("b").as("doc_b"),
         round(col("inter").cast("double") /
@@ -120,7 +119,9 @@ object SetJoinOps {
     * keep the first `|x| − ⌈τ·|x|⌉ + 1` per set (count(*) over the
     * same window partition yields |set| in the same WindowExec pass;
     * ⌈τ·sz⌉ is one correctly-rounded IEEE multiply + ceil, identical
-    * on any engine). Package-visible so the spec can assert the
+    * on any engine). Returns (id, e, sz) — the set size comes free
+    * from the window pass and the join carries it to the final
+    * Jaccard arithmetic. Package-visible so the spec can assert the
     * ordering really keeps ubiquitous elements OUT of prefixes — the
     * property the join's scalability rests on. */
   private[operators] def prefixOf(elems: DataFrame, tau: Double): DataFrame = {
@@ -131,6 +132,6 @@ object SetJoinOps {
       .withColumn("pos", row_number().over(w.orderBy(col("df"), col("e"))))
       .withColumn("sz", count(lit(1)).over(w))
       .filter(col("pos") <= col("sz") - ceil(lit(tau) * col("sz")) + lit(1))
-      .select(col("id"), col("e"))
+      .select(col("id"), col("e"), col("sz"))
   }
 }

@@ -79,7 +79,7 @@ class SetJoinOpsSpec extends AnyFunSuite {
     val elems = (1L to n).flatMap(i => Seq((i, "the"), (i, s"rare_$i")))
       .toDF("id", "e")
     val prefix = SetJoinOps.prefixOf(elems, 0.8)
-      .as[(Long, String)].collect()
+      .select("id", "e").as[(Long, String)].collect()
     assert(prefix.length == n.toInt)
     assert(prefix.forall(_._2.startsWith("rare_")),
       s"ubiquitous element entered a prefix: ${prefix.toSeq}")
