@@ -55,17 +55,22 @@ class SetJoinOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("identical, disjoint, and empty sets behave at the boundaries") {
+  test("identical, disjoint, singleton, and empty sets behave at the boundaries") {
     val d = items(
       1L -> Seq("x", "y", "z"),
       2L -> Seq("x", "y", "z"),       // == doc 1 -> jaccard 1.0
-      3L -> Seq("p", "q"),            // disjoint
+      3L -> Seq("p", "q"),            // disjoint from 1/2
       4L -> Seq.empty,                // no elements -> no rows
-      5L -> Seq("x", "x", "y", "z"))  // dup elements dedup to doc 1's set
+      5L -> Seq("x", "x", "y", "z"),  // dup elements dedup to doc 1's set
+      6L -> Seq("p"),                 // singletons: prefix IS the whole set
+      7L -> Seq("p"))
     val r = run(d, 0.5)
-    assert(r == Set((1L, 2L, 1.0), (1L, 5L, 1.0), (2L, 5L, 1.0)), r)
+    assert(r == Set(
+      (1L, 2L, 1.0), (1L, 5L, 1.0), (2L, 5L, 1.0),
+      (3L, 6L, 0.5), (3L, 7L, 0.5), (6L, 7L, 1.0)), r)
     // tau = 1.0 keeps only exact-set duplicates.
-    assert(run(d, 1.0) == Set((1L, 2L, 1.0), (1L, 5L, 1.0), (2L, 5L, 1.0)))
+    assert(run(d, 1.0) ==
+      Set((1L, 2L, 1.0), (1L, 5L, 1.0), (2L, 5L, 1.0), (6L, 7L, 1.0)))
     intercept[IllegalArgumentException](run(d, 0.0))
     intercept[IllegalArgumentException](run(d, 1.5))
   }
