@@ -70,11 +70,13 @@ object GraftApp {
       zorderCols: Option[(String, String)] = None,
       zBits: Int = 16,
       zFiles: Int = 64,
-      outDir: Option[String] = None)
+      outDir: Option[String] = None,
+      exactNeardup: Boolean = false,
+      tau: Double = 0.8)
 
   /** Valueless flags (presence = true). */
   private val boolFlags = Set("strict", "stream", "compact-ledger", "fold-epochs",
-    "export-shards", "verify-export", "scrub-spans")
+    "export-shards", "verify-export", "scrub-spans", "exact-neardup")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -107,7 +109,8 @@ object GraftApp {
           "[--scrub-spans [--span-tokens N] [--min-docs N]] | " +
           "[--epoch-shuffle E] | " +
           "[--delete-ids i,j,… --corpus-dir P --audit-dir P] | " +
-          "[--zorder colX,colY --corpus-dir P --out-dir P [--z-bits N] [--z-files N]]")
+          "[--zorder colX,colY --corpus-dir P --out-dir P [--z-bits N] [--z-files N]] | " +
+          "[--exact-neardup --corpus-dir P --out-dir P [--tau X] [--text-col C] [--id-col C]]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
       "ledger", "checkpoint", "text-col", "id-col",
@@ -115,7 +118,7 @@ object GraftApp {
       "export-dir", "content-cols", "shards", "seed",
       "span-tokens", "min-docs", "epoch-shuffle",
       "delete-ids", "audit-dir", "corpus-dir",
-      "zorder", "z-bits", "z-files", "out-dir") ++ boolFlags
+      "zorder", "z-bits", "z-files", "out-dir", "tau") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
     if (unknown.nonEmpty)
@@ -177,7 +180,9 @@ object GraftApp {
       },
       zBits = flags.get("z-bits").map(_.toInt).getOrElse(16),
       zFiles = flags.get("z-files").map(_.toInt).getOrElse(64),
-      outDir = flags.get("out-dir"))
+      outDir = flags.get("out-dir"),
+      exactNeardup = flags.contains("exact-neardup"),
+      tau = flags.get("tau").map(_.toDouble).getOrElse(0.8))
   }
 
   /** Testable core; returns the process exit code. */
@@ -311,6 +316,28 @@ object GraftApp {
       graft.operators.MaintenanceOps.zorderCluster(
         spark.read.parquet(dir), outd, cx, cy, a.zBits, a.zFiles)
       out(s"ZORDER_ cols=$cx,$cy bits=${a.zBits} files=${a.zFiles} out=$outd")
+      return 0
+    }
+
+    // Audit mode: the EXACT near-dup pair report (E131) — every pair with
+    // shingle-set Jaccard >= tau, provably complete (prefix-filtered, not
+    // banded), shingle width from the corpus-regime rule. Writes the
+    // (doc_a, doc_b, jaccard) parquet to a NEW directory; acting on it
+    // (purge, cluster, delete) stays the caller's explicit step.
+    if (a.exactNeardup) {
+      val dir = a.corpusDir.getOrElse(
+        throw new IllegalArgumentException("--exact-neardup requires --corpus-dir P"))
+      val outd = a.outDir.getOrElse(
+        throw new IllegalArgumentException("--exact-neardup requires --out-dir P"))
+      val docs = spark.read.parquet(dir)
+      val n = graft.operators.LshOps.autoShingleN(docs, a.textCol)
+      val pairs = graft.operators.SetJoinOps.prefixJaccardJoin(
+        docs.select(org.apache.spark.sql.functions.col(a.idCol),
+          graft.functions.TextFunctions.shingles(
+            org.apache.spark.sql.functions.col(a.textCol), n).as("_sh")),
+        a.idCol, "_sh", a.tau)
+      pairs.write.mode(SaveMode.Overwrite).parquet(outd)
+      out(s"EXACT_NEARDUP_ tau=${a.tau} shingleN=$n pairs=${pairs.count()} out=$outd")
       return 0
     }
 

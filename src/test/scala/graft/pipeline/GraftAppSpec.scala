@@ -317,6 +317,46 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
       GraftApp.parseArgs(Seq("dev", "corpus", "--zorder", "onlyone")))
   }
 
+  test("--exact-neardup writes the provably-complete pair report") {
+    val root = Files.createTempDirectory("exactnd_cli")
+    val corpus = s"$root/docs"
+    // 30 all-unique docs + one exact-dup pair + one near-dup (7 of 8
+    // tokens shared -> 5 of the 7 distinct 3-gram shingles in each
+    // union: J = 5/7 = 0.7143).
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val near = (base.split(" ").init :+ "iota").mkString(" ")
+    val rows = (1L to 30L).map(i =>
+      (i, (1 to 8).map(j => s"w${i}x$j").mkString(" "))) ++
+      Seq((100L, base), (101L, base), (102L, near))
+    rows.toDF("doc_id", "text").repartition(3)
+      .write.mode(SaveMode.Overwrite).parquet(corpus)
+
+    def cli(extra: String*): (Int, Seq[String]) = {
+      val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val code = GraftApp.run(GraftApp.parseArgs(Seq("dev", "corpus") ++ extra),
+        spark, getenv = _ => None, out = outs.append(_), log = _ => ())
+      (code, outs.toSeq)
+    }
+
+    val outp = s"$root/pairs"
+    val (c, l) = cli("--exact-neardup",
+      "--corpus-dir", corpus, "--out-dir", outp, "--tau", "0.7")
+    assert(c == 0, l.mkString("; "))
+    assert(l.exists(_.startsWith("EXACT_NEARDUP_ tau=0.7 shingleN=3 pairs=3")), l)
+    val pairs = spark.read.parquet(outp)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set(
+      (100L, 101L, 1.0), (100L, 102L, 0.7143), (101L, 102L, 0.7143)), pairs)
+
+    // The default tau (0.8) keeps only the exact duplicates.
+    val (c2, l2) = cli("--exact-neardup",
+      "--corpus-dir", corpus, "--out-dir", s"$root/pairs08")
+    assert(c2 == 0 && l2.exists(_.contains("pairs=1")), l2)
+
+    intercept[IllegalArgumentException](cli("--exact-neardup"))
+    intercept[IllegalArgumentException](cli("--exact-neardup", "--corpus-dir", corpus))
+  }
+
   test("arg parsing: usage errors and flag forms") {
     intercept[IllegalArgumentException](GraftApp.parseArgs(Seq("dev")))
     intercept[IllegalArgumentException](GraftApp.parseArgs(Seq("dev", "all", "--mode", "upsert")))
