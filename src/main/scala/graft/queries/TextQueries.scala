@@ -634,6 +634,10 @@ object TextQueries {
 
     // n-gram Jaccard similarity on a bounded subset: candidate pairs meet
     // via the shared-ngram join (inverted index), never a cross join.
+    // The subset bound is the operator's honest limit — one join row per
+    // SHARED n-gram saturates on common shingles; the corpus-scale exact
+    // path is the prefix-filtered join (E131/q146), which meets pairs
+    // only through rarest-first prefixes and verifies exactly.
     "q50_ngram_jaccard" -> ((s, dir) => {
       // `grams` feeds three plan branches (sizes + both inter sides):
       // persist so shingling runs once, not three times.
