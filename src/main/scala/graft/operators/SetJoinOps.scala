@@ -116,22 +116,37 @@ object SetJoinOps {
   /** The canonical prefixes of each set in an exploded (id, e) frame:
     * rank elements rarest-first by (df, e) — the (df, e) tuple itself
     * is the canonical total order, no global dense-rank table — and
-    * keep the first `|x| − ⌈τ·|x|⌉ + 1` per set (count(*) over the
-    * same window partition yields |set| in the same WindowExec pass;
-    * ⌈τ·sz⌉ is one correctly-rounded IEEE multiply + ceil, identical
-    * on any engine). Returns (id, e, sz) — the set size comes free
-    * from the window pass and the join carries it to the final
-    * Jaccard arithmetic. Package-visible so the spec can assert the
-    * ordering really keeps ubiquitous elements OUT of prefixes — the
-    * property the join's scalability rests on. */
+    * keep the first `|x| − ⌈τ'·|x|⌉ + 1` per set (count(*) over the
+    * same window partition yields |set| in the same WindowExec pass).
+    * Returns (id, e, sz) — the set size comes free from the window
+    * pass and the join carries it to the final Jaccard arithmetic.
+    *
+    * τ' is a RELAXED threshold, for two reasons both of which only
+    * LENGTHEN prefixes (more candidates, never fewer — exactness is
+    * preserved because every candidate is verified):
+    *  - the output gate keeps pairs whose 4-dp ROUNDED Jaccard ≥ τ,
+    *    i.e. true J down to τ − 0.00005; candidate generation must
+    *    cover that band, so τ' = τ − 0.00005;
+    *  - `⌈τ'·sz⌉` is one IEEE multiply whose nearest-double τ' can
+    *    land just ABOVE an integer k the exact rational sits on,
+    *    making ceil return k+1 and the prefix one element short; the
+    *    1e-9 downward epsilon (far larger than one ulp at any
+    *    representable τ·sz, far smaller than the 5e-5 rounding band)
+    *    pins ceil to the exact-arithmetic value or below.
+    *
+    * Package-visible so the spec can assert the ordering really keeps
+    * ubiquitous elements OUT of prefixes — the property the join's
+    * scalability rests on. */
   private[operators] def prefixOf(elems: DataFrame, tau: Double): DataFrame = {
+    val tauRelaxed = tau - 0.00005
     val dfreq = elems.groupBy(col("e")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id"))
     elems
       .join(dfreq, "e") // vocab-sized side; AQE broadcasts when it fits
       .withColumn("pos", row_number().over(w.orderBy(col("df"), col("e"))))
       .withColumn("sz", count(lit(1)).over(w))
-      .filter(col("pos") <= col("sz") - ceil(lit(tau) * col("sz")) + lit(1))
+      .filter(col("pos") <=
+        col("sz") - ceil(lit(tauRelaxed) * col("sz") - lit(1e-9)) + lit(1))
       .select(col("id"), col("e"), col("sz"))
   }
 }

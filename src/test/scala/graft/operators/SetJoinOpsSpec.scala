@@ -90,6 +90,24 @@ class SetJoinOpsSpec extends AnyFunSuite {
       s"ubiquitous element entered a prefix: ${prefix.toSeq}")
   }
 
+  test("prefix length covers the rounded-gate band and IEEE ceil boundaries") {
+    // (1) The output gate keeps pairs whose ROUNDED Jaccard >= tau, i.e.
+    // true J down to tau - 0.00005 — candidate prefixes must be derived
+    // from the relaxed threshold. At sz = 14999, tau = 0.5:
+    // strict  len = sz - ceil(0.5*14999) + 1          = 7500
+    // relaxed len = sz - ceil(0.49995*14999 - 1e-9) + 1 = 7501
+    val big = (1L to 14999L).map(i => (1L, f"e$i%06d")).toDF("id", "e")
+    assert(SetJoinOps.prefixOf(big, 0.5).count() == 7501L,
+      "prefix not derived from the rounded-gate-relaxed threshold")
+    // (2) One IEEE multiply can overshoot an exact integer bound:
+    // double(0.2) > 1/5, so 0.2*5 rounds to 1.0000000000000002 and a
+    // naive ceil returns 2, shortening the prefix. With the epsilon the
+    // 5-element set keeps all 5 elements (len = 5 - ceil(0.99975-) + 1).
+    val five = (1L to 5L).map(i => (1L, s"e$i")).toDF("id", "e")
+    assert(SetJoinOps.prefixOf(five, 0.2).count() == 5L,
+      "IEEE ceil overshoot shortened the prefix")
+  }
+
   test("releases its persisted element frame; pinned result survives") {
     val d = items(1L -> Seq("a", "b"), 2L -> Seq("a", "b"), 3L -> Seq("c"))
     val out = SetJoinOps.prefixJaccardJoin(d, "id", "elems", 0.5)
