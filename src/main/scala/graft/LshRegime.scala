@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object LshRegime {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | semincr | wsample | contam | contamauto | chunk | spans | spansincr | shuffleorder | split | prefixjoin]")
+      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | kmeans2 | semincr | wsample | contam | contamauto | chunk | spans | spansincr | shuffleorder | split | prefixjoin]")
     val dir = args(0)
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
@@ -34,6 +34,7 @@ object LshRegime {
       streamEmbed(spark, dir, if (args.length > 2) args(2).toInt else 8); return
     }
     if (args.length > 1 && args(1) == "kmeans") { kmeans(spark, dir); return }
+    if (args.length > 1 && args(1) == "kmeans2") { kmeansTwoLevel(spark, dir); return }
     if (args.length > 1 && args(1) == "semincr") { semIncr(spark, dir); return }
     if (args.length > 1 && args(1) == "wsample") { wsample(spark, dir); return }
     if (args.length > 1 && args(1) == "contam") { contam(spark, dir); return }
@@ -287,6 +288,46 @@ object LshRegime {
       f"""{"metric":"kmeans_semdedup","vectors":$n,"k":$k,"assigned":$assigned,""" +
         f""""fitSecs":$fitSecs%.2f,"purged":$purged,"purgeSecs":$purgeSecs%.2f,""" +
         f""""k8Gauge":"$refusal","refuseSecs":$refuseSecs%.2f}""")
+    spark.stop()
+  }
+
+  /** E133 probe: the TWO-LEVEL fit + purge at the flat probe's leaf
+    * granularity (target 256, k1 = ceil(sqrt(k)) cells, k2 = ceil(k/k1)
+    * fine per cell) — the 100 TB SemDeDup shape exercised at decade
+    * scale. The numbers that must hold across a decade: fit wall grows
+    * ~linearly (each fine round is one cell-equi-join + two map-side
+    * aggs), and the pair stage stays bounded by LEAF size (maxLeaf), not
+    * corpus size — purge wall tracks sum-of-leaf-squares, which the
+    * derivation keeps per-leaf-constant as n grows. */
+  private def kmeansTwoLevel(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = vecs.count()
+    val k = math.max(16L, operators.KmeansOps.deriveKLong(n, 256L))
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val k2 = ((k + k1 - 1) / k1).toInt
+    val t0 = System.nanoTime()
+    val fit2 = operators.KmeansOps.fitTwoLevel(
+      vecs, "embedding", "vec_id", k1, k2, iters = 2)
+    val assigned = fit2.assignments.count()
+    val fitSecs = (System.nanoTime() - t0) / 1e9
+    // Leaf occupancy: the pair stage is quadratic in THESE, so the probe
+    // records the bound it claims (max leaf + the C(size,2) pair total).
+    val occ = fit2.assignments.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx"),
+        sum((col("c") * (col("c") - 1) / 2).cast("long")).as("pairs"))
+      .head()
+    val t1 = System.nanoTime()
+    val purged = operators.KmeansOps.semanticPurgeTwoLevel(
+      vecs, "embedding", "vec_id", k1, k2, iters = 2, minCos = 0.9)
+      .filter(!col("kept")).count()
+    val purgeSecs = (System.nanoTime() - t1) / 1e9
+    println(
+      f"""{"metric":"kmeans_twolevel","vectors":$n,"k1":$k1,"k2":$k2,""" +
+        f""""leaves":${k1.toLong * k2},"assigned":$assigned,""" +
+        f""""maxLeaf":${occ.getLong(0)},"leafPairs":${occ.getLong(1)},""" +
+        f""""fitSecs":$fitSecs%.2f,"purged":$purged,"purgeSecs":$purgeSecs%.2f}""")
     spark.stop()
   }
 

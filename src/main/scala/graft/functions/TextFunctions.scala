@@ -97,6 +97,30 @@ object TextFunctions {
   def simhashShingle60(c: Column, n: Int): Column =
     toCol(graft.plans.Simhash60Expr(toExpr(c), n))
 
+  // ---- codepoint-correct tier (round 12) ----------------------------
+  // The functions above fold UTF-16 units and split on U+0020 only —
+  // bit-exact against the DuckDB oracle for BMP text, wrong past it
+  // (astral codepoints, non-space Unicode whitespace). These variants
+  // ride [[graft.plans.TextHash]]'s codepoint tier: charHashCp folds
+  // codepoints (DuckDB's unicode(c) fold on EVERY string), tokensCp
+  // breaks on the full Unicode White_Space set
+  // ([[graft.plans.TextHash.WhitespaceCp]] — the DuckDB regex class is
+  // generated from the same array, so the engines cannot drift).
+
+  /** Codepoint-fold [[charHash]]. */
+  def charHashCp(c: Column): Column = toCol(graft.plans.CharPolyHashCp(toExpr(c)))
+
+  /** Unicode-whitespace tokenization, empty tokens dropped. */
+  def tokensCp(c: Column): Column = toCol(graft.plans.TokensCpExpr(toExpr(c)))
+
+  /** Codepoint-tier [[minhashShingleSignature]]. */
+  def minhashShingleSignatureCp(c: Column, k: Int, n: Int): Column =
+    toCol(graft.plans.MinhashShingleSigCp(toExpr(c), k, n))
+
+  /** Codepoint-tier [[simhashShingle60]]. */
+  def simhashShingle60Cp(c: Column, n: Int): Column =
+    toCol(graft.plans.Simhash60CpExpr(toExpr(c), n))
+
   /** Interpreted HOF reference implementations (parity tests only). */
   object hof {
     /** Note: Spark sequence(1, 0) counts DOWN ([1, 0]), hence the

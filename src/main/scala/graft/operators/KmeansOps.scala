@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.VectorFunctions.{cosine, l2Distance}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed k-means (Lloyd's iterations) over an embedding column, plus
@@ -80,11 +81,51 @@ object KmeansOps {
     k.toInt
   }
 
-  /** [[fit]] with k derived by [[deriveK]] — the result carries the choice
-    * evidence like [[graft.operators.SrpOps.AutoBanded]]. Deriving k costs
-    * one count() action unless the caller already knows it
-    * (`knownCount`). */
+  /** [[deriveK]] without the flat-path packing refusal — the raw
+    * `ceil(n / targetClusterSize)` the two-level router decides on. */
+  def deriveKLong(n: Long, targetClusterSize: Long): Long = {
+    require(n > 0L, s"cannot derive k from an empty corpus: n=$n")
+    require(targetClusterSize > 0L,
+      s"targetClusterSize must be positive: $targetClusterSize")
+    (n + targetClusterSize - 1L) / targetClusterSize
+  }
+
+  /** The auto family's routing rule: a derived k the flat quantizer can
+    * pack runs flat (`Left(k)`); past the [[ClusterBits]] bound the fit
+    * goes two-level (`Right((k1, k2))` with k1 = ⌈√k⌉ coarse cells and
+    * k2 = ⌈k/k1⌉ fine clusters per cell — both sides ≤ 2^20 up to
+    * k = 2^40 total leaves, far past any corpus that fits on disk).
+    * Pure arithmetic, package-visible so the spec can pin the routing
+    * at corpus sizes no fixture reaches. */
+  private[operators] def routeK(n: Long, targetClusterSize: Long): Either[Int, (Int, Int)] = {
+    val k = deriveKLong(n, targetClusterSize)
+    if (k < (1L << ClusterBits)) Left(k.toInt)
+    else {
+      require(k < (1L << (2 * ClusterBits)),
+        s"derived k=$k exceeds even the two-level packing bound (2^40 leaves)")
+      val k1 = math.ceil(math.sqrt(k.toDouble)).toLong
+      val k2 = (k + k1 - 1L) / k1
+      (k1.toInt, k2.toInt) match { case p => Right(p) }
+    }
+  }
+
+  /** [[fit]] (or, past the flat packing bound, [[fitTwoLevel]]) with k
+    * derived by [[deriveK]] — the result carries the choice evidence
+    * like [[graft.operators.SrpOps.AutoBanded]]. Deriving k costs one
+    * count() action unless the caller already knows it (`knownCount`). */
+  sealed trait AutoFitResult {
+    /** Final `(idCol, cluster, …)` assignment of whichever path ran. */
+    def assignments: DataFrame
+    def count: Long
+  }
   final case class AutoKmeans(fit: KmeansFit, k: Int, count: Long)
+      extends AutoFitResult {
+    def assignments: DataFrame = fit.assignments
+  }
+  final case class AutoTwoLevel(fit: TwoLevelFit, k: Long, count: Long)
+      extends AutoFitResult {
+    def assignments: DataFrame = fit.assignments
+  }
 
   def kmeansAuto(
       df: DataFrame,
@@ -92,10 +133,13 @@ object KmeansOps {
       idCol: String,
       targetClusterSize: Long,
       iters: Int,
-      knownCount: Option[Long] = None): AutoKmeans = {
+      knownCount: Option[Long] = None): AutoFitResult = {
     val n = knownCount.getOrElse(df.count())
-    val k = deriveK(n, targetClusterSize)
-    AutoKmeans(fit(df, vecCol, idCol, k, iters), k, n)
+    routeK(n, targetClusterSize) match {
+      case Left(k) => AutoKmeans(fit(df, vecCol, idCol, k, iters), k, n)
+      case Right((k1, k2)) =>
+        AutoTwoLevel(fitTwoLevel(df, vecCol, idCol, k1, k2, iters), k1.toLong * k2, n)
+    }
   }
 
   /** Fitted model: `centroids(c)(d)` after the final update, and the final
@@ -127,6 +171,118 @@ object KmeansOps {
     val asg = assign(df, vecCol, idCol, cents)
       .select(col(idCol), col("cluster"), col("dist"))
     KmeansFit(cents, asg)
+  }
+
+  /** Two-level (IVF-style) fitted model: k1 coarse centroids (driver
+    * state, like the flat model) over a DISTRIBUTED fine model — one row
+    * per (cell, fcl) fine centroid, at most k1×k2 rows, never collected
+    * (at k = 10⁶ leaves × dim 64 the fine model is ~0.5 GB: join state,
+    * not driver state). `assignments` is `(idCol, cell: int,
+    * cluster: long, dist: double)` with the stable global leaf label
+    * `cluster = cell·k2 + fcl`; long because past the flat bound the
+    * leaf space can exceed Int. */
+  final case class TwoLevelFit(
+      coarse: Array[Array[Double]],
+      fine: DataFrame,
+      k1: Int,
+      k2: Int,
+      assignments: DataFrame)
+
+  /** Two-level Lloyd fit — the shape [[deriveK]]'s refusal has always
+    * named as the fix once a flat quantizer outgrows its packing bound:
+    * fit k1 coarse cells over the corpus (flat [[fit]], driver-sized
+    * model), then fit k2 fine clusters WITHIN every cell
+    * simultaneously, data-parallel — the fine model is a DataFrame keyed
+    * by cell and each Lloyd round is one cell-equi-join (a vector meets
+    * only its own cell's ≤ k2 centroids, so the fan-out is √k-bounded,
+    * never k) + the packed-code arg-min + one (cell, fcl, dim)
+    * aggregation. No per-cell driver loop: 10⁶ cells cost the same
+    * number of Spark jobs as one.
+    *
+    * Determinism mirrors the flat fit exactly (q115's oracle contract):
+    * coarse seeds are the k1 smallest ids, fine seeds the k2 smallest
+    * ids per settled coarse cell, distances round at 6 dp with ties to
+    * the smaller index, centroid means round at 6 dp. Cells smaller
+    * than k2 seed fewer fine clusters (every non-empty cell seeds at
+    * least one, so assignment is total); empty fine clusters keep their
+    * previous centroid.
+    *
+    * Scale shape per fine round: one equi-join on the cell id (AQE
+    * broadcasts the fine model while it fits, shuffles by cell past
+    * that), map-side-combined arg-min per vector, map-side-combined
+    * (cell, fcl, dim) partial means. The corpus is never shuffled by
+    * anything wider than the cell key and nothing n-sized reaches the
+    * driver. */
+  def fitTwoLevel(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k1: Int,
+      k2: Int,
+      iters: Int): TwoLevelFit = {
+    require(k1 > 0 && k2 > 0, s"k1/k2 must be positive: $k1/$k2")
+    require(k2 < (1 << ClusterBits),
+      s"fine arg-min packs fcl into $ClusterBits bits; k2=$k2 exceeds it")
+    require(iters >= 0, s"iters must be non-negative: $iters")
+    val coarse = fit(df, vecCol, idCol, k1, iters).centroids
+    // The coarse-settled corpus: (id, v: array<double>, cell). Read by
+    // every fine round plus the final assignment — materialized once.
+    val asg = Tables.materialize(
+      assign(df.select(col(idCol), col(vecCol)), vecCol, idCol, coarse)
+        .select(col(idCol),
+          transform(col(vecCol), _.cast("double")).as("_graft_v"),
+          col("cluster").as("_graft_cell")))
+    val wCell = Window.partitionBy(col("_graft_cell")).orderBy(col(idCol))
+    var fine = Tables.materialize(asg
+      .withColumn("_graft_rn", row_number().over(wCell))
+      .filter(col("_graft_rn") <= k2)
+      .select(col("_graft_cell"),
+        (col("_graft_rn") - 1).cast("int").as("_graft_fcl"),
+        col("_graft_v").as("_graft_c")))
+    for (_ <- 1 to iters) {
+      val fa = fineArgmin(asg, fine, idCol)
+      val upd = fa.join(asg.select(col(idCol), col("_graft_v")), idCol)
+        .select(col("_graft_cell"), col("_graft_fcl"),
+          posexplode(col("_graft_v")).as(Seq("i", "x")))
+        .groupBy(col("_graft_cell"), col("_graft_fcl"), col("i"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("_graft_cell"), col("_graft_fcl"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          st => st.getField("m")).as("_graft_cu"))
+      fine = Tables.materialize(
+        fine.join(upd, Seq("_graft_cell", "_graft_fcl"), "left")
+          .select(col("_graft_cell"), col("_graft_fcl"),
+            coalesce(col("_graft_cu"), col("_graft_c")).as("_graft_c")))
+    }
+    val af = fineArgmin(asg, fine, idCol)
+    val assignments = af.select(col(idCol),
+      col("_graft_cell").as("cell"),
+      (col("_graft_cell").cast("long") * k2 + col("_graft_fcl")).as("cluster"),
+      col("_graft_dist").as("dist"))
+    TwoLevelFit(coarse, fine, k1, k2, assignments)
+  }
+
+  /** Arg-min of 6-dp L2 over each vector's OWN cell's fine centroids:
+    * cell-equi-join, the packed (dist, fcl) long, map-side-combined
+    * min per id (the flat join path's discipline — a struct-valued min
+    * would degrade to SortAggregate). Returns (idCol, _graft_cell,
+    * _graft_fcl, _graft_dist). */
+  private def fineArgmin(
+      asg: DataFrame,
+      fine: DataFrame,
+      idCol: String): DataFrame = {
+    val code = round(
+      graft.functions.VectorFunctions.l2Distance(col("_graft_v"), col("_graft_c")) * 1e6)
+      .cast("long") * lit(1L << ClusterBits) + col("_graft_fcl")
+    asg.join(fine, Seq("_graft_cell"))
+      .select(col(idCol), col("_graft_cell"), code.as("_graft_code"))
+      .groupBy(col(idCol), col("_graft_cell"))
+      .agg(min(col("_graft_code")).as("_graft_code"))
+      .select(col(idCol), col("_graft_cell"),
+        col("_graft_code").bitwiseAND(lit((1L << ClusterBits) - 1))
+          .cast("int").as("_graft_fcl"),
+        (shiftright(col("_graft_code"), ClusterBits).cast("double") / 1e6)
+          .as("_graft_dist"))
   }
 
   /** Assign every row to its nearest centroid: input columns plus
@@ -265,6 +421,40 @@ object KmeansOps {
         coalesce(!col("_graft_hit"), lit(true)).as("kept"))
   }
 
+  /** [[semanticPurge]] over a TWO-LEVEL fit — the same keep-min-id
+    * within-cluster purge, pairing on the global leaf label
+    * `cell·k2 + fcl`, for corpora whose derived k outgrows the flat
+    * quantizer. Returns `(idCol, cluster: long, kept)`. The pair join
+    * stays quadratic in LEAF size only; the gauge refuses identically. */
+  def semanticPurgeTwoLevel(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k1: Int,
+      k2: Int,
+      iters: Int,
+      minCos: Double,
+      maxClusterForPairs: Long = 10000L): DataFrame = {
+    val fitted = fitTwoLevel(df, vecCol, idCol, k1, k2, iters)
+    val asg = Tables.materialize(
+      df.select(col(idCol), col(vecCol))
+        .join(fitted.assignments.select(col(idCol), col("cluster")), idCol)
+        .repartition(col("cluster")))
+    val biggest = asg.groupBy(col("cluster")).count()
+      .agg(max(col("count"))).first().getLong(0)
+    if (biggest > maxClusterForPairs)
+      throw new IllegalStateException(
+        s"semanticPurgeTwoLevel: largest leaf has $biggest members " +
+          s"(> maxClusterForPairs=$maxClusterForPairs); the within-leaf " +
+          s"pair join would be quadratic in that. Raise k1*k2 (currently " +
+          s"$k1*$k2) so leaves shrink, or raise the gauge knowingly.")
+    val purged = pairDrops(asg, vecCol, idCol, minCos)
+    asg.select(col(idCol), col("cluster"))
+      .join(purged.withColumn("_graft_hit", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(!col("_graft_hit"), lit(true)).as("kept"))
+  }
+
   /** Within-cluster keep-min-id drop set over an assigned frame holding
     * (idCol, vecCol, `cluster`): the ids that have a same-cluster
     * SMALLER-id partner at cosine ≥ `minCos`. Distinct column names per
@@ -313,8 +503,16 @@ object KmeansOps {
       knownCount: Option[Long] = None): DataFrame = {
     val target = targetClusterSize.getOrElse(math.max(1L, maxClusterForPairs / 10L))
     val n = knownCount.getOrElse(df.count())
-    val k = deriveK(n, target)
-    semanticPurge(df, vecCol, idCol, k, iters, minCos, maxClusterForPairs)
+    routeK(n, target) match {
+      case Left(k) =>
+        semanticPurge(df, vecCol, idCol, k, iters, minCos, maxClusterForPairs)
+      case Right((k1, k2)) =>
+        // Past the flat packing bound (n > target·2^20 — the 100 TB
+        // regime) the purge rides the two-level quantizer instead of
+        // refusing: same pair semantics, leaf label instead of flat.
+        semanticPurgeTwoLevel(
+          df, vecCol, idCol, k1, k2, iters, minCos, maxClusterForPairs)
+    }
   }
 
   /** A prepared incremental semantic batch: survivors plus a ledger commit

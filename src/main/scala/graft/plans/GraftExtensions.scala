@@ -72,6 +72,33 @@ object GraftExtensions {
         arity("graft_simhash60", args, 2)
         Simhash60Expr(args.head, litInt("graft_simhash60", "n", args(1)))
       }),
+    ("graft_charhash_cp",
+      info("graft_charhash_cp",
+        "graft_charhash_cp(str) - codepoint-fold fingerprint (Unicode-correct tier)"),
+      (args: Seq[Expression]) => {
+        arity("graft_charhash_cp", args, 1); CharPolyHashCp(args.head)
+      }),
+    ("graft_tokens_cp",
+      info("graft_tokens_cp",
+        "graft_tokens_cp(str) - tokens split on the Unicode White_Space set"),
+      (args: Seq[Expression]) => {
+        arity("graft_tokens_cp", args, 1); TokensCpExpr(args.head)
+      }),
+    ("graft_minhash_cp",
+      info("graft_minhash_cp",
+        "graft_minhash_cp(str, k, n) - codepoint-tier MinHash signature"),
+      (args: Seq[Expression]) => {
+        arity("graft_minhash_cp", args, 3)
+        MinhashShingleSigCp(args.head,
+          litInt("graft_minhash_cp", "k", args(1)), litInt("graft_minhash_cp", "n", args(2)))
+      }),
+    ("graft_simhash60_cp",
+      info("graft_simhash60_cp",
+        "graft_simhash60_cp(str, n) - codepoint-tier 60-bit SimHash"),
+      (args: Seq[Expression]) => {
+        arity("graft_simhash60_cp", args, 2)
+        Simhash60CpExpr(args.head, litInt("graft_simhash60_cp", "n", args(1)))
+      }),
     ("graft_dot",
       info("graft_dot", "graft_dot(a, b) - float-vector dot product"),
       (args: Seq[Expression]) => { arity("graft_dot", args, 2); DotProductExpr(args(0), args(1)) }),

@@ -135,6 +135,99 @@ object TextHash {
     * (measured: 58 k → 5.9 M join rows from sf0.1 → sf1). 60 bits band as
     * 4×15 (32 768 values/band), which also upgrades the pigeonhole recall
     * guarantee from hamming ≤ 2 to ≤ 3. */
+  // ---- codepoint-correct tier (round 12) ----------------------------
+  //
+  // The UTF-16-unit functions above are bit-exact against the DuckDB
+  // fragments for BMP text only: DuckDB's string_split(s, '') +
+  // unicode(c) iterates CODEPOINTS, and a codepoint equals its UTF-16
+  // unit everywhere except the astral planes (U+10000+, e.g. emoji,
+  // rare CJK), where Java yields two surrogate units per character.
+  // These variants fold codepoints, matching the oracle fragment on ALL
+  // text, and tokenize on the full Unicode White_Space set instead of
+  // U+0020 alone — what a real multilingual corpus needs before the
+  // dedup family's hashes mean what they claim.
+
+  /** The Unicode White_Space codepoints (PropList.txt, a stability-
+    * guaranteed property): controls TAB..CR, space, NEL, NBSP, OGHAM,
+    * the typographic spaces U+2000–U+200A, LS/PS, NNBSP, MMSP, and the
+    * ideographic space U+3000. The DuckDB tokenizer regex is BUILT from
+    * this array (TextQueries derives the character class from it), so
+    * the two engines cannot drift apart. */
+  val WhitespaceCp: Array[Int] = Array(
+    0x0009, 0x000A, 0x000B, 0x000C, 0x000D, 0x0020, 0x0085, 0x00A0,
+    0x1680, 0x2000, 0x2001, 0x2002, 0x2003, 0x2004, 0x2005, 0x2006,
+    0x2007, 0x2008, 0x2009, 0x200A, 0x2028, 0x2029, 0x202F, 0x205F,
+    0x3000)
+
+  def isWhitespaceCp(cp: Int): Boolean =
+    (cp >= 0x0009 && cp <= 0x000D) || cp == 0x0020 || cp == 0x0085 ||
+      cp == 0x00A0 || cp == 0x1680 || (cp >= 0x2000 && cp <= 0x200A) ||
+      cp == 0x2028 || cp == 0x2029 || cp == 0x202F || cp == 0x205F ||
+      cp == 0x3000
+
+  /** [[charHash]] over CODEPOINTS — identical to the UTF-16 fold for
+    * BMP strings, and to DuckDB's unicode(c) fold for every string. */
+  def charHashCp(s: String): Long = {
+    var acc = Seed
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Tokens split on any [[WhitespaceCp]] codepoint, empties dropped. */
+  def tokensCp(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](64)
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (isWhitespaceCp(cp)) {
+        if (i > start) out += s.substring(start, i)
+        start = i + w
+      }
+      i += w
+    }
+    if (s.length > start) out += s.substring(start, s.length)
+    out.toArray
+  }
+
+  /** [[distinctShingleHashes]] on the codepoint tier: [[tokensCp]]
+    * tokens, shingles joined by U+0020, [[charHashCp]] folds. */
+  def distinctShingleHashesCp(s: String, n: Int): Array[Long] = {
+    val toks = tokensCp(s)
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length >= n) {
+      var i = 0
+      while (i + n <= toks.length) {
+        var acc = Seed
+        var j = 0
+        while (j < n) {
+          if (j > 0) acc = (acc * 31 + ' ') % Mod
+          val t = toks(i + j)
+          var k = 0
+          while (k < t.length) {
+            val cp = t.codePointAt(k)
+            acc = (acc * 31 + cp) % Mod
+            k += Character.charCount(cp)
+          }
+          j += 1
+        }
+        set.add(acc)
+        i += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
   def simhash60(hs: Array[Long]): Long = {
     var result = 0L
     var j = 0
@@ -236,4 +329,60 @@ case class Simhash60Expr(child: Expression, n: Int = 1) extends UnaryExpression 
       c => s"graft.plans.TextHash.simhash60(" +
         s"graft.plans.TextHash.distinctShingleHashes($c.toString(), $n))")
   override protected def withNewChildInternal(c: Expression): Simhash60Expr = copy(child = c)
+}
+
+/** Codepoint-tier [[CharPolyHash]] — [[TextHash.charHashCp]]. */
+case class CharPolyHashCp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.charHashCp(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.charHashCp($c.toString())")
+  override protected def withNewChildInternal(c: Expression): CharPolyHashCp = copy(child = c)
+}
+
+/** Codepoint-tier token array ([[TextHash.tokensCp]]) — Unicode
+  * White_Space boundaries instead of U+0020 alone. */
+case class TokensCpExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TokensCpExpr.evalTokens(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TokensCpExpr.evalTokens($c.toString())")
+  override protected def withNewChildInternal(c: Expression): TokensCpExpr = copy(child = c)
+}
+
+object TokensCpExpr {
+  /** Codegen entry point (mirrors nullSafeEval). */
+  def evalTokens(s: String): GenericArrayData =
+    new GenericArrayData(
+      TextHash.tokensCp(s).map(UTF8String.fromString(_): Any))
+}
+
+/** Codepoint-tier MinHash signature — [[TextHash.distinctShingleHashesCp]]
+  * shingle hashes through the same permutations. */
+case class MinhashShingleSigCp(child: Expression, k: Int, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val hs = TextHash.distinctShingleHashesCp(v.asInstanceOf[UTF8String].toString, n)
+    new GenericArrayData(TextHash.minhashSig(hs, k))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.TextHash.minhashSig(" +
+        s"graft.plans.TextHash.distinctShingleHashesCp($c.toString(), $n), $k))")
+  override protected def withNewChildInternal(c: Expression): MinhashShingleSigCp = copy(child = c)
+}
+
+/** Codepoint-tier 60-bit SimHash. */
+case class Simhash60CpExpr(child: Expression, n: Int = 1) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.simhash60(TextHash.distinctShingleHashesCp(v.asInstanceOf[UTF8String].toString, n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextHash.simhash60(" +
+        s"graft.plans.TextHash.distinctShingleHashesCp($c.toString(), $n))")
+  override protected def withNewChildInternal(c: Expression): Simhash60CpExpr = copy(child = c)
 }

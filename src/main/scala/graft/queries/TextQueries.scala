@@ -44,6 +44,30 @@ object TextQueries {
   private val TokHashesSql =
     s"list_distinct(list_transform($TokSql, t -> ${charHashSql("t")}))"
 
+  // ---- codepoint-tier fragments (round 12) --------------------------
+
+  /** The q149 augmentation suffix: U+3000 ideographic space, accented
+    * BMP chars with a U+00A0 no-break space inside "déjà vu", and the
+    * astral U+1F600 fused to the source value. One Scala constant feeds
+    * BOTH the Spark literal and the SQL literal, so the two engines hash
+    * identical bytes. */
+  private[queries] val UnicodeProbeSuffix =
+    "　déjà vu 😀"
+
+  /** RE2 character class of the Unicode White_Space set, GENERATED from
+    * [[graft.plans.TextHash.WhitespaceCp]] — the lockstep is by
+    * construction, not by convention. */
+  private val CpWsClassSql: String =
+    graft.plans.TextHash.WhitespaceCp.map(cp => f"\\x{$cp%04X}")
+      .mkString("[", "", "]")
+
+  /** tokensCp(e): split on any White_Space codepoint, drop empties.
+    * charHashSql already folds codepoints (string_split(s, '') splits
+    * per codepoint and unicode(c) yields it), so the hash fragments are
+    * shared between tiers; only the tokenizer differs. */
+  private def cpTokSql(e: String): String =
+    s"list_filter(regexp_split_to_array($e, '$CpWsClassSql'), t -> t <> '')"
+
   /** 3-gram word shingles over toks (`toks[i:i+2]` is 3 elements — DuckDB
     * slices are inclusive). */
   private val Shingle3Sql =
@@ -596,6 +620,29 @@ object TextQueries {
     "q147_source_ctfidf" -> ((s, dir) =>
       graft.operators.RankOps.classTfidf(
         t(s, dir, "documents"), "text", "source", k = 5)),
+
+    // E134 codepoint text tier (round 12): the dedup primitives on
+    // Unicode-correct semantics — codepoint hash folds (astral chars are
+    // ONE codepoint, not two UTF-16 units) and tokenization on the full
+    // Unicode White_Space set (TextHash.WhitespaceCp; the oracle's
+    // regex class is generated from the same array). The fixture text is
+    // ASCII, so the query plants the hard cases itself: every doc gets a
+    // suffix holding an ideographic space (U+3000), accented BMP chars,
+    // a no-break space INSIDE "déjà vu" (a token boundary only on this
+    // tier), and an astral emoji fused to the per-doc source — then
+    // fingerprints, MinHash, and SimHash must match the oracle's
+    // codepoint arithmetic bit for bit. The suffix guarantees >= 2
+    // tokens per doc, so the empty-shingle contract is never in play.
+    "q149_unicode_text_tier" -> ((s, dir) => {
+      val aug = concat(col("text"), lit(UnicodeProbeSuffix), col("source"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(tokensCp(aug)).as("n_toks"),
+        charHashCp(aug).as("fingerprint"),
+        element_at(minhashShingleSignatureCp(aug, 4, 2), 1).as("mh0"),
+        element_at(minhashShingleSignatureCp(aug, 4, 2), 2).as("mh1"),
+        simhashShingle60Cp(aug, 2).as("sim60"))
+    }),
 
     // Dedup purge list: the keep-min-id policy applied to the LSH candidate
     // pairs — every doc that collides with a smaller doc_id is dropped.
@@ -1378,6 +1425,36 @@ object TextQueries {
           JOIN sizes sa ON sa.doc_id = doc_a
           JOIN sizes sb ON sb.doc_id = doc_b
           WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.5""",
+    // Codepoint tier restated: the SAME hash fold (charHashSql is
+    // already a codepoint fold — string_split(s,'') + unicode(c)), the
+    // tokenizer regex class generated from TextHash.WhitespaceCp, the
+    // same augmentation literal (one Scala constant feeds both engines),
+    // bigram shingles, MinHash permutations 0/1, and the 60-bit SimHash.
+    // The suffix guarantees >= 2 tokens, so no empty-shingle guard.
+    "q149_unicode_text_tier" ->
+      s"""WITH aug AS (SELECT doc_id, concat(text, '$UnicodeProbeSuffix', source) AS t
+                       FROM documents),
+          tk AS (SELECT doc_id, t, ${cpTokSql("t")} AS toks FROM aug),
+          hsx AS (SELECT doc_id, t, toks,
+                    list_distinct(list_transform(${shingleStrSql(2)},
+                      g -> ${charHashSql("g")})) AS hs
+                  FROM tk)
+          SELECT doc_id,
+            CAST(len(toks) AS INT) AS n_toks,
+            ${charHashSql("t")} AS fingerprint,
+            coalesce(list_min(list_transform(hs, h -> (1 * h + 7919 * 0) % 2147483647)), 0) AS mh0,
+            coalesce(list_min(list_transform(hs, h -> (2 * h + 7919 * 1) % 2147483647)), 0) AS mh1,
+            CAST(list_sum(list_transform(range(0, 30), j ->
+              CASE WHEN list_sum(list_transform(hs, h ->
+                     ((h >> j) & 1) * 2 - 1)) >= 0
+                   THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+              AS BIGINT)
+            + CAST(list_sum(list_transform(range(0, 30), j ->
+              CASE WHEN list_sum(list_transform(hs, h ->
+                     ((((h * 1103515245 + 12345) % 2147483647) >> j) & 1) * 2 - 1)) >= 0
+                   THEN (CAST(1 AS BIGINT) << (j + 30)) ELSE CAST(0 AS BIGINT) END))
+              AS BIGINT) AS sim60
+          FROM hsx""",
     // c-TF-IDF per source: integer counts, one divide·ln float step
     // rounded 4 dp, (score desc, token asc) tie-break.
     "q147_source_ctfidf" ->

@@ -353,6 +353,20 @@ object VectorQueries {
       graft.operators.KmeansOps.incrementalSemantic(
         s, batch2, "embedding", "vec_id", ledger, k = 8, iters = 2, minCos = 0.4)
         .survivors.select(col("vec_id"))
+    }),
+
+    // E133 two-level (IVF-style) k-means (round 12) — the shape
+    // deriveK's refusal names once a flat quantizer outgrows its 2^20
+    // packing bound: 3 coarse cells (flat Lloyd), then 3 fine clusters
+    // fitted WITHIN every cell simultaneously (one cell-equi-join per
+    // round, never a per-cell driver loop). Output pins the full
+    // hierarchy: cell, the global leaf label cell*k2+fcl, and the 6-dp
+    // distance to the settled fine centroid — the oracle replays both
+    // levels as unrolled SQL.
+    "q148_kmeans_twolevel" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.KmeansOps.fitTwoLevel(
+        e, "embedding", "vec_id", k1 = 3, k2 = 3, iters = 1).assignments
     })
   )
 
@@ -700,7 +714,40 @@ object VectorQueries {
               WHERE ${cosSql("a.v", "c.v")} >= 0.4)
             SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1
               AND vec_id NOT IN (SELECT vec_id FROM hits)
-              AND vec_id NOT IN (SELECT drop_id FROM o_drops)"""
+              AND vec_id NOT IN (SELECT drop_id FROM o_drops)""",
+      // Both levels unrolled: the coarse fit is kmeansCtes(3,1) ending in
+      // af (the settled coarse assignment), then fine seeds = the 3
+      // smallest ids per cell, one fine Lloyd round (assign by 6-dp L2
+      // with ties to the smaller fcl, re-average per (cell, fcl, dim) at
+      // 6 dp, LEFT JOIN keeps empty fine clusters), and the final fine
+      // assignment. Lockstep rule with KmeansOps.fitTwoLevel: change
+      // both or neither.
+      "q148_kmeans_twolevel" ->
+        s"""WITH ${kmeansCtes(3, 1)},
+            f0 AS (SELECT cell, CAST(rn - 1 AS INT) AS fcl, v AS c FROM (
+                     SELECT cl AS cell, v,
+                            row_number() OVER (PARTITION BY cl ORDER BY vec_id) AS rn
+                     FROM af) WHERE rn <= 3),
+            fa0 AS (SELECT vec_id, v, cell, fcl FROM (
+                     SELECT a.vec_id, a.v, a.cl AS cell, f.fcl,
+                            row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY ${l2Sql("a.v", "f.c")}, f.fcl) AS rn
+                     FROM af a JOIN f0 f ON f.cell = a.cl) WHERE rn = 1),
+            f1 AS (SELECT p.cell, p.fcl, coalesce(u.c, p.c) AS c
+                   FROM f0 p LEFT JOIN (
+                     SELECT cell, fcl, list(m ORDER BY j) AS c FROM (
+                       SELECT cell, fcl, j, round(avg(v[j]), 6) AS m
+                       FROM fa0, unnest(range(1, 65)) AS u(j) GROUP BY cell, fcl, j)
+                     GROUP BY cell, fcl) u
+                   ON u.cell = p.cell AND u.fcl = p.fcl),
+            faf AS (SELECT vec_id, cell, fcl, d FROM (
+                     SELECT a.vec_id, a.cl AS cell, f.fcl,
+                            ${l2Sql("a.v", "f.c")} AS d,
+                            row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY ${l2Sql("a.v", "f.c")}, f.fcl) AS rn
+                     FROM af a JOIN f1 f ON f.cell = a.cl) WHERE rn = 1)
+            SELECT vec_id, cell, CAST(cell AS BIGINT) * 3 + fcl AS cluster, d AS dist
+            FROM faf"""
     )
   }
 }

@@ -95,7 +95,10 @@ class KmeansOpsSpec extends AnyFunSuite {
 
   test("kmeansAuto derives k from the corpus and carries the choice evidence") {
     val auto = KmeansOps.kmeansAuto(
-      emb, "embedding", "vec_id", targetClusterSize = 64L, iters = 1)
+      emb, "embedding", "vec_id", targetClusterSize = 64L, iters = 1) match {
+      case a: KmeansOps.AutoKmeans => a
+      case other => fail(s"fixture-scale corpus must route flat, got $other")
+    }
     assert(auto.count == emb.count())
     assert(auto.k == KmeansOps.deriveK(auto.count, 64L))
     assert(auto.fit.centroids.length == auto.k)
@@ -103,8 +106,70 @@ class KmeansOpsSpec extends AnyFunSuite {
     // knownCount skips the counting action but must derive identically.
     val known = KmeansOps.kmeansAuto(
       emb, "embedding", "vec_id", targetClusterSize = 64L, iters = 1,
-      knownCount = Some(auto.count))
+      knownCount = Some(auto.count)) match {
+      case a: KmeansOps.AutoKmeans => a
+      case other => fail(s"knownCount at fixture scale must route flat, got $other")
+    }
     assert(known.k == auto.k)
+  }
+
+  test("routeK: flat under the packing bound, two-level past it") {
+    assert(KmeansOps.routeK(1000000L, 64L) == Left(15625))
+    // One short of the bound still routes flat; the bound itself goes
+    // two-level (deriveK at the same point refuses — the router is the
+    // fix its message names).
+    assert(KmeansOps.routeK((1L << 20) - 1L, 1L) == Left((1 << 20) - 1))
+    KmeansOps.routeK(3_000_000_000L, 1L) match {
+      case Right((k1, k2)) =>
+        assert(k1 == math.ceil(math.sqrt(3e9)).toInt)
+        assert(k1.toLong * k2 >= 3_000_000_000L, "leaves must cover derived k")
+        assert(k1 < (1 << 20) && k2 < (1 << 20), "both levels must pack")
+      case other => fail(s"3e9 clusters must route two-level, got $other")
+    }
+    // 5e9 docs at target ~5k (the VERDICT scenario) routes two-level too.
+    assert(KmeansOps.routeK(5_000_000_000_000L, 5000L).isRight)
+  }
+
+  test("fitTwoLevel: hierarchical assignment matches a local recompute") {
+    val k2 = 3
+    val fit2 = KmeansOps.fitTwoLevel(emb, "embedding", "vec_id", k1 = 3, k2 = k2, iters = 1)
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      BigDecimal(math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val fine = fit2.fine.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val got = fit2.assignments.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == vecs.size, "assignment must be total")
+    got.foreach { case (id, cell, cluster, dist) =>
+      val coarseBest = fit2.coarse.map(c => l2(vecs(id), c))
+        .zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      assert(cell == coarseBest, s"vec $id in cell $cell, nearest coarse is $coarseBest")
+      val cands = fine.collect { case ((cl, f), c) if cl == cell => f -> l2(vecs(id), c) }
+      val (bestF, bestD) = cands.minBy { case (f, d) => (d, f) }
+      assert(cluster == cell.toLong * k2 + bestF,
+        s"vec $id labeled $cluster, nearest leaf is ($cell, $bestF)")
+      assert(dist == bestD)
+    }
+  }
+
+  test("semanticPurgeTwoLevel pairs on the leaf key and honors the gauge") {
+    val out = KmeansOps.semanticPurgeTwoLevel(
+      emb, "embedding", "vec_id", k1 = 3, k2 = 3, iters = 1, minCos = 0.4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"within-leaf pair join degraded to a cross join:\n$plan")
+    val rows = out.collect()
+    assert(rows.length == emb.count())
+    assert(rows.exists(!_.getBoolean(2)), "fixture has >=0.4 pairs; some row must purge")
+    val e = intercept[IllegalStateException] {
+      KmeansOps.semanticPurgeTwoLevel(
+        emb, "embedding", "vec_id", k1 = 2, k2 = 1, iters = 0, minCos = 0.9,
+        maxClusterForPairs = 10L)
+    }
+    assert(e.getMessage.contains("maxClusterForPairs"))
   }
 
   test("semanticPurgeAuto matches semanticPurge at the derived k") {

@@ -38,6 +38,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaApi)
   }
 
+  test("graft_*_cp codepoint-tier functions via spark.sql match the Column API") {
+    Seq((1L, "déjà vu　ascii"), (2L, "😀 emoji text"), (3L, "plain"))
+      .toDF("doc_id", "text").createOrReplaceTempView("docs_ext_cp")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+              graft_charhash_cp(text) AS fp,
+              size(graft_tokens_cp(text)) AS nt,
+              concat_ws(',', CAST(graft_minhash_cp(text, 4, 2) AS array<string>)) AS mh,
+              graft_simhash60_cp(text, 2) AS sh
+         FROM docs_ext_cp""")
+      .as[(Long, Long, Int, String, Long)].collect().toMap2
+    val viaApi = spark.table("docs_ext_cp")
+      .select($"doc_id",
+        TextFunctions.charHashCp($"text").as("fp"),
+        size(TextFunctions.tokensCp($"text")).as("nt"),
+        concat_ws(",", TextFunctions.minhashShingleSignatureCp($"text", 4, 2)
+          .cast("array<string>")).as("mh"),
+        TextFunctions.simhashShingle60Cp($"text", 2).as("sh"))
+      .as[(Long, Long, Int, String, Long)].collect().toMap2
+    assert(viaSql == viaApi)
+  }
+
   test("graft_* vector functions via spark.sql match the Column API") {
     Tables(spark, TestSpark.sfDir, "embeddings").createOrReplaceTempView("emb_ext")
     val viaSql = spark.sql(
