@@ -545,6 +545,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] q119 ledger prewarm failed: ${e.getMessage}")
       }
+    if (selected.exists(_._1.startsWith("q151")))
+      try queries.OpsQueries.ensureQ151Orc(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] q151 orc prewarm failed: ${e.getMessage}")
+      }
     // Reference medians from the COMMITTED detail file (last round's run at
     // the same scale), read BEFORE this run overwrites it — the outlier
     // triage baseline.

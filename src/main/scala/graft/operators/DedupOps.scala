@@ -304,8 +304,28 @@ object DedupOps {
                 s"windows with [$params] — duplicate spans would silently never " +
                 "collide. Use the ledger's width or rebuild it.")
         }
-        Some(epochToken.fold(spark.read.parquet(ledgerDir))(t =>
-          spark.read.parquet(ledgerDir).filter(col("_graft_epoch") =!= t)))
+        // Counts are SUMMED at read, so epoch leftovers of a crashed
+        // fold (already merged into base, dirs not yet deleted — see
+        // MaintenanceOps.foldEpochs' crash contract) must be excluded or
+        // they double-count; membership ledgers tolerate them, this one
+        // cannot.
+        val mark = MaintenanceOps.foldedThrough(fs, ledgerPath)
+        val leftovers: Set[String] =
+          if (mark < 0L) Set.empty
+          else fs.listStatus(ledgerPath).iterator.collect {
+            case s if s.isDirectory &&
+                s.getPath.getName.startsWith("_graft_epoch=epoch") &&
+                scala.util.Try(s.getPath.getName
+                  .stripPrefix("_graft_epoch=epoch").toLong).toOption
+                  .exists(_ <= mark) =>
+              s.getPath.getName.stripPrefix("_graft_epoch=")
+          }.toSet
+        val raw = spark.read.parquet(ledgerDir)
+        val unfolded =
+          if (leftovers.isEmpty) raw
+          else raw.filter(!col("_graft_epoch").isInCollection(leftovers))
+        Some(epochToken.fold(unfolded)(t =>
+          unfolded.filter(col("_graft_epoch") =!= t)))
       }
     // Pinned eagerly: every downstream frame must keep seeing the
     // PRE-commit batch/ledger state even if evaluated after commitLedger.

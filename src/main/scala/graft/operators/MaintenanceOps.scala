@@ -96,7 +96,12 @@ object MaintenanceOps {
 
   /** Governance pass: remove specific ids from a parquet corpus
     * directory — the takedown/right-to-erasure operation every
-    * training-data store eventually owes someone. Same atomic
+    * training-data store eventually owes someone. Costs exactly ONE
+    * corpus scan: the rewrite's anti-join observes the counts AND the
+    * matched deny ids in the same pass (spec-gated by input-records
+    * accounting), so the audit derivation never re-reads the corpus —
+    * at 100 TB the second scan this replaced doubled every takedown.
+    * Same atomic
     * rewrite-then-swap protocol as [[compactParquet]] (readers never see
     * a half-deleted directory; a crash before the swap leaves the
     * original untouched), with the delete audited to `auditDir` as a
@@ -132,7 +137,7 @@ object MaintenanceOps {
       idCol: String,
       ids: Seq[Long],
       auditDir: String): DeleteReport = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum, when}
+    import org.apache.spark.sql.functions.{broadcast, col, collect_set, count, lit, sum, when}
     require(ids.nonEmpty, "empty deletion list — refusing a no-op audit")
     val idsDistinct = ids.distinct
     val path = new Path(dir)
@@ -150,12 +155,17 @@ object MaintenanceOps {
     val src = spark.read.parquet(dir)
     val obs = org.apache.spark.sql.Observation(s"delete_${path.getName}")
     val tmp = new Path(path.getParent, s".${path.getName}_delete_tmp")
-    // One scan: observe before/after counts on the anti-joined rewrite.
+    // ONE scan: the anti-joined rewrite observes the before/hit counts
+    // AND the set of deny ids that actually matched (collect_set skips
+    // the anti-join survivors' nulls; the metric row is bounded by the
+    // denylist, which is broadcast-small by this operator's stated
+    // contract — a 100 TB takedown costs exactly one corpus read).
     src
       .join(broadcast(denyDf), col(idCol) === col("_graft_deny_id"), "left")
       .observe(obs,
         count(lit(1)).as("before"),
-        sum(when(col("_graft_deny_id").isNotNull, 1L).otherwise(0L)).as("hit"))
+        sum(when(col("_graft_deny_id").isNotNull, 1L).otherwise(0L)).as("hit"),
+        collect_set(col("_graft_deny_id")).as("found_ids"))
       .filter(col("_graft_deny_id").isNull)
       .drop("_graft_deny_id")
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -164,9 +174,8 @@ object MaintenanceOps {
     // Tombstone audit BEFORE the swap: if the audit cannot be written,
     // the corpus must not change (an unaudited takedown is the failure
     // the audit exists to prevent).
-    val foundIds = src.select(col(idCol))
-      .join(broadcast(denyDf), col(idCol) === col("_graft_deny_id"), "left_semi")
-      .collect().map(_.getLong(0)).toSet
+    val foundIds = obs.get("found_ids")
+      .asInstanceOf[scala.collection.Seq[Long]].toSet
     import spark.implicits._
     idsDistinct.map(i => (i, foundIds.contains(i))).toDF("id", "found")
       .coalesce(1)
@@ -216,6 +225,17 @@ object MaintenanceOps {
       ColumnBridge.expression(y.cast("long")), bits))
   }
 
+  /** N-ary [[zorderValue]]: Morton z-value of 2–6 columns, `bits` low
+    * bits each, round-robin bit layout (the 2-column case is
+    * bit-identical to the binary form). Real layout tuning clusters 3–4
+    * keys; the budget must fit one long (`bits·k ≤ 63`). */
+  def zorderValueN(cols: Seq[org.apache.spark.sql.Column],
+                   bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.BitInterleaveNExpr(
+      cols.map(c => ColumnBridge.expression(c.cast("long"))), bits))
+  }
+
   /** Z-order clustering: [[clusterBy]]'s two-dimensional sibling. A
     * single-column range cluster gives file-level min/max locality in ONE
     * column and none in the other; range-partitioning by the interleaved
@@ -230,9 +250,21 @@ object MaintenanceOps {
       colX: String,
       colY: String,
       bits: Int,
+      nFiles: Int): Unit =
+    zorderClusterN(df, dir, Seq(colX, colY), bits, nFiles)
+
+  /** N-column [[zorderCluster]] (2–6 cluster keys, [[zorderValueN]]'s
+    * curve): every output file gets a bounded min/max box in ALL
+    * interleaved columns at once. Same cost shape regardless of k: one
+    * range shuffle + a per-partition sort. */
+  def zorderClusterN(
+      df: org.apache.spark.sql.DataFrame,
+      dir: String,
+      cols: Seq[String],
+      bits: Int,
       nFiles: Int): Unit = {
     import org.apache.spark.sql.functions.col
-    val z = zorderValue(col(colX), col(colY), bits).as("_graft_zval")
+    val z = zorderValueN(cols.map(col), bits)
     df.withColumn("_graft_zval", z)
       .repartitionByRange(nFiles, col("_graft_zval"))
       .sortWithinPartitions(col("_graft_zval"))
@@ -311,30 +343,51 @@ object MaintenanceOps {
     * foreign-epoch checkpoint-reset guard ignores it, and (c) collision
     * reads (`_graft_epoch =!= "epoch<batchId>"`) always include it.
     *
-    * Crash contract: base is rewritten FIRST (base ∪ folded epochs, one
-    * dynamic partition overwrite), folded epoch directories are deleted
-    * after. A crash between the two leaves duplicate rows — harmless to
-    * correctness (bucket membership is a set; hit reads are
-    * semi-join/distinct) — and re-running the same fold converges. Run
-    * between drains, like compaction.
+    * MEMBERSHIP ledgers (fingerprint/band/SRP/cluster rows) fold as a
+    * plain union — bucket membership is a set, and hit reads are
+    * semi-join/distinct. COUNT ledgers (the span ledger's
+    * `(spanKey, _graft_n)` rows, detected by schema) RE-AGGREGATE on
+    * fold: the base keeps one summed row per distinct key instead of one
+    * row per (batch, key), so the read-side sum stays bounded by the
+    * distinct-span count over years of drains instead of growing with
+    * drain count — and, because counts are summed at read time,
+    * duplicates are NOT harmless there, which is what the marker below
+    * exists for.
+    *
+    * Crash contract: base is rewritten first (one dynamic partition
+    * overwrite), then the `_graft_folded_through` marker records the
+    * highest folded batch id, then the folded epoch directories are
+    * deleted. Epoch dirs at-or-under the marker are LEFTOVERS of a
+    * crashed fold — already merged into base — so a re-run deletes them
+    * without re-merging (convergent for the count ledger, where a
+    * re-merge would double counts) and the span ledger's collision read
+    * excludes them meanwhile. The only non-convergent window left is the
+    * base-write→marker-write gap, one small file create. Run between
+    * drains, like compaction.
     */
   def foldEpochs(
       spark: SparkSession,
       ledgerDir: String,
       upToBatchId: Long): CompactionReport = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, sum}
     require(upToBatchId >= 0L, s"upToBatchId must be >= 0: $upToBatchId")
     val path = new Path(ledgerDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def epochDirs() = fs.listStatus(path).filter { s =>
+    val priorMark = foldedThrough(fs, path)
+    def epochId(name: String): Option[Long] =
+      scala.util.Try(name.stripPrefix("_graft_epoch=epoch").toLong).toOption
+    val all = fs.listStatus(path).filter { s =>
       s.isDirectory && s.getPath.getName.startsWith("_graft_epoch=epoch") &&
-        scala.util.Try(s.getPath.getName
-          .stripPrefix("_graft_epoch=epoch").toLong).toOption
-          .exists(_ <= upToBatchId)
+        epochId(s.getPath.getName).isDefined
     }
-    val folded = epochDirs()
+    // Leftovers of a crashed fold: their rows are already in base.
+    all.filter(d => epochId(d.getPath.getName).exists(_ <= priorMark))
+      .foreach(d => fs.delete(d.getPath, true))
+    val folded = all.filter(d => epochId(d.getPath.getName)
+      .exists(id => id > priorMark && id <= upToBatchId))
     if (folded.isEmpty) return CompactionReport(0, 0, 0L)
     val foldTokens = folded.map(_.getPath.getName.stripPrefix("_graft_epoch=")).toSet
+    val maxFolded = folded.flatMap(d => epochId(d.getPath.getName)).max
     val filesBefore = folded.map(d => fs.listStatus(d.getPath).count(_.isFile)).sum
     // One read of the whole ledger, filtered to base + the folded epochs;
     // rewrite as the new base via dynamic partition overwrite (only the
@@ -345,20 +398,57 @@ object MaintenanceOps {
     // pinned copy also makes the subsequent write independent of the
     // delete step. Maintenance-sized data by construction (band/bucket
     // keys + vectors, not the corpus).
-    val rowsDf = spark.read.parquet(ledgerDir)
+    val unioned = spark.read.parquet(ledgerDir)
       .filter(col("_graft_epoch") === "base" ||
         col("_graft_epoch").isInCollection(foldTokens))
       .withColumn("_graft_epoch", lit("base"))
-      .localCheckpoint(true)
+    val merged =
+      if (!unioned.columns.contains("_graft_n")) unioned
+      else {
+        // Count-ledger fold: one summed row per distinct key.
+        val keys = unioned.columns
+          .filterNot(c => c == "_graft_n" || c == "_graft_epoch")
+        unioned.groupBy(keys.map(col): _*)
+          .agg(sum(col("_graft_n")).as("_graft_n"))
+          .withColumn("_graft_epoch", lit("base"))
+          .select(unioned.columns.map(col): _*)
+      }
+    val rowsDf = merged.localCheckpoint(true)
     val rows = rowsDf.count()
     rowsDf.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_graft_epoch")
       .parquet(ledgerDir)
+    writeFoldedThrough(fs, path, math.max(priorMark, maxFolded))
     folded.foreach(d => fs.delete(d.getPath, true))
     val filesAfter = fs.listStatus(new Path(path, "_graft_epoch=base"))
       .count(_.isFile)
     CompactionReport(filesBefore, filesAfter, rows)
+  }
+
+  /** Name of the fold high-water marker (`_`-prefixed: invisible to
+    * parquet directory reads, preserved by [[compactLedger]]). */
+  private[operators] val FoldMarkerFile = "_graft_folded_through"
+
+  /** Highest batch id a completed fold has merged into base (−1 if the
+    * ledger has never folded). Epoch partitions at-or-under this id that
+    * still exist are crash leftovers: already merged, pending delete —
+    * [[foldEpochs]] removes them on its next run and the span ledger's
+    * collision read excludes them in the meantime. */
+  def foldedThrough(fs: org.apache.hadoop.fs.FileSystem, ledgerPath: Path): Long = {
+    val p = new Path(ledgerPath, FoldMarkerFile)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeFoldedThrough(
+      fs: org.apache.hadoop.fs.FileSystem, ledgerPath: Path, id: Long): Unit = {
+    val out = fs.create(new Path(ledgerPath, FoldMarkerFile), true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Highest batch id with a COMMIT entry in a Structured Streaming

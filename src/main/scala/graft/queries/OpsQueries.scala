@@ -46,6 +46,30 @@ object OpsQueries {
     })
   }
 
+  /** q151's orc copy of the documents table, keyed by input dir — written
+    * once through the REGISTRY sink (the dispatch path under test), read
+    * back through the registry source on every query run. Same temp-dir +
+    * shutdown-hook lifecycle as the q77 ledger. */
+  private val q151OrcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureQ151Orc(s: SparkSession, dir: String): String = q151OrcDirs.synchronized {
+    q151OrcDirs.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_q151_orc")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: Throwable => () }
+      }))
+      graft.pipeline.Connectors.sink("orc", root.toString)
+        .write(t(s, dir, "documents"), "documents",
+          org.apache.spark.sql.SaveMode.Overwrite)
+      root.toString
+    })
+  }
+
   /** charHash(e) SQL — same fold as TextFunctions.charHash (lockstep rule:
     * change both or neither). */
   private def charHashSql(e: String): String =
@@ -353,6 +377,44 @@ object OpsQueries {
           min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
           min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"),
           min(col("zval")).as("min_z"), max(col("zval")).as("max_z"))
+    }),
+
+    // E116's n-ary extension (round 12): the THREE-column Morton curve —
+    // bit i of column j lands at position 3·i + j, so every z-bucket is
+    // box-bounded in all three keys at once. Same pure-integer hash-exact
+    // contract as q133; bits = 8 per key keeps the oracle's per-bit list
+    // fold short (z < 2^24, buckets = top 5 bits).
+    "q150_zorder3_stats" -> ((s, dir) => {
+      import graft.operators.MaintenanceOps
+      val z = MaintenanceOps.zorderValueN(Seq(
+        col("l_partkey") % 256, col("l_suppkey") % 256, col("l_orderkey") % 256), 8)
+      t(s, dir, "lineitem")
+        .select(z.as("zval"),
+          col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+        .groupBy(shiftright(col("zval"), 19).as("zbucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"),
+          min(col("l_orderkey")).as("min_ord"), max(col("l_orderkey")).as("max_ord"),
+          min(col("zval")).as("min_z"), max(col("zval")).as("max_z"))
+    }),
+
+    // E3b's oracle query (round 12): documents round-tripped through the
+    // REGISTRY's orc sink + source (the same dispatch path R10 pins), then
+    // aggregated per source — counts, char totals, id bounds, and the
+    // charHash SUM of every text body, so a single corrupted byte anywhere
+    // in the round-trip breaks the hash. The oracle reads the parquet
+    // originals: the assertion IS that orc preserved every value.
+    "q151_orc_roundtrip" -> ((s, dir) => {
+      val base = ensureQ151Orc(s, dir)
+      graft.pipeline.Connectors.source("orc", base).read(s, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(graft.functions.TextFunctions.charHash(col("text"))).as("sum_fp"))
     })
   )
 
@@ -597,6 +659,31 @@ object OpsQueries {
                 min(l_partkey) AS min_part, max(l_partkey) AS max_part,
                 min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp,
                 min(zval) AS min_z, max(zval) AS max_z
-         FROM z GROUP BY zbucket"""
+         FROM z GROUP BY zbucket""",
+    // The 3-ary interleave: bit i of key j at position 3*i + j (disjoint
+    // bits, so + is |).
+    "q150_zorder3_stats" ->
+      """WITH z AS (
+           SELECT l_partkey, l_suppkey, l_orderkey,
+             CAST(list_sum(list_transform(range(0, 8), i ->
+               ((((l_partkey % 256) >> i) & 1) << (3*i))
+               + ((((l_suppkey % 256) >> i) & 1) << (3*i + 1))
+               + ((((l_orderkey % 256) >> i) & 1) << (3*i + 2)))) AS BIGINT)
+               AS zval
+           FROM lineitem)
+         SELECT zval >> 19 AS zbucket, count(*) AS n,
+                min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+                min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp,
+                min(l_orderkey) AS min_ord, max(l_orderkey) AS max_ord,
+                min(zval) AS min_z, max(zval) AS max_z
+         FROM z GROUP BY zbucket""",
+    // The oracle aggregates the parquet ORIGINALS; the Spark side reads
+    // its orc round-trip copy — equality is the format-fidelity claim.
+    "q151_orc_roundtrip" ->
+      s"""SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 min(doc_id) AS min_id, max(doc_id) AS max_id,
+                 CAST(sum(${charHashSql("text")}) AS BIGINT) AS sum_fp
+          FROM documents GROUP BY source"""
   )
 }

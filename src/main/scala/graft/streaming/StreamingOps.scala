@@ -325,24 +325,37 @@ object StreamingOps {
     * case-class blob. The practical difference at scale: each state
     * variable is a separate column family in the RocksDB state store, so
     * touching the two counters never deserializes the type map, and
-    * per-variable TTL is available when the profile must age out. Emits
+    * per-variable TTL ages idle profiles out of the store (`ttl`: state
+    * written more than that long ago reads as absent, so an expired
+    * user's next event starts a fresh profile — without it the store
+    * holds one row per user ever seen). Emits
     * one updated profile row per key per micro-batch (Update mode); on a
     * batch Dataset the same code runs with empty initial state, which
     * makes it DuckDB-oracle-checkable (q99).
     */
-  def runningStats(ds: Dataset[TypedEvent]): Dataset[UserStats] = {
+  def runningStats(
+      ds: Dataset[TypedEvent],
+      ttl: Option[java.time.Duration] = None): Dataset[UserStats] = {
     import ds.sparkSession.implicits._
     // Batch TWS resolves the StateStoreCoordinator endpoint that only a
     // streaming query would have created — create it up front (see the
     // bridge scaladoc for the underlying Spark behavior).
     org.apache.spark.sql.graftbridge.ColumnBridge
       .ensureStateStoreCoordinator(ds.sparkSession)
+    // TTL is per state VARIABLE (the column-family advantage): an idle
+    // user's counters/type-map expire `ttl` after their last write and
+    // the next event starts a fresh profile — without it, one state row
+    // per user EVER SEEN grows the store linearly forever. TTL requires
+    // processing-time semantics; the default stays TimeMode.None so the
+    // batch/oracle path (q99) is untouched.
+    val timeMode = ttl.fold(TimeMode.None())(_ => TimeMode.ProcessingTime())
     ds.groupByKey(_.user_id)
-      .transformWithState(new RunningStatsProcessor,
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(
+        new RunningStatsProcessor(ttl.fold(TTLConfig.NONE)(TTLConfig(_))),
+        timeMode, OutputMode.Update())
   }
 
-  private class RunningStatsProcessor
+  private class RunningStatsProcessor(ttl: TTLConfig)
       extends StatefulProcessor[Long, TypedEvent, UserStats] {
     @transient private var nEvents: ValueState[Long] = _
     @transient private var maxValue: ValueState[Double] = _
@@ -350,12 +363,12 @@ object StreamingOps {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       nEvents = getHandle.getValueState[Long]("n_events",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
       maxValue = getHandle.getValueState[Double]("max_value",
-        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaDouble, ttl)
       typeCounts = getHandle.getMapState[String, Long]("type_counts",
         org.apache.spark.sql.Encoders.STRING,
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
     }
 
     override def handleInputRows(
@@ -418,30 +431,50 @@ object StreamingOps {
     * Append-mode flatMap — downstream dedups on the latest per user, the
     * same convention as [[runningSeq]]).
     *
-    * State is ONE int per user — far under any state-store pressure —
-    * and a batch's work is bounded by that batch's events, never
-    * history. In-order processing across batches relies on the source
+    * State is ONE int per user — but one int times every user EVER SEEN
+    * still grows the store linearly forever, so `idleTimeout` (processing
+    * time since the user's last event) drops an idle user's state; a
+    * late event after expiry restarts the funnel at stage 0 — the same
+    * at-most semantics as a cross-batch out-of-order event (below), and
+    * the right trade for a funnel, whose sessions are hours, not months.
+    * Default None preserves unbounded retention (and the batch/oracle
+    * path, where timeouts never fire anyway).
+    *
+    * A batch's work is bounded by that batch's events, never history.
+    * In-order processing across batches relies on the source
     * delivering a user's events in batch order (true of the
     * CDC/watermark ingest path feeding it); a cross-batch out-of-order
     * event cannot regress the stage (the fold only advances), it can
     * only fail to count — the documented at-most semantics of a live
     * funnel, reconciled by the exact batch operator over the full log. */
   def streamingFunnelStages(
-      ds: Dataset[TypedFunnelEvent], steps: Seq[String]): Dataset[FunnelOut] = {
+      ds: Dataset[TypedFunnelEvent],
+      steps: Seq[String],
+      idleTimeout: Option[java.time.Duration] = None): Dataset[FunnelOut] = {
     require(steps.nonEmpty, "empty funnel")
     import ds.sparkSession.implicits._
     val k = steps.length
+    val timeoutConf = idleTimeout.fold(GroupStateTimeout.NoTimeout)(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout)
     ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Int, FunnelOut](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Int, FunnelOut](OutputMode.Append, timeoutConf) {
         (uid: Long, rows: Iterator[TypedFunnelEvent], state: GroupState[Int]) =>
-          val st0 = state.getOption.getOrElse(0)
-          val sorted = rows.toIndexedSeq
-            .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
-          val st = sorted.foldLeft(st0) { (s, e) =>
-            if (s < k && e.event_type == steps(s)) s + 1 else s
+          if (state.hasTimedOut) {
+            // Idle past the TTL: drop the state row, emit nothing (the
+            // user's last emitted stage stands downstream).
+            state.remove()
+            Iterator.empty
+          } else {
+            val st0 = state.getOption.getOrElse(0)
+            val sorted = rows.toIndexedSeq
+              .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
+            val st = sorted.foldLeft(st0) { (s, e) =>
+              if (s < k && e.event_type == steps(s)) s + 1 else s
+            }
+            state.update(st)
+            idleTimeout.foreach(d => state.setTimeoutDuration(d.toMillis))
+            Iterator.single(FunnelOut(uid, st))
           }
-          state.update(st)
-          Iterator.single(FunnelOut(uid, st))
       }
   }
 

@@ -317,6 +317,177 @@ class MaintenanceOpsSpec extends AnyFunSuite {
         root.resolve("a2").toString))
   }
 
+  test("targetedDelete costs exactly ONE corpus scan (input-records accounting)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val root = Files.createTempDirectory("tdelete_onescan")
+    val dir = root.resolve("corpus").toString
+    val audit = root.resolve("audit").toString
+    val n = 20000L
+    (1L to n).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+      .repartition(4).write.mode(SaveMode.Overwrite).parquet(dir)
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          records.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = MaintenanceOps.targetedDelete(spark, dir, "doc_id",
+        Seq(5L, 17L, 999999L), audit)
+      assert(r == MaintenanceOps.DeleteReport(n, 2L, n - 2L, 1L), r)
+      // The listener bus is asynchronous: wait for the counter to settle.
+      var last = -1L; var stable = 0; var polls = 0
+      while (stable < 3 && polls < 100) {
+        Thread.sleep(100); polls += 1
+        val cur = records.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // One pass over the n corpus rows (plus denylist-sized slack). The
+    // audit's foundIds derivation re-scanning the corpus would land
+    // near 2n — the 100 TB cost this gate pins down.
+    assert(records.get() >= n, "sanity: the rewrite must have scanned the corpus")
+    assert(records.get() <= (n * 1.2).toLong,
+      s"targetedDelete read ${records.get()} records for an n=$n corpus — " +
+        "more than one scan")
+    // The one-scan re-plan must not have weakened the audit.
+    val tomb = spark.read.parquet(audit).as[(Long, Boolean)].collect().toSet
+    assert(tomb == Set((5L, true), (17L, true), (999999L, false)))
+  }
+
+  test("foldEpochs re-aggregates span-ledger counts; crashed-fold leftovers converge") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("fold_spans")
+    val ledger = root.resolve("spans").toString
+    def doc(id: Long, text: String) =
+      Seq((id, text)).toDF("doc_id", "text")
+    // The span "a b c d" appears in both committed batches.
+    DedupOps.incrementalSpansEpoch(spark, doc(1L, "a b c d x"),
+      "text", "doc_id", ledger, "epoch0", spanTokens = 4).commitLedger()
+    val p1 = DedupOps.incrementalSpansEpoch(spark, doc(2L, "a b c d y"),
+      "text", "doc_id", ledger, "epoch1", spanTokens = 4)
+    p1.commitLedger()
+
+    val r = MaintenanceOps.foldEpochs(spark, ledger, upToBatchId = 1L)
+    // COUNT-merging fold: one summed row per distinct span — 3 spans
+    // ("a b c d" 2x, "b c d x", "b c d y") from 4 ledgered rows; a
+    // union fold would keep 4 and grow with every drain.
+    assert(r.rows == 3L, r)
+    val base = spark.read.parquet(ledger)
+    assert(base.count() == 3L)
+    assert(base.agg(org.apache.spark.sql.functions.sum(col("_graft_n")))
+      .head().getLong(0) == 4L, "summed counts must survive the fold")
+    val fs = new org.apache.hadoop.fs.Path(ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(MaintenanceOps.foldedThrough(
+      fs, new org.apache.hadoop.fs.Path(ledger)) == 1L)
+
+    // The folded ledger still answers: a third doc carrying the span
+    // sees 2 ledgered + 1 in-batch distinct docs.
+    val p2 = DedupOps.incrementalSpansEpoch(spark, doc(3L, "a b c d z"),
+      "text", "doc_id", ledger, "epoch2", spanTokens = 4)
+    assert(p2.flags.as[(Long, Int, Long)].collect().toSet == Set((3L, 0, 3L)))
+
+    // Crash simulation: epoch1's directory resurrected AFTER its rows
+    // were merged into base (the fold's base-write→delete window).
+    p1.commitLedger()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      ledger, "_graft_epoch=epoch1")))
+    // Read side: the leftover is at-or-under the fold marker, so the
+    // collision read EXCLUDES it — n_docs stays 3, not 4.
+    val p3 = DedupOps.incrementalSpansEpoch(spark, doc(4L, "a b c d w"),
+      "text", "doc_id", ledger, "epoch3", spanTokens = 4)
+    assert(p3.flags.as[(Long, Int, Long)].collect().toSet == Set((4L, 0, 3L)),
+      "a crashed fold's leftover epoch must not double-count")
+    // Re-running the fold deletes the leftover WITHOUT re-merging.
+    val r2 = MaintenanceOps.foldEpochs(spark, ledger, upToBatchId = 1L)
+    assert(r2 == MaintenanceOps.CompactionReport(0, 0, 0L), r2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      ledger, "_graft_epoch=epoch1")))
+    val after = spark.read.parquet(ledger)
+      .filter(col("_graft_epoch") === "base")
+    assert(after.count() == 3L &&
+      after.agg(org.apache.spark.sql.functions.sum(col("_graft_n")))
+        .head().getLong(0) == 4L, "convergent: base unchanged by the re-run")
+  }
+
+  test("zorderValueN matches the round-robin model; the 2-ary case equals zorderValue") {
+    import org.apache.spark.sql.functions.col
+    def model(xs: Seq[Long], bits: Int): Long = {
+      val k = xs.length
+      (0 until bits).foldLeft(0L) { (z, i) =>
+        xs.zipWithIndex.foldLeft(z) { case (zz, (x, j)) =>
+          zz | (((x >> i) & 1L) << (i * k + j)) } }
+    }
+    val rows = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (255L, 255L, 255L), (170L, 85L, 204L)) ++
+      (1 to 50).map(i =>
+        ((i * 7919L) % 256, (i * 104729L) % 256, (i * 1299709L) % 256))
+    val got = rows.toDF("x", "y", "w")
+      .select(col("x"), col("y"), col("w"),
+        MaintenanceOps.zorderValueN(Seq(col("x"), col("y"), col("w")), 8).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    for ((x, y, w, z) <- got) {
+      assert(z == model(Seq(x, y, w), 8), s"($x, $y, $w)")
+      // Round-trip: position 3i+j carries bit i of column j.
+      val back = (0 until 3).map(j =>
+        (0 until 8).map(i => ((z >> (3 * i + j)) & 1L) << i).sum)
+      assert(back == Seq(x, y, w))
+    }
+    // k = 2 is bit-identical to the binary expression.
+    val pair = (1 to 30).map(i => ((i * 7919L) % 65536, (i * 104729L) % 65536))
+      .toDF("x", "y")
+      .select(
+        MaintenanceOps.zorderValue(col("x"), col("y"), 16).as("z2"),
+        MaintenanceOps.zorderValueN(Seq(col("x"), col("y")), 16).as("zn"))
+      .as[(Long, Long)].collect()
+    assert(pair.forall { case (z2, zn) => z2 == zn })
+    // A null key has no place on the curve.
+    val withNull = Seq((Some(1L), 2L), (None, 3L)).toDF("x", "y")
+      .select(MaintenanceOps.zorderValueN(Seq(col("x"), col("y")), 8).as("z"))
+      .collect()
+    assert(!withNull(0).isNullAt(0) && withNull(1).isNullAt(0))
+    // The bit budget must fit one long.
+    intercept[IllegalArgumentException](
+      graft.plans.BitInterleaveNExpr(Seq.fill(4)(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L)), 16))
+  }
+
+  test("zorderClusterN bounds every file's box in all THREE columns") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
+    val dir = Files.createTempDirectory("zordered3").resolve("t").toString
+    val grid = scala.util.Random.shuffle(
+      (for (a <- 0 until 32; b <- 0 until 32; c <- 0 until 32)
+        yield (a, b, c)).toVector).toDF("a", "b", "c")
+    // 64 files: each covers ~2^9 of the 2^15 z-range, pinning the top
+    // six z-bits = bits 4 and 3 of ALL THREE columns — an 8x8x8 block
+    // (16x16x16 for a range-boundary straddler), against a random
+    // layout's ~31-per-dimension span.
+    MaintenanceOps.zorderClusterN(grid, dir, Seq("a", "b", "c"),
+      bits = 5, nFiles = 64)
+    val boxes = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(fmin(col("a")).as("alo"), fmax(col("a")).as("ahi"),
+        fmin(col("b")).as("blo"), fmax(col("b")).as("bhi"),
+        fmin(col("c")).as("clo"), fmax(col("c")).as("chi"))
+      .as[(String, Int, Int, Int, Int, Int, Int)].collect()
+    assert(boxes.length == 64)
+    assert(spark.read.parquet(dir).count() == 32768L)
+    // Selective box predicate (every coordinate < 8 = 1/64 of the
+    // volume): under a random layout all 64 files intersect it.
+    val hit = boxes.count { case (_, alo, _, blo, _, clo, _) =>
+      alo <= 7 && blo <= 7 && clo <= 7 }
+    assert(hit <= 12, s"3-D box query should prune most files, hit $hit/64")
+    // Tight in EVERY dimension on average (random layout spans ~31).
+    for ((span, dim) <- Seq(
+        (boxes.map(b => b._3 - b._2), "a"),
+        (boxes.map(b => b._5 - b._4), "b"),
+        (boxes.map(b => b._7 - b._6), "c")))
+      assert(span.sum.toDouble / boxes.length <= 20.0,
+        s"mean $dim-span ${span.sum.toDouble / boxes.length}")
+  }
+
   test("zorderValue matches the bit-interleave model (codegen path)") {
     import org.apache.spark.sql.functions.col
     def model(x: Long, y: Long, bits: Int): Long =

@@ -163,6 +163,79 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Poll until `cond` holds. Processing-time timeouts/TTL make the
+    * micro-batch engine schedule batches unconditionally (timers may
+    * fire any time → `shouldRunAnotherBatch` is always true), so
+    * `noNewData` never latches and `processAllAvailable()` would block
+    * forever — timer-driven tests must poll observable effects instead. */
+  private def awaitUntil(what: String, deadlineMs: Long = 60000L)(
+      cond: => Boolean): Unit = {
+    val end = System.currentTimeMillis + deadlineMs
+    while (!cond && System.currentTimeMillis < end) Thread.sleep(50)
+    assert(cond, s"not observed within ${deadlineMs} ms: $what")
+  }
+
+  test("streaming funnel idle-timeout drops state; a late event restarts at stage 0") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.TypedFunnelEvent
+    val mem = MemoryStream[TypedFunnelEvent]
+    val q = StreamingOps.streamingFunnelStages(
+      mem.toDS(), Seq("view", "click", "purchase"),
+      idleTimeout = Some(java.time.Duration.ofMillis(300)))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_ttl_out").start()
+    def stages(uid: Long) = spark.table("funnel_ttl_out")
+      .as[StreamingOps.FunnelOut].collect()
+      .filter(_.user_id == uid).map(_.stage).sorted.toSeq
+    try {
+      // User 1 reaches stage 1 and the 300 ms idle clock starts.
+      mem.addData(TypedFunnelEvent(10L, ts(1), 1L, "view"))
+      awaitUntil("user 1 at stage 1")(stages(1L) == Seq(1))
+      // The engine keeps running timer batches; once user 1's timeout
+      // fires the state row is dropped — observable as numRowsTotal 0.
+      awaitUntil("idle state row dropped") {
+        val p = q.lastProgress
+        p != null && p.stateOperators.nonEmpty &&
+          p.stateOperators.map(_.numRowsTotal).sum == 0L
+      }
+      // User 1 returns with the SECOND funnel step. Had state survived
+      // this would advance to 2; expired state restarts the funnel, and
+      // "click" is not step 1, so the stage is 0.
+      mem.addData(TypedFunnelEvent(11L, ts(3), 1L, "click"))
+      awaitUntil("post-expiry restart at stage 0")(stages(1L) == Seq(0, 1))
+    } finally q.stop()
+  }
+
+  test("transformWithState per-variable TTL expires an idle profile") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.TypedEvent]
+    val q = StreamingOps.runningStats(
+      mem.toDS(), ttl = Some(java.time.Duration.ofMillis(300)))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("tws_ttl_out").start()
+    def stats() = spark.table("tws_ttl_out")
+      .as[StreamingOps.UserStats].collect().toSet
+    try {
+      mem.addData(
+        StreamingOps.TypedEvent(1L, "a", 1.0),
+        StreamingOps.TypedEvent(1L, "b", 5.0))
+      awaitUntil("pre-expiry profile (2 events, 2 types, max 5.0)")(
+        stats().contains(StreamingOps.UserStats(1L, 2L, 2, 5.0)))
+      // Let all three state variables (count, type map, max) pass their
+      // TTL, then send one more event: it must read absent state and
+      // start a fresh profile — n_events 1 (not 3), one type (not
+      // three), max 3.0 (not 5.0).
+      Thread.sleep(800)
+      mem.addData(StreamingOps.TypedEvent(1L, "c", 3.0))
+      awaitUntil("post-expiry profile restarts fresh") {
+        val s = stats()
+        assert(!s.contains(StreamingOps.UserStats(1L, 3L, 3, 5.0)),
+          s"TTL did not expire the profile: $s")
+        s.contains(StreamingOps.UserStats(1L, 1L, 1, 3.0))
+      }
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches pairs within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[(Long, Long, Timestamp)]
