@@ -47,4 +47,57 @@ object GateOps {
     df.join(broadcast(thresholds), Seq(groupCol))
       .filter(v >= col("gate_threshold"))
   }
+
+  /** Per-group PERCENTILE NORMALIZATION: attach each row's percent rank
+    * within its group — `pct_rank = |{rows in group with strictly
+    * smaller value}| / (group size − 1)`, the SQL `percent_rank()`
+    * definition (0 for a single-row group). The calibration step a
+    * heterogeneous corpus needs BEFORE any cross-source threshold: raw
+    * quality scores from different sources live on different scales
+    * (an encyclopedic source's median length would be a short-form
+    * source's 99th percentile), but each row's within-source percentile
+    * is scale-free, so one global cut on `pct_rank` takes the same
+    * FRACTION from every source. [[groupQuantileGate]] is the
+    * one-threshold special case; this emits the whole calibrated score,
+    * reusable across downstream mixing/gating decisions.
+    *
+    * Scale shape — deliberately NOT `percent_rank().over(Window
+    * .partitionBy(group).orderBy(value))`, which funnels each group
+    * through ONE task and sorts it there (the E76 window hazard; a
+    * 10 TB source = one executor's death): aggregate per (group, value)
+    * counts — the frame is DISTINCT-VALUE-sized, not row-sized — run
+    * the cumulative "strictly below" sum over that small frame, and
+    * broadcast it back onto the rows as an equi-join. Contract: the
+    * caller bounds the distinct values per group (integer scores, or
+    * rounded doubles) — the value table must stay maintenance-sized,
+    * which is what makes the window-over-counts harmless. The division
+    * is two exact integers in IEEE double (deterministic on any
+    * engine); the result is rounded to 6 dp on both sides of the
+    * oracle. */
+  def percentileNormalize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol)
+    val counts = df.groupBy(col(groupCol), v.as("_pn_v"))
+      .agg(count(lit(1)).as("_pn_n"))
+    // Cumulative strictly-below count + group total, both over the
+    // distinct-value frame (small by contract).
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_pn_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col(groupCol))
+    val ranks = counts
+      .withColumn("_pn_below", coalesce(sum(col("_pn_n")).over(w), lit(0L)))
+      .withColumn("_pn_tot", sum(col("_pn_n")).over(wTot))
+      .select(col(groupCol).as("_pn_g"), col("_pn_v"),
+        col("_pn_below"), col("_pn_tot"))
+    df.join(broadcast(ranks),
+        col(groupCol) === col("_pn_g") && v === col("_pn_v"))
+      .drop("_pn_g", "_pn_v")
+      .withColumn("pct_rank",
+        when(col("_pn_tot") === 1L, lit(0.0)).otherwise(
+          round(col("_pn_below").cast("double") / (col("_pn_tot") - 1L), 6)))
+      .drop("_pn_below", "_pn_tot")
+  }
 }

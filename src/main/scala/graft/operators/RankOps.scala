@@ -216,6 +216,75 @@ object RankOps {
     out
   }
 
+  /** BATCH BM25: a whole TABLE of queries — `(query_id, term)` rows —
+    * scored against the corpus in ONE corpus pass, returning each
+    * query's top-`topN` documents. The per-query [[bm25]] re-pays the
+    * corpus token explode on every call; a retrieval-evaluation or
+    * query-log workload of Q queries must not cost Q corpus scans.
+    *
+    * Plan shape (the whole point): the query table is workload-sized —
+    * broadcast by contract — so (1) its distinct terms prune the
+    * exploded tokens with a broadcast semi-join BEFORE the tf shuffle
+    * (rows surviving the explode ∝ matched terms, independent of Q);
+    * (2) df/avgdl derive from the pruned tf exactly as in [[bm25]];
+    * (3) fan-out to queries is a broadcast equi-join on the term —
+    * each (doc, term) row duplicates only per query CONTAINING that
+    * term; (4) the per-query cut is the bounded-buffer grouped top-k
+    * (E76), never a window sort over whole queries' score lists.
+    * Same determinism contract as [[bm25]]: scores rounded 4 dp, rank
+    * ties broken by doc id; repeated (query_id, term) pairs are
+    * deduplicated (set semantics, matching the Seq-based variants).
+    *
+    * Output: one row per (query_id, rank, doc, score), rank 1-based. */
+  def bm25Batch(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queries: DataFrame,
+      queryIdCol: String = "query_id",
+      termCol: String = "term",
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topN: Int = 100): DataFrame = {
+    require(topN >= 1, s"topN out of range: $topN")
+    val q = queries.select(col(queryIdCol), col(termCol).as("token"))
+      .distinct().persist()
+    val qTerms = q.select(col("token")).distinct()
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(tokens(col(textCol)))).as("avgdl"))
+    // The explode-then-semi-join prune: unlike the literal `isin` of the
+    // Seq variants (a grouping-key predicate Catalyst pushes below the
+    // tf aggregation), a join can't sink through the groupBy on its own
+    // — so build tf with the prune placed explicitly between the explode
+    // and the shuffle. Broadcast: the query table is workload-sized.
+    val tf = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), size(col("toks")).as("dl"),
+        explode(col("toks")).as("token"))
+      .join(broadcast(qTerms), Seq("token"), "left_semi")
+      .groupBy(col(idCol), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    tf.count()
+    val df = dfFromTf(tf)
+    val idf: Column = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val termScore: Column =
+      idf * (col("tf") * (lit(k1) + lit(1.0))) /
+        (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(q), Seq("token"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(termScore), 4).as("score"))
+    val out = TopKOps.groupedTopK(scored, queryIdCol, "score", idCol, topN)
+      .localCheckpoint(true)
+    tf.unpersist(); q.unpersist()
+    out
+  }
+
   /** Exact-phrase retrieval: documents containing the token sequence
     * `phrase` verbatim, with the (overlap-counted) occurrence count.
     * The phrase of length n IS an n-gram shingle, so matching is the

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Frequent-items ("heavy hitters") sketching — Misra–Gries summaries
+  * (Misra & Gries 1982; merge rule from Agarwal et al., "Mergeable
+  * Summaries", PODS 2012 — both public). SURVEY §2.3 extension surface:
+  * corpus profiling at 100 TB (reference scope per
+  * `Etl_data_pipeline/README.md:1-40` — the reference moves tables and
+  * leaves profiling to downstream SQL; here it is a first-class
+  * operator).
+  *
+  * The problem shape: "which tokens/domains/ids dominate this corpus"
+  * over a column whose distinct-value count is itself corpus-scale
+  * (URLs, user ids, shingles). The exact answer (`groupBy(x).count()`)
+  * shuffles one row per DISTINCT value — at 10^11 distinct keys that is
+  * a corpus-sized exchange for a 10-row question. A Misra–Gries summary
+  * is a FIXED-size state (`capacity` counters) that:
+  *
+  *   - is associative + commutative under the PODS-2012 merge (sum
+  *     counters, keep the top `capacity`, subtract the (capacity+1)-th
+  *     largest from the survivors), so Spark computes it map-side
+  *     (partial ObjectHashAggregate, the E76 discipline) and the shuffle
+  *     carries ONE `capacity`-entry map per map partition — constant,
+  *     never distinct-count-sized;
+  *   - UNDERCOUNTS only, by a bounded amount: every estimate `est`
+  *     satisfies `est ≤ true ≤ est + err_max`, where `err_max` is the
+  *     total decrement mass the sketch itself tracked (≤ n/(capacity+1)
+  *     by the classic analysis, and reported exactly, not as the bound);
+  *     any value with true count > err_max is guaranteed PRESENT.
+  *
+  * `err_max` rides the output on purpose: a profiling answer without its
+  * error bar invites silent misuse, and when `capacity` exceeds the true
+  * distinct count the sketch never decrements, `err_max` is 0, and the
+  * result is bit-exact — which is what lets q153 pin this operator to
+  * the exact DuckDB oracle at fixture scale while SketchOpsSpec drives
+  * the lossy regime against exact counts.
+  */
+object SketchOps {
+
+  /** The sketch state: value → counter (size ≤ capacity), plus the total
+    * decrement mass applied so far (the exact per-key undercount bound).
+    * A product type keeps the buffer ObjectHashAggregate-friendly. */
+  final case class MGBuf(counts: Map[String, Long], decremented: Long)
+
+  final case class MisraGries(capacity: Int)
+      extends Aggregator[String, MGBuf, MGBuf] {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+
+    override def zero: MGBuf = MGBuf(Map.empty, 0L)
+
+    override def reduce(b: MGBuf, x: String): MGBuf =
+      b.counts.get(x) match {
+        case Some(c) => MGBuf(b.counts.updated(x, c + 1L), b.decremented)
+        case None if b.counts.size < capacity =>
+          MGBuf(b.counts.updated(x, 1L), b.decremented)
+        case None =>
+          // Full and unseen: the classic decrement-all step — the new
+          // item and one unit of every counter annihilate. O(capacity),
+          // amortized O(1) per decremented unit.
+          MGBuf(
+            b.counts.iterator
+              .collect { case (k, c) if c > 1L => (k, c - 1L) }
+              .toMap,
+            b.decremented + 1L)
+      }
+
+    override def merge(a: MGBuf, b: MGBuf): MGBuf = {
+      val summed = b.counts.foldLeft(a.counts) { case (m, (k, c)) =>
+        m.updated(k, m.getOrElse(k, 0L) + c)
+      }
+      if (summed.size <= capacity) MGBuf(summed, a.decremented + b.decremented)
+      else {
+        // Mergeable-summaries rule: subtract the (capacity+1)-th largest
+        // counter from everything; at most `capacity` survive positive.
+        // Deterministic regardless of map order — the subtrahend is a
+        // rank statistic of the counter multiset.
+        val d = summed.valuesIterator.toArray.sortBy(-_).apply(capacity)
+        MGBuf(
+          summed.iterator
+            .collect { case (k, c) if c > d => (k, c - d) }
+            .toMap,
+          a.decremented + b.decremented + d)
+      }
+    }
+
+    override def finish(b: MGBuf): MGBuf = b
+
+    override def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+    override def outputEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+  }
+
+  /** The aggregate column form, usable inside any `groupBy(...).agg`. */
+  def misraGries(capacity: Int)(value: Column): Column =
+    udaf(MisraGries(capacity), Encoders.STRING)(value.cast("string"))
+
+  /** Whole-operator form: top-`k` most frequent values of `valueCol`
+    * with their estimated counts and the sketch's exact error mass —
+    * one row per (value, est, err_max), ranked (est desc, value asc).
+    *
+    * Plan: explode-free single aggregation over the column (the caller
+    * explodes arrays first if profiling array elements); the shuffle
+    * carries one `capacity`-sized map per map partition, the reducer
+    * merges them, and the top-k cut happens on the ≤ `capacity`-entry
+    * result — no distinct-value-sized state anywhere.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      valueCol: String,
+      capacity: Int,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.agg(misraGries(capacity)(col(valueCol)).as("_mg"))
+      .select(explode(col("_mg.counts")).as(Seq("value", "est")),
+        col("_mg.decremented").as("err_max"))
+      .orderBy(col("est").desc, col("value"))
+      .limit(k)
+  }
+
+  /** [[heavyHitters]] over the corpus's token stream — the "which tokens
+    * dominate" profile q153 pins. */
+  def heavyHitterTokens(
+      docs: DataFrame,
+      textCol: String,
+      capacity: Int,
+      k: Int): DataFrame =
+    heavyHitters(
+      docs.select(explode(tokens(col(textCol))).as("token")),
+      "token", capacity, k)
+}

@@ -415,7 +415,19 @@ object OpsQueries {
           sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
           sum(graft.functions.TextFunctions.charHash(col("text"))).as("sum_fp"))
-    })
+    }),
+
+    // E137 per-source percentile normalization (round 12): each doc's
+    // within-source percent rank of its length — the scale-free
+    // calibration a cross-source threshold needs (E93 is the
+    // one-threshold special case). The plan is counts-then-broadcast,
+    // never percent_rank() over row-sized windows (one task per source
+    // at 100 TB); n_chars is integral so the distinct-value frame is
+    // bounded and the rank division is exact-integer IEEE.
+    "q154_source_pct_rank" -> ((s, dir) =>
+      graft.operators.GateOps.percentileNormalize(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -684,6 +696,14 @@ object OpsQueries {
                  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                  min(doc_id) AS min_id, max(doc_id) AS max_id,
                  CAST(sum(${charHashSql("text")}) AS BIGINT) AS sum_fp
-          FROM documents GROUP BY source"""
+          FROM documents GROUP BY source""",
+    // percent_rank() is (rank-1)/(n-1) with rank = 1 + |strictly
+    // below| — the same exact-integer division the Spark side computes
+    // from the counts frame; rounded 6 dp on both sides.
+    "q154_source_pct_rank" ->
+      """SELECT doc_id, source, n_chars,
+                round(percent_rank() OVER (
+                  PARTITION BY source ORDER BY n_chars), 6) AS pct_rank
+         FROM documents"""
   )
 }

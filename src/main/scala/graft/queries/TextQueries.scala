@@ -621,6 +621,30 @@ object TextQueries {
       graft.operators.RankOps.classTfidf(
         t(s, dir, "documents"), "text", "source", k = 5)),
 
+    // E135 BATCH BM25 (round 12): a query TABLE scored in ONE corpus
+    // pass — Q queries must not cost Q corpus explodes. Three queries
+    // sharing a term ('scan') pin the fan-out join; per-query top-10.
+    "q152_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (1L, "scan"), (1L, "merge"), (1L, "window"),
+        (2L, "stream"), (2L, "filter"),
+        (3L, "join"), (3L, "hash"), (3L, "scan"))
+        .toDF("query_id", "term")
+      graft.operators.RankOps.bm25Batch(
+        t(s, dir, "documents"), "text", "doc_id", qs, topN = 10)
+    }),
+
+    // E136 heavy hitters (round 12): Misra–Gries frequent-items sketch
+    // — fixed-memory map-side state, mergeable, undercount bounded by
+    // the reported err_max. Capacity 64 exceeds this fixture's 31-token
+    // vocab, so the sketch never decrements: est is EXACT and err_max
+    // is 0, which is precisely what the oracle pins (the lossy regime
+    // is driven against exact counts in SketchOpsSpec).
+    "q153_heavy_hitters" -> ((s, dir) =>
+      graft.operators.SketchOps.heavyHitterTokens(
+        t(s, dir, "documents"), "text", capacity = 64, k = 10)),
+
     // E134 codepoint text tier (round 12): the dedup primitives on
     // Unicode-correct semantics — codepoint hash folds (astral chars are
     // ONE codepoint, not two UTF-16 units) and tokenization on the full
@@ -1474,6 +1498,45 @@ object TextQueries {
                      ORDER BY score DESC, token) AS rn
             FROM sc)
           WHERE rn <= 5""",
+    // Batch BM25: the q131 arithmetic with the query table as a VALUES
+    // CTE; df derives from the pruned tf (one row per doc,token) exactly
+    // as the Spark side does. Rank restated as the per-query row_number
+    // (score desc, doc_id asc) — the q89 grouped-top-k discipline.
+    "q152_bm25_batch" ->
+      s"""WITH q(query_id, token) AS (VALUES
+            (1, 'scan'), (1, 'merge'), (1, 'window'),
+            (2, 'stream'), (2, 'filter'),
+            (3, 'join'), (3, 'hash'), (3, 'scan')),
+          t AS (SELECT doc_id, $TokSql AS toks FROM documents),
+          ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM t),
+          tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM ex
+                 WHERE token IN (SELECT token FROM q)
+                 GROUP BY doc_id, dl, token),
+          df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+          s AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+          sc AS (SELECT q.query_id, tf.doc_id,
+                   round(sum(
+                     ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                     * (tf.tf * (1.2 + 1.0))
+                     / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / s.avgdl))), 4)
+                     AS score
+                 FROM tf JOIN q USING (token) JOIN df USING (token), s
+                 GROUP BY q.query_id, tf.doc_id)
+          SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+                 doc_id, score
+          FROM (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, doc_id) AS rank
+                FROM sc)
+          WHERE rank <= 10""",
+    // Heavy hitters at capacity > vocab: the sketch is exact and its
+    // tracked error mass is zero — both pinned literally.
+    "q153_heavy_hitters" ->
+      s"""SELECT token AS value, count(*) AS est, CAST(0 AS BIGINT) AS err_max
+          FROM (SELECT unnest($TokSql) AS token FROM documents)
+          GROUP BY token
+          ORDER BY est DESC, value
+          LIMIT 10""",
     // PMI over bigram instances; numerator/denominator cast to double
     // BEFORE multiplying, same as the Spark side (overflow discipline).
     "q140_pmi_collocations" ->

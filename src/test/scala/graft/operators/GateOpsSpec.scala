@@ -81,4 +81,58 @@ class GateOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       GateOps.groupQuantileGate(df, "g", "v", q = 0.5, approxAccuracy = Some(0)))
   }
+
+  test("percentileNormalize matches percent_rank semantics, ties and all") {
+    val rows = Seq(
+      // group a: 1,2,2,4 — percent_rank 0, 1/3, 1/3, 1
+      ("a", 1L, 10L), ("a", 2L, 11L), ("a", 2L, 12L), ("a", 4L, 13L),
+      // group b: all equal — every row 0
+      ("b", 5L, 20L), ("b", 5L, 21L), ("b", 5L, 22L),
+      // group c: single row — defined as 0, never 0/0
+      ("c", 9L, 30L))
+      .toDF("g", "v", "id")
+    val got = GateOps.percentileNormalize(rows, "g", "v")
+      .select($"id", $"pct_rank")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(
+      10L -> 0.0, 11L -> 0.333333, 12L -> 0.333333, 13L -> 1.0,
+      20L -> 0.0, 21L -> 0.0, 22L -> 0.0,
+      30L -> 0.0))
+    // Agreement with the engine's own percent_rank window (the semantics
+    // source of truth), on data where rounding can't mask a mismatch.
+    val viaWindow = rows.withColumn("pr", round(percent_rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"v")), 6))
+      .select($"id", $"pr")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == viaWindow)
+  }
+
+  test("percentileNormalize never plans a row-sized window: counts frame + broadcast back") {
+    // AQE's plan wrapper hides children from collect — read the static
+    // plan (same discipline as the shuffle gate above).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try {
+      val rows = (1L to 400L).map(i => (s"s${i % 4}", i % 37, i)).toDF("g", "v", "id")
+      GateOps.percentileNormalize(rows, "g", "v").queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // The window is allowed — but only OVER THE COUNTS AGGREGATION
+    // (distinct-value-sized), never directly over the input rows: every
+    // WindowExec in the plan must have an aggregate below it.
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "expected the cumulative sum over the counts frame")
+    windows.foreach { w =>
+      val hasAggBelow = w.find {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+        case _ => false
+      }.isDefined
+      assert(hasAggBelow,
+        s"WindowExec without an aggregation below it — a row-sized window:\n$w")
+    }
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      "the ranks frame must apply back as a broadcast join")
+  }
 }

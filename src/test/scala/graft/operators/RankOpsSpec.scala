@@ -123,6 +123,81 @@ class RankOpsSpec extends AnyFunSuite {
     assert(dup == Set(1L, 4L))
   }
 
+  test("bm25Batch: each query's slice equals the per-query bm25 run") {
+    val d = docs(
+      1L -> "alpha beta gamma delta",
+      2L -> "beta beta beta gamma",
+      3L -> "alpha alpha delta",
+      4L -> "gamma delta epsilon",
+      5L -> "epsilon epsilon alpha beta")
+    val qs = Seq(
+      (10L, "alpha"), (10L, "beta"),
+      (20L, "gamma"),
+      (30L, "beta"), (30L, "delta"), (30L, "epsilon"),
+      // Repeated pair: set semantics, must not double-score.
+      (30L, "beta"),
+      // A term absent from the corpus contributes nothing.
+      (40L, "zeta"))
+      .toDF("query_id", "term")
+    val got = RankOps.bm25Batch(d, "text", "doc_id", qs, topN = 3)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq).toMap
+    val expected = Map(
+      10L -> Seq("alpha", "beta"),
+      20L -> Seq("gamma"),
+      30L -> Seq("beta", "delta", "epsilon")).map { case (qid, terms) =>
+      qid -> RankOps.bm25(d, "text", "doc_id", terms, topN = 3)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i + 1, r.getLong(0), r.getDouble(1)) }.toSeq
+    }
+    assert(got == expected,
+      s"batch result diverged from the per-query runs:\n$got\nvs\n$expected")
+    // The all-unmatched query yields no rows rather than empty scores.
+    assert(!got.contains(40L))
+  }
+
+  test("bm25Batch shares ONE corpus explode across all queries") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // File-backed input: a LocalTableScan reports no inputMetrics, so
+    // the one-pass accounting needs a real source.
+    val dir = java.nio.file.Files.createTempDirectory("bm25batch").resolve("d")
+    docs((1L to 200L).map(i =>
+      i -> s"alpha beta gamma token$i filler$i"): _*)
+      .write.parquet(dir.toString)
+    val d = spark.read.parquet(dir.toString)
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          records.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    def settle(): Long = {
+      var last = -1L; var stable = 0; var polls = 0
+      while (stable < 3 && polls < 100) {
+        Thread.sleep(100); polls += 1
+        val cur = records.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      records.get()
+    }
+    val qs = (1 to 8).map(q => (q.toLong, if (q % 2 == 0) "alpha" else "beta"))
+      .toDF("query_id", "term")
+    spark.sparkContext.addSparkListener(listener)
+    val cost =
+      try { RankOps.bm25Batch(d, "text", "doc_id", qs).count(); settle() }
+      finally spark.sparkContext.removeSparkListener(listener)
+    records.set(0L)
+    spark.sparkContext.addSparkListener(listener)
+    val one =
+      try { RankOps.bm25(d, "text", "doc_id", Seq("alpha")).count(); settle() }
+      finally spark.sparkContext.removeSparkListener(listener)
+    // 8 queries for less than the cost of 3 single-term runs — the
+    // corpus explode is paid once, only the workload-sized fan-out grows.
+    assert(cost < one * 3,
+      s"batch of 8 read $cost records vs $one for one query — not one pass")
+  }
+
   test("phraseMatch finds the verbatim sequence only, overlap-counted") {
     val d = docs(
       1L -> "sort merge join pad",          // 1 hit
@@ -188,6 +263,9 @@ class RankOpsSpec extends AnyFunSuite {
         { RankOps.conjunctiveBm25(d, "text", "doc_id", Seq("beta")); () }),
       "pmiCollocations" -> (() => { RankOps.pmiCollocations(d, "text", 1, 5); () }),
       "bigramLmScore" -> (() => { RankOps.bigramLmScore(d, "text", "doc_id"); () }),
+      "bm25Batch" -> (() => {
+        RankOps.bm25Batch(d, "text", "doc_id",
+          Seq((1L, "beta")).toDF("query_id", "term")); () }),
       "classTfidf" -> (() => {
         RankOps.classTfidf(
           Seq(("s1", "alpha beta"), ("s2", "gamma beta")).toDF("src", "text"),

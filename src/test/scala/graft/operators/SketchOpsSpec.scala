@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E136 Misra–Gries heavy hitters: exact when capacity exceeds the true
+  * distinct count (q153's oracle regime), and in the lossy regime the
+  * classic guarantees hold against exact counts — undercount only,
+  * bounded by the REPORTED error mass (itself ≤ n/(capacity+1)), every
+  * sufficiently-frequent value present — under any partitioning (the
+  * mergeable-summaries property the map-side partial aggregation
+  * relies on). */
+class SketchOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic zipf-ish stream: value v_k appears ~n/k times. */
+  private def skewed(nDistinct: Int, base: Int): Seq[String] =
+    (1 to nDistinct).flatMap(k => Seq.fill(base / k)(f"v$k%03d"))
+
+  test("capacity above the distinct count: exact counts, zero error mass") {
+    val data = skewed(nDistinct = 20, base = 600)
+    val truth = data.groupBy(identity).map { case (v, xs) => (v, xs.size.toLong) }
+    val got = SketchOps
+      .heavyHitters(data.toDF("v").repartition(7), "v", capacity = 32, k = 20)
+      .as[(String, Long, Long)].collect()
+    assert(got.forall(_._3 == 0L), "no decrement may fire below capacity")
+    assert(got.map(r => r._1 -> r._2).toMap == truth)
+    // Ranked (est desc, value asc).
+    assert(got.sortBy(r => (-r._2, r._1)).toSeq == got.toSeq)
+  }
+
+  test("lossy regime: undercount-only within the reported mass; heavy values present") {
+    val data = skewed(nDistinct = 120, base = 2400)
+    val n = data.size.toLong
+    val truth = data.groupBy(identity)
+      .map { case (v, xs) => (v, xs.size.toLong) }
+    val capacity = 8
+    for (parts <- Seq(1, 13)) {
+      val got = SketchOps
+        .heavyHitters(data.toDF("v").repartition(parts), "v",
+          capacity = capacity, k = capacity)
+        .as[(String, Long, Long)].collect()
+      assert(got.nonEmpty)
+      val errMax = got.head._3
+      assert(got.forall(_._3 == errMax), "one sketch, one error mass")
+      // Mergeable-summaries bound: total decrement mass ≤ n/(capacity+1).
+      assert(errMax <= n / (capacity + 1),
+        s"error mass $errMax exceeds n/(capacity+1) = ${n / (capacity + 1)} @ $parts parts")
+      // Undercount only, within the reported mass.
+      got.foreach { case (v, est, _) =>
+        val t = truth(v)
+        assert(est <= t, s"$v overcounted: est $est > true $t @ $parts parts")
+        assert(t <= est + errMax,
+          s"$v undercounted past the bound: true $t > $est + $errMax @ $parts parts")
+      }
+      // Guarantee: any value more frequent than the error mass survives.
+      val kept = got.map(_._1).toSet
+      truth.foreach { case (v, t) =>
+        if (t > errMax) assert(kept.contains(v),
+          s"heavy value $v (true $t > err $errMax) missing @ $parts parts")
+      }
+    }
+  }
+
+  test("the aggregation is partial: shuffle carries sketches, not values") {
+    // AQE's plan wrapper hides children from collect — the gate reads
+    // the static plan (same discipline as the other plan gates).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try {
+      val df = (1 to 5000).map(i => s"v${i % 50}").toDF("v").repartition(8)
+      df.agg(SketchOps.misraGries(16)(col("v"))).queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(aggs.size >= 2,
+      s"expected partial + final aggregation (map-side sketches), got:\n$plan")
+  }
+
+  test("capacity must be positive") {
+    intercept[IllegalArgumentException](SketchOps.MisraGries(0))
+    intercept[IllegalArgumentException](
+      SketchOps.heavyHitters(Seq("a").toDF("v"), "v", capacity = 4, k = 0))
+  }
+}
