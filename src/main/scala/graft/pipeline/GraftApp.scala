@@ -67,16 +67,19 @@ object GraftApp {
       deleteIds: Option[Seq[Long]] = None,
       auditDir: Option[String] = None,
       corpusDir: Option[String] = None,
-      zorderCols: Option[(String, String)] = None,
+      zorderCols: Option[Seq[String]] = None,
       zBits: Int = 16,
       zFiles: Int = 64,
       outDir: Option[String] = None,
       exactNeardup: Boolean = false,
-      tau: Double = 0.8)
+      tau: Double = 0.8,
+      heavyHitters: Option[String] = None,
+      capacity: Int = 4096,
+      tokenize: Boolean = false)
 
   /** Valueless flags (presence = true). */
   private val boolFlags = Set("strict", "stream", "compact-ledger", "fold-epochs",
-    "export-shards", "verify-export", "scrub-spans", "exact-neardup")
+    "export-shards", "verify-export", "scrub-spans", "exact-neardup", "tokenize")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -109,8 +112,9 @@ object GraftApp {
           "[--scrub-spans [--span-tokens N] [--min-docs N]] | " +
           "[--epoch-shuffle E] | " +
           "[--delete-ids i,j,… --corpus-dir P --audit-dir P] | " +
-          "[--zorder colX,colY --corpus-dir P --out-dir P [--z-bits N] [--z-files N]] | " +
-          "[--exact-neardup --corpus-dir P --out-dir P [--tau X] [--text-col C] [--id-col C]]")
+          "[--zorder c1,c2[,…c6] --corpus-dir P --out-dir P [--z-bits N] [--z-files N]] | " +
+          "[--exact-neardup --corpus-dir P --out-dir P [--tau X] [--text-col C] [--id-col C]] | " +
+          "[--heavy-hitters COL --corpus-dir P --out-dir P [--capacity N] [--k N] [--tokenize]]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
       "ledger", "checkpoint", "text-col", "id-col",
@@ -118,7 +122,8 @@ object GraftApp {
       "export-dir", "content-cols", "shards", "seed",
       "span-tokens", "min-docs", "epoch-shuffle",
       "delete-ids", "audit-dir", "corpus-dir",
-      "zorder", "z-bits", "z-files", "out-dir", "tau") ++ boolFlags
+      "zorder", "z-bits", "z-files", "out-dir", "tau",
+      "heavy-hitters", "capacity") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
     if (unknown.nonEmpty)
@@ -172,17 +177,20 @@ object GraftApp {
       auditDir = flags.get("audit-dir"),
       corpusDir = flags.get("corpus-dir"),
       zorderCols = flags.get("zorder").map { v =>
-        v.split(",").map(_.trim).filter(_.nonEmpty) match {
-          case Array(x, y) => (x, y)
-          case _ => throw new IllegalArgumentException(
-            s"--zorder wants exactly two columns (colX,colY), got: $v")
-        }
+        val cols = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (cols.size < 2 || cols.size > 6)
+          throw new IllegalArgumentException(
+            s"--zorder wants 2..6 columns, got ${cols.size}: $v")
+        cols
       },
       zBits = flags.get("z-bits").map(_.toInt).getOrElse(16),
       zFiles = flags.get("z-files").map(_.toInt).getOrElse(64),
       outDir = flags.get("out-dir"),
       exactNeardup = flags.contains("exact-neardup"),
-      tau = flags.get("tau").map(_.toDouble).getOrElse(0.8))
+      tau = flags.get("tau").map(_.toDouble).getOrElse(0.8),
+      heavyHitters = flags.get("heavy-hitters"),
+      capacity = flags.get("capacity").map(_.toInt).getOrElse(4096),
+      tokenize = flags.contains("tokenize"))
   }
 
   /** Testable core; returns the process exit code. */
@@ -312,10 +320,37 @@ object GraftApp {
         throw new IllegalArgumentException("--zorder requires --corpus-dir P"))
       val outd = a.outDir.getOrElse(
         throw new IllegalArgumentException("--zorder requires --out-dir P"))
-      val (cx, cy) = a.zorderCols.get
-      graft.operators.MaintenanceOps.zorderCluster(
-        spark.read.parquet(dir), outd, cx, cy, a.zBits, a.zFiles)
-      out(s"ZORDER_ cols=$cx,$cy bits=${a.zBits} files=${a.zFiles} out=$outd")
+      val cols = a.zorderCols.get
+      graft.operators.MaintenanceOps.zorderClusterN(
+        spark.read.parquet(dir), outd, cols, a.zBits, a.zFiles)
+      out(s"ZORDER_ cols=${cols.mkString(",")} bits=${a.zBits} " +
+        s"files=${a.zFiles} out=$outd")
+      return 0
+    }
+
+    // Profiling mode: heavy-hitter report (E136) — the top-k dominating
+    // values (or tokens, with --tokenize) of a column, Misra–Gries
+    // fixed-memory sketch, the exact error mass on every row. Writes the
+    // (value, est, err_max) parquet to a NEW directory and says the
+    // error out loud: est ≤ true ≤ est + err_max.
+    if (a.heavyHitters.isDefined) {
+      val colName = a.heavyHitters.get
+      val dir = a.corpusDir.getOrElse(
+        throw new IllegalArgumentException("--heavy-hitters requires --corpus-dir P"))
+      val outd = a.outDir.getOrElse(
+        throw new IllegalArgumentException("--heavy-hitters requires --out-dir P"))
+      val corpus = spark.read.parquet(dir)
+      val hits = (if (a.tokenize)
+        graft.operators.SketchOps.heavyHitterTokens(corpus, colName, a.capacity, a.k)
+      else
+        graft.operators.SketchOps.heavyHitters(corpus, colName, a.capacity, a.k))
+        .localCheckpoint(true)
+      hits.write.mode(SaveMode.Overwrite).parquet(outd)
+      // An empty corpus explodes to zero rows — report err 0, not a crash.
+      val err = hits.select("err_max").take(1).headOption
+        .map(_.getLong(0)).getOrElse(0L)
+      out(s"HEAVY_HITTERS_ col=$colName tokenize=${a.tokenize} " +
+        s"capacity=${a.capacity} k=${a.k} err_max=$err out=$outd")
       return 0
     }
 

@@ -310,11 +310,57 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
     assert(spark.read.parquet(zout).count() == 48L)
     assert(spark.read.parquet(zout).columns.toSet == Set("doc_id", "k", "text"))
 
+    // N-ary layout: three cluster keys through the same mode.
+    val zout3 = s"$root/zordered3"
+    val (c3, l3) = cli("--zorder", "doc_id,k,doc_id",
+      "--corpus-dir", corpus, "--out-dir", zout3, "--z-bits", "5", "--z-files", "4")
+    assert(c3 == 0 && l3.exists(_.startsWith("ZORDER_ cols=doc_id,k,doc_id bits=5")), l3)
+    assert(spark.read.parquet(zout3).count() == 48L)
+
     // Missing required dirs refuse loudly.
     intercept[IllegalArgumentException](cli("--delete-ids", "1"))
     intercept[IllegalArgumentException](cli("--zorder", "doc_id,k", "--corpus-dir", corpus))
     intercept[IllegalArgumentException](
       GraftApp.parseArgs(Seq("dev", "corpus", "--zorder", "onlyone")))
+    intercept[IllegalArgumentException](
+      GraftApp.parseArgs(Seq("dev", "corpus", "--zorder", "a,b,c,d,e,f,g")))
+  }
+
+  test("--heavy-hitters writes the top-k report with its error mass") {
+    val root = Files.createTempDirectory("hh_cli")
+    val corpus = s"$root/docs"
+    ((1 to 60).map(i => (i.toLong, "alpha beta")) ++
+      (61 to 70).map(i => (i.toLong, "beta gamma")))
+      .toDF("doc_id", "text")
+      .repartition(3).write.mode(SaveMode.Overwrite).parquet(corpus)
+
+    def cli(extra: String*): (Int, Seq[String]) = {
+      val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val code = GraftApp.run(GraftApp.parseArgs(Seq("dev", "corpus") ++ extra),
+        spark, getenv = _ => None, out = outs.append(_), log = _ => ())
+      (code, outs.toSeq)
+    }
+
+    // Token profile: capacity above the 3-token vocab → exact, err 0.
+    val outd = s"$root/hits"
+    val (c, l) = cli("--heavy-hitters", "text", "--tokenize",
+      "--corpus-dir", corpus, "--out-dir", outd, "--capacity", "16", "--k", "2")
+    assert(c == 0, l.mkString("; "))
+    assert(l.exists(_.startsWith(
+      "HEAVY_HITTERS_ col=text tokenize=true capacity=16 k=2 err_max=0")), l)
+    val got = spark.read.parquet(outd)
+      .select($"value", $"est").as[(String, Long)].collect().toSet
+    assert(got == Set(("beta", 70L), ("alpha", 60L)))
+
+    // Column-value profile (no tokenize): whole strings are the values.
+    val outv = s"$root/hitsv"
+    val (cv, lv) = cli("--heavy-hitters", "text",
+      "--corpus-dir", corpus, "--out-dir", outv, "--k", "1")
+    assert(cv == 0, lv.mkString("; "))
+    assert(spark.read.parquet(outv).select($"value", $"est")
+      .as[(String, Long)].collect().toSeq == Seq(("alpha beta", 60L)))
+
+    intercept[IllegalArgumentException](cli("--heavy-hitters", "text"))
   }
 
   test("--exact-neardup writes the provably-complete pair report") {
