@@ -550,6 +550,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] q151 orc prewarm failed: ${e.getMessage}")
       }
+    if (selected.exists(_._1.startsWith("q155")))
+      try queries.OpsQueries.ensureQ155Ledger(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] q155 ledger prewarm failed: ${e.getMessage}")
+      }
     // Reference medians from the COMMITTED detail file (last round's run at
     // the same scale), read BEFORE this run overwrites it — the outlier
     // triage baseline.

@@ -130,4 +130,137 @@ object SketchOps {
     heavyHitters(
       docs.select(explode(tokens(col(textCol))).as("token")),
       "token", capacity, k)
+
+  /** [[incrementalHeavyHitters]]' two-step result — the same
+    * write-then-commit protocol as every ledger operator here: read
+    * `top` now, `commitLedger()` only after the batch's processed
+    * output is durably written. */
+  final class PendingHeavyHitters private[operators] (
+      /** Corpus-lifetime top-k as of ledger + THIS batch:
+        * (value, est, err_max), est descending with the value
+        * tie-break; `est ≤ true ≤ est + err_max` for listed values, and
+        * any value whose lifetime count exceeds err_max is present. */
+      val top: DataFrame,
+      commit: () => Unit) {
+    def commitLedger(): Unit = commit()
+  }
+
+  private val HhMetaFile = "_graft_hh_construction"
+
+  /** E138: INCREMENTAL heavy hitters — corpus-lifetime frequent items
+    * without ever re-reading the corpus, the q77/q104/q108/q119/q128
+    * ledger rule applied to its sixth space (exact fingerprints, band
+    * buckets, SRP buckets, cluster ids, span counts — now sketch
+    * counters). Each committed batch appends its OWN Misra–Gries
+    * summary: ≤ `capacity` (value, _graft_n = est) rows plus ONE
+    * null-keyed row holding the batch's decrement mass. The read side
+    * is a plain sum-aggregate over (epochs × capacity) rows —
+    * maintenance-sized forever — because per-batch estimates and error
+    * masses are both ADDITIVE across batches:
+    * `Σ est_b(v) ≤ true(v) ≤ Σ est_b(v) + Σ err_b` (a batch that
+    * dropped v undercounts it by at most that batch's err_b, which the
+    * null row carries).
+    *
+    * The null-keyed error row is deliberately shaped for
+    * `MaintenanceOps.foldEpochs`' count-merging fold: value is the
+    * grouping key, so folded epochs collapse to one summed row per
+    * distinct value PLUS one summed null row — the error accounting
+    * survives folding bit-for-bit (spec-gated).
+    *
+    * `capacity` is pinned in ledger metadata with a loud drift refusal
+    * (mixing capacities silently changes what err_max means); `k` is a
+    * read-time knob. Epoch variant: the batch's rows land in an
+    * `_graft_epoch=<token>` partition, the read EXCLUDES the batch's
+    * own epoch and crashed-fold leftovers, and the commit dynamically
+    * overwrites only that partition — at-least-once replay reproduces
+    * identical totals instead of double-counting (the E109 protocol).
+    */
+  def incrementalHeavyHitters(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      valueCol: String,
+      ledgerDir: String,
+      capacity: Int,
+      k: Int,
+      epochToken: Option[String] = None): PendingHeavyHitters = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.SaveMode
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val params = s"capacity=$capacity"
+    val prior: Option[DataFrame] =
+      if (!fs.exists(ledgerPath)) None
+      else {
+        val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, HhMetaFile)
+        if (fs.exists(metaPath)) {
+          val in = fs.open(metaPath)
+          val stored =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          if (stored != params)
+            throw new IllegalStateException(
+              s"heavy-hitter ledger at $ledgerDir was built with [$stored] but " +
+                s"this ingest sketches with [$params] — the error bound would " +
+                "silently change meaning. Use the ledger's capacity or rebuild it.")
+        }
+        // Counts are SUMMED at read: crashed-fold leftovers (already
+        // merged into base) must be excluded — the E109 discipline.
+        val mark = MaintenanceOps.foldedThrough(fs, ledgerPath)
+        val leftovers: Set[String] =
+          if (mark < 0L) Set.empty
+          else fs.listStatus(ledgerPath).iterator.collect {
+            case s if s.isDirectory &&
+                s.getPath.getName.startsWith("_graft_epoch=epoch") &&
+                scala.util.Try(s.getPath.getName
+                  .stripPrefix("_graft_epoch=epoch").toLong).toOption
+                  .exists(_ <= mark) =>
+              s.getPath.getName.stripPrefix("_graft_epoch=")
+          }.toSet
+        val raw = spark.read.parquet(ledgerDir)
+        val unfolded =
+          if (leftovers.isEmpty) raw
+          else raw.filter(!col("_graft_epoch").isInCollection(leftovers))
+        Some(epochToken.fold(unfolded)(t =>
+          unfolded.filter(col("_graft_epoch") =!= t))
+          .select(col("value"), col("_graft_n")))
+      }
+    // The batch's sketch: one MGBuf row, exploded to counter rows plus
+    // the null-keyed decrement-mass row. Pinned eagerly — the read and
+    // the commit must see the same sketch.
+    val sk = batch.agg(misraGries(capacity)(col(valueCol)).as("_mg"))
+    val batchRows = sk
+      .select(explode(col("_mg.counts")).as(Seq("value", "_graft_n")))
+      .unionByName(sk.select(
+        lit(null).cast("string").as("value"),
+        col("_mg.decremented").as("_graft_n")))
+      .localCheckpoint(true)
+    val all = prior.fold(batchRows)(l => batchRows.unionByName(l))
+    val err = all.filter(col("value").isNull)
+      .agg(coalesce(sum(col("_graft_n")), lit(0L)).as("err_max"))
+    val top = all.filter(col("value").isNotNull)
+      .groupBy(col("value")).agg(sum(col("_graft_n")).as("est"))
+      .crossJoin(broadcast(err))
+      .orderBy(col("est").desc, col("value"))
+      .limit(k)
+      .localCheckpoint(true)
+    new PendingHeavyHitters(
+      top,
+      () => {
+        epochToken match {
+          case None =>
+            batchRows.write.mode(SaveMode.Append).parquet(ledgerDir)
+          case Some(t) =>
+            batchRows.withColumn("_graft_epoch", lit(t))
+              .write.mode(SaveMode.Overwrite)
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("_graft_epoch")
+              .parquet(ledgerDir)
+        }
+        val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, HhMetaFile)
+        if (!fs.exists(metaPath)) {
+          val outS = fs.create(metaPath, true)
+          try outS.write(params.getBytes("UTF-8")) finally outS.close()
+        }
+      })
+  }
 }

@@ -70,6 +70,33 @@ object OpsQueries {
     })
   }
 
+  /** q155's committed batch-1 heavy-hitter ledger, keyed by input dir —
+    * same temp-dir + shutdown-hook lifecycle as the q77 ledger, same
+    * warm-up contract (Bench prewarms it; Verify's single call still
+    * exercises write-then-commit). */
+  private val q155Ledgers =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureQ155Ledger(s: SparkSession, dir: String): String = q155Ledgers.synchronized {
+    q155Ledgers.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_q155_hh")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: Throwable => () }
+      }))
+      val path = root.resolve("hh").toString
+      import graft.functions.TextFunctions.tokens
+      val batch1 = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        .select(explode(tokens(col("text"))).as("hh_value"))
+      graft.operators.SketchOps.incrementalHeavyHitters(
+        s, batch1, "hh_value", path, capacity = 64, k = 10).commitLedger()
+      path
+    })
+  }
+
   /** charHash(e) SQL — same fold as TextFunctions.charHash (lockstep rule:
     * change both or neither). */
   private def charHashSql(e: String): String =
@@ -427,7 +454,22 @@ object OpsQueries {
     "q154_source_pct_rank" -> ((s, dir) =>
       graft.operators.GateOps.percentileNormalize(
         t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
-        "source", "n_chars"))
+        "source", "n_chars")),
+
+    // E138 incremental heavy hitters (round 12): batch 2's token stream
+    // against batch 1's committed sketch ledger — corpus-lifetime top-10
+    // without re-reading batch 1. Capacity 64 > the 31-token vocab, so
+    // every per-batch sketch is exact, the summed estimates ARE the
+    // whole-corpus counts, and the additive error mass is 0 — all three
+    // pinned by the oracle over the full documents table.
+    "q155_incr_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val ledger = ensureQ155Ledger(s, dir)
+      val batch2 = t(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+        .select(explode(tokens(col("text"))).as("hh_value"))
+      graft.operators.SketchOps.incrementalHeavyHitters(
+        s, batch2, "hh_value", ledger, capacity = 64, k = 10).top
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -705,5 +747,16 @@ object OpsQueries {
                 round(percent_rank() OVER (
                   PARTITION BY source ORDER BY n_chars), 6) AS pct_rank
          FROM documents"""
+    ,
+    // Ledger + batch sketches are all exact at this capacity, so the
+    // summed estimates are the whole-corpus token counts and the
+    // additive error mass is literally zero.
+    "q155_incr_heavy_hitters" ->
+      """SELECT token AS value, count(*) AS est, CAST(0 AS BIGINT) AS err_max
+         FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                 AS token FROM documents)
+         GROUP BY token
+         ORDER BY est DESC, value
+         LIMIT 10"""
   )
 }

@@ -86,4 +86,73 @@ class SketchOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       SketchOps.heavyHitters(Seq("a").toDF("v"), "v", capacity = 4, k = 0))
   }
+
+  test("incremental ledger: exact batches sum to whole-corpus counts; replay is exactly-once") {
+    val ledger = java.nio.file.Files
+      .createTempDirectory("hh_ledger").resolve("hh").toString
+    def batch(xs: (String, Int)*) =
+      xs.flatMap { case (v, n) => Seq.fill(n)(v) }.toDF("v")
+    // Batch 1 committed; batch 2 read against it.
+    SketchOps.incrementalHeavyHitters(spark, batch("a" -> 30, "b" -> 20),
+      "v", ledger, capacity = 16, k = 3, epochToken = Some("epoch0"))
+      .commitLedger()
+    val p2 = SketchOps.incrementalHeavyHitters(spark,
+      batch("a" -> 5, "c" -> 25), "v", ledger,
+      capacity = 16, k = 3, epochToken = Some("epoch1"))
+    val want = Set(("a", 35L, 0L), ("c", 25L, 0L), ("b", 20L, 0L))
+    assert(p2.top.as[(String, Long, Long)].collect().toSet == want)
+    p2.commitLedger()
+    // At-least-once replay: same epoch token, identical totals (the
+    // read excludes the batch's own partition).
+    val replay = SketchOps.incrementalHeavyHitters(spark,
+      batch("a" -> 5, "c" -> 25), "v", ledger,
+      capacity = 16, k = 3, epochToken = Some("epoch1"))
+    assert(replay.top.as[(String, Long, Long)].collect().toSet == want)
+    replay.commitLedger()
+    // Capacity drift refuses loudly — err_max would change meaning.
+    val e = intercept[IllegalStateException](
+      SketchOps.incrementalHeavyHitters(spark, batch("a" -> 1),
+        "v", ledger, capacity = 8, k = 3))
+    assert(e.getMessage.contains("capacity=16"))
+  }
+
+  test("incremental ledger: lossy batches keep the additive bound; folding preserves it") {
+    val ledger = java.nio.file.Files
+      .createTempDirectory("hh_fold").resolve("hh").toString
+    // Two skewed batches sketched at capacity 4 over 30 distinct values
+    // — decrements fire in both.
+    val b1 = skewed(nDistinct = 30, base = 300)
+    val b2 = skewed(nDistinct = 30, base = 270).map(_.toUpperCase) ++
+      skewed(nDistinct = 6, base = 120)
+    SketchOps.incrementalHeavyHitters(spark, b1.toDF("v"), "v", ledger,
+      capacity = 4, k = 6, epochToken = Some("epoch0")).commitLedger()
+    val p2 = SketchOps.incrementalHeavyHitters(spark, b2.toDF("v"), "v", ledger,
+      capacity = 4, k = 6, epochToken = Some("epoch1"))
+    val truth = (b1 ++ b2).groupBy(identity)
+      .map { case (v, xs) => (v, xs.size.toLong) }
+    def checkBound(rows: Array[(String, Long, Long)]): Unit = {
+      assert(rows.nonEmpty)
+      val errMax = rows.head._3
+      assert(errMax > 0L, "this regime must actually decrement")
+      rows.foreach { case (v, est, _) =>
+        assert(est <= truth(v), s"$v overcounted")
+        assert(truth(v) <= est + errMax, s"$v undercounted past the bound")
+      }
+    }
+    checkBound(p2.top.as[(String, Long, Long)].collect())
+    p2.commitLedger()
+    // foldEpochs' count-merging fold: the null-keyed error rows SUM
+    // (value is the grouping key), so the post-fold read reproduces the
+    // same totals and the same error mass from a row count bounded by
+    // distinct values, not drains.
+    val before = SketchOps.incrementalHeavyHitters(spark,
+      Seq.empty[String].toDF("v"), "v", ledger, capacity = 4, k = 6)
+      .top.as[(String, Long, Long)].collect().toSet
+    val r = MaintenanceOps.foldEpochs(spark, ledger, upToBatchId = 1L)
+    assert(r.rows > 0L)
+    val after = SketchOps.incrementalHeavyHitters(spark,
+      Seq.empty[String].toDF("v"), "v", ledger, capacity = 4, k = 6)
+      .top.as[(String, Long, Long)].collect().toSet
+    assert(after == before, "folding must not change totals or the error mass")
+  }
 }
