@@ -367,6 +367,35 @@ object VectorQueries {
       val e = t(s, dir, "embeddings")
       graft.operators.KmeansOps.fitTwoLevel(
         e, "embedding", "vec_id", k1 = 3, k2 = 3, iters = 1).assignments
+    }),
+
+    // E139 product quantization (round 12): 4 subspaces × 8 codes over
+    // the dim-64 vectors — all 4 codebooks fitted simultaneously (one
+    // sub-equi-join per Lloyd round, the E133 fine-fit discipline with
+    // the subspace as the cell), corpus encoded to (id, sub, code) rows
+    // at 64× compression. The oracle replays the per-subspace fit and
+    // the final arg-min as unrolled SQL.
+    "q156_pq_encode" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.operators.PqOps.fitPq(
+        e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
+      graft.operators.PqOps.encode(e, "embedding", "vec_id", model)
+    }),
+
+    // E140 ADC batch search over the PQ codes: 5 queries, each scored
+    // against every candidate as the SUM of 4 table lookups (the query
+    // stays exact, the corpus never re-reads a raw vector), top-5 per
+    // query by (squared distance asc, id asc) via the bounded-buffer
+    // grouped top-k.
+    "q157_pq_adc_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.operators.PqOps.fitPq(
+        e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
+      val codes = graft.operators.PqOps.encode(e, "embedding", "vec_id", model)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.operators.PqOps.adcSearch(
+        codes, "vec_id", queries, "qid", "embedding", model, topN = 5)
     })
   )
 
@@ -488,6 +517,45 @@ object VectorQueries {
       sb.toString
     }
     def kmeansCtes(k: Int, iters: Int): String = kmeansCtesF("", "TRUE", k, iters)
+    // PQ (q156/q157): subvector slicing + per-subspace Lloyd, ending in
+    // `af` = the final (vec_id, sub, code, dist) encoding against the
+    // settled codebook `b$iters`. Subspace L2 runs over subDim dims.
+    // Lockstep rule with PqOps: change both or neither.
+    def pqL2Sql(a: String, b: String, subDim: Int): String =
+      s"round(sqrt(list_sum(list_transform(range(1, ${subDim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))), 6)"
+    def pqCtes(m: Int, kCodes: Int, iters: Int, subDim: Int): String = {
+      def argmin(name: String, book: String, withDist: Boolean): String = {
+        val d = if (withDist) s", ${pqL2Sql("s.sv", s"$book.c", subDim)} AS dist" else ""
+        val dOut = if (withDist) ", dist" else ""
+        s"""$name AS (SELECT vec_id, sub, sv, code$dOut FROM (
+             SELECT s.vec_id, s.sub, s.sv, $book.code$d,
+                    row_number() OVER (PARTITION BY s.vec_id, s.sub
+                      ORDER BY ${pqL2Sql("s.sv", s"$book.c", subDim)}, $book.code) AS rn
+             FROM subs s JOIN $book ON $book.sub = s.sub) WHERE rn = 1)"""
+      }
+      val sb = new StringBuilder
+      sb ++= s"""e AS (SELECT vec_id, $VecSql AS v FROM embeddings),
+        subs AS (SELECT vec_id, CAST(u.s AS INT) AS sub,
+                        v[u.s * $subDim + 1 : u.s * $subDim + $subDim] AS sv
+                 FROM e, unnest(range(0, $m)) AS u(s)),
+        b0 AS (SELECT sub, CAST(rn - 1 AS INT) AS code, sv AS c FROM (
+                 SELECT sub, sv,
+                        row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+                 FROM subs) WHERE rn <= $kCodes)"""
+      for (r <- 0 until iters) {
+        sb ++= ",\n" + argmin(s"a$r", s"b$r", withDist = false)
+        sb ++= s""",
+          b${r + 1} AS (SELECT p.sub, p.code, coalesce(u.c, p.c) AS c
+            FROM b$r p LEFT JOIN (
+              SELECT sub, code, list(m ORDER BY j) AS c FROM (
+                SELECT a.sub, a.code, j, round(avg(a.sv[j]), 6) AS m
+                FROM a$r a, unnest(range(1, ${subDim + 1})) AS u(j)
+                GROUP BY a.sub, a.code, j)
+              GROUP BY sub, code) u ON u.sub = p.sub AND u.code = p.code)"""
+      }
+      sb ++= ",\n" + argmin("af", s"b$iters", withDist = true)
+      sb.toString
+    }
     Map(
       "q55_cosine_pairs" ->
         s"""WITH e AS (SELECT vec_id, $VecSql AS v FROM embeddings)
@@ -747,7 +815,28 @@ object VectorQueries {
                               ORDER BY ${l2Sql("a.v", "f.c")}, f.fcl) AS rn
                      FROM af a JOIN f1 f ON f.cell = a.cl) WHERE rn = 1)
             SELECT vec_id, cell, CAST(cell AS BIGINT) * 3 + fcl AS cluster, d AS dist
-            FROM faf"""
+            FROM faf""",
+      "q156_pq_encode" ->
+        s"""WITH ${pqCtes(4, 8, 1, 16)}
+            SELECT vec_id, sub, code, dist FROM af""",
+      // The lookup table: per (query, sub, code) the SQUARED 6-dp
+      // subspace distance; ADC = sum of the candidate's 4 lookups,
+      // rounded 6 dp, top-5 per query (adc asc, id asc).
+      "q157_pq_adc_search" ->
+        s"""WITH ${pqCtes(4, 8, 1, 16)},
+            lut AS (SELECT s.vec_id AS qid, s.sub, b1.code,
+                           ${pqL2Sql("s.sv", "b1.c", 16)} * ${pqL2Sql("s.sv", "b1.c", 16)} AS part
+                    FROM subs s JOIN b1 ON b1.sub = s.sub
+                    WHERE s.vec_id < 5),
+            scored AS (SELECT l.qid, a.vec_id, round(sum(l.part), 6) AS adc
+                       FROM af a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+                       GROUP BY l.qid, a.vec_id)
+            SELECT qid, CAST(rank AS INT) AS rank, vec_id, adc FROM (
+              SELECT qid, vec_id, adc,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY adc, vec_id) AS rank
+              FROM scored)
+            WHERE rank <= 5"""
     )
   }
 }

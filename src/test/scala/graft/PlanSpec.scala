@@ -178,6 +178,19 @@ class PlanSpec extends AnyFunSuite {
                                   // single component agg carrying top-1 AND size
       "q104_incr_neardup" -> 3,   // ledger-hit anti-join + in-batch purge join + its distinct
                                   // (banding lives in the cached frame, pinned like q48)
+      "q153_heavy_hitters" -> 2,  // the single-file parallelism spread (Tables.parallel)
+                                  // + the SinglePartition sketch merge — the merged state
+                                  // is ONE capacity-entry map, the cheapest exchange here
+      "q154_source_pct_rank" -> 2, // counts agg + the window's re-exchange on the group key
+                                   // — BOTH move the distinct-(source, value) frame, never
+                                   // the rows (those join the ranks back via broadcast)
+      "q156_pq_encode" -> 2,      // parallelism spread + the (id, sub) arg-min agg; the
+                                  // codebook side is materialized by the fit and broadcast
+      "q157_pq_adc_search" -> 5,  // spread ×2 (codes path + query path re-read the corpus
+                                  // frame) + the encode arg-min agg + the (query, id) ADC
+                                  // sum + the per-query top-k agg — the last two move
+                                  // codes-sized and workload-sized frames only; the lookup
+                                  // table itself is a BroadcastExchange by construction
       "q108_srp_incr_neardup" -> 5, // hit/purge anti-joins on the id key + banded self-join
                                     // + pair and drop distincts (banding cached; ledger-hit
                                     // verification is eager, outside this plan)
