@@ -131,6 +131,57 @@ object SketchOps {
       docs.select(explode(tokens(col(textCol))).as("token")),
       "token", capacity, k)
 
+  /** TIME-WINDOWED sketch: one Misra–Gries summary per tumbling window
+    * of `tsCol` — "what dominated each hour", the profiling view a
+    * static corpus-wide sketch can't give. ONE aggregation on purpose:
+    * a single agg is legal in a STREAMING query too (stacked aggs are
+    * not), so the same code runs over `readStream` + watermark with the
+    * sketch as managed state — the state per window is the fixed
+    * `capacity`-entry buffer, never the window's rows (live-spec'd in
+    * StreamingSpec). Output: (window_start, window_end, err_max, value,
+    * est) rows, ≤ capacity + 1 per window; cut with
+    * [[windowedHeavyHitters]] in batch, or downstream of the sink in
+    * streaming (where a second agg is illegal anyway). */
+  def windowedSketch(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowDuration: String,
+      capacity: Int): DataFrame =
+    df.groupBy(window(col(tsCol), windowDuration).as("_graft_w"))
+      .agg(misraGries(capacity)(col(valueCol)).as("_mg"))
+      .select(col("_graft_w.start").as("window_start"),
+        col("_graft_w.end").as("window_end"),
+        col("_mg.decremented").as("err_max"),
+        explode(col("_mg.counts")).as(Seq("value", "est")))
+
+  /** [[windowedSketch]] + the per-window top-`k` cut (batch form): the
+    * cut is the bounded-buffer grouped top-k (E76) over the exploded
+    * sketch rows — themselves ≤ capacity per window, so the second
+    * aggregation moves sketch-sized frames only. Ranked (est desc,
+    * value asc), 1-based. */
+  def windowedHeavyHitters(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowDuration: String,
+      capacity: Int,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    windowedSketch(df, tsCol, valueCol, windowDuration, capacity)
+      .groupBy(col("window_start"), col("window_end"), col("err_max"))
+      .agg(TopKOps.topKStr(k)(col("est").cast("double"), col("value")).as("_tk"))
+      .select(col("window_start"), col("window_end"), col("err_max"),
+        posexplode(col("_tk.items")))
+      .select(col("window_start"), col("window_end"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("value"),
+        // Counts are exact longs below 2^53 — the double ride through
+        // the top-k buffer is lossless.
+        col("col.v").cast("long").as("est"),
+        col("err_max"))
+  }
+
   /** [[incrementalHeavyHitters]]' two-step result — the same
     * write-then-commit protocol as every ledger operator here: read
     * `top` now, `commitLedger()` only after the batch's processed

@@ -123,7 +123,18 @@ object StreamQueries {
         .groupBy(window(col("ts"), "1 hour").as("w"))
         .agg(count(lit(1)).as("n"))
         .select(col("w.start").as("window_start"), col("n"))
-    })
+    }),
+
+    // E141 windowed heavy hitters (round 12): "what dominated each
+    // hour" — one Misra–Gries sketch per tumbling window (the SAME
+    // single-agg shape runs live under readStream + watermark,
+    // live-spec'd in StreamingSpec), top-3 per window. Capacity 16 >
+    // the 5 event types, so the sketch is exact and err_max 0 — both
+    // oracle-pinned, the q153 discipline.
+    "q158_windowed_heavy_hitters" -> ((s, dir) =>
+      graft.operators.SketchOps.windowedHeavyHitters(
+        t(s, dir, "events"), "ts", "event_type", "1 hour",
+        capacity = 16, k = 3))
   )
 
   // Epoch-aligned bucket start (identical to Spark's window() alignment).
@@ -193,6 +204,20 @@ object StreamQueries {
           GROUP BY 1""",
     "q83_stream_enrich" ->
       """SELECT event_id, user_id, c_name, c_nationkey
-         FROM events LEFT JOIN customer ON user_id = c_custkey"""
+         FROM events LEFT JOIN customer ON user_id = c_custkey""",
+    // Per-window exact counts (capacity > distinct types → the sketch
+    // IS exact), ranked (est desc, value asc), window_end = start + 1h.
+    "q158_windowed_heavy_hitters" ->
+      s"""SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+                 CAST(rank AS INT) AS rank, value, est,
+                 CAST(0 AS BIGINT) AS err_max
+          FROM (
+            SELECT window_start, value, est,
+                   row_number() OVER (PARTITION BY window_start
+                     ORDER BY est DESC, value) AS rank
+            FROM (SELECT ${bucketSql(3600)} AS window_start,
+                         event_type AS value, count(*) AS est
+                  FROM events GROUP BY 1, 2))
+          WHERE rank <= 3"""
   )
 }

@@ -186,6 +186,9 @@ class PlanSpec extends AnyFunSuite {
                                    // the rows (those join the ranks back via broadcast)
       "q156_pq_encode" -> 2,      // parallelism spread + the (id, sub) arg-min agg; the
                                   // codebook side is materialized by the fit and broadcast
+      "q158_windowed_heavy_hitters" -> 2, // the window-sketch agg + the per-window top-k
+                                          // re-agg — the second moves ≤ capacity+1 sketch
+                                          // rows per window, never events
       "q157_pq_adc_search" -> 5,  // spread ×2 (codes path + query path re-read the corpus
                                   // frame) + the encode arg-min agg + the (query, id) ADC
                                   // sum + the per-query top-k agg — the last two move

@@ -20,6 +20,34 @@ class StreamingSpec extends AnyFunSuite {
 
   case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+  test("windowed Misra-Gries sketch runs LIVE: per-window state is the fixed buffer (E141)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // The batch-oracle'd single-agg shape (q158) under a real stream:
+    // the sketch buffer is streaming aggregation state, merged across
+    // micro-batches by the same PODS rule the map-side partials use.
+    val q = graft.operators.SketchOps.windowedSketch(
+        mem.toDF(), "ts", "event_type", "10 minutes", capacity = 8)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("wsketch_out").start()
+    def rows() = spark.table("wsketch_out")
+      .select($"window_start", $"value", $"est", $"err_max")
+      .as[(Timestamp, String, Long, Long)].collect().toSet
+    try {
+      mem.addData(Ev(ts(1), 1, "a", 1.0), Ev(ts(5), 2, "a", 1.0), Ev(ts(7), 3, "b", 1.0))
+      q.processAllAvailable()
+      assert(rows().contains((ts(0), "a", 2L, 0L)))
+      assert(rows().contains((ts(0), "b", 1L, 0L)))
+      // A second micro-batch UPDATES the same window's sketch state —
+      // the count continues from 2, it does not restart.
+      mem.addData(Ev(ts(8), 4, "a", 1.0), Ev(ts(11), 5, "c", 1.0))
+      q.processAllAvailable()
+      assert(rows().contains((ts(0), "a", 3L, 0L)),
+        s"cross-batch sketch state must accumulate: ${rows()}")
+      assert(rows().contains((ts(10), "c", 1L, 0L)))
+    } finally q.stop()
+  }
+
   test("tumbling window agg over a stream emits closed windows (E41+E43)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
