@@ -309,21 +309,8 @@ object DedupOps {
         // MaintenanceOps.foldEpochs' crash contract) must be excluded or
         // they double-count; membership ledgers tolerate them, this one
         // cannot.
-        val mark = MaintenanceOps.foldedThrough(fs, ledgerPath)
-        val leftovers: Set[String] =
-          if (mark < 0L) Set.empty
-          else fs.listStatus(ledgerPath).iterator.collect {
-            case s if s.isDirectory &&
-                s.getPath.getName.startsWith("_graft_epoch=epoch") &&
-                scala.util.Try(s.getPath.getName
-                  .stripPrefix("_graft_epoch=epoch").toLong).toOption
-                  .exists(_ <= mark) =>
-              s.getPath.getName.stripPrefix("_graft_epoch=")
-          }.toSet
-        val raw = spark.read.parquet(ledgerDir)
-        val unfolded =
-          if (leftovers.isEmpty) raw
-          else raw.filter(!col("_graft_epoch").isInCollection(leftovers))
+        val unfolded = MaintenanceOps.excludeFoldLeftovers(
+          fs, ledgerPath, spark.read.parquet(ledgerDir))
         Some(epochToken.fold(unfolded)(t =>
           unfolded.filter(col("_graft_epoch") =!= t)))
       }
@@ -374,6 +361,9 @@ object DedupOps {
           val outS = fs.create(metaPath, true)
           try outS.write(params.getBytes("UTF-8")) finally outS.close()
         }
+        // Counts sum at read → foldEpochs must re-aggregate, declared
+        // here by the writer (never sniffed from the schema).
+        MaintenanceOps.declareCountFoldRule(fs, ledgerPath)
       })
   }
 

@@ -92,8 +92,14 @@ object GateOps {
       .withColumn("_pn_tot", sum(col("_pn_n")).over(wTot))
       .select(col(groupCol).as("_pn_g"), col("_pn_v"),
         col("_pn_below"), col("_pn_tot"))
+    // Null-safe join: a null score (or group) must keep its row — the
+    // engine's percent_rank() semantics this operator mirrors (Spark
+    // sorts nulls FIRST ascending, so a null value ranks 0 within its
+    // group; the window over the counts frame applies the same order).
+    // An equi-join here would silently drop null-scored rows from the
+    // calibrated corpus.
     df.join(broadcast(ranks),
-        col(groupCol) === col("_pn_g") && v === col("_pn_v"))
+        col(groupCol) <=> col("_pn_g") && v <=> col("_pn_v"))
       .drop("_pn_g", "_pn_v")
       .withColumn("pct_rank",
         when(col("_pn_tot") === 1L, lit(0.0)).otherwise(

@@ -403,9 +403,14 @@ object MaintenanceOps {
         col("_graft_epoch").isInCollection(foldTokens))
       .withColumn("_graft_epoch", lit("base"))
     val merged =
-      if (!unioned.columns.contains("_graft_n")) unioned
+      if (!countFoldRule(fs, path)) unioned
       else {
-        // Count-ledger fold: one summed row per distinct key.
+        // Count-ledger fold (declared by the writer via _graft_fold_rule,
+        // never sniffed from a column name): one summed row per distinct
+        // key.
+        require(unioned.columns.contains("_graft_n"),
+          s"ledger at $ledgerDir declares the count fold rule but has no " +
+            "_graft_n column — refusing a fold whose semantics can't hold")
         val keys = unioned.columns
           .filterNot(c => c == "_graft_n" || c == "_graft_epoch")
         unioned.groupBy(keys.map(col): _*)
@@ -426,29 +431,96 @@ object MaintenanceOps {
     CompactionReport(filesBefore, filesAfter, rows)
   }
 
-  /** Name of the fold high-water marker (`_`-prefixed: invisible to
-    * parquet directory reads, preserved by [[compactLedger]]). */
-  private[operators] val FoldMarkerFile = "_graft_folded_through"
+  /** Name PREFIX of the fold high-water marker (`_`-prefixed: invisible
+    * to parquet directory reads, preserved by [[compactLedger]]). The
+    * folded-through id lives in the FILE NAME, not the content — a
+    * `create` is atomic in a way a write-then-flush is not, so a crash
+    * mid-marker can only mean "marker absent" (the prior fold's marker
+    * still stands), never a torn file that bricks every later read with
+    * a parse error. Superseded markers are best-effort deleted; extras
+    * left by a crash are harmless (the max still wins). */
+  private[operators] val FoldMarkerPrefix = "_graft_folded_through_"
 
   /** Highest batch id a completed fold has merged into base (−1 if the
     * ledger has never folded). Epoch partitions at-or-under this id that
     * still exist are crash leftovers: already merged, pending delete —
-    * [[foldEpochs]] removes them on its next run and the span ledger's
-    * collision read excludes them in the meantime. */
+    * [[foldEpochs]] removes them on its next run and the count ledgers'
+    * collision reads exclude them in the meantime. */
   def foldedThrough(fs: org.apache.hadoop.fs.FileSystem, ledgerPath: Path): Long = {
-    val p = new Path(ledgerPath, FoldMarkerFile)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }
+    if (!fs.exists(ledgerPath)) return -1L
+    val ids = fs.listStatus(ledgerPath).iterator.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(FoldMarkerPrefix))
+        scala.util.Try(n.stripPrefix(FoldMarkerPrefix).toLong).toOption
+      else None
+    }.toSeq
+    if (ids.isEmpty) -1L else ids.max
   }
 
   private def writeFoldedThrough(
       fs: org.apache.hadoop.fs.FileSystem, ledgerPath: Path, id: Long): Unit = {
-    val out = fs.create(new Path(ledgerPath, FoldMarkerFile), true)
-    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    val prior = fs.listStatus(ledgerPath)
+      .filter(_.getPath.getName.startsWith(FoldMarkerPrefix)).map(_.getPath)
+    fs.create(new Path(ledgerPath, s"$FoldMarkerPrefix$id"), true).close()
+    // Cleanup AFTER the new marker exists; a crash between the two
+    // leaves extra markers, and max() still answers correctly.
+    prior.foreach(p => fs.delete(p, false))
+  }
+
+  /** Name of the ledger's fold-rule declaration. Content `sum` = count
+    * ledger: [[foldEpochs]] must RE-AGGREGATE `_graft_n` per key on fold
+    * (duplicates double-count at read). Absent = membership ledger:
+    * fold is a plain union (sets tolerate duplicates). Written by the
+    * count-ledger operators at commit — fold semantics are declared by
+    * the writer, never inferred from a column name (a future ledger
+    * carrying a non-additive `_graft_n` must not be silently summed). */
+  private[operators] val FoldRuleFile = "_graft_fold_rule"
+
+  /** Declare the count-ledger fold rule (idempotent). */
+  private[operators] def declareCountFoldRule(
+      fs: org.apache.hadoop.fs.FileSystem, ledgerPath: Path): Unit = {
+    val p = new Path(ledgerPath, FoldRuleFile)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write("sum".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def countFoldRule(
+      fs: org.apache.hadoop.fs.FileSystem, ledgerPath: Path): Boolean = {
+    val p = new Path(ledgerPath, FoldRuleFile)
+    fs.exists(p) && {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      s == "sum"
+    }
+  }
+
+  /** Drop crashed-fold leftover epochs from a count-ledger read: epoch
+    * partitions at-or-under the fold marker are already merged into
+    * base (their delete is pending), so summing reads must exclude them
+    * — the shared rule of every count ledger (spans E109, heavy hitters
+    * E138). Membership ledgers don't need this (duplicates are
+    * set-harmless). */
+  private[operators] def excludeFoldLeftovers(
+      fs: org.apache.hadoop.fs.FileSystem,
+      ledgerPath: Path,
+      raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val mark = foldedThrough(fs, ledgerPath)
+    val leftovers: Set[String] =
+      if (mark < 0L) Set.empty
+      else fs.listStatus(ledgerPath).iterator.collect {
+        case s if s.isDirectory &&
+            s.getPath.getName.startsWith("_graft_epoch=epoch") &&
+            scala.util.Try(s.getPath.getName
+              .stripPrefix("_graft_epoch=epoch").toLong).toOption
+              .exists(_ <= mark) =>
+          s.getPath.getName.stripPrefix("_graft_epoch=")
+      }.toSet
+    if (leftovers.isEmpty) raw
+    else raw.filter(!col("_graft_epoch").isInCollection(leftovers))
   }
 
   /** Highest batch id with a COMMIT entry in a Structured Streaming

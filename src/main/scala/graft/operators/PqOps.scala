@@ -50,10 +50,24 @@ object PqOps {
   /** (id, _graft_sub, _graft_v): the corpus exploded into contiguous
     * subvectors — the ONLY row-count amplification in the family (m×,
     * same total bytes). `dim` must split evenly: a ragged last subspace
-    * would silently skew its codebook's distance scale. */
-  def subvectors(df: DataFrame, vecCol: String, idCol: String, m: Int): DataFrame = {
+    * would silently skew its codebook's distance scale. `expectDim`
+    * (set by [[encode]]/[[adcSearch]] from the fitted model) makes a
+    * mismatched vector a LOUD per-row error instead of silently wrong
+    * codes — the check is woven into the data column itself, costs no
+    * extra pass, and cannot be pruned. */
+  def subvectors(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int,
+      expectDim: Option[Int] = None): DataFrame = {
     require(m >= 1, s"m must be positive: $m")
-    df.select(col(idCol), transform(col(vecCol), _.cast("double")).as("_graft_w"))
+    val w = transform(col(vecCol), _.cast("double"))
+    val guarded = expectDim.fold(w)(d =>
+      when(size(col(vecCol)) === d, w).otherwise(raise_error(concat(
+        lit(s"pq: vector dim must be $d (the fitted model's m × subDim), got "),
+        size(col(vecCol)).cast("string")))))
+    df.select(col(idCol), guarded.as("_graft_w"))
       .select(col(idCol),
         // Integer subspace width (dim divisible by m — enforced by fitPq;
         // a `/` here would be double division and slice() garbage).
@@ -134,7 +148,8 @@ object PqOps {
     * (idCol, sub, code, dist), dist the 6-dp subspace quantization
     * error. Columnar on purpose: ADC joins on (sub, code) directly. */
   def encode(df: DataFrame, vecCol: String, idCol: String, model: PqModel): DataFrame =
-    argmin(subvectors(df, vecCol, idCol, model.m), model.codebooks, idCol)
+    argmin(subvectors(df, vecCol, idCol, model.m,
+        expectDim = Some(model.m * model.subDim)), model.codebooks, idCol)
       .select(col(idCol), col("_graft_sub").as("sub"),
         col("_graft_code").as("code"), col("_graft_dist").as("dist"))
 
@@ -155,7 +170,8 @@ object PqOps {
       model: PqModel,
       topN: Int): DataFrame = {
     require(topN >= 1, s"topN out of range: $topN")
-    val qsubs = subvectors(queries, vecCol, qidCol, model.m)
+    val qsubs = subvectors(queries, vecCol, qidCol, model.m,
+        expectDim = Some(model.m * model.subDim))
       .withColumnRenamed("_graft_sub", "sub")
     // Per (query, sub, code): the partial SQUARED distance, each leg's
     // L2 rounded at 6 dp first (the family's determinism grain).

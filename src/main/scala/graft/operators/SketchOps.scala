@@ -53,7 +53,13 @@ object SketchOps {
     override def zero: MGBuf = MGBuf(Map.empty, 0L)
 
     override def reduce(b: MGBuf, x: String): MGBuf =
-      b.counts.get(x) match {
+      // Null is not a frequency-profilable value (and a null map key
+      // would fail buffer encoding); callers filter upstream, this is
+      // the defensive backstop. The null KEY is reserved for the
+      // incremental ledger's error-mass row, which never passes through
+      // this aggregator.
+      if (x == null) b
+      else b.counts.get(x) match {
         case Some(c) => MGBuf(b.counts.updated(x, c + 1L), b.decremented)
         case None if b.counts.size < capacity =>
           MGBuf(b.counts.updated(x, 1L), b.decremented)
@@ -113,7 +119,11 @@ object SketchOps {
       capacity: Int,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    df.agg(misraGries(capacity)(col(valueCol)).as("_mg"))
+    // Nulls are not values to profile: real id/url/domain columns carry
+    // them, and they must neither crash the buffer encoder nor collide
+    // with the ledger's reserved null error-mass key.
+    df.filter(col(valueCol).isNotNull)
+      .agg(misraGries(capacity)(col(valueCol)).as("_mg"))
       .select(explode(col("_mg.counts")).as(Seq("value", "est")),
         col("_mg.decremented").as("err_max"))
       .orderBy(col("est").desc, col("value"))
@@ -255,22 +265,10 @@ object SketchOps {
                 "silently change meaning. Use the ledger's capacity or rebuild it.")
         }
         // Counts are SUMMED at read: crashed-fold leftovers (already
-        // merged into base) must be excluded — the E109 discipline.
-        val mark = MaintenanceOps.foldedThrough(fs, ledgerPath)
-        val leftovers: Set[String] =
-          if (mark < 0L) Set.empty
-          else fs.listStatus(ledgerPath).iterator.collect {
-            case s if s.isDirectory &&
-                s.getPath.getName.startsWith("_graft_epoch=epoch") &&
-                scala.util.Try(s.getPath.getName
-                  .stripPrefix("_graft_epoch=epoch").toLong).toOption
-                  .exists(_ <= mark) =>
-              s.getPath.getName.stripPrefix("_graft_epoch=")
-          }.toSet
-        val raw = spark.read.parquet(ledgerDir)
-        val unfolded =
-          if (leftovers.isEmpty) raw
-          else raw.filter(!col("_graft_epoch").isInCollection(leftovers))
+        // merged into base) must be excluded — the E109 discipline,
+        // shared via MaintenanceOps.excludeFoldLeftovers.
+        val unfolded = MaintenanceOps.excludeFoldLeftovers(
+          fs, ledgerPath, spark.read.parquet(ledgerDir))
         Some(epochToken.fold(unfolded)(t =>
           unfolded.filter(col("_graft_epoch") =!= t))
           .select(col("value"), col("_graft_n")))
@@ -312,6 +310,9 @@ object SketchOps {
           val outS = fs.create(metaPath, true)
           try outS.write(params.getBytes("UTF-8")) finally outS.close()
         }
+        // Counts sum at read → foldEpochs must re-aggregate, declared
+        // here by the writer (never sniffed from the schema).
+        MaintenanceOps.declareCountFoldRule(fs, ledgerPath)
       })
   }
 }

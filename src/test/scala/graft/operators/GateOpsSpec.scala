@@ -98,6 +98,16 @@ class GateOpsSpec extends AnyFunSuite {
       10L -> 0.0, 11L -> 0.333333, 12L -> 0.333333, 13L -> 1.0,
       20L -> 0.0, 21L -> 0.0, 22L -> 0.0,
       30L -> 0.0))
+    // Null scores keep their rows (the SQL semantics: nulls sort first,
+    // rank 0) — an equi-join formulation would silently drop them.
+    val withNull = Seq(("a", Some(5L), 40L), ("a", None, 41L), ("a", Some(7L), 42L))
+      .toDF("g", "v", "id")
+    val gotNull = GateOps.percentileNormalize(withNull, "g", "v")
+      .select($"id", $"pct_rank")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotNull == Map(41L -> 0.0, 40L -> 0.5, 42L -> 1.0),
+      s"null-valued rows must survive with rank 0: $gotNull")
+
     // Agreement with the engine's own percent_rank window (the semantics
     // source of truth), on data where rounding can't mask a mismatch.
     val viaWindow = rows.withColumn("pr", round(percent_rank().over(

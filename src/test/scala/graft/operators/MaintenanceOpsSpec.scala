@@ -412,6 +412,22 @@ class MaintenanceOpsSpec extends AnyFunSuite {
         .head().getLong(0) == 4L, "convergent: base unchanged by the re-run")
   }
 
+  test("fold marker is name-based: torn or stray files cannot brick reads") {
+    val root = Files.createTempDirectory("fold_marker")
+    val fs = new org.apache.hadoop.fs.Path(root.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root.toString)
+    assert(MaintenanceOps.foldedThrough(fs, p) == -1L)
+    // The id lives in the NAME — a crash can only leave extra markers,
+    // and max() still answers; garbage names and an empty legacy
+    // content-based file are ignored, never a parse crash.
+    fs.create(new org.apache.hadoop.fs.Path(p, "_graft_folded_through_3"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(p, "_graft_folded_through_7"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(p, "_graft_folded_through_junk"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(p, "_graft_folded_through"), true).close()
+    assert(MaintenanceOps.foldedThrough(fs, p) == 7L)
+  }
+
   test("zorderValueN matches the round-robin model; the 2-ary case equals zorderValue") {
     import org.apache.spark.sql.functions.col
     def model(xs: Seq[Long], bits: Int): Long = {

@@ -96,6 +96,15 @@ class PqOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("encode against a mismatched-dim model fails loudly, never silently truncates") {
+    val model = PqOps.fitPq(vecs, "v", "id", m = 2, kCodes = 2, iters = 0)
+    val wrong = Seq((9L, Array.fill(10)(1.0))).toDF("id", "v")
+    val e = intercept[Exception](
+      PqOps.encode(wrong, "v", "id", model).collect())
+    assert(e.getMessage != null && e.getMessage.contains("dim must be 8"),
+      s"expected the per-row dim guard, got: ${e.getMessage}")
+  }
+
   test("dim must split evenly across subspaces; bad params refuse loudly") {
     val ragged = Seq((0L, Array(1.0, 2.0, 3.0))).toDF("id", "v")
     intercept[IllegalArgumentException](

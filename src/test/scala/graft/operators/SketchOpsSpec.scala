@@ -81,6 +81,15 @@ class SketchOpsSpec extends AnyFunSuite {
       s"expected partial + final aggregation (map-side sketches), got:\n$plan")
   }
 
+  test("null values are ignored, not counted and never a buffer key") {
+    val got = SketchOps.heavyHitters(
+      Seq(Some("a"), None, Some("a"), None, Some("b")).toDF("v"),
+      "v", capacity = 4, k = 4)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 2L, 0L), ("b", 1L, 0L)),
+      "nulls must neither crash the buffer encoder nor appear as a value")
+  }
+
   test("capacity must be positive") {
     intercept[IllegalArgumentException](SketchOps.MisraGries(0))
     intercept[IllegalArgumentException](
