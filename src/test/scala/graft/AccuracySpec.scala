@@ -187,4 +187,53 @@ class AccuracySpec extends AnyFunSuite {
     assert(missedAuto.isEmpty,
       s"${missedAuto.size}/${exactDups.size} exact-dup pairs missed at the derived width")
   }
+
+  test("ADC recall vs exact L2: the PQ approximation is MEASURED, not assumed") {
+    // The q157 construction (m=4, k=8, iters=1, 5 queries, top-5) scored
+    // against the exact squared-L2 ranking over the same candidates —
+    // the round-11 LSH-recall discipline applied to the PQ family: a
+    // deliberate approximation ships with its delivered accuracy pinned
+    // on the fixture, so a codebook/romance regression is a loud test
+    // failure, not a silent quality drop.
+    import graft.operators.PqOps
+    val e = Tables(spark, TestSpark.sfDir, "embeddings")
+    val vecs = e.select($"vec_id",
+        transform($"embedding", _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val qs = vecs.filter(_._1 < 5)
+    def l2sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exactTop = qs.map { case (qid, qv) =>
+      qid -> vecs.map { case (vid, v) => (l2sq(qv, v), vid) }
+        .sortBy(identity).take(5).map(_._2).toSet
+    }.toMap
+    def recallAt(kCodes: Int, iters: Int): Double = {
+      val model = PqOps.fitPq(e, "embedding", "vec_id", m = 4,
+        kCodes = kCodes, iters = iters)
+      val codes = PqOps.encode(e, "embedding", "vec_id", model)
+      val queries = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding")
+      val adcTop = PqOps.adcSearch(codes, "vec_id", queries, "qid", "embedding",
+          model, topN = 5)
+        .select($"qid", $"vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      qs.map { case (qid, _) =>
+        (adcTop(qid) & exactTop(qid)).size.toDouble / 5.0 }.sum / qs.length
+    }
+    // Measured on this fixture: recall@5 = 0.40 at the q157 parameters
+    // (k=8) — an order of magnitude above the ~5/n chance rate of a
+    // blind draw. The absolute level is a property of the FIXTURE, not
+    // the operator: these embeddings are near-uniform noise, so
+    // per-subspace quantization error dominates the small true-distance
+    // gaps between non-neighbors and recall saturates low at any
+    // capacity (0.40 → 0.44 at k=64/iters=2). The gate therefore pins
+    // the two things a regression would break — far-above-chance, and
+    // capacity monotonicity (more codebook reaching the estimates at
+    // all) — not a quality SLA the data can't support.
+    val rSmall = recallAt(kCodes = 8, iters = 1)
+    assert(rSmall >= 0.25,
+      f"ADC recall@5 at k=8 collapsed toward chance: $rSmall%.2f")
+    val rBig = recallAt(kCodes = 64, iters = 2)
+    assert(rBig > rSmall,
+      f"recall must grow with codebook capacity: k=8 → $rSmall%.2f, k=64 → $rBig%.2f")
+  }
 }
