@@ -75,11 +75,16 @@ object GraftApp {
       tau: Double = 0.8,
       heavyHitters: Option[String] = None,
       capacity: Int = 4096,
-      tokenize: Boolean = false)
+      tokenize: Boolean = false,
+      pqEncode: Boolean = false,
+      pqM: Int = 4,
+      pqK: Int = 256,
+      pqIters: Int = 2)
 
   /** Valueless flags (presence = true). */
   private val boolFlags = Set("strict", "stream", "compact-ledger", "fold-epochs",
-    "export-shards", "verify-export", "scrub-spans", "exact-neardup", "tokenize")
+    "export-shards", "verify-export", "scrub-spans", "exact-neardup", "tokenize",
+    "pq-encode")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -114,7 +119,8 @@ object GraftApp {
           "[--delete-ids i,j,… --corpus-dir P --audit-dir P] | " +
           "[--zorder c1,c2[,…c6] --corpus-dir P --out-dir P [--z-bits N] [--z-files N]] | " +
           "[--exact-neardup --corpus-dir P --out-dir P [--tau X] [--text-col C] [--id-col C]] | " +
-          "[--heavy-hitters COL --corpus-dir P --out-dir P [--capacity N] [--k N] [--tokenize]]")
+          "[--heavy-hitters COL --corpus-dir P --out-dir P [--capacity N] [--k N] [--tokenize]] | " +
+          "[--pq-encode --corpus-dir P --out-dir P [--vec-col C] [--id-col C] [--pq-m N] [--pq-k N] [--pq-iters N]]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
       "ledger", "checkpoint", "text-col", "id-col",
@@ -123,7 +129,8 @@ object GraftApp {
       "span-tokens", "min-docs", "epoch-shuffle",
       "delete-ids", "audit-dir", "corpus-dir",
       "zorder", "z-bits", "z-files", "out-dir", "tau",
-      "heavy-hitters", "capacity") ++ boolFlags
+      "heavy-hitters", "capacity",
+      "pq-m", "pq-k", "pq-iters") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
     if (unknown.nonEmpty)
@@ -190,7 +197,11 @@ object GraftApp {
       tau = flags.get("tau").map(_.toDouble).getOrElse(0.8),
       heavyHitters = flags.get("heavy-hitters"),
       capacity = flags.get("capacity").map(_.toInt).getOrElse(4096),
-      tokenize = flags.contains("tokenize"))
+      tokenize = flags.contains("tokenize"),
+      pqEncode = flags.contains("pq-encode"),
+      pqM = flags.get("pq-m").map(_.toInt).getOrElse(4),
+      pqK = flags.get("pq-k").map(_.toInt).getOrElse(256),
+      pqIters = flags.get("pq-iters").map(_.toInt).getOrElse(2))
   }
 
   /** Testable core; returns the process exit code. */
@@ -351,6 +362,32 @@ object GraftApp {
         .map(_.getLong(0)).getOrElse(0L)
       out(s"HEAVY_HITTERS_ col=$colName tokenize=${a.tokenize} " +
         s"capacity=${a.capacity} k=${a.k} err_max=$err out=$outd")
+      return 0
+    }
+
+    // Build mode: product-quantization artifacts (E139) — fit the m
+    // subspace codebooks and encode the corpus, writing BOTH to the out
+    // dir (`codebooks/` + `codes/`): the stored form an ADC search (or a
+    // later incremental encode against the same codebooks) consumes.
+    // Like --zorder, a full rewrite into a NEW directory; cutover is the
+    // caller's explicit step.
+    if (a.pqEncode) {
+      val dir = a.corpusDir.getOrElse(
+        throw new IllegalArgumentException("--pq-encode requires --corpus-dir P"))
+      val outd = a.outDir.getOrElse(
+        throw new IllegalArgumentException("--pq-encode requires --out-dir P"))
+      val corpus = spark.read.parquet(dir)
+      val model = graft.operators.PqOps.fitPq(
+        corpus, a.vecCol, a.idCol, a.pqM, a.pqK, a.pqIters)
+      model.codebooks
+        .withColumnRenamed("_graft_sub", "sub")
+        .withColumnRenamed("_graft_code", "code")
+        .withColumnRenamed("_graft_c", "centroid")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outd/codebooks")
+      val codes = graft.operators.PqOps.encode(corpus, a.vecCol, a.idCol, model)
+      codes.write.mode(SaveMode.Overwrite).parquet(s"$outd/codes")
+      out(s"PQ_ENCODE_ m=${a.pqM} k=${a.pqK} iters=${a.pqIters} " +
+        s"subDim=${model.subDim} out=$outd")
       return 0
     }
 

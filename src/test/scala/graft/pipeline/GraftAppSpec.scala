@@ -363,6 +363,35 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
     intercept[IllegalArgumentException](cli("--heavy-hitters", "text"))
   }
 
+  test("--pq-encode writes the codebooks and the coded corpus") {
+    val root = Files.createTempDirectory("pq_cli")
+    val corpus = s"$root/vecs"
+    (0L to 19L).map(i => (i, Array.tabulate(8)(d => (i * 7 + d).toDouble % 5)))
+      .toDF("vec_id", "embedding")
+      .repartition(2).write.mode(SaveMode.Overwrite).parquet(corpus)
+
+    def cli(extra: String*): (Int, Seq[String]) = {
+      val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val code = GraftApp.run(GraftApp.parseArgs(Seq("dev", "corpus") ++ extra),
+        spark, getenv = _ => None, out = outs.append(_), log = _ => ())
+      (code, outs.toSeq)
+    }
+
+    val outd = s"$root/pq"
+    val (c, l) = cli("--pq-encode", "--corpus-dir", corpus, "--out-dir", outd,
+      "--id-col", "vec_id", "--pq-m", "2", "--pq-k", "4", "--pq-iters", "1")
+    assert(c == 0, l.mkString("; "))
+    assert(l.exists(_.startsWith("PQ_ENCODE_ m=2 k=4 iters=1 subDim=4")), l)
+    val books = spark.read.parquet(s"$outd/codebooks")
+    assert(books.columns.toSet == Set("sub", "code", "centroid"))
+    assert(books.count() == 8L, "2 subs x 4 codes")
+    val codes = spark.read.parquet(s"$outd/codes")
+    assert(codes.columns.toSet == Set("vec_id", "sub", "code", "dist"))
+    assert(codes.count() == 40L, "20 vectors x 2 subs")
+
+    intercept[IllegalArgumentException](cli("--pq-encode", "--corpus-dir", corpus))
+  }
+
   test("--exact-neardup writes the provably-complete pair report") {
     val root = Files.createTempDirectory("exactnd_cli")
     val corpus = s"$root/docs"
