@@ -191,4 +191,59 @@ object PqOps {
       .withColumn("adc", round(-col("_graft_neg"), 6))
       .drop("_graft_neg")
   }
+
+  /** IVFADC (Jégou 2011's full system): the coarse quantizer restricts
+    * which codes a query even meets, ADC ranks within the probed cell —
+    * at 100 TB a flat [[adcSearch]] still sums m lookups for EVERY
+    * candidate (one full pass over the codes), while the cell join makes
+    * the scan ∝ the probed cells' population (~n/k1 per query).
+    *
+    * Inputs are the STORED artifacts, not raw vectors: `codes` from
+    * [[encode]], `cells` = the coarse assignment (idCol, cluster) from
+    * the same `coarse` centroids (the `--pq-encode`-style build step),
+    * `coarse` the driver-sized coarse model. Queries probe their nearest
+    * coarse cell by the family's 6-dp arg-min (ties to the smaller
+    * index — identical to the corpus assignment rule, so a query drawn
+    * from the corpus meets exactly its own cell). One probed cell
+    * (nprobe = 1) is the deliberately simple recall/cost point; more
+    * probes = union more cells before the same ADC, the q81 knob.
+    *
+    * Same determinism contract and output shape as [[adcSearch]]:
+    * (qid, rank, id, adc), squared distance, 6 dp, (adc asc, id asc). */
+  def ivfAdcSearch(
+      codes: DataFrame,
+      cells: DataFrame,
+      idCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      vecCol: String,
+      model: PqModel,
+      coarse: Array[Array[Double]],
+      topN: Int): DataFrame = {
+    require(topN >= 1, s"topN out of range: $topN")
+    val qcell = KmeansOps.assign(queries, vecCol, qidCol, coarse)
+      .select(col(qidCol), col("cluster").as("_graft_qcell"))
+    val qsubs = subvectors(queries, vecCol, qidCol, model.m,
+        expectDim = Some(model.m * model.subDim))
+      .withColumnRenamed("_graft_sub", "sub")
+    val l2 = graft.functions.VectorFunctions.l2Distance(col("_graft_v"), col("_graft_c"))
+    val lut = qsubs.join(
+        model.codebooks.withColumnRenamed("_graft_sub", "sub"), Seq("sub"))
+      .select(col(qidCol), col("sub"), col("_graft_code").as("code"),
+        (round(l2, 6) * round(l2, 6)).as("_graft_part"))
+    // The IVF restriction: a code row meets only the queries probing its
+    // cell — the (workload-sized) qcell frame broadcasts onto the
+    // cell-keyed codes, so the per-query candidate set is the probed
+    // cell's population, never the corpus.
+    val scored = codes
+      .join(cells.select(col(idCol), col("cluster").as("_graft_cell")), idCol)
+      .join(broadcast(qcell), col("_graft_cell") === col("_graft_qcell"))
+      .join(broadcast(lut), Seq(qidCol, "sub", "code"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(round(sum(col("_graft_part")), 6).as("adc"))
+      .withColumn("_graft_neg", -col("adc"))
+    TopKOps.groupedTopK(scored, qidCol, "_graft_neg", idCol, topN)
+      .withColumn("adc", round(-col("_graft_neg"), 6))
+      .drop("_graft_neg")
+  }
 }

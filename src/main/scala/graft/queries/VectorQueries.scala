@@ -396,6 +396,26 @@ object VectorQueries {
         .select(col("vec_id").as("qid"), col("embedding"))
       graft.operators.PqOps.adcSearch(
         codes, "vec_id", queries, "qid", "embedding", model, topN = 5)
+    }),
+
+    // E142 IVFADC (round 12): the paper's full system — the coarse
+    // quantizer (8 k-means cells) restricts which codes a query meets,
+    // ADC ranks within the probed cell. The flat q157 sums lookups for
+    // EVERY candidate; here the per-query scan is the probed cell's
+    // population (~n/8). Both levels + the codebooks restated in SQL.
+    "q159_ivfadc_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val coarse = graft.operators.KmeansOps.fit(
+        e, "embedding", "vec_id", k = 8, iters = 1)
+      val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
+      val model = graft.operators.PqOps.fitPq(
+        e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
+      val codes = graft.operators.PqOps.encode(e, "embedding", "vec_id", model)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.operators.PqOps.ivfAdcSearch(
+        codes, cells, "vec_id", queries, "qid", "embedding",
+        model, coarse.centroids, topN = 5)
     })
   )
 
@@ -523,7 +543,7 @@ object VectorQueries {
     // Lockstep rule with PqOps: change both or neither.
     def pqL2Sql(a: String, b: String, subDim: Int): String =
       s"round(sqrt(list_sum(list_transform(range(1, ${subDim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))), 6)"
-    def pqCtes(m: Int, kCodes: Int, iters: Int, subDim: Int): String = {
+    def pqCtesF(pfx: String, m: Int, kCodes: Int, iters: Int, subDim: Int): String = {
       def argmin(name: String, book: String, withDist: Boolean): String = {
         val d = if (withDist) s", ${pqL2Sql("s.sv", s"$book.c", subDim)} AS dist" else ""
         val dOut = if (withDist) ", dist" else ""
@@ -531,31 +551,33 @@ object VectorQueries {
              SELECT s.vec_id, s.sub, s.sv, $book.code$d,
                     row_number() OVER (PARTITION BY s.vec_id, s.sub
                       ORDER BY ${pqL2Sql("s.sv", s"$book.c", subDim)}, $book.code) AS rn
-             FROM subs s JOIN $book ON $book.sub = s.sub) WHERE rn = 1)"""
+             FROM ${pfx}subs s JOIN $book ON $book.sub = s.sub) WHERE rn = 1)"""
       }
       val sb = new StringBuilder
-      sb ++= s"""e AS (SELECT vec_id, $VecSql AS v FROM embeddings),
-        subs AS (SELECT vec_id, CAST(u.s AS INT) AS sub,
+      sb ++= s"""${pfx}pe AS (SELECT vec_id, $VecSql AS v FROM embeddings),
+        ${pfx}subs AS (SELECT vec_id, CAST(u.s AS INT) AS sub,
                         v[u.s * $subDim + 1 : u.s * $subDim + $subDim] AS sv
-                 FROM e, unnest(range(0, $m)) AS u(s)),
-        b0 AS (SELECT sub, CAST(rn - 1 AS INT) AS code, sv AS c FROM (
+                 FROM ${pfx}pe, unnest(range(0, $m)) AS u(s)),
+        ${pfx}b0 AS (SELECT sub, CAST(rn - 1 AS INT) AS code, sv AS c FROM (
                  SELECT sub, sv,
                         row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
-                 FROM subs) WHERE rn <= $kCodes)"""
+                 FROM ${pfx}subs) WHERE rn <= $kCodes)"""
       for (r <- 0 until iters) {
-        sb ++= ",\n" + argmin(s"a$r", s"b$r", withDist = false)
+        sb ++= ",\n" + argmin(s"${pfx}a$r", s"${pfx}b$r", withDist = false)
         sb ++= s""",
-          b${r + 1} AS (SELECT p.sub, p.code, coalesce(u.c, p.c) AS c
-            FROM b$r p LEFT JOIN (
+          ${pfx}b${r + 1} AS (SELECT p.sub, p.code, coalesce(u.c, p.c) AS c
+            FROM ${pfx}b$r p LEFT JOIN (
               SELECT sub, code, list(m ORDER BY j) AS c FROM (
                 SELECT a.sub, a.code, j, round(avg(a.sv[j]), 6) AS m
-                FROM a$r a, unnest(range(1, ${subDim + 1})) AS u(j)
+                FROM ${pfx}a$r a, unnest(range(1, ${subDim + 1})) AS u(j)
                 GROUP BY a.sub, a.code, j)
               GROUP BY sub, code) u ON u.sub = p.sub AND u.code = p.code)"""
       }
-      sb ++= ",\n" + argmin("af", s"b$iters", withDist = true)
+      sb ++= ",\n" + argmin(s"${pfx}af", s"${pfx}b$iters", withDist = true)
       sb.toString
     }
+    def pqCtes(m: Int, kCodes: Int, iters: Int, subDim: Int): String =
+      pqCtesF("", m, kCodes, iters, subDim)
     Map(
       "q55_cosine_pairs" ->
         s"""WITH e AS (SELECT vec_id, $VecSql AS v FROM embeddings)
@@ -830,6 +852,31 @@ object VectorQueries {
                     WHERE s.vec_id < 5),
             scored AS (SELECT l.qid, a.vec_id, round(sum(l.part), 6) AS adc
                        FROM af a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+                       GROUP BY l.qid, a.vec_id)
+            SELECT qid, CAST(rank AS INT) AS rank, vec_id, adc FROM (
+              SELECT qid, vec_id, adc,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY adc, vec_id) AS rank
+              FROM scored)
+            WHERE rank <= 5""",
+      // Coarse cells from kmeansCtes (af = the corpus assignment, which
+      // IS the query probe — identical arg-min rule, queries drawn from
+      // the corpus), codebooks/codes from the q-prefixed pqCtes; ADC
+      // restricted to candidates sharing the query's cell.
+      "q159_ivfadc_search" ->
+        s"""WITH ${kmeansCtes(8, 1)},
+            ${pqCtesF("q", 4, 8, 1, 16)},
+            lut AS (SELECT s.vec_id AS qid, s.sub, b.code,
+                           ${pqL2Sql("s.sv", "b.c", 16)} * ${pqL2Sql("s.sv", "b.c", 16)} AS part
+                    FROM qsubs s JOIN qb1 b ON b.sub = s.sub
+                    WHERE s.vec_id < 5),
+            qc AS (SELECT vec_id AS qid, cl AS qcell FROM af WHERE vec_id < 5),
+            scored AS (SELECT l.qid, a.vec_id, round(sum(l.part), 6) AS adc
+                       FROM qaf a
+                       JOIN af c ON c.vec_id = a.vec_id
+                       JOIN qc ON qc.qcell = c.cl
+                       JOIN lut l ON l.qid = qc.qid
+                                 AND l.sub = a.sub AND l.code = a.code
                        GROUP BY l.qid, a.vec_id)
             SELECT qid, CAST(rank AS INT) AS rank, vec_id, adc FROM (
               SELECT qid, vec_id, adc,

@@ -194,6 +194,10 @@ class PlanSpec extends AnyFunSuite {
                                   // sum + the per-query top-k agg — the last two move
                                   // codes-sized and workload-sized frames only; the lookup
                                   // table itself is a BroadcastExchange by construction
+      "q159_ivfadc_search" -> 5,  // the q157 shape with the cell restriction folded in:
+                                  // same five exchanges (the coarse assignment rides the
+                                  // codes' id-join, its model is driver state; qcell and
+                                  // the lookup table are BroadcastExchanges)
       "q108_srp_incr_neardup" -> 5, // hit/purge anti-joins on the id key + banded self-join
                                     // + pair and drop distincts (banding cached; ledger-hit
                                     // verification is eager, outside this plan)

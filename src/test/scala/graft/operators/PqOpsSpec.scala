@@ -96,6 +96,43 @@ class PqOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfAdc restricts candidates to the probed coarse cell, scores match local ADC") {
+    val coarse = KmeansOps.fit(vecs, "v", "id", k = 2, iters = 2)
+    val cellMap = coarse.assignments
+      .select(col("id"), col("cluster")).as[(Long, Int)].collect().toMap
+    val model = PqOps.fitPq(vecs, "v", "id", m = 2, kCodes = 2, iters = 1)
+    val codes = PqOps.encode(vecs, "v", "id", model)
+    val queries = vecs.filter(col("id") < 2).select(col("id").as("qid"), col("v"))
+    val got = PqOps.ivfAdcSearch(codes,
+        coarse.assignments.select(col("id"), col("cluster")),
+        "id", queries, "qid", "v", model, coarse.centroids, topN = 6)
+      .as[(Long, Int, Long, Double)].collect()
+    val books = model.codebooks.as[(Int, Int, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val subv = PqOps.subvectors(vecs, "v", "id", m = 2)
+      .as[(Long, Int, Seq[Double])].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val codeOf = codes.as[(Long, Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def adc(qid: Long, cand: Long): Double = {
+      val s = (0 until 2).map { sub =>
+        val d = l2r6(subv((qid, sub)), books((sub, codeOf((cand, sub)))))
+        d * d
+      }.sum
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val all = vecs.as[(Long, Seq[Double])].collect().map(_._1)
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      // A corpus-drawn query probes exactly its own cell (identical
+      // arg-min rule), so expected = same-cell candidates, ADC-ranked.
+      val expect = all.filter(c => cellMap(c) == cellMap(qid))
+        .map(c => (adc(qid, c), c)).sortBy(identity).take(6)
+      assert(rows.sortBy(_._2).map(r => (r._4, r._3)).toSeq == expect.toSeq,
+        s"query $qid")
+      assert(rows.forall(r => cellMap(r._3) == cellMap(qid)),
+        s"query $qid met a candidate outside its probed cell")
+    }
+  }
+
   test("encode against a mismatched-dim model fails loudly, never silently truncates") {
     val model = PqOps.fitPq(vecs, "v", "id", m = 2, kCodes = 2, iters = 0)
     val wrong = Seq((9L, Array.fill(10)(1.0))).toDF("id", "v")
