@@ -6,7 +6,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product quantization (Jégou et al., "Product Quantization for Nearest
-  * Neighbor Search", TPAMI 2011 — public) — the standard 100 TB-scale
+  * Neighbor Search", TPAMI 2011 — public; SURVEY §2.3 extension surface
+  * E139/E140/E142 — reference scope per `Etl_data_pipeline/README.md:1-40`:
+  * the reference moves tables and leaves analysis downstream, so the
+  * vector-search tier is declared extension) — the standard 100 TB-scale
   * vector-compression play the IVF family (E52/E67) composes with: split
   * every vector into `m` contiguous subvectors, fit an independent
   * k-means codebook per subspace, and store each vector as `m` small
