@@ -555,6 +555,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] q155 ledger prewarm failed: ${e.getMessage}")
       }
+    if (selected.exists(_._1.startsWith("q161")))
+      try queries.VectorQueries.ensureQ161Store(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] q161 pq store prewarm failed: ${e.getMessage}")
+      }
     // Reference medians from the COMMITTED detail file (last round's run at
     // the same scale), read BEFORE this run overwrites it — the outlier
     // triage baseline.

@@ -1,8 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Product quantization (Jégou et al., "Product Quantization for Nearest
@@ -24,7 +23,11 @@ import org.apache.spark.sql.functions._
   *     sub-equi-join against the (m × kCodes)-row codebook frame + the
   *     packed-code map-side arg-min + one (sub, code, dim) aggregation —
   *     all m codebooks fit SIMULTANEOUSLY, never m driver loops re-scanning
-  *     the corpus.
+  *     the corpus. Seeding is a driver-sized TakeOrdered (the kCodes
+  *     smallest ids — ≤ kCodes rows) broadcast back onto the subvectors:
+  *     never a row_number window partitioned m ways, which would funnel
+  *     the WHOLE corpus through m tasks' sorts (the E76/E137 hazard;
+  *     plan-gated in PqOpsSpec).
   *   - '''encode''' is the same arg-min join, once: (id, sub, code, dist)
   *     rows, the columnar layout downstream ADC reads directly (assembling
   *     an array per id would be one more shuffle for no consumer).
@@ -34,6 +37,20 @@ import org.apache.spark.sql.functions._
   *     (query, id), cut by the bounded-buffer grouped top-k (E76). A
   *     whole query TABLE costs one pass over the codes, the q152 batch
   *     discipline.
+  *   - '''IVFADC''' reads only the PROBED cells: the codes artifact is
+  *     written `partitionBy(cell)` (the E57 layout), the probed-cell set
+  *     is workload-sized and collected driver-side, and the search's
+  *     `isin` filter resolves to parquet PartitionFilters — per-query I/O
+  *     is the probed cells' population, never the corpus (plan-gated).
+  *
+  * Stored artifacts carry a CONSTRUCTION PIN (the E89/E109 ledger rule):
+  * `_graft_pq_construction` records (m, kCodes, subDim, coarseK), is
+  * written BEFORE any data, and every read REQUIRE-matches it — ADC
+  * against codebooks re-fit with different parameters would silently
+  * mis-score. Incremental encode (the ledger rule's seventh space) lands
+  * each batch in its own `_graft_epoch=<token>` partition with dynamic
+  * overwrite, so at-least-once replay reproduces identical codes instead
+  * of duplicating them (the E109 protocol).
   *
   * Determinism (the q115/q148 oracle contract, lockstep rule — change
   * both or neither): codebook seeds are the subvectors of the `kCodes`
@@ -41,7 +58,7 @@ import org.apache.spark.sql.functions._
   * ties to the smaller code, centroid means round at 6 dp, empty codes
   * keep their previous centroid, and ADC scores round at 6 dp with
   * (score asc, id asc) ranking — every number is a pure function of the
-  * data, so DuckDB hash-matches the whole chain (q156/q157).
+  * data, so DuckDB hash-matches the whole chain (q156/q157/q159–q161).
   */
 object PqOps {
 
@@ -53,11 +70,13 @@ object PqOps {
   /** (id, _graft_sub, _graft_v): the corpus exploded into contiguous
     * subvectors — the ONLY row-count amplification in the family (m×,
     * same total bytes). `dim` must split evenly: a ragged last subspace
-    * would silently skew its codebook's distance scale. `expectDim`
-    * (set by [[encode]]/[[adcSearch]] from the fitted model) makes a
-    * mismatched vector a LOUD per-row error instead of silently wrong
-    * codes — the check is woven into the data column itself, costs no
-    * extra pass, and cannot be pruned. */
+    * would silently skew its codebook's distance scale — with
+    * `expectDim` unset the divisibility check itself is woven into the
+    * column (a bare `size % m` slice would silently DROP the trailing
+    * `dim % m` elements); with `expectDim` (set by [[encode]]/
+    * [[adcSearch]] from the fitted model) any mismatched vector is a
+    * LOUD per-row error instead of silently wrong codes. Either guard
+    * rides the data column: costs no extra pass and cannot be pruned. */
   def subvectors(
       df: DataFrame,
       vecCol: String,
@@ -66,13 +85,19 @@ object PqOps {
       expectDim: Option[Int] = None): DataFrame = {
     require(m >= 1, s"m must be positive: $m")
     val w = transform(col(vecCol), _.cast("double"))
-    val guarded = expectDim.fold(w)(d =>
-      when(size(col(vecCol)) === d, w).otherwise(raise_error(concat(
-        lit(s"pq: vector dim must be $d (the fitted model's m × subDim), got "),
-        size(col(vecCol)).cast("string")))))
+    val guarded = expectDim match {
+      case Some(d) =>
+        when(size(col(vecCol)) === d, w).otherwise(raise_error(concat(
+          lit(s"pq: vector dim must be $d (the fitted model's m × subDim), got "),
+          size(col(vecCol)).cast("string"))))
+      case None =>
+        when(size(col(vecCol)) % m === 0, w).otherwise(raise_error(concat(
+          lit(s"pq: vector dim must split evenly into m=$m subspaces, got dim "),
+          size(col(vecCol)).cast("string"))))
+    }
     df.select(col(idCol), guarded.as("_graft_w"))
       .select(col(idCol),
-        // Integer subspace width (dim divisible by m — enforced by fitPq;
+        // Integer subspace width (dim divisible by m — guarded above;
         // a `/` here would be double division and slice() garbage).
         (size(col("_graft_w")).cast("int") / lit(m)).cast("int").as("_graft_sd"),
         col("_graft_w"))
@@ -80,6 +105,28 @@ object PqOps {
         posexplode(transform(sequence(lit(0), lit(m - 1)), s =>
           slice(col("_graft_w"), s * col("_graft_sd") + 1, col("_graft_sd"))))
           .as(Seq("_graft_sub", "_graft_v")))
+  }
+
+  /** Seed codebooks: per sub, the subvectors of the `kCodes` smallest
+    * ids — the SAME id set for every subspace, so it comes from ONE
+    * driver-sized TakeOrdered (`orderBy(id).limit(kCodes)`, ≤ kCodes
+    * rows) ranked by a single bounded collect and broadcast-joined back
+    * onto the subvector frame. Deliberately NOT
+    * `row_number().over(partitionBy(sub).orderBy(id))`: that window has
+    * exactly m partitions, each funneling the ENTIRE corpus's subvectors
+    * through one task's sort — 4 tasks sorting 10^12 rows at scale (the
+    * round-12 weak mark; plan-gated in PqOpsSpec: no Window node). */
+  private[operators] def seedBooks(
+      subs: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      kCodes: Int): DataFrame = {
+    val seedIds = df.select(col(idCol)).orderBy(col(idCol)).limit(kCodes)
+      .agg(array_sort(collect_list(col(idCol))).as("_graft_ids"))
+      .select(posexplode(col("_graft_ids")).as(Seq("_graft_code", idCol)))
+    subs.join(broadcast(seedIds), Seq(idCol))
+      .select(col("_graft_sub"), col("_graft_code"),
+        col("_graft_v").as("_graft_c"))
   }
 
   /** Fit all `m` codebooks simultaneously: `iters` Lloyd rounds over the
@@ -100,15 +147,7 @@ object PqOps {
       s"vector dim must be uniform and divisible by m=$m, got ${dims.mkString(",")}")
     val subDim = dims.head / m
     val subs = Tables.materialize(subvectors(df, vecCol, idCol, m))
-    // Seeds: per sub, the subvectors of the kCodes smallest ids — the
-    // flat fit's smallest-id rule applied per subspace.
-    val wSub = Window.partitionBy(col("_graft_sub")).orderBy(col(idCol))
-    var books = Tables.materialize(subs
-      .withColumn("_graft_rn", row_number().over(wSub))
-      .filter(col("_graft_rn") <= kCodes)
-      .select(col("_graft_sub"),
-        (col("_graft_rn") - 1).cast("int").as("_graft_code"),
-        col("_graft_v").as("_graft_c")))
+    var books = Tables.materialize(seedBooks(subs, df, idCol, kCodes))
     for (_ <- 1 to iters) {
       val am = argmin(subs, books, idCol)
       val upd = am.join(subs, Seq(idCol, "_graft_sub"))
@@ -156,6 +195,14 @@ object PqOps {
       .select(col(idCol), col("_graft_sub").as("sub"),
         col("_graft_code").as("code"), col("_graft_dist").as("dist"))
 
+  /** Attach the coarse-cell column to an [[encode]] output — the BUILD-
+    * time join (one shuffle, once, at write) that lets every later
+    * [[ivfAdcSearch]] skip the per-search corpus-wide id-join entirely:
+    * search filters `cell`, it never joins on id. `cells` is the coarse
+    * assignment (idCol, cluster). */
+  def attachCells(codes: DataFrame, cells: DataFrame, idCol: String): DataFrame =
+    codes.join(cells.select(col(idCol), col("cluster").as("cell")), Seq(idCol))
+
   /** ADC batch search: top-`topN` candidates per query by the asymmetric
     * distance Σ_sub 6-dp-L2²(query subvector, candidate's codeword).
     * `queries` is (qidCol, vecCol) — workload-sized by contract; `codes`
@@ -173,16 +220,7 @@ object PqOps {
       model: PqModel,
       topN: Int): DataFrame = {
     require(topN >= 1, s"topN out of range: $topN")
-    val qsubs = subvectors(queries, vecCol, qidCol, model.m,
-        expectDim = Some(model.m * model.subDim))
-      .withColumnRenamed("_graft_sub", "sub")
-    // Per (query, sub, code): the partial SQUARED distance, each leg's
-    // L2 rounded at 6 dp first (the family's determinism grain).
-    val l2 = graft.functions.VectorFunctions.l2Distance(col("_graft_v"), col("_graft_c"))
-    val lut = qsubs.join(
-        model.codebooks.withColumnRenamed("_graft_sub", "sub"), Seq("sub"))
-      .select(col(qidCol), col("sub"), col("_graft_code").as("code"),
-        (round(l2, 6) * round(l2, 6)).as("_graft_part"))
+    val lut = adcLut(queries, qidCol, vecCol, model)
     val scored = codes
       .join(broadcast(lut), Seq("sub", "code"))
       .groupBy(col(qidCol), col(idCol))
@@ -195,52 +233,114 @@ object PqOps {
       .drop("_graft_neg")
   }
 
+  /** Per (query, sub, code): the partial SQUARED distance, each leg's
+    * L2 rounded at 6 dp first (the family's determinism grain) —
+    * queries × m × kCodes rows, workload-sized, built for broadcast. */
+  private def adcLut(
+      queries: DataFrame,
+      qidCol: String,
+      vecCol: String,
+      model: PqModel): DataFrame = {
+    val qsubs = subvectors(queries, vecCol, qidCol, model.m,
+        expectDim = Some(model.m * model.subDim))
+      .withColumnRenamed("_graft_sub", "sub")
+    val l2 = graft.functions.VectorFunctions.l2Distance(col("_graft_v"), col("_graft_c"))
+    qsubs.join(
+        model.codebooks.withColumnRenamed("_graft_sub", "sub"), Seq("sub"))
+      .select(col(qidCol), col("sub"), col("_graft_code").as("code"),
+        (round(l2, 6) * round(l2, 6)).as("_graft_part"))
+  }
+
+  /** Each query's `nprobe` nearest coarse cells by the family's 6-dp
+    * arg-min rule — (dist asc, cell asc) ties, so at nprobe = 1 this IS
+    * [[KmeansOps.assign]]'s rule: a corpus-drawn query meets exactly its
+    * own cell. Literal zero-shuffle path for driver-small coarse models;
+    * broadcast-join + bounded-buffer grouped top-k above
+    * [[KmeansOps.LiteralPathMaxK]] (both paths spec-pinned identical).
+    * Returns (qidCol, _graft_qcell). */
+  private[operators] def probeCells(
+      queries: DataFrame,
+      vecCol: String,
+      qidCol: String,
+      coarse: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe must be in [1, ${coarse.length}]: $nprobe")
+    import graft.functions.VectorFunctions.l2Distance
+    if (coarse.length <= KmeansOps.LiteralPathMaxK) {
+      // array_sort on (dist, cell) structs = (dist asc, cell asc) — the
+      // literal assign path's first-match tie rule, extended to n-best.
+      val entries = coarse.zipWithIndex.map { case (c, i) =>
+        struct(
+          l2Distance(col(vecCol), typedLit(c.toSeq)).as("d"),
+          lit(i).as("cl"))
+      }
+      queries
+        .select(col(qidCol),
+          explode(slice(array_sort(array(entries.toIndexedSeq: _*)), 1, nprobe)).as("_p"))
+        .select(col(qidCol), col("_p.cl").as("_graft_qcell"))
+    } else {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val centDf = broadcast(
+        coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+          .toSeq.toDF("_graft_cl", "_graft_c"))
+      // Rank on the negated distance (grouped top-k ranks descending);
+      // the long-id tie-break is ascending on the cell index — together
+      // (dist asc, cell asc), the literal path's rule.
+      val scored = queries.select(col(qidCol), col(vecCol))
+        .join(centDf)
+        .select(col(qidCol), col("_graft_cl"),
+          (-l2Distance(col(vecCol), col("_graft_c"))).as("_graft_negd"))
+      TopKOps.groupedTopK(scored, qidCol, "_graft_negd", "_graft_cl", nprobe)
+        .select(col(qidCol), col("_graft_cl").cast("int").as("_graft_qcell"))
+    }
+  }
+
   /** IVFADC (Jégou 2011's full system): the coarse quantizer restricts
-    * which codes a query even meets, ADC ranks within the probed cell —
+    * which codes a query even READS, ADC ranks within the probed cells —
     * at 100 TB a flat [[adcSearch]] still sums m lookups for EVERY
-    * candidate (one full pass over the codes), while the cell join makes
-    * the scan ∝ the probed cells' population (~n/k1 per query).
+    * candidate (one full pass over the codes), while here the scan is
+    * ∝ the probed cells' population (~nprobe × n/k1 per query).
     *
-    * Inputs are the STORED artifacts, not raw vectors: `codes` from
-    * [[encode]], `cells` = the coarse assignment (idCol, cluster) from
-    * the same `coarse` centroids (the `--pq-encode`-style build step),
-    * `coarse` the driver-sized coarse model. Queries probe their nearest
-    * coarse cell by the family's 6-dp arg-min (ties to the smaller
-    * index — identical to the corpus assignment rule, so a query drawn
-    * from the corpus meets exactly its own cell). One probed cell
-    * (nprobe = 1) is the deliberately simple recall/cost point; more
-    * probes = union more cells before the same ADC, the q81 knob.
+    * `codes` must CARRY its cell column (`cellCol`) — the stored layout
+    * [[writePqArtifacts]] produces (`partitionBy(cell)`, the E57
+    * machinery): the probed-cell set is workload-sized (≤ queries ×
+    * nprobe values, collected driver-side), and the `isin` filter on the
+    * partition column resolves to parquet PartitionFilters, so the scan
+    * READS only probed cells' files — no per-search id-join, no
+    * corpus-wide shuffle (plan-gated in PqOpsSpec). Queries probe their
+    * `nprobe` nearest coarse cells by the family's 6-dp arg-min (ties to
+    * the smaller index — at nprobe = 1 identical to the corpus
+    * assignment rule, so a query drawn from the corpus meets exactly its
+    * own cell); more probes union more cells before the same ADC — the
+    * recall/cost knob (the q81 rule; monotonicity gated in AccuracySpec).
     *
     * Same determinism contract and output shape as [[adcSearch]]:
     * (qid, rank, id, adc), squared distance, 6 dp, (adc asc, id asc). */
   def ivfAdcSearch(
       codes: DataFrame,
-      cells: DataFrame,
+      cellCol: String,
       idCol: String,
       queries: DataFrame,
       qidCol: String,
       vecCol: String,
       model: PqModel,
       coarse: Array[Array[Double]],
-      topN: Int): DataFrame = {
+      topN: Int,
+      nprobe: Int = 1): DataFrame = {
     require(topN >= 1, s"topN out of range: $topN")
-    val qcell = KmeansOps.assign(queries, vecCol, qidCol, coarse)
-      .select(col(qidCol), col("cluster").as("_graft_qcell"))
-    val qsubs = subvectors(queries, vecCol, qidCol, model.m,
-        expectDim = Some(model.m * model.subDim))
-      .withColumnRenamed("_graft_sub", "sub")
-    val l2 = graft.functions.VectorFunctions.l2Distance(col("_graft_v"), col("_graft_c"))
-    val lut = qsubs.join(
-        model.codebooks.withColumnRenamed("_graft_sub", "sub"), Seq("sub"))
-      .select(col(qidCol), col("sub"), col("_graft_code").as("code"),
-        (round(l2, 6) * round(l2, 6)).as("_graft_part"))
-    // The IVF restriction: a code row meets only the queries probing its
-    // cell — the (workload-sized) qcell frame broadcasts onto the
-    // cell-keyed codes, so the per-query candidate set is the probed
-    // cell's population, never the corpus.
+    val qcells = Tables.materialize(
+      probeCells(queries, vecCol, qidCol, coarse, nprobe))
+    // Workload-sized by contract: ≤ queries × nprobe cell ids. The
+    // driver-side collect is what turns the restriction into a STATIC
+    // partition filter — pruning at the scan, not after it.
+    val probed = qcells.select(col("_graft_qcell")).distinct()
+      .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+    val lut = adcLut(queries, qidCol, vecCol, model)
     val scored = codes
-      .join(cells.select(col(idCol), col("cluster").as("_graft_cell")), idCol)
-      .join(broadcast(qcell), col("_graft_cell") === col("_graft_qcell"))
+      .filter(col(cellCol).isin(probed: _*))
+      .join(broadcast(qcells), col(cellCol) === col("_graft_qcell"))
       .join(broadcast(lut), Seq(qidCol, "sub", "code"))
       .groupBy(col(qidCol), col(idCol))
       .agg(round(sum(col("_graft_part")), 6).as("adc"))
@@ -248,5 +348,187 @@ object PqOps {
     TopKOps.groupedTopK(scored, qidCol, "_graft_neg", idCol, topN)
       .withColumn("adc", round(-col("_graft_neg"), 6))
       .drop("_graft_neg")
+  }
+
+  // ---------------------------------------------------------------------
+  // Stored artifacts: the --pq-encode build layout + construction pin.
+  // ---------------------------------------------------------------------
+
+  private val PqMetaFile = "_graft_pq_construction"
+  /** The base build's epoch partition — incremental batches land beside
+    * it under their own tokens (the E109 replay protocol). */
+  val BaseEpoch = "base"
+
+  /** The stored model + coarse quantizer + cell-partitioned codes. */
+  final case class PqArtifacts(
+      model: PqModel,
+      coarse: Array[Array[Double]],
+      codes: DataFrame)
+
+  private def pqParams(m: Int, kCodes: Int, subDim: Int, coarseK: Int): String =
+    s"m=$m kCodes=$kCodes subDim=$subDim coarseK=$coarseK"
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String, params: String): Unit = {
+    val (fs, _) = fsOf(spark, dir)
+    val metaPath = new org.apache.hadoop.fs.Path(dir, PqMetaFile)
+    val outS = fs.create(metaPath, true)
+    try outS.write(params.getBytes("UTF-8")) finally outS.close()
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): String = {
+    val (fs, _) = fsOf(spark, dir)
+    val metaPath = new org.apache.hadoop.fs.Path(dir, PqMetaFile)
+    if (!fs.exists(metaPath))
+      throw new IllegalStateException(
+        s"PQ artifact store at $dir has no construction pin ($PqMetaFile) — " +
+          "codes cannot be trusted against these codebooks (an ADC run " +
+          "against re-fit codebooks silently mis-scores). Rebuild with " +
+          "writePqArtifacts / --pq-encode.")
+    val in = fs.open(metaPath)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** Full build: fit the coarse quantizer and the PQ codebooks on
+    * `corpus`, encode it, and write the whole artifact set under `dir` —
+    * `codebooks/` (sub, code, centroid), `coarse/` (cl, centroid), and
+    * `codes/` partitioned by (`_graft_epoch`, `cell`) so every later
+    * [[ivfAdcSearch]] partition-prunes to the probed cells. The
+    * construction pin is written FIRST: a crash mid-build leaves a store
+    * that loudly refuses reads of partial data under a missing pin,
+    * never one that silently pairs codes with foreign codebooks. */
+  def writePqArtifacts(
+      spark: SparkSession,
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dir: String,
+      m: Int,
+      kCodes: Int,
+      iters: Int,
+      coarseK: Int,
+      coarseIters: Int): PqArtifacts = {
+    require(coarseK >= 1, s"coarseK must be positive: $coarseK")
+    val model = fitPq(corpus, vecCol, idCol, m, kCodes, iters)
+    val coarseFit = KmeansOps.fit(corpus, vecCol, idCol, coarseK, coarseIters)
+    writeMeta(spark, dir, pqParams(m, kCodes, model.subDim, coarseK))
+    model.codebooks
+      .withColumnRenamed("_graft_sub", "sub")
+      .withColumnRenamed("_graft_code", "code")
+      .withColumnRenamed("_graft_c", "centroid")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/codebooks")
+    import spark.implicits._
+    coarseFit.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cl", "centroid")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/coarse")
+    val codes = attachCells(
+      encode(corpus, vecCol, idCol, model),
+      coarseFit.assignments.select(col(idCol), col("cluster")), idCol)
+    codes.withColumn("_graft_epoch", lit(BaseEpoch))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("_graft_epoch", "cell")
+      .parquet(s"$dir/codes")
+    PqArtifacts(model, coarseFit.centroids,
+      spark.read.parquet(s"$dir/codes").drop("_graft_epoch"))
+  }
+
+  /** Read the artifact set back, REQUIRE-matching the construction pin
+    * against what the store actually contains (m × kCodes from the
+    * codebooks, coarseK from the coarse frame) — parameter drift between
+    * what was pinned and what sits on disk refuses loudly (the E89
+    * rule). `codes` spans every committed epoch; the `cell` partition
+    * column rides it for [[ivfAdcSearch]] pruning. */
+  def readPqArtifacts(spark: SparkSession, dir: String): PqArtifacts = {
+    val params = readMeta(spark, dir)
+    val kv = params.split("\\s+").map(_.split("=") match {
+      case Array(k, v) => k -> v.toInt
+      case other => throw new IllegalStateException(
+        s"malformed PQ construction pin at $dir: [${other.mkString("=")}]")
+    }).toMap
+    val (m, kCodes, subDim, coarseK) =
+      (kv("m"), kv("kCodes"), kv("subDim"), kv("coarseK"))
+    val books = spark.read.parquet(s"$dir/codebooks")
+      .withColumnRenamed("sub", "_graft_sub")
+      .withColumnRenamed("code", "_graft_code")
+      .withColumnRenamed("centroid", "_graft_c")
+    val stored = books.agg(
+        countDistinct(col("_graft_sub")).as("m"),
+        countDistinct(col("_graft_code")).as("k"))
+      .collect().head
+    if (stored.getLong(0) != m.toLong || stored.getLong(1) > kCodes.toLong)
+      throw new IllegalStateException(
+        s"PQ artifact store at $dir pinned [${pqParams(m, kCodes, subDim, coarseK)}] " +
+          s"but codebooks/ holds m=${stored.getLong(0)}, kCodes≈${stored.getLong(1)} — " +
+          "the store drifted from its pin; rebuild it.")
+    val coarse = spark.read.parquet(s"$dir/coarse")
+      .orderBy(col("cl"))
+      .collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    if (coarse.length != coarseK)
+      throw new IllegalStateException(
+        s"PQ artifact store at $dir pinned coarseK=$coarseK but coarse/ holds " +
+          s"${coarse.length} centroids — the store drifted from its pin; rebuild it.")
+    PqArtifacts(
+      PqModel(books, m, kCodes, subDim),
+      coarse,
+      spark.read.parquet(s"$dir/codes").drop("_graft_epoch"))
+  }
+
+  /** [[incrementalPqEncode]]'s two-step result — the ledger family's
+    * write-then-commit protocol: read `codes` (the corpus-lifetime view
+    * INCLUDING this batch) now, `commitLedger()` only after the batch's
+    * downstream output is durably written. */
+  final class PendingPqCodes private[operators] (
+      /** Lifetime (id, sub, code, dist, cell) as of store + THIS batch. */
+      val codes: DataFrame,
+      commit: () => Unit) {
+    def commitLedger(): Unit = commit()
+  }
+
+  /** E143: INCREMENTAL PQ encode — today's crawl encoded against the
+    * PINNED codebooks (the E101 fitted-once discipline: re-fitting per
+    * batch would silently shift every stored code's meaning), the ledger
+    * rule's SEVENTH space (fingerprints, band buckets, SRP buckets,
+    * cluster ids, span counts, sketch counters — now PQ codes). The
+    * batch's codes land in their own `_graft_epoch=<token>` (× cell)
+    * partitions via dynamic overwrite: at-least-once replay of a crashed
+    * batch overwrites its own partitions with identical deterministic
+    * codes instead of duplicating them (the E109 protocol). The lifetime
+    * read EXCLUDES the batch's own epoch before unioning the fresh
+    * encode, so a replay after a half-written crash sees exactly the
+    * committed prior. Batches are NEW ids by contract (the crawl
+    * discipline every ledger here shares); the construction pin is
+    * REQUIRE-matched before any encode. */
+  def incrementalPqEncode(
+      spark: SparkSession,
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dir: String,
+      epochToken: String): PendingPqCodes = {
+    require(epochToken.nonEmpty && epochToken != BaseEpoch,
+      s"epoch token must be a fresh non-'$BaseEpoch' batch id: '$epochToken'")
+    val arts = readPqArtifacts(spark, dir)
+    val batchCodes = Tables.materialize(attachCells(
+      encode(batch, vecCol, idCol, arts.model),
+      KmeansOps.assign(batch, vecCol, idCol, arts.coarse)
+        .select(col(idCol), col("cluster")), idCol))
+    val prior = spark.read.parquet(s"$dir/codes")
+      .filter(col("_graft_epoch") =!= epochToken)
+      .drop("_graft_epoch")
+    new PendingPqCodes(
+      prior.unionByName(batchCodes.select(prior.columns.map(col).toIndexedSeq: _*)),
+      () => batchCodes
+        .withColumn("_graft_epoch", lit(epochToken))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_graft_epoch", "cell")
+        .parquet(s"$dir/codes"))
   }
 }

@@ -79,12 +79,15 @@ object GraftApp {
       pqEncode: Boolean = false,
       pqM: Int = 4,
       pqK: Int = 256,
-      pqIters: Int = 2)
+      pqIters: Int = 2,
+      pqCoarseK: Int = 256,
+      pqAppend: Boolean = false,
+      pqEpoch: Option[String] = None)
 
   /** Valueless flags (presence = true). */
   private val boolFlags = Set("strict", "stream", "compact-ledger", "fold-epochs",
     "export-shards", "verify-export", "scrub-spans", "exact-neardup", "tokenize",
-    "pq-encode")
+    "pq-encode", "pq-append")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -120,7 +123,9 @@ object GraftApp {
           "[--zorder c1,c2[,…c6] --corpus-dir P --out-dir P [--z-bits N] [--z-files N]] | " +
           "[--exact-neardup --corpus-dir P --out-dir P [--tau X] [--text-col C] [--id-col C]] | " +
           "[--heavy-hitters COL --corpus-dir P --out-dir P [--capacity N] [--k N] [--tokenize]] | " +
-          "[--pq-encode --corpus-dir P --out-dir P [--vec-col C] [--id-col C] [--pq-m N] [--pq-k N] [--pq-iters N]]")
+          "[--pq-encode --corpus-dir P --out-dir P [--vec-col C] [--id-col C] " +
+          "[--pq-m N] [--pq-k N] [--pq-iters N] [--pq-coarse-k N]] | " +
+          "[--pq-append --corpus-dir P --out-dir P --pq-epoch TOKEN [--vec-col C] [--id-col C]]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
       "ledger", "checkpoint", "text-col", "id-col",
@@ -130,7 +135,7 @@ object GraftApp {
       "delete-ids", "audit-dir", "corpus-dir",
       "zorder", "z-bits", "z-files", "out-dir", "tau",
       "heavy-hitters", "capacity",
-      "pq-m", "pq-k", "pq-iters") ++ boolFlags
+      "pq-m", "pq-k", "pq-iters", "pq-coarse-k", "pq-epoch") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
     if (unknown.nonEmpty)
@@ -201,7 +206,10 @@ object GraftApp {
       pqEncode = flags.contains("pq-encode"),
       pqM = flags.get("pq-m").map(_.toInt).getOrElse(4),
       pqK = flags.get("pq-k").map(_.toInt).getOrElse(256),
-      pqIters = flags.get("pq-iters").map(_.toInt).getOrElse(2))
+      pqIters = flags.get("pq-iters").map(_.toInt).getOrElse(2),
+      pqCoarseK = flags.get("pq-coarse-k").map(_.toInt).getOrElse(256),
+      pqAppend = flags.contains("pq-append"),
+      pqEpoch = flags.get("pq-epoch"))
   }
 
   /** Testable core; returns the process exit code. */
@@ -365,11 +373,12 @@ object GraftApp {
       return 0
     }
 
-    // Build mode: product-quantization artifacts (E139) — fit the m
-    // subspace codebooks and encode the corpus, writing BOTH to the out
-    // dir (`codebooks/` + `codes/`): the stored form an ADC search (or a
-    // later incremental encode against the same codebooks) consumes.
-    // Like --zorder, a full rewrite into a NEW directory; cutover is the
+    // Build mode: product-quantization artifacts (E139/E142) — fit the m
+    // subspace codebooks AND the coarse quantizer, encode the corpus,
+    // and write the full IVFADC artifact set (`codebooks/`, `coarse/`,
+    // `codes/` partitioned by cell so searches partition-prune, all
+    // under the `_graft_pq_construction` pin, written FIRST). Like
+    // --zorder, a full rewrite into a NEW directory; cutover is the
     // caller's explicit step.
     if (a.pqEncode) {
       val dir = a.corpusDir.getOrElse(
@@ -377,17 +386,32 @@ object GraftApp {
       val outd = a.outDir.getOrElse(
         throw new IllegalArgumentException("--pq-encode requires --out-dir P"))
       val corpus = spark.read.parquet(dir)
-      val model = graft.operators.PqOps.fitPq(
-        corpus, a.vecCol, a.idCol, a.pqM, a.pqK, a.pqIters)
-      model.codebooks
-        .withColumnRenamed("_graft_sub", "sub")
-        .withColumnRenamed("_graft_code", "code")
-        .withColumnRenamed("_graft_c", "centroid")
-        .write.mode(SaveMode.Overwrite).parquet(s"$outd/codebooks")
-      val codes = graft.operators.PqOps.encode(corpus, a.vecCol, a.idCol, model)
-      codes.write.mode(SaveMode.Overwrite).parquet(s"$outd/codes")
+      val arts = graft.operators.PqOps.writePqArtifacts(
+        spark, corpus, a.vecCol, a.idCol, outd,
+        a.pqM, a.pqK, a.pqIters, a.pqCoarseK, a.pqIters)
       out(s"PQ_ENCODE_ m=${a.pqM} k=${a.pqK} iters=${a.pqIters} " +
-        s"subDim=${model.subDim} out=$outd")
+        s"subDim=${arts.model.subDim} coarseK=${a.pqCoarseK} out=$outd")
+      return 0
+    }
+
+    // Append mode: incremental PQ encode (E143) — today's crawl encoded
+    // against the PINNED codebooks + coarse quantizer (construction pin
+    // REQUIRE-matched; the E101 fitted-once discipline), landing in its
+    // own epoch partition with dynamic overwrite so at-least-once replay
+    // is idempotent (the E109 protocol).
+    if (a.pqAppend) {
+      val dir = a.corpusDir.getOrElse(
+        throw new IllegalArgumentException("--pq-append requires --corpus-dir P"))
+      val outd = a.outDir.getOrElse(
+        throw new IllegalArgumentException("--pq-append requires --out-dir P"))
+      val epoch = a.pqEpoch.getOrElse(
+        throw new IllegalArgumentException("--pq-append requires --pq-epoch TOKEN"))
+      val batch = spark.read.parquet(dir)
+      val pending = graft.operators.PqOps.incrementalPqEncode(
+        spark, batch, a.vecCol, a.idCol, outd, epoch)
+      val n = pending.codes.count()
+      pending.commitLedger()
+      out(s"PQ_APPEND_ epoch=$epoch lifetime_code_rows=$n out=$outd")
       return 0
     }
 

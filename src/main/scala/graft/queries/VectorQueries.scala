@@ -53,6 +53,33 @@ object VectorQueries {
     })
   }
 
+  /** q161's committed PQ artifact store (even vec_ids = "yesterday's
+    * corpus": codebooks + coarse quantizer fitted on them, their codes
+    * committed as the 'base' epoch, construction pin written first),
+    * keyed by input dir — the same build-once-per-dir fixture discipline
+    * (and Bench prewarm hook) as [[q108Ledger]]. */
+  private val q161Stores =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureQ161Store(s: SparkSession, dir: String): String = q161Stores.synchronized {
+    q161Stores.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_q161_pq")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: Throwable => () }
+      }))
+      val path = root.resolve("pq").toString
+      val batch1 = Tables(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
+      graft.operators.PqOps.writePqArtifacts(
+        s, batch1, "embedding", "vec_id", path,
+        m = 4, kCodes = 8, iters = 1, coarseK = 4, coarseIters = 1)
+      path
+    })
+  }
+
   /** q119's committed batch-1 semantic ledger (even vec_ids = "yesterday's
     * corpus", model pinned at their fit), keyed by input dir — the same
     * build-once-per-dir fixture discipline (and Bench prewarm hook) as
@@ -410,12 +437,53 @@ object VectorQueries {
       val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
       val model = graft.operators.PqOps.fitPq(
         e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
-      val codes = graft.operators.PqOps.encode(e, "embedding", "vec_id", model)
+      val codes = graft.operators.PqOps.attachCells(
+        graft.operators.PqOps.encode(e, "embedding", "vec_id", model),
+        cells, "vec_id")
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding"))
       graft.operators.PqOps.ivfAdcSearch(
-        codes, cells, "vec_id", queries, "qid", "embedding",
+        codes, "cell", "vec_id", queries, "qid", "embedding",
         model, coarse.centroids, topN = 5)
+    }),
+
+    // E142 at nprobe = 2 (round 13): each query unions its TWO nearest
+    // coarse cells before the same ADC — the recall/cost knob the
+    // single-probe q159 leaves at its cheapest point. A candidate lives
+    // in exactly one cell, so the union never double-scores; the oracle
+    // restates the 2-best probe as a row_number <= 2 over (6-dp L2
+    // distance, cell) against the settled centroids.
+    "q160_ivfadc_nprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val coarse = graft.operators.KmeansOps.fit(
+        e, "embedding", "vec_id", k = 8, iters = 1)
+      val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
+      val model = graft.operators.PqOps.fitPq(
+        e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
+      val codes = graft.operators.PqOps.attachCells(
+        graft.operators.PqOps.encode(e, "embedding", "vec_id", model),
+        cells, "vec_id")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.operators.PqOps.ivfAdcSearch(
+        codes, "cell", "vec_id", queries, "qid", "embedding",
+        model, coarse.centroids, topN = 5, nprobe = 2)
+    }),
+
+    // E143 incremental PQ encode (round 13): even vec_ids are
+    // "yesterday's corpus" — fitted, encoded and committed as the 'base'
+    // epoch of a pinned artifact store (the fixture); odd vec_ids are
+    // "today's crawl", encoded against those PINNED codebooks (the E101
+    // fitted-once discipline — never re-fit per batch) through the real
+    // epoch-replay ledger API. The result is the corpus-lifetime code
+    // view; the oracle replays the even-only fit and the all-ids encode
+    // as unrolled SQL.
+    "q161_pq_incr_encode" -> ((s, dir) => {
+      val store = ensureQ161Store(s, dir)
+      val batch2 = t(s, dir, "embeddings").filter(col("vec_id") % 2 === 1)
+      graft.operators.PqOps.incrementalPqEncode(
+          s, batch2, "embedding", "vec_id", store, epochToken = "b2")
+        .codes.select(col("vec_id"), col("sub"), col("code"), col("dist"))
     })
   )
 
@@ -543,27 +611,32 @@ object VectorQueries {
     // Lockstep rule with PqOps: change both or neither.
     def pqL2Sql(a: String, b: String, subDim: Int): String =
       s"round(sqrt(list_sum(list_transform(range(1, ${subDim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))), 6)"
-    def pqCtesF(pfx: String, m: Int, kCodes: Int, iters: Int, subDim: Int): String = {
-      def argmin(name: String, book: String, withDist: Boolean): String = {
+    def pqCtesF(pfx: String, m: Int, kCodes: Int, iters: Int, subDim: Int,
+        fitWhere: String = "TRUE"): String = {
+      def argmin(name: String, src: String, book: String, withDist: Boolean): String = {
         val d = if (withDist) s", ${pqL2Sql("s.sv", s"$book.c", subDim)} AS dist" else ""
         val dOut = if (withDist) ", dist" else ""
         s"""$name AS (SELECT vec_id, sub, sv, code$dOut FROM (
              SELECT s.vec_id, s.sub, s.sv, $book.code$d,
                     row_number() OVER (PARTITION BY s.vec_id, s.sub
                       ORDER BY ${pqL2Sql("s.sv", s"$book.c", subDim)}, $book.code) AS rn
-             FROM ${pfx}subs s JOIN $book ON $book.sub = s.sub) WHERE rn = 1)"""
+             FROM $src s JOIN $book ON $book.sub = s.sub) WHERE rn = 1)"""
       }
       val sb = new StringBuilder
+      // `fitWhere` restricts the FIT population (seeds + Lloyd rounds)
+      // the q161 way — the final `af` encode always covers every vector
+      // (the pinned-model assignAgainst discipline).
       sb ++= s"""${pfx}pe AS (SELECT vec_id, $VecSql AS v FROM embeddings),
         ${pfx}subs AS (SELECT vec_id, CAST(u.s AS INT) AS sub,
                         v[u.s * $subDim + 1 : u.s * $subDim + $subDim] AS sv
                  FROM ${pfx}pe, unnest(range(0, $m)) AS u(s)),
+        ${pfx}fsubs AS (SELECT * FROM ${pfx}subs WHERE $fitWhere),
         ${pfx}b0 AS (SELECT sub, CAST(rn - 1 AS INT) AS code, sv AS c FROM (
                  SELECT sub, sv,
                         row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
-                 FROM ${pfx}subs) WHERE rn <= $kCodes)"""
+                 FROM ${pfx}fsubs) WHERE rn <= $kCodes)"""
       for (r <- 0 until iters) {
-        sb ++= ",\n" + argmin(s"${pfx}a$r", s"${pfx}b$r", withDist = false)
+        sb ++= ",\n" + argmin(s"${pfx}a$r", s"${pfx}fsubs", s"${pfx}b$r", withDist = false)
         sb ++= s""",
           ${pfx}b${r + 1} AS (SELECT p.sub, p.code, coalesce(u.c, p.c) AS c
             FROM ${pfx}b$r p LEFT JOIN (
@@ -573,7 +646,7 @@ object VectorQueries {
                 GROUP BY a.sub, a.code, j)
               GROUP BY sub, code) u ON u.sub = p.sub AND u.code = p.code)"""
       }
-      sb ++= ",\n" + argmin(s"${pfx}af", s"${pfx}b$iters", withDist = true)
+      sb ++= ",\n" + argmin(s"${pfx}af", s"${pfx}subs", s"${pfx}b$iters", withDist = true)
       sb.toString
     }
     def pqCtes(m: Int, kCodes: Int, iters: Int, subDim: Int): String =
@@ -883,7 +956,45 @@ object VectorQueries {
                      row_number() OVER (PARTITION BY qid
                        ORDER BY adc, vec_id) AS rank
               FROM scored)
-            WHERE rank <= 5"""
+            WHERE rank <= 5""",
+      // q159 at nprobe = 2: the probe is the TWO nearest settled
+      // centroids per query (row_number <= 2 over the 6-dp L2 with the
+      // cell tie-break — the n-best extension of the assignAgainst
+      // rule); a candidate lives in exactly one cell, so the two probed
+      // cells' candidate sets union disjointly before the same ADC.
+      "q160_ivfadc_nprobe" ->
+        s"""WITH ${kmeansCtes(8, 1)},
+            ${pqCtesF("q", 4, 8, 1, 16)},
+            lut AS (SELECT s.vec_id AS qid, s.sub, b.code,
+                           ${pqL2Sql("s.sv", "b.c", 16)} * ${pqL2Sql("s.sv", "b.c", 16)} AS part
+                    FROM qsubs s JOIN qb1 b ON b.sub = s.sub
+                    WHERE s.vec_id < 5),
+            qp AS (SELECT vec_id AS qid, cl AS qcell FROM (
+                     SELECT e.vec_id, f.cl,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY ${l2Sql("e.v", "f.c")}, f.cl) AS pr
+                     FROM e CROSS JOIN c1 f WHERE e.vec_id < 5)
+                   WHERE pr <= 2),
+            scored AS (SELECT l.qid, a.vec_id, round(sum(l.part), 6) AS adc
+                       FROM qaf a
+                       JOIN af c ON c.vec_id = a.vec_id
+                       JOIN qp ON qp.qcell = c.cl
+                       JOIN lut l ON l.qid = qp.qid
+                                 AND l.sub = a.sub AND l.code = a.code
+                       GROUP BY l.qid, a.vec_id)
+            SELECT qid, CAST(rank AS INT) AS rank, vec_id, adc FROM (
+              SELECT qid, vec_id, adc,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY adc, vec_id) AS rank
+              FROM scored)
+            WHERE rank <= 5""",
+      // Incremental encode: the fit population (seeds + Lloyd) is the
+      // even half only — yesterday's corpus, the pinned model — while
+      // the final arg-min encodes EVERY vector against those settled
+      // codebooks (fitWhere restricts fsubs; af always runs over subs).
+      "q161_pq_incr_encode" ->
+        s"""WITH ${pqCtesF("", 4, 8, 1, 16, fitWhere = "vec_id % 2 = 0")}
+            SELECT vec_id, sub, code, dist FROM af"""
     )
   }
 }

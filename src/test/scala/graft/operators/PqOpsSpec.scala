@@ -4,12 +4,16 @@ import graft.TestSpark
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** E139/E140 product quantization: subvector slicing round-trips, the
-  * per-subspace codebooks follow the family's deterministic Lloyd
-  * contract, every encoding is the true arg-min of its subspace
-  * codebook, and ADC scores equal the locally-recomputed sum of squared
-  * 6-dp subspace distances — the whole chain a pure function of the
-  * data (the q156/q157 oracle claim). */
+/** E139/E140/E142/E143 product quantization: subvector slicing
+  * round-trips, the per-subspace codebooks follow the family's
+  * deterministic Lloyd contract, every encoding is the true arg-min of
+  * its subspace codebook, ADC scores equal the locally-recomputed sum of
+  * squared 6-dp subspace distances, IVFADC restricts BOTH compute and
+  * the SCAN to the probed cells (partition-prune plan gate), the seed
+  * step never builds an n-sized window (plan gate), and the stored
+  * artifacts keep their construction pin through the incremental-encode
+  * replay protocol — the whole chain a pure function of the data (the
+  * q156/q157/q159–q161 oracle claim). */
 class PqOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -28,6 +32,27 @@ class PqOpsSpec extends AnyFunSuite {
     BigDecimal(math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Local ADC recompute: Σ_sub 6-dp-L2²(query subvec, candidate's
+    * codeword), rounded 6 dp — the oracle arithmetic. */
+  private def localAdc(
+      model: PqOps.PqModel,
+      codes: org.apache.spark.sql.DataFrame,
+      m: Int): (Long, Long) => Double = {
+    val books = model.codebooks.as[(Int, Int, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val subv = PqOps.subvectors(vecs, "v", "id", m)
+      .as[(Long, Int, Seq[Double])].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val codeOf = codes.select(col("id"), col("sub"), col("code"))
+      .as[(Long, Int, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    (qid: Long, cand: Long) => {
+      val s = (0 until m).map { sub =>
+        val d = l2r6(subv((qid, sub)), books((sub, codeOf((cand, sub)))))
+        d * d
+      }.sum
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
   test("subvectors slice contiguously and reassemble the vector") {
     val got = PqOps.subvectors(vecs, "v", "id", m = 2)
       .as[(Long, Int, Seq[Double])].collect()
@@ -38,6 +63,38 @@ class PqOpsSpec extends AnyFunSuite {
       val back = rows.sortBy(_._2).flatMap(_._3).toSeq
       assert(back == orig(id), s"id $id did not round-trip")
       assert(rows.forall(_._3.size == 4))
+    }
+  }
+
+  test("subvectors with no expectDim refuses ragged dims loudly, never truncates") {
+    val ragged = Seq((0L, Array(1.0, 2.0, 3.0))).toDF("id", "v")
+    val e = intercept[Exception](
+      PqOps.subvectors(ragged, "v", "id", m = 2).collect())
+    assert(e.getMessage != null && e.getMessage.contains("split evenly"),
+      s"expected the divisibility guard, got: ${e.getMessage}")
+  }
+
+  test("seed step is a driver-sized TakeOrdered, never an n-sized window (plan gate)") {
+    val subs = PqOps.subvectors(vecs, "v", "id", m = 2)
+    val seeds = PqOps.seedBooks(subs, vecs, "id", kCodes = 2)
+    val plan = seeds.queryExecution.executedPlan.toString
+    // The round-12 weak mark: row_number().over(partitionBy(sub)) funnels
+    // the whole corpus through m tasks' sorts. The fixed plan takes the
+    // kCodes smallest ids once (TakeOrdered, ≤ kCodes rows) and joins
+    // them back — no Window node may appear anywhere in the seed plan.
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // Semantics pin: per sub, codes 0..k-1 are the subvectors of the
+    // kCodes smallest ids in id order.
+    val got = seeds.as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val subvMap = subs.as[(Long, Int, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    (0 until 2).foreach { sub =>
+      val rows = got(sub)
+      assert(rows.map(_._2).toSeq == Seq(0, 1), s"sub $sub codes: $rows")
+      assert(rows.head._3 == subvMap((0L, sub)) && rows(1)._3 == subvMap((1L, sub)),
+        s"sub $sub seeds are not the smallest ids' subvectors")
     }
   }
 
@@ -71,21 +128,7 @@ class PqOpsSpec extends AnyFunSuite {
     val got = PqOps.adcSearch(codes, "id", queries, "qid", "v", model, topN = 3)
       .as[(Long, Int, Long, Double)].collect()
     assert(got.length == 6, s"2 queries x top-3: ${got.toSeq}")
-    val books = model.codebooks
-      .as[(Int, Int, Seq[Double])].collect()
-      .map(r => (r._1, r._2) -> r._3).toMap
-    val subv = PqOps.subvectors(vecs, "v", "id", m = 2)
-      .as[(Long, Int, Seq[Double])].collect()
-      .map(r => (r._1, r._2) -> r._3).toMap
-    val codeOf = codes.as[(Long, Int, Int, Double)].collect()
-      .map(r => (r._1, r._2) -> r._3).toMap
-    def adc(qid: Long, cand: Long): Double = {
-      val s = (0 until 2).map { sub =>
-        val d = l2r6(subv((qid, sub)), books((sub, codeOf((cand, sub)))))
-        d * d
-      }.sum
-      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
+    val adc = localAdc(model, codes, m = 2)
     // Every returned row matches the local ADC; ranks follow
     // (adc asc, id asc) within each query over ALL candidates.
     val all = vecs.as[(Long, Seq[Double])].collect().map(_._1)
@@ -101,25 +144,14 @@ class PqOpsSpec extends AnyFunSuite {
     val cellMap = coarse.assignments
       .select(col("id"), col("cluster")).as[(Long, Int)].collect().toMap
     val model = PqOps.fitPq(vecs, "v", "id", m = 2, kCodes = 2, iters = 1)
-    val codes = PqOps.encode(vecs, "v", "id", model)
+    val codes = PqOps.attachCells(
+      PqOps.encode(vecs, "v", "id", model),
+      coarse.assignments.select(col("id"), col("cluster")), "id")
     val queries = vecs.filter(col("id") < 2).select(col("id").as("qid"), col("v"))
-    val got = PqOps.ivfAdcSearch(codes,
-        coarse.assignments.select(col("id"), col("cluster")),
+    val got = PqOps.ivfAdcSearch(codes, "cell",
         "id", queries, "qid", "v", model, coarse.centroids, topN = 6)
       .as[(Long, Int, Long, Double)].collect()
-    val books = model.codebooks.as[(Int, Int, Seq[Double])].collect()
-      .map(r => (r._1, r._2) -> r._3).toMap
-    val subv = PqOps.subvectors(vecs, "v", "id", m = 2)
-      .as[(Long, Int, Seq[Double])].collect().map(r => (r._1, r._2) -> r._3).toMap
-    val codeOf = codes.as[(Long, Int, Int, Double)].collect()
-      .map(r => (r._1, r._2) -> r._3).toMap
-    def adc(qid: Long, cand: Long): Double = {
-      val s = (0 until 2).map { sub =>
-        val d = l2r6(subv((qid, sub)), books((sub, codeOf((cand, sub)))))
-        d * d
-      }.sum
-      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
+    val adc = localAdc(model, codes.drop("cell"), m = 2)
     val all = vecs.as[(Long, Seq[Double])].collect().map(_._1)
     got.groupBy(_._1).foreach { case (qid, rows) =>
       // A corpus-drawn query probes exactly its own cell (identical
@@ -133,13 +165,148 @@ class PqOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("encode against a mismatched-dim model fails loudly, never silently truncates") {
-    val model = PqOps.fitPq(vecs, "v", "id", m = 2, kCodes = 2, iters = 0)
-    val wrong = Seq((9L, Array.fill(10)(1.0))).toDF("id", "v")
-    val e = intercept[Exception](
-      PqOps.encode(wrong, "v", "id", model).collect())
-    assert(e.getMessage != null && e.getMessage.contains("dim must be 8"),
-      s"expected the per-row dim guard, got: ${e.getMessage}")
+  test("nprobe unions the n nearest cells; at nprobe = k it equals flat ADC") {
+    val coarse = KmeansOps.fit(vecs, "v", "id", k = 3, iters = 2)
+    val cellMap = coarse.assignments
+      .select(col("id"), col("cluster")).as[(Long, Int)].collect().toMap
+    val model = PqOps.fitPq(vecs, "v", "id", m = 2, kCodes = 2, iters = 1)
+    val flat = PqOps.encode(vecs, "v", "id", model)
+    val codes = PqOps.attachCells(
+      flat, coarse.assignments.select(col("id"), col("cluster")), "id")
+    val queries = vecs.filter(col("id") < 2).select(col("id").as("qid"), col("v"))
+    val adc = localAdc(model, flat, m = 2)
+    val all = vecs.as[(Long, Seq[Double])].collect().map(_._1)
+    // The 2-best probe, locally recomputed with the (6-dp dist, cell)
+    // tie rule against the settled coarse centroids.
+    def probes(qv: Seq[Double], n: Int): Set[Int] =
+      coarse.centroids.zipWithIndex
+        .map { case (c, i) => (l2r6(qv, c.toSeq), i) }.sorted.take(n).map(_._2).toSet
+    val qv = vecs.as[(Long, Seq[Double])].collect().toMap
+    val got2 = PqOps.ivfAdcSearch(codes, "cell", "id", queries, "qid", "v",
+        model, coarse.centroids, topN = 6, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    got2.groupBy(_._1).foreach { case (qid, rows) =>
+      val cells = probes(qv(qid), 2)
+      val expect = all.filter(c => cells.contains(cellMap(c)))
+        .map(c => (adc(qid, c), c)).sortBy(identity).take(6)
+      assert(rows.sortBy(_._2).map(r => (r._4, r._3)).toSeq == expect.toSeq,
+        s"query $qid at nprobe=2")
+      // No double-scoring: every candidate appears at most once.
+      assert(rows.map(_._3).distinct.length == rows.length, s"query $qid dup rows")
+    }
+    // Probing every cell = the flat search, bit for bit.
+    val gotAll = PqOps.ivfAdcSearch(codes, "cell", "id", queries, "qid", "v",
+        model, coarse.centroids, topN = 6, nprobe = 3)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val gotFlat = PqOps.adcSearch(flat, "id", queries, "qid", "v", model, topN = 6)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(gotAll.toSeq == gotFlat.toSeq,
+      s"nprobe=k must equal flat ADC:\n${gotAll.toSeq}\nvs\n${gotFlat.toSeq}")
+  }
+
+  test("probeCells: literal and join paths rank identical (dist asc, cell asc)") {
+    val coarse = KmeansOps.fit(vecs, "v", "id", k = 3, iters = 1).centroids
+    val queries = vecs.select(col("id").as("qid"), col("v"))
+    def run(path: org.apache.spark.sql.DataFrame): Seq[(Long, Int)] =
+      path.as[(Long, Int)].collect().toSeq.sorted
+    // The join path triggers above LiteralPathMaxK in production; here
+    // both paths run on the same small model by calling the internals.
+    val lit = run(PqOps.probeCells(queries, "v", "qid", coarse, nprobe = 2))
+    // Force the join path by padding the model past the literal bound
+    // with far-away centroids that never win.
+    val far = Array.fill(KmeansOps.LiteralPathMaxK + 1 - coarse.length)(
+      Array.fill(8)(1e9))
+    val padded = coarse ++ far
+    val joined = run(
+      PqOps.probeCells(queries, "v", "qid", padded, nprobe = 2))
+    assert(lit == joined, s"literal $lit vs join $joined")
+  }
+
+  test("artifact store: pin round-trips, search partition-prunes to probed cells") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_store")
+    val dir = root.resolve("pq").toString
+    val arts = PqOps.writePqArtifacts(spark, vecs, "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 2)
+    val back = PqOps.readPqArtifacts(spark, dir)
+    assert(back.model.m == 2 && back.model.kCodes == 2 && back.model.subDim == 4)
+    assert(back.coarse.map(_.toSeq).toSeq == arts.coarse.map(_.toSeq).toSeq)
+    // Codes round-trip (cell rides as the partition column).
+    val stored = back.codes.select(col("id"), col("sub"), col("code"), col("cell"))
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val direct = PqOps.attachCells(
+        PqOps.encode(vecs, "v", "id",
+          PqOps.PqModel(back.model.codebooks, 2, 2, 4)),
+        KmeansOps.assign(vecs, "v", "id", back.coarse)
+          .select(col("id"), col("cluster")), "id")
+      .select(col("id"), col("sub"), col("code"), col("cell"))
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(stored == direct)
+    // THE scale gate: the search's codes scan must carry a non-empty
+    // PartitionFilters on cell — I/O restricted to probed cells' files,
+    // never a corpus-wide read + id-join (the round-12 weak mark).
+    val queries = vecs.filter(col("id") < 2).select(col("id").as("qid"), col("v"))
+    val res = PqOps.ivfAdcSearch(back.codes, "cell", "id", queries, "qid", "v",
+      back.model, back.coarse, topN = 3)
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell#".r.findFirstIn(plan).isDefined,
+      s"codes scan did not partition-prune on cell:\n$plan")
+    assert(res.count() > 0)
+  }
+
+  test("artifact store refuses a missing or drifted construction pin loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_pin")
+    val dir = root.resolve("pq").toString
+    PqOps.writePqArtifacts(spark, vecs, "v", "id", dir,
+      m = 2, kCodes = 2, iters = 0, coarseK = 2, coarseIters = 1)
+    // Drift: overwrite the pin with different params.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(dir, "_graft_pq_construction")
+    val outS = fs.create(metaPath, true)
+    try outS.write("m=4 kCodes=2 subDim=2 coarseK=2".getBytes("UTF-8"))
+    finally outS.close()
+    val drift = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
+    assert(drift.getMessage.contains("drifted"), drift.getMessage)
+    // Missing pin: data without a pin must refuse, not silently pair
+    // codes with whatever codebooks sit there.
+    fs.delete(metaPath, false)
+    val missing = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
+    assert(missing.getMessage.contains("construction pin"), missing.getMessage)
+  }
+
+  test("incremental encode: pinned codebooks, epoch replay idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_incr")
+    val dir = root.resolve("pq").toString
+    val batch1 = vecs.filter(col("id") % 2 === 0)
+    val batch2 = vecs.filter(col("id") % 2 === 1)
+    PqOps.writePqArtifacts(spark, batch1, "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 1)
+    val pinned = PqOps.readPqArtifacts(spark, dir)
+    // The lifetime view = base ∪ batch2-encoded-against-PINNED-books
+    // (never a re-fit: the whole corpus encoded against batch1's model).
+    val pending = PqOps.incrementalPqEncode(spark, batch2, "v", "id", dir, "b2")
+    val expect = PqOps.encode(vecs, "v", "id", pinned.model)
+      .select(col("id"), col("sub"), col("code"), col("dist"))
+      .as[(Long, Int, Int, Double)].collect().toSet
+    val got = pending.codes.select(col("id"), col("sub"), col("code"), col("dist"))
+      .as[(Long, Int, Int, Double)].collect().toSet
+    assert(got == expect)
+    pending.commitLedger()
+    // At-least-once replay: the same epoch re-drained commits identical
+    // codes via dynamic partition overwrite — never duplicates.
+    val replay = PqOps.incrementalPqEncode(spark, batch2, "v", "id", dir, "b2")
+    assert(replay.codes.select(col("id"), col("sub"), col("code"), col("dist"))
+      .as[(Long, Int, Int, Double)].collect().toSet == expect)
+    replay.commitLedger()
+    val stored = PqOps.readPqArtifacts(spark, dir).codes
+      .select(col("id"), col("sub"), col("code"), col("dist"))
+      .as[(Long, Int, Int, Double)].collect()
+    assert(stored.length == expect.size, s"replay duplicated rows: ${stored.length}")
+    assert(stored.toSet == expect)
+    // The base epoch token is reserved; a reused token is the caller's
+    // replay, but 'base' would silently swallow the full build.
+    intercept[IllegalArgumentException](
+      PqOps.incrementalPqEncode(spark, batch2, "v", "id", dir, "base"))
   }
 
   test("dim must split evenly across subspaces; bad params refuse loudly") {
@@ -151,5 +318,8 @@ class PqOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       PqOps.adcSearch(vecs, "id", vecs, "id", "v",
         PqOps.PqModel(vecs, 2, 2, 4), topN = 0))
+    intercept[IllegalArgumentException](
+      PqOps.probeCells(vecs.select(col("id").as("qid"), col("v")), "v", "qid",
+        Array(Array(0.0)), nprobe = 2))
   }
 }
