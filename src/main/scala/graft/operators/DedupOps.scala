@@ -303,16 +303,28 @@ object DedupOps {
               s"span ledger at $ledgerDir was built with [$stored] but this ingest " +
                 s"windows with [$params] — duplicate spans would silently never " +
                 "collide. Use the ledger's width or rebuild it.")
+        } else if (MaintenanceOps.ledgerHasData(fs, ledgerPath))
+          // Pin-or-refuse (round 13): committed span counts without the
+          // width pin cannot be validated — a different-width ingest
+          // would pass silently and spans would never collide.
+          throw new IllegalStateException(
+            s"span ledger at $ledgerDir holds committed batches but no " +
+              s"$SpanMetaFile construction pin — its window width cannot be " +
+              "validated. Restore the pin or rebuild the ledger.")
+        // A pinned-but-empty dir (crash between pin and first data
+        // commit) is an empty ledger, not a readable parquet store.
+        if (!MaintenanceOps.ledgerHasData(fs, ledgerPath)) None
+        else {
+          // Counts are SUMMED at read, so epoch leftovers of a crashed
+          // fold (already merged into base, dirs not yet deleted — see
+          // MaintenanceOps.foldEpochs' crash contract) must be excluded
+          // or they double-count; membership ledgers tolerate them, this
+          // one cannot.
+          val unfolded = MaintenanceOps.excludeFoldLeftovers(
+            fs, ledgerPath, spark.read.parquet(ledgerDir))
+          Some(epochToken.fold(unfolded)(t =>
+            unfolded.filter(col("_graft_epoch") =!= t)))
         }
-        // Counts are SUMMED at read, so epoch leftovers of a crashed
-        // fold (already merged into base, dirs not yet deleted — see
-        // MaintenanceOps.foldEpochs' crash contract) must be excluded or
-        // they double-count; membership ledgers tolerate them, this one
-        // cannot.
-        val unfolded = MaintenanceOps.excludeFoldLeftovers(
-          fs, ledgerPath, spark.read.parquet(ledgerDir))
-        Some(epochToken.fold(unfolded)(t =>
-          unfolded.filter(col("_graft_epoch") =!= t)))
       }
     // Pinned eagerly: every downstream frame must keep seeing the
     // PRE-commit batch/ledger state even if evaluated after commitLedger.
@@ -346,6 +358,14 @@ object DedupOps {
     new PendingSpanFlags(
       flags,
       () => {
+        // Pin BEFORE data (round 13): a crash between the two leaves a
+        // pinned-but-empty ledger, never committed counts whose width
+        // can no longer be validated.
+        val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, SpanMetaFile)
+        if (!fs.exists(metaPath)) {
+          val outS = fs.create(metaPath, true)
+          try outS.write(params.getBytes("UTF-8")) finally outS.close()
+        }
         epochToken match {
           case None =>
             batchCounts.write.mode(SaveMode.Append).parquet(ledgerDir)
@@ -355,11 +375,6 @@ object DedupOps {
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("_graft_epoch")
               .parquet(ledgerDir)
-        }
-        val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, SpanMetaFile)
-        if (!fs.exists(metaPath)) {
-          val outS = fs.create(metaPath, true)
-          try outS.write(params.getBytes("UTF-8")) finally outS.close()
         }
         // Counts sum at read → foldEpochs must re-aggregate, declared
         // here by the writer (never sniffed from the schema).

@@ -70,25 +70,46 @@ object GateOps {
     * broadcast it back onto the rows as an equi-join. Contract: the
     * caller bounds the distinct values per group (integer scores, or
     * rounded doubles) — the value table must stay maintenance-sized,
-    * which is what makes the window-over-counts harmless. The division
-    * is two exact integers in IEEE double (deterministic on any
-    * engine); the result is rounded to 6 dp on both sides of the
-    * oracle. */
+    * which is what makes the window-over-counts harmless. The contract
+    * is ENFORCED, not trusted (the E87/E98 gauge discipline): the
+    * distinct-value count per group rides the same window pass and any
+    * group over `maxDistinctValues` refuses loudly at execution — a
+    * caller passing raw unrounded doubles would otherwise silently
+    * rebuild the one-task-per-group row-sized window this operator
+    * exists to avoid. The division is two exact integers in IEEE double
+    * (deterministic on any engine); the result is rounded to 6 dp on
+    * both sides of the oracle. */
   def percentileNormalize(
       df: DataFrame,
       groupCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String,
+      maxDistinctValues: Long = 1L << 22): DataFrame = {
+    require(maxDistinctValues >= 1,
+      s"maxDistinctValues must be positive: $maxDistinctValues")
     import org.apache.spark.sql.expressions.Window
     val v = col(valueCol)
     val counts = df.groupBy(col(groupCol), v.as("_pn_v"))
       .agg(count(lit(1)).as("_pn_n"))
     // Cumulative strictly-below count + group total, both over the
-    // distinct-value frame (small by contract).
+    // distinct-value frame (small by contract — and gauged below).
     val w = Window.partitionBy(col(groupCol)).orderBy(col("_pn_v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.partitionBy(col(groupCol))
     val ranks = counts
-      .withColumn("_pn_below", coalesce(sum(col("_pn_n")).over(w), lit(0L)))
+      // The gauge: rows per group in the counts frame = distinct values
+      // per group. Same window partition the totals already use, so it
+      // costs no extra pass; the raise_error is woven into the frame
+      // and cannot be pruned.
+      .withColumn("_pn_nv", count(lit(1)).over(wTot))
+      .withColumn("_pn_below",
+        when(col("_pn_nv") > maxDistinctValues, raise_error(concat(
+          lit("percentileNormalize: group "), col(groupCol).cast("string"),
+          lit(" has "), col("_pn_nv").cast("string"),
+          lit(s" distinct $valueCol values — over the $maxDistinctValues bound. " +
+            "The distinct-value frame must stay maintenance-sized (integer or " +
+            "pre-rounded scores): round/bucket the value column, or raise " +
+            "maxDistinctValues knowingly."))).cast("long"))
+          .otherwise(coalesce(sum(col("_pn_n")).over(w), lit(0L))))
       .withColumn("_pn_tot", sum(col("_pn_n")).over(wTot))
       .select(col(groupCol).as("_pn_g"), col("_pn_v"),
         col("_pn_below"), col("_pn_tot"))

@@ -93,17 +93,25 @@ object KmeansOps {
   /** The auto family's routing rule: a derived k the flat quantizer can
     * pack runs flat (`Left(k)`); past the [[ClusterBits]] bound the fit
     * goes two-level (`Right((k1, k2))` with k1 = ⌈√k⌉ coarse cells and
-    * k2 = ⌈k/k1⌉ fine clusters per cell — both sides ≤ 2^20 up to
-    * k = 2^40 total leaves, far past any corpus that fits on disk).
-    * Pure arithmetic, package-visible so the spec can pin the routing
-    * at corpus sizes no fixture reaches. */
+    * k2 = ⌈k/k1⌉ fine clusters per cell). BOTH levels must themselves
+    * pack (strictly < 2^20 — fitTwoLevel's own require), so the honest
+    * ceiling is k ≤ (2^20 − 1)² ≈ 1.0995 × 10^12 leaves, not 2^40: the
+    * last 2^20-wide sliver below 2^40 would yield k2 = 2^20 and crash
+    * deep inside the fit with a confusing packing error. Near the
+    * ceiling, ⌈√k⌉ is clamped (and k1 re-raised if a float-sqrt ulp
+    * leaves k2 over the side) so both sides stay ≤ 2^20 − 1. Pure
+    * arithmetic, package-visible so the spec can pin the routing at
+    * corpus sizes no fixture reaches. */
   private[operators] def routeK(n: Long, targetClusterSize: Long): Either[Int, (Int, Int)] = {
     val k = deriveKLong(n, targetClusterSize)
     if (k < (1L << ClusterBits)) Left(k.toInt)
     else {
-      require(k < (1L << (2 * ClusterBits)),
-        s"derived k=$k exceeds even the two-level packing bound (2^40 leaves)")
-      val k1 = math.ceil(math.sqrt(k.toDouble)).toLong
+      val side = (1L << ClusterBits) - 1L
+      require(k <= side * side,
+        s"derived k=$k exceeds the two-level packing bound ((2^$ClusterBits-1)^2 = " +
+          s"${side * side} leaves) — raise targetClusterSize knowingly")
+      var k1 = math.min(math.ceil(math.sqrt(k.toDouble)).toLong, side)
+      if ((k + k1 - 1L) / k1 > side) k1 = (k + side - 1L) / side
       val k2 = (k + k1 - 1L) / k1
       (k1.toInt, k2.toInt) match { case p => Right(p) }
     }

@@ -476,6 +476,22 @@ object MaintenanceOps {
     * carrying a non-additive `_graft_n` must not be silently summed). */
   private[operators] val FoldRuleFile = "_graft_fold_rule"
 
+  /** True when a ledger directory holds committed DATA — epoch
+    * partition dirs or bare part files; maintenance markers and pins
+    * (`_graft_*`, `_SUCCESS`, dotfiles) don't count. Backs the ledger
+    * family's pin-or-refuse read rule: a NON-EMPTY ledger whose
+    * construction pin is missing must refuse reads instead of silently
+    * skipping validation — a crash between data commit and pin write
+    * (or a deleted pin) would otherwise let a later ingest with
+    * different construction parameters pass the drift check and quietly
+    * change what the ledger's numbers mean. */
+  private[operators] def ledgerHasData(
+      fs: org.apache.hadoop.fs.FileSystem, ledgerPath: Path): Boolean =
+    fs.exists(ledgerPath) && fs.listStatus(ledgerPath).exists { s =>
+      val n = s.getPath.getName
+      n.startsWith("_graft_epoch=") || !(n.startsWith("_") || n.startsWith("."))
+    }
+
   /** Declare the count-ledger fold rule (idempotent). */
   private[operators] def declareCountFoldRule(
       fs: org.apache.hadoop.fs.FileSystem, ledgerPath: Path): Unit = {

@@ -99,7 +99,16 @@ object SketchOps {
     override def outputEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
   }
 
-  /** The aggregate column form, usable inside any `groupBy(...).agg`. */
+  /** The aggregate column form, usable inside any `groupBy(...).agg`.
+    *
+    * Value identity is the STRING RENDERING — the cast is part of the
+    * contract, right for the operator's stated domains (tokens, URLs,
+    * domains, ids). A raw numeric column groups by how it prints: an
+    * int 1 and a double 1.0 render "1" vs "1.0" and count separately,
+    * and two doubles equal after rounding may not render equally. To
+    * profile numerics, cast/round/bucket to a canonical form upstream
+    * (`col.cast("long")`, `round(col, 2).cast("string")`) so the
+    * rendering IS the intended equivalence class. */
   def misraGries(capacity: Int)(value: Column): Column =
     udaf(MisraGries(capacity), Encoders.STRING)(value.cast("string"))
 
@@ -263,15 +272,27 @@ object SketchOps {
               s"heavy-hitter ledger at $ledgerDir was built with [$stored] but " +
                 s"this ingest sketches with [$params] — the error bound would " +
                 "silently change meaning. Use the ledger's capacity or rebuild it.")
+        } else if (MaintenanceOps.ledgerHasData(fs, ledgerPath))
+          // Pin-or-refuse: committed counters without their capacity pin
+          // cannot be validated — a different-capacity ingest would pass
+          // silently and change what err_max means.
+          throw new IllegalStateException(
+            s"heavy-hitter ledger at $ledgerDir holds committed batches but no " +
+              s"$HhMetaFile construction pin — its capacity cannot be validated. " +
+              "Restore the pin or rebuild the ledger.")
+        // A pinned-but-empty dir (crash between pin and first data
+        // commit) is an empty ledger, not a readable parquet store.
+        if (!MaintenanceOps.ledgerHasData(fs, ledgerPath)) None
+        else {
+          // Counts are SUMMED at read: crashed-fold leftovers (already
+          // merged into base) must be excluded — the E109 discipline,
+          // shared via MaintenanceOps.excludeFoldLeftovers.
+          val unfolded = MaintenanceOps.excludeFoldLeftovers(
+            fs, ledgerPath, spark.read.parquet(ledgerDir))
+          Some(epochToken.fold(unfolded)(t =>
+            unfolded.filter(col("_graft_epoch") =!= t))
+            .select(col("value"), col("_graft_n")))
         }
-        // Counts are SUMMED at read: crashed-fold leftovers (already
-        // merged into base) must be excluded — the E109 discipline,
-        // shared via MaintenanceOps.excludeFoldLeftovers.
-        val unfolded = MaintenanceOps.excludeFoldLeftovers(
-          fs, ledgerPath, spark.read.parquet(ledgerDir))
-        Some(epochToken.fold(unfolded)(t =>
-          unfolded.filter(col("_graft_epoch") =!= t))
-          .select(col("value"), col("_graft_n")))
       }
     // The batch's sketch: one MGBuf row, exploded to counter rows plus
     // the null-keyed decrement-mass row. Pinned eagerly — the read and
@@ -295,6 +316,15 @@ object SketchOps {
     new PendingHeavyHitters(
       top,
       () => {
+        // Pin BEFORE data (round 13): a crash between the two must leave
+        // a pinned-but-empty ledger (harmless — the pin just preempts the
+        // capacity choice), never committed counters whose capacity can
+        // no longer be validated.
+        val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, HhMetaFile)
+        if (!fs.exists(metaPath)) {
+          val outS = fs.create(metaPath, true)
+          try outS.write(params.getBytes("UTF-8")) finally outS.close()
+        }
         epochToken match {
           case None =>
             batchRows.write.mode(SaveMode.Append).parquet(ledgerDir)
@@ -304,11 +334,6 @@ object SketchOps {
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("_graft_epoch")
               .parquet(ledgerDir)
-        }
-        val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, HhMetaFile)
-        if (!fs.exists(metaPath)) {
-          val outS = fs.create(metaPath, true)
-          try outS.write(params.getBytes("UTF-8")) finally outS.close()
         }
         // Counts sum at read → foldEpochs must re-aggregate, declared
         // here by the writer (never sniffed from the schema).

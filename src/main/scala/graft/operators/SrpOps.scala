@@ -340,14 +340,25 @@ object SrpOps {
               s"SRP band ledger at $ledgerDir was built with [$stored] but this ingest " +
                 s"bands with [$params] — near-dups would silently never collide. " +
                 "Use the ledger's parameters or rebuild it.")
-        }
-        val l = spark.read.parquet(ledgerDir)
-        if (l.columns.toSet != expectedCols)
+        } else if (MaintenanceOps.ledgerHasData(fs, ledgerPath))
+          // Pin-or-refuse (round 13): committed buckets without the pin
+          // cannot be validated — a mismatched ingest would pass silently.
           throw new IllegalStateException(
-            s"SRP band ledger at $ledgerDir has columns ${l.columns.mkString("[", ",", "]")}, " +
-              s"expected ${expectedCols.toSeq.sorted.mkString("[", ",", "]")} — a plain " +
-              "ledger opened in epoch mode (or vice versa); rebuild before ingesting")
-        Some(epochToken.fold(l)(t => l.filter(col("_graft_epoch") =!= t)))
+            s"SRP band ledger at $ledgerDir holds committed batches but no $MetaFile " +
+              "construction pin — its banding cannot be validated. Restore the " +
+              "pin or rebuild the ledger.")
+        // A pinned-but-empty dir (crash between pin and first data
+        // commit) is an empty ledger, not a readable parquet store.
+        if (!MaintenanceOps.ledgerHasData(fs, ledgerPath)) None
+        else {
+          val l = spark.read.parquet(ledgerDir)
+          if (l.columns.toSet != expectedCols)
+            throw new IllegalStateException(
+              s"SRP band ledger at $ledgerDir has columns ${l.columns.mkString("[", ",", "]")}, " +
+                s"expected ${expectedCols.toSeq.sorted.mkString("[", ",", "]")} — a plain " +
+                "ledger opened in epoch mode (or vice versa); rebuild before ingesting")
+          Some(epochToken.fold(l)(t => l.filter(col("_graft_epoch") =!= t)))
+        }
       }
     // Pinned eagerly: every downstream frame must keep seeing the
     // PRE-commit ledger even when evaluated after commitLedger().
@@ -383,6 +394,13 @@ object SrpOps {
       survivors,
       hits,
       () => {
+        // Pin BEFORE data (round 13): a crash between the two leaves a
+        // pinned-but-empty ledger, never unvalidatable committed buckets.
+        val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, MetaFile)
+        if (!fs.exists(metaPath)) {
+          val outS = fs.create(metaPath, true)
+          try outS.write(params.getBytes("UTF-8")) finally outS.close()
+        }
         epochToken match {
           case None =>
             survivorRows.write
@@ -393,11 +411,6 @@ object SrpOps {
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("_graft_epoch")
               .parquet(ledgerDir)
-        }
-        val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, MetaFile)
-        if (!fs.exists(metaPath)) {
-          val outS = fs.create(metaPath, true)
-          try outS.write(params.getBytes("UTF-8")) finally outS.close()
         }
       })
   }

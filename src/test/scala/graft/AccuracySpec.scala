@@ -236,4 +236,39 @@ class AccuracySpec extends AnyFunSuite {
     assert(rBig > rSmall,
       f"recall must grow with codebook capacity: k=8 → $rSmall%.2f, k=64 → $rBig%.2f")
   }
+
+  test("IVFADC recall is monotone in nprobe and reaches flat ADC at nprobe = k") {
+    // nprobe is E142's recall/cost knob (the q81 rule restated for the
+    // code domain): each extra probed cell can only ADD candidates, so
+    // recall measured against the flat-ADC ranking must be
+    // non-decreasing in nprobe and reach 1.0 when every cell is probed.
+    import graft.operators.{KmeansOps, PqOps}
+    val e = Tables(spark, TestSpark.sfDir, "embeddings")
+    val coarse = KmeansOps.fit(e, "embedding", "vec_id", k = 8, iters = 1)
+    val model = PqOps.fitPq(e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
+    val codes = PqOps.attachCells(
+      PqOps.encode(e, "embedding", "vec_id", model),
+      coarse.assignments.select($"vec_id", $"cluster"), "vec_id")
+    val queries = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding")
+    val flatTop = PqOps.adcSearch(codes.drop("cell"), "vec_id", queries, "qid",
+        "embedding", model, topN = 5)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallAt(nprobe: Int): Double = {
+      val top = PqOps.ivfAdcSearch(codes, "cell", "vec_id", queries, "qid",
+          "embedding", model, coarse.centroids, topN = 5, nprobe = nprobe)
+        .select($"qid", $"vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // keys.toSeq, not keys: mapping recall values through a Set would
+      // deduplicate equal recalls before the mean.
+      flatTop.keys.toSeq.map { qid =>
+        (top.getOrElse(qid, Set.empty) & flatTop(qid)).size.toDouble / 5.0
+      }.sum / flatTop.size
+    }
+    val r1 = recallAt(1); val r2 = recallAt(2); val r8 = recallAt(8)
+    assert(r1 <= r2 && r2 <= r8,
+      f"recall must not drop with more probes: $r1%.2f, $r2%.2f, $r8%.2f")
+    assert(r8 == 1.0, f"probing every cell must recover the flat ADC top-5: $r8%.2f")
+    assert(r1 > 0.0, f"single-probe recall collapsed to zero: $r1%.2f")
+  }
 }

@@ -194,10 +194,16 @@ class PlanSpec extends AnyFunSuite {
                                   // sum + the per-query top-k agg — the last two move
                                   // codes-sized and workload-sized frames only; the lookup
                                   // table itself is a BroadcastExchange by construction
-      "q159_ivfadc_search" -> 5,  // the q157 shape with the cell restriction folded in:
-                                  // same five exchanges (the coarse assignment rides the
-                                  // codes' id-join, its model is driver state; qcell and
-                                  // the lookup table are BroadcastExchanges)
+      "q159_ivfadc_search" -> 6,  // round 13 (cell-keyed codes): spread ×3 — the corpus
+                                  // frame feeds the codes, cells and queries paths — +
+                                  // the encode arg-min agg + the (query, id) ADC sum +
+                                  // the per-query top-k agg. The per-search id-join is
+                                  // GONE (cells ride the codes at build; the fixture
+                                  // build-in-query keeps them broadcast) and the probe
+                                  // set arrives as a static isin, not an exchange; the
+                                  // spreads are fixture parallelism, not data movement.
+      "q160_ivfadc_nprobe" -> 6,  // q159's exact shape at nprobe = 2 — the wider probe
+                                  // only widens the isin list, never adds an exchange
       "q108_srp_incr_neardup" -> 5, // hit/purge anti-joins on the id key + banded self-join
                                     // + pair and drop distincts (banding cached; ledger-hit
                                     // verification is eager, outside this plan)

@@ -139,6 +139,70 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("image bytes → embedding → PQ encode → IVFADC: the binary-to-code-search bridge") {
+    // E110 × E139/E142 end-to-end (round 13): the opaque-binary column
+    // decodes to the 64-float embedding, the embedding quantizes to PQ
+    // codes, and a code-domain IVFADC search finds each image's
+    // near-identical twin — the full path a 100 TB image lake takes
+    // from bytes on disk to searchable codes, with the ADC stage
+    // value-checked against a local recompute (the oracle arithmetic on
+    // the deterministic decode tier).
+    import graft.operators.{KmeansOps, PqOps}
+    def patternPng(a: Int, b: Int, blemish: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 32; y <- 0 until 32) {
+        val v = (x * a + y * b) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      if (blemish) img.setRGB(3, 3, 0xff0000)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val patterns = Seq((3, 11), (7, 2), (13, 5), (1, 17))
+    val media = patterns.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((2L * i, patternPng(a, b, blemish = false)),
+        (2L * i + 1, patternPng(a, b, blemish = true))) // near-dup twin
+    }.toDF("media_id", "payload")
+    val embs = Multimodal.imageEmbedding(spark, media, grid = 8)
+      .toDF().withColumnRenamed("media_id", "vec_id")
+    val coarse = KmeansOps.fit(embs, "embedding", "vec_id", k = 2, iters = 2)
+    val model = PqOps.fitPq(embs, "embedding", "vec_id", m = 4, kCodes = 4, iters = 2)
+    val codes = PqOps.attachCells(
+      PqOps.encode(embs, "embedding", "vec_id", model),
+      coarse.assignments.select($"vec_id", $"cluster"), "vec_id")
+    val queries = embs.filter($"vec_id" % 2 === 0)
+      .select($"vec_id".as("qid"), $"embedding")
+    val got = PqOps.ivfAdcSearch(codes, "cell", "vec_id", queries, "qid",
+        "embedding", model, coarse.centroids, topN = 3, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    // Each base image's blemished twin quantizes into its neighborhood:
+    // the twin must appear in the code-domain top-3.
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._3).contains(qid + 1),
+        s"query $qid did not retrieve its near-identical twin: ${rows.toSeq}")
+    }
+    // ADC exactness on the decoded tier: every returned score equals the
+    // local sum of squared 6-dp subspace lookups.
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val books = model.codebooks.as[(Int, Int, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val subv = PqOps.subvectors(embs, "embedding", "vec_id", 4)
+      .as[(Long, Int, Seq[Double])].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val codeOf = codes.select($"vec_id", $"sub", $"code")
+      .as[(Long, Int, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      r6(math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum))
+    got.foreach { case (qid, _, vid, adc) =>
+      val want = r6((0 until 4).map { s =>
+        val d = l2(subv((qid, s)), books((s, codeOf((vid, s))))); d * d
+      }.sum)
+      assert(adc == want, s"ADC($qid, $vid) = $adc, local recompute $want")
+    }
+  }
+
   test("audioEnvelope decodes wider PCM than 16-bit (24-bit must not read as silence)") {
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 24, 1, true, false)
     // 2000 frames of a loud 24-bit square wave, little-endian.

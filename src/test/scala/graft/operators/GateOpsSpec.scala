@@ -145,4 +145,23 @@ class GateOpsSpec extends AnyFunSuite {
     assert(plan.toString.contains("BroadcastHashJoin"),
       "the ranks frame must apply back as a broadcast join")
   }
+
+  test("percentileNormalize enforces its value-domain contract with a loud gauge") {
+    // Raw unrounded doubles: every row a distinct value — exactly the
+    // misuse the scaladoc used to merely describe. With the bound set
+    // below the distinct count, the gauge must refuse loudly.
+    val raw = (1 to 64).map(i => ("s", math.log(i.toDouble + 0.1), i.toLong))
+      .toDF("g", "v", "id")
+    val e = intercept[Exception](
+      GateOps.percentileNormalize(raw, "g", "v", maxDistinctValues = 16).collect())
+    assert(e.getMessage != null && e.getMessage.contains("distinct"),
+      s"expected the distinct-value gauge, got: ${e.getMessage}")
+    // At or under the bound: same answer as the default path.
+    val ok = GateOps.percentileNormalize(raw, "g", "v", maxDistinctValues = 64)
+      .select($"id", $"pct_rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ok.size == 64 && ok(1L) == 0.0 && ok(64L) == 1.0)
+    intercept[IllegalArgumentException](
+      GateOps.percentileNormalize(raw, "g", "v", maxDistinctValues = 0))
+  }
 }

@@ -128,6 +128,29 @@ class KmeansOpsSpec extends AnyFunSuite {
     }
     // 5e9 docs at target ~5k (the VERDICT scenario) routes two-level too.
     assert(KmeansOps.routeK(5_000_000_000_000L, 5000L).isRight)
+    // The honest ceiling is (2^20-1)^2, not 2^40: the top sliver used to
+    // yield k2 = 2^20 and crash inside fitTwoLevel's packing require.
+    val side = (1L << 20) - 1L
+    KmeansOps.routeK(side * side, 1L) match {
+      case Right((k1, k2)) =>
+        assert(k1 <= side && k2 <= side, s"levels must pack: ($k1, $k2)")
+        assert(k1.toLong * k2 >= side * side, "leaves must cover derived k")
+      case other => fail(s"(2^20-1)^2 must route two-level, got $other")
+    }
+    // One below the ceiling (where a float-sqrt ulp could misround k1).
+    KmeansOps.routeK(side * side - 1L, 1L) match {
+      case Right((k1, k2)) =>
+        assert(k1 <= side && k2 <= side, s"levels must pack: ($k1, $k2)")
+        assert(k1.toLong * k2 >= side * side - 1L, "leaves must cover derived k")
+      case other => fail(s"near-ceiling k must route two-level, got $other")
+    }
+    // Above the ceiling — including the old silent-crash band just under
+    // 2^40, which used to yield k2 = 2^20 and die INSIDE fitTwoLevel:
+    // loud refusal at the router, not a downstream packing error.
+    for (bad <- Seq(side * side + 1L, (1L << 40) - (1L << 20) + 5L, (1L << 40) - 1L)) {
+      val e = intercept[IllegalArgumentException](KmeansOps.routeK(bad, 1L))
+      assert(e.getMessage.contains("two-level packing bound"), e.getMessage)
+    }
   }
 
   test("fitTwoLevel: hierarchical assignment matches a local recompute") {

@@ -125,6 +125,43 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("capacity=16"))
   }
 
+  test("incremental ledger pin: written before data, refuse data without it") {
+    def batch(xs: (String, Int)*) =
+      xs.flatMap { case (v, n) => Seq.fill(n)(v) }.toDF("v")
+    // A lost/deleted pin over committed batches must refuse reads — the
+    // old read path skipped validation when the pin was missing, so a
+    // crash there let a different-capacity ingest silently change what
+    // err_max means.
+    val ledger = java.nio.file.Files
+      .createTempDirectory("hh_pin").resolve("hh").toString
+    SketchOps.incrementalHeavyHitters(spark, batch("a" -> 9), "v", ledger,
+      capacity = 16, k = 3, epochToken = Some("epoch0")).commitLedger()
+    val fs = new org.apache.hadoop.fs.Path(ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ledger, "_graft_hh_construction"), false)
+    val e = intercept[IllegalStateException](
+      SketchOps.incrementalHeavyHitters(spark, batch("b" -> 1), "v", ledger,
+        capacity = 16, k = 3, epochToken = Some("epoch1")))
+    assert(e.getMessage.contains("construction pin"), e.getMessage)
+    // Pinned-but-empty (the crash-between-pin-and-data state) is
+    // harmless: the next ingest validates against the pin and proceeds.
+    val ledger2 = java.nio.file.Files
+      .createTempDirectory("hh_pin2").resolve("hh").toString
+    val fs2 = new org.apache.hadoop.fs.Path(ledger2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outS = fs2.create(
+      new org.apache.hadoop.fs.Path(ledger2, "_graft_hh_construction"), true)
+    try outS.write("capacity=16".getBytes("UTF-8")) finally outS.close()
+    val p = SketchOps.incrementalHeavyHitters(spark, batch("a" -> 3), "v",
+      ledger2, capacity = 16, k = 3, epochToken = Some("epoch0"))
+    assert(p.top.as[(String, Long, Long)].collect().toSet == Set(("a", 3L, 0L)))
+    // And a mismatched-capacity ingest against that pre-pin refuses.
+    val e2 = intercept[IllegalStateException](
+      SketchOps.incrementalHeavyHitters(spark, batch("a" -> 1), "v", ledger2,
+        capacity = 4, k = 3))
+    assert(e2.getMessage.contains("capacity=16"), e2.getMessage)
+  }
+
   test("incremental ledger: lossy batches keep the additive bound; folding preserves it") {
     val ledger = java.nio.file.Files
       .createTempDirectory("hh_fold").resolve("hh").toString

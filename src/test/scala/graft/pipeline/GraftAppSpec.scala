@@ -379,17 +379,39 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
 
     val outd = s"$root/pq"
     val (c, l) = cli("--pq-encode", "--corpus-dir", corpus, "--out-dir", outd,
-      "--id-col", "vec_id", "--pq-m", "2", "--pq-k", "4", "--pq-iters", "1")
+      "--id-col", "vec_id", "--pq-m", "2", "--pq-k", "4", "--pq-iters", "1",
+      "--pq-coarse-k", "2")
     assert(c == 0, l.mkString("; "))
-    assert(l.exists(_.startsWith("PQ_ENCODE_ m=2 k=4 iters=1 subDim=4")), l)
+    assert(l.exists(_.startsWith("PQ_ENCODE_ m=2 k=4 iters=1 subDim=4 coarseK=2")), l)
     val books = spark.read.parquet(s"$outd/codebooks")
     assert(books.columns.toSet == Set("sub", "code", "centroid"))
     assert(books.count() == 8L, "2 subs x 4 codes")
+    // Round 13: the full IVFADC artifact set — codes carry the coarse
+    // cell as a PARTITION column (searches prune to probed cells), the
+    // coarse centroids are stored, and the whole set sits under the
+    // construction pin.
     val codes = spark.read.parquet(s"$outd/codes")
-    assert(codes.columns.toSet == Set("vec_id", "sub", "code", "dist"))
+    assert(codes.columns.toSet == Set("vec_id", "sub", "code", "dist", "cell", "_graft_epoch"))
     assert(codes.count() == 40L, "20 vectors x 2 subs")
+    assert(spark.read.parquet(s"$outd/coarse").count() == 2L)
+    val arts = graft.operators.PqOps.readPqArtifacts(spark, outd)
+    assert(arts.model.m == 2 && arts.model.kCodes == 4 && arts.coarse.length == 2)
+
+    // --pq-append encodes a NEW batch against the pinned books into its
+    // own epoch partition.
+    val batch2 = s"$root/vecs2"
+    (20L to 29L).map(i => (i, Array.tabulate(8)(d => (i * 7 + d).toDouble % 5)))
+      .toDF("vec_id", "embedding")
+      .write.mode(SaveMode.Overwrite).parquet(batch2)
+    val (c2, l2) = cli("--pq-append", "--corpus-dir", batch2, "--out-dir", outd,
+      "--id-col", "vec_id", "--pq-epoch", "b2")
+    assert(c2 == 0, l2.mkString("; "))
+    assert(l2.exists(_.startsWith("PQ_APPEND_ epoch=b2 lifetime_code_rows=60")), l2)
+    assert(spark.read.parquet(s"$outd/codes").count() == 60L, "30 vectors x 2 subs")
 
     intercept[IllegalArgumentException](cli("--pq-encode", "--corpus-dir", corpus))
+    intercept[IllegalArgumentException](
+      cli("--pq-append", "--corpus-dir", batch2, "--out-dir", outd))
   }
 
   test("--exact-neardup writes the provably-complete pair report") {
