@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object LshRegime {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | kmeans2 | semincr | wsample | contam | contamauto | chunk | spans | spansincr | shuffleorder | split | prefixjoin]")
+      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | kmeans2 | semincr | wsample | contam | contamauto | chunk | spans | spansincr | shuffleorder | split | prefixjoin | pq]")
     val dir = args(0)
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
@@ -45,6 +45,7 @@ object LshRegime {
     if (args.length > 1 && args(1) == "spansincr") { spansIncr(spark, dir); return }
     if (args.length > 1 && args(1) == "split") { split(spark, dir); return }
     if (args.length > 1 && args(1) == "prefixjoin") { prefixJoin(spark, dir); return }
+    if (args.length > 1 && args(1) == "pq") { pqSearch(spark, dir); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -592,6 +593,49 @@ object LshRegime {
     println(
       f"""{"metric":"lsh_incr","shingleN":$shingleN,"batch":$nBatch,"ledgerHits":$nHits,""" +
         f""""survivors":$nSurv,"secs":$secs%.2f}""")
+    spark.stop()
+  }
+
+  /** E142's scale claim, isolated: SEARCH-ONLY wall against the STORED
+    * cell-partitioned codes must track the probed cells' population, not
+    * the corpus. coarseK scales with n (target ~2 500 vectors/cell), so
+    * across a 10× decade the per-cell population — and therefore the
+    * pruned search — should stay near-FLAT while the corpus grows 10×.
+    * The build (fit + encode + write) is timed separately: it IS ∝ n by
+    * design. Median of 3 searches, model read back through the pinned
+    * artifact API (the real consumer path, PartitionFilters and all). */
+  private def pqSearch(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = vecs.count()
+    val coarseK = math.max(8L, n / 2500L).toInt
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_pq_probe").resolve("pq").toString
+    val t0 = System.nanoTime()
+    operators.PqOps.writePqArtifacts(spark, vecs, "embedding", "vec_id", store,
+      m = 4, kCodes = 8, iters = 1, coarseK = coarseK, coarseIters = 1)
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+    val arts = operators.PqOps.readPqArtifacts(spark, store)
+    val queries = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    // Probed population = vectors living in the 5 queries' own cells.
+    val qcells = operators.KmeansOps.assign(queries, "embedding", "qid", arts.coarse)
+      .select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val probedPop = arts.codes
+      .filter(col("cell").isInCollection(qcells.map(Integer.valueOf)))
+      .select(col("vec_id")).distinct().count()
+    def once(): Double = {
+      val t = System.nanoTime()
+      operators.PqOps.ivfAdcSearch(arts.codes, "cell", "vec_id", queries,
+        "qid", "embedding", arts.model, arts.coarse, topN = 5, nprobe = 1).count()
+      (System.nanoTime() - t) / 1e9
+    }
+    val walls = Seq.fill(3)(once()).sorted
+    println(
+      f"""{"metric":"pq_search","n":$n,"coarseK":$coarseK,"probedPop":$probedPop,""" +
+        f""""buildSecs":$buildSecs%.2f,"searchSecsMedian":${walls(1)}%.3f,""" +
+        f""""searchSecs":[${walls.map(w => f"$w%.3f").mkString(",")}]}""")
     spark.stop()
   }
 }
