@@ -203,6 +203,75 @@ object PqOps {
   def attachCells(codes: DataFrame, cells: DataFrame, idCol: String): DataFrame =
     codes.join(cells.select(col(idCol), col("cluster").as("cell")), Seq(idCol))
 
+  /** E144: coarse RESIDUALS — (idCol, cell, residual) with
+    * `residual = v − coarseCentroid(cell(v))`, the vector Jégou 2011's
+    * actual IVFADC quantizes (§IV.B: PQ on the raw vector wastes its
+    * code budget re-describing WHICH cell the vector sits in — the cell
+    * id already says that; quantizing the residual spends all m codes on
+    * the within-cell offset, where the information is). Compose:
+    * `residuals` → [[fitPq]]/[[encode]] on the `residual` column → the
+    * codes already carry `cell` for [[ivfAdcSearch]]-style restriction.
+    *
+    * One narrow pass: the cell arg-min is [[KmeansOps.assign]]'s
+    * zero-shuffle projection (literal path) or broadcast join, and the
+    * subtraction is a codegen'd `zip_with` against the broadcast
+    * centroid row — no corpus shuffle anywhere. Determinism: the
+    * centroid elements are the fit's 6-dp values and the input casts
+    * float→double exactly, so the residual doubles are bit-identical on
+    * any engine (subtraction of exact doubles) — the downstream PQ
+    * chain keeps its oracle (q162). */
+  def residuals(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      coarse: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("cluster", "_graft_cc"))
+    KmeansOps.assign(df, vecCol, idCol, coarse)
+      .select(col(idCol), col("cluster"), col(vecCol))
+      .join(centDf, Seq("cluster"))
+      .select(col(idCol), col("cluster").as("cell"),
+        zip_with(transform(col(vecCol), _.cast("double")), col("_graft_cc"),
+          (a, b) => a - b).as("residual"))
+  }
+
+  /** E145: exact RE-RANK of an ANN shortlist (IVFADC+R, Jégou 2011 §V):
+    * the ADC/IVFADC top-R candidates per query are re-scored with the
+    * EXACT vector distance and cut to top-`topN` — the standard
+    * two-stage shape at 10^12 vectors: the code domain does the corpus
+    * work (cheap, approximate), the exact pass touches only Q × R raw
+    * vectors (workload-sized, so its cost is independent of n).
+    *
+    * `shortlist` is (qidCol, idCol) — any searcher's output; `corpus`
+    * holds the raw vectors. The shortlist BROADCASTS onto the corpus
+    * (one scan, no shuffle — only Q × R rows survive), query vectors
+    * broadcast on, and the cut is the bounded-buffer grouped top-k.
+    * Scores are the 6-dp exact L2 (`dist`), ties to the smaller id. */
+  def refine(
+      shortlist: DataFrame,
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      topN: Int): DataFrame = {
+    require(topN >= 1, s"topN out of range: $topN")
+    val cands = shortlist.select(col(qidCol), col(idCol))
+    val withVec = corpus.select(col(idCol), col(vecCol).as("_graft_cv"))
+      .join(broadcast(cands), Seq(idCol))
+    val qv = queries.select(col(qidCol), col(vecCol).as("_graft_qv"))
+    val scored = withVec.join(broadcast(qv), Seq(qidCol))
+      .select(col(qidCol), col(idCol),
+        (-graft.functions.VectorFunctions.l2Distance(
+          col("_graft_qv"), col("_graft_cv"))).as("_graft_neg"))
+    TopKOps.groupedTopK(scored, qidCol, "_graft_neg", idCol, topN)
+      .withColumn("dist", round(-col("_graft_neg"), 6))
+      .drop("_graft_neg")
+  }
+
   /** ADC batch search: top-`topN` candidates per query by the asymmetric
     * distance Σ_sub 6-dp-L2²(query subvector, candidate's codeword).
     * `queries` is (qidCol, vecCol) — workload-sized by contract; `codes`

@@ -484,6 +484,46 @@ object VectorQueries {
       graft.operators.PqOps.incrementalPqEncode(
           s, batch2, "embedding", "vec_id", store, epochToken = "b2")
         .codes.select(col("vec_id"), col("sub"), col("code"), col("dist"))
+    }),
+
+    // E144 residual PQ (round 13): Jégou 2011's ACTUAL IVFADC quantizes
+    // the residual v − coarseCentroid(cell(v)), not the raw vector — the
+    // cell id already says where the vector coarsely sits, so all m
+    // codes describe the within-cell offset. The oracle recomputes the
+    // residual table from the same coarse fit and replays the full PQ
+    // chain over it.
+    "q162_pq_residual_encode" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val coarse = graft.operators.KmeansOps.fit(
+        e, "embedding", "vec_id", k = 8, iters = 1)
+      val res = graft.operators.PqOps.residuals(
+        e, "embedding", "vec_id", coarse.centroids)
+      val model = graft.operators.PqOps.fitPq(
+        res, "residual", "vec_id", m = 4, kCodes = 8, iters = 1)
+      graft.operators.PqOps.encode(res, "residual", "vec_id", model)
+    }),
+
+    // E145 IVFADC+R (round 13): the two-stage search — IVFADC's code-
+    // domain shortlist (top-20, nprobe=2) re-ranked by the EXACT 6-dp L2
+    // over only the Q × 20 shortlisted raw vectors, cut to top-5. The
+    // exact pass is workload-sized: its cost is independent of n.
+    "q163_ivfadc_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val coarse = graft.operators.KmeansOps.fit(
+        e, "embedding", "vec_id", k = 8, iters = 1)
+      val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
+      val model = graft.operators.PqOps.fitPq(
+        e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
+      val codes = graft.operators.PqOps.attachCells(
+        graft.operators.PqOps.encode(e, "embedding", "vec_id", model),
+        cells, "vec_id")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val short = graft.operators.PqOps.ivfAdcSearch(
+        codes, "cell", "vec_id", queries, "qid", "embedding",
+        model, coarse.centroids, topN = 20, nprobe = 2)
+      graft.operators.PqOps.refine(
+        short, e, "embedding", "vec_id", queries, "qid", topN = 5)
     })
   )
 
@@ -612,7 +652,8 @@ object VectorQueries {
     def pqL2Sql(a: String, b: String, subDim: Int): String =
       s"round(sqrt(list_sum(list_transform(range(1, ${subDim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))), 6)"
     def pqCtesF(pfx: String, m: Int, kCodes: Int, iters: Int, subDim: Int,
-        fitWhere: String = "TRUE"): String = {
+        fitWhere: String = "TRUE",
+        srcSql: String = s"SELECT vec_id, $VecSql AS v FROM embeddings"): String = {
       def argmin(name: String, src: String, book: String, withDist: Boolean): String = {
         val d = if (withDist) s", ${pqL2Sql("s.sv", s"$book.c", subDim)} AS dist" else ""
         val dOut = if (withDist) ", dist" else ""
@@ -626,7 +667,7 @@ object VectorQueries {
       // `fitWhere` restricts the FIT population (seeds + Lloyd rounds)
       // the q161 way — the final `af` encode always covers every vector
       // (the pinned-model assignAgainst discipline).
-      sb ++= s"""${pfx}pe AS (SELECT vec_id, $VecSql AS v FROM embeddings),
+      sb ++= s"""${pfx}pe AS ($srcSql),
         ${pfx}subs AS (SELECT vec_id, CAST(u.s AS INT) AS sub,
                         v[u.s * $subDim + 1 : u.s * $subDim + $subDim] AS sv
                  FROM ${pfx}pe, unnest(range(0, $m)) AS u(s)),
@@ -994,7 +1035,54 @@ object VectorQueries {
       // codebooks (fitWhere restricts fsubs; af always runs over subs).
       "q161_pq_incr_encode" ->
         s"""WITH ${pqCtesF("", 4, 8, 1, 16, fitWhere = "vec_id % 2 = 0")}
-            SELECT vec_id, sub, code, dist FROM af"""
+            SELECT vec_id, sub, code, dist FROM af""",
+      // Residual PQ: the same coarse fit feeds a residual table
+      // (v − settled centroid of the vector's own cell — exact double
+      // subtraction, both engines bit-identical), and the whole PQ
+      // chain replays over it (the r-prefixed CTEs source from `res`).
+      "q162_pq_residual_encode" ->
+        s"""WITH ${kmeansCtes(8, 1)},
+            ${pqCtesF("r", 4, 8, 1, 16, srcSql =
+              "SELECT a.vec_id, list_transform(range(1, 65), i -> a.v[i] - f.c[i]) AS v " +
+                "FROM af a JOIN c1 f ON f.cl = a.cl")}
+            SELECT vec_id, sub, code, dist FROM raf""",
+      // IVFADC+R: the q160 construction widened to a top-20 shortlist,
+      // then the exact 6-dp L2 re-rank over only the shortlisted pairs.
+      "q163_ivfadc_rerank" ->
+        s"""WITH ${kmeansCtes(8, 1)},
+            ${pqCtesF("q", 4, 8, 1, 16)},
+            lut AS (SELECT s.vec_id AS qid, s.sub, b.code,
+                           ${pqL2Sql("s.sv", "b.c", 16)} * ${pqL2Sql("s.sv", "b.c", 16)} AS part
+                    FROM qsubs s JOIN qb1 b ON b.sub = s.sub
+                    WHERE s.vec_id < 5),
+            qp AS (SELECT vec_id AS qid, cl AS qcell FROM (
+                     SELECT e.vec_id, f.cl,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY ${l2Sql("e.v", "f.c")}, f.cl) AS pr
+                     FROM e CROSS JOIN c1 f WHERE e.vec_id < 5)
+                   WHERE pr <= 2),
+            scored AS (SELECT l.qid, a.vec_id, round(sum(l.part), 6) AS adc
+                       FROM qaf a
+                       JOIN af c ON c.vec_id = a.vec_id
+                       JOIN qp ON qp.qcell = c.cl
+                       JOIN lut l ON l.qid = qp.qid
+                                 AND l.sub = a.sub AND l.code = a.code
+                       GROUP BY l.qid, a.vec_id),
+            short AS (SELECT qid, vec_id FROM (
+                        SELECT qid, vec_id,
+                               row_number() OVER (PARTITION BY qid
+                                 ORDER BY adc, vec_id) AS rn
+                        FROM scored) WHERE rn <= 20),
+            re AS (SELECT s.qid, s.vec_id, ${l2Sql("q.v", "c.v")} AS dist
+                   FROM short s
+                   JOIN e q ON q.vec_id = s.qid
+                   JOIN e c ON c.vec_id = s.vec_id)
+            SELECT qid, CAST(rank AS INT) AS rank, vec_id, dist FROM (
+              SELECT qid, vec_id, dist,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY dist, vec_id) AS rank
+              FROM re)
+            WHERE rank <= 5"""
     )
   }
 }

@@ -204,6 +204,14 @@ class PlanSpec extends AnyFunSuite {
                                   // spreads are fixture parallelism, not data movement.
       "q160_ivfadc_nprobe" -> 6,  // q159's exact shape at nprobe = 2 — the wider probe
                                   // only widens the isin list, never adds an exchange
+      "q162_pq_residual_encode" -> 3, // spread ×2 (residual build + the fit's seed
+                                  // TakeOrdered re-read the corpus) + the encode
+                                  // arg-min agg; the residual subtraction itself is a
+                                  // narrow zip_with against broadcast centroids
+      "q163_ivfadc_rerank" -> 8,  // q160's six + the refine stage's corpus spread and
+                                  // its top-k agg — the exact pass joins the broadcast
+                                  // shortlist (Q×20 rows) onto one corpus scan, so its
+                                  // only NEW exchanges move workload-sized frames
       "q108_srp_incr_neardup" -> 5, // hit/purge anti-joins on the id key + banded self-join
                                     // + pair and drop distincts (banding cached; ledger-hit
                                     // verification is eager, outside this plan)

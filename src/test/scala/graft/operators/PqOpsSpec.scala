@@ -309,6 +309,54 @@ class PqOpsSpec extends AnyFunSuite {
       PqOps.incrementalPqEncode(spark, batch2, "v", "id", dir, "base"))
   }
 
+  test("residuals subtract each vector's own cell centroid, exactly") {
+    val coarse = KmeansOps.fit(vecs, "v", "id", k = 2, iters = 2)
+    val cellMap = coarse.assignments
+      .select(col("id"), col("cluster")).as[(Long, Int)].collect().toMap
+    val got = PqOps.residuals(vecs, "v", "id", coarse.centroids)
+      .as[(Long, Int, Seq[Double])].collect()
+    assert(got.length == 6)
+    val orig = vecs.as[(Long, Seq[Double])].collect().toMap
+    got.foreach { case (id, cell, res) =>
+      assert(cell == cellMap(id), s"id $id cell $cell != assign ${cellMap(id)}")
+      val want = orig(id).zip(coarse.centroids(cell)).map { case (a, b) => a - b }
+      assert(res == want.toSeq, s"id $id residual mismatch")
+    }
+    // The composition keeps the oracle grain: PQ over residuals is the
+    // same deterministic chain (smoke: arg-min still true per subspace).
+    val res = PqOps.residuals(vecs, "v", "id", coarse.centroids)
+    val model = PqOps.fitPq(res, "residual", "id", m = 2, kCodes = 2, iters = 1)
+    val codes = PqOps.encode(res, "residual", "id", model)
+    assert(codes.count() == 12)
+  }
+
+  test("refine re-ranks the shortlist by exact L2, shortlist-broadcast, no corpus shuffle") {
+    val model = PqOps.fitPq(vecs, "v", "id", m = 2, kCodes = 2, iters = 1)
+    val codes = PqOps.encode(vecs, "v", "id", model)
+    val queries = vecs.filter(col("id") < 2).select(col("id").as("qid"), col("v"))
+    val short = PqOps.adcSearch(codes, "id", queries, "qid", "v", model, topN = 4)
+    val got = PqOps.refine(short, vecs, "v", "id", queries, "qid", topN = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    // Local recompute: exact 6-dp L2 over exactly the shortlisted pairs,
+    // (dist asc, id asc), top-2.
+    val orig = vecs.as[(Long, Seq[Double])].collect().toMap
+    val shortSets = short.select(col("qid"), col("id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val expect = shortSets(qid).toSeq
+        .map(c => (l2r6(orig(qid), orig(c)), c)).sorted.take(2)
+      assert(rows.sortBy(_._2).map(r => (r._4, r._3)).toSeq == expect,
+        s"query $qid: ${rows.toSeq} vs $expect")
+    }
+    // Scale shape: the corpus side must meet the workload-sized
+    // shortlist through a broadcast join — never a corpus shuffle on id.
+    val plan = PqOps.refine(short, vecs, "v", "id", queries, "qid", topN = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    intercept[IllegalArgumentException](
+      PqOps.refine(short, vecs, "v", "id", queries, "qid", topN = 0))
+  }
+
   test("dim must split evenly across subspaces; bad params refuse loudly") {
     val ragged = Seq((0L, Array(1.0, 2.0, 3.0))).toDF("id", "v")
     intercept[IllegalArgumentException](
