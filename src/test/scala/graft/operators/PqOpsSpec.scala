@@ -357,6 +357,20 @@ class PqOpsSpec extends AnyFunSuite {
       PqOps.refine(short, vecs, "v", "id", queries, "qid", topN = 0))
   }
 
+  test("ivfAdcSearch with an empty query frame returns empty, never errors") {
+    // The driver-side probe collect yields zero cells → the isin filter
+    // is vacuously false — an empty workload must be a no-op, not an
+    // analysis error from an empty IN-list.
+    val coarse = KmeansOps.fit(vecs, "v", "id", k = 2, iters = 1)
+    val model = PqOps.fitPq(vecs, "v", "id", m = 2, kCodes = 2, iters = 0)
+    val codes = PqOps.attachCells(
+      PqOps.encode(vecs, "v", "id", model),
+      coarse.assignments.select(col("id"), col("cluster")), "id")
+    val noQueries = vecs.filter(col("id") < 0).select(col("id").as("qid"), col("v"))
+    assert(PqOps.ivfAdcSearch(codes, "cell", "id", noQueries, "qid", "v",
+      model, coarse.centroids, topN = 3).count() == 0L)
+  }
+
   test("dim must split evenly across subspaces; bad params refuse loudly") {
     val ragged = Seq((0L, Array(1.0, 2.0, 3.0))).toDF("id", "v")
     intercept[IllegalArgumentException](
