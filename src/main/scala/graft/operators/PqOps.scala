@@ -512,7 +512,11 @@ object PqOps {
     * codebooks, coarseK from the coarse frame) — parameter drift between
     * what was pinned and what sits on disk refuses loudly (the E89
     * rule). `codes` spans every committed epoch; the `cell` partition
-    * column rides it for [[ivfAdcSearch]] pruning. */
+    * column rides it for [[ivfAdcSearch]] pruning. The coarse model is
+    * DRIVER state by design (coarseK × dim doubles — ~0.5 GB at the
+    * 2^20-cell ceiling, the same deliberate trade-off as E133's coarse
+    * level): the probe needs it per-query-row, and a broadcast join
+    * would re-ship the identical frame per search batch for no win. */
   def readPqArtifacts(spark: SparkSession, dir: String): PqArtifacts = {
     val params = readMeta(spark, dir)
     val kv = params.split("\\s+").map(_.split("=") match {
