@@ -82,12 +82,15 @@ object GraftApp {
       pqIters: Int = 2,
       pqCoarseK: Int = 256,
       pqAppend: Boolean = false,
-      pqEpoch: Option[String] = None)
+      pqEpoch: Option[String] = None,
+      pqSearch: Boolean = false,
+      pqStore: Option[String] = None,
+      nprobe: Int = 1)
 
   /** Valueless flags (presence = true). */
   private val boolFlags = Set("strict", "stream", "compact-ledger", "fold-epochs",
     "export-shards", "verify-export", "scrub-spans", "exact-neardup", "tokenize",
-    "pq-encode", "pq-append")
+    "pq-encode", "pq-append", "pq-search")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -125,7 +128,8 @@ object GraftApp {
           "[--heavy-hitters COL --corpus-dir P --out-dir P [--capacity N] [--k N] [--tokenize]] | " +
           "[--pq-encode --corpus-dir P --out-dir P [--vec-col C] [--id-col C] " +
           "[--pq-m N] [--pq-k N] [--pq-iters N] [--pq-coarse-k N]] | " +
-          "[--pq-append --corpus-dir P --out-dir P --pq-epoch TOKEN [--vec-col C] [--id-col C]]")
+          "[--pq-append --corpus-dir P --out-dir P --pq-epoch TOKEN [--vec-col C] [--id-col C]] | " +
+          "[--pq-search --corpus-dir QUERIES --pq-store P --out-dir P [--k N] [--nprobe N]]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
       "ledger", "checkpoint", "text-col", "id-col",
@@ -135,7 +139,8 @@ object GraftApp {
       "delete-ids", "audit-dir", "corpus-dir",
       "zorder", "z-bits", "z-files", "out-dir", "tau",
       "heavy-hitters", "capacity",
-      "pq-m", "pq-k", "pq-iters", "pq-coarse-k", "pq-epoch") ++ boolFlags
+      "pq-m", "pq-k", "pq-iters", "pq-coarse-k", "pq-epoch", "pq-store",
+      "nprobe") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
     if (unknown.nonEmpty)
@@ -209,7 +214,10 @@ object GraftApp {
       pqIters = flags.get("pq-iters").map(_.toInt).getOrElse(2),
       pqCoarseK = flags.get("pq-coarse-k").map(_.toInt).getOrElse(256),
       pqAppend = flags.contains("pq-append"),
-      pqEpoch = flags.get("pq-epoch"))
+      pqEpoch = flags.get("pq-epoch"),
+      pqSearch = flags.contains("pq-search"),
+      pqStore = flags.get("pq-store"),
+      nprobe = flags.get("nprobe").map(_.toInt).getOrElse(1))
   }
 
   /** Testable core; returns the process exit code. */
@@ -412,6 +420,31 @@ object GraftApp {
       val n = pending.codes.count()
       pending.commitLedger()
       out(s"PQ_APPEND_ epoch=$epoch lifetime_code_rows=$n out=$outd")
+      return 0
+    }
+
+    // Search mode: IVFADC over the stored artifacts (E142) — a queries
+    // parquet (idCol + vecCol) probed against the pinned store, top-k
+    // per query by ADC within the nprobe nearest cells, results written
+    // to a NEW directory. The codes scan partition-prunes to the probed
+    // cells; no raw corpus vector is ever read.
+    if (a.pqSearch) {
+      val qdir = a.corpusDir.getOrElse(
+        throw new IllegalArgumentException("--pq-search requires --corpus-dir P (the queries)"))
+      val store = a.pqStore.getOrElse(
+        throw new IllegalArgumentException("--pq-search requires --pq-store P"))
+      val outd = a.outDir.getOrElse(
+        throw new IllegalArgumentException("--pq-search requires --out-dir P"))
+      val arts = graft.operators.PqOps.readPqArtifacts(spark, store)
+      val queries = spark.read.parquet(qdir)
+        .select(org.apache.spark.sql.functions.col(a.idCol).as("query_id"),
+          org.apache.spark.sql.functions.col(a.vecCol))
+      val res = graft.operators.PqOps.ivfAdcSearch(
+        arts.codes, "cell", a.idCol, queries, "query_id", a.vecCol,
+        arts.model, arts.coarse, topN = a.k, nprobe = a.nprobe)
+      res.write.mode(SaveMode.Overwrite).parquet(outd)
+      val n = spark.read.parquet(outd).count()
+      out(s"PQ_SEARCH_ k=${a.k} nprobe=${a.nprobe} result_rows=$n out=$outd")
       return 0
     }
 

@@ -409,9 +409,38 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
     assert(l2.exists(_.startsWith("PQ_APPEND_ epoch=b2 lifetime_code_rows=60")), l2)
     assert(spark.read.parquet(s"$outd/codes").count() == 60L, "30 vectors x 2 subs")
 
+    // --pq-search: IVFADC over the pinned store, results written out —
+    // values must equal the direct API call on the same artifacts.
+    val qdir = s"$root/queries"
+    (0L to 2L).map(i => (i, Array.tabulate(8)(d => (i * 7 + d).toDouble % 5)))
+      .toDF("vec_id", "embedding")
+      .write.mode(SaveMode.Overwrite).parquet(qdir)
+    val resd = s"$root/results"
+    val (c3, l3) = cli("--pq-search", "--corpus-dir", qdir, "--pq-store", outd,
+      "--out-dir", resd, "--id-col", "vec_id", "--k", "3", "--nprobe", "2")
+    assert(c3 == 0, l3.mkString("; "))
+    assert(l3.exists(_.startsWith("PQ_SEARCH_ k=3 nprobe=2 result_rows=9")), l3)
+    val written = spark.read.parquet(resd)
+      .select($"query_id", $"rank", $"vec_id", $"adc")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val direct = {
+      // Re-read: the pre-append `arts` snapshot must not mask the
+      // appended epoch from the comparison frame.
+      val arts2 = graft.operators.PqOps.readPqArtifacts(spark, outd)
+      val queries = spark.read.parquet(qdir)
+        .select($"vec_id".as("query_id"), $"embedding")
+      graft.operators.PqOps.ivfAdcSearch(
+        arts2.codes, "cell", "vec_id", queries, "query_id", "embedding",
+        arts2.model, arts2.coarse, topN = 3, nprobe = 2)
+        .as[(Long, Int, Long, Double)].collect().toSet
+    }
+    assert(written == direct)
+
     intercept[IllegalArgumentException](cli("--pq-encode", "--corpus-dir", corpus))
     intercept[IllegalArgumentException](
       cli("--pq-append", "--corpus-dir", batch2, "--out-dir", outd))
+    intercept[IllegalArgumentException](
+      cli("--pq-search", "--corpus-dir", qdir, "--out-dir", resd))
   }
 
   test("--exact-neardup writes the provably-complete pair report") {
