@@ -292,6 +292,9 @@ object DedupOps {
     val prior: Option[DataFrame] =
       if (!fs.exists(ledgerPath)) None
       else {
+        // One directory listing for both the pin-or-refuse check and
+        // the empty-ledger short-circuit (a remote LIST is not free).
+        val hasData = MaintenanceOps.ledgerHasData(fs, ledgerPath)
         val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, SpanMetaFile)
         if (fs.exists(metaPath)) {
           val in = fs.open(metaPath)
@@ -303,7 +306,7 @@ object DedupOps {
               s"span ledger at $ledgerDir was built with [$stored] but this ingest " +
                 s"windows with [$params] — duplicate spans would silently never " +
                 "collide. Use the ledger's width or rebuild it.")
-        } else if (MaintenanceOps.ledgerHasData(fs, ledgerPath))
+        } else if (hasData)
           // Pin-or-refuse (round 13): committed span counts without the
           // width pin cannot be validated — a different-width ingest
           // would pass silently and spans would never collide.
@@ -313,7 +316,7 @@ object DedupOps {
               "validated. Restore the pin or rebuild the ledger.")
         // A pinned-but-empty dir (crash between pin and first data
         // commit) is an empty ledger, not a readable parquet store.
-        if (!MaintenanceOps.ledgerHasData(fs, ledgerPath)) None
+        if (!hasData) None
         else {
           // Counts are SUMMED at read, so epoch leftovers of a crashed
           // fold (already merged into base, dirs not yet deleted — see

@@ -338,6 +338,9 @@ object LshOps {
         // would sail through. The ledger pins its construction in a
         // metadata file (underscore-prefixed: parquet readers skip it) and
         // refuses a mismatched ingest loudly.
+        // One directory listing for both the pin-or-refuse check and
+        // the empty-ledger short-circuit (a remote LIST is not free).
+        val hasData = MaintenanceOps.ledgerHasData(fs, ledgerPath)
         val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, MetaFile)
         if (fs.exists(metaPath)) {
           val in = fs.open(metaPath)
@@ -349,7 +352,7 @@ object LshOps {
               s"band ledger at $ledgerDir was built with [$stored] but this ingest " +
                 s"bands with [$params] — near-dups would silently never collide. " +
                 "Use the ledger's parameters or rebuild it.")
-        } else if (MaintenanceOps.ledgerHasData(fs, ledgerPath))
+        } else if (hasData)
           // Pin-or-refuse (round 13): committed buckets without the pin
           // cannot be validated — a mismatched ingest would pass silently.
           throw new IllegalStateException(
@@ -358,7 +361,7 @@ object LshOps {
               "pin or rebuild the ledger.")
         // A pinned-but-empty dir (crash between pin and first data
         // commit) is an empty ledger, not a readable parquet store.
-        if (!MaintenanceOps.ledgerHasData(fs, ledgerPath)) None
+        if (!hasData) None
         else {
           val l = spark.read.parquet(ledgerDir)
           if (l.columns.toSet != expectedCols)

@@ -225,17 +225,28 @@ object PqOps {
       vecCol: String,
       idCol: String,
       coarse: Array[Array[Double]]): DataFrame = {
+    require(coarse.nonEmpty, "residuals needs at least one coarse centroid")
+    val dim = coarse.head.length
+    require(coarse.forall(_.length == dim),
+      s"coarse centroids must share one dim, got ${coarse.map(_.length).distinct.mkString(",")}")
     val spark = df.sparkSession
     import spark.implicits._
     val centDf = broadcast(
       coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
         .toSeq.toDF("cluster", "_graft_cc"))
+    // Per-row dim guard woven into the data column (the family's LOUD
+    // rule): a mismatched vector would otherwise zip_with into
+    // null-padded residuals and silently corrupt every downstream code.
+    val guarded = when(size(col(vecCol)) === dim,
+        transform(col(vecCol), _.cast("double")))
+      .otherwise(raise_error(concat(
+        lit(s"residuals: vector dim must be $dim (the coarse model's), got "),
+        size(col(vecCol)).cast("string"))))
     KmeansOps.assign(df, vecCol, idCol, coarse)
       .select(col(idCol), col("cluster"), col(vecCol))
       .join(centDf, Seq("cluster"))
       .select(col(idCol), col("cluster").as("cell"),
-        zip_with(transform(col(vecCol), _.cast("double")), col("_graft_cc"),
-          (a, b) => a - b).as("residual"))
+        zip_with(guarded, col("_graft_cc"), (a, b) => a - b).as("residual"))
   }
 
   /** E145: exact RE-RANK of an ANN shortlist (IVFADC+R, Jégou 2011 §V):
@@ -263,10 +274,17 @@ object PqOps {
     val withVec = corpus.select(col(idCol), col(vecCol).as("_graft_cv"))
       .join(broadcast(cands), Seq(idCol))
     val qv = queries.select(col(qidCol), col(vecCol).as("_graft_qv"))
+    // Per-row dim guard (the family's LOUD rule): the native L2 would
+    // silently truncate to the shorter vector on a query/corpus dim
+    // mismatch — plausible-looking but wrong "exact" distances.
+    val l2 = when(size(col("_graft_qv")) === size(col("_graft_cv")),
+        graft.functions.VectorFunctions.l2Distance(
+          col("_graft_qv"), col("_graft_cv")))
+      .otherwise(raise_error(concat(
+        lit("refine: query dim "), size(col("_graft_qv")).cast("string"),
+        lit(" != corpus dim "), size(col("_graft_cv")).cast("string"))))
     val scored = withVec.join(broadcast(qv), Seq(qidCol))
-      .select(col(qidCol), col(idCol),
-        (-graft.functions.VectorFunctions.l2Distance(
-          col("_graft_qv"), col("_graft_cv"))).as("_graft_neg"))
+      .select(col(qidCol), col(idCol), (-l2).as("_graft_neg"))
     TopKOps.groupedTopK(scored, qidCol, "_graft_neg", idCol, topN)
       .withColumn("dist", round(-col("_graft_neg"), 6))
       .drop("_graft_neg")
@@ -530,23 +548,35 @@ object PqOps {
       .withColumnRenamed("sub", "_graft_sub")
       .withColumnRenamed("code", "_graft_code")
       .withColumnRenamed("centroid", "_graft_c")
+    // The pin is authoritative on EVERY dimension the downstream joins
+    // and distances silently depend on: subspace count (exact), code ids
+    // (must fit the pinned range — an over-range id means foreign
+    // codebooks), and centroid width (exact subDim both ends — VecOps
+    // distances would silently truncate a short centroid, the precise
+    // mis-scoring the pin exists to refuse).
     val stored = books.agg(
-        countDistinct(col("_graft_sub")).as("m"),
-        countDistinct(col("_graft_code")).as("k"))
+        countDistinct(col("_graft_sub")).as("subs"),
+        max(col("_graft_code")).as("maxCode"),
+        min(size(col("_graft_c"))).as("minLen"),
+        max(size(col("_graft_c"))).as("maxLen"))
       .collect().head
-    if (stored.getLong(0) != m.toLong || stored.getLong(1) > kCodes.toLong)
+    if (stored.getLong(0) != m.toLong || stored.getInt(1) >= kCodes ||
+        stored.getInt(2) != subDim || stored.getInt(3) != subDim)
       throw new IllegalStateException(
         s"PQ artifact store at $dir pinned [${pqParams(m, kCodes, subDim, coarseK)}] " +
-          s"but codebooks/ holds m=${stored.getLong(0)}, kCodes≈${stored.getLong(1)} — " +
+          s"but codebooks/ holds m=${stored.getLong(0)}, max code=${stored.getInt(1)}, " +
+          s"centroid widths ${stored.getInt(2)}..${stored.getInt(3)} — " +
           "the store drifted from its pin; rebuild it.")
     val coarse = spark.read.parquet(s"$dir/coarse")
       .orderBy(col("cl"))
       .collect()
       .map(r => r.getSeq[Double](1).toArray)
-    if (coarse.length != coarseK)
+    if (coarse.length != coarseK || coarse.exists(_.length != m * subDim))
       throw new IllegalStateException(
-        s"PQ artifact store at $dir pinned coarseK=$coarseK but coarse/ holds " +
-          s"${coarse.length} centroids — the store drifted from its pin; rebuild it.")
+        s"PQ artifact store at $dir pinned coarseK=$coarseK (dim ${m * subDim}) but " +
+          s"coarse/ holds ${coarse.length} centroids of widths " +
+          s"${coarse.map(_.length).distinct.mkString(",")} — the store drifted " +
+          "from its pin; rebuild it.")
     PqArtifacts(
       PqModel(books, m, kCodes, subDim),
       coarse,

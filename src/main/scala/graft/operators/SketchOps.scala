@@ -261,6 +261,9 @@ object SketchOps {
     val prior: Option[DataFrame] =
       if (!fs.exists(ledgerPath)) None
       else {
+        // One directory listing for both the pin-or-refuse check and
+        // the empty-ledger short-circuit (a remote LIST is not free).
+        val hasData = MaintenanceOps.ledgerHasData(fs, ledgerPath)
         val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, HhMetaFile)
         if (fs.exists(metaPath)) {
           val in = fs.open(metaPath)
@@ -272,7 +275,7 @@ object SketchOps {
               s"heavy-hitter ledger at $ledgerDir was built with [$stored] but " +
                 s"this ingest sketches with [$params] — the error bound would " +
                 "silently change meaning. Use the ledger's capacity or rebuild it.")
-        } else if (MaintenanceOps.ledgerHasData(fs, ledgerPath))
+        } else if (hasData)
           // Pin-or-refuse: committed counters without their capacity pin
           // cannot be validated — a different-capacity ingest would pass
           // silently and change what err_max means.
@@ -282,7 +285,7 @@ object SketchOps {
               "Restore the pin or rebuild the ledger.")
         // A pinned-but-empty dir (crash between pin and first data
         // commit) is an empty ledger, not a readable parquet store.
-        if (!MaintenanceOps.ledgerHasData(fs, ledgerPath)) None
+        if (!hasData) None
         else {
           // Counts are SUMMED at read: crashed-fold leftovers (already
           // merged into base) must be excluded — the E109 discipline,
