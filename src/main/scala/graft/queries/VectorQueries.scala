@@ -135,9 +135,13 @@ object VectorQueries {
       val c = e.select(col("vec_id").as("vid"), col("embedding").as("cv"))
       val scored = c.join(broadcast(q), col("qid") =!= col("vid"))
         .select(col("qid"), col("vid"), cosine(col("qv"), col("cv")).as("cos"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+      // Bounded-buffer grouped top-k (E76), not a per-query row_number
+      // window: identical (cos desc, vid asc) pick, but the shuffle
+      // carries ≤ 5 rows per query × partition instead of sorting each
+      // query's full candidate list in one task (round-14 hygiene swap;
+      // hash-pinned unchanged by the oracle).
+      graft.operators.TopKOps.groupedTopK(scored, "qid", "cos", "vid", 5)
+        .select(col("qid"), col("vid"), col("cos"), col("rank"))
     }),
 
     // ANN scale path: sign-random-projection bucket per vector (8 bits).
@@ -524,6 +528,32 @@ object VectorQueries {
         model, coarse.centroids, topN = 20, nprobe = 2)
       graft.operators.PqOps.refine(
         short, e, "embedding", "vec_id", queries, "qid", topN = 5)
+    }),
+
+    // E144 completed (round 14): residual-aware IVFADC SEARCH — q162's
+    // residual codes actually searched, per Jégou §IV.B: the ADC lookup
+    // table is residualized PER (query, probed cell) — for probed cell
+    // ℓ the query contributes q − coarseCentroid(ℓ) — and a candidate
+    // in cell ℓ is scored only against that cell's entries. nprobe = 2
+    // on purpose: each query carries TWO residualized LUTs, so the
+    // per-(query, cell) structure is what the oracle hash pins (at
+    // nprobe = 1 a raw-LUT bug could hide behind a single shared cell).
+    "q164_ivfadc_residual" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val coarse = graft.operators.KmeansOps.fit(
+        e, "embedding", "vec_id", k = 8, iters = 1)
+      val res = graft.operators.PqOps.residuals(
+        e, "embedding", "vec_id", coarse.centroids)
+      val model = graft.operators.PqOps.fitPq(
+        res, "residual", "vec_id", m = 4, kCodes = 8, iters = 1)
+      val codes = graft.operators.PqOps.attachCells(
+        graft.operators.PqOps.encode(res, "residual", "vec_id", model),
+        res.select(col("vec_id"), col("cell").as("cluster")), "vec_id")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.operators.PqOps.ivfAdcSearchResidual(
+        codes, "cell", "vec_id", queries, "qid", "embedding",
+        model, coarse.centroids, topN = 5, nprobe = 2)
     })
   )
 
@@ -1082,6 +1112,44 @@ object VectorQueries {
                      row_number() OVER (PARTITION BY qid
                        ORDER BY dist, vec_id) AS rank
               FROM re)
+            WHERE rank <= 5""",
+      // Residual-aware IVFADC: q162's residual chain (r-prefixed CTEs)
+      // searched the way the paper means it — the LUT is built from the
+      // RESIDUALIZED query per probed cell (q − that cell's settled
+      // centroid), and a candidate meets only its own cell's entries
+      // (l.qcell = c.cl). The probe is q160's 2-best rule.
+      "q164_ivfadc_residual" ->
+        s"""WITH ${kmeansCtes(8, 1)},
+            ${pqCtesF("r", 4, 8, 1, 16, srcSql =
+              "SELECT a.vec_id, list_transform(range(1, 65), i -> a.v[i] - f.c[i]) AS v " +
+                "FROM af a JOIN c1 f ON f.cl = a.cl")},
+            qp AS (SELECT vec_id AS qid, cl AS qcell FROM (
+                     SELECT e.vec_id, f.cl,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY ${l2Sql("e.v", "f.c")}, f.cl) AS pr
+                     FROM e CROSS JOIN c1 f WHERE e.vec_id < 5)
+                   WHERE pr <= 2),
+            rq AS (SELECT qp.qid, qp.qcell,
+                          list_transform(range(1, 65), i -> e.v[i] - f.c[i]) AS rv
+                   FROM qp JOIN e ON e.vec_id = qp.qid
+                           JOIN c1 f ON f.cl = qp.qcell),
+            rqsubs AS (SELECT qid, qcell, CAST(u.s AS INT) AS sub,
+                              rv[u.s * 16 + 1 : u.s * 16 + 16] AS sv
+                       FROM rq, unnest(range(0, 4)) AS u(s)),
+            lut AS (SELECT s.qid, s.qcell, s.sub, b.code,
+                           ${pqL2Sql("s.sv", "b.c", 16)} * ${pqL2Sql("s.sv", "b.c", 16)} AS part
+                    FROM rqsubs s JOIN rb1 b ON b.sub = s.sub),
+            scored AS (SELECT l.qid, a.vec_id, round(sum(l.part), 6) AS adc
+                       FROM raf a
+                       JOIN af c ON c.vec_id = a.vec_id
+                       JOIN lut l ON l.qcell = c.cl
+                                 AND l.sub = a.sub AND l.code = a.code
+                       GROUP BY l.qid, a.vec_id)
+            SELECT qid, CAST(rank AS INT) AS rank, vec_id, adc FROM (
+              SELECT qid, vec_id, adc,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY adc, vec_id) AS rank
+              FROM scored)
             WHERE rank <= 5"""
     )
   }
