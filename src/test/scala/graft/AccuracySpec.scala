@@ -271,4 +271,51 @@ class AccuracySpec extends AnyFunSuite {
     assert(r8 == 1.0, f"probing every cell must recover the flat ADC top-5: $r8%.2f")
     assert(r1 > 0.0, f"single-probe recall collapsed to zero: $r1%.2f")
   }
+
+  test("residual IVFADC recall >= raw IVFADC recall at equal (m, kCodes)") {
+    // E144's whole claim (Jégou §IV.B): spending the code budget on the
+    // within-cell offset instead of re-describing the cell recovers
+    // MORE true neighbors at the same (m, kCodes). Both formulations
+    // measured against the exact-L2 top-5 ground truth on the same
+    // coarse model, queries, and nprobe — the only variable is what the
+    // codes quantize.
+    import graft.operators.{KmeansOps, PqOps}
+    val e = Tables(spark, TestSpark.sfDir, "embeddings")
+    val vecs = e.select($"vec_id",
+        transform($"embedding", _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val qs = vecs.filter(_._1 < 5)
+    def l2sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exactTop = qs.map { case (qid, qv) =>
+      qid -> vecs.map { case (vid, v) => (l2sq(qv, v), vid) }
+        .sortBy(identity).take(5).map(_._2).toSet
+    }.toMap
+    val coarse = KmeansOps.fit(e, "embedding", "vec_id", k = 8, iters = 1)
+    val queries = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val top = df.select($"qid", $"vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      qs.map { case (qid, _) =>
+        (top.getOrElse(qid, Set.empty[Long]) & exactTop(qid)).size.toDouble / 5.0
+      }.sum / qs.length
+    }
+    val rawModel = PqOps.fitPq(e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
+    val rawCodes = PqOps.attachCells(
+      PqOps.encode(e, "embedding", "vec_id", rawModel),
+      coarse.assignments.select($"vec_id", $"cluster"), "vec_id")
+    val rawRecall = recallOf(PqOps.ivfAdcSearch(rawCodes, "cell", "vec_id",
+      queries, "qid", "embedding", rawModel, coarse.centroids, topN = 5, nprobe = 2))
+    val res = PqOps.residuals(e, "embedding", "vec_id", coarse.centroids)
+    val resModel = PqOps.fitPq(res, "residual", "vec_id", m = 4, kCodes = 8, iters = 1)
+    val resCodes = PqOps.attachCells(
+      PqOps.encode(res, "residual", "vec_id", resModel),
+      res.select($"vec_id", $"cell".as("cluster")), "vec_id")
+    val resRecall = recallOf(PqOps.ivfAdcSearchResidual(resCodes, "cell", "vec_id",
+      queries, "qid", "embedding", resModel, coarse.centroids, topN = 5, nprobe = 2))
+    assert(resRecall >= rawRecall,
+      f"residual formulation must not recall less than raw at equal capacity: " +
+        f"residual $resRecall%.2f vs raw $rawRecall%.2f")
+    assert(resRecall > 0.0, f"residual recall collapsed to zero: $resRecall%.2f")
+  }
 }

@@ -178,6 +178,30 @@ class KmeansOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fitTwoLevel fine seeds: bounded top-k per cell, never a per-cell window (plan gate)") {
+    // The round-13 weak mark: row_number().over(partitionBy(cell)) sorts
+    // EVERY cell's full population in one task per cell — ~10^9-row
+    // single-task sorts at routed scale. The fixed seed plan is the E76
+    // bounded-buffer grouped top-k on the negated id (≤ k2 rows per
+    // cell × partition through the shuffle) — no Window node anywhere.
+    val asg = Seq(
+      (10L, Seq(0.0, 0.0), 0), (11L, Seq(1.0, 0.0), 0), (12L, Seq(2.0, 0.0), 0),
+      (20L, Seq(5.0, 5.0), 1), (21L, Seq(6.0, 5.0), 1),
+      (30L, Seq(9.0, 9.0), 2))
+      .toDF("id", "_graft_v", "_graft_cell")
+    val seeds = KmeansOps.seedFine(asg, "id", k2 = 2)
+    val plan = seeds.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // Semantics pin: per cell, fcl 0..k2-1 are the k2 smallest ids'
+    // vectors in id order; a 1-member cell seeds one fine cluster.
+    val got = seeds.as[(Int, Int, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      (0, 0) -> Seq(0.0, 0.0), (0, 1) -> Seq(1.0, 0.0),
+      (1, 0) -> Seq(5.0, 5.0), (1, 1) -> Seq(6.0, 5.0),
+      (2, 0) -> Seq(9.0, 9.0)), got.toString)
+  }
+
   test("semanticPurgeTwoLevel pairs on the leaf key and honors the gauge") {
     val out = KmeansOps.semanticPurgeTwoLevel(
       emb, "embedding", "vec_id", k1 = 3, k2 = 3, iters = 1, minCos = 0.4)

@@ -262,16 +262,56 @@ class PqOpsSpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaPath = new org.apache.hadoop.fs.Path(dir, "_graft_pq_construction")
-    val outS = fs.create(metaPath, true)
-    try outS.write("m=4 kCodes=2 subDim=2 coarseK=2".getBytes("UTF-8"))
-    finally outS.close()
+    def rewritePin(s: String): Unit = {
+      val outS = fs.create(metaPath, true)
+      try outS.write(s.getBytes("UTF-8")) finally outS.close()
+    }
+    rewritePin("m=4 kCodes=2 subDim=2 coarseK=2 residual=false")
     val drift = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
     assert(drift.getMessage.contains("drifted"), drift.getMessage)
+    // A legacy pin MISSING the residual key (pre-formulation store) or a
+    // hand-edited one refuses with rebuild guidance at the key-set
+    // check, never a bare NoSuchElementException mid-parse.
+    rewritePin("m=2 kCodes=2 subDim=4 coarseK=2")
+    val legacy = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
+    assert(legacy.getMessage.contains("malformed") &&
+      legacy.getMessage.contains("rebuild"), legacy.getMessage)
+    rewritePin("m=2 kCodes=2 subDim=4 coarseK=2 residual=maybe")
+    val badBool = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
+    assert(badBool.getMessage.contains("not a bool"), badBool.getMessage)
+    rewritePin("m=two kCodes=2 subDim=4 coarseK=2 residual=false")
+    val badInt = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
+    assert(badInt.getMessage.contains("not an int"), badInt.getMessage)
     // Missing pin: data without a pin must refuse, not silently pair
     // codes with whatever codebooks sit there.
     fs.delete(metaPath, false)
     val missing = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
     assert(missing.getMessage.contains("construction pin"), missing.getMessage)
+  }
+
+  test("a crashed build (pin + empty codebooks) and a non-empty target refuse loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_crash")
+    val dir = root.resolve("pq").toString
+    // Simulate a crash between the pin write and the codebook write: pin
+    // present, codebooks/ an empty frame — the read must refuse with the
+    // designed rebuild message, not NPE in the drift aggregate.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val outS = fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_pq_construction"), true)
+    try outS.write("m=2 kCodes=2 subDim=4 coarseK=2 residual=false".getBytes("UTF-8"))
+    finally outS.close()
+    Seq.empty[(Int, Int, Seq[Double])].toDF("sub", "code", "centroid")
+      .write.parquet(s"$dir/codebooks")
+    val crashed = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
+    assert(crashed.getMessage.contains("empty"), crashed.getMessage)
+    // And a rebuild INTO the half-written store refuses before touching
+    // anything: in-place rebuilds can pair new codebooks with stale
+    // codes under a structurally-matching pin (round-13 advice).
+    val rebuild = intercept[IllegalStateException](
+      PqOps.writePqArtifacts(spark, vecs, "v", "id", dir,
+        m = 2, kCodes = 2, iters = 0, coarseK = 2, coarseIters = 1))
+    assert(rebuild.getMessage.contains("not empty"), rebuild.getMessage)
   }
 
   test("incremental encode: pinned codebooks, epoch replay idempotent") {
@@ -369,6 +409,110 @@ class PqOpsSpec extends AnyFunSuite {
     val noQueries = vecs.filter(col("id") < 0).select(col("id").as("qid"), col("v"))
     assert(PqOps.ivfAdcSearch(codes, "cell", "id", noQueries, "qid", "v",
       model, coarse.centroids, topN = 3).count() == 0L)
+  }
+
+  test("residual search scores each candidate against its own cell's residualized LUT") {
+    // The E144 completion (round 14): codes quantize v − centroid(cell),
+    // so the ADC lookup table must be built from the RESIDUALIZED query
+    // per probed cell — q − centroid(ℓ) for cell ℓ — and a candidate in
+    // ℓ may only meet ℓ's entries. Local recompute over ALL candidates
+    // in the probed cells, plus the negative control: the raw-query LUT
+    // over the same residual codes ranks DIFFERENTLY (the silent
+    // mis-scoring the formulation pin exists to refuse).
+    val coarse = KmeansOps.fit(vecs, "v", "id", k = 2, iters = 2)
+    val res = PqOps.residuals(vecs, "v", "id", coarse.centroids)
+    val model = PqOps.fitPq(res, "residual", "id", m = 2, kCodes = 2, iters = 1)
+    val codes = PqOps.attachCells(
+      PqOps.encode(res, "residual", "id", model),
+      res.select(col("id"), col("cell").as("cluster")), "id")
+    val queries = vecs.filter(col("id") < 2).select(col("id").as("qid"), col("v"))
+    val got = PqOps.ivfAdcSearchResidual(codes, "cell", "id", queries, "qid", "v",
+        model, coarse.centroids, topN = 6, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    // Local recompute (the oracle arithmetic).
+    val books = model.codebooks.as[(Int, Int, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val codeOf = codes.select(col("id"), col("sub"), col("code"))
+      .as[(Long, Int, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val cellOf = codes.select(col("id"), col("cell"))
+      .as[(Long, Int)].collect().toMap
+    val orig = vecs.as[(Long, Seq[Double])].collect().toMap
+    def adcOf(qid: Long, cand: Long): Double = {
+      val cell = cellOf(cand)
+      val qres = orig(qid).zip(coarse.centroids(cell)).map { case (a, b) => a - b }
+      val s = (0 until 2).map { sub =>
+        val qsub = qres.slice(sub * 4, sub * 4 + 4)
+        val d = l2r6(qsub, books((sub, codeOf((cand, sub)))))
+        d * d
+      }.sum
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // nprobe = 2 of 2 cells → every candidate is reachable; the result
+    // must be the full (adc asc, id asc) ranking of the local scores.
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val expect = orig.keys.toSeq.map(c => (adcOf(qid, c), c)).sorted
+      val gotRanked = rows.sortBy(_._2).map(r => (r._4, r._3)).toSeq
+      assert(gotRanked == expect, s"query $qid: $gotRanked vs $expect")
+    }
+    // Negative control: the raw-LUT searcher over the SAME residual
+    // codes produces different scores — the composition is wrong, and
+    // measurably so on this fixture.
+    val rawOverResidual = PqOps.ivfAdcSearch(codes, "cell", "id", queries, "qid", "v",
+        model, coarse.centroids, topN = 6, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    val anyDiff = got.exists { case (qid, _, id, adc) =>
+      rawOverResidual.get((qid, id)).exists(raw => math.abs(raw - adc) > 1e-9)
+    }
+    assert(anyDiff,
+      "raw-LUT and residual-LUT scores coincided everywhere — the negative control lost its teeth")
+  }
+
+  test("formulation pin: residual store routes, declared mismatches refuse") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_resid")
+    val rawDir = root.resolve("raw").toString
+    val resDir = root.resolve("res").toString
+    PqOps.writePqArtifacts(spark, vecs, "v", "id", rawDir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 2)
+    PqOps.writePqArtifacts(spark, vecs, "v", "id", resDir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 2, residual = true)
+    val raw = PqOps.readPqArtifacts(spark, rawDir)
+    val res = PqOps.readPqArtifacts(spark, resDir)
+    assert(!raw.residual && res.residual)
+    // The residual store's codes ARE the residual encode (spot check:
+    // they differ from the raw store's codes on this fixture — all the
+    // code budget moved to the within-cell offset).
+    val queries = vecs.filter(col("id") < 2).select(col("id").as("qid"), col("v"))
+    // Routed search ≡ the explicit formulation-correct searcher, bit-equal.
+    val routed = PqOps.searchArtifacts(res, "id", queries, "qid", "v",
+        topN = 3, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val direct = PqOps.ivfAdcSearchResidual(res.codes, "cell", "id", queries,
+        "qid", "v", res.model, res.coarse, topN = 3, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(routed == direct)
+    // Declared-expectation mismatches refuse loudly, both directions.
+    val e1 = intercept[IllegalStateException](PqOps.searchArtifacts(
+      res, "id", queries, "qid", "v", topN = 3, nprobe = 1,
+      expectResidual = Some(false)))
+    assert(e1.getMessage.contains("residual=true"), e1.getMessage)
+    val e2 = intercept[IllegalStateException](PqOps.searchArtifacts(
+      raw, "id", queries, "qid", "v", topN = 3, nprobe = 1,
+      expectResidual = Some(true)))
+    assert(e2.getMessage.contains("residual=false"), e2.getMessage)
+    // Incremental encode follows the PINNED formulation: a batch
+    // appended to the residual store lands as residual codes (equal to
+    // encoding the batch's residuals against the pinned books).
+    val batch = vecs.filter(col("id") >= 4)
+    val pending = PqOps.incrementalPqEncode(spark, batch, "v", "id", resDir, "b2")
+    val batchRes = PqOps.residuals(batch, "v", "id", res.coarse)
+    val expect = PqOps.encode(batchRes, "residual", "id", res.model)
+      .select(col("id"), col("sub"), col("code"), col("dist"))
+      .as[(Long, Int, Int, Double)].collect().toSet
+    val gotBatch = pending.codes.filter(col("id") >= 4)
+      .select(col("id"), col("sub"), col("code"), col("dist"))
+      .as[(Long, Int, Int, Double)].collect().toSet
+    assert(gotBatch == expect)
   }
 
   test("dim must split evenly across subspaces; bad params refuse loudly") {
