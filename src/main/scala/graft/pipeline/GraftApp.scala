@@ -85,12 +85,15 @@ object GraftApp {
       pqEpoch: Option[String] = None,
       pqSearch: Boolean = false,
       pqStore: Option[String] = None,
-      nprobe: Int = 1)
+      nprobe: Int = 1,
+      pqResidual: Boolean = false,
+      rerank: Int = 0,
+      rerankCorpus: Option[String] = None)
 
   /** Valueless flags (presence = true). */
   private val boolFlags = Set("strict", "stream", "compact-ledger", "fold-epochs",
     "export-shards", "verify-export", "scrub-spans", "exact-neardup", "tokenize",
-    "pq-encode", "pq-append", "pq-search")
+    "pq-encode", "pq-append", "pq-search", "residual")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -127,9 +130,10 @@ object GraftApp {
           "[--exact-neardup --corpus-dir P --out-dir P [--tau X] [--text-col C] [--id-col C]] | " +
           "[--heavy-hitters COL --corpus-dir P --out-dir P [--capacity N] [--k N] [--tokenize]] | " +
           "[--pq-encode --corpus-dir P --out-dir P [--vec-col C] [--id-col C] " +
-          "[--pq-m N] [--pq-k N] [--pq-iters N] [--pq-coarse-k N]] | " +
+          "[--pq-m N] [--pq-k N] [--pq-iters N] [--pq-coarse-k N] [--residual]] | " +
           "[--pq-append --corpus-dir P --out-dir P --pq-epoch TOKEN [--vec-col C] [--id-col C]] | " +
-          "[--pq-search --corpus-dir QUERIES --pq-store P --out-dir P [--k N] [--nprobe N]]")
+          "[--pq-search --corpus-dir QUERIES --pq-store P --out-dir P [--k N] [--nprobe N] " +
+          "[--residual] [--rerank R --rerank-corpus P]]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
       "ledger", "checkpoint", "text-col", "id-col",
@@ -140,7 +144,7 @@ object GraftApp {
       "zorder", "z-bits", "z-files", "out-dir", "tau",
       "heavy-hitters", "capacity",
       "pq-m", "pq-k", "pq-iters", "pq-coarse-k", "pq-epoch", "pq-store",
-      "nprobe") ++ boolFlags
+      "nprobe", "rerank", "rerank-corpus") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
     if (unknown.nonEmpty)
@@ -217,7 +221,10 @@ object GraftApp {
       pqEpoch = flags.get("pq-epoch"),
       pqSearch = flags.contains("pq-search"),
       pqStore = flags.get("pq-store"),
-      nprobe = flags.get("nprobe").map(_.toInt).getOrElse(1))
+      nprobe = flags.get("nprobe").map(_.toInt).getOrElse(1),
+      pqResidual = flags.contains("residual"),
+      rerank = flags.get("rerank").map(_.toInt).getOrElse(0),
+      rerankCorpus = flags.get("rerank-corpus"))
   }
 
   /** Testable core; returns the process exit code. */
@@ -396,9 +403,11 @@ object GraftApp {
       val corpus = spark.read.parquet(dir)
       val arts = graft.operators.PqOps.writePqArtifacts(
         spark, corpus, a.vecCol, a.idCol, outd,
-        a.pqM, a.pqK, a.pqIters, a.pqCoarseK, a.pqIters)
+        a.pqM, a.pqK, a.pqIters, a.pqCoarseK, a.pqIters,
+        residual = a.pqResidual)
       out(s"PQ_ENCODE_ m=${a.pqM} k=${a.pqK} iters=${a.pqIters} " +
-        s"subDim=${arts.model.subDim} coarseK=${a.pqCoarseK} out=$outd")
+        s"subDim=${arts.model.subDim} coarseK=${a.pqCoarseK} " +
+        s"residual=${a.pqResidual} out=$outd")
       return 0
     }
 
@@ -427,7 +436,13 @@ object GraftApp {
     // parquet (idCol + vecCol) probed against the pinned store, top-k
     // per query by ADC within the nprobe nearest cells, results written
     // to a NEW directory. The codes scan partition-prunes to the probed
-    // cells; no raw corpus vector is ever read.
+    // cells; without --rerank no raw corpus vector is ever read. The
+    // search is ROUTED BY THE STORE'S PINNED FORMULATION (raw vs
+    // residual codes — round 14); --residual declares the caller's
+    // expectation and refuses a mismatched store. --rerank R makes it
+    // the production two-stage IVFADC+R (E145): shortlist top-R by ADC,
+    // exact re-rank from the --rerank-corpus raw vectors, cut to k —
+    // the exact pass touches only queries × R rows.
     if (a.pqSearch) {
       val qdir = a.corpusDir.getOrElse(
         throw new IllegalArgumentException("--pq-search requires --corpus-dir P (the queries)"))
@@ -435,16 +450,34 @@ object GraftApp {
         throw new IllegalArgumentException("--pq-search requires --pq-store P"))
       val outd = a.outDir.getOrElse(
         throw new IllegalArgumentException("--pq-search requires --out-dir P"))
+      require(a.rerank >= 0, s"--rerank must be non-negative: ${a.rerank}")
+      if (a.rerank > 0 && a.rerank < a.k)
+        throw new IllegalArgumentException(
+          s"--rerank ${a.rerank} must be >= --k ${a.k}: the exact pass re-ranks a " +
+            "SHORTLIST of R candidates and cuts it to k")
       val arts = graft.operators.PqOps.readPqArtifacts(spark, store)
       val queries = spark.read.parquet(qdir)
         .select(org.apache.spark.sql.functions.col(a.idCol).as("query_id"),
           org.apache.spark.sql.functions.col(a.vecCol))
-      val res = graft.operators.PqOps.ivfAdcSearch(
-        arts.codes, "cell", a.idCol, queries, "query_id", a.vecCol,
-        arts.model, arts.coarse, topN = a.k, nprobe = a.nprobe)
+      val expect = if (a.pqResidual) Some(true) else None
+      val res =
+        if (a.rerank > 0) {
+          val cdir = a.rerankCorpus.getOrElse(
+            throw new IllegalArgumentException(
+              "--rerank requires --rerank-corpus P (the raw-vector corpus)"))
+          val short = graft.operators.PqOps.searchArtifacts(
+            arts, a.idCol, queries, "query_id", a.vecCol,
+            topN = a.rerank, nprobe = a.nprobe, expectResidual = expect)
+          graft.operators.PqOps.refine(
+            short, spark.read.parquet(cdir), a.vecCol, a.idCol,
+            queries, "query_id", topN = a.k)
+        } else graft.operators.PqOps.searchArtifacts(
+          arts, a.idCol, queries, "query_id", a.vecCol,
+          topN = a.k, nprobe = a.nprobe, expectResidual = expect)
       res.write.mode(SaveMode.Overwrite).parquet(outd)
       val n = spark.read.parquet(outd).count()
-      out(s"PQ_SEARCH_ k=${a.k} nprobe=${a.nprobe} result_rows=$n out=$outd")
+      out(s"PQ_SEARCH_ k=${a.k} nprobe=${a.nprobe} residual=${arts.residual} " +
+        s"rerank=${a.rerank} result_rows=$n out=$outd")
       return 0
     }
 

@@ -419,7 +419,8 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
     val (c3, l3) = cli("--pq-search", "--corpus-dir", qdir, "--pq-store", outd,
       "--out-dir", resd, "--id-col", "vec_id", "--k", "3", "--nprobe", "2")
     assert(c3 == 0, l3.mkString("; "))
-    assert(l3.exists(_.startsWith("PQ_SEARCH_ k=3 nprobe=2 result_rows=9")), l3)
+    assert(l3.exists(_.startsWith(
+      "PQ_SEARCH_ k=3 nprobe=2 residual=false rerank=0 result_rows=9")), l3)
     val written = spark.read.parquet(resd)
       .select($"query_id", $"rank", $"vec_id", $"adc")
       .as[(Long, Int, Long, Double)].collect().toSet
@@ -441,6 +442,117 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
       cli("--pq-append", "--corpus-dir", batch2, "--out-dir", outd))
     intercept[IllegalArgumentException](
       cli("--pq-search", "--corpus-dir", qdir, "--out-dir", resd))
+
+    // --rerank R: the operational two-stage IVFADC+R (round 14) — CLI
+    // output bit-equal to refine(searchArtifacts(topN = R)) cut to k,
+    // re-ranked from the raw corpus. Uses the base corpus only (the
+    // appended batch has no raw vectors in `corpus`), so the shortlist
+    // is restricted to base ids via the corpus join by construction.
+    val rrd = s"$root/rerank"
+    val (c4, l4) = cli("--pq-search", "--corpus-dir", qdir, "--pq-store", outd,
+      "--out-dir", rrd, "--id-col", "vec_id", "--k", "3", "--nprobe", "2",
+      "--rerank", "8", "--rerank-corpus", corpus)
+    assert(c4 == 0, l4.mkString("; "))
+    assert(l4.exists(_.startsWith(
+      "PQ_SEARCH_ k=3 nprobe=2 residual=false rerank=8 result_rows=9")), l4)
+    val writtenRr = spark.read.parquet(rrd)
+      .select($"query_id", $"rank", $"vec_id", $"dist")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val directRr = {
+      val arts2 = graft.operators.PqOps.readPqArtifacts(spark, outd)
+      val queries = spark.read.parquet(qdir)
+        .select($"vec_id".as("query_id"), $"embedding")
+      val short = graft.operators.PqOps.ivfAdcSearch(
+        arts2.codes, "cell", "vec_id", queries, "query_id", "embedding",
+        arts2.model, arts2.coarse, topN = 8, nprobe = 2)
+      graft.operators.PqOps.refine(
+        short, spark.read.parquet(corpus), "embedding", "vec_id",
+        queries, "query_id", topN = 3)
+        .as[(Long, Int, Long, Double)].collect().toSet
+    }
+    assert(writtenRr == directRr)
+    // A shortlist smaller than the final cut is a mis-configuration.
+    intercept[IllegalArgumentException](
+      cli("--pq-search", "--corpus-dir", qdir, "--pq-store", outd,
+        "--out-dir", rrd, "--id-col", "vec_id", "--k", "3",
+        "--rerank", "2", "--rerank-corpus", corpus))
+    intercept[IllegalArgumentException](
+      cli("--pq-search", "--corpus-dir", qdir, "--pq-store", outd,
+        "--out-dir", rrd, "--id-col", "vec_id", "--k", "3", "--rerank", "8"))
+    // Declared-formulation mismatch: this store pins residual=false, so
+    // a search declaring --residual refuses instead of quietly running
+    // the raw chain.
+    val mismatch = intercept[IllegalStateException](
+      cli("--pq-search", "--corpus-dir", qdir, "--pq-store", outd,
+        "--out-dir", rrd, "--id-col", "vec_id", "--k", "3", "--residual"))
+    assert(mismatch.getMessage.contains("residual=false"), mismatch.getMessage)
+  }
+
+  test("--pq-encode --residual builds a residual store; search routes by the pin") {
+    val root = Files.createTempDirectory("pq_cli_resid")
+    val corpus = s"$root/vecs"
+    (0L to 19L).map(i => (i, Array.tabulate(8)(d => (i * 7 + d).toDouble % 5)))
+      .toDF("vec_id", "embedding")
+      .repartition(2).write.mode(SaveMode.Overwrite).parquet(corpus)
+    def cli(extra: String*): (Int, Seq[String]) = {
+      val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val code = GraftApp.run(GraftApp.parseArgs(Seq("dev", "corpus") ++ extra),
+        spark, getenv = _ => None, out = outs.append(_), log = _ => ())
+      (code, outs.toSeq)
+    }
+    val outd = s"$root/pq"
+    val (c, l) = cli("--pq-encode", "--residual", "--corpus-dir", corpus,
+      "--out-dir", outd, "--id-col", "vec_id", "--pq-m", "2", "--pq-k", "4",
+      "--pq-iters", "1", "--pq-coarse-k", "2")
+    assert(c == 0, l.mkString("; "))
+    assert(l.exists(_.contains("residual=true")), l)
+    val arts = graft.operators.PqOps.readPqArtifacts(spark, outd)
+    assert(arts.residual, "the pin must record the residual formulation")
+    // Search with no flag ROUTES to the residual searcher — bit-equal to
+    // the explicit call; with --residual it also passes the declared
+    // expectation check.
+    val qdir = s"$root/queries"
+    (0L to 2L).map(i => (i, Array.tabulate(8)(d => (i * 7 + d).toDouble % 5)))
+      .toDF("vec_id", "embedding")
+      .write.mode(SaveMode.Overwrite).parquet(qdir)
+    val resd = s"$root/results"
+    val (c2, l2) = cli("--pq-search", "--residual", "--corpus-dir", qdir,
+      "--pq-store", outd, "--out-dir", resd, "--id-col", "vec_id",
+      "--k", "3", "--nprobe", "2")
+    assert(c2 == 0, l2.mkString("; "))
+    assert(l2.exists(_.startsWith(
+      "PQ_SEARCH_ k=3 nprobe=2 residual=true rerank=0")), l2)
+    val written = spark.read.parquet(resd)
+      .select($"query_id", $"rank", $"vec_id", $"adc")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val queries = spark.read.parquet(qdir)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val direct = graft.operators.PqOps.ivfAdcSearchResidual(
+      arts.codes, "cell", "vec_id", queries, "query_id", "embedding",
+      arts.model, arts.coarse, topN = 3, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(written == direct)
+    // --pq-append on the residual store encodes the batch as residuals
+    // (the pinned formulation), not raw codes.
+    val batch2 = s"$root/vecs2"
+    (20L to 24L).map(i => (i, Array.tabulate(8)(d => (i * 7 + d).toDouble % 5)))
+      .toDF("vec_id", "embedding")
+      .write.mode(SaveMode.Overwrite).parquet(batch2)
+    val (c3, l3) = cli("--pq-append", "--corpus-dir", batch2, "--out-dir", outd,
+      "--id-col", "vec_id", "--pq-epoch", "b2")
+    assert(c3 == 0, l3.mkString("; "))
+    val appended = spark.read.parquet(s"$outd/codes")
+      .filter($"_graft_epoch" === "b2")
+      .select($"vec_id", $"sub", $"code", $"dist")
+      .as[(Long, Int, Int, Double)].collect().toSet
+    val expectRes = {
+      val bres = graft.operators.PqOps.residuals(
+        spark.read.parquet(batch2), "embedding", "vec_id", arts.coarse)
+      graft.operators.PqOps.encode(bres, "residual", "vec_id", arts.model)
+        .select($"vec_id", $"sub", $"code", $"dist")
+        .as[(Long, Int, Int, Double)].collect().toSet
+    }
+    assert(appended == expectRes)
   }
 
   test("--exact-neardup writes the provably-complete pair report") {
