@@ -119,7 +119,9 @@ object GraftApp {
           "[--mode append|overwrite] [--parallelism N] [--table-timeout-sec N] " +
           "[--strict] [--stream --ledger P --checkpoint P " +
           "[--dedup exact|neardup|embed|semantic] [--text-col C] [--id-col C] " +
-          "[--vec-col C] [--min-cos X] [--k N]] | [--compact-ledger --ledger P] | " +
+          "[--vec-col C] [--min-cos X] [--k N]] | " +
+          "[--stream --pq-store P --checkpoint P [--vec-col C] [--id-col C]] | " +
+          "[--compact-ledger --ledger P] | " +
           "[--fold-epochs --ledger P --checkpoint P] | " +
           "[--export-shards --export-dir P [--content-cols a,b] [--shards N] [--seed S]] | " +
           "[--verify-export --export-dir P [--content-cols a,b] [--seed S]] | " +
@@ -589,19 +591,9 @@ object GraftApp {
     if (srcFmt != "parquet")
       throw new IllegalArgumentException(
         s"stream mode reads a parquet file-stream directory; got --source $srcFmt")
-    val (skFmt, skLoc) =
-      PipelineConfig.parseEndpoint(need(a.sinkOverride, "--sink parquet-idempotent:<dir>"))
-    val idem = Connectors.sink(skFmt, skLoc) match {
-      case s: IdempotentSink => s
-      case other => throw new IllegalArgumentException(
-        "stream mode needs an idempotent sink (an epoch replay must REPLACE " +
-          s"its partial write, not append it twice); got ${other.getClass.getSimpleName} " +
-          "— use --sink parquet-idempotent:<dir>")
-    }
     val table = a.tableArg
     if (table.equalsIgnoreCase("all") || table.contains(","))
       throw new IllegalArgumentException("stream mode ingests ONE table; got: " + table)
-    val ledger = need(a.ledgerDir, "--ledger <dir> (persistent fingerprint ledger)")
     val ckpt = need(a.checkpointDir, "--checkpoint <dir> (streaming checkpoint)")
     // File streams need an explicit schema; take it from the files already
     // present (a directory with no files yet has nothing to ingest anyway).
@@ -615,20 +607,39 @@ object GraftApp {
       .writeStream
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    // --dedup selects the corpus-wide ledger operator the drain flows
-    // through: exact fingerprints (default), MinHash band near-dup, the
-    // cosine-verified SRP embedding near-dup, or k-means SemDeDup against
-    // a pinned model — all four share the epoch-replay exactly-once
-    // protocol.
-    val q = (a.dedup match {
-      case "exact" => graft.streaming.StreamingOps.foreachBatchLedgerDedup(
-        writer, a.textCol, a.idCol, ledger, idem, table)
-      case "neardup" => graft.streaming.StreamingOps.foreachBatchLedgerNeardup(
-        writer, a.textCol, a.idCol, ledger, idem, table)
-      case "embed" => graft.streaming.StreamingOps.foreachBatchLedgerNeardupVec(
-        writer, a.vecCol, a.idCol, ledger, idem, table, minCos = a.minCos)
-      case "semantic" => graft.streaming.StreamingOps.foreachBatchLedgerSemantic(
-        writer, a.vecCol, a.idCol, ledger, idem, table, k = a.k, minCos = a.minCos)
+    // --pq-store selects the PQ-ingest drain (round 14): each epoch
+    // encodes against the store's pinned model and dynamic-overwrites
+    // its own codes partitions — the store is the product, so no sink
+    // or fingerprint ledger is involved. Otherwise --dedup selects the
+    // corpus-wide ledger operator the drain flows through: exact
+    // fingerprints (default), MinHash band near-dup, the cosine-verified
+    // SRP embedding near-dup, or k-means SemDeDup against a pinned
+    // model — all sharing the epoch-replay exactly-once protocol.
+    val q = (a.pqStore match {
+      case Some(store) =>
+        graft.streaming.StreamingOps.foreachBatchLedgerPqEncode(
+          writer, a.vecCol, a.idCol, store)
+      case None =>
+        val (skFmt, skLoc) = PipelineConfig.parseEndpoint(
+          need(a.sinkOverride, "--sink parquet-idempotent:<dir>"))
+        val idem = Connectors.sink(skFmt, skLoc) match {
+          case s: IdempotentSink => s
+          case other => throw new IllegalArgumentException(
+            "stream mode needs an idempotent sink (an epoch replay must REPLACE " +
+              s"its partial write, not append it twice); got ${other.getClass.getSimpleName} " +
+              "— use --sink parquet-idempotent:<dir>")
+        }
+        val ledger = need(a.ledgerDir, "--ledger <dir> (persistent fingerprint ledger)")
+        a.dedup match {
+          case "exact" => graft.streaming.StreamingOps.foreachBatchLedgerDedup(
+            writer, a.textCol, a.idCol, ledger, idem, table)
+          case "neardup" => graft.streaming.StreamingOps.foreachBatchLedgerNeardup(
+            writer, a.textCol, a.idCol, ledger, idem, table)
+          case "embed" => graft.streaming.StreamingOps.foreachBatchLedgerNeardupVec(
+            writer, a.vecCol, a.idCol, ledger, idem, table, minCos = a.minCos)
+          case "semantic" => graft.streaming.StreamingOps.foreachBatchLedgerSemantic(
+            writer, a.vecCol, a.idCol, ledger, idem, table, k = a.k, minCos = a.minCos)
+        }
     }).start()
     q.awaitTermination() // AvailableNow: returns once the backlog is drained
     // An idle drain still emits a zero-row progress event carrying the last

@@ -240,6 +240,33 @@ object StreamingOps {
       pending.commitLedger()
     }
 
+  /** Streaming PQ INGEST (round 14) — the code store's drain, putting
+    * the ledger rule's seventh space (PQ codes, E143) under
+    * `readStream` beside the six other drains: every micro-batch is
+    * encoded against the PINNED codebooks + coarse quantizer —
+    * residualized first when the store's construction pin says
+    * `residual=true` (the formulation routing is
+    * [[graft.operators.PqOps.incrementalPqEncode]]'s) — and committed
+    * into its own `_graft_epoch=epoch<batchId>` × cell partitions via
+    * dynamic overwrite. Unlike the dedup drains there is no survivor
+    * sink: the artifact store IS the product, and the deterministic
+    * dynamic overwrite IS the exactly-once step (an at-least-once
+    * replay of a crashed epoch rewrites bit-identical codes over its
+    * own partitions, never duplicates). Same foreign-epoch
+    * checkpoint-reset guard as the other drains, pointed at the codes
+    * directory. */
+  def foreachBatchLedgerPqEncode(
+      writer: DataStreamWriter[Row],
+      vecCol: String,
+      idCol: String,
+      storeDir: String): DataStreamWriter[Row] =
+    writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      assertNoForeignEpochs(batch, s"$storeDir/codes", batchId)
+      graft.operators.PqOps.incrementalPqEncode(
+          batch.sparkSession, batch, vecCol, idCol, storeDir, s"epoch$batchId")
+        .commitLedger()
+    }
+
   /** E95's streaming side — continuous training-data delivery: every
     * micro-batch exports as deterministic id-hash shards WITH the
     * order-independent manifest under its own `_graft_epoch=<batchId>`

@@ -190,6 +190,38 @@ class StreamAppSpec extends AnyFunSuite {
     assert(ids() == Set(1L, 2L, 5L), "epoch replay must be exactly-once")
   }
 
+  test("stream CLI --pq-store: the drain encodes each epoch against the pinned store") {
+    val src = Files.createTempDirectory("sapp_pqsrc")
+    val base = Files.createTempDirectory("sapp_pqbase")
+    def vec(i: Long): Array[Double] = Array.tabulate(8)(d => (i * 7 + d).toDouble % 5)
+    val store = s"$base/pq"
+    graft.operators.PqOps.writePqArtifacts(spark,
+      (0L to 9L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", store,
+      m = 2, kCodes = 4, iters = 1, coarseK = 2, coarseIters = 1)
+    val pinned = graft.operators.PqOps.readPqArtifacts(spark, store)
+    (10L to 12L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(src.toString)
+    val args = GraftApp.parseArgs(Seq(
+      "dev", "vecs", "--stream", "--pq-store", store, "--id-col", "vec_id",
+      "--source", s"parquet:$src", "--checkpoint", s"$base/ckpt"))
+    val (code, outs) = {
+      val o = scala.collection.mutable.ArrayBuffer.empty[String]
+      (GraftApp.run(args, spark, out = o.append(_), log = _ => ()), o.toSeq)
+    }
+    assert(code == 0, outs.mkString("; "))
+    val stored = spark.read.parquet(s"$store/codes")
+      .select($"vec_id", $"sub", $"code", $"dist")
+      .as[(Long, Int, Int, Double)].collect().toSet
+    val expect = graft.operators.PqOps.encode(
+      (0L to 12L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", pinned.model)
+      .select($"vec_id", $"sub", $"code", $"dist")
+      .as[(Long, Int, Int, Double)].collect().toSet
+    assert(stored == expect,
+      "the drained store must equal the whole corpus encoded against the pinned model")
+  }
+
   test("stream CLI rejects a non-idempotent sink and a multi-table arg loudly") {
     val src = Files.createTempDirectory("sapp_src2")
     drop(src, (1L, "alpha"))

@@ -470,6 +470,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PQ ingest: each epoch encodes against the pinned model, replay is exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_stream_pq")
+    val store = s"$base/pq"
+    // The pinned store: a full build over "yesterday's corpus".
+    def vec(i: Long): Array[Double] = Array.tabulate(8)(d => (i * 7 + d).toDouble % 5)
+    val corpus = (0L to 9L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    graft.operators.PqOps.writePqArtifacts(spark, corpus, "embedding", "vec_id",
+      store, m = 2, kCodes = 4, iters = 1, coarseK = 2, coarseIters = 1)
+    val pinned = graft.operators.PqOps.readPqArtifacts(spark, store)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.foreachBatchLedgerPqEncode(
+      mem.toDF().toDF("vec_id", "embedding").writeStream,
+      "embedding", "vec_id", store).start()
+    try {
+      // Two micro-batches of NEW ids: each must land in its own epoch,
+      // encoded against the PINNED codebooks (never a re-fit).
+      mem.addData((10L, vec(10).toSeq), (11L, vec(11).toSeq))
+      q.processAllAvailable()
+      mem.addData((12L, vec(12).toSeq))
+      q.processAllAvailable()
+      def stored() = spark.read.parquet(s"$store/codes")
+        .select($"vec_id", $"sub", $"code", $"dist")
+        .as[(Long, Int, Int, Double)].collect().toSet
+      val expect = graft.operators.PqOps.encode(
+        (0L to 12L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+        "embedding", "vec_id", pinned.model)
+        .select($"vec_id", $"sub", $"code", $"dist")
+        .as[(Long, Int, Int, Double)].collect().toSet
+      assert(stored() == expect,
+        "lifetime codes must equal the whole corpus encoded against the pinned model")
+      // At-least-once redelivery of epoch 1 (crash between the dynamic
+      // overwrite and the checkpoint commit): the same batch under the
+      // same token overwrites its own partitions with identical codes.
+      graft.operators.PqOps.incrementalPqEncode(
+        spark, Seq((12L, vec(12).toSeq)).toDF("vec_id", "embedding"),
+        "embedding", "vec_id", store, "epoch1").commitLedger()
+      assert(stored() == expect, "epoch replay must be exactly-once")
+      val epochs = spark.read.parquet(s"$store/codes")
+        .select($"_graft_epoch").distinct().as[String].collect().toSet
+      assert(epochs == Set("base", "epoch0", "epoch1"), epochs.toString)
+    } finally q.stop()
+  }
+
   test("checkpoint reset against a kept ledger is refused, not silently overwritten") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft_stream_foreign")
