@@ -269,6 +269,54 @@ class MultimodalSpec extends AnyFunSuite {
       s"the duplicate render's larger id must purge, got $verdicts")
   }
 
+  test("audio bytes → envelope → SRP near-dup: the second codec tier bridges to dedup") {
+    // E111 × E90 end-to-end (round 14), mirroring the image → PQ chain:
+    // real WAV payloads decode to the amplitude envelope, the envelope
+    // IS a vector the banded-SRP near-dup consumes directly — a tone
+    // and its near-identical twin (same temporal shape, 2 % quieter)
+    // collide in a band and verify at cosine ≈ 1, while tones with
+    // disjoint temporal support stay apart. Frequency alone can't
+    // separate envelopes (mean |amplitude| is frequency-blind), so the
+    // fixtures differ in WHERE the energy sits over time.
+    import graft.operators.SrpOps
+    def wavBytes(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // 16 bins × 1000 samples; mask says which bins carry the square tone.
+    def tone(mask: Int => Boolean, amp: Short): Array[Short] =
+      Array.tabulate[Short](16000) { i =>
+        if (!mask(i / 1000)) 0
+        else if ((i / 8) % 2 == 0) amp else (-amp).toShort
+      }
+    val shapes: Seq[Int => Boolean] = Seq(
+      b => b < 8,            // energy in the first half
+      b => b >= 8,           // energy in the second half (disjoint)
+      b => b % 2 == 0)       // alternating bins (cos 0.5 to each half)
+    val media = shapes.zipWithIndex.flatMap { case (mask, i) =>
+      Seq((2L * i, wavBytes(tone(mask, 30000))),
+        (2L * i + 1, wavBytes(tone(mask, 29400)))) // 2 % quieter twin
+    }.toDF("media_id", "payload")
+    val envs = Multimodal.audioEnvelope(spark, media, bins = 16)
+      .toDF().select($"media_id".as("vec_id"), $"envelope".as("embedding"))
+    val banded = SrpOps.bandedSrp(envs, "embedding", "vec_id",
+      nBands = 4, bitsPerBand = 8)
+    val pairs = SrpOps.neardupPairs(banded.bands, "embedding", "vec_id", 0.99)
+      .select($"vid_a", $"vid_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L), (4L, 5L)),
+      s"each tone must near-dup exactly its quieter twin, got $pairs")
+  }
+
   test("audioEnvelope really decodes WAV via javax.sound: header + silence/tone envelope") {
     def wavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
       val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
