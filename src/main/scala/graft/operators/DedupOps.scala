@@ -141,6 +141,9 @@ object DedupOps {
           Seq("_graft_fp", "_graft_fp2"), "left_anti")
       case None => withFp
     }
+    // Bounded window (round-14 audit): the partition key is the ~128-bit
+    // fingerprint pair, so a partition holds only BYTE-IDENTICAL texts —
+    // duplicate-multiplicity-sized, never corpus-sized.
     val w = Window.partitionBy(col("_graft_fp"), col("_graft_fp2")).orderBy(col(idCol))
     unseen
       .withColumn("_graft_rn", row_number().over(w))

@@ -88,7 +88,7 @@ object PqOps {
     val guarded = expectDim match {
       case Some(d) =>
         when(size(col(vecCol)) === d, w).otherwise(raise_error(concat(
-          lit(s"pq: vector dim must be $d (the fitted model's m × subDim), got "),
+          lit(s"pq: vector dim must be $d (m × subDim of the fit/model), got "),
           size(col(vecCol)).cast("string"))))
       case None =>
         when(size(col(vecCol)) % m === 0, w).otherwise(raise_error(concat(
@@ -142,11 +142,19 @@ object PqOps {
     require(kCodes < (1 << KmeansOps.ClusterBits),
       s"arg-min packs the code into ${KmeansOps.ClusterBits} bits; kCodes=$kCodes exceeds it")
     require(iters >= 0, s"iters must be non-negative: $iters")
-    val dims = df.select(size(col(vecCol)).as("d")).distinct().collect().map(_.getInt(0))
-    require(dims.length == 1 && dims.head % m == 0,
-      s"vector dim must be uniform and divisible by m=$m, got ${dims.mkString(",")}")
-    val subDim = dims.head / m
-    val subs = Tables.materialize(subvectors(df, vecCol, idCol, m))
+    // Dim discipline WITHOUT a dedicated corpus pass (round-14 hygiene):
+    // read one row's dim, check divisibility on the driver, and let the
+    // per-row expectDim guard inside the explode refuse any OTHER dim
+    // loudly at execution — a full `distinct` over sizes spent a whole
+    // scan to learn what the first explode's guard enforces for free.
+    val headDim = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(headDim.nonEmpty, "fitPq needs a non-empty corpus")
+    val dim = headDim.head.getInt(0)
+    require(dim % m == 0,
+      s"vector dim must be uniform and divisible by m=$m, got $dim")
+    val subDim = dim / m
+    val subs = Tables.materialize(
+      subvectors(df, vecCol, idCol, m, expectDim = Some(dim)))
     var books = Tables.materialize(seedBooks(subs, df, idCol, kCodes))
     for (_ <- 1 to iters) {
       val am = argmin(subs, books, idCol)
@@ -219,7 +227,11 @@ object PqOps {
     * id already says that; quantizing the residual spends all m codes on
     * the within-cell offset, where the information is). Compose:
     * `residuals` → [[fitPq]]/[[encode]] on the `residual` column → the
-    * codes already carry `cell` for [[ivfAdcSearch]]-style restriction.
+    * codes already carry `cell`. SEARCH side (round 14): residual codes
+    * are searched by [[ivfAdcSearchResidual]] ONLY — [[ivfAdcSearch]]/
+    * [[adcSearch]] build their LUT from RAW query subvectors and would
+    * silently mis-score residual codes; the artifact store records the
+    * formulation in its pin and [[searchArtifacts]] routes on it.
     *
     * One narrow pass: the cell arg-min is [[KmeansOps.assign]]'s
     * zero-shuffle projection (literal path) or broadcast join, and the

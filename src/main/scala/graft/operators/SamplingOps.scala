@@ -213,6 +213,9 @@ object SamplingOps {
       seed: Long,
       splits: Int = 64,
       rank: RankFn = xxhashRank): DataFrame = {
+    // Bounded window (round-14 audit): phase 2 of the two-phase pick —
+    // its input is localTopN's output, ≤ n × splits rows per stratum,
+    // never the stratum's full population.
     val w = Window.partitionBy(col(strataCol)).orderBy(col("_graft_rk"), col(idCol))
     localTopN(df, strataCol, idCol, n, seed, splits, rank)
       .withColumn("_graft_rank", row_number().over(w))
@@ -236,6 +239,9 @@ object SamplingOps {
       splits: Int,
       rank: RankFn = xxhashRank): DataFrame = {
     require(splits > 0, s"splits must be positive: $splits")
+    // Bounded window (round-14 audit): the salt splits a hot stratum
+    // across `splits` parallel groups, so each partition sorts ~1/splits
+    // of a stratum — the two-phase shape, not a one-task-per-stratum sort.
     val w = Window.partitionBy(col(strataCol), col("_graft_salt"))
       .orderBy(col("_graft_rk"), col(idCol))
     df.withColumn("_graft_rk", rank(col(idCol), seed))

@@ -212,6 +212,15 @@ class PlanSpec extends AnyFunSuite {
                                   // its top-k agg — the exact pass joins the broadcast
                                   // shortlist (Q×20 rows) onto one corpus scan, so its
                                   // only NEW exchanges move workload-sized frames
+      "q164_ivfadc_residual" -> 10, // q160's search stages over the RESIDUAL build:
+                                  // q162's build spreads (residual table + fit-seed
+                                  // re-reads) + the encode arg-min agg + the fixture's
+                                  // in-query attachCells id-join (the OPERATIONAL path
+                                  // pays this once at --pq-encode: stored codes already
+                                  // carry cell) + the ADC sum + per-query top-k aggs.
+                                  // The residualized LUT is a BroadcastExchange (its
+                                  // per-(query, cell) widening adds rows, not
+                                  // exchanges); the probe set is a static isin.
       "q108_srp_incr_neardup" -> 5, // hit/purge anti-joins on the id key + banded self-join
                                     // + pair and drop distincts (banding cached; ledger-hit
                                     // verification is eager, outside this plan)
