@@ -45,7 +45,8 @@ object LshRegime {
     if (args.length > 1 && args(1) == "spansincr") { spansIncr(spark, dir); return }
     if (args.length > 1 && args(1) == "split") { split(spark, dir); return }
     if (args.length > 1 && args(1) == "prefixjoin") { prefixJoin(spark, dir); return }
-    if (args.length > 1 && args(1) == "pq") { pqSearch(spark, dir); return }
+    if (args.length > 1 && args(1) == "pq") { pqSearch(spark, dir, residual = false); return }
+    if (args.length > 1 && args(1) == "pqres") { pqSearch(spark, dir, residual = true); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -604,7 +605,10 @@ object LshRegime {
     * The build (fit + encode + write) is timed separately: it IS ∝ n by
     * design. Median of 3 searches, model read back through the pinned
     * artifact API (the real consumer path, PartitionFilters and all). */
-  private def pqSearch(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+  private def pqSearch(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      residual: Boolean): Unit = {
     import org.apache.spark.sql.functions.col
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
     val n = vecs.count()
@@ -613,7 +617,8 @@ object LshRegime {
       .createTempDirectory("graft_pq_probe").resolve("pq").toString
     val t0 = System.nanoTime()
     operators.PqOps.writePqArtifacts(spark, vecs, "embedding", "vec_id", store,
-      m = 4, kCodes = 8, iters = 1, coarseK = coarseK, coarseIters = 1)
+      m = 4, kCodes = 8, iters = 1, coarseK = coarseK, coarseIters = 1,
+      residual = residual)
     val buildSecs = (System.nanoTime() - t0) / 1e9
     val arts = operators.PqOps.readPqArtifacts(spark, store)
     val queries = vecs.filter(col("vec_id") < 5)
@@ -625,15 +630,18 @@ object LshRegime {
     val probedPop = arts.codes
       .filter(col("cell").isInCollection(qcells.map(Integer.valueOf)))
       .select(col("vec_id")).distinct().count()
+    // searchArtifacts routes by the pin — the real consumer path for
+    // both formulations (round 14 adds the residual decade evidence).
     def once(): Double = {
       val t = System.nanoTime()
-      operators.PqOps.ivfAdcSearch(arts.codes, "cell", "vec_id", queries,
-        "qid", "embedding", arts.model, arts.coarse, topN = 5, nprobe = 1).count()
+      operators.PqOps.searchArtifacts(arts, "vec_id", queries,
+        "qid", "embedding", topN = 5, nprobe = 1).count()
       (System.nanoTime() - t) / 1e9
     }
     val walls = Seq.fill(3)(once()).sorted
+    val metric = if (residual) "pq_search_residual" else "pq_search"
     println(
-      f"""{"metric":"pq_search","n":$n,"coarseK":$coarseK,"probedPop":$probedPop,""" +
+      f"""{"metric":"$metric","n":$n,"coarseK":$coarseK,"probedPop":$probedPop,""" +
         f""""buildSecs":$buildSecs%.2f,"searchSecsMedian":${walls(1)}%.3f,""" +
         f""""searchSecs":[${walls.map(w => f"$w%.3f").mkString(",")}]}""")
     spark.stop()

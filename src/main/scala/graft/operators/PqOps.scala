@@ -542,6 +542,77 @@ object PqOps {
       .drop("_graft_neg")
   }
 
+  /** E147 (round 14): variance-BALANCED subspace permutation — the
+    * deterministic core of OPQ (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013 — public): PQ's independence assumption is
+    * only as good as the SPLIT, and a contiguous split can dump every
+    * high-variance dimension into one subspace whose kCodes-entry
+    * codebook then carries the whole corpus's information while the
+    * other m−1 codebooks quantize noise. Full OPQ learns a rotation by
+    * alternating SVD — not engine-portable (no oracle could restate it
+    * bit-for-bit); this is its PERMUTATION restriction, the same move as
+    * OPQ's eigenvalue-allocation step on a diagonal covariance: rank
+    * dimensions by variance and deal them round-robin across subspaces,
+    * so every subspace receives an even share of the spread.
+    *
+    * ONE corpus pass: a (dim, E[x²]−E[x]²) aggregation — dim-sized,
+    * collected driver-side (64 doubles, the coarse-model trade-off).
+    * Determinism grain: variance rounded 6 dp, rank ties to the smaller
+    * dim (the family rule), permuted position = (r % m)·subDim + r∕m for
+    * rank r — every number SQL-restatable, so the full permute→fit→
+    * encode chain hash-matches (q165).
+    *
+    * The permutation is CONSTRUCTION STATE exactly like the codebooks:
+    * queries must be permuted with the SAME array before any search
+    * against permuted codes (compose [[applyPerm]] on both sides). The
+    * pinned artifact store does not carry a permutation yet — building
+    * a store over permuted vectors and searching it with unpermuted
+    * queries is the E146 formulation hazard again; until the pin grows
+    * a perm field, keep permuted stores out of `--pq-encode`. */
+  def balancedPerm(df: DataFrame, vecCol: String, m: Int): Array[Int] = {
+    require(m >= 1, s"m must be positive: $m")
+    val vars = df
+      .select(posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("_graft_i", "_graft_x")))
+      .groupBy(col("_graft_i"))
+      .agg(round(avg(col("_graft_x") * col("_graft_x"))
+        - avg(col("_graft_x")) * avg(col("_graft_x")), 6).as("_graft_vr"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+    require(vars.nonEmpty, "balancedPerm needs a non-empty corpus")
+    val dim = vars.length
+    require(dim % m == 0,
+      s"vector dim must be divisible by m=$m, got $dim")
+    val subDim = dim / m
+    // rank r (0-based) over (variance desc, dim asc) → permuted position
+    // (r % m)·subDim + r/m: subspace s receives ranks s, s+m, s+2m, … —
+    // each subspace gets one dim from every variance "tier".
+    val ranked = vars.sortBy { case (d, vr) => (-vr, d) }.map(_._1)
+    val perm = new Array[Int](dim)
+    for (r <- 0 until dim)
+      perm((r % m) * subDim + r / m) = ranked(r)
+    perm
+  }
+
+  /** Project `vecCol` into [[balancedPerm]]'s order as `outCol` — a
+    * NARROW codegen'd projection (element picks off one array), with the
+    * family's per-row dim guard woven into the data column. Apply the
+    * SAME perm to corpus and queries; the downstream PQ chain is
+    * unchanged (contiguous slices of the permuted vector ARE the
+    * balanced subspaces). */
+  def applyPerm(
+      df: DataFrame,
+      vecCol: String,
+      perm: Array[Int],
+      outCol: String): DataFrame = {
+    require(perm.nonEmpty && perm.sorted.toSeq == (0 until perm.length),
+      s"perm must be a permutation of 0..${perm.length - 1}")
+    val guarded = when(size(col(vecCol)) === perm.length,
+        transform(col(vecCol), _.cast("double")))
+      .otherwise(raise_error(concat(
+        lit(s"applyPerm: vector dim must be ${perm.length} (the perm's), got "),
+        size(col(vecCol)).cast("string"))))
+    df.withColumn(outCol, array(perm.toIndexedSeq.map(p => guarded.getItem(p)): _*))
+  }
+
   // ---------------------------------------------------------------------
   // Stored artifacts: the --pq-encode build layout + construction pin.
   // ---------------------------------------------------------------------

@@ -554,6 +554,23 @@ object VectorQueries {
       graft.operators.PqOps.ivfAdcSearchResidual(
         codes, "cell", "vec_id", queries, "qid", "embedding",
         model, coarse.centroids, topN = 5, nprobe = 2)
+    }),
+
+    // E147 OPQ-lite (round 14): variance-balanced subspace permutation —
+    // dims ranked by 6-dp variance are dealt round-robin across the m
+    // subspaces before the UNCHANGED fit/encode chain, so no single
+    // codebook carries all the corpus's spread (Ge 2013's eigenvalue-
+    // allocation move, restricted to the engine-portable permutation).
+    // The oracle recomputes the variance ranking, rebuilds the permuted
+    // vectors, and replays the PQ chain over them.
+    "q165_pq_balanced_perm" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val perm = graft.operators.PqOps.balancedPerm(e, "embedding", m = 4)
+      val pe = graft.operators.PqOps.applyPerm(e, "embedding", perm, "pv")
+        .select(col("vec_id"), col("pv"))
+      val model = graft.operators.PqOps.fitPq(
+        pe, "pv", "vec_id", m = 4, kCodes = 8, iters = 1)
+      graft.operators.PqOps.encode(pe, "pv", "vec_id", model)
     })
   )
 
@@ -1150,7 +1167,26 @@ object VectorQueries {
                      row_number() OVER (PARTITION BY qid
                        ORDER BY adc, vec_id) AS rank
               FROM scored)
-            WHERE rank <= 5"""
+            WHERE rank <= 5""",
+      // OPQ-lite: per-dim population variance at 6 dp (avg(x²)−avg(x)²,
+      // the engines' shared grain), rank over (variance desc, dim asc),
+      // rank r lands at permuted position (r % 4)·16 + r//4, and the
+      // permuted vectors feed the unchanged p-prefixed PQ chain.
+      "q165_pq_balanced_perm" ->
+        s"""WITH e AS (SELECT vec_id, $VecSql AS v FROM embeddings),
+            vars AS (SELECT CAST(u.i AS INT) AS dim,
+                            round(avg(v[u.i + 1] * v[u.i + 1])
+                              - avg(v[u.i + 1]) * avg(v[u.i + 1]), 6) AS vr
+                     FROM e, unnest(range(0, 64)) AS u(i) GROUP BY 1),
+            pp AS (SELECT dim,
+                          CAST(((rn - 1) % 4) * 16 + ((rn - 1) // 4) AS INT) AS pos
+                   FROM (SELECT dim,
+                                row_number() OVER (ORDER BY vr DESC, dim) AS rn
+                         FROM vars)),
+            psrc AS (SELECT e.vec_id, list(e.v[pp.dim + 1] ORDER BY pp.pos) AS v
+                     FROM e CROSS JOIN pp GROUP BY e.vec_id),
+            ${pqCtesF("p", 4, 8, 1, 16, srcSql = "SELECT vec_id, v FROM psrc")}
+            SELECT vec_id, sub, code, dist FROM paf"""
     )
   }
 }

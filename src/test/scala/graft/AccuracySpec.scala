@@ -318,4 +318,59 @@ class AccuracySpec extends AnyFunSuite {
         f"residual $resRecall%.2f vs raw $rawRecall%.2f")
     assert(resRecall > 0.0, f"residual recall collapsed to zero: $resRecall%.2f")
   }
+
+  test("balanced permutation recovers recall a contiguous split loses on skewed dims") {
+    // E147's whole claim (Ge 2013): PQ quality is only as good as the
+    // SPLIT. Synthetic skew — dims 0..7 carry ALL the signal, dims
+    // 8..63 are constant — so the contiguous split dumps every signal
+    // dim into subspace 0 (one 8-code codebook describing an 8-dim
+    // signal; the other three codebooks quantize constants), while the
+    // balanced permutation deals exactly 2 signal dims to each of the 4
+    // subspaces. Ground truth is exact L2, which any permutation
+    // preserves, so one truth serves both formulations.
+    import graft.operators.PqOps
+    val n = 512
+    val df = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(64)(d =>
+        if (d < 8) (((i * (d + 3) + 7 * d) % 17) - 8).toFloat else 0.25f))
+    }.toDF("vec_id", "embedding")
+    val vecs = df.select($"vec_id",
+        transform($"embedding", _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    def l2sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qs = vecs.filter(_._1 < 5)
+    val exactTop = qs.map { case (qid, qv) =>
+      qid -> vecs.map { case (vid, v) => (l2sq(qv, v), vid) }
+        .sortBy(identity).take(5).map(_._2).toSet
+    }.toMap
+    def recallOf(frame: org.apache.spark.sql.DataFrame, vecCol: String): Double = {
+      val model = PqOps.fitPq(frame, vecCol, "vec_id", m = 4, kCodes = 8, iters = 2)
+      val codes = PqOps.encode(frame, vecCol, "vec_id", model)
+      val queries = frame.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), col(vecCol))
+      val top = PqOps.adcSearch(codes, "vec_id", queries, "qid", vecCol,
+          model, topN = 5)
+        .select($"qid", $"vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      qs.map { case (qid, _) =>
+        (top.getOrElse(qid, Set.empty[Long]) & exactTop(qid)).size.toDouble / 5.0
+      }.sum / qs.length
+    }
+    val rContig = recallOf(df, "embedding")
+    val perm = PqOps.balancedPerm(df, "embedding", m = 4)
+    // The allocation property itself: exactly 2 of the 8 signal dims
+    // land in every 16-wide subspace.
+    val sigPerSub = (0 until 64).groupBy(_ / 16)
+      .map { case (s, ps) => s -> ps.count(p => perm(p) < 8) }
+    assert(sigPerSub.values.toSet == Set(2), sigPerSub.toString)
+    val pe = PqOps.applyPerm(df, "embedding", perm, "pv")
+      .select($"vec_id", $"pv")
+    val rBal = recallOf(pe, "pv")
+    info(f"skewed-dim recall@5: contiguous $rContig%.2f, balanced $rBal%.2f")
+    assert(rBal >= rContig,
+      f"balanced split must not recall less on skewed dims: " +
+        f"balanced $rBal%.2f vs contiguous $rContig%.2f")
+    assert(rBal > 0.0, f"balanced recall collapsed to zero: $rBal%.2f")
+  }
 }

@@ -186,6 +186,9 @@ class PlanSpec extends AnyFunSuite {
                                    // the rows (those join the ranks back via broadcast)
       "q156_pq_encode" -> 2,      // parallelism spread + the (id, sub) arg-min agg; the
                                   // codebook side is materialized by the fit and broadcast
+      "q165_pq_balanced_perm" -> 2, // q156's exact shape over the PERMUTED vectors — the
+                                  // permutation is a narrow projection (the variance pass
+                                  // runs at build time, driver-sized) and adds no exchange
       "q158_windowed_heavy_hitters" -> 2, // the window-sketch agg + the per-window top-k
                                           // re-agg — the second moves ≤ capacity+1 sketch
                                           // rows per window, never events

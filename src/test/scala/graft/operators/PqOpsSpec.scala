@@ -515,6 +515,36 @@ class PqOpsSpec extends AnyFunSuite {
     assert(gotBatch == expect)
   }
 
+  test("balancedPerm deals variance tiers round-robin; applyPerm is the exact projection") {
+    // 4-dim fixture, m = 2: variances 0 (dim0) < dim2 < dim3 < dim1 by
+    // construction, so the rank order is 1, 3, 2, 0 and round-robin
+    // dealing puts ranks {0, 2} in subspace 0 and {1, 3} in subspace 1 —
+    // every subspace gets one high and one low tier, never all-signal.
+    val df = Seq(
+      (0L, Array(0.0, 10.0, 1.0, 5.0)),
+      (1L, Array(0.0, -10.0, -1.0, -5.0)),
+      (2L, Array(0.0, 20.0, 2.0, 15.0)),
+      (3L, Array(0.0, -20.0, -2.0, -15.0))).toDF("id", "v")
+    val perm = PqOps.balancedPerm(df, "v", m = 2)
+    // perm(pos) = source dim: rank0(dim1)→pos0, rank2(dim2)→pos1,
+    // rank1(dim3)→pos2, rank3(dim0)→pos3.
+    assert(perm.toSeq == Seq(1, 2, 3, 0), perm.toSeq.toString)
+    val got = PqOps.applyPerm(df, "v", perm, "pv")
+      .select(col("id"), col("pv")).as[(Long, Seq[Double])].collect().toMap
+    assert(got(0L) == Seq(10.0, 1.0, 5.0, 0.0))
+    assert(got(2L) == Seq(20.0, 2.0, 15.0, 0.0))
+    // Variance ties keep dim order (the family's smaller-index rule).
+    val tied = Seq((0L, Array(1.0, 1.0)), (1L, Array(3.0, 3.0))).toDF("id", "v")
+    assert(PqOps.balancedPerm(tied, "v", m = 2).toSeq == Seq(0, 1))
+    // A non-permutation refuses; a mis-sized row refuses per-row.
+    intercept[IllegalArgumentException](
+      PqOps.applyPerm(df, "v", Array(0, 0, 1, 2), "pv"))
+    val ragged = Seq((0L, Array(1.0, 2.0))).toDF("id", "v")
+    val e = intercept[Exception](
+      PqOps.applyPerm(ragged, "v", perm, "pv").collect())
+    assert(e.getMessage != null && e.getMessage.contains("applyPerm"), e.getMessage)
+  }
+
   test("dim must split evenly across subspaces; bad params refuse loudly") {
     val ragged = Seq((0L, Array(1.0, 2.0, 3.0))).toDF("id", "v")
     intercept[IllegalArgumentException](
