@@ -565,10 +565,11 @@ object PqOps {
     * The permutation is CONSTRUCTION STATE exactly like the codebooks:
     * queries must be permuted with the SAME array before any search
     * against permuted codes (compose [[applyPerm]] on both sides). The
-    * pinned artifact store does not carry a permutation yet — building
-    * a store over permuted vectors and searching it with unpermuted
-    * queries is the E146 formulation hazard again; until the pin grows
-    * a perm field, keep permuted stores out of `--pq-encode`. */
+    * pinned artifact store carries it — `writePqArtifacts(perm = …)`
+    * records the array in `_graft_pq_construction`, and
+    * [[searchArtifacts]]/[[incrementalPqEncode]] apply it to queries
+    * and batches themselves (the E146 formulation-routing discipline;
+    * CLI `--pq-encode --balanced-perm`). */
   def balancedPerm(df: DataFrame, vecCol: String, m: Int): Array[Int] = {
     require(m >= 1, s"m must be positive: $m")
     val vars = df
@@ -625,22 +626,32 @@ object PqOps {
   /** The stored model + coarse quantizer + cell-partitioned codes.
     * `residual` is the FORMULATION the codes were built under (recorded
     * in the construction pin): false = codes quantize raw vectors,
-    * true = codes quantize `v − coarseCentroid(cell(v))` (E144). The
-    * two are not cross-searchable — [[searchArtifacts]] routes on it. */
+    * true = codes quantize `v − coarseCentroid(cell(v))` (E144). `perm`
+    * is the subspace permutation the whole store lives in (E147 —
+    * identity when none was requested): corpus vectors were permuted
+    * BEFORE the coarse fit and the PQ chain, so queries must take the
+    * SAME projection before probing or LUT building. Neither field is
+    * cross-searchable — [[searchArtifacts]] routes/applies both. */
   final case class PqArtifacts(
       model: PqModel,
       coarse: Array[Array[Double]],
       codes: DataFrame,
-      residual: Boolean = false)
+      residual: Boolean = false,
+      perm: Array[Int] = Array.empty) {
+    /** Identity permutations skip the projection entirely. */
+    def isPermuted: Boolean = perm.nonEmpty && !perm.sameElements(perm.indices)
+  }
 
   private def pqParams(
-      m: Int, kCodes: Int, subDim: Int, coarseK: Int, residual: Boolean): String =
-    s"m=$m kCodes=$kCodes subDim=$subDim coarseK=$coarseK residual=$residual"
+      m: Int, kCodes: Int, subDim: Int, coarseK: Int, residual: Boolean,
+      perm: Array[Int]): String =
+    s"m=$m kCodes=$kCodes subDim=$subDim coarseK=$coarseK residual=$residual " +
+      s"perm=${perm.mkString(",")}"
 
   /** The pin's exact key set — a pin missing a key (pre-round-14 store,
     * hand edit) or carrying extras refuses loudly with rebuild guidance
     * instead of a bare NoSuchElementException deep in the parse. */
-  private val PqPinKeys = Set("m", "kCodes", "subDim", "coarseK", "residual")
+  private val PqPinKeys = Set("m", "kCodes", "subDim", "coarseK", "residual", "perm")
 
   private def fsOf(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -699,7 +710,8 @@ object PqOps {
       iters: Int,
       coarseK: Int,
       coarseIters: Int,
-      residual: Boolean = false): PqArtifacts = {
+      residual: Boolean = false,
+      perm: Option[Array[Int]] = None): PqArtifacts = {
     require(coarseK >= 1, s"coarseK must be positive: $coarseK")
     val (fs, p) = fsOf(spark, dir)
     if (fs.exists(p) && fs.listStatus(p).nonEmpty)
@@ -708,16 +720,32 @@ object PqOps {
           "place can pair new codebooks with stale codes under a matching " +
           "pin (silent ADC mis-scoring). Build into a fresh directory and " +
           "swap it in, or delete the old store first.")
-    val coarseFit = KmeansOps.fit(corpus, vecCol, idCol, coarseK, coarseIters)
+    // E147: the WHOLE store lives in the permuted space — corpus vectors
+    // permute before the coarse fit (L2 is permutation-invariant, so
+    // cell assignments match raw-space ones) and the PQ chain sees the
+    // balanced subspaces as plain contiguous slices. The permutation is
+    // construction state: it goes in the pin, and [[searchArtifacts]]/
+    // [[incrementalPqEncode]] apply it to queries/batches themselves.
+    val (src, srcVecCol) = perm match {
+      case Some(pm) =>
+        (applyPerm(corpus, vecCol, pm, "_graft_pv")
+          .select(col(idCol), col("_graft_pv")), "_graft_pv")
+      case None => (corpus, vecCol)
+    }
+    val coarseFit = KmeansOps.fit(src, srcVecCol, idCol, coarseK, coarseIters)
     // Residual formulation: every later stage (fit, encode) reads the
     // residual table; raw keeps the corpus. One frame, chosen once.
     val (fitSrc, fitVecCol) =
       if (residual)
-        (Tables.materialize(residuals(corpus, vecCol, idCol, coarseFit.centroids)),
+        (Tables.materialize(residuals(src, srcVecCol, idCol, coarseFit.centroids)),
           "residual")
-      else (corpus, vecCol)
+      else (src, srcVecCol)
     val model = fitPq(fitSrc, fitVecCol, idCol, m, kCodes, iters)
-    writeMeta(spark, dir, pqParams(m, kCodes, model.subDim, coarseK, residual))
+    val pinnedPerm = perm.getOrElse((0 until m * model.subDim).toArray)
+    require(pinnedPerm.length == m * model.subDim,
+      s"perm length ${pinnedPerm.length} != vector dim ${m * model.subDim}")
+    writeMeta(spark, dir,
+      pqParams(m, kCodes, model.subDim, coarseK, residual, pinnedPerm))
     model.codebooks
       .withColumnRenamed("_graft_sub", "sub")
       .withColumnRenamed("_graft_code", "code")
@@ -737,7 +765,7 @@ object PqOps {
       .partitionBy("_graft_epoch", "cell")
       .parquet(s"$dir/codes")
     PqArtifacts(model, coarseFit.centroids,
-      spark.read.parquet(s"$dir/codes").drop("_graft_epoch"), residual)
+      spark.read.parquet(s"$dir/codes").drop("_graft_epoch"), residual, pinnedPerm)
   }
 
   /** Read the artifact set back, REQUIRE-matching the construction pin
@@ -776,6 +804,13 @@ object PqOps {
       case "false" => false
       case other => throw malformed(s"residual=$other is not a bool")
     }
+    val perm =
+      try kv("perm").split(",").map(_.toInt)
+      catch { case _: NumberFormatException =>
+        throw malformed(s"perm=${kv("perm")} is not an int list") }
+    if (perm.length != m * subDim || perm.sorted.toSeq != (0 until perm.length))
+      throw malformed(
+        s"perm is not a permutation of 0..${m * subDim - 1} (length ${perm.length})")
     val books = spark.read.parquet(s"$dir/codebooks")
       .withColumnRenamed("sub", "_graft_sub")
       .withColumnRenamed("code", "_graft_code")
@@ -797,12 +832,12 @@ object PqOps {
     // of NPE-ing in getInt (ADVICE round 13).
     if (stored.isNullAt(1))
       throw new IllegalStateException(
-        s"PQ artifact store at $dir pinned [${pqParams(m, kCodes, subDim, coarseK, residual)}] " +
+        s"PQ artifact store at $dir pinned [${pqParams(m, kCodes, subDim, coarseK, residual, perm)}] " +
           "but codebooks/ is empty — a crashed build; rebuild it.")
     if (stored.getLong(0) != m.toLong || stored.getInt(1) >= kCodes ||
         stored.getInt(2) != subDim || stored.getInt(3) != subDim)
       throw new IllegalStateException(
-        s"PQ artifact store at $dir pinned [${pqParams(m, kCodes, subDim, coarseK, residual)}] " +
+        s"PQ artifact store at $dir pinned [${pqParams(m, kCodes, subDim, coarseK, residual, perm)}] " +
           s"but codebooks/ holds m=${stored.getLong(0)}, max code=${stored.getInt(1)}, " +
           s"centroid widths ${stored.getInt(2)}..${stored.getInt(3)} — " +
           "the store drifted from its pin; rebuild it.")
@@ -820,7 +855,8 @@ object PqOps {
       PqModel(books, m, kCodes, subDim),
       coarse,
       spark.read.parquet(s"$dir/codes").drop("_graft_epoch"),
-      residual)
+      residual,
+      perm)
   }
 
   /** Search a stored artifact set, ROUTED BY ITS PINNED FORMULATION:
@@ -848,11 +884,20 @@ object PqOps {
             s"residual=${arts.residual} — searching across formulations " +
             "silently mis-scores; point at the store you actually built.")
     }
+    // E147: a permuted store lives entirely in the permuted space —
+    // queries take the SAME pinned projection before probing or LUT
+    // building (searching a permuted store with raw queries is the same
+    // silent mis-scoring the residual routing refuses).
+    val (q2, vec2) =
+      if (arts.isPermuted)
+        (applyPerm(queries, vecCol, arts.perm, "_graft_qpv")
+          .select(col(qidCol), col("_graft_qpv")), "_graft_qpv")
+      else (queries, vecCol)
     if (arts.residual)
-      ivfAdcSearchResidual(arts.codes, "cell", idCol, queries, qidCol, vecCol,
+      ivfAdcSearchResidual(arts.codes, "cell", idCol, q2, qidCol, vec2,
         arts.model, arts.coarse, topN, nprobe)
     else
-      ivfAdcSearch(arts.codes, "cell", idCol, queries, qidCol, vecCol,
+      ivfAdcSearch(arts.codes, "cell", idCol, q2, qidCol, vec2,
         arts.model, arts.coarse, topN, nprobe)
   }
 
@@ -892,18 +937,24 @@ object PqOps {
       s"epoch token must be a fresh non-'$BaseEpoch' batch id: '$epochToken'")
     val arts = readPqArtifacts(spark, dir)
     // The batch encodes under the store's PINNED formulation (round 14):
-    // a residual store residualizes against the pinned coarse centroids
-    // before the same encode — appending raw-encoded codes to a residual
-    // store would silently mix formulations under one pin.
+    // a permuted store permutes first (the E147 pin), a residual store
+    // residualizes against the pinned coarse centroids before the same
+    // encode — appending raw-encoded codes to either would silently mix
+    // formulations under one pin.
+    val (b2, vec2) =
+      if (arts.isPermuted)
+        (applyPerm(batch, vecCol, arts.perm, "_graft_bpv")
+          .select(col(idCol), col("_graft_bpv")), "_graft_bpv")
+      else (batch, vecCol)
     val batchCodes = Tables.materialize(
       if (arts.residual) {
-        val res = residuals(batch, vecCol, idCol, arts.coarse)
+        val res = residuals(b2, vec2, idCol, arts.coarse)
         attachCells(
           encode(res, "residual", idCol, arts.model),
           res.select(col(idCol), col("cell").as("cluster")), idCol)
       } else attachCells(
-        encode(batch, vecCol, idCol, arts.model),
-        KmeansOps.assign(batch, vecCol, idCol, arts.coarse)
+        encode(b2, vec2, idCol, arts.model),
+        KmeansOps.assign(b2, vec2, idCol, arts.coarse)
           .select(col(idCol), col("cluster")), idCol))
     val prior = spark.read.parquet(s"$dir/codes")
       .filter(col("_graft_epoch") =!= epochToken)

@@ -87,13 +87,14 @@ object GraftApp {
       pqStore: Option[String] = None,
       nprobe: Int = 1,
       pqResidual: Boolean = false,
+      pqBalancedPerm: Boolean = false,
       rerank: Int = 0,
       rerankCorpus: Option[String] = None)
 
   /** Valueless flags (presence = true). */
   private val boolFlags = Set("strict", "stream", "compact-ledger", "fold-epochs",
     "export-shards", "verify-export", "scrub-spans", "exact-neardup", "tokenize",
-    "pq-encode", "pq-append", "pq-search", "residual")
+    "pq-encode", "pq-append", "pq-search", "residual", "balanced-perm")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -132,7 +133,8 @@ object GraftApp {
           "[--exact-neardup --corpus-dir P --out-dir P [--tau X] [--text-col C] [--id-col C]] | " +
           "[--heavy-hitters COL --corpus-dir P --out-dir P [--capacity N] [--k N] [--tokenize]] | " +
           "[--pq-encode --corpus-dir P --out-dir P [--vec-col C] [--id-col C] " +
-          "[--pq-m N] [--pq-k N] [--pq-iters N] [--pq-coarse-k N] [--residual]] | " +
+          "[--pq-m N] [--pq-k N] [--pq-iters N] [--pq-coarse-k N] [--residual] " +
+          "[--balanced-perm]] | " +
           "[--pq-append --corpus-dir P --out-dir P --pq-epoch TOKEN [--vec-col C] [--id-col C]] | " +
           "[--pq-search --corpus-dir QUERIES --pq-store P --out-dir P [--k N] [--nprobe N] " +
           "[--residual] [--rerank R --rerank-corpus P]]")
@@ -225,6 +227,7 @@ object GraftApp {
       pqStore = flags.get("pq-store"),
       nprobe = flags.get("nprobe").map(_.toInt).getOrElse(1),
       pqResidual = flags.contains("residual"),
+      pqBalancedPerm = flags.contains("balanced-perm"),
       rerank = flags.get("rerank").map(_.toInt).getOrElse(0),
       rerankCorpus = flags.get("rerank-corpus"))
   }
@@ -403,13 +406,21 @@ object GraftApp {
       val outd = a.outDir.getOrElse(
         throw new IllegalArgumentException("--pq-encode requires --out-dir P"))
       val corpus = spark.read.parquet(dir)
+      // --balanced-perm derives the E147 variance-balanced permutation
+      // from the corpus and builds the WHOLE store in the permuted
+      // space; the pin carries the array, so searches and appends
+      // permute themselves.
+      val perm =
+        if (a.pqBalancedPerm)
+          Some(graft.operators.PqOps.balancedPerm(corpus, a.vecCol, a.pqM))
+        else None
       val arts = graft.operators.PqOps.writePqArtifacts(
         spark, corpus, a.vecCol, a.idCol, outd,
         a.pqM, a.pqK, a.pqIters, a.pqCoarseK, a.pqIters,
-        residual = a.pqResidual)
+        residual = a.pqResidual, perm = perm)
       out(s"PQ_ENCODE_ m=${a.pqM} k=${a.pqK} iters=${a.pqIters} " +
         s"subDim=${arts.model.subDim} coarseK=${a.pqCoarseK} " +
-        s"residual=${a.pqResidual} out=$outd")
+        s"residual=${a.pqResidual} balancedPerm=${a.pqBalancedPerm} out=$outd")
       return 0
     }
 

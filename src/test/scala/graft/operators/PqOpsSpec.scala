@@ -266,22 +266,26 @@ class PqOpsSpec extends AnyFunSuite {
       val outS = fs.create(metaPath, true)
       try outS.write(s.getBytes("UTF-8")) finally outS.close()
     }
-    rewritePin("m=4 kCodes=2 subDim=2 coarseK=2 residual=false")
+    rewritePin("m=4 kCodes=2 subDim=2 coarseK=2 residual=false perm=0,1,2,3,4,5,6,7")
     val drift = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
     assert(drift.getMessage.contains("drifted"), drift.getMessage)
-    // A legacy pin MISSING the residual key (pre-formulation store) or a
+    // A legacy pin MISSING keys (pre-formulation/pre-perm store) or a
     // hand-edited one refuses with rebuild guidance at the key-set
     // check, never a bare NoSuchElementException mid-parse.
     rewritePin("m=2 kCodes=2 subDim=4 coarseK=2")
     val legacy = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
     assert(legacy.getMessage.contains("malformed") &&
       legacy.getMessage.contains("rebuild"), legacy.getMessage)
-    rewritePin("m=2 kCodes=2 subDim=4 coarseK=2 residual=maybe")
+    rewritePin("m=2 kCodes=2 subDim=4 coarseK=2 residual=maybe perm=0,1,2,3,4,5,6,7")
     val badBool = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
     assert(badBool.getMessage.contains("not a bool"), badBool.getMessage)
-    rewritePin("m=two kCodes=2 subDim=4 coarseK=2 residual=false")
+    rewritePin("m=two kCodes=2 subDim=4 coarseK=2 residual=false perm=0,1,2,3,4,5,6,7")
     val badInt = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
     assert(badInt.getMessage.contains("not an int"), badInt.getMessage)
+    // A perm that is not a permutation of the pinned dim refuses.
+    rewritePin("m=2 kCodes=2 subDim=4 coarseK=2 residual=false perm=0,1")
+    val badPerm = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
+    assert(badPerm.getMessage.contains("permutation"), badPerm.getMessage)
     // Missing pin: data without a pin must refuse, not silently pair
     // codes with whatever codebooks sit there.
     fs.delete(metaPath, false)
@@ -299,7 +303,9 @@ class PqOpsSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
     val outS = fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_pq_construction"), true)
-    try outS.write("m=2 kCodes=2 subDim=4 coarseK=2 residual=false".getBytes("UTF-8"))
+    try outS.write(
+      "m=2 kCodes=2 subDim=4 coarseK=2 residual=false perm=0,1,2,3,4,5,6,7"
+        .getBytes("UTF-8"))
     finally outS.close()
     Seq.empty[(Int, Int, Seq[Double])].toDF("sub", "code", "centroid")
       .write.parquet(s"$dir/codebooks")
@@ -507,6 +513,47 @@ class PqOpsSpec extends AnyFunSuite {
     val pending = PqOps.incrementalPqEncode(spark, batch, "v", "id", resDir, "b2")
     val batchRes = PqOps.residuals(batch, "v", "id", res.coarse)
     val expect = PqOps.encode(batchRes, "residual", "id", res.model)
+      .select(col("id"), col("sub"), col("code"), col("dist"))
+      .as[(Long, Int, Int, Double)].collect().toSet
+    val gotBatch = pending.codes.filter(col("id") >= 4)
+      .select(col("id"), col("sub"), col("code"), col("dist"))
+      .as[(Long, Int, Int, Double)].collect().toSet
+    assert(gotBatch == expect)
+  }
+
+  test("permuted store: the pin carries the perm; search and append permute themselves") {
+    // E147 integrated into the artifact store (round 14): the store is
+    // built entirely in the permuted space, the pin records the array,
+    // and the consumer paths (searchArtifacts, incrementalPqEncode)
+    // apply it to queries/batches — searching a permuted store with raw
+    // queries would be the E146 silent mis-scoring again.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_perm_store")
+    val dir = root.resolve("pq").toString
+    val perm = PqOps.balancedPerm(vecs, "v", m = 2)
+    PqOps.writePqArtifacts(spark, vecs, "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 1,
+      perm = Some(perm))
+    val arts = PqOps.readPqArtifacts(spark, dir)
+    assert(arts.perm.toSeq == perm.toSeq, "pin must round-trip the perm")
+    assert(arts.isPermuted, "this fixture's variance ranking is not the identity")
+    // Routed search ≡ the explicit composition: permute queries by the
+    // SAME array, then the raw-formulation searcher over the stored
+    // (permuted-space) codes and coarse model.
+    val queries = vecs.filter(col("id") < 2).select(col("id").as("qid"), col("v"))
+    val routed = PqOps.searchArtifacts(arts, "id", queries, "qid", "v",
+        topN = 3, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val pq = PqOps.applyPerm(queries, "v", perm, "pv")
+      .select(col("qid"), col("pv"))
+    val direct = PqOps.ivfAdcSearch(arts.codes, "cell", "id", pq, "qid", "pv",
+        arts.model, arts.coarse, topN = 3, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(routed == direct)
+    // Append permutes the batch before encoding against the pinned books.
+    val batch = vecs.filter(col("id") >= 4)
+    val pending = PqOps.incrementalPqEncode(spark, batch, "v", "id", dir, "b2")
+    val pb = PqOps.applyPerm(batch, "v", perm, "pv").select(col("id"), col("pv"))
+    val expect = PqOps.encode(pb, "pv", "id", arts.model)
       .select(col("id"), col("sub"), col("code"), col("dist"))
       .as[(Long, Int, Int, Double)].collect().toSet
     val gotBatch = pending.codes.filter(col("id") >= 4)
