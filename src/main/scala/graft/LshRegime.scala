@@ -47,6 +47,7 @@ object LshRegime {
     if (args.length > 1 && args(1) == "prefixjoin") { prefixJoin(spark, dir); return }
     if (args.length > 1 && args(1) == "pq") { pqSearch(spark, dir, residual = false); return }
     if (args.length > 1 && args(1) == "pqres") { pqSearch(spark, dir, residual = true); return }
+    if (args.length > 1 && args(1) == "pqrefine") { pqRefine(spark, dir); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -642,6 +643,49 @@ object LshRegime {
     val metric = if (residual) "pq_search_residual" else "pq_search"
     println(
       f"""{"metric":"$metric","n":$n,"coarseK":$coarseK,"probedPop":$probedPop,""" +
+        f""""buildSecs":$buildSecs%.2f,"searchSecsMedian":${walls(1)}%.3f,""" +
+        f""""searchSecs":[${walls.map(w => f"$w%.3f").mkString(",")}]}""")
+    spark.stop()
+  }
+
+  /** E148's scale claim, isolated: the TWO-STAGE compressed-domain
+    * search (IVFADC shortlist top-20 → codes re-rank → top-5) must
+    * track the probed population + the Q × R shortlist, not the corpus
+    * — across a 10× decade at flat probed population the end-to-end
+    * search wall should stay near-flat, with NO raw-vector read
+    * anywhere. Build (both levels) timed separately; it is ∝ n. */
+  private def pqRefine(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = vecs.count()
+    val coarseK = math.max(8L, n / 2500L).toInt
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_pq_refine_probe").resolve("pq").toString
+    val t0 = System.nanoTime()
+    operators.PqOps.writePqArtifacts(spark, vecs, "embedding", "vec_id", store,
+      m = 4, kCodes = 8, iters = 1, coarseK = coarseK, coarseIters = 1,
+      refineM = 8, refineK = 8)
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+    val arts = operators.PqOps.readPqArtifacts(spark, store)
+    val queries = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val qcells = operators.KmeansOps.assign(queries, "embedding", "qid", arts.coarse)
+      .select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val probedPop = arts.codes
+      .filter(col("cell").isInCollection(qcells.map(Integer.valueOf)))
+      .select(col("vec_id")).distinct().count()
+    def once(): Double = {
+      val t = System.nanoTime()
+      operators.PqOps.searchArtifactsRefined(arts, "vec_id", queries,
+        "qid", "embedding", topR = 20, topN = 5, nprobe = 1).count()
+      (System.nanoTime() - t) / 1e9
+    }
+    val walls = Seq.fill(3)(once()).sorted
+    println(
+      f"""{"metric":"pq_refine_search","n":$n,"coarseK":$coarseK,"probedPop":$probedPop,""" +
         f""""buildSecs":$buildSecs%.2f,"searchSecsMedian":${walls(1)}%.3f,""" +
         f""""searchSecs":[${walls.map(w => f"$w%.3f").mkString(",")}]}""")
     spark.stop()

@@ -311,6 +311,83 @@ object PqOps {
       .drop("_graft_neg")
   }
 
+  /** E148: DECODE a coded vector set back to explicit vectors — each id's
+    * m codewords, concatenated in subspace order: `x̂ = [c(0,code₀) ‖ … ‖
+    * c(m−1,code_{m−1})]`, the reconstruction the PQ literature scores
+    * against (Jégou 2011 §III; the 2011 ICASSP re-ranking paper's source
+    * decode). One (sub, code) equi-join against the codebook frame + one
+    * groupBy(id) assembly — the only per-id shuffle, and the caller
+    * restricts `codes` first (shortlist/probed cells), so the assembly is
+    * workload-sized at search time and corpus-sized only at build time.
+    *
+    * Output (idCol, outCol); a per-row guard refuses ids whose assembled
+    * dim ≠ m × subDim (missing/duplicated sub rows — torn codes), the
+    * family's LOUD rule. Determinism: codeword elements are the fit's
+    * 6-dp values; concatenation order is `sub` asc — SQL-restatable
+    * (q166: `flatten(list(c ORDER BY sub))`). */
+  def reconstruct(
+      codes: DataFrame,
+      idCol: String,
+      model: PqModel,
+      outCol: String): DataFrame = {
+    val dim = model.m * model.subDim
+    val books = model.codebooks
+      .withColumnRenamed("_graft_sub", "sub")
+      .withColumnRenamed("_graft_code", "code")
+    val assembled = codes.select(col(idCol), col("sub"), col("code"))
+      .join(books, Seq("sub", "code"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("_graft_c")))),
+        st => st.getField("_graft_c"))).as(outCol))
+    assembled.select(col(idCol),
+      when(size(col(outCol)) === dim, col(outCol))
+        .otherwise(raise_error(concat(
+          lit(s"reconstruct: id "), col(idCol).cast("string"),
+          lit(s" assembled dim "), size(col(outCol)).cast("string"),
+          lit(s" != $dim — its code rows are torn (missing or duplicated " +
+            "sub); rebuild the codes")))).as(outCol))
+  }
+
+  /** E148: per-vector stage-1 QUANTIZATION ERROR `e = v − x̂(v)` — the
+    * vector the refinement codebooks quantize (Jégou, Tavenard, Douze,
+    * Amsaleg, "Searching in one billion vectors: re-rank with source
+    * coding", ICASSP 2011 — public): stage 1's reconstruction already
+    * spent its budget, so the SECOND code level describes what stage 1
+    * could not, and re-ranking decodes `x̂₂ = x̂ + ê` without ever
+    * touching a raw corpus vector. `src` is whatever stage 1 quantized
+    * (raw vectors, residuals, permuted vectors — the error composes on
+    * top of ANY formulation). LEFT join + loud per-row refusal on a
+    * missing reconstruction (the attachCells rule): an inner join would
+    * silently drop corpus rows from the refinement fit.
+    *
+    * Determinism: exact double subtraction of 6-dp codewords from
+    * exactly-cast inputs — bit-identical on any engine (the residuals
+    * contract), so the downstream fit/encode chain keeps its oracle. */
+  def reconstructionErrors(
+      src: DataFrame,
+      vecCol: String,
+      idCol: String,
+      model: PqModel,
+      codes: DataFrame): DataFrame = {
+    val dim = model.m * model.subDim
+    val rec = reconstruct(codes, idCol, model, "_graft_rec")
+    val guarded = when(size(col(vecCol)) === dim,
+        transform(col(vecCol), _.cast("double")))
+      .otherwise(raise_error(concat(
+        lit(s"reconstructionErrors: vector dim must be $dim (the model's), got "),
+        size(col(vecCol)).cast("string"))))
+    src.select(col(idCol), guarded.as("_graft_gv"))
+      .join(rec, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_graft_rec").isNotNull,
+          zip_with(col("_graft_gv"), col("_graft_rec"), (a, b) => a - b))
+        .otherwise(raise_error(concat(
+          lit("reconstructionErrors: id "), col(idCol).cast("string"),
+          lit(" has no stage-1 codes — the codes and source frames cover " +
+            "different id sets; rebuild from one corpus scan")))).as("_graft_err"))
+  }
+
   /** ADC batch search: top-`topN` candidates per query by the asymmetric
     * distance Σ_sub 6-dp-L2²(query subvector, candidate's codeword).
     * `queries` is (qidCol, vecCol) — workload-sized by contract; `codes`
@@ -637,7 +714,13 @@ object PqOps {
       coarse: Array[Array[Double]],
       codes: DataFrame,
       residual: Boolean = false,
-      perm: Array[Int] = Array.empty) {
+      perm: Array[Int] = Array.empty,
+      /** E148: the optional SECOND code level — codebooks fitted on the
+        * stage-1 reconstruction errors, codes stored beside `codes` with
+        * the same (epoch, cell) layout. Present iff the store carries a
+        * `_graft_pq_refinement` pin; [[refineFromCodes]] requires it. */
+      refinement: Option[PqModel] = None,
+      rcodes: Option[DataFrame] = None) {
     /** Identity permutations skip the projection entirely. */
     def isPermuted: Boolean = perm.nonEmpty && !perm.sameElements(perm.indices)
   }
@@ -653,14 +736,22 @@ object PqOps {
     * instead of a bare NoSuchElementException deep in the parse. */
   private val PqPinKeys = Set("m", "kCodes", "subDim", "coarseK", "residual", "perm")
 
+  /** E148: the refinement level's own pin file + exact key set — a
+    * second file (not new keys on the main pin) so every pre-round-14
+    * store keeps reading, and rcodes/rcodebooks data WITHOUT this pin
+    * refuses loudly (pin-before-data, the E138 discipline). */
+  private val PqRefineMetaFile = "_graft_pq_refinement"
+  private val PqRefinePinKeys = Set("m2", "kCodes2", "subDim2")
+
   private def fsOf(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def writeMeta(spark: SparkSession, dir: String, params: String): Unit = {
+  private def writeMeta(spark: SparkSession, dir: String, params: String,
+      file: String = PqMetaFile): Unit = {
     val (fs, _) = fsOf(spark, dir)
-    val metaPath = new org.apache.hadoop.fs.Path(dir, PqMetaFile)
+    val metaPath = new org.apache.hadoop.fs.Path(dir, file)
     val outS = fs.create(metaPath, true)
     try outS.write(params.getBytes("UTF-8")) finally outS.close()
   }
@@ -711,8 +802,13 @@ object PqOps {
       coarseK: Int,
       coarseIters: Int,
       residual: Boolean = false,
-      perm: Option[Array[Int]] = None): PqArtifacts = {
+      perm: Option[Array[Int]] = None,
+      refineM: Int = 0,
+      refineK: Int = 0): PqArtifacts = {
     require(coarseK >= 1, s"coarseK must be positive: $coarseK")
+    require((refineM > 0) == (refineK > 0),
+      s"refinement needs BOTH m2 and kCodes2 positive (or both absent): " +
+        s"refineM=$refineM refineK=$refineK")
     val (fs, p) = fsOf(spark, dir)
     if (fs.exists(p) && fs.listStatus(p).nonEmpty)
       throw new IllegalStateException(
@@ -744,8 +840,18 @@ object PqOps {
     val pinnedPerm = perm.getOrElse((0 until m * model.subDim).toArray)
     require(pinnedPerm.length == m * model.subDim,
       s"perm length ${pinnedPerm.length} != vector dim ${m * model.subDim}")
+    val dim = m * model.subDim
+    if (refineM > 0) require(dim % refineM == 0,
+      s"refinement split refineM=$refineM must divide the vector dim $dim")
     writeMeta(spark, dir,
       pqParams(m, kCodes, model.subDim, coarseK, residual, pinnedPerm))
+    // E148 pin-before-data: both pins land before ANY data directory —
+    // a crash mid-build leaves pins over partial frames, which the read
+    // side refuses loudly (empty/missing-frame checks).
+    if (refineM > 0)
+      writeMeta(spark, dir,
+        s"m2=$refineM kCodes2=$refineK subDim2=${dim / refineM}",
+        PqRefineMetaFile)
     model.codebooks
       .withColumnRenamed("_graft_sub", "sub")
       .withColumnRenamed("_graft_code", "code")
@@ -759,13 +865,40 @@ object PqOps {
     val cells =
       if (residual) fitSrc.select(col(idCol), col("cell").as("cluster"))
       else coarseFit.assignments.select(col(idCol), col("cluster"))
-    val codes = attachCells(encode(fitSrc, fitVecCol, idCol, model), cells, idCol)
+    val codes = Tables.materialize(
+      attachCells(encode(fitSrc, fitVecCol, idCol, model), cells, idCol))
     codes.withColumn("_graft_epoch", lit(BaseEpoch))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("_graft_epoch", "cell")
       .parquet(s"$dir/codes")
+    // E148: the refinement level — codebooks fitted on the stage-1
+    // reconstruction errors e = fitSrc − x̂(codes), codes for the SAME
+    // ids in the SAME (epoch, cell) layout. The error composes on top of
+    // whatever stage 1 quantized (raw / residual / permuted), so no
+    // formulation routing is needed here — [[refineFromCodes]] adds the
+    // same coarse term the stage-1 target omitted.
+    val (rmodelOpt, rcodesOpt) =
+      if (refineM > 0) {
+        val errs = Tables.materialize(
+          reconstructionErrors(fitSrc, fitVecCol, idCol, model, codes))
+        val rmodel = fitPq(errs, "_graft_err", idCol, refineM, refineK, iters)
+        val rcodes = attachCells(
+          encode(errs, "_graft_err", idCol, rmodel), cells, idCol)
+        rmodel.codebooks
+          .withColumnRenamed("_graft_sub", "sub")
+          .withColumnRenamed("_graft_code", "code")
+          .withColumnRenamed("_graft_c", "centroid")
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/rcodebooks")
+        rcodes.withColumn("_graft_epoch", lit(BaseEpoch))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("_graft_epoch", "cell")
+          .parquet(s"$dir/rcodes")
+        (Some(rmodel),
+          Some(spark.read.parquet(s"$dir/rcodes").drop("_graft_epoch")))
+      } else (None, None)
     PqArtifacts(model, coarseFit.centroids,
-      spark.read.parquet(s"$dir/codes").drop("_graft_epoch"), residual, pinnedPerm)
+      spark.read.parquet(s"$dir/codes").drop("_graft_epoch"), residual,
+      pinnedPerm, rmodelOpt, rcodesOpt)
   }
 
   /** Read the artifact set back, REQUIRE-matching the construction pin
@@ -851,12 +984,82 @@ object PqOps {
           s"coarse/ holds ${coarse.length} centroids of widths " +
           s"${coarse.map(_.length).distinct.mkString(",")} — the store drifted " +
           "from its pin; rebuild it.")
+    val (rmodelOpt, rcodesOpt) = readRefinement(spark, dir, m * subDim)
     PqArtifacts(
       PqModel(books, m, kCodes, subDim),
       coarse,
       spark.read.parquet(s"$dir/codes").drop("_graft_epoch"),
       residual,
-      perm)
+      perm,
+      rmodelOpt,
+      rcodesOpt)
+  }
+
+  /** E148: the refinement level's read side — same integrity discipline
+    * as the main level: its own pin (`_graft_pq_refinement`, exact key
+    * set), refusal of rcodes/rcodebooks data WITHOUT the pin
+    * (pin-before-data), empty-frame and drift checks with rebuild
+    * guidance, and the dim must match the main level's (the two decode
+    * levels sum element-wise at re-rank). */
+  private def readRefinement(
+      spark: SparkSession, dir: String, dim: Int): (Option[PqModel], Option[DataFrame]) = {
+    val (fs, _) = fsOf(spark, dir)
+    val pinPath = new org.apache.hadoop.fs.Path(dir, PqRefineMetaFile)
+    if (!fs.exists(pinPath)) {
+      val orphan = Seq("rcodes", "rcodebooks")
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(dir, d)))
+      if (orphan.nonEmpty)
+        throw new IllegalStateException(
+          s"PQ artifact store at $dir holds refinement data (${orphan.mkString(", ")}) " +
+            s"but no $PqRefineMetaFile pin — refinement codes cannot be trusted " +
+            "against these codebooks; rebuild with writePqArtifacts(refineM, refineK) " +
+            "/ --pq-encode --refine-m N --refine-k N.")
+      return (None, None)
+    }
+    val in = fs.open(pinPath)
+    val params =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    def malformed(detail: String) = new IllegalStateException(
+      s"malformed PQ refinement pin at $dir ($detail): [$params] — the pin is " +
+        "the refinement level's integrity contract; rebuild with " +
+        "writePqArtifacts(refineM, refineK) / --pq-encode --refine-m N --refine-k N.")
+    val kv = params.split("\\s+").map(_.split("=") match {
+      case Array(k, v) => k -> v
+      case other => throw malformed(s"entry [${other.mkString("=")}]")
+    }).toMap
+    if (kv.keySet != PqRefinePinKeys)
+      throw malformed(s"keys ${kv.keySet.toSeq.sorted.mkString(",")}, " +
+        s"expected ${PqRefinePinKeys.toSeq.sorted.mkString(",")}")
+    def intOf(k: String): Int =
+      try kv(k).toInt catch { case _: NumberFormatException =>
+        throw malformed(s"$k=${kv(k)} is not an int") }
+    val (m2, kCodes2, subDim2) = (intOf("m2"), intOf("kCodes2"), intOf("subDim2"))
+    if (m2 * subDim2 != dim)
+      throw malformed(s"m2=$m2 × subDim2=$subDim2 != the main level's dim $dim")
+    val books = spark.read.parquet(s"$dir/rcodebooks")
+      .withColumnRenamed("sub", "_graft_sub")
+      .withColumnRenamed("code", "_graft_code")
+      .withColumnRenamed("centroid", "_graft_c")
+    val stored = books.agg(
+        countDistinct(col("_graft_sub")).as("subs"),
+        max(col("_graft_code")).as("maxCode"),
+        min(size(col("_graft_c"))).as("minLen"),
+        max(size(col("_graft_c"))).as("maxLen"))
+      .collect().head
+    if (stored.isNullAt(1))
+      throw new IllegalStateException(
+        s"PQ artifact store at $dir pinned refinement [$params] but rcodebooks/ " +
+          "is empty — a crashed build; rebuild it.")
+    if (stored.getLong(0) != m2.toLong || stored.getInt(1) >= kCodes2 ||
+        stored.getInt(2) != subDim2 || stored.getInt(3) != subDim2)
+      throw new IllegalStateException(
+        s"PQ artifact store at $dir pinned refinement [$params] but rcodebooks/ " +
+          s"holds m2=${stored.getLong(0)}, max code=${stored.getInt(1)}, " +
+          s"centroid widths ${stored.getInt(2)}..${stored.getInt(3)} — " +
+          "the store drifted from its pin; rebuild it.")
+    (Some(PqModel(books, m2, kCodes2, subDim2)),
+      Some(spark.read.parquet(s"$dir/rcodes").drop("_graft_epoch")))
   }
 
   /** Search a stored artifact set, ROUTED BY ITS PINNED FORMULATION:
@@ -899,6 +1102,171 @@ object PqOps {
     else
       ivfAdcSearch(arts.codes, "cell", idCol, q2, qidCol, vec2,
         arts.model, arts.coarse, topN, nprobe)
+  }
+
+  /** E148: RE-RANK FROM CODES (Jégou, Tavenard, Douze, Amsaleg,
+    * "Searching in one billion vectors: re-rank with source coding",
+    * ICASSP 2011 — public): the shortlist is re-scored against the
+    * TWO-LEVEL decode `x̂₂ = [coarse centroid if residual] + x̂₁ + ê₂`
+    * — stage-1 codewords plus the refinement level's decode of the
+    * stage-1 error — by the exact 6-dp L2, cut to `topN`. Unlike
+    * [[refine]] (E145), NO raw corpus vector is ever read: at 10^12 ×
+    * 64-float vectors the raw store is ~256 TB while both code levels
+    * fit in ~12 TB beside the index — this is the two-stage search that
+    * actually runs from the compressed domain end to end.
+    *
+    * `shortlist` is (qidCol, idCol) — [[searchArtifacts]]' output over
+    * THIS store; pass the SAME `nprobe` the shortlist search used: the
+    * codes/rcodes scans partition-prune to the re-derived probed cells
+    * (the E142 machinery), and a shortlist candidate outside them (a
+    * foreign shortlist or a smaller nprobe) refuses loudly via the
+    * decode-join guard rather than silently dropping candidates. Query
+    * vectors take the store's pinned permutation before distancing —
+    * exact L2 is permutation-invariant, so scores equal raw-space ones.
+    *
+    * Determinism: codeword elements are 6-dp, sums are exact double
+    * adds, the final L2 rounds 6 dp, ties to the smaller id (q166). */
+  def refineFromCodes(
+      arts: PqArtifacts,
+      shortlist: DataFrame,
+      idCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      vecCol: String,
+      topN: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(topN >= 1, s"topN out of range: $topN")
+    val rmodel = arts.refinement.getOrElse(throw new IllegalStateException(
+      "refineFromCodes needs a store built WITH a refinement level " +
+        "(writePqArtifacts(refineM, refineK) / --pq-encode --refine-m N " +
+        "--refine-k N) — this store has none; re-rank from the raw corpus " +
+        "with refine() instead, or rebuild the store."))
+    val rcodes = arts.rcodes.get
+    val dim = arts.model.m * arts.model.subDim
+    val (q2, vec2) =
+      if (arts.isPermuted)
+        (applyPerm(queries, vecCol, arts.perm, "_graft_qpv")
+          .select(col(qidCol), col("_graft_qpv")), "_graft_qpv")
+      else (queries, vecCol)
+    val qcells = Tables.materialize(
+      probeCells(q2, vec2, qidCol, arts.coarse, nprobe))
+    val probed = qcells.select(col("_graft_qcell")).distinct()
+      .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+    val candIds = shortlist.select(col(idCol)).distinct()
+    // Both decode levels, restricted FIRST (probed-cell partition filter
+    // + shortlist-id broadcast), so the per-id assembly is Q × R rows.
+    val c1 = arts.codes.filter(col("cell").isin(probed: _*))
+      .join(broadcast(candIds), Seq(idCol))
+    val cellOf = c1.groupBy(col(idCol)).agg(first(col("cell")).as("_graft_cell"))
+    val rec1 = reconstruct(c1, idCol, arts.model, "_graft_r1")
+    val rec2 = reconstruct(
+      rcodes.filter(col("cell").isin(probed: _*))
+        .join(broadcast(candIds), Seq(idCol)),
+      idCol, rmodel, "_graft_r2")
+    // The decode-join guard: every shortlist candidate must decode at
+    // BOTH levels within the probed cells — a null here means a foreign
+    // shortlist, a smaller nprobe than the search's, or torn rcodes.
+    val joined = candIds
+      .join(rec1, Seq(idCol), "left")
+      .join(rec2, Seq(idCol), "left")
+      .join(cellOf, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_graft_r1").isNotNull && col("_graft_r2").isNotNull,
+          zip_with(col("_graft_r1"), col("_graft_r2"), (a, b) => a + b))
+        .otherwise(raise_error(concat(
+          lit("refineFromCodes: shortlist id "), col(idCol).cast("string"),
+          lit(" has no decodable codes within the probed cells — pass the " +
+            "SAME nprobe the shortlist search used, and a shortlist from " +
+            "THIS store")))).as("_graft_x12"),
+        col("_graft_cell"))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val xhat =
+      if (arts.residual) {
+        val centDf = broadcast(
+          arts.coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+            .toSeq.toDF("_graft_cell", "_graft_cc"))
+        joined.join(centDf, Seq("_graft_cell"))
+          .select(col(idCol),
+            zip_with(col("_graft_x12"), col("_graft_cc"), (a, b) => a + b)
+              .as("_graft_xhat"))
+      } else joined.select(col(idCol), col("_graft_x12").as("_graft_xhat"))
+    val qv = q2.select(col(qidCol), col(vec2).as("_graft_qv"))
+    val guardedQ = when(size(col("_graft_qv")) === dim,
+        transform(col("_graft_qv"), _.cast("double")))
+      .otherwise(raise_error(concat(
+        lit(s"refineFromCodes: query dim must be $dim (the store's), got "),
+        size(col("_graft_qv")).cast("string"))))
+    val l2 = graft.functions.VectorFunctions.l2Distance(
+      guardedQ, col("_graft_xhat"))
+    val scored = xhat
+      .join(broadcast(shortlist.select(col(qidCol), col(idCol))), Seq(idCol))
+      .join(broadcast(qv), Seq(qidCol))
+      .select(col(qidCol), col(idCol), (-l2).as("_graft_neg"))
+    TopKOps.groupedTopK(scored, qidCol, "_graft_neg", idCol, topN)
+      .withColumn("dist", round(-col("_graft_neg"), 6))
+      .drop("_graft_neg")
+  }
+
+  /** E148 end-to-end: the compressed-domain two-stage search —
+    * [[searchArtifacts]]' IVFADC shortlist of `topR`, re-ranked by
+    * [[refineFromCodes]] and cut to `topN`. Routing (residual, perm) and
+    * the declared-expectation refusal ride the stage-1 call; the re-rank
+    * reuses the same `nprobe`, so its scans prune to the same cells. */
+  def searchArtifactsRefined(
+      arts: PqArtifacts,
+      idCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      vecCol: String,
+      topR: Int,
+      topN: Int,
+      nprobe: Int = 1,
+      expectResidual: Option[Boolean] = None): DataFrame = {
+    require(topR >= topN,
+      s"topR=$topR must be >= topN=$topN: the re-rank cuts a SHORTLIST")
+    val short = searchArtifacts(
+      arts, idCol, queries, qidCol, vecCol, topR, nprobe, expectResidual)
+    refineFromCodes(arts, short, idCol, queries, qidCol, vecCol, topN, nprobe)
+  }
+
+  /** E149: STORE AUDIT — per-cell population and decode distortion,
+    * computed ENTIRELY from the stored codes (the `dist` column each
+    * encode row carries is the 6-dp per-subspace quantization L2, so
+    * `Σ_sub dist²` IS the squared decode error ‖v − x̂‖² at the
+    * family's 6-dp subspace grain — no raw corpus vector is read):
+    * the ops guard for a 10^12-vector store,
+    * running over the ~12 TB code artifact instead of the ~256 TB
+    * corpus. One row per cell: `population` (ids), `mean_sq_err` /
+    * `max_sq_err` (stage-1 decode), and on a refinement store
+    * `r_mean_sq_err` — the error LEFT after the two-level decode
+    * (null-free by construction there; null = torn refinement, which
+    * the audit REPORTS rather than refuses — auditing is the one place
+    * anomalies are data, not errors).
+    *
+    * What to act on: cells with `population` far above the mean are the
+    * nprobe-search hotspots (each probe scans them whole — the skew that
+    * motivates a re-fit with larger coarseK); cells whose `mean_sq_err`
+    * towers over the rest hold vectors the shared codebooks describe
+    * poorly. Two code-frame aggregations, both on (id, cell) then cell —
+    * no window, no driver-side corpus state. Determinism: sums of
+    * squares of 6-dp values, averages rounded 6 dp (q167). */
+  def pqAudit(arts: PqArtifacts, idCol: String): DataFrame = {
+    val perId = arts.codes.groupBy(col(idCol), col("cell"))
+      .agg(sum(col("dist") * col("dist")).as("_graft_sq1"))
+    val base = perId.groupBy(col("cell")).agg(
+      count(lit(1)).as("population"),
+      round(avg(col("_graft_sq1")), 6).as("mean_sq_err"),
+      round(max(col("_graft_sq1")), 6).as("max_sq_err"))
+    arts.rcodes match {
+      case Some(rc) =>
+        val refined = rc.groupBy(col(idCol), col("cell"))
+          .agg(sum(col("dist") * col("dist")).as("_graft_sq2"))
+          .groupBy(col("cell"))
+          .agg(round(avg(col("_graft_sq2")), 6).as("r_mean_sq_err"))
+        base.join(refined, Seq("cell"), "left")
+      case None => base
+    }
   }
 
   /** [[incrementalPqEncode]]'s two-step result — the ledger family's
@@ -946,26 +1314,43 @@ object PqOps {
         (applyPerm(batch, vecCol, arts.perm, "_graft_bpv")
           .select(col(idCol), col("_graft_bpv")), "_graft_bpv")
       else (batch, vecCol)
-    val batchCodes = Tables.materialize(
+    // The stage-1 TARGET (what the codes quantize) is also what the E148
+    // refinement level's errors subtract from — keep it explicit.
+    val (target, targetVecCol, cells) =
       if (arts.residual) {
-        val res = residuals(b2, vec2, idCol, arts.coarse)
-        attachCells(
-          encode(res, "residual", idCol, arts.model),
-          res.select(col(idCol), col("cell").as("cluster")), idCol)
-      } else attachCells(
-        encode(b2, vec2, idCol, arts.model),
-        KmeansOps.assign(b2, vec2, idCol, arts.coarse)
-          .select(col(idCol), col("cluster")), idCol))
+        val res = Tables.materialize(residuals(b2, vec2, idCol, arts.coarse))
+        (res, "residual", res.select(col(idCol), col("cell").as("cluster")))
+      } else
+        (b2, vec2, KmeansOps.assign(b2, vec2, idCol, arts.coarse)
+          .select(col(idCol), col("cluster")))
+    val batchCodes = Tables.materialize(
+      attachCells(encode(target, targetVecCol, idCol, arts.model), cells, idCol))
+    // A refinement store appends BOTH levels under one epoch token —
+    // appending stage-1 codes alone would leave ids the re-rank's
+    // decode-join guard refuses (torn rcodes).
+    val batchRcodes = arts.refinement.map { rmodel =>
+      val errs = reconstructionErrors(
+        target, targetVecCol, idCol, arts.model, batchCodes)
+      Tables.materialize(
+        attachCells(encode(errs, "_graft_err", idCol, rmodel), cells, idCol))
+    }
     val prior = spark.read.parquet(s"$dir/codes")
       .filter(col("_graft_epoch") =!= epochToken)
       .drop("_graft_epoch")
     new PendingPqCodes(
       prior.unionByName(batchCodes.select(prior.columns.map(col).toIndexedSeq: _*)),
-      () => batchCodes
-        .withColumn("_graft_epoch", lit(epochToken))
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_graft_epoch", "cell")
-        .parquet(s"$dir/codes"))
+      () => {
+        batchCodes
+          .withColumn("_graft_epoch", lit(epochToken))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_graft_epoch", "cell")
+          .parquet(s"$dir/codes")
+        batchRcodes.foreach(_.withColumn("_graft_epoch", lit(epochToken))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_graft_epoch", "cell")
+          .parquet(s"$dir/rcodes"))
+      })
   }
 }

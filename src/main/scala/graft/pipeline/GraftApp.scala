@@ -89,12 +89,15 @@ object GraftApp {
       pqResidual: Boolean = false,
       pqBalancedPerm: Boolean = false,
       rerank: Int = 0,
-      rerankCorpus: Option[String] = None)
+      rerankCorpus: Option[String] = None,
+      refineM: Int = 0,
+      refineK: Int = 0,
+      pqAudit: Boolean = false)
 
   /** Valueless flags (presence = true). */
   private val boolFlags = Set("strict", "stream", "compact-ledger", "fold-epochs",
     "export-shards", "verify-export", "scrub-spans", "exact-neardup", "tokenize",
-    "pq-encode", "pq-append", "pq-search", "residual", "balanced-perm")
+    "pq-encode", "pq-append", "pq-search", "pq-audit", "residual", "balanced-perm")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -134,10 +137,11 @@ object GraftApp {
           "[--heavy-hitters COL --corpus-dir P --out-dir P [--capacity N] [--k N] [--tokenize]] | " +
           "[--pq-encode --corpus-dir P --out-dir P [--vec-col C] [--id-col C] " +
           "[--pq-m N] [--pq-k N] [--pq-iters N] [--pq-coarse-k N] [--residual] " +
-          "[--balanced-perm]] | " +
+          "[--balanced-perm] [--refine-m N --refine-k N]] | " +
           "[--pq-append --corpus-dir P --out-dir P --pq-epoch TOKEN [--vec-col C] [--id-col C]] | " +
           "[--pq-search --corpus-dir QUERIES --pq-store P --out-dir P [--k N] [--nprobe N] " +
-          "[--residual] [--rerank R --rerank-corpus P]]")
+          "[--residual] [--rerank R [--rerank-corpus P]]] | " +
+          "[--pq-audit --pq-store P --out-dir P [--id-col C]]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
       "ledger", "checkpoint", "text-col", "id-col",
@@ -148,7 +152,7 @@ object GraftApp {
       "zorder", "z-bits", "z-files", "out-dir", "tau",
       "heavy-hitters", "capacity",
       "pq-m", "pq-k", "pq-iters", "pq-coarse-k", "pq-epoch", "pq-store",
-      "nprobe", "rerank", "rerank-corpus") ++ boolFlags
+      "nprobe", "rerank", "rerank-corpus", "refine-m", "refine-k") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
     if (unknown.nonEmpty)
@@ -229,7 +233,10 @@ object GraftApp {
       pqResidual = flags.contains("residual"),
       pqBalancedPerm = flags.contains("balanced-perm"),
       rerank = flags.get("rerank").map(_.toInt).getOrElse(0),
-      rerankCorpus = flags.get("rerank-corpus"))
+      rerankCorpus = flags.get("rerank-corpus"),
+      refineM = flags.get("refine-m").map(_.toInt).getOrElse(0),
+      refineK = flags.get("refine-k").map(_.toInt).getOrElse(0),
+      pqAudit = flags.contains("pq-audit"))
   }
 
   /** Testable core; returns the process exit code. */
@@ -417,10 +424,12 @@ object GraftApp {
       val arts = graft.operators.PqOps.writePqArtifacts(
         spark, corpus, a.vecCol, a.idCol, outd,
         a.pqM, a.pqK, a.pqIters, a.pqCoarseK, a.pqIters,
-        residual = a.pqResidual, perm = perm)
+        residual = a.pqResidual, perm = perm,
+        refineM = a.refineM, refineK = a.refineK)
       out(s"PQ_ENCODE_ m=${a.pqM} k=${a.pqK} iters=${a.pqIters} " +
         s"subDim=${arts.model.subDim} coarseK=${a.pqCoarseK} " +
-        s"residual=${a.pqResidual} balancedPerm=${a.pqBalancedPerm} out=$outd")
+        s"residual=${a.pqResidual} balancedPerm=${a.pqBalancedPerm} " +
+        s"refineM=${a.refineM} refineK=${a.refineK} out=$outd")
       return 0
     }
 
@@ -473,24 +482,55 @@ object GraftApp {
         .select(org.apache.spark.sql.functions.col(a.idCol).as("query_id"),
           org.apache.spark.sql.functions.col(a.vecCol))
       val expect = if (a.pqResidual) Some(true) else None
+      // --rerank R with --rerank-corpus = E145 (exact pass over raw
+      // vectors); --rerank R WITHOUT it = E148 (re-rank from the store's
+      // refinement codes — no raw vector read anywhere), which requires
+      // a store built with --refine-m/--refine-k and refuses otherwise.
       val res =
-        if (a.rerank > 0) {
-          val cdir = a.rerankCorpus.getOrElse(
-            throw new IllegalArgumentException(
-              "--rerank requires --rerank-corpus P (the raw-vector corpus)"))
-          val short = graft.operators.PqOps.searchArtifacts(
-            arts, a.idCol, queries, "query_id", a.vecCol,
-            topN = a.rerank, nprobe = a.nprobe, expectResidual = expect)
-          graft.operators.PqOps.refine(
-            short, spark.read.parquet(cdir), a.vecCol, a.idCol,
-            queries, "query_id", topN = a.k)
+        if (a.rerank > 0) a.rerankCorpus match {
+          case Some(cdir) =>
+            val short = graft.operators.PqOps.searchArtifacts(
+              arts, a.idCol, queries, "query_id", a.vecCol,
+              topN = a.rerank, nprobe = a.nprobe, expectResidual = expect)
+            graft.operators.PqOps.refine(
+              short, spark.read.parquet(cdir), a.vecCol, a.idCol,
+              queries, "query_id", topN = a.k)
+          case None =>
+            graft.operators.PqOps.searchArtifactsRefined(
+              arts, a.idCol, queries, "query_id", a.vecCol,
+              topR = a.rerank, topN = a.k, nprobe = a.nprobe,
+              expectResidual = expect)
         } else graft.operators.PqOps.searchArtifacts(
           arts, a.idCol, queries, "query_id", a.vecCol,
           topN = a.k, nprobe = a.nprobe, expectResidual = expect)
       res.write.mode(SaveMode.Overwrite).parquet(outd)
       val n = spark.read.parquet(outd).count()
       out(s"PQ_SEARCH_ k=${a.k} nprobe=${a.nprobe} residual=${arts.residual} " +
-        s"rerank=${a.rerank} result_rows=$n out=$outd")
+        s"rerank=${a.rerank} " +
+        s"rerankSource=${if (a.rerank == 0) "none" else if (a.rerankCorpus.isDefined) "corpus" else "codes"} " +
+        s"result_rows=$n out=$outd")
+      return 0
+    }
+
+    // Store-audit mode (E149): per-cell population + decode distortion
+    // from the stored codes' dist columns — the store's health report
+    // (hot cells = nprobe scan cost; high-error cells = poor codebook
+    // fit) without reading one raw corpus vector.
+    if (a.pqAudit) {
+      val store = a.pqStore.getOrElse(
+        throw new IllegalArgumentException("--pq-audit requires --pq-store P"))
+      val outd = a.outDir.getOrElse(
+        throw new IllegalArgumentException("--pq-audit requires --out-dir P"))
+      val arts = graft.operators.PqOps.readPqArtifacts(spark, store)
+      val audit = graft.operators.PqOps.pqAudit(arts, a.idCol)
+      audit.write.mode(SaveMode.Overwrite).parquet(outd)
+      val rows = spark.read.parquet(outd)
+        .select(org.apache.spark.sql.functions.col("population"))
+        .collect().map(_.getLong(0))
+      val (cells, pop) = (rows.length, rows.sum)
+      val skew = if (rows.isEmpty) 0.0 else rows.max.toDouble * cells / math.max(1L, pop)
+      out(f"PQ_AUDIT_ cells=$cells population=$pop maxCellSkew=$skew%.2f " +
+        s"refined=${arts.refinement.isDefined} out=$outd")
       return 0
     }
 

@@ -571,6 +571,74 @@ object VectorQueries {
       val model = graft.operators.PqOps.fitPq(
         pe, "pv", "vec_id", m = 4, kCodes = 8, iters = 1)
       graft.operators.PqOps.encode(pe, "pv", "vec_id", model)
+    }),
+
+    // E148 re-rank with source coding (round 14, ICASSP 2011): a SECOND,
+    // finer PQ (m2=8) fitted on the stage-1 reconstruction errors; the
+    // IVFADC shortlist (top-20, nprobe=2) is re-scored against the
+    // two-level decode x̂₂ = x̂₁ + ê₂ by exact 6-dp L2 and cut to
+    // top-5 — the q163 two-stage shape with NO raw corpus vector in the
+    // query path (at 10^12 vectors the raw store is the piece this
+    // drops). The oracle replays both fits, both decodes, and the
+    // element-wise sum.
+    "q166_pq_refine_codes" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val coarse = graft.operators.KmeansOps.fit(
+        e, "embedding", "vec_id", k = 8, iters = 1)
+      val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
+      val model = graft.operators.PqOps.fitPq(
+        e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
+      val codes = graft.operators.PqOps.attachCells(
+        graft.operators.PqOps.encode(e, "embedding", "vec_id", model),
+        cells, "vec_id")
+      val errs = graft.operators.PqOps.reconstructionErrors(
+        e, "embedding", "vec_id", model, codes)
+      val rmodel = graft.operators.PqOps.fitPq(
+        errs, "_graft_err", "vec_id", m = 8, kCodes = 8, iters = 1)
+      val rcodes = graft.operators.PqOps.attachCells(
+        graft.operators.PqOps.encode(errs, "_graft_err", "vec_id", rmodel),
+        cells, "vec_id")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val short = graft.operators.PqOps.ivfAdcSearch(
+        codes, "cell", "vec_id", queries, "qid", "embedding",
+        model, coarse.centroids, topN = 20, nprobe = 2)
+      val arts = graft.operators.PqOps.PqArtifacts(
+        model, coarse.centroids, codes,
+        refinement = Some(rmodel), rcodes = Some(rcodes))
+      graft.operators.PqOps.refineFromCodes(
+        arts, short, "vec_id", queries, "qid", "embedding",
+        topN = 5, nprobe = 2)
+    }),
+
+    // E149 store audit (round 14): per-cell population + decode
+    // distortion straight from the stored codes' dist columns — the
+    // 10^12-vector store's health report without one raw-vector read:
+    // Σ_sub dist² IS ‖v − x̂‖², so hot cells (nprobe scan cost) and
+    // badly-described cells (quantization quality) fall out of two
+    // aggregations over the code artifact; r_mean_sq_err is the error
+    // left AFTER the E148 two-level decode, per cell.
+    "q167_pq_store_audit" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val coarse = graft.operators.KmeansOps.fit(
+        e, "embedding", "vec_id", k = 8, iters = 1)
+      val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
+      val model = graft.operators.PqOps.fitPq(
+        e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
+      val codes = graft.operators.PqOps.attachCells(
+        graft.operators.PqOps.encode(e, "embedding", "vec_id", model),
+        cells, "vec_id")
+      val errs = graft.operators.PqOps.reconstructionErrors(
+        e, "embedding", "vec_id", model, codes)
+      val rmodel = graft.operators.PqOps.fitPq(
+        errs, "_graft_err", "vec_id", m = 8, kCodes = 8, iters = 1)
+      val rcodes = graft.operators.PqOps.attachCells(
+        graft.operators.PqOps.encode(errs, "_graft_err", "vec_id", rmodel),
+        cells, "vec_id")
+      val arts = graft.operators.PqOps.PqArtifacts(
+        model, coarse.centroids, codes,
+        refinement = Some(rmodel), rcodes = Some(rcodes))
+      graft.operators.PqOps.pqAudit(arts, "vec_id")
     })
   )
 
@@ -1186,7 +1254,85 @@ object VectorQueries {
             psrc AS (SELECT e.vec_id, list(e.v[pp.dim + 1] ORDER BY pp.pos) AS v
                      FROM e CROSS JOIN pp GROUP BY e.vec_id),
             ${pqCtesF("p", 4, 8, 1, 16, srcSql = "SELECT vec_id, v FROM psrc")}
-            SELECT vec_id, sub, code, dist FROM paf"""
+            SELECT vec_id, sub, code, dist FROM paf""",
+      // Re-rank with source coding: the q163 construction, but the
+      // re-rank decodes x̂₂ = x̂₁ + ê₂ from BOTH code levels (stage-1
+      // codewords + the r-prefixed refinement chain fitted on the
+      // stage-1 errors) instead of reading raw corpus vectors. flatten(
+      // list(c ORDER BY sub)) is the reconstruct concatenation rule.
+      "q166_pq_refine_codes" ->
+        s"""WITH ${kmeansCtes(8, 1)},
+            ${pqCtesF("q", 4, 8, 1, 16)},
+            errs AS (SELECT a.vec_id, a.sub,
+                            list_transform(range(1, 17), i -> a.sv[i] - b.c[i]) AS ev
+                     FROM qaf a JOIN qb1 b ON b.sub = a.sub AND b.code = a.code),
+            errv AS (SELECT vec_id, flatten(list(ev ORDER BY sub)) AS v
+                     FROM errs GROUP BY vec_id),
+            ${pqCtesF("r", 8, 8, 1, 8, srcSql = "SELECT vec_id, v FROM errv")},
+            lut AS (SELECT s.vec_id AS qid, s.sub, b.code,
+                           ${pqL2Sql("s.sv", "b.c", 16)} * ${pqL2Sql("s.sv", "b.c", 16)} AS part
+                    FROM qsubs s JOIN qb1 b ON b.sub = s.sub
+                    WHERE s.vec_id < 5),
+            qp AS (SELECT vec_id AS qid, cl AS qcell FROM (
+                     SELECT e.vec_id, f.cl,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY ${l2Sql("e.v", "f.c")}, f.cl) AS pr
+                     FROM e CROSS JOIN c1 f WHERE e.vec_id < 5)
+                   WHERE pr <= 2),
+            scored AS (SELECT l.qid, a.vec_id, round(sum(l.part), 6) AS adc
+                       FROM qaf a
+                       JOIN af c ON c.vec_id = a.vec_id
+                       JOIN qp ON qp.qcell = c.cl
+                       JOIN lut l ON l.qid = qp.qid
+                                 AND l.sub = a.sub AND l.code = a.code
+                       GROUP BY l.qid, a.vec_id),
+            short AS (SELECT qid, vec_id FROM (
+                        SELECT qid, vec_id,
+                               row_number() OVER (PARTITION BY qid
+                                 ORDER BY adc, vec_id) AS rn
+                        FROM scored) WHERE rn <= 20),
+            rec1 AS (SELECT a.vec_id, flatten(list(b.c ORDER BY a.sub)) AS v1
+                     FROM qaf a JOIN qb1 b ON b.sub = a.sub AND b.code = a.code
+                     GROUP BY a.vec_id),
+            rec2 AS (SELECT a.vec_id, flatten(list(b.c ORDER BY a.sub)) AS v2
+                     FROM raf a JOIN rb1 b ON b.sub = a.sub AND b.code = a.code
+                     GROUP BY a.vec_id),
+            rec AS (SELECT r1.vec_id,
+                           list_transform(range(1, 65), i -> r1.v1[i] + r2.v2[i]) AS rv
+                    FROM rec1 r1 JOIN rec2 r2 ON r2.vec_id = r1.vec_id),
+            re AS (SELECT s.qid, s.vec_id, ${l2Sql("q.v", "c.rv")} AS dist
+                   FROM short s
+                   JOIN e q ON q.vec_id = s.qid
+                   JOIN rec c ON c.vec_id = s.vec_id)
+            SELECT qid, CAST(rank AS INT) AS rank, vec_id, dist FROM (
+              SELECT qid, vec_id, dist,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY dist, vec_id) AS rank
+              FROM re)
+            WHERE rank <= 5""",
+      // Store audit: per-id squared decode error = sum of the encode
+      // rows' dist² (each dist is the 6-dp per-subspace quantization
+      // L2), aggregated per coarse cell; the r-prefixed chain's dists
+      // are the error left after the two-level decode.
+      "q167_pq_store_audit" ->
+        s"""WITH ${kmeansCtes(8, 1)},
+            ${pqCtesF("q", 4, 8, 1, 16)},
+            errs AS (SELECT a.vec_id, a.sub,
+                            list_transform(range(1, 17), i -> a.sv[i] - b.c[i]) AS ev
+                     FROM qaf a JOIN qb1 b ON b.sub = a.sub AND b.code = a.code),
+            errv AS (SELECT vec_id, flatten(list(ev ORDER BY sub)) AS v
+                     FROM errs GROUP BY vec_id),
+            ${pqCtesF("r", 8, 8, 1, 8, srcSql = "SELECT vec_id, v FROM errv")},
+            sq1 AS (SELECT vec_id, sum(dist * dist) AS s FROM qaf GROUP BY vec_id),
+            sq2 AS (SELECT vec_id, sum(dist * dist) AS s FROM raf GROUP BY vec_id)
+            SELECT c.cl AS cell, count(*) AS population,
+                   round(avg(s1.s), 6) AS mean_sq_err,
+                   round(max(s1.s), 6) AS max_sq_err,
+                   round(avg(s2.s), 6) AS r_mean_sq_err
+            FROM af c
+            JOIN sq1 s1 ON s1.vec_id = c.vec_id
+            JOIN sq2 s2 ON s2.vec_id = c.vec_id
+            GROUP BY c.cl"""
     )
   }
 }

@@ -319,6 +319,72 @@ class AccuracySpec extends AnyFunSuite {
     assert(resRecall > 0.0, f"residual recall collapsed to zero: $resRecall%.2f")
   }
 
+  test("refinement re-rank lifts recall over ADC-only and shrinks the decode error") {
+    // E148's whole claim (ICASSP 2011 re-rank with source coding): the
+    // second code level explains part of the stage-1 quantization error,
+    // so (a) the two-level decode sits strictly closer to the corpus
+    // than the one-level decode (mean squared error, measured), and
+    // (b) re-ranking the IVFADC shortlist by the two-level decode
+    // distance recovers at least the ADC-only recall at the same probe
+    // budget — both against the exact-L2 top-5 ground truth.
+    import graft.operators.{KmeansOps, PqOps}
+    val e = Tables(spark, TestSpark.sfDir, "embeddings")
+    val vecs = e.select($"vec_id",
+        transform($"embedding", _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val qs = vecs.filter(_._1 < 5)
+    def l2sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exactTop = qs.map { case (qid, qv) =>
+      qid -> vecs.map { case (vid, v) => (l2sq(qv, v), vid) }
+        .sortBy(identity).take(5).map(_._2).toSet
+    }.toMap
+    val coarse = KmeansOps.fit(e, "embedding", "vec_id", k = 8, iters = 1)
+    val model = PqOps.fitPq(e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
+    val codes = PqOps.attachCells(
+      PqOps.encode(e, "embedding", "vec_id", model),
+      coarse.assignments.select($"vec_id", $"cluster"), "vec_id")
+    val errs = PqOps.reconstructionErrors(e, "embedding", "vec_id", model, codes)
+    val rmodel = PqOps.fitPq(errs, "_graft_err", "vec_id", m = 8, kCodes = 8, iters = 1)
+    val rcodes = PqOps.attachCells(
+      PqOps.encode(errs, "_graft_err", "vec_id", rmodel),
+      coarse.assignments.select($"vec_id", $"cluster"), "vec_id")
+    val arts = PqOps.PqArtifacts(model, coarse.centroids, codes,
+      refinement = Some(rmodel), rcodes = Some(rcodes))
+    // (a) the decode error strictly shrinks: mean ||e₂||² < mean ||e₁||²
+    // where e₂ = e₁ − ê₂ is the error LEFT after the refinement decode.
+    def msq(df: org.apache.spark.sql.DataFrame, vc: String): Double =
+      df.select(aggregate(col(vc), lit(0.0), (acc, x) => acc + x * x).as("s"))
+        .agg(avg($"s")).as[Double].collect().head
+    val err2 = PqOps.reconstructionErrors(
+      errs, "_graft_err", "vec_id", rmodel,
+      PqOps.encode(errs, "_graft_err", "vec_id", rmodel))
+    val mse1 = msq(errs, "_graft_err")
+    val mse2 = msq(err2, "_graft_err")
+    info(f"decode MSE: one-level $mse1%.4f, two-level $mse2%.4f")
+    assert(mse2 < mse1,
+      f"the refinement level must explain error: $mse2%.4f !< $mse1%.4f")
+    // (b) re-ranked recall >= ADC-only recall at the same probe budget.
+    val queries = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val top = df.select($"qid", $"vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      qs.map { case (qid, _) =>
+        (top.getOrElse(qid, Set.empty[Long]) & exactTop(qid)).size.toDouble / 5.0
+      }.sum / qs.length
+    }
+    val adcOnly = recallOf(PqOps.ivfAdcSearch(codes, "cell", "vec_id",
+      queries, "qid", "embedding", model, coarse.centroids, topN = 5, nprobe = 2))
+    val short = PqOps.ivfAdcSearch(codes, "cell", "vec_id",
+      queries, "qid", "embedding", model, coarse.centroids, topN = 20, nprobe = 2)
+    val refined = recallOf(PqOps.refineFromCodes(
+      arts, short, "vec_id", queries, "qid", "embedding", topN = 5, nprobe = 2))
+    info(f"recall@5: ADC-only $adcOnly%.2f, refined $refined%.2f")
+    assert(refined >= adcOnly,
+      f"codes re-rank must not recall less than ADC-only: $refined%.2f vs $adcOnly%.2f")
+    assert(refined > 0.0, f"refined recall collapsed to zero: $refined%.2f")
+  }
+
   test("balanced permutation recovers recall a contiguous split loses on skewed dims") {
     // E147's whole claim (Ge 2013): PQ quality is only as good as the
     // SPLIT. Synthetic skew — dims 0..7 carry ALL the signal, dims

@@ -562,6 +562,219 @@ class PqOpsSpec extends AnyFunSuite {
     assert(gotBatch == expect)
   }
 
+  test("reconstruct concatenates codewords in sub order; torn codes refuse loudly") {
+    // E148 decode: x̂ = [c(0,code₀) ‖ c(1,code₁)] — checked against a
+    // local recompute from the codebook map; an id with a missing sub
+    // row refuses at the assembled-dim guard instead of silently
+    // producing a short vector.
+    val model = PqOps.fitPq(vecs, "v", "id", m = 2, kCodes = 2, iters = 1)
+    val codes = PqOps.encode(vecs, "v", "id", model)
+    val books = model.codebooks.as[(Int, Int, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val codeOf = codes.select(col("id"), col("sub"), col("code"))
+      .as[(Long, Int, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val got = PqOps.reconstruct(codes, "id", model, "rec")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got.keySet == (0L to 5L).toSet)
+    got.foreach { case (id, rec) =>
+      val expect = books((0, codeOf((id, 0)))) ++ books((1, codeOf((id, 1))))
+      assert(rec == expect, s"id $id decoded wrong")
+    }
+    val torn = codes.filter(!(col("id") === 3L && col("sub") === 1))
+    val e = intercept[Exception](
+      PqOps.reconstruct(torn, "id", model, "rec").collect())
+    assert(e.getMessage != null && e.getMessage.contains("torn"), e.getMessage)
+  }
+
+  test("reconstructionErrors is the exact v − x̂; ids without codes refuse") {
+    val model = PqOps.fitPq(vecs, "v", "id", m = 2, kCodes = 2, iters = 1)
+    val codes = PqOps.encode(vecs, "v", "id", model)
+    val rec = PqOps.reconstruct(codes, "id", model, "rec")
+      .as[(Long, Seq[Double])].collect().toMap
+    val orig = vecs.as[(Long, Seq[Double])].collect().toMap
+    val got = PqOps.reconstructionErrors(vecs, "v", "id", model, codes)
+      .as[(Long, Seq[Double])].collect().toMap
+    got.foreach { case (id, err) =>
+      val expect = orig(id).zip(rec(id)).map { case (a, b) => a - b }
+      assert(err == expect, s"id $id error wrong")
+    }
+    val e = intercept[Exception](
+      PqOps.reconstructionErrors(
+        vecs, "v", "id", model, codes.filter(col("id") =!= 2L)).collect())
+    assert(e.getMessage != null && e.getMessage.contains("no stage-1 codes"),
+      e.getMessage)
+  }
+
+  test("refinement store: pin round-trip, two-level decode re-rank, refusals") {
+    // E148: the store carries a second code level (codebooks fitted on
+    // the stage-1 errors). refineFromCodes re-scores a shortlist against
+    // x̂₂ = x̂₁ + ê₂ by exact 6-dp L2 — checked against a local
+    // recompute — and the two-stage searchArtifactsRefined equals the
+    // explicit composition.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_refine_store")
+    val dir = root.resolve("pq").toString
+    PqOps.writePqArtifacts(spark, vecs, "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 1,
+      refineM = 4, refineK = 2)
+    val arts = PqOps.readPqArtifacts(spark, dir)
+    assert(arts.refinement.isDefined && arts.rcodes.isDefined)
+    assert(arts.refinement.get.m == 4 && arts.refinement.get.kCodes == 2 &&
+      arts.refinement.get.subDim == 2)
+    // Local two-level decode per id.
+    val b1 = arts.model.codebooks.as[(Int, Int, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val b2 = arts.refinement.get.codebooks.as[(Int, Int, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val c1 = arts.codes.select(col("id"), col("sub"), col("code"))
+      .as[(Long, Int, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val c2 = arts.rcodes.get.select(col("id"), col("sub"), col("code"))
+      .as[(Long, Int, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    def xhat(id: Long): Seq[Double] = {
+      val r1 = (0 until 2).flatMap(s => b1((s, c1((id, s)))))
+      val r2 = (0 until 4).flatMap(s => b2((s, c2((id, s)))))
+      r1.zip(r2).map { case (a, b) => a + b }
+    }
+    val orig = vecs.as[(Long, Seq[Double])].collect().toMap
+    val queries = vecs.filter(col("id") < 2).select(col("id").as("qid"), col("v"))
+    val short = PqOps.searchArtifacts(arts, "id", queries, "qid", "v",
+      topN = 4, nprobe = 2)
+    val got = PqOps.refineFromCodes(arts, short, "id", queries, "qid", "v",
+        topN = 2, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (qid, _, id, dist) =>
+      assert(dist == l2r6(orig(qid), xhat(id)),
+        s"($qid, $id): $dist != local two-level decode distance")
+    }
+    // End-to-end wrapper ≡ the explicit composition.
+    val viaWrapper = PqOps.searchArtifactsRefined(arts, "id", queries, "qid", "v",
+        topR = 4, topN = 2, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaWrapper == got.toSet)
+    // A store WITHOUT refinement refuses refineFromCodes loudly.
+    val dir2 = root.resolve("pq2").toString
+    PqOps.writePqArtifacts(spark, vecs, "v", "id", dir2,
+      m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 1)
+    val bare = PqOps.readPqArtifacts(spark, dir2)
+    assert(bare.refinement.isEmpty && bare.rcodes.isEmpty)
+    val noRef = intercept[IllegalStateException](
+      PqOps.refineFromCodes(bare, short, "id", queries, "qid", "v", 2, 2))
+    assert(noRef.getMessage.contains("refinement"), noRef.getMessage)
+    // Refinement data without its pin refuses (pin-before-data).
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_pq_refinement"), false)
+    val orphan = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
+    assert(orphan.getMessage.contains("no _graft_pq_refinement pin"),
+      orphan.getMessage)
+    // A malformed refinement pin refuses with rebuild guidance.
+    val outS = fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_pq_refinement"), true)
+    try outS.write("m2=4 kCodes2=2".getBytes("UTF-8")) finally outS.close()
+    val badKeys = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
+    assert(badKeys.getMessage.contains("malformed") &&
+      badKeys.getMessage.contains("rebuild"), badKeys.getMessage)
+    // A dim-inconsistent refinement pin refuses.
+    val outS2 = fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_pq_refinement"), true)
+    try outS2.write("m2=4 kCodes2=2 subDim2=3".getBytes("UTF-8")) finally outS2.close()
+    val badDim = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
+    assert(badDim.getMessage.contains("!= the main level's dim"), badDim.getMessage)
+  }
+
+  test("refinement append: both levels land under one epoch, replay idempotent") {
+    // E148 × E143: incrementalPqEncode on a refinement store encodes the
+    // batch at BOTH levels (stage-1 codes + error codes against the two
+    // pinned codebook sets); a replay of the same epoch overwrites its
+    // own partitions and the re-rank keeps decoding every id.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_refine_append")
+    val dir = root.resolve("pq").toString
+    val base = vecs.filter(col("id") < 4)
+    PqOps.writePqArtifacts(spark, base, "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 1,
+      refineM = 4, refineK = 2)
+    val batch = vecs.filter(col("id") >= 4)
+    val pending = PqOps.incrementalPqEncode(spark, batch, "v", "id", dir, "b2")
+    pending.commitLedger()
+    // Replay the same epoch: identical store afterwards.
+    PqOps.incrementalPqEncode(spark, batch, "v", "id", dir, "b2").commitLedger()
+    val arts = PqOps.readPqArtifacts(spark, dir)
+    assert(arts.codes.select(col("id")).distinct().count() == 6)
+    assert(arts.rcodes.get.select(col("id")).distinct().count() == 6)
+    assert(arts.rcodes.get.count() == 6 * 4, "one rcode row per (id, sub2)")
+    // The appended ids re-rank: decode-join guard passes for a shortlist
+    // drawn from the whole lifetime corpus.
+    val queries = vecs.filter(col("id") >= 4).select(col("id").as("qid"), col("v"))
+    val got = PqOps.searchArtifactsRefined(arts, "id", queries, "qid", "v",
+        topR = 4, topN = 2, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.map(_._1).toSet == Set(4L, 5L))
+    // A shortlist id outside the probed cells refuses loudly.
+    val foreign = Seq((4L, 999L)).toDF("qid", "id")
+    val e = intercept[Exception](
+      PqOps.refineFromCodes(arts, foreign, "id", queries, "qid", "v", 1, 2)
+        .collect())
+    assert(e.getMessage != null && e.getMessage.contains("no decodable codes"),
+      e.getMessage)
+  }
+
+  test("pqAudit reports per-cell population and decode distortion from codes alone") {
+    // E149: Σ_sub dist² IS ‖v − x̂‖² — checked against a local decode
+    // recompute; the refined column is the error left after the
+    // two-level decode and must not exceed the stage-1 error on average.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_audit")
+    val dir = root.resolve("pq").toString
+    PqOps.writePqArtifacts(spark, vecs, "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 1,
+      refineM = 4, refineK = 2)
+    val arts = PqOps.readPqArtifacts(spark, dir)
+    val audit = PqOps.pqAudit(arts, "id")
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // Local recompute from the stored dists.
+    val d1 = arts.codes.select(col("id"), col("cell"), col("dist"))
+      .as[(Long, Int, Double)].collect()
+    val perId = d1.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(r => r._3 * r._3).sum).toMap
+    val byCell = perId.groupBy(_._1._2)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(audit.keySet == byCell.keySet)
+    byCell.foreach { case (cell, m) =>
+      val (_, pop, mean, mx, _) = audit(cell)
+      assert(pop == m.size, s"cell $cell population")
+      assert(mean == r6(m.values.sum / m.size), s"cell $cell mean_sq_err")
+      assert(mx == r6(m.values.max), s"cell $cell max_sq_err")
+    }
+    // The stage-1 squared error from dists equals the direct decode
+    // error recomputed at the SAME grain — each subspace L2 rounded
+    // 6 dp before squaring (dist is stored 6-dp, the family grain).
+    val rec = PqOps.reconstruct(arts.codes, "id", arts.model, "rec")
+      .as[(Long, Seq[Double])].collect().toMap
+    val orig = vecs.as[(Long, Seq[Double])].collect().toMap
+    perId.foreach { case ((id, _), sq) =>
+      val direct = (0 until 2).map { sub =>
+        val a = orig(id).slice(sub * 4, sub * 4 + 4)
+        val b = rec(id).slice(sub * 4, sub * 4 + 4)
+        val d = l2r6(a, b)
+        d * d
+      }.sum
+      assert(math.abs(sq - direct) < 1e-9,
+        s"id $id: dist²-sum $sq != 6-dp decode error $direct")
+    }
+    // Refined mean must not exceed stage-1 mean in any cell on this
+    // fixture (the refinement explains error; AccuracySpec gates the
+    // corpus-level claim).
+    audit.values.foreach { case (cell, _, mean, _, rMean) =>
+      assert(rMean <= mean, s"cell $cell: refined $rMean > stage-1 $mean")
+    }
+    // A store without refinement audits without the refined column.
+    val dir2 = root.resolve("pq2").toString
+    PqOps.writePqArtifacts(spark, vecs, "v", "id", dir2,
+      m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 1)
+    val bare = PqOps.pqAudit(PqOps.readPqArtifacts(spark, dir2), "id")
+    assert(bare.columns.toSeq ==
+      Seq("cell", "population", "mean_sq_err", "max_sq_err"))
+  }
+
   test("balancedPerm deals variance tiers round-robin; applyPerm is the exact projection") {
     // 4-dim fixture, m = 2: variances 0 (dim0) < dim2 < dim3 < dim1 by
     // construction, so the rank order is 1, 3, 2, 0 and round-robin

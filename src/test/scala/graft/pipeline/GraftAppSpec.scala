@@ -420,7 +420,7 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
       "--out-dir", resd, "--id-col", "vec_id", "--k", "3", "--nprobe", "2")
     assert(c3 == 0, l3.mkString("; "))
     assert(l3.exists(_.startsWith(
-      "PQ_SEARCH_ k=3 nprobe=2 residual=false rerank=0 result_rows=9")), l3)
+      "PQ_SEARCH_ k=3 nprobe=2 residual=false rerank=0 rerankSource=none result_rows=9")), l3)
     val written = spark.read.parquet(resd)
       .select($"query_id", $"rank", $"vec_id", $"adc")
       .as[(Long, Int, Long, Double)].collect().toSet
@@ -454,7 +454,7 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
       "--rerank", "8", "--rerank-corpus", corpus)
     assert(c4 == 0, l4.mkString("; "))
     assert(l4.exists(_.startsWith(
-      "PQ_SEARCH_ k=3 nprobe=2 residual=false rerank=8 result_rows=9")), l4)
+      "PQ_SEARCH_ k=3 nprobe=2 residual=false rerank=8 rerankSource=corpus result_rows=9")), l4)
     val writtenRr = spark.read.parquet(rrd)
       .select($"query_id", $"rank", $"vec_id", $"dist")
       .as[(Long, Int, Long, Double)].collect().toSet
@@ -476,9 +476,13 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
       cli("--pq-search", "--corpus-dir", qdir, "--pq-store", outd,
         "--out-dir", rrd, "--id-col", "vec_id", "--k", "3",
         "--rerank", "2", "--rerank-corpus", corpus))
-    intercept[IllegalArgumentException](
+    // --rerank with NO --rerank-corpus is the E148 codes re-rank; this
+    // store has no refinement level, so it refuses at the store, not at
+    // the parser.
+    val noRefine = intercept[IllegalStateException](
       cli("--pq-search", "--corpus-dir", qdir, "--pq-store", outd,
         "--out-dir", rrd, "--id-col", "vec_id", "--k", "3", "--rerank", "8"))
+    assert(noRefine.getMessage.contains("refinement"), noRefine.getMessage)
     // Declared-formulation mismatch: this store pins residual=false, so
     // a search declaring --residual refuses instead of quietly running
     // the raw chain.
@@ -521,7 +525,7 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
       "--k", "3", "--nprobe", "2")
     assert(c2 == 0, l2.mkString("; "))
     assert(l2.exists(_.startsWith(
-      "PQ_SEARCH_ k=3 nprobe=2 residual=true rerank=0")), l2)
+      "PQ_SEARCH_ k=3 nprobe=2 residual=true rerank=0 rerankSource=none")), l2)
     val written = spark.read.parquet(resd)
       .select($"query_id", $"rank", $"vec_id", $"adc")
       .as[(Long, Int, Long, Double)].collect().toSet
@@ -553,6 +557,83 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
         .as[(Long, Int, Int, Double)].collect().toSet
     }
     assert(appended == expectRes)
+  }
+
+  test("--pq-encode --refine-m/--refine-k builds the second level; --rerank re-ranks from codes") {
+    // E148 on the CLI: the store carries refinement codebooks + codes,
+    // and --pq-search --rerank R WITHOUT --rerank-corpus is the
+    // compressed-domain two-stage search — bit-equal to
+    // searchArtifactsRefined, no raw corpus read anywhere.
+    val root = Files.createTempDirectory("pq_cli_refine")
+    val corpus = s"$root/vecs"
+    (0L to 19L).map(i => (i, Array.tabulate(8)(d => (i * 7 + d).toDouble % 5)))
+      .toDF("vec_id", "embedding")
+      .repartition(2).write.mode(SaveMode.Overwrite).parquet(corpus)
+    def cli(extra: String*): (Int, Seq[String]) = {
+      val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val code = GraftApp.run(GraftApp.parseArgs(Seq("dev", "corpus") ++ extra),
+        spark, getenv = _ => None, out = outs.append(_), log = _ => ())
+      (code, outs.toSeq)
+    }
+    val outd = s"$root/pq"
+    val (c, l) = cli("--pq-encode", "--corpus-dir", corpus, "--out-dir", outd,
+      "--id-col", "vec_id", "--pq-m", "2", "--pq-k", "4", "--pq-iters", "1",
+      "--pq-coarse-k", "2", "--refine-m", "4", "--refine-k", "4")
+    assert(c == 0, l.mkString("; "))
+    assert(l.exists(_.contains("refineM=4 refineK=4")), l)
+    assert(spark.read.parquet(s"$outd/rcodebooks").count() == 16L, "4 subs x 4 codes")
+    assert(spark.read.parquet(s"$outd/rcodes").count() == 80L, "20 vectors x 4 subs")
+    val qdir = s"$root/queries"
+    (0L to 2L).map(i => (i, Array.tabulate(8)(d => (i * 7 + d).toDouble % 5)))
+      .toDF("vec_id", "embedding")
+      .write.mode(SaveMode.Overwrite).parquet(qdir)
+    val resd = s"$root/results"
+    val (c2, l2) = cli("--pq-search", "--corpus-dir", qdir, "--pq-store", outd,
+      "--out-dir", resd, "--id-col", "vec_id", "--k", "3", "--nprobe", "2",
+      "--rerank", "8")
+    assert(c2 == 0, l2.mkString("; "))
+    assert(l2.exists(_.startsWith(
+      "PQ_SEARCH_ k=3 nprobe=2 residual=false rerank=8 rerankSource=codes result_rows=9")), l2)
+    val written = spark.read.parquet(resd)
+      .select($"query_id", $"rank", $"vec_id", $"dist")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val direct = {
+      val arts = graft.operators.PqOps.readPqArtifacts(spark, outd)
+      val queries = spark.read.parquet(qdir)
+        .select($"vec_id".as("query_id"), $"embedding")
+      graft.operators.PqOps.searchArtifactsRefined(
+        arts, "vec_id", queries, "query_id", "embedding",
+        topR = 8, topN = 3, nprobe = 2)
+        .as[(Long, Int, Long, Double)].collect().toSet
+    }
+    assert(written == direct)
+    // --pq-append keeps BOTH levels complete under the new epoch.
+    val batch2 = s"$root/vecs2"
+    (20L to 24L).map(i => (i, Array.tabulate(8)(d => (i * 7 + d).toDouble % 5)))
+      .toDF("vec_id", "embedding")
+      .write.mode(SaveMode.Overwrite).parquet(batch2)
+    val (c3, _) = cli("--pq-append", "--corpus-dir", batch2, "--out-dir", outd,
+      "--id-col", "vec_id", "--pq-epoch", "b2")
+    assert(c3 == 0)
+    assert(spark.read.parquet(s"$outd/rcodes").count() == 100L, "25 vectors x 4 subs")
+    // Half a refinement pair refuses at the parser-level build.
+    intercept[IllegalArgumentException](
+      cli("--pq-encode", "--corpus-dir", corpus, "--out-dir", s"$root/pq2",
+        "--id-col", "vec_id", "--refine-m", "4"))
+    // --pq-audit: the store's health report, bit-equal to the API call.
+    val audd = s"$root/audit"
+    val (c5, l5) = cli("--pq-audit", "--pq-store", outd, "--out-dir", audd,
+      "--id-col", "vec_id")
+    assert(c5 == 0, l5.mkString("; "))
+    assert(l5.exists(s => s.startsWith("PQ_AUDIT_ cells=2 population=25") &&
+      s.contains("refined=true")), l5)
+    val writtenAudit = spark.read.parquet(audd)
+      .as[(Int, Long, Double, Double, Double)].collect().toSet
+    val directAudit = graft.operators.PqOps.pqAudit(
+        graft.operators.PqOps.readPqArtifacts(spark, outd), "vec_id")
+      .as[(Int, Long, Double, Double, Double)].collect().toSet
+    assert(writtenAudit == directAudit)
+    intercept[IllegalArgumentException](cli("--pq-audit", "--out-dir", audd))
   }
 
   test("--exact-neardup writes the provably-complete pair report") {
