@@ -311,6 +311,130 @@ object KmeansOps {
           .as("_graft_dist"))
   }
 
+  /** [[splitHotCells]]' result: `assignments` is (idCol, cell) for
+    * EVERY input id (cold members keep their cell; hot members move to
+    * a child), `centroids` the new coarse table (old ids preserved —
+    * child 0 replaces its parent in place, children ≥ 1 append in
+    * (parent asc, child asc) order), `nHot` how many cells split. */
+  final case class SplitResult(
+      assignments: DataFrame,
+      centroids: Array[Array[Double]],
+      nHot: Int)
+
+  /** E150: split every HOT cell (population > `maxPop`) of an existing
+    * coarse partitioning into `⌈pop/maxPop⌉` children by a LOCAL
+    * per-cell k-means — the maintenance move the E149 audit's hotspot
+    * report calls for: an inverted-file search scans probed cells
+    * whole, so one skewed cell taxes every query that probes it; the
+    * split refines ONLY the coarse level (cold cells and their members
+    * are untouched — no global re-fit, no full re-cluster).
+    *
+    * All hot cells fit SIMULTANEOUSLY (the E133/[[fitTwoLevel]]
+    * discipline): one bounded-buffer seed pass (per-cell k varies, so
+    * seeds rank to the LARGEST k and a broadcast per-cell-k frame cuts
+    * each cell's surplus), then the shared cell-equi-join Lloyd rounds.
+    * Driver state is cell-sized by design (populations, the per-cell k
+    * map, the new numbering, the appended centroids — all ≤ a few ×
+    * coarseK rows, the coarse-model trade-off).
+    *
+    * Determinism (the q115/q148 contract): hot = `pop > maxPop`
+    * exactly; seeds are each hot cell's k smallest ids; 6-dp means,
+    * packed arg-min ties to the smaller child; child numbering is
+    * (parent asc, child asc). The whole chain is SQL-restatable
+    * (q168). */
+  def splitHotCells(
+      asg: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cellCol: String,
+      coarse: Array[Array[Double]],
+      maxPop: Long,
+      iters: Int): SplitResult = {
+    require(maxPop >= 1, s"maxPop must be positive: $maxPop")
+    require(iters >= 0, s"iters must be non-negative: $iters")
+    val spark = asg.sparkSession
+    import spark.implicits._
+    val pops = asg.groupBy(col(cellCol)).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    pops.keys.foreach { c =>
+      require(c >= 0 && c < coarse.length,
+        s"cell $c outside the coarse table [0, ${coarse.length}) — these " +
+          "assignments were not produced by this coarse model") }
+    val hot = pops.filter(_._2 > maxPop)
+    if (hot.isEmpty)
+      return SplitResult(
+        asg.select(col(idCol), col(cellCol).cast("int").as("cell")),
+        coarse, 0)
+    val kOf = hot.map { case (c, p) =>
+      c -> math.ceil(p.toDouble / maxPop).toInt }
+    val maxK = kOf.values.max
+    require(maxK < (1 << ClusterBits),
+      s"a hot cell needs $maxK children — exceeds the $ClusterBits-bit " +
+        "packing; raise maxPop or rebuild at a larger coarseK")
+    // Deterministic child numbering, driver-sized: child 0 keeps the
+    // parent id; children >= 1 append after the existing table in
+    // (parent asc, child asc) order.
+    val hotSorted = kOf.toSeq.sortBy(_._1)
+    var next = coarse.length
+    val newIdOf: Map[(Int, Int), Int] = hotSorted.flatMap { case (c, k) =>
+      (0 until k).map { f =>
+        if (f == 0) (c, 0) -> c
+        else { val id = next; next += 1; (c, f) -> id }
+      }
+    }.toMap
+    val hotCells = hot.keySet.toSeq.map(Integer.valueOf)
+    val members = Tables.materialize(
+      asg.filter(col(cellCol).isin(hotCells: _*))
+        .select(col(idCol),
+          transform(col(vecCol), _.cast("double")).as("_graft_v"),
+          col(cellCol).cast("int").as("_graft_cell")))
+    val kDf = broadcast(kOf.toSeq.toDF("_graft_cell", "_graft_k"))
+    // Per-cell seeds: rank to the LARGEST k, cut each cell at its own.
+    val seeds0 = TopKOps.groupedTopK(
+        members.select(col("_graft_cell"),
+          (-col(idCol)).cast("double").as("_graft_negid"), col(idCol)),
+        "_graft_cell", "_graft_negid", idCol, maxK)
+      .join(kDf, Seq("_graft_cell"))
+      .filter(col("rank") <= col("_graft_k"))
+      .select(col("_graft_cell"),
+        (col("rank") - 1).cast("int").as("_graft_fcl"), col(idCol))
+      .join(members.select(col(idCol), col("_graft_cell"), col("_graft_v")),
+        Seq(idCol, "_graft_cell"))
+      .select(col("_graft_cell"), col("_graft_fcl"),
+        col("_graft_v").as("_graft_c"))
+    var fine = Tables.materialize(seeds0)
+    for (_ <- 1 to iters) {
+      val fa = fineArgmin(members, fine, idCol)
+      val upd = fa.join(members.select(col(idCol), col("_graft_v")), idCol)
+        .select(col("_graft_cell"), col("_graft_fcl"),
+          posexplode(col("_graft_v")).as(Seq("i", "x")))
+        .groupBy(col("_graft_cell"), col("_graft_fcl"), col("i"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("_graft_cell"), col("_graft_fcl"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          st => st.getField("m")).as("_graft_cu"))
+      fine = Tables.materialize(
+        fine.join(upd, Seq("_graft_cell", "_graft_fcl"), "left")
+          .select(col("_graft_cell"), col("_graft_fcl"),
+            coalesce(col("_graft_cu"), col("_graft_c")).as("_graft_c")))
+    }
+    val laf = fineArgmin(members, fine, idCol)
+    val mapDf = broadcast(
+      newIdOf.toSeq.map { case ((c, f), id) => (c, f, id) }
+        .toDF("_graft_cell", "_graft_fcl", "_graft_newcell"))
+    val moved = laf.join(mapDf, Seq("_graft_cell", "_graft_fcl"))
+      .select(col(idCol), col("_graft_newcell").as("cell"))
+    val kept = asg.filter(!col(cellCol).isin(hotCells: _*))
+      .select(col(idCol), col(cellCol).cast("int").as("cell"))
+    // New coarse table: settled child centroids overwrite/append.
+    val settled = fine.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val out = Array.ofDim[Array[Double]](next)
+    coarse.indices.foreach(i => out(i) = coarse(i))
+    newIdOf.foreach { case ((c, f), id) => out(id) = settled((c, f)) }
+    SplitResult(kept.unionByName(moved), out, hot.size)
+  }
+
   /** Assign every row to its nearest centroid: input columns plus
     * `cluster` (int, arg-min of 6-dp L2 distance, ties to the smaller
     * index) and `dist` (that 6-dp distance). Narrow zero-shuffle

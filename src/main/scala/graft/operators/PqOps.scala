@@ -1269,6 +1269,110 @@ object PqOps {
     }
   }
 
+  /** E150: REBALANCE a stored index's hot cells — the act-on-the-audit
+    * maintenance op: every cell whose population exceeds `maxPop`
+    * splits into `⌈pop/maxPop⌉` children by [[KmeansOps.splitHotCells]]
+    * (local per-cell k-means — cold cells untouched, no global re-fit),
+    * and the rebuilt store lands in `outDir` with the SAME pinned
+    * codebooks (the fitted-once discipline: only the coarse level
+    * refines) and the codes re-celled.
+    *
+    * RAW formulation only, and that is a THEOREM about cost, not a
+    * shortcut: raw codes quantize `v`, not `v − centroid`, so a cell
+    * split changes NOTHING about any code row — the rebalance is pure
+    * cell-column surgery plus the local fit (one corpus-vector read of
+    * the HOT cells' members). A residual store's codes quantize against
+    * the very centroids the split replaces — rebalancing one IS a
+    * re-encode, so it REFUSES with rebuild guidance instead of
+    * pretending to be cheap. The refinement level (E148) rides along:
+    * raw-store errors are centroid-independent, so rcodes re-cell the
+    * same way.
+    *
+    * `corpus` must cover every stored id (missing vectors refuse
+    * loudly); extra corpus ids are ignored (the store is the source of
+    * truth). Epochs collapse into the new base (a rebalance is a new
+    * base build — quiesce appends around it, the compaction contract).
+    * Returns the re-read artifacts plus how many cells split. */
+  def rebalanceStore(
+      spark: SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      outDir: String,
+      maxPop: Long,
+      iters: Int): (PqArtifacts, Int) = {
+    val arts = readPqArtifacts(spark, dir)
+    if (arts.residual)
+      throw new IllegalStateException(
+        s"store at $dir pins residual=true — residual codes quantize " +
+          "v − coarseCentroid(cell), so a cell split invalidates every code " +
+          "in a split cell: rebalancing a residual store IS a re-encode. " +
+          "Rebuild with --pq-encode --residual at a larger --pq-coarse-k " +
+          "into a fresh directory instead.")
+    val (fs, op) = fsOf(spark, outDir)
+    if (fs.exists(op) && fs.listStatus(op).nonEmpty)
+      throw new IllegalStateException(
+        s"rebalance target $outDir is not empty — build into a fresh " +
+          "directory and swap it in (the writePqArtifacts rule).")
+    // The store's (id, cell) view: one code row per (id, sub), so the
+    // sub = 0 slice is exactly one row per id — no aggregation needed.
+    val memberCells = arts.codes.filter(col("sub") === 0)
+      .select(col(idCol), col("cell").cast("int").as("cell"))
+    val (src, srcVecCol) =
+      if (arts.isPermuted)
+        (applyPerm(corpus, vecCol, arts.perm, "_graft_pv")
+          .select(col(idCol), col("_graft_pv")), "_graft_pv")
+      else (corpus.select(col(idCol), col(vecCol)), vecCol)
+    val asg = Tables.materialize(
+      memberCells.join(src, Seq(idCol), "left")
+        .select(col(idCol), col("cell"),
+          when(col(srcVecCol).isNotNull, col(srcVecCol))
+            .otherwise(raise_error(concat(
+              lit("rebalanceStore: stored id "), col(idCol).cast("string"),
+              lit(" has no vector in the corpus — the split cannot re-fit " +
+                "its cell; pass the corpus the store was built from"))))
+            .as("_graft_rv")))
+    val split = KmeansOps.splitHotCells(
+      asg, "_graft_rv", idCol, "cell", arts.coarse, maxPop, iters)
+    // New store: same pins (coarseK updated), same codebooks, new
+    // coarse table, codes/rcodes re-celled through the attachCells
+    // loud-guard, epochs collapsed into the new base.
+    writeMeta(spark, outDir, pqParams(arts.model.m, arts.model.kCodes,
+      arts.model.subDim, split.centroids.length, residual = false, arts.perm))
+    arts.refinement.foreach { rm =>
+      writeMeta(spark, outDir,
+        s"m2=${rm.m} kCodes2=${rm.kCodes} subDim2=${rm.subDim}",
+        PqRefineMetaFile)
+    }
+    def books(m: PqModel) = m.codebooks
+      .withColumnRenamed("_graft_sub", "sub")
+      .withColumnRenamed("_graft_code", "code")
+      .withColumnRenamed("_graft_c", "centroid")
+    books(arts.model).write.mode(SaveMode.Overwrite).parquet(s"$outDir/codebooks")
+    import spark.implicits._
+    split.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cl", "centroid")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/coarse")
+    val newCells = split.assignments
+      .select(col(idCol), col("cell").as("cluster"))
+    attachCells(arts.codes.drop("cell"), newCells, idCol)
+      .withColumn("_graft_epoch", lit(BaseEpoch))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("_graft_epoch", "cell")
+      .parquet(s"$outDir/codes")
+    arts.refinement.foreach { rm =>
+      books(rm).write.mode(SaveMode.Overwrite).parquet(s"$outDir/rcodebooks")
+      attachCells(arts.rcodes.get.drop("cell"), newCells, idCol)
+        .withColumn("_graft_epoch", lit(BaseEpoch))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("_graft_epoch", "cell")
+        .parquet(s"$outDir/rcodes")
+    }
+    (readPqArtifacts(spark, outDir), split.nHot)
+  }
+
   /** [[incrementalPqEncode]]'s two-step result — the ledger family's
     * write-then-commit protocol: read `codes` (the corpus-lifetime view
     * INCLUDING this batch) now, `commitLedger()` only after the batch's

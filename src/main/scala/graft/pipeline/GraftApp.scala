@@ -92,12 +92,14 @@ object GraftApp {
       rerankCorpus: Option[String] = None,
       refineM: Int = 0,
       refineK: Int = 0,
-      pqAudit: Boolean = false)
+      pqAudit: Boolean = false,
+      pqRebalance: Boolean = false,
+      maxCell: Long = 1L << 22)
 
   /** Valueless flags (presence = true). */
   private val boolFlags = Set("strict", "stream", "compact-ledger", "fold-epochs",
     "export-shards", "verify-export", "scrub-spans", "exact-neardup", "tokenize",
-    "pq-encode", "pq-append", "pq-search", "pq-audit", "residual", "balanced-perm")
+    "pq-encode", "pq-append", "pq-search", "pq-audit", "pq-rebalance", "residual", "balanced-perm")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -141,7 +143,9 @@ object GraftApp {
           "[--pq-append --corpus-dir P --out-dir P --pq-epoch TOKEN [--vec-col C] [--id-col C]] | " +
           "[--pq-search --corpus-dir QUERIES --pq-store P --out-dir P [--k N] [--nprobe N] " +
           "[--residual] [--rerank R [--rerank-corpus P]]] | " +
-          "[--pq-audit --pq-store P --out-dir P [--id-col C]]")
+          "[--pq-audit --pq-store P --out-dir P [--id-col C]] | " +
+          "[--pq-rebalance --pq-store P --corpus-dir P --out-dir NEW " +
+          "[--max-cell N] [--pq-iters N] [--vec-col C] [--id-col C]]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
       "ledger", "checkpoint", "text-col", "id-col",
@@ -152,7 +156,8 @@ object GraftApp {
       "zorder", "z-bits", "z-files", "out-dir", "tau",
       "heavy-hitters", "capacity",
       "pq-m", "pq-k", "pq-iters", "pq-coarse-k", "pq-epoch", "pq-store",
-      "nprobe", "rerank", "rerank-corpus", "refine-m", "refine-k") ++ boolFlags
+      "nprobe", "rerank", "rerank-corpus", "refine-m", "refine-k",
+      "max-cell") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
     if (unknown.nonEmpty)
@@ -236,7 +241,9 @@ object GraftApp {
       rerankCorpus = flags.get("rerank-corpus"),
       refineM = flags.get("refine-m").map(_.toInt).getOrElse(0),
       refineK = flags.get("refine-k").map(_.toInt).getOrElse(0),
-      pqAudit = flags.contains("pq-audit"))
+      pqAudit = flags.contains("pq-audit"),
+      pqRebalance = flags.contains("pq-rebalance"),
+      maxCell = flags.get("max-cell").map(_.toLong).getOrElse(1L << 22))
   }
 
   /** Testable core; returns the process exit code. */
@@ -531,6 +538,28 @@ object GraftApp {
       val skew = if (rows.isEmpty) 0.0 else rows.max.toDouble * cells / math.max(1L, pop)
       out(f"PQ_AUDIT_ cells=$cells population=$pop maxCellSkew=$skew%.2f " +
         s"refined=${arts.refinement.isDefined} out=$outd")
+      return 0
+    }
+
+    // Rebalance mode (E150): split the store's hot cells (population >
+    // --max-cell) by a local per-cell k-means into a FRESH store dir —
+    // raw-formulation cell surgery with the pinned codebooks reused;
+    // residual stores refuse with rebuild guidance (their codes are
+    // centroid-dependent).
+    if (a.pqRebalance) {
+      val store = a.pqStore.getOrElse(
+        throw new IllegalArgumentException("--pq-rebalance requires --pq-store P"))
+      val cdir = a.corpusDir.getOrElse(
+        throw new IllegalArgumentException(
+          "--pq-rebalance requires --corpus-dir P (the raw vectors — the " +
+            "split re-fits hot cells)"))
+      val outd = a.outDir.getOrElse(
+        throw new IllegalArgumentException("--pq-rebalance requires --out-dir NEW"))
+      val (arts, nHot) = graft.operators.PqOps.rebalanceStore(
+        spark, store, spark.read.parquet(cdir), a.vecCol, a.idCol,
+        outd, a.maxCell, a.pqIters)
+      out(s"PQ_REBALANCE_ hotCells=$nHot coarseK=${arts.coarse.length} " +
+        s"maxCell=${a.maxCell} out=$outd")
       return 0
     }
 

@@ -639,6 +639,28 @@ object VectorQueries {
         model, coarse.centroids, codes,
         refinement = Some(rmodel), rcodes = Some(rcodes))
       graft.operators.PqOps.pqAudit(arts, "vec_id")
+    }),
+
+    // E150 hot-cell split (round 14): the act-on-the-audit maintenance
+    // — every cell whose population exceeds ⌈n/10⌉ (mean is n/8, so at
+    // least one cell is always hot) splits into ⌈pop/maxPop⌉ children
+    // by a LOCAL per-cell k-means (seeds = the k smallest ids, one
+    // Lloyd round); cold cells and their members are untouched, child 0
+    // keeps the parent id, children ≥ 1 number densely after the
+    // table in (parent, child) order — empty children RESERVE their id
+    // (the numbering is structural, not data-dependent).
+    "q168_cell_rebalance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val coarse = graft.operators.KmeansOps.fit(
+        e, "embedding", "vec_id", k = 8, iters = 1)
+      val asg = graft.operators.KmeansOps.assign(
+          e.select(col("vec_id"), col("embedding")),
+          "embedding", "vec_id", coarse.centroids)
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+      val maxPop = math.ceil(e.count() / 10.0).toLong
+      graft.operators.KmeansOps.splitHotCells(
+        asg, "embedding", "vec_id", "cluster", coarse.centroids,
+        maxPop, iters = 1).assignments
     })
   )
 
@@ -1332,7 +1354,59 @@ object VectorQueries {
             FROM af c
             JOIN sq1 s1 ON s1.vec_id = c.vec_id
             JOIN sq2 s2 ON s2.vec_id = c.vec_id
-            GROUP BY c.cl"""
+            GROUP BY c.cl""",
+      // Hot-cell split: hot = pop > ceil(n/10); per-cell k =
+      // ceil(pop/maxpop); seeds = the k smallest ids per hot cell; one
+      // local Lloyd round (assign to own cell's seeds → 6-dp means with
+      // the empty-child coalesce → settle); child 0 keeps the parent
+      // id, children >= 1 number densely over ALL reserved (cl, fcl)
+      // slots in (cl, fcl) order — the constant 256-range join
+      // enumerates reserved slots so an EMPTY child still holds its id.
+      "q168_cell_rebalance" ->
+        s"""WITH ${kmeansCtes(8, 1)},
+            tot AS (SELECT CAST(ceil(count(*) / 10.0) AS BIGINT) AS maxpop FROM af),
+            pop AS (SELECT cl, count(*) AS pop FROM af GROUP BY cl),
+            hot AS (SELECT p.cl, CAST(ceil(p.pop * 1.0 / t.maxpop) AS INT) AS k
+                    FROM pop p, tot t WHERE p.pop > t.maxpop),
+            mem AS (SELECT a.vec_id, a.v, a.cl, h.k
+                    FROM af a JOIN hot h ON h.cl = a.cl),
+            seeds AS (SELECT cl, CAST(rn - 1 AS INT) AS fcl, v AS c FROM (
+                        SELECT cl, vec_id, v, k,
+                               row_number() OVER (PARTITION BY cl
+                                 ORDER BY vec_id) AS rn
+                        FROM mem) WHERE rn <= k),
+            la0 AS (SELECT vec_id, cl, v, fcl FROM (
+                      SELECT m.vec_id, m.cl, m.v, s.fcl,
+                             row_number() OVER (PARTITION BY m.vec_id
+                               ORDER BY ${l2Sql("m.v", "s.c")}, s.fcl) AS rn
+                      FROM mem m JOIN seeds s ON s.cl = m.cl) WHERE rn = 1),
+            lc1 AS (SELECT p.cl, p.fcl, coalesce(u.c, p.c) AS c
+                    FROM seeds p LEFT JOIN (
+                      SELECT cl, fcl, list(m ORDER BY j) AS c FROM (
+                        SELECT cl, fcl, j, round(avg(v[j]), 6) AS m
+                        FROM la0, unnest(range(1, 65)) AS u(j)
+                        GROUP BY cl, fcl, j)
+                      GROUP BY cl, fcl) u
+                    ON u.cl = p.cl AND u.fcl = p.fcl),
+            laf AS (SELECT vec_id, cl, fcl FROM (
+                      SELECT m.vec_id, m.cl, c.fcl,
+                             row_number() OVER (PARTITION BY m.vec_id
+                               ORDER BY ${l2Sql("m.v", "c.c")}, c.fcl) AS rn
+                      FROM mem m JOIN lc1 c ON c.cl = m.cl) WHERE rn = 1),
+            numb AS (SELECT cl, fcl,
+                            CAST(7 + row_number() OVER (ORDER BY cl, fcl) AS INT)
+                              AS newcell
+                     FROM (SELECT h.cl, CAST(u.f AS INT) AS fcl
+                           FROM hot h
+                           JOIN (SELECT CAST(u.f AS INT) AS f
+                                 FROM unnest(range(1, 256)) AS u(f)) u
+                             ON u.f < h.k))
+            SELECT a.vec_id, a.cl AS cell
+            FROM af a LEFT JOIN hot h ON h.cl = a.cl WHERE h.cl IS NULL
+            UNION ALL
+            SELECT l.vec_id,
+                   CASE WHEN l.fcl = 0 THEN l.cl ELSE n.newcell END AS cell
+            FROM laf l LEFT JOIN numb n ON n.cl = l.cl AND n.fcl = l.fcl"""
     )
   }
 }

@@ -241,6 +241,11 @@ class PlanSpec extends AnyFunSuite {
                                   // audit itself is exactly four exchanges — two
                                   // (id, cell) dist²-sum aggs and two per-cell re-aggs
                                   // over ≤ coarseK rows
+      "q168_cell_rebalance" -> 2, // the hot-member local fit: the bounded-buffer seed
+                                  // top-k agg + the per-(cell, child) update agg — the
+                                  // Lloyd argmins are map-side packed mins and the cold
+                                  // side is a narrow filter; hot populations and the
+                                  // numbering are driver-sized (≤ coarseK rows)
       "q108_srp_incr_neardup" -> 5, // hit/purge anti-joins on the id key + banded self-join
                                     // + pair and drop distincts (banding cached; ledger-hit
                                     // verification is eager, outside this plan)

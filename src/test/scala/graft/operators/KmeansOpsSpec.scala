@@ -202,6 +202,71 @@ class KmeansOpsSpec extends AnyFunSuite {
       (2, 0) -> Seq(9.0, 9.0)), got.toString)
   }
 
+  test("splitHotCells: only hot cells split, numbering is structural, locals match") {
+    // E150: a skewed fixture — cell 0 holds 12 near-identical members
+    // in two obvious sub-blobs, cell 1 holds 2 — with maxPop = 6, so
+    // cell 0 is hot (k = 2 children) and cell 1 is untouched. The local
+    // split must equal a hand recompute (seeds = 2 smallest ids, one
+    // Lloyd round), child 0 keeps cell id 0, child 1 takes id 2
+    // (= coarse.length), and cold members keep their assignment.
+    val coarse = Array(Array(0.0, 0.0), Array(100.0, 100.0))
+    val rows =
+      (0L to 5L).map(i => (i, Array(0.0 + i * 0.01, 0.0))) ++      // blob A
+      (6L to 11L).map(i => (i, Array(5.0 + (i - 6) * 0.01, 0.0))) ++ // blob B
+      Seq((20L, Array(100.0, 100.0)), (21L, Array(100.1, 100.0)))
+    val df = rows.toDF("id", "v")
+    val asg = KmeansOps.assign(df, "v", "id", coarse)
+      .select(col("id"), col("v"), col("cluster"))
+    val split = KmeansOps.splitHotCells(
+      asg, "v", "id", "cluster", coarse, maxPop = 6, iters = 1)
+    assert(split.nHot == 1)
+    assert(split.centroids.length == 3, "one new child appended")
+    val got = split.assignments.as[(Long, Int)].collect().toMap
+    // Cold members untouched.
+    assert(got(20L) == 1 && got(21L) == 1)
+    // Hot members: seeds are ids 0 (blob A) and 1 (blob A) — after one
+    // update round child 0's centroid is pulled toward whichever seed
+    // captured blob B. Local recompute of the full chain:
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      BigDecimal(math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val members = rows.filter(_._1 < 12).map { case (i, v) => i -> v.toSeq }
+    val seeds0 = Seq(0 -> members(0)._2, 1 -> members(1)._2)
+    def argmin(cents: Seq[(Int, Seq[Double])], v: Seq[Double]): Int =
+      cents.map { case (f, c) => (l2(v, c), f) }.min._2
+    val a0 = members.map { case (i, v) => i -> argmin(seeds0, v) }
+    val upd = seeds0.map { case (f, c0) =>
+      val mine = a0.filter(_._2 == f).map(x => members.find(_._1 == x._1).get._2)
+      f -> (if (mine.isEmpty) c0
+            else c0.indices.map(d =>
+              BigDecimal(mine.map(_(d)).sum / mine.size)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val expectLocal = members.map { case (i, v) =>
+      i -> (argmin(upd, v) match { case 0 => 0; case 1 => 2 })
+    }.toMap
+    expectLocal.foreach { case (i, c) =>
+      assert(got(i) == c, s"id $i: got ${got(i)}, local recompute $c")
+    }
+    // The split actually reduced the hot population.
+    val newPops = got.values.groupBy(identity).view.mapValues(_.size)
+    assert(newPops(0) < 12 && newPops(2) > 0)
+    // Centroid layout: index 1 untouched, 0 and 2 are the settled pair.
+    assert(split.centroids(1).toSeq == coarse(1).toSeq)
+    assert(split.centroids(0).toSeq == upd(0)._2 && split.centroids(2).toSeq == upd(1)._2)
+    // No hot cells -> identity result, same centroid object count.
+    val calm = KmeansOps.splitHotCells(
+      asg, "v", "id", "cluster", coarse, maxPop = 100, iters = 1)
+    assert(calm.nHot == 0 && calm.centroids.length == 2)
+    assert(calm.assignments.as[(Long, Int)].collect().toMap ==
+      asg.select(col("id"), col("cluster")).as[(Long, Int)].collect().toMap)
+    // A foreign cell id refuses loudly.
+    val bad = asg.withColumn("cluster", col("cluster") + 7)
+    val e = intercept[IllegalArgumentException](
+      KmeansOps.splitHotCells(bad, "v", "id", "cluster", coarse, 6, 1))
+    assert(e.getMessage.contains("coarse table"), e.getMessage)
+  }
+
   test("semanticPurgeTwoLevel pairs on the leaf key and honors the gauge") {
     val out = KmeansOps.semanticPurgeTwoLevel(
       emb, "embedding", "vec_id", k1 = 3, k2 = 3, iters = 1, minCos = 0.4)

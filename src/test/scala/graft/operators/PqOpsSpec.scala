@@ -775,6 +775,64 @@ class PqOpsSpec extends AnyFunSuite {
       Seq("cell", "population", "mean_sq_err", "max_sq_err"))
   }
 
+  test("rebalanceStore: raw cell surgery, codes unchanged, residual refuses") {
+    // E150: hot cells split into a FRESH store — the pinned codebooks
+    // and every (sub, code, dist) row are IDENTICAL (raw codes don't
+    // depend on the cell; that's the op's whole cost theorem), only
+    // cell assignments of hot members move, the coarse table grows,
+    // and flat ADC results are bit-equal before/after. The refinement
+    // level rides along re-celled.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_rebalance")
+    val dir = root.resolve("pq").toString
+    // coarseK = 1: every vector in one cell => guaranteed hot.
+    PqOps.writePqArtifacts(spark, vecs, "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 1, coarseIters = 1,
+      refineM = 4, refineK = 2)
+    val before = PqOps.readPqArtifacts(spark, dir)
+    val outd = root.resolve("pq_rebalanced").toString
+    val (after, nHot) = PqOps.rebalanceStore(
+      spark, dir, vecs, "v", "id", outd, maxPop = 3, iters = 1)
+    assert(nHot == 1)
+    assert(after.coarse.length == 2, "6 members / maxPop 3 = 2 children")
+    def codeRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("sub"), col("code"), col("dist"))
+        .as[(Long, Int, Int, Double)].collect().toSet
+    assert(codeRows(after.codes) == codeRows(before.codes), "codes must not change")
+    assert(codeRows(after.rcodes.get) == codeRows(before.rcodes.get))
+    // Members actually split across the two children.
+    val cellsAfter = after.codes.select(col("cell")).distinct()
+      .as[Int].collect().toSet
+    assert(cellsAfter == Set(0, 1), cellsAfter.toString)
+    // Flat ADC (cell-independent) is bit-equal across the rebalance.
+    val queries = vecs.filter(col("id") < 2).select(col("id").as("qid"), col("v"))
+    def flat(a: PqOps.PqArtifacts) =
+      PqOps.adcSearch(a.codes.drop("cell"), "id", queries, "qid", "v",
+          a.model, topN = 3)
+        .as[(Long, Int, Long, Double)].collect().toSet
+    assert(flat(after) == flat(before))
+    // The rebalanced store searches through the normal routed path.
+    assert(PqOps.searchArtifacts(after, "id", queries, "qid", "v",
+      topN = 2, nprobe = 2).count() > 0)
+    // A residual store refuses with rebuild guidance.
+    val rdir = root.resolve("pq_res").toString
+    PqOps.writePqArtifacts(spark, vecs, "v", "id", rdir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 1, coarseIters = 1,
+      residual = true)
+    val res = intercept[IllegalStateException](PqOps.rebalanceStore(
+      spark, rdir, vecs, "v", "id", root.resolve("x").toString, 3, 1))
+    assert(res.getMessage.contains("re-encode"), res.getMessage)
+    // A corpus missing a stored id refuses loudly.
+    val short = vecs.filter(col("id") < 5)
+    val miss = intercept[Exception](PqOps.rebalanceStore(
+      spark, dir, short, "v", "id", root.resolve("y").toString, 3, 1))
+    assert(miss.getMessage != null && miss.getMessage.contains("no vector"),
+      miss.getMessage)
+    // A non-empty target refuses (the writePqArtifacts rule).
+    val full = intercept[IllegalStateException](PqOps.rebalanceStore(
+      spark, dir, vecs, "v", "id", outd, 3, 1))
+    assert(full.getMessage.contains("not empty"), full.getMessage)
+  }
+
   test("balancedPerm deals variance tiers round-robin; applyPerm is the exact projection") {
     // 4-dim fixture, m = 2: variances 0 (dim0) < dim2 < dim3 < dim1 by
     // construction, so the rank order is 1, 3, 2, 0 and round-robin

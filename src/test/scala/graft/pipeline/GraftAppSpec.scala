@@ -634,6 +634,27 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
       .as[(Int, Long, Double, Double, Double)].collect().toSet
     assert(writtenAudit == directAudit)
     intercept[IllegalArgumentException](cli("--pq-audit", "--out-dir", audd))
+
+    // --pq-rebalance: hot cells split into a FRESH store; codes rows
+    // unchanged (raw surgery), coarse table grew, both levels re-celled.
+    // The corpus must cover the appended epoch's ids too (the store is
+    // the source of truth on membership).
+    val corpusAll = s"$root/vecsall"
+    (0L to 24L).map(i => (i, Array.tabulate(8)(d => (i * 7 + d).toDouble % 5)))
+      .toDF("vec_id", "embedding")
+      .write.mode(SaveMode.Overwrite).parquet(corpusAll)
+    val rebd = s"$root/rebalanced"
+    val (c6, l6) = cli("--pq-rebalance", "--pq-store", outd, "--corpus-dir",
+      corpusAll, "--out-dir", rebd, "--id-col", "vec_id", "--max-cell", "8",
+      "--pq-iters", "1")
+    assert(c6 == 0, l6.mkString("; "))
+    assert(l6.exists(_.startsWith("PQ_REBALANCE_ hotCells=")), l6)
+    val reb = graft.operators.PqOps.readPqArtifacts(spark, rebd)
+    assert(reb.coarse.length >= 2 && reb.refinement.isDefined)
+    assert(spark.read.parquet(s"$rebd/codes").count() ==
+      spark.read.parquet(s"$outd/codes").count())
+    intercept[IllegalArgumentException](
+      cli("--pq-rebalance", "--pq-store", outd, "--out-dir", rebd))
   }
 
   test("--exact-neardup writes the provably-complete pair report") {

@@ -477,8 +477,12 @@ class StreamingSpec extends AnyFunSuite {
     // The pinned store: a full build over "yesterday's corpus".
     def vec(i: Long): Array[Double] = Array.tabulate(8)(d => (i * 7 + d).toDouble % 5)
     val corpus = (0L to 9L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    // Round 14: a REFINEMENT store — the drain must keep BOTH code
+    // levels complete per epoch (a stage-1-only append would leave ids
+    // the E148 re-rank's decode-join guard refuses).
     graft.operators.PqOps.writePqArtifacts(spark, corpus, "embedding", "vec_id",
-      store, m = 2, kCodes = 4, iters = 1, coarseK = 2, coarseIters = 1)
+      store, m = 2, kCodes = 4, iters = 1, coarseK = 2, coarseIters = 1,
+      refineM = 4, refineK = 4)
     val pinned = graft.operators.PqOps.readPqArtifacts(spark, store)
     val mem = MemoryStream[(Long, Seq[Double])]
     val q = StreamingOps.foreachBatchLedgerPqEncode(
@@ -511,6 +515,22 @@ class StreamingSpec extends AnyFunSuite {
       val epochs = spark.read.parquet(s"$store/codes")
         .select($"_graft_epoch").distinct().as[String].collect().toSet
       assert(epochs == Set("base", "epoch0", "epoch1"), epochs.toString)
+      // The refinement level stayed complete through every epoch: same
+      // id set as the codes, m2 = 4 rows per id, same epoch layout —
+      // so the E148 two-stage search serves streamed ids too.
+      val rEpochs = spark.read.parquet(s"$store/rcodes")
+        .select($"_graft_epoch").distinct().as[String].collect().toSet
+      assert(rEpochs == epochs, rEpochs.toString)
+      val rIds = spark.read.parquet(s"$store/rcodes")
+        .groupBy($"vec_id").count().as[(Long, Long)].collect().toMap
+      assert(rIds.keySet == (0L to 12L).toSet && rIds.values.forall(_ == 4L),
+        s"rcodes incomplete: $rIds")
+      val arts2 = graft.operators.PqOps.readPqArtifacts(spark, store)
+      val queries = Seq((12L, vec(12).toSeq)).toDF("qid", "embedding")
+      val hits = graft.operators.PqOps.searchArtifactsRefined(
+        arts2, "vec_id", queries, "qid", "embedding",
+        topR = 4, topN = 2, nprobe = 2)
+      assert(hits.count() == 2, "streamed ids must be re-rankable from codes")
     } finally q.stop()
   }
 
