@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object LshRegime {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | kmeans2 | semincr | wsample | contam | contamauto | chunk | spans | spansincr | shuffleorder | split | prefixjoin | pq]")
+      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | kmeans2 | semincr | wsample | contam | contamauto | chunk | spans | spansincr | shuffleorder | split | prefixjoin | pq | pqres | pqrefine | pqrebalance]")
     val dir = args(0)
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
@@ -48,6 +48,7 @@ object LshRegime {
     if (args.length > 1 && args(1) == "pq") { pqSearch(spark, dir, residual = false); return }
     if (args.length > 1 && args(1) == "pqres") { pqSearch(spark, dir, residual = true); return }
     if (args.length > 1 && args(1) == "pqrefine") { pqRefine(spark, dir); return }
+    if (args.length > 1 && args(1) == "pqrebalance") { pqRebalance(spark, dir); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -688,6 +689,36 @@ object LshRegime {
       f"""{"metric":"pq_refine_search","n":$n,"coarseK":$coarseK,"probedPop":$probedPop,""" +
         f""""buildSecs":$buildSecs%.2f,"searchSecsMedian":${walls(1)}%.3f,""" +
         f""""searchSecs":[${walls.map(w => f"$w%.3f").mkString(",")}]}""")
+    spark.stop()
+  }
+
+  /** E150's scale claim, isolated: the REBALANCE wall must be the local
+    * hot-cell re-fit (∝ hot members) plus the fresh-store rewrite
+    * (∝ n, sequential parquet) — nothing super-linear, and no cold
+    * member's vector is ever read. maxPop is set at 0.8× the mean cell
+    * population (this generator's k-means lands near-balanced, so the
+    * 0.8 gauge makes roughly every cell hot — the worst case: the
+    * local re-fit touches ~the whole corpus), the same relative
+    * threshold at every scale. */
+  private def pqRebalance(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = vecs.count()
+    val coarseK = math.max(8L, n / 2500L).toInt
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_rebalance_probe")
+    val store = root.resolve("pq").toString
+    operators.PqOps.writePqArtifacts(spark, vecs, "embedding", "vec_id", store,
+      m = 4, kCodes = 8, iters = 1, coarseK = coarseK, coarseIters = 1)
+    val maxPop = (n * 8L) / (coarseK.toLong * 10L)
+    val t0 = System.nanoTime()
+    val (arts, nHot) = operators.PqOps.rebalanceStore(
+      spark, store, vecs, "embedding", "vec_id",
+      root.resolve("pq2").toString, maxPop, iters = 1)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"metric":"pq_rebalance","n":$n,"coarseK":$coarseK,"maxPop":$maxPop,""" +
+        f""""nHot":$nHot,"newCoarseK":${arts.coarse.length},"rebalanceSecs":$secs%.2f}""")
     spark.stop()
   }
 }
