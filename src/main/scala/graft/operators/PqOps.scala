@@ -1290,8 +1290,16 @@ object PqOps {
     *
     * `corpus` must cover every stored id (missing vectors refuse
     * loudly); extra corpus ids are ignored (the store is the source of
-    * truth). Epochs collapse into the new base (a rebalance is a new
-    * base build — quiesce appends around it, the compaction contract).
+    * truth). Epochs COLLAPSE into the new base — a rebalance is a new
+    * base build, so the append protocol's replay horizon resets with
+    * it: quiesce appends around the rebalance, and NEVER replay a
+    * pre-rebalance epoch token into the new store (its rows are
+    * already in base, and the replay's coarse assignment against the
+    * NEW table can differ at cell boundaries — the dynamic overwrite
+    * would then add, not replace: duplicate membership). In-flight
+    * batches re-run as FRESH tokens after cutover — the same quiesce
+    * contract [[graft.operators.MaintenanceOps.foldEpochs]] declares
+    * for the other six ledger spaces.
     * Returns the re-read artifacts plus how many cells split. */
   def rebalanceStore(
       spark: SparkSession,
