@@ -276,7 +276,20 @@ object KmeansOps {
     * joins back for its vectors (AQE broadcasts it). Plan-gated in
     * KmeansOpsSpec: no Window node. −id is exact in a double up to
     * 2^53 — far past any real id space (the E108 argument). */
-  private[operators] def seedFine(asg: DataFrame, idCol: String, k2: Int): DataFrame =
+  /** The negated-id seed rank is exact in a double only for NUMERIC ids
+    * (up to 2^53 — the E108 argument); a string id would null out under
+    * the cast and die as an opaque encoder NPE deep in the top-k UDAF.
+    * The family's rule is a loud refusal at the entry instead. */
+  private def requireNumericId(df: DataFrame, idCol: String, op: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op seeds rank on the negated id, so '$idCol' must be numeric — " +
+        s"got $dt; map ids to a dense long first (the corpus-prep rule " +
+        "every ledger in this family shares)")
+  }
+
+  private[operators] def seedFine(asg: DataFrame, idCol: String, k2: Int): DataFrame = {
+    requireNumericId(asg, idCol, "fitTwoLevel")
     TopKOps.groupedTopK(
         asg.select(col("_graft_cell"),
           (-col(idCol)).cast("double").as("_graft_negid"), col(idCol)),
@@ -287,6 +300,7 @@ object KmeansOps {
         Seq(idCol, "_graft_cell"))
       .select(col("_graft_cell"), col("_graft_fcl"),
         col("_graft_v").as("_graft_c"))
+  }
 
   /** Arg-min of 6-dp L2 over each vector's OWN cell's fine centroids:
     * cell-equi-join, the packed (dist, fcl) long, map-side-combined
@@ -352,6 +366,7 @@ object KmeansOps {
       iters: Int): SplitResult = {
     require(maxPop >= 1, s"maxPop must be positive: $maxPop")
     require(iters >= 0, s"iters must be non-negative: $iters")
+    requireNumericId(asg, idCol, "splitHotCells")
     val spark = asg.sparkSession
     import spark.implicits._
     val pops = asg.groupBy(col(cellCol)).count()

@@ -688,7 +688,17 @@ object PqOps {
       .otherwise(raise_error(concat(
         lit(s"applyPerm: vector dim must be ${perm.length} (the perm's), got "),
         size(col(vecCol)).cast("string"))))
-    df.withColumn(outCol, array(perm.toIndexedSeq.map(p => guarded.getItem(p)): _*))
+    // Two projections on purpose: the guarded transform lands in its
+    // own column and the permuted array picks elements off that plain
+    // ATTRIBUTE. Inlining `guarded` into every pick (one withColumn)
+    // would embed the whole guard+cast subtree dim times — an O(dim²)
+    // expression tree that blows past codegen method limits at
+    // real embedding dims (768+). CollapseProject keeps the split: a
+    // non-cheap alias referenced dim times is not re-inlined.
+    df.withColumn("_graft_perm_src", guarded)
+      .withColumn(outCol,
+        array(perm.toIndexedSeq.map(p => col("_graft_perm_src").getItem(p)): _*))
+      .drop("_graft_perm_src")
   }
 
   // ---------------------------------------------------------------------
@@ -737,9 +747,13 @@ object PqOps {
   private val PqPinKeys = Set("m", "kCodes", "subDim", "coarseK", "residual", "perm")
 
   /** E148: the refinement level's own pin file + exact key set — a
-    * second file (not new keys on the main pin) so every pre-round-14
-    * store keeps reading, and rcodes/rcodebooks data WITHOUT this pin
-    * refuses loudly (pin-before-data, the E138 discipline). */
+    * second file (not new keys on the main pin) so a store built
+    * WITHOUT a refinement level keeps reading unchanged (the main
+    * pin's exact key set stays stable), and rcodes/rcodebooks data
+    * WITHOUT this pin refuses loudly (pin-before-data, the E138
+    * discipline). Pre-perm legacy pins refuse at the MAIN pin's
+    * key-set check by design — that refusal is spec-pinned, not an
+    * oversight. */
   private val PqRefineMetaFile = "_graft_pq_refinement"
   private val PqRefinePinKeys = Set("m2", "kCodes2", "subDim2")
 
@@ -1037,6 +1051,14 @@ object PqOps {
     val (m2, kCodes2, subDim2) = (intOf("m2"), intOf("kCodes2"), intOf("subDim2"))
     if (m2 * subDim2 != dim)
       throw malformed(s"m2=$m2 × subDim2=$subDim2 != the main level's dim $dim")
+    // Crash windows between the pin write and the data writes refuse
+    // with the designed rebuild guidance, never a bare path-not-found.
+    Seq("rcodebooks", "rcodes").foreach { d =>
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir, d)))
+        throw new IllegalStateException(
+          s"PQ artifact store at $dir pinned refinement [$params] but $d/ is " +
+            "missing — a crashed build; rebuild it.")
+    }
     val books = spark.read.parquet(s"$dir/rcodebooks")
       .withColumnRenamed("sub", "_graft_sub")
       .withColumnRenamed("code", "_graft_code")
@@ -1341,6 +1363,18 @@ object PqOps {
               lit(" has no vector in the corpus — the split cannot re-fit " +
                 "its cell; pass the corpus the store was built from"))))
             .as("_graft_rv")))
+    // Duplicate corpus rows for one stored id would ride the join into
+    // DUPLICATE membership rows — inflated populations, and each code
+    // row written twice into the new store (doubled ADC sums at
+    // search). The family's rule is a loud refusal, and a maintenance
+    // op can afford the one extra aggregation to enforce it.
+    val dup = asg.groupBy(col(idCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalStateException(
+        s"rebalanceStore: corpus holds ${dup.head.getLong(1)} rows for stored " +
+          s"id ${dup.head.get(0)} — duplicate ids would double that id's codes " +
+          "in the rebuilt store; deduplicate the corpus first.")
     val split = KmeansOps.splitHotCells(
       asg, "_graft_rv", idCol, "cell", arts.coarse, maxPop, iters)
     // New store: same pins (coarseK updated), same codebooks, new

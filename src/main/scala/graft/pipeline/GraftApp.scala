@@ -664,6 +664,15 @@ object GraftApp {
       spark: SparkSession,
       out: String => Unit,
       log: String => Unit): Int = {
+    // Conflicting stream modes refuse loudly (the typo'd-flag rule):
+    // the PQ drain has no fingerprint ledger or corpus sink, so a
+    // --ledger (or --sink) alongside --pq-store means the caller
+    // expected the dedup pipeline — running the other one silently
+    // would discard the work they asked for.
+    if (a.pqStore.isDefined && (a.ledgerDir.isDefined || a.sinkOverride.isDefined))
+      throw new IllegalArgumentException(
+        "--stream --pq-store is the PQ-ingest drain (no ledger, no sink); " +
+          "it cannot combine with --ledger/--sink — pick ONE stream mode")
     def need(v: Option[String], what: String): String = v.getOrElse(
       throw new IllegalArgumentException(s"--stream requires $what"))
     val (srcFmt, srcDir) =

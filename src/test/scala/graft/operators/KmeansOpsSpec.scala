@@ -260,6 +260,12 @@ class KmeansOpsSpec extends AnyFunSuite {
     assert(calm.nHot == 0 && calm.centroids.length == 2)
     assert(calm.assignments.as[(Long, Int)].collect().toMap ==
       asg.select(col("id"), col("cluster")).as[(Long, Int)].collect().toMap)
+    // A string id refuses at the entry (the negated-id rank is only
+    // exact for numeric ids) instead of an opaque encoder NPE.
+    val sAsg = asg.withColumn("sid", concat(lit("doc-"), col("id"))).drop("id")
+    val sid = intercept[IllegalArgumentException](
+      KmeansOps.splitHotCells(sAsg, "v", "sid", "cluster", coarse, 6, 1))
+    assert(sid.getMessage.contains("must be numeric"), sid.getMessage)
     // A foreign cell id refuses loudly.
     val bad = asg.withColumn("cluster", col("cluster") + 7)
     val e = intercept[IllegalArgumentException](

@@ -667,6 +667,18 @@ class PqOpsSpec extends AnyFunSuite {
     val orphan = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
     assert(orphan.getMessage.contains("no _graft_pq_refinement pin"),
       orphan.getMessage)
+    // A crash window that wrote the pin but not the data dirs refuses
+    // with rebuild guidance, never a bare path-not-found.
+    val pinBytes = "m2=4 kCodes2=2 subDim2=2".getBytes("UTF-8")
+    val rb = new org.apache.hadoop.fs.Path(dir, "rcodebooks")
+    val rbTmp = new org.apache.hadoop.fs.Path(dir, "rcodebooks_moved")
+    val outPin = fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_pq_refinement"), true)
+    try outPin.write(pinBytes) finally outPin.close()
+    fs.rename(rb, rbTmp)
+    val noDir = intercept[IllegalStateException](PqOps.readPqArtifacts(spark, dir))
+    assert(noDir.getMessage.contains("rcodebooks/ is missing") &&
+      noDir.getMessage.contains("rebuild"), noDir.getMessage)
+    fs.rename(rbTmp, rb)
     // A malformed refinement pin refuses with rebuild guidance.
     val outS = fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_pq_refinement"), true)
     try outS.write("m2=4 kCodes2=2".getBytes("UTF-8")) finally outS.close()
@@ -827,6 +839,13 @@ class PqOpsSpec extends AnyFunSuite {
       spark, dir, short, "v", "id", root.resolve("y").toString, 3, 1))
     assert(miss.getMessage != null && miss.getMessage.contains("no vector"),
       miss.getMessage)
+    // Duplicate corpus rows for one stored id refuse loudly — silently
+    // joined through, they would double that id's codes in the rebuilt
+    // store (doubled ADC sums at search).
+    val dupCorpus = vecs.unionByName(vecs.filter(col("id") === 1L))
+    val dup = intercept[IllegalStateException](PqOps.rebalanceStore(
+      spark, dir, dupCorpus, "v", "id", root.resolve("z").toString, 3, 1))
+    assert(dup.getMessage.contains("duplicate ids"), dup.getMessage)
     // A non-empty target refuses (the writePqArtifacts rule).
     val full = intercept[IllegalStateException](PqOps.rebalanceStore(
       spark, dir, vecs, "v", "id", outd, 3, 1))

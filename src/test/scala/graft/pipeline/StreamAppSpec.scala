@@ -241,5 +241,16 @@ class StreamAppSpec extends AnyFunSuite {
         spark, out = _ => (), log = _ => ())
     }
     assert(e2.getMessage.contains("ONE table"))
+    // Conflicting stream modes refuse: --pq-store is the PQ-ingest
+    // drain (no ledger, no sink) — combining it with --ledger/--sink
+    // would silently discard the dedup pipeline the caller asked for.
+    val e3 = intercept[IllegalArgumentException] {
+      GraftApp.run(GraftApp.parseArgs(Seq(
+        "dev", "docs", "--stream", "--pq-store", "/tmp/pq",
+        "--source", s"parquet:$src", "--ledger", "/tmp/l",
+        "--checkpoint", "/tmp/c")),
+        spark, out = _ => (), log = _ => ())
+    }
+    assert(e3.getMessage.contains("ONE stream mode"), e3.getMessage)
   }
 }
