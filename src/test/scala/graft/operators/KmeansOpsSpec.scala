@@ -260,6 +260,11 @@ class KmeansOpsSpec extends AnyFunSuite {
     assert(calm.nHot == 0 && calm.centroids.length == 2)
     assert(calm.assignments.as[(Long, Int)].collect().toMap ==
       asg.select(col("id"), col("cluster")).as[(Long, Int)].collect().toMap)
+    // The family's seed discipline holds here too: per-cell seeds come
+    // from the bounded-buffer grouped top-k, never an n-sized
+    // row_number window (the round-13 weak-mark class).
+    val plan = split.assignments.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
     // A string id refuses at the entry (the negated-id rank is only
     // exact for numeric ids) instead of an opaque encoder NPE.
     val sAsg = asg.withColumn("sid", concat(lit("doc-"), col("id"))).drop("id")
