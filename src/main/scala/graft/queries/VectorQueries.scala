@@ -588,16 +588,20 @@ object VectorQueries {
       val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
       val model = graft.operators.PqOps.fitPq(
         e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
-      val codes = graft.operators.PqOps.attachCells(
+      // codes/errs/rcodes each feed 2-3 downstream consumers (the
+      // shortlist search + both re-rank decode levels) — materialize
+      // once, exactly what the stored-artifact path gets for free.
+      val codes = graft.Tables.materialize(graft.operators.PqOps.attachCells(
         graft.operators.PqOps.encode(e, "embedding", "vec_id", model),
-        cells, "vec_id")
-      val errs = graft.operators.PqOps.reconstructionErrors(
-        e, "embedding", "vec_id", model, codes)
+        cells, "vec_id"))
+      val errs = graft.Tables.materialize(
+        graft.operators.PqOps.reconstructionErrors(
+          e, "embedding", "vec_id", model, codes))
       val rmodel = graft.operators.PqOps.fitPq(
         errs, "_graft_err", "vec_id", m = 8, kCodes = 8, iters = 1)
-      val rcodes = graft.operators.PqOps.attachCells(
+      val rcodes = graft.Tables.materialize(graft.operators.PqOps.attachCells(
         graft.operators.PqOps.encode(errs, "_graft_err", "vec_id", rmodel),
-        cells, "vec_id")
+        cells, "vec_id"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding"))
       val short = graft.operators.PqOps.ivfAdcSearch(
@@ -625,11 +629,12 @@ object VectorQueries {
       val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
       val model = graft.operators.PqOps.fitPq(
         e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
-      val codes = graft.operators.PqOps.attachCells(
+      val codes = graft.Tables.materialize(graft.operators.PqOps.attachCells(
         graft.operators.PqOps.encode(e, "embedding", "vec_id", model),
-        cells, "vec_id")
-      val errs = graft.operators.PqOps.reconstructionErrors(
-        e, "embedding", "vec_id", model, codes)
+        cells, "vec_id"))
+      val errs = graft.Tables.materialize(
+        graft.operators.PqOps.reconstructionErrors(
+          e, "embedding", "vec_id", model, codes))
       val rmodel = graft.operators.PqOps.fitPq(
         errs, "_graft_err", "vec_id", m = 8, kCodes = 8, iters = 1)
       val rcodes = graft.operators.PqOps.attachCells(

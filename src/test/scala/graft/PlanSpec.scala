@@ -224,23 +224,21 @@ class PlanSpec extends AnyFunSuite {
                                   // The residualized LUT is a BroadcastExchange (its
                                   // per-(query, cell) widening adds rows, not
                                   // exchanges); the probe set is a static isin.
-      "q166_pq_refine_codes" -> 31, // TWO full fit+encode chains in one plan — q159's
-                                  // stage-1 build (spreads + seed TakeOrdered re-reads
-                                  // + arg-min agg + the fixture's in-query attachCells
-                                  // id-join) + the error table (reconstruct's per-id
-                                  // assembly agg + the codes join) + the SAME shapes
-                                  // again for the m2=8 refinement fit/encode — all
-                                  // build-time, paid ONCE at --pq-encode operationally
-                                  // (stored rcodes already carry cell). The search side
-                                  // adds only workload-sized exchanges: the ADC sum +
-                                  // shortlist top-k, then the re-rank's candIds
-                                  // distinct, cell/rec1/rec2 per-id assembly aggs and
-                                  // the final top-k — every one ≤ Q × R rows.
-      "q167_pq_store_audit" -> 14, // the same two-level BUILD (stage-1 + error table +
-                                  // refinement fit/encode + in-query attachCells); the
-                                  // audit itself is exactly four exchanges — two
-                                  // (id, cell) dist²-sum aggs and two per-cell re-aggs
-                                  // over ≤ coarseK rows
+      "q166_pq_refine_codes" -> 17, // TWO full fit+encode chains in one plan — the
+                                  // shared frames (codes, errors, rcodes) are
+                                  // MATERIALIZED once (cache builds are leaves here,
+                                  // gated like q48/q50/q58), so what remains is the
+                                  // stage-1/stage-2 fit spreads + arg-min aggs (all
+                                  // build-time, paid ONCE at --pq-encode
+                                  // operationally) plus the workload-sized search
+                                  // side: the ADC sum + shortlist top-k, the
+                                  // re-rank's candIds distinct, cell/rec1/rec2
+                                  // per-id assembly aggs and the final top-k —
+                                  // every one ≤ Q × R rows.
+      "q167_pq_store_audit" -> 7, // the same two-level BUILD behind materialized
+                                  // frames; the audit itself is four exchanges — two
+                                  // (id, cell) dist²-sum aggs and two per-cell
+                                  // re-aggs over ≤ coarseK rows
       "q168_cell_rebalance" -> 2, // the hot-member local fit: the bounded-buffer seed
                                   // top-k agg + the per-(cell, child) update agg — the
                                   // Lloyd argmins are map-side packed mins and the cold
