@@ -281,11 +281,18 @@ object KmeansOps {
     * the cast and die as an opaque encoder NPE deep in the top-k UDAF.
     * The family's rule is a loud refusal at the entry instead. */
   private def requireNumericId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val dt = df.schema(idCol).dataType
-    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"$op seeds rank on the negated id, so '$idCol' must be numeric — " +
-        s"got $dt; map ids to a dense long first (the corpus-prep rule " +
-        "every ledger in this family shares)")
+    // INTEGRAL only (ADVICE round 14): a Float/Double id passes a bare
+    // NumericType check, but the downstream top-k casts the tie-break id
+    // to LONG — a fractional id truncates in the seed rank and the
+    // join-back on the original id column then misses (1.2 != 1), so the
+    // op would silently seed FEWER fine clusters than requested.
+    require(dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType,
+      s"$op seeds rank on the negated id, so '$idCol' must be numeric " +
+        s"and integral (byte/short/int/long) — got $dt; map ids to a " +
+        "dense long first (the corpus-prep rule every ledger in this " +
+        "family shares)")
   }
 
   private[operators] def seedFine(asg: DataFrame, idCol: String, k2: Int): DataFrame = {
@@ -369,13 +376,26 @@ object KmeansOps {
     requireNumericId(asg, idCol, "splitHotCells")
     val spark = asg.sparkSession
     import spark.implicits._
+    // Cell values decode as generic Numbers (ADVICE round 14): callers
+    // outside rebalanceStore plausibly carry a LONG cell column, and a
+    // bare getInt would die as an opaque ClassCastException instead of
+    // the designed refusals. The range check below rejects anything a
+    // lossy narrowing could have mangled BEFORE toInt runs.
     val pops = asg.groupBy(col(cellCol)).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map { r =>
+        val c = r.get(0) match {
+          case n: java.lang.Number => n.longValue
+          case other => throw new IllegalArgumentException(
+            s"splitHotCells: cell column '$cellCol' must be integral, " +
+              s"got ${asg.schema(cellCol).dataType} value $other")
+        }
+        c -> r.getLong(1)
+      }.toMap
     pops.keys.foreach { c =>
       require(c >= 0 && c < coarse.length,
         s"cell $c outside the coarse table [0, ${coarse.length}) — these " +
           "assignments were not produced by this coarse model") }
-    val hot = pops.filter(_._2 > maxPop)
+    val hot = pops.collect { case (c, p) if p > maxPop => c.toInt -> p }
     if (hot.isEmpty)
       return SplitResult(
         asg.select(col(idCol), col(cellCol).cast("int").as("cell")),

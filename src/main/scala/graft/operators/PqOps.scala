@@ -270,6 +270,57 @@ object PqOps {
         zip_with(guarded, col("_graft_cc"), (a, b) => a - b).as("residual"))
   }
 
+  /** E151 (round 15): residuals AGAINST DECLARED CELLS — (idCol, cell,
+    * residual) with `residual = v − cents(cell)`, where `cell` is the
+    * CALLER's assignment column, not a fresh arg-min. This is the
+    * rebalance re-encode contract: [[KmeansOps.splitHotCells]] reassigns
+    * a hot cell's members only among that cell's own children (local
+    * surgery — the point is NOT re-clustering the corpus), so a split
+    * member's recorded child stands even if another cell's centroid is
+    * globally nearer; the store invariant that matters downstream is
+    * only that each code quantizes `v − centroid(recorded cell)`, which
+    * is exactly what [[ivfAdcSearchResidual]]'s per-(query, cell) LUT
+    * assumes. [[residuals]] (fresh arg-min) would silently file edge
+    * members under a DIFFERENT cell than the one their codes are stored
+    * in — the mis-pairing this declared-cell variant exists to avoid.
+    *
+    * Same guards as [[residuals]]: per-row dim check woven into the data
+    * column, and a LEFT centroid join with a loud per-row refusal for a
+    * cell outside the table (an inner join would silently drop the row —
+    * the attachCells rule). Same determinism: exact double subtraction
+    * of 6-dp centroid elements (q169). */
+  def residualsAt(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cellCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    require(cents.nonEmpty, "residualsAt needs at least one centroid")
+    val dim = cents.head.length
+    require(cents.forall(_.length == dim),
+      s"centroids must share one dim, got ${cents.map(_.length).distinct.mkString(",")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("_graft_rcell", "_graft_cc"))
+    val guarded = when(size(col(vecCol)) === dim,
+        transform(col(vecCol), _.cast("double")))
+      .otherwise(raise_error(concat(
+        lit(s"residualsAt: vector dim must be $dim (the centroid table's), got "),
+        size(col(vecCol)).cast("string"))))
+    df.select(col(idCol), col(cellCol).cast("int").as("cell"), col(vecCol))
+      .join(centDf, col("cell") === col("_graft_rcell"), "left")
+      .select(col(idCol), col("cell"),
+        when(col("_graft_cc").isNotNull,
+          zip_with(guarded, col("_graft_cc"), (a, b) => a - b))
+        .otherwise(raise_error(concat(
+          lit("residualsAt: id "), col(idCol).cast("string"),
+          lit(" declares cell "), col("cell").cast("string"),
+          lit(s" outside the centroid table [0, ${cents.length}) — these " +
+            "assignments were not produced against this table")))).as("residual"))
+  }
+
   /** E145: exact RE-RANK of an ANN shortlist (IVFADC+R, Jégou 2011 §V):
     * the ADC/IVFADC top-R candidates per query are re-scored with the
     * EXACT vector distance and cut to top-`topN` — the standard
@@ -406,12 +457,23 @@ object PqOps {
       topN: Int): DataFrame = {
     require(topN >= 1, s"topN out of range: $topN")
     val lut = adcLut(queries, qidCol, vecCol, model)
-    val scored = codes
-      .join(broadcast(lut), Seq("sub", "code"))
+    adcTopK(codes.join(broadcast(lut), Seq("sub", "code")), qidCol, idCol, topN)
+  }
+
+  /** The family's shared scoring tail (round 15 — extracted so the next
+    * formulation change cannot drift one searcher's arithmetic from the
+    * others'): sum each (query, candidate)'s partial squares at the 6-dp
+    * grain, then cut to the bounded-buffer grouped top-k. Grouped top-k
+    * ranks DESCENDING; ADC wants the smallest distance first, so rank on
+    * the negated score and restore it after — (adc asc, id asc). */
+  private def adcTopK(
+      partials: DataFrame,
+      qidCol: String,
+      idCol: String,
+      topN: Int): DataFrame = {
+    val scored = partials
       .groupBy(col(qidCol), col(idCol))
       .agg(round(sum(col("_graft_part")), 6).as("adc"))
-      // Grouped top-k ranks DESCENDING; ADC wants the smallest distance
-      // first, so rank on the negated score and restore it after.
       .withColumn("_graft_neg", -col("adc"))
     TopKOps.groupedTopK(scored, qidCol, "_graft_neg", idCol, topN)
       .withColumn("adc", round(-col("_graft_neg"), 6))
@@ -523,16 +585,12 @@ object PqOps {
     val probed = qcells.select(col("_graft_qcell")).distinct()
       .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
     val lut = adcLut(queries, qidCol, vecCol, model)
-    val scored = codes
-      .filter(col(cellCol).isin(probed: _*))
-      .join(broadcast(qcells), col(cellCol) === col("_graft_qcell"))
-      .join(broadcast(lut), Seq(qidCol, "sub", "code"))
-      .groupBy(col(qidCol), col(idCol))
-      .agg(round(sum(col("_graft_part")), 6).as("adc"))
-      .withColumn("_graft_neg", -col("adc"))
-    TopKOps.groupedTopK(scored, qidCol, "_graft_neg", idCol, topN)
-      .withColumn("adc", round(-col("_graft_neg"), 6))
-      .drop("_graft_neg")
+    adcTopK(
+      codes
+        .filter(col(cellCol).isin(probed: _*))
+        .join(broadcast(qcells), col(cellCol) === col("_graft_qcell"))
+        .join(broadcast(lut), Seq(qidCol, "sub", "code")),
+      qidCol, idCol, topN)
   }
 
   /** RESIDUAL-aware IVFADC (Jégou 2011 §IV.B — the paper's ACTUAL
@@ -604,19 +662,15 @@ object PqOps {
         col("_graft_qk._graft_qcell").as("_graft_qcell"),
         col("sub"), col("_graft_code").as("code"),
         (round(l2, 6) * round(l2, 6)).as("_graft_part"))
-    val scored = codes
-      .filter(col(cellCol).isin(probed: _*))
-      .join(broadcast(lut), Seq("sub", "code"))
-      // The cell-match IS the residual formulation: a candidate in cell
-      // ℓ meets only the (query, ℓ)-residualized LUT entries. Catalyst
-      // folds this into the join condition.
-      .filter(col(cellCol) === col("_graft_qcell"))
-      .groupBy(col(qidCol), col(idCol))
-      .agg(round(sum(col("_graft_part")), 6).as("adc"))
-      .withColumn("_graft_neg", -col("adc"))
-    TopKOps.groupedTopK(scored, qidCol, "_graft_neg", idCol, topN)
-      .withColumn("adc", round(-col("_graft_neg"), 6))
-      .drop("_graft_neg")
+    adcTopK(
+      codes
+        .filter(col(cellCol).isin(probed: _*))
+        .join(broadcast(lut), Seq("sub", "code"))
+        // The cell-match IS the residual formulation: a candidate in cell
+        // ℓ meets only the (query, ℓ)-residualized LUT entries. Catalyst
+        // folds this into the join condition.
+        .filter(col(cellCol) === col("_graft_qcell")),
+      qidCol, idCol, topN)
   }
 
   /** E147 (round 14): variance-BALANCED subspace permutation — the
@@ -924,7 +978,17 @@ object PqOps {
     * DRIVER state by design (coarseK × dim doubles — ~0.5 GB at the
     * 2^20-cell ceiling, the same deliberate trade-off as E133's coarse
     * level): the probe needs it per-query-row, and a broadcast join
-    * would re-ship the identical frame per search batch for no win. */
+    * would re-ship the identical frame per search batch for no win.
+    *
+    * MIGRATION NOTE (deliberate, ADVICE round 14): the exact key-set
+    * check makes stores pinned BEFORE the residual/perm keys existed
+    * unreadable ("malformed … rebuild") even though their data is valid
+    * — the missing keys have unambiguous defaults (residual=false,
+    * perm=identity), but defaulting them would also wave through a pin
+    * TRUNCATED by a torn write, which is indistinguishable from a legacy
+    * pin and exactly the corruption the pin exists to refuse. Pre-perm
+    * stores must rebuild once (or have `residual=false perm=0,…,D-1`
+    * appended to the pin by an operator who has verified the store). */
   def readPqArtifacts(spark: SparkSession, dir: String): PqArtifacts = {
     val params = readMeta(spark, dir)
     def malformed(detail: String) = new IllegalStateException(
@@ -1208,9 +1272,22 @@ object PqOps {
         val centDf = broadcast(
           arts.coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
             .toSeq.toDF("_graft_cell", "_graft_cc"))
-        joined.join(centDf, Seq("_graft_cell"))
+        // LEFT join on purpose (ADVICE round 14): an INNER join here lets
+        // Catalyst infer `isnotnull(_graft_cell)` and push it BELOW the
+        // guard projection — a shortlist id with no decodable codes
+        // (foreign shortlist, smaller nprobe, torn rcodes) has a null
+        // cell and would be silently DROPPED before the raise_error above
+        // ever evaluates. With the left join the row survives to the
+        // guard; the _graft_cc refusal below covers the remaining
+        // (store-corruption) case of a cell outside the coarse table.
+        joined.join(centDf, Seq("_graft_cell"), "left")
           .select(col(idCol),
-            zip_with(col("_graft_x12"), col("_graft_cc"), (a, b) => a + b)
+            when(col("_graft_cc").isNotNull,
+              zip_with(col("_graft_x12"), col("_graft_cc"), (a, b) => a + b))
+            .otherwise(raise_error(concat(
+              lit("refineFromCodes: shortlist id "), col(idCol).cast("string"),
+              lit(" has no coarse centroid for its cell — the store's codes " +
+                "carry a cell outside the coarse table; rebuild the store"))))
               .as("_graft_xhat"))
       } else joined.select(col(idCol), col("_graft_x12").as("_graft_xhat"))
     val qv = q2.select(col(qidCol), col(vec2).as("_graft_qv"))

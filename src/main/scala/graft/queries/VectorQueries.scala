@@ -441,9 +441,13 @@ object VectorQueries {
       val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
       val model = graft.operators.PqOps.fitPq(
         e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
-      val codes = graft.operators.PqOps.attachCells(
+      // Materialized once (the q166/q167 fixture discipline, round 15):
+      // the lazy encode chain otherwise re-derives the full fit lineage
+      // inside the search's scored join — exactly what the stored-
+      // artifact path gets for free from its parquet codes.
+      val codes = graft.Tables.materialize(graft.operators.PqOps.attachCells(
         graft.operators.PqOps.encode(e, "embedding", "vec_id", model),
-        cells, "vec_id")
+        cells, "vec_id"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding"))
       graft.operators.PqOps.ivfAdcSearch(
@@ -464,9 +468,9 @@ object VectorQueries {
       val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
       val model = graft.operators.PqOps.fitPq(
         e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
-      val codes = graft.operators.PqOps.attachCells(
+      val codes = graft.Tables.materialize(graft.operators.PqOps.attachCells(
         graft.operators.PqOps.encode(e, "embedding", "vec_id", model),
-        cells, "vec_id")
+        cells, "vec_id"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding"))
       graft.operators.PqOps.ivfAdcSearch(
@@ -500,8 +504,9 @@ object VectorQueries {
       val e = t(s, dir, "embeddings")
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
-      val res = graft.operators.PqOps.residuals(
-        e, "embedding", "vec_id", coarse.centroids)
+      // res feeds the fit AND the encode — materialize once (round 15).
+      val res = graft.Tables.materialize(graft.operators.PqOps.residuals(
+        e, "embedding", "vec_id", coarse.centroids))
       val model = graft.operators.PqOps.fitPq(
         res, "residual", "vec_id", m = 4, kCodes = 8, iters = 1)
       graft.operators.PqOps.encode(res, "residual", "vec_id", model)
@@ -518,9 +523,9 @@ object VectorQueries {
       val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
       val model = graft.operators.PqOps.fitPq(
         e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
-      val codes = graft.operators.PqOps.attachCells(
+      val codes = graft.Tables.materialize(graft.operators.PqOps.attachCells(
         graft.operators.PqOps.encode(e, "embedding", "vec_id", model),
-        cells, "vec_id")
+        cells, "vec_id"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding"))
       val short = graft.operators.PqOps.ivfAdcSearch(
@@ -542,13 +547,16 @@ object VectorQueries {
       val e = t(s, dir, "embeddings")
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
-      val res = graft.operators.PqOps.residuals(
-        e, "embedding", "vec_id", coarse.centroids)
+      // The residual table feeds THREE consumers (the fit, the encode,
+      // and the cell side of attachCells) — materialize it once, and the
+      // codes once more for the search (round 15, the q166 discipline).
+      val res = graft.Tables.materialize(graft.operators.PqOps.residuals(
+        e, "embedding", "vec_id", coarse.centroids))
       val model = graft.operators.PqOps.fitPq(
         res, "residual", "vec_id", m = 4, kCodes = 8, iters = 1)
-      val codes = graft.operators.PqOps.attachCells(
+      val codes = graft.Tables.materialize(graft.operators.PqOps.attachCells(
         graft.operators.PqOps.encode(res, "residual", "vec_id", model),
-        res.select(col("vec_id"), col("cell").as("cluster")), "vec_id")
+        res.select(col("vec_id"), col("cell").as("cluster")), "vec_id"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding"))
       graft.operators.PqOps.ivfAdcSearchResidual(

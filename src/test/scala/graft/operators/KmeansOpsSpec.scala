@@ -271,6 +271,22 @@ class KmeansOpsSpec extends AnyFunSuite {
     val sid = intercept[IllegalArgumentException](
       KmeansOps.splitHotCells(sAsg, "v", "sid", "cluster", coarse, 6, 1))
     assert(sid.getMessage.contains("must be numeric"), sid.getMessage)
+    // A FRACTIONAL id type refuses too (ADVICE round 14): the top-k
+    // tie-break casts the id to long, so a double id would truncate in
+    // the seed rank and the join-back on the original column would miss
+    // (1.2 != 1) — silently seeding fewer fine clusters than requested.
+    val dAsg = asg.withColumn("did", col("id") + lit(0.5)).drop("id")
+    val did = intercept[IllegalArgumentException](
+      KmeansOps.splitHotCells(dAsg, "v", "did", "cluster", coarse, 6, 1))
+    assert(did.getMessage.contains("integral"), did.getMessage)
+    // A LONG cell column works (ADVICE round 14): the population collect
+    // decodes generically instead of getInt-ing into an opaque
+    // ClassCastException; results equal the int-cell run.
+    val lAsg = asg.withColumn("cluster", col("cluster").cast("long"))
+    val lSplit = KmeansOps.splitHotCells(
+      lAsg, "v", "id", "cluster", coarse, maxPop = 6, iters = 1)
+    assert(lSplit.nHot == 1)
+    assert(lSplit.assignments.as[(Long, Int)].collect().toMap == got)
     // A foreign cell id refuses loudly.
     val bad = asg.withColumn("cluster", col("cluster") + 7)
     val e = intercept[IllegalArgumentException](

@@ -728,6 +728,59 @@ class PqOpsSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("residual refinement store: re-rank decodes with the coarse term, foreign ids refuse") {
+    // ADVICE round 14 (medium): refineFromCodes' residual branch used an
+    // INNER centroid join — Catalyst inferred isnotnull(_graft_cell) and
+    // pushed it below the guard projection, so a foreign shortlist id was
+    // silently DROPPED on a residual store instead of hitting the
+    // designed 'no decodable codes' refusal. This pins both halves: the
+    // refusal fires, and the valid path's two-level residual decode
+    // x̂₂ = coarseCentroid + x̂₁ + ê₂ matches a local recompute.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_res_refine")
+    val dir = root.resolve("pq").toString
+    val arts = PqOps.writePqArtifacts(spark, vecs, "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 1,
+      residual = true, refineM = 4, refineK = 2)
+    assert(arts.residual && arts.refinement.isDefined)
+    val queries = vecs.filter(col("id") < 2).select(col("id").as("qid"), col("v"))
+    val short = PqOps.searchArtifacts(arts, "id", queries, "qid", "v",
+      topN = 4, nprobe = 2)
+    val got = PqOps.refineFromCodes(arts, short, "id", queries, "qid", "v",
+        topN = 2, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // Local recompute: cell centroid + stage-1 codewords + error codewords.
+    val b1 = arts.model.codebooks.as[(Int, Int, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val b2 = arts.refinement.get.codebooks.as[(Int, Int, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val c1 = arts.codes.select(col("id"), col("sub"), col("code"), col("cell"))
+      .as[(Long, Int, Int, Int)].collect()
+    val cellOf = c1.map(r => r._1 -> r._4).toMap
+    val code1 = c1.map(r => (r._1, r._2) -> r._3).toMap
+    val code2 = arts.rcodes.get.select(col("id"), col("sub"), col("code"))
+      .as[(Long, Int, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val orig = vecs.as[(Long, Seq[Double])].collect().toMap
+    def xhat(id: Long): Seq[Double] = {
+      val cc = arts.coarse(cellOf(id)).toSeq
+      val r1 = (0 until 2).flatMap(s => b1((s, code1((id, s)))))
+      val r2 = (0 until 4).flatMap(s => b2((s, code2((id, s)))))
+      cc.indices.map(i => cc(i) + r1(i) + r2(i))
+    }
+    got.foreach { case (qid, _, id, dist) =>
+      assert(dist == l2r6(orig(qid), xhat(id)),
+        s"($qid, $id): $dist != local residual two-level decode distance")
+    }
+    // The foreign-shortlist refusal MUST fire on the residual store too
+    // (the silent-drop regression this test exists for).
+    val foreign = Seq((0L, 999L)).toDF("qid", "id")
+    val e = intercept[Exception](
+      PqOps.refineFromCodes(arts, foreign, "id", queries, "qid", "v", 1, 2)
+        .collect())
+    assert(e.getMessage != null && e.getMessage.contains("no decodable codes"),
+      s"expected the loud refusal, got: ${e.getMessage}")
+  }
+
   test("pqAudit reports per-cell population and decode distortion from codes alone") {
     // E149: Σ_sub dist² IS ‖v − x̂‖² — checked against a local decode
     // recompute; the refined column is the error left after the
