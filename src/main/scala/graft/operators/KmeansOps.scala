@@ -340,7 +340,11 @@ object KmeansOps {
   final case class SplitResult(
       assignments: DataFrame,
       centroids: Array[Array[Double]],
-      nHot: Int)
+      nHot: Int,
+      /** The cells that split — every member of one of THESE cells has a
+        * changed centroid (child 0's settles too), the set a residual
+        * re-encode must cover (E151). Empty when nothing was hot. */
+      hotCells: Set[Int] = Set.empty)
 
   /** E150: split every HOT cell (population > `maxPop`) of an existing
     * coarse partitioning into `⌈pop/maxPop⌉` children by a LOCAL
@@ -467,7 +471,7 @@ object KmeansOps {
     val out = Array.ofDim[Array[Double]](next)
     coarse.indices.foreach(i => out(i) = coarse(i))
     newIdOf.foreach { case ((c, f), id) => out(id) = settled((c, f)) }
-    SplitResult(kept.unionByName(moved), out, hot.size)
+    SplitResult(kept.unionByName(moved), out, hot.size, hot.keySet)
   }
 
   /** Assign every row to its nearest centroid: input columns plus

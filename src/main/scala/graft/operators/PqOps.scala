@@ -1376,16 +1376,23 @@ object PqOps {
     * codebooks (the fitted-once discipline: only the coarse level
     * refines) and the codes re-celled.
     *
-    * RAW formulation only, and that is a THEOREM about cost, not a
-    * shortcut: raw codes quantize `v`, not `v − centroid`, so a cell
-    * split changes NOTHING about any code row — the rebalance is pure
-    * cell-column surgery plus the local fit (one corpus-vector read of
-    * the HOT cells' members). A residual store's codes quantize against
-    * the very centroids the split replaces — rebalancing one IS a
-    * re-encode, so it REFUSES with rebuild guidance instead of
-    * pretending to be cheap. The refinement level (E148) rides along:
-    * raw-store errors are centroid-independent, so rcodes re-cell the
-    * same way.
+    * Cost by formulation (the theorem, not a shortcut): RAW codes
+    * quantize `v`, not `v − centroid`, so a cell split changes NOTHING
+    * about any code row — the rebalance is pure cell-column surgery plus
+    * the local fit (one corpus-vector read of the HOT cells' members).
+    * A RESIDUAL store's codes quantize against the very centroids the
+    * split replaces, so every SPLIT cell's member re-encodes against its
+    * new child centroid (child 0's centroid settles too) with the SAME
+    * pinned codebooks — a partial re-encode whose cost is ∝ the hot
+    * cells' members, never the corpus (round 15, closing the round-14
+    * declared edge); cold cells' codes are byte-identical either way.
+    * The residual re-encode uses [[residualsAt]] (the DECLARED child
+    * from the split, not a fresh arg-min): the store invariant is that
+    * each code quantizes `v − centroid(recorded cell)`, which is what
+    * [[ivfAdcSearchResidual]]'s per-(query, cell) LUT assumes. The
+    * refinement level (E148) rides along: raw-store errors are
+    * centroid-independent (re-cell only); residual-store errors move
+    * with the stage-1 target, so hot members' rcodes re-encode too.
     *
     * `corpus` must cover every stored id (missing vectors refuse
     * loudly); extra corpus ids are ignored (the store is the source of
@@ -1410,13 +1417,6 @@ object PqOps {
       maxPop: Long,
       iters: Int): (PqArtifacts, Int) = {
     val arts = readPqArtifacts(spark, dir)
-    if (arts.residual)
-      throw new IllegalStateException(
-        s"store at $dir pins residual=true — residual codes quantize " +
-          "v − coarseCentroid(cell), so a cell split invalidates every code " +
-          "in a split cell: rebalancing a residual store IS a re-encode. " +
-          "Rebuild with --pq-encode --residual at a larger --pq-coarse-k " +
-          "into a fresh directory instead.")
     val (fs, op) = fsOf(spark, outDir)
     if (fs.exists(op) && fs.listStatus(op).nonEmpty)
       throw new IllegalStateException(
@@ -1454,11 +1454,12 @@ object PqOps {
           "in the rebuilt store; deduplicate the corpus first.")
     val split = KmeansOps.splitHotCells(
       asg, "_graft_rv", idCol, "cell", arts.coarse, maxPop, iters)
-    // New store: same pins (coarseK updated), same codebooks, new
-    // coarse table, codes/rcodes re-celled through the attachCells
-    // loud-guard, epochs collapsed into the new base.
+    // New store: same pins (coarseK updated, formulation preserved),
+    // same codebooks, new coarse table, codes/rcodes re-celled through
+    // the attachCells loud-guard (raw) or re-encoded for the split
+    // cells' members (residual), epochs collapsed into the new base.
     writeMeta(spark, outDir, pqParams(arts.model.m, arts.model.kCodes,
-      arts.model.subDim, split.centroids.length, residual = false, arts.perm))
+      arts.model.subDim, split.centroids.length, arts.residual, arts.perm))
     arts.refinement.foreach { rm =>
       writeMeta(spark, outDir,
         s"m2=${rm.m} kCodes2=${rm.kCodes} subDim2=${rm.subDim}",
@@ -1476,18 +1477,49 @@ object PqOps {
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/coarse")
     val newCells = split.assignments
       .select(col(idCol), col("cell").as("cluster"))
-    attachCells(arts.codes.drop("cell"), newCells, idCol)
-      .withColumn("_graft_epoch", lit(BaseEpoch))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("_graft_epoch", "cell")
-      .parquet(s"$outDir/codes")
-    arts.refinement.foreach { rm =>
-      books(rm).write.mode(SaveMode.Overwrite).parquet(s"$outDir/rcodebooks")
-      attachCells(arts.rcodes.get.drop("cell"), newCells, idCol)
-        .withColumn("_graft_epoch", lit(BaseEpoch))
+    def writeCoded(df: DataFrame, sub: String): Unit =
+      df.withColumn("_graft_epoch", lit(BaseEpoch))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("_graft_epoch", "cell")
-        .parquet(s"$outDir/rcodes")
+        .parquet(s"$outDir/$sub")
+    if (!arts.residual || split.nHot == 0) {
+      // Raw (or nothing split): pure cell surgery — every code row is
+      // byte-identical, only the cell column moves.
+      writeCoded(attachCells(arts.codes.drop("cell"), newCells, idCol), "codes")
+      arts.refinement.foreach { rm =>
+        books(rm).write.mode(SaveMode.Overwrite).parquet(s"$outDir/rcodebooks")
+        writeCoded(attachCells(arts.rcodes.get.drop("cell"), newCells, idCol),
+          "rcodes")
+      }
+    } else {
+      // Residual: every SPLIT cell's member quantized against a centroid
+      // the split replaced (child 0's settles too) — re-encode exactly
+      // those members' residuals against their DECLARED child centroid
+      // with the pinned codebooks; cold cells' rows pass through
+      // untouched. Cost ∝ hot members, the declared-edge contract.
+      val hotSeq = split.hotCells.toSeq.sorted.map(Integer.valueOf)
+      val moved = Tables.materialize(
+        split.assignments.withColumnRenamed("cell", "_graft_ncell")
+          .join(asg.filter(col("cell").isin(hotSeq: _*))
+            .select(col(idCol), col("_graft_rv")), Seq(idCol)))
+      val res2 = Tables.materialize(
+        residualsAt(moved, "_graft_rv", idCol, "_graft_ncell", split.centroids))
+      val cells2 = res2.select(col(idCol), col("cell").as("cluster"))
+      val hotCodes = Tables.materialize(attachCells(
+        encode(res2, "residual", idCol, arts.model), cells2, idCol))
+      val cold = arts.codes.filter(!col("cell").isin(hotSeq: _*))
+      writeCoded(
+        cold.unionByName(hotCodes.select(cold.columns.map(col).toIndexedSeq: _*)),
+        "codes")
+      arts.refinement.foreach { rm =>
+        books(rm).write.mode(SaveMode.Overwrite).parquet(s"$outDir/rcodebooks")
+        val errs = reconstructionErrors(res2, "residual", idCol, arts.model, hotCodes)
+        val hotR = attachCells(encode(errs, "_graft_err", idCol, rm), cells2, idCol)
+        val coldR = arts.rcodes.get.filter(!col("cell").isin(hotSeq: _*))
+        writeCoded(
+          coldR.unionByName(hotR.select(coldR.columns.map(col).toIndexedSeq: _*)),
+          "rcodes")
+      }
     }
     (readPqArtifacts(spark, outDir), split.nHot)
   }

@@ -541,11 +541,11 @@ object GraftApp {
       return 0
     }
 
-    // Rebalance mode (E150): split the store's hot cells (population >
-    // --max-cell) by a local per-cell k-means into a FRESH store dir —
-    // raw-formulation cell surgery with the pinned codebooks reused;
-    // residual stores refuse with rebuild guidance (their codes are
-    // centroid-dependent).
+    // Rebalance mode (E150/E151): split the store's hot cells
+    // (population > --max-cell) by a local per-cell k-means into a FRESH
+    // store dir with the pinned codebooks reused — pure cell surgery on
+    // a raw store; on a residual store the split cells' members
+    // re-encode against their new child centroids (cost ∝ hot members).
     if (a.pqRebalance) {
       val store = a.pqStore.getOrElse(
         throw new IllegalArgumentException("--pq-rebalance requires --pq-store P"))

@@ -674,6 +674,46 @@ object VectorQueries {
       graft.operators.KmeansOps.splitHotCells(
         asg, "embedding", "vec_id", "cluster", coarse.centroids,
         maxPop, iters = 1).assignments
+    }),
+
+    // E151 residual-store rebalance (round 15, closing the round-14
+    // declared edge): the q168 hot-cell split applied to a RESIDUAL code
+    // table — q162's codes quantize v − coarseCentroid(cell), so every
+    // SPLIT cell's member (child 0's centroid settles too) re-encodes
+    // against its DECLARED child centroid with the PINNED codebooks,
+    // while cold cells' code rows pass through byte-identical. Cost ∝
+    // hot members, never the corpus. Output: the rebuilt store's code
+    // table (vec_id, cell, sub, code, dist).
+    "q169_residual_rebalance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val coarse = graft.operators.KmeansOps.fit(
+        e, "embedding", "vec_id", k = 8, iters = 1)
+      val res = graft.Tables.materialize(graft.operators.PqOps.residuals(
+        e, "embedding", "vec_id", coarse.centroids))
+      val model = graft.operators.PqOps.fitPq(
+        res, "residual", "vec_id", m = 4, kCodes = 8, iters = 1)
+      val codes = graft.Tables.materialize(graft.operators.PqOps.attachCells(
+        graft.operators.PqOps.encode(res, "residual", "vec_id", model),
+        res.select(col("vec_id"), col("cell").as("cluster")), "vec_id"))
+      val asg = res.select(col("vec_id"), col("cell").as("cluster"))
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      val maxPop = math.ceil(e.count() / 10.0).toLong
+      val split = graft.operators.KmeansOps.splitHotCells(
+        asg, "embedding", "vec_id", "cluster", coarse.centroids,
+        maxPop, iters = 1)
+      val hotSeq = split.hotCells.toSeq.sorted.map(Integer.valueOf)
+      val moved = split.assignments.withColumnRenamed("cell", "ncell")
+        .join(res.filter(col("cell").isin(hotSeq: _*))
+          .select(col("vec_id")), Seq("vec_id"))
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      val res2 = graft.operators.PqOps.residualsAt(
+        moved, "embedding", "vec_id", "ncell", split.centroids)
+      val hot = graft.operators.PqOps.attachCells(
+        graft.operators.PqOps.encode(res2, "residual", "vec_id", model),
+        res2.select(col("vec_id"), col("cell").as("cluster")), "vec_id")
+      val out = Seq("vec_id", "cell", "sub", "code", "dist").map(col)
+      codes.filter(!col("cell").isin(hotSeq: _*)).select(out: _*)
+        .unionByName(hot.select(out: _*))
     })
   )
 
@@ -1419,7 +1459,76 @@ object VectorQueries {
             UNION ALL
             SELECT l.vec_id,
                    CASE WHEN l.fcl = 0 THEN l.cl ELSE n.newcell END AS cell
-            FROM laf l LEFT JOIN numb n ON n.cl = l.cl AND n.fcl = l.fcl"""
+            FROM laf l LEFT JOIN numb n ON n.cl = l.cl AND n.fcl = l.fcl""",
+      // Residual-store rebalance: q168's split CTEs (tot..numb) over the
+      // same coarse fit, composed with q162's residual PQ chain
+      // (r-prefixed CTEs). Cold cells keep their raf rows; split-cell
+      // members re-residualize against their settled child centroid
+      // (child 0 included — its centroid moved too) and re-encode
+      // against the SETTLED rb1 codebooks (the pinned-model rule).
+      "q169_residual_rebalance" ->
+        s"""WITH ${kmeansCtes(8, 1)},
+            ${pqCtesF("r", 4, 8, 1, 16, srcSql =
+              "SELECT a.vec_id, list_transform(range(1, 65), i -> a.v[i] - f.c[i]) AS v " +
+                "FROM af a JOIN c1 f ON f.cl = a.cl")},
+            tot AS (SELECT CAST(ceil(count(*) / 10.0) AS BIGINT) AS maxpop FROM af),
+            pop AS (SELECT cl, count(*) AS pop FROM af GROUP BY cl),
+            hot AS (SELECT p.cl, CAST(ceil(p.pop * 1.0 / t.maxpop) AS INT) AS k
+                    FROM pop p, tot t WHERE p.pop > t.maxpop),
+            mem AS (SELECT a.vec_id, a.v, a.cl, h.k
+                    FROM af a JOIN hot h ON h.cl = a.cl),
+            seeds AS (SELECT cl, CAST(rn - 1 AS INT) AS fcl, v AS c FROM (
+                        SELECT cl, vec_id, v, k,
+                               row_number() OVER (PARTITION BY cl
+                                 ORDER BY vec_id) AS rn
+                        FROM mem) WHERE rn <= k),
+            la0 AS (SELECT vec_id, cl, v, fcl FROM (
+                      SELECT m.vec_id, m.cl, m.v, s.fcl,
+                             row_number() OVER (PARTITION BY m.vec_id
+                               ORDER BY ${l2Sql("m.v", "s.c")}, s.fcl) AS rn
+                      FROM mem m JOIN seeds s ON s.cl = m.cl) WHERE rn = 1),
+            lc1 AS (SELECT p.cl, p.fcl, coalesce(u.c, p.c) AS c
+                    FROM seeds p LEFT JOIN (
+                      SELECT cl, fcl, list(m ORDER BY j) AS c FROM (
+                        SELECT cl, fcl, j, round(avg(v[j]), 6) AS m
+                        FROM la0, unnest(range(1, 65)) AS u(j)
+                        GROUP BY cl, fcl, j)
+                      GROUP BY cl, fcl) u
+                    ON u.cl = p.cl AND u.fcl = p.fcl),
+            laf AS (SELECT vec_id, cl, fcl FROM (
+                      SELECT m.vec_id, m.cl, c.fcl,
+                             row_number() OVER (PARTITION BY m.vec_id
+                               ORDER BY ${l2Sql("m.v", "c.c")}, c.fcl) AS rn
+                      FROM mem m JOIN lc1 c ON c.cl = m.cl) WHERE rn = 1),
+            numb AS (SELECT cl, fcl,
+                            CAST(7 + row_number() OVER (ORDER BY cl, fcl) AS INT)
+                              AS newcell
+                     FROM (SELECT h.cl, CAST(u.f AS INT) AS fcl
+                           FROM hot h
+                           JOIN (SELECT CAST(u.f AS INT) AS f
+                                 FROM unnest(range(1, 256)) AS u(f)) u
+                             ON u.f < h.k)),
+            nres AS (SELECT l.vec_id,
+                            CASE WHEN l.fcl = 0 THEN l.cl ELSE n.newcell END AS cell,
+                            list_transform(range(1, 65), i -> m.v[i] - c.c[i]) AS rv
+                     FROM laf l
+                     JOIN mem m ON m.vec_id = l.vec_id
+                     JOIN lc1 c ON c.cl = l.cl AND c.fcl = l.fcl
+                     LEFT JOIN numb n ON n.cl = l.cl AND n.fcl = l.fcl),
+            nsubs AS (SELECT vec_id, cell, CAST(u.s AS INT) AS sub,
+                             rv[u.s * 16 + 1 : u.s * 16 + 16] AS sv
+                      FROM nres, unnest(range(0, 4)) AS u(s)),
+            nenc AS (SELECT vec_id, cell, sub, code, dist FROM (
+                       SELECT s.vec_id, s.cell, s.sub, b.code,
+                              ${pqL2Sql("s.sv", "b.c", 16)} AS dist,
+                              row_number() OVER (PARTITION BY s.vec_id, s.sub
+                                ORDER BY ${pqL2Sql("s.sv", "b.c", 16)}, b.code) AS rn
+                       FROM nsubs s JOIN rb1 b ON b.sub = s.sub) WHERE rn = 1)
+            SELECT a.vec_id, a.cl AS cell, r.sub, r.code, r.dist
+            FROM raf r JOIN af a ON a.vec_id = r.vec_id
+            LEFT JOIN hot h ON h.cl = a.cl WHERE h.cl IS NULL
+            UNION ALL
+            SELECT vec_id, cell, sub, code, dist FROM nenc"""
     )
   }
 }

@@ -878,14 +878,6 @@ class PqOpsSpec extends AnyFunSuite {
     // The rebalanced store searches through the normal routed path.
     assert(PqOps.searchArtifacts(after, "id", queries, "qid", "v",
       topN = 2, nprobe = 2).count() > 0)
-    // A residual store refuses with rebuild guidance.
-    val rdir = root.resolve("pq_res").toString
-    PqOps.writePqArtifacts(spark, vecs, "v", "id", rdir,
-      m = 2, kCodes = 2, iters = 1, coarseK = 1, coarseIters = 1,
-      residual = true)
-    val res = intercept[IllegalStateException](PqOps.rebalanceStore(
-      spark, rdir, vecs, "v", "id", root.resolve("x").toString, 3, 1))
-    assert(res.getMessage.contains("re-encode"), res.getMessage)
     // A corpus missing a stored id refuses loudly.
     val short = vecs.filter(col("id") < 5)
     val miss = intercept[Exception](PqOps.rebalanceStore(
@@ -903,6 +895,67 @@ class PqOpsSpec extends AnyFunSuite {
     val full = intercept[IllegalStateException](PqOps.rebalanceStore(
       spark, dir, vecs, "v", "id", outd, 3, 1))
     assert(full.getMessage.contains("not empty"), full.getMessage)
+  }
+
+  test("rebalanceStore on a residual store: split members re-encode against child centroids") {
+    // E151 (round 15, closing the round-14 declared edge): a residual
+    // store's codes quantize v − coarseCentroid(cell), so a cell split
+    // must re-encode the split cells' members against their new child
+    // centroid (child 0's settles too) with the PINNED codebooks — this
+    // pins every re-encoded (id, sub, code, dist) row and both rcode
+    // levels against a local recompute, and the rebuilt store searches
+    // through the normal residual-routed path.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_res_rebal")
+    val dir = root.resolve("pq").toString
+    // coarseK = 1: every member in one (hot) cell.
+    PqOps.writePqArtifacts(spark, vecs, "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 1, coarseIters = 1,
+      residual = true, refineM = 4, refineK = 2)
+    val outd = root.resolve("pq_rebal").toString
+    val (after, nHot) = PqOps.rebalanceStore(
+      spark, dir, vecs, "v", "id", outd, maxPop = 3, iters = 1)
+    assert(nHot == 1 && after.coarse.length == 2 && after.residual)
+    // Local recompute of the whole re-encode: per id, residual against
+    // the centroid of its RECORDED new cell, then per-sub arg-min over
+    // the pinned books (6-dp L2, ties to the smaller code).
+    val b1 = after.model.codebooks.as[(Int, Int, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val b2 = after.refinement.get.codebooks.as[(Int, Int, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val orig = vecs.as[(Long, Seq[Double])].collect().toMap
+    val gotCodes = after.codes
+      .select(col("id"), col("cell"), col("sub"), col("code"), col("dist"))
+      .as[(Long, Int, Int, Int, Double)].collect()
+    val cellOf = gotCodes.map(r => r._1 -> r._2).toMap
+    def argmin(books: Map[(Int, Int), Seq[Double]], sub: Int, kCodes: Int,
+        sv: Seq[Double]): (Int, Double) =
+      (0 until kCodes).map(c => (l2r6(sv, books((sub, c))), c)).min.swap
+    def resOf(id: Long): Seq[Double] = {
+      val cc = after.coarse(cellOf(id))
+      orig(id).zip(cc).map { case (a, b) => a - b }
+    }
+    gotCodes.foreach { case (id, _, sub, code, dist) =>
+      val (ec, ed) = argmin(b1, sub, 2, resOf(id).slice(sub * 4, sub * 4 + 4))
+      assert(code == ec && dist == ed, s"id $id sub $sub: ($code,$dist) != ($ec,$ed)")
+    }
+    // rcodes: errors = residual − stage-1 decode, re-encoded too.
+    val code1 = gotCodes.map(r => (r._1, r._3) -> r._4).toMap
+    after.rcodes.get.select(col("id"), col("sub"), col("code"), col("dist"))
+      .as[(Long, Int, Int, Double)].collect()
+      .foreach { case (id, sub, code, dist) =>
+        val dec = (0 until 2).flatMap(s => b1((s, code1((id, s)))))
+        val err = resOf(id).zip(dec).map { case (a, b) => a - b }
+        val (ec, ed) = argmin(b2, sub, 2, err.slice(sub * 2, sub * 2 + 2))
+        assert(code == ec && dist == ed, s"rcode id $id sub $sub")
+      }
+    // Members actually split, and the store searches + re-ranks through
+    // the normal residual-routed path (decode guard passes everywhere).
+    assert(cellOf.values.toSet == Set(0, 1))
+    val queries = vecs.filter(col("id") < 2).select(col("id").as("qid"), col("v"))
+    assert(PqOps.searchArtifacts(after, "id", queries, "qid", "v",
+      topN = 2, nprobe = 2, expectResidual = Some(true)).count() > 0)
+    assert(PqOps.searchArtifactsRefined(after, "id", queries, "qid", "v",
+      topR = 4, topN = 2, nprobe = 2).count() > 0)
   }
 
   test("balancedPerm deals variance tiers round-robin; applyPerm is the exact projection") {
