@@ -457,7 +457,7 @@ object MaintenanceOps {
     if (ids.isEmpty) -1L else ids.max
   }
 
-  private def writeFoldedThrough(
+  private[operators] def writeFoldedThrough(
       fs: org.apache.hadoop.fs.FileSystem, ledgerPath: Path, id: Long): Unit = {
     val prior = fs.listStatus(ledgerPath)
       .filter(_.getPath.getName.startsWith(FoldMarkerPrefix)).map(_.getPath)

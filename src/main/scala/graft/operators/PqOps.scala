@@ -1066,7 +1066,7 @@ object PqOps {
     PqArtifacts(
       PqModel(books, m, kCodes, subDim),
       coarse,
-      spark.read.parquet(s"$dir/codes").drop("_graft_epoch"),
+      readCodeNs(spark, dir, "codes").drop("_graft_epoch"),
       residual,
       perm,
       rmodelOpt,
@@ -1145,7 +1145,7 @@ object PqOps {
           s"centroid widths ${stored.getInt(2)}..${stored.getInt(3)} — " +
           "the store drifted from its pin; rebuild it.")
     (Some(PqModel(books, m2, kCodes2, subDim2)),
-      Some(spark.read.parquet(s"$dir/rcodes").drop("_graft_epoch")))
+      Some(readCodeNs(spark, dir, "rcodes").drop("_graft_epoch")))
   }
 
   /** Search a stored artifact set, ROUTED BY ITS PINNED FORMULATION:
@@ -1524,6 +1524,111 @@ object PqOps {
     (readPqArtifacts(spark, outDir), split.nHot)
   }
 
+  /** Read a code namespace (codes/rcodes) excluding crash-leftover
+    * folded epochs (partitions at-or-under the fold marker still on disk
+    * between a fold's marker write and its directory delete — their rows
+    * are already in base, so including them would double every ADC sum).
+    * The same read rule the count ledgers use (E109/E138). */
+  private def readCodeNs(spark: SparkSession, dir: String, ns: String): DataFrame = {
+    val (fs, _) = fsOf(spark, dir)
+    MaintenanceOps.excludeFoldLeftovers(fs,
+        new org.apache.hadoop.fs.Path(dir, ns),
+        spark.read.parquet(s"$dir/$ns"))
+  }
+
+  private def countLeafFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Int =
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).map { s =>
+      if (s.isDirectory) countLeafFiles(fs, s.getPath)
+      else if (!s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".")) 1
+      else 0
+    }.sum
+
+  /** E152 (round 15, closing the round-14 declared edge): fold committed
+    * epoch partitions of the PQ store's code namespaces into `base` —
+    * the lifecycle step the six count/membership ledger spaces already
+    * have ([[MaintenanceOps.foldEpochs]]): a year of daily drains is 365
+    * `_graft_epoch=epochN` directories PER NAMESPACE (× cells), and
+    * every read pays the listing. Folds `epoch<N>` partitions with
+    * `N ≤ upToBatchId` — the replay horizon; derive it from the
+    * streaming checkpoint's commit log
+    * ([[MaintenanceOps.lastCommittedBatch]], CLI `--pq-fold`): a
+    * committed batch never re-executes. Manually-tokened epochs (a
+    * `--pq-append` with its own token) stay unfolded by design — only
+    * the checkpoint gives a machine-checkable horizon.
+    *
+    * Crash contract — STRONGER than the count ledgers': the merged base
+    * write is a full-row DISTINCT, and code rows are deterministic per
+    * (id, sub), so re-running the fold after ANY crash converges to the
+    * identical base (a half-merged, unmarked epoch double-counts only
+    * until that re-run — re-run the fold before serving reads after a
+    * crash). Per namespace (codes, then rcodes in lockstep): leftovers
+    * (epoch dirs at-or-under the marker) delete without re-merge; base
+    * rewrites via dynamic partition overwrite; the name-encoded
+    * `_graft_folded_through_<id>` marker lands (a torn marker is
+    * impossible — the E138 rule); folded dirs delete. Read sides
+    * ([[readPqArtifacts]], [[incrementalPqEncode]]) exclude marked
+    * leftovers meanwhile; [[incrementalPqEncode]] and the streaming
+    * drain's checkpoint-reset guard refuse `epoch<N>` tokens at-or-under
+    * the marker even after their directories are gone (a folded epoch's
+    * rows live in base — replaying it would duplicate them). */
+  def foldPqEpochs(
+      spark: SparkSession,
+      dir: String,
+      upToBatchId: Long): Map[String, MaintenanceOps.CompactionReport] = {
+    require(upToBatchId >= 0L, s"upToBatchId must be >= 0: $upToBatchId")
+    readMeta(spark, dir) // pin-or-refuse: fold only a pinned store
+    val (fs, _) = fsOf(spark, dir)
+    val namespaces = "codes" +: (
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir, "rcodes"))) Seq("rcodes")
+      else Nil)
+    namespaces.map { ns =>
+      val nsDir = s"$dir/$ns"
+      val nsPath = new org.apache.hadoop.fs.Path(nsDir)
+      val priorMark = MaintenanceOps.foldedThrough(fs, nsPath)
+      def epochId(name: String): Option[Long] =
+        scala.util.Try(name.stripPrefix("_graft_epoch=epoch").toLong).toOption
+      val all = fs.listStatus(nsPath).filter { s =>
+        s.isDirectory && s.getPath.getName.startsWith("_graft_epoch=epoch") &&
+          epochId(s.getPath.getName).isDefined
+      }
+      // Leftovers of a crashed fold: already merged into base.
+      all.filter(d => epochId(d.getPath.getName).exists(_ <= priorMark))
+        .foreach(d => fs.delete(d.getPath, true))
+      val folded = all.filter(d => epochId(d.getPath.getName)
+        .exists(id => id > priorMark && id <= upToBatchId))
+      if (folded.isEmpty) ns -> MaintenanceOps.CompactionReport(0, 0, 0L)
+      else {
+        val tokens = folded.map(_.getPath.getName.stripPrefix("_graft_epoch=")).toSet
+        val maxFolded = folded.flatMap(d => epochId(d.getPath.getName)).max
+        val filesBefore = folded.map(d => countLeafFiles(fs, d.getPath)).sum
+        // Full-row distinct: identical deterministic rows from a crashed
+        // half-fold collapse, making the re-merge convergent.
+        val merged = spark.read.parquet(nsDir)
+          .filter(col("_graft_epoch") === BaseEpoch ||
+            col("_graft_epoch").isInCollection(tokens))
+          .withColumn("_graft_epoch", lit(BaseEpoch))
+          .distinct()
+        // Materialized BEFORE the write (the foldEpochs rule): the write
+        // replaces the base partition of the directory just read.
+        val pinned = merged.localCheckpoint(true)
+        val rows = pinned.count()
+        pinned.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_graft_epoch", "cell")
+          .parquet(nsDir)
+        MaintenanceOps.writeFoldedThrough(fs, nsPath, math.max(priorMark, maxFolded))
+        folded.foreach(d => fs.delete(d.getPath, true))
+        val filesAfter = countLeafFiles(
+          fs, new org.apache.hadoop.fs.Path(nsDir, s"_graft_epoch=$BaseEpoch"))
+        ns -> MaintenanceOps.CompactionReport(filesBefore, filesAfter, rows)
+      }
+    }.toMap
+  }
+
   /** [[incrementalPqEncode]]'s two-step result — the ledger family's
     * write-then-commit protocol: read `codes` (the corpus-lifetime view
     * INCLUDING this batch) now, `commitLedger()` only after the batch's
@@ -1558,6 +1663,21 @@ object PqOps {
       epochToken: String): PendingPqCodes = {
     require(epochToken.nonEmpty && epochToken != BaseEpoch,
       s"epoch token must be a fresh non-'$BaseEpoch' batch id: '$epochToken'")
+    // An epoch<N> token at-or-under the fold marker is a replay of an
+    // ALREADY-FOLDED epoch: its rows live in base, so the dynamic
+    // overwrite would ADD a second copy instead of replacing — refuse
+    // (E152; the fold's quiesce contract made visible at the API).
+    scala.util.Try(epochToken.stripPrefix("epoch").toLong).toOption.foreach { id =>
+      val (fs, _) = fsOf(spark, dir)
+      val mark = MaintenanceOps.foldedThrough(
+        fs, new org.apache.hadoop.fs.Path(dir, "codes"))
+      if (id <= mark)
+        throw new IllegalStateException(
+          s"epoch token '$epochToken' is at-or-under the store's fold marker " +
+            s"(folded through epoch$mark into base) — replaying a folded epoch " +
+            "would duplicate its rows in base. The checkpoint was reset or the " +
+            "token reused; restore the original checkpoint or use a fresh token.")
+    }
     val arts = readPqArtifacts(spark, dir)
     // The batch encodes under the store's PINNED formulation (round 14):
     // a permuted store permutes first (the E147 pin), a residual store
@@ -1589,7 +1709,7 @@ object PqOps {
       Tables.materialize(
         attachCells(encode(errs, "_graft_err", idCol, rmodel), cells, idCol))
     }
-    val prior = spark.read.parquet(s"$dir/codes")
+    val prior = readCodeNs(spark, dir, "codes")
       .filter(col("_graft_epoch") =!= epochToken)
       .drop("_graft_epoch")
     new PendingPqCodes(

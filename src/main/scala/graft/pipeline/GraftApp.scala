@@ -94,12 +94,14 @@ object GraftApp {
       refineK: Int = 0,
       pqAudit: Boolean = false,
       pqRebalance: Boolean = false,
+      pqFold: Boolean = false,
       maxCell: Long = 1L << 22)
 
   /** Valueless flags (presence = true). */
   private val boolFlags = Set("strict", "stream", "compact-ledger", "fold-epochs",
     "export-shards", "verify-export", "scrub-spans", "exact-neardup", "tokenize",
-    "pq-encode", "pq-append", "pq-search", "pq-audit", "pq-rebalance", "residual", "balanced-perm")
+    "pq-encode", "pq-append", "pq-search", "pq-audit", "pq-rebalance", "pq-fold",
+    "residual", "balanced-perm")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -145,7 +147,8 @@ object GraftApp {
           "[--residual] [--rerank R [--rerank-corpus P]]] | " +
           "[--pq-audit --pq-store P --out-dir P [--id-col C]] | " +
           "[--pq-rebalance --pq-store P --corpus-dir P --out-dir NEW " +
-          "[--max-cell N] [--pq-iters N] [--vec-col C] [--id-col C]]")
+          "[--max-cell N] [--pq-iters N] [--vec-col C] [--id-col C]] | " +
+          "[--pq-fold --pq-store P --checkpoint P]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
       "ledger", "checkpoint", "text-col", "id-col",
@@ -243,6 +246,7 @@ object GraftApp {
       refineK = flags.get("refine-k").map(_.toInt).getOrElse(0),
       pqAudit = flags.contains("pq-audit"),
       pqRebalance = flags.contains("pq-rebalance"),
+      pqFold = flags.contains("pq-fold"),
       maxCell = flags.get("max-cell").map(_.toLong).getOrElse(1L << 22))
   }
 
@@ -560,6 +564,27 @@ object GraftApp {
         outd, a.maxCell, a.pqIters)
       out(s"PQ_REBALANCE_ hotCells=$nHot coarseK=${arts.coarse.length} " +
         s"maxCell=${a.maxCell} out=$outd")
+      return 0
+    }
+
+    // PQ epoch fold (E152): collapse committed `epoch<N>` code partitions
+    // into base — the same checkpoint-derived replay horizon as
+    // --fold-epochs (a committed batch never re-executes), applied to
+    // both code namespaces in lockstep. The merged write is a full-row
+    // distinct of deterministic rows, so a crashed fold converges on
+    // re-run.
+    if (a.pqFold) {
+      val store = a.pqStore.getOrElse(
+        throw new IllegalArgumentException("--pq-fold requires --pq-store P"))
+      val ckpt = a.checkpointDir.getOrElse(
+        throw new IllegalArgumentException("--pq-fold requires --checkpoint P"))
+      val horizon = graft.operators.MaintenanceOps.lastCommittedBatch(spark, ckpt)
+        .getOrElse(throw new IllegalStateException(
+          s"no commit log at $ckpt/commits - cannot establish a replay horizon, refusing to fold"))
+      val rs = graft.operators.PqOps.foldPqEpochs(spark, store, horizon)
+      out(s"PQ_FOLD_ upTo=$horizon " + rs.toSeq.sortBy(_._1).map { case (ns, r) =>
+        s"$ns:files=${r.filesBefore}->${r.filesAfter},rows=${r.rows}"
+      }.mkString(" "))
       return 0
     }
 

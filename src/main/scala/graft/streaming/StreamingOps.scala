@@ -317,6 +317,18 @@ object StreamingOps {
           "ledger was kept, and continuing would overwrite committed corpus epochs " +
           "(silently readmitting their near-dups). Restore the original checkpoint or " +
           "rebuild the ledger.")
+    // FOLDED epochs are invisible to the directory check above (their
+    // partitions are gone — merged into base), but replaying one is just
+    // as wrong: its rows live in base, so a re-run would ADD a second
+    // copy instead of dynamically replacing its own partition. The fold
+    // marker is the durable witness (E152, round 15).
+    val mark = graft.operators.MaintenanceOps.foldedThrough(fs, p)
+    if (mark >= batchId)
+      throw new IllegalStateException(
+        s"ledger at $ledgerDir has folded epochs through epoch$mark into base but " +
+          s"this query is at batch $batchId — the streaming checkpoint was reset or " +
+          "relocated after a fold, and replaying a folded epoch would duplicate its " +
+          "rows in base. Restore the original checkpoint or rebuild the ledger.")
   }
 
   /** Stream-stream interval join: rows of `b` whose event time falls in

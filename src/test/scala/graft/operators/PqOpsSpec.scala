@@ -897,6 +897,76 @@ class PqOpsSpec extends AnyFunSuite {
     assert(full.getMessage.contains("not empty"), full.getMessage)
   }
 
+  test("foldPqEpochs collapses committed epochs into base; leftovers and replays refuse") {
+    // E152 (round 15): the PQ store's epoch namespaces get the same
+    // fold lifecycle as the six count/membership ledgers — committed
+    // `epoch<N>` partitions merge into base under a name-encoded
+    // high-water marker, the lifetime code view is IDENTICAL before and
+    // after at every step, crash leftovers are excluded from reads and
+    // deleted without re-merge, and replaying a folded epoch refuses.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_fold")
+    val dir = root.resolve("pq").toString
+    PqOps.writePqArtifacts(spark, vecs.filter(col("id") < 4), "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 1,
+      refineM = 4, refineK = 2)
+    PqOps.incrementalPqEncode(
+      spark, vecs.filter(col("id") === 4L), "v", "id", dir, "epoch0").commitLedger()
+    PqOps.incrementalPqEncode(
+      spark, vecs.filter(col("id") === 5L), "v", "id", dir, "epoch1").commitLedger()
+    def codeRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("sub"), col("code"), col("dist"), col("cell"))
+        .as[(Long, Int, Int, Double, Int)].collect().toSet
+    val before = PqOps.readPqArtifacts(spark, dir)
+    val s1 = codeRows(before.codes)
+    val r1 = codeRows(before.rcodes.get)
+    assert(s1.map(_._1) == (0L to 5L).toSet)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(rel: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(dir, rel))
+    // Fold epoch0 only (the replay horizon at batch 0).
+    val rep = PqOps.foldPqEpochs(spark, dir, upToBatchId = 0L)
+    assert(rep.keySet == Set("codes", "rcodes"))
+    assert(rep("codes").rows > 0 && rep("rcodes").rows > 0)
+    assert(!exists("codes/_graft_epoch=epoch0") &&
+      exists("codes/_graft_epoch=epoch1") &&
+      exists("codes/_graft_folded_through_0") &&
+      !exists("rcodes/_graft_epoch=epoch0"), "epoch0 folded, epoch1 live")
+    val mid = PqOps.readPqArtifacts(spark, dir)
+    assert(codeRows(mid.codes) == s1 && codeRows(mid.rcodes.get) == r1,
+      "the lifetime view must be identical across a fold")
+    // Crash-leftover simulation: a folded epoch dir that survived past
+    // its marker (crash between marker write and dir delete). Fold
+    // epoch1 but resurrect its directory from a pre-fold copy.
+    val src = new org.apache.hadoop.fs.Path(dir, "codes/_graft_epoch=epoch1")
+    val stash = new org.apache.hadoop.fs.Path(root.toString, "stash")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, stash, false,
+      spark.sparkContext.hadoopConfiguration)
+    PqOps.foldPqEpochs(spark, dir, upToBatchId = 1L)
+    org.apache.hadoop.fs.FileUtil.copy(fs, stash, fs, src, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(exists("codes/_graft_epoch=epoch1"), "leftover resurrected")
+    // Reads EXCLUDE the leftover (its rows are already in base).
+    val after = PqOps.readPqArtifacts(spark, dir)
+    assert(codeRows(after.codes) == s1 && codeRows(after.rcodes.get) == r1,
+      "a marked leftover must not double-count")
+    // The next fold deletes it without re-merging (report rows 0).
+    val rep2 = PqOps.foldPqEpochs(spark, dir, upToBatchId = 1L)
+    assert(rep2("codes").rows == 0L)
+    assert(!exists("codes/_graft_epoch=epoch1"))
+    assert(codeRows(PqOps.readPqArtifacts(spark, dir).codes) == s1)
+    // Replaying a FOLDED epoch token refuses loudly (its rows are in
+    // base — a dynamic overwrite would add, not replace).
+    val e = intercept[IllegalStateException](PqOps.incrementalPqEncode(
+      spark, vecs.filter(col("id") === 5L), "v", "id", dir, "epoch1"))
+    assert(e.getMessage.contains("folded"), e.getMessage)
+    // A fresh token past the marker still appends normally, and the
+    // search path keeps working over the folded store.
+    val queries = vecs.filter(col("id") < 2).select(col("id").as("qid"), col("v"))
+    assert(PqOps.searchArtifactsRefined(PqOps.readPqArtifacts(spark, dir),
+      "id", queries, "qid", "v", topR = 4, topN = 2, nprobe = 2).count() > 0)
+  }
+
   test("rebalanceStore on a residual store: split members re-encode against child centroids") {
     // E151 (round 15, closing the round-14 declared edge): a residual
     // store's codes quantize v − coarseCentroid(cell), so a cell split

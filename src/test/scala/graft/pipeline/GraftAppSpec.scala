@@ -655,6 +655,32 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
       spark.read.parquet(s"$outd/codes").count())
     intercept[IllegalArgumentException](
       cli("--pq-rebalance", "--pq-store", outd, "--out-dir", rebd))
+
+    // --pq-fold: committed epoch<N> partitions collapse into base with
+    // the horizon read from the checkpoint's commit log; the lifetime
+    // row count is unchanged and the epoch directory is gone.
+    val batch3 = s"$root/vecs3"
+    (30L to 34L).map(i => (i, Array.tabulate(8)(d => (i * 7 + d).toDouble % 5)))
+      .toDF("vec_id", "embedding")
+      .write.mode(SaveMode.Overwrite).parquet(batch3)
+    val (c7, _) = cli("--pq-append", "--corpus-dir", batch3, "--out-dir", rebd,
+      "--id-col", "vec_id", "--pq-epoch", "epoch0")
+    assert(c7 == 0)
+    val rowsBefore = spark.read.parquet(s"$rebd/codes").count()
+    val ckpt = s"$root/ckpt"
+    val fsC = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsC.mkdirs(new org.apache.hadoop.fs.Path(s"$ckpt/commits"))
+    fsC.create(new org.apache.hadoop.fs.Path(s"$ckpt/commits/0"), true).close()
+    val (c8, l8) = cli("--pq-fold", "--pq-store", rebd, "--checkpoint", ckpt)
+    assert(c8 == 0, l8.mkString("; "))
+    assert(l8.exists(_.startsWith("PQ_FOLD_ upTo=0")), l8)
+    val fsR = new org.apache.hadoop.fs.Path(rebd)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fsR.exists(new org.apache.hadoop.fs.Path(
+      s"$rebd/codes/_graft_epoch=epoch0")))
+    assert(spark.read.parquet(s"$rebd/codes").count() == rowsBefore)
+    intercept[IllegalArgumentException](cli("--pq-fold", "--pq-store", rebd))
   }
 
   test("--exact-neardup writes the provably-complete pair report") {

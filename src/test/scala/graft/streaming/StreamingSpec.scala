@@ -568,6 +568,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint reset against a FOLDED ledger is refused via the fold marker") {
+    // E152 (round 15): after a fold the committed epochs' directories are
+    // gone (merged into base), so the directory-based reset guard above
+    // is blind to them — the fold marker is the durable witness. A fresh
+    // query restarting at batch 0 against a ledger folded through epoch5
+    // would re-add already-based rows; it must die loudly instead.
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_stream_folded")
+    val sink = Connectors.IdempotentParquetSink(s"$base/out")
+    val ledger = s"$base/ledger"
+    graft.operators.LshOps.incrementalNeardupEpoch(
+      spark, Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "text", "doc_id", ledger, "epoch5")
+      .commitLedger()
+    graft.operators.MaintenanceOps.foldEpochs(spark, ledger, upToBatchId = 5L)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.foreachBatchLedgerNeardup(
+      mem.toDF().toDF("doc_id", "text").writeStream,
+      "text", "doc_id", ledger, sink, "docs").start()
+    try {
+      mem.addData((9L, "totally fresh words appearing nowhere else"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("folded epochs through epoch5"),
+        s"expected the fold-marker refusal, got:\n$msgs")
+    } finally q.stop()
+  }
+
   test("transformWithState: typed state persists across micro-batches (E86)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingOps.TypedEvent]
