@@ -191,6 +191,171 @@ object MaintenanceOps {
     DeleteReport(before, hit, before - hit, idsDistinct.size.toLong - foundIds.size)
   }
 
+  /** [[ledgerDelete]]'s report: `notFound` keys were already absent (the
+    * idempotence signal); `leavesRewritten` counts swapped or deleted
+    * leaf directories. */
+  final case class LedgerDeleteReport(
+      rowsBefore: Long, deleted: Long, rowsAfter: Long, notFound: Long,
+      leavesRewritten: Int)
+
+  /** E153 (round 15, closing the round-14 declared edge): takedown reach
+    * into the LEDGER/ARTIFACT spaces — [[targetedDelete]] erases ids from
+    * a flat corpus, but the derived spaces retain per-row content: the
+    * SRP/semantic ledgers carry the raw VECTOR, the fingerprint ledger
+    * the content hash, the PQ store per-id codes. A right-to-erasure
+    * delete that leaves those behind retains derived content for the
+    * deleted id. This removes every ledger row whose `keyCol` matches a
+    * key in `keys` (a one-column frame, takedown-sized by contract —
+    * broadcast), preserving what a ledger cannot lose: the `_graft_*`
+    * construction pins and the epoch/cell partition LAYOUT (leaves
+    * rewrite in place via the [[compactParquet]] swap protocol; a leaf
+    * whose rows all match is deleted — its partition simply vanishes).
+    *
+    * The ledgers are not id-keyed, so the KEY RECIPE is per space and
+    * the caller derives it from the corpus BEFORE the corpus delete:
+    *  - PQ store codes/rcodes: `keyCol` = the id column
+    *    ([[PqOps.pqStoreDelete]] wraps both namespaces);
+    *  - SRP band ledger: `keyCol = "_graft_vec"`, keys = the deleted
+    *    rows' vector column (stored verbatim at ingest);
+    *  - semantic ledger: `keyCol = "_graft_vec"` likewise;
+    *  - fingerprint ledger: `keyCol = "_graft_fp"`, keys = the deleted
+    *    docs' fingerprints (recompute with the ingest's fingerprint op).
+    * Count ledgers (span counts) hold no per-id rows — nothing to erase.
+    *
+    * Cost: ONE full ledger scan (a left broadcast join groups total/hit
+    * counts and the matched keys per FILE via `_metadata.file_path` —
+    * driver state is one small row per ledger file), then a rewrite of
+    * ONLY the leaf directories that contain hits (≤ denylist-bounded).
+    * The audit tombstones `(key, found)` append BEFORE any rewrite (an
+    * unaudited takedown is the failure the audit exists to prevent);
+    * a crash mid-way leaves whole leaves either old or new (per-leaf
+    * atomic swaps), and a re-run converges (anti-join idempotent, the
+    * already-gone keys simply audit `found = false`). Run it between
+    * drains (the compaction rule): a later epoch REPLAY would re-add a
+    * deleted id's rows — delete behind the committed replay horizon. */
+  def ledgerDelete(
+      spark: SparkSession,
+      ledgerDir: String,
+      keyCol: String,
+      keys: org.apache.spark.sql.DataFrame,
+      auditDir: String): LedgerDeleteReport = {
+    import org.apache.spark.sql.functions.{broadcast, col, collect_list, count, lit}
+    val path = new Path(ledgerDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"ledger directory $ledgerDir does not exist")
+    require(keys.columns.contains(keyCol),
+      s"keys frame must carry the key column '$keyCol', has " +
+        keys.columns.mkString(", "))
+    val src = spark.read.parquet(ledgerDir)
+    require(src.columns.contains(keyCol),
+      s"ledger at $ledgerDir has no column '$keyCol' (columns: " +
+        s"${src.columns.mkString(", ")}) — pass the space's key column " +
+        "(see the per-space key recipes in the scaladoc)")
+    // Takedown-sized by contract: the distinct keys collect driver-side
+    // for the audit and rebroadcast exactly once.
+    val keyRows = keys.select(col(keyCol)).distinct().collect().toSeq
+    require(keyRows.nonEmpty, "empty deletion key set — refusing a no-op audit")
+    val keyType = keys.schema(keyCol).dataType
+    val keyDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(keyRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_graft_dk", keyType)))))
+    // ONE ledger scan: per-FILE total rows, hit rows, and the matched
+    // keys (null-safe equality — a null key row can only match a null
+    // deletion key, never silently everything).
+    val perFile = src
+      .select(col(keyCol), col("_metadata.file_path").as("_graft_f"))
+      .join(keyDf, col(keyCol) <=> col("_graft_dk"), "left")
+      .groupBy(col("_graft_f"))
+      .agg(count(lit(1)).as("all"), count(col("_graft_dk")).as("hit"),
+        collect_list(col("_graft_dk")).as("ks"))
+      .collect()
+    val rowsBefore = perFile.map(_.getLong(1)).sum
+    val hit = perFile.map(_.getLong(2)).sum
+    val foundKeys = perFile.flatMap(_.getSeq[Any](3)).toSet
+    // Tombstone audit BEFORE the rewrites (the targetedDelete rule):
+    // (key, found) per requested key, no deleted CONTENT retained beyond
+    // the key itself (for vector keys the key IS the content — callers
+    // wanting content-free audits pass a hashed key space).
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          keyRows.map(r => org.apache.spark.sql.Row(
+            r.get(0), foundKeys.contains(r.get(0)))), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("key", keyType),
+          org.apache.spark.sql.types.StructField("found",
+            org.apache.spark.sql.types.BooleanType, nullable = false))))
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(auditDir)
+    // Rewrite only the leaf directories holding hits. Root-level
+    // `_graft_*` pins ride outside the leaves for partitioned layouts;
+    // a FLAT ledger's root rewrite snapshots + restores them (the
+    // compactLedger rule).
+    val rootUri = fs.makeQualified(path).toUri
+    val hitLeaves = perFile.filter(_.getLong(2) > 0L)
+      .map(r => new Path(new java.net.URI(r.getString(0))).getParent)
+      .map(fs.makeQualified)
+      .distinct
+    def renameOrThrow(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"ledgerDelete swap failed: rename $from -> $to")
+    hitLeaves.foreach { leaf =>
+      val isRoot = fs.makeQualified(leaf).toUri == rootUri
+      val metaSnapshot =
+        if (!isRoot) Map.empty[String, Array[Byte]]
+        else fs.listStatus(leaf).filter { s =>
+          s.isFile && s.getPath.getName.startsWith("_graft_")
+        }.map { s =>
+          val in = fs.open(s.getPath)
+          try s.getPath.getName -> {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+            buf.toByteArray
+          } finally in.close()
+        }.toMap
+      val tmp = new Path(leaf.getParent, s".${leaf.getName}_erase_tmp")
+      fs.delete(tmp, true)
+      val obs = org.apache.spark.sql.Observation(
+        s"erase_${leaf.getName}_${System.identityHashCode(leaf)}")
+      spark.read.parquet(leaf.toString)
+        .join(keyDf, col(keyCol) <=> col("_graft_dk"), "left_anti")
+        .observe(obs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val survivors = obs.get("n").asInstanceOf[Long]
+      if (survivors == 0L && isRoot) {
+        // An emptied FLAT ledger would swap to a schema-less directory
+        // that every later read fails on obscurely — this is a rebuild
+        // situation, refuse with guidance (the rewritten sibling leaves
+        // are idempotent under the re-run that follows the fix).
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          s"ledgerDelete would remove EVERY row of the flat ledger at " +
+            s"$ledgerDir — delete the directory (and its pins) explicitly " +
+            "instead of erasing it empty.")
+      }
+      if (survivors == 0L && !isRoot) {
+        // The whole leaf matched: its partition vanishes.
+        fs.delete(tmp, true)
+        fs.delete(leaf, true)
+      } else {
+        val bak = new Path(leaf.getParent, s".${leaf.getName}_erase_bak")
+        fs.delete(bak, true)
+        renameOrThrow(leaf, bak)
+        renameOrThrow(tmp, leaf)
+        fs.delete(bak, true)
+        metaSnapshot.foreach { case (name, bytes) =>
+          val p = new Path(leaf, name)
+          if (!fs.exists(p)) {
+            val out = fs.create(p, true)
+            try out.write(bytes) finally out.close()
+          }
+        }
+      }
+    }
+    LedgerDeleteReport(rowsBefore, hit, rowsBefore - hit,
+      (keyRows.size - foundKeys.size).toLong, hitLeaves.length)
+  }
+
   /** Cluster a dataset's FILE layout for scan pruning: range-partition on
     * the cluster columns, sort within each partition, write parquet. Every
     * output file then covers a narrow, near-disjoint range of the cluster

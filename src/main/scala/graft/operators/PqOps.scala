@@ -1629,6 +1629,40 @@ object PqOps {
     }.toMap
   }
 
+  /** E153 (round 15): takedown reach into the PQ STORE — remove the
+    * given ids' code rows from BOTH namespaces (codes, and rcodes when
+    * the store carries a refinement level), in lockstep: stage-1 codes
+    * without their error codes would leave ids the re-rank's decode
+    * guard refuses, and rcodes without codes would be orphaned derived
+    * content. Wraps [[MaintenanceOps.ledgerDelete]] per namespace (leaf
+    * swaps preserve the (epoch, cell) layout; an emptied leaf's
+    * partition vanishes), audits to `auditDir/codes` / `auditDir/rcodes`
+    * tombstones, and REQUIRE-matches the construction pin first — a
+    * takedown against an unpinned store is as untrustworthy as a search.
+    * The codebooks/coarse models stay: they are corpus-level aggregates,
+    * not per-id content (the erasure target is the id's derived rows).
+    * Same replay caveat as every ledger maintenance op: run behind the
+    * committed replay horizon, or a replayed epoch re-adds the rows. */
+  def pqStoreDelete(
+      spark: SparkSession,
+      dir: String,
+      idCol: String,
+      ids: Seq[Long],
+      auditDir: String): Map[String, MaintenanceOps.LedgerDeleteReport] = {
+    require(ids.nonEmpty, "empty deletion list — refusing a no-op audit")
+    readMeta(spark, dir) // pin-or-refuse
+    import spark.implicits._
+    val keys = ids.distinct.toDF(idCol)
+    val (fs, _) = fsOf(spark, dir)
+    val namespaces = "codes" +: (
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir, "rcodes"))) Seq("rcodes")
+      else Nil)
+    namespaces.map { ns =>
+      ns -> MaintenanceOps.ledgerDelete(
+        spark, s"$dir/$ns", idCol, keys, s"$auditDir/$ns")
+    }.toMap
+  }
+
   /** [[incrementalPqEncode]]'s two-step result — the ledger family's
     * write-then-commit protocol: read `codes` (the corpus-lifetime view
     * INCLUDING this batch) now, `commitLedger()` only after the batch's

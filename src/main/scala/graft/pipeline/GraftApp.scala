@@ -95,6 +95,7 @@ object GraftApp {
       pqAudit: Boolean = false,
       pqRebalance: Boolean = false,
       pqFold: Boolean = false,
+      keyCol: Option[String] = None,
       maxCell: Long = 1L << 22)
 
   /** Valueless flags (presence = true). */
@@ -135,7 +136,8 @@ object GraftApp {
           "[--verify-export --export-dir P [--content-cols a,b] [--seed S]] | " +
           "[--scrub-spans [--span-tokens N] [--min-docs N]] | " +
           "[--epoch-shuffle E] | " +
-          "[--delete-ids i,j,… --corpus-dir P --audit-dir P] | " +
+          "[--delete-ids i,j,… --corpus-dir P --audit-dir P " +
+          "[--pq-store P | --ledger P --key-col C]] | " +
           "[--zorder c1,c2[,…c6] --corpus-dir P --out-dir P [--z-bits N] [--z-files N]] | " +
           "[--exact-neardup --corpus-dir P --out-dir P [--tau X] [--text-col C] [--id-col C]] | " +
           "[--heavy-hitters COL --corpus-dir P --out-dir P [--capacity N] [--k N] [--tokenize]] | " +
@@ -160,7 +162,7 @@ object GraftApp {
       "heavy-hitters", "capacity",
       "pq-m", "pq-k", "pq-iters", "pq-coarse-k", "pq-epoch", "pq-store",
       "nprobe", "rerank", "rerank-corpus", "refine-m", "refine-k",
-      "max-cell") ++ boolFlags
+      "max-cell", "key-col") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
     if (unknown.nonEmpty)
@@ -247,6 +249,7 @@ object GraftApp {
       pqAudit = flags.contains("pq-audit"),
       pqRebalance = flags.contains("pq-rebalance"),
       pqFold = flags.contains("pq-fold"),
+      keyCol = flags.get("key-col"),
       maxCell = flags.get("max-cell").map(_.toLong).getOrElse(1L << 22))
   }
 
@@ -358,10 +361,47 @@ object GraftApp {
     // named directly (not via a source endpoint): an in-place rewrite
     // must know exactly which directory it owns.
     if (a.deleteIds.isDefined) {
-      val dir = a.corpusDir.getOrElse(
-        throw new IllegalArgumentException("--delete-ids requires --corpus-dir P"))
       val audit = a.auditDir.getOrElse(
         throw new IllegalArgumentException("--delete-ids requires --audit-dir P"))
+      // E153: with --pq-store the takedown reaches the PQ STORE's code
+      // namespaces (id-keyed derived rows); with --ledger + --key-col it
+      // reaches a band/semantic ledger, deriving the space's keys from
+      // the corpus rows (which must still hold the ids — run the ledger
+      // delete BEFORE the corpus delete). Plain --corpus-dir alone stays
+      // the flat-corpus rewrite (E125).
+      if (a.pqStore.isDefined) {
+        val rs = graft.operators.PqOps.pqStoreDelete(
+          spark, a.pqStore.get, a.idCol, a.deleteIds.get, audit)
+        out(s"DELETE_PQ_ requested=${a.deleteIds.get.size} " +
+          rs.toSeq.sortBy(_._1).map { case (ns, r) =>
+            s"$ns:deleted=${r.deleted},rows=${r.rowsBefore}->${r.rowsAfter}," +
+              s"leaves=${r.leavesRewritten}"
+          }.mkString(" "))
+        return 0
+      }
+      if (a.ledgerDir.isDefined) {
+        val dir = a.corpusDir.getOrElse(
+          throw new IllegalArgumentException(
+            "--delete-ids --ledger requires --corpus-dir P (the key recipe " +
+              "derives the ledger keys from the corpus rows — run before the " +
+              "corpus delete)"))
+        val keyCol = a.keyCol.getOrElse(
+          throw new IllegalArgumentException(
+            "--delete-ids --ledger requires --key-col C (the ledger's key " +
+              "column, e.g. _graft_vec for the SRP/semantic ledgers)"))
+        import org.apache.spark.sql.functions.col
+        val keys = spark.read.parquet(dir)
+          .filter(col(a.idCol).isInCollection(a.deleteIds.get.distinct))
+          .select(col(a.vecCol).as(keyCol))
+        val r = graft.operators.MaintenanceOps.ledgerDelete(
+          spark, a.ledgerDir.get, keyCol, keys, audit)
+        out(s"DELETE_LEDGER_ requested=${a.deleteIds.get.size} deleted=${r.deleted} " +
+          s"notFound=${r.notFound} rows=${r.rowsBefore}->${r.rowsAfter} " +
+          s"leaves=${r.leavesRewritten}")
+        return 0
+      }
+      val dir = a.corpusDir.getOrElse(
+        throw new IllegalArgumentException("--delete-ids requires --corpus-dir P"))
       val r = graft.operators.MaintenanceOps.targetedDelete(
         spark, dir, a.idCol, a.deleteIds.get, audit)
       out(s"DELETE_IDS_ requested=${a.deleteIds.get.size} deleted=${r.deleted} " +

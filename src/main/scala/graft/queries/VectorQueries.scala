@@ -714,6 +714,34 @@ object VectorQueries {
       val out = Seq("vec_id", "cell", "sub", "code", "dist").map(col)
       codes.filter(!col("cell").isin(hotSeq: _*)).select(out: _*)
         .unionByName(hot.select(out: _*))
+    }),
+
+    // E153 takedown-aware search (round 15): the searchable contract of
+    // pqStoreDelete — after a right-to-erasure pass removes a denylist's
+    // code rows (vec_id % 97 = 3 here), IVFADC over the surviving store
+    // ranks EXACTLY as if the deleted candidates never existed: no
+    // re-fit, no re-encode, the erased ids simply absent from every
+    // shortlist (a deleted id may still ASK as a query — only its
+    // candidacy is gone). The file-level op (leaf swaps, pins, audit,
+    // both namespaces) is spec-gated in PqOpsSpec/MaintenanceOpsSpec;
+    // this pins the post-delete ranking against the oracle.
+    "q170_takedown_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val coarse = graft.operators.KmeansOps.fit(
+        e, "embedding", "vec_id", k = 8, iters = 1)
+      val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
+      val model = graft.operators.PqOps.fitPq(
+        e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
+      val codes = graft.Tables.materialize(
+        graft.operators.PqOps.attachCells(
+          graft.operators.PqOps.encode(e, "embedding", "vec_id", model),
+          cells, "vec_id")
+        .filter(col("vec_id") % 97 =!= 3))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.operators.PqOps.ivfAdcSearch(
+        codes, "cell", "vec_id", queries, "qid", "embedding",
+        model, coarse.centroids, topN = 5, nprobe = 2)
     })
   )
 
@@ -1528,7 +1556,37 @@ object VectorQueries {
             FROM raf r JOIN af a ON a.vec_id = r.vec_id
             LEFT JOIN hot h ON h.cl = a.cl WHERE h.cl IS NULL
             UNION ALL
-            SELECT vec_id, cell, sub, code, dist FROM nenc"""
+            SELECT vec_id, cell, sub, code, dist FROM nenc""",
+      // Takedown-aware search: q160's IVFADC at nprobe = 2, with the
+      // erased ids (vec_id % 97 = 3) absent from the CANDIDATE side only
+      // (the store's codes are gone; queries are unrestricted).
+      "q170_takedown_search" ->
+        s"""WITH ${kmeansCtes(8, 1)},
+            ${pqCtesF("q", 4, 8, 1, 16)},
+            lut AS (SELECT s.vec_id AS qid, s.sub, b.code,
+                           ${pqL2Sql("s.sv", "b.c", 16)} * ${pqL2Sql("s.sv", "b.c", 16)} AS part
+                    FROM qsubs s JOIN qb1 b ON b.sub = s.sub
+                    WHERE s.vec_id < 5),
+            qp AS (SELECT vec_id AS qid, cl AS qcell FROM (
+                     SELECT e.vec_id, f.cl,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY ${l2Sql("e.v", "f.c")}, f.cl) AS pr
+                     FROM e CROSS JOIN c1 f WHERE e.vec_id < 5)
+                   WHERE pr <= 2),
+            scored AS (SELECT l.qid, a.vec_id, round(sum(l.part), 6) AS adc
+                       FROM qaf a
+                       JOIN af c ON c.vec_id = a.vec_id
+                       JOIN qp ON qp.qcell = c.cl
+                       JOIN lut l ON l.qid = qp.qid
+                                 AND l.sub = a.sub AND l.code = a.code
+                       WHERE a.vec_id % 97 <> 3
+                       GROUP BY l.qid, a.vec_id)
+            SELECT qid, CAST(rank AS INT) AS rank, vec_id, adc FROM (
+              SELECT qid, vec_id, adc,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY adc, vec_id) AS rank
+              FROM scored)
+            WHERE rank <= 5"""
     )
   }
 }

@@ -356,6 +356,67 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(tomb == Set((5L, true), (17L, true), (999999L, false)))
   }
 
+  test("ledgerDelete erases a vector's SRP-ledger rows; pins, layout and ingest survive") {
+    // E153 (round 15): the SRP band ledger stores the raw VECTOR per
+    // survivor row (it is the cosine-verify state), so a right-to-
+    // erasure takedown must reach it — keyed by the vector itself (the
+    // ledger is not id-keyed; the caller derives the key from the corpus
+    // BEFORE the corpus delete). The construction pin and the epoch
+    // layout survive, and the next ingest still verifies against the
+    // remaining rows.
+    import org.apache.spark.sql.functions.col
+    val dim = 8
+    def unit(seed: Long): Array[Float] = {
+      val rng = new scala.util.Random(seed)
+      val raw = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => (x / n).toFloat)
+    }
+    val root = Files.createTempDirectory("graft_ledger_delete")
+    val ledger = root.resolve("bands").toString
+    val corpus = (0L until 6L).map(i => (i, unit(i * 7919L + 1L)))
+      .toDF("vec_id", "embedding")
+    graft.operators.SrpOps.incrementalNeardup(
+      spark, corpus, "embedding", "vec_id", ledger).commitLedger()
+    val beforeRows = spark.read.parquet(ledger).count()
+    val nBands = spark.read.parquet(ledger)
+      .filter(col("_graft_vec") === org.apache.spark.sql.functions.typedLit(
+        unit(3L * 7919L + 1L).toSeq)).count()
+    assert(nBands > 0, "fixture vector must be ledgered")
+    // The key recipe: the deleted id's vector, as the corpus holds it.
+    val keys = corpus.filter(col("vec_id") === 3L)
+      .select(col("embedding").as("_graft_vec"))
+    val audit = root.resolve("audit").toString
+    val r = MaintenanceOps.ledgerDelete(spark, ledger, "_graft_vec", keys, audit)
+    assert(r.deleted == nBands && r.notFound == 0L, r.toString)
+    assert(r.rowsAfter == beforeRows - nBands)
+    val left = spark.read.parquet(ledger)
+    assert(left.count() == beforeRows - nBands)
+    assert(left.filter(col("_graft_vec") === org.apache.spark.sql.functions.typedLit(
+      unit(3L * 7919L + 1L).toSeq)).count() == 0L, "the vector's rows are gone")
+    // Pin preserved: the next ingest's width-drift check still runs, and
+    // a near-dup of a REMAINING vector still drops.
+    val batch2 = Seq(
+      (10L, unit(0L * 7919L + 1L)),          // exact twin of remaining id 0
+      (11L, unit(99L)))                       // fresh
+      .toDF("vec_id", "embedding")
+    val pending = graft.operators.SrpOps.incrementalNeardup(
+      spark, batch2, "embedding", "vec_id", ledger)
+    assert(pending.survivors.select(col("vec_id")).as[Long].collect().toSet == Set(11L))
+    // Tombstone audit: one row, found.
+    val tomb = spark.read.parquet(audit).as[(Seq[Double], Boolean)].collect()
+    assert(tomb.length == 1 && tomb.head._2)
+    // Replay: already gone, found = false.
+    val r2 = MaintenanceOps.ledgerDelete(spark, ledger, "_graft_vec", keys, audit)
+    assert(r2.deleted == 0L && r2.notFound == 1L)
+    // A wrong key column refuses loudly with the recipe hint.
+    val bad = intercept[IllegalArgumentException](MaintenanceOps.ledgerDelete(
+      spark, ledger, "no_such_col", keys.withColumnRenamed("_graft_vec", "no_such_col"),
+      audit))
+    assert(bad.getMessage.contains("key column") ||
+      bad.getMessage.contains("no column"), bad.getMessage)
+  }
+
   test("foldEpochs re-aggregates span-ledger counts; crashed-fold leftovers converge") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("fold_spans")

@@ -967,6 +967,63 @@ class PqOpsSpec extends AnyFunSuite {
       "id", queries, "qid", "v", topR = 4, topN = 2, nprobe = 2).count() > 0)
   }
 
+  test("pqStoreDelete erases ids from both code namespaces; layout, pins and search intact") {
+    // E153 (round 15): right-to-erasure must reach the DERIVED spaces —
+    // a corpus delete that leaves an id's PQ codes behind retains
+    // derived content for it. Both namespaces erase in lockstep, the
+    // (epoch, cell) layout and the construction pins survive, surviving
+    // ids' rows are byte-identical, tombstones audit (found/not-found),
+    // and a replay of the same delete is a found=false no-op.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_delete")
+    val dir = root.resolve("pq").toString
+    PqOps.writePqArtifacts(spark, vecs.filter(col("id") < 4), "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 1,
+      refineM = 4, refineK = 2)
+    PqOps.incrementalPqEncode(
+      spark, vecs.filter(col("id") === 4L), "v", "id", dir, "epoch0").commitLedger()
+    PqOps.incrementalPqEncode(
+      spark, vecs.filter(col("id") === 5L), "v", "id", dir, "epoch1").commitLedger()
+    def codeRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("sub"), col("code"), col("dist"), col("cell"))
+        .as[(Long, Int, Int, Double, Int)].collect().toSet
+    val before = PqOps.readPqArtifacts(spark, dir)
+    val s1 = codeRows(before.codes)
+    val r1 = codeRows(before.rcodes.get)
+    // Delete a base id, an appended epoch's ONLY id, and an absent one
+    // (duplicate request entries must not inflate anything).
+    val audit = root.resolve("audit").toString
+    val rs = PqOps.pqStoreDelete(spark, dir, "id", Seq(1L, 4L, 99L, 1L), audit)
+    assert(rs.keySet == Set("codes", "rcodes"))
+    assert(rs("codes").deleted == 4L, rs.toString)   // 2 ids × m=2 rows
+    assert(rs("rcodes").deleted == 8L, rs.toString)  // 2 ids × m2=4 rows
+    assert(rs("codes").notFound == 1L)
+    val after = PqOps.readPqArtifacts(spark, dir)
+    assert(codeRows(after.codes) == s1.filterNot(r => r._1 == 1L || r._1 == 4L),
+      "survivors byte-identical, deleted ids gone")
+    assert(codeRows(after.rcodes.get) == r1.filterNot(r => r._1 == 1L || r._1 == 4L))
+    // epoch1's partition layout survives (its id was untouched).
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "codes/_graft_epoch=epoch1")))
+    // Search still routes and never returns a deleted id.
+    val queries = vecs.filter(col("id") < 2).select(col("id").as("qid"), col("v"))
+    val got = PqOps.searchArtifactsRefined(after, "id", queries, "qid", "v",
+        topR = 4, topN = 4, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty && !got.exists(r => r._3 == 1L || r._3 == 4L))
+    // Tombstones: found for the present ids, not-found for the absent.
+    val tomb = spark.read.parquet(s"$audit/codes")
+      .as[(Long, Boolean)].collect().toMap
+    assert(tomb == Map(1L -> true, 4L -> true, 99L -> false), tomb.toString)
+    // Idempotent replay: everything already gone.
+    val rs2 = PqOps.pqStoreDelete(spark, dir, "id", Seq(1L, 4L, 99L), audit)
+    assert(rs2("codes").deleted == 0L && rs2("codes").notFound == 3L)
+    // A store without a pin refuses the takedown like every other read.
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_pq_construction"), false)
+    intercept[IllegalStateException](
+      PqOps.pqStoreDelete(spark, dir, "id", Seq(2L), audit))
+  }
+
   test("rebalanceStore on a residual store: split members re-encode against child centroids") {
     // E151 (round 15, closing the round-14 declared edge): a residual
     // store's codes quantize v − coarseCentroid(cell), so a cell split

@@ -681,6 +681,17 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
       s"$rebd/codes/_graft_epoch=epoch0")))
     assert(spark.read.parquet(s"$rebd/codes").count() == rowsBefore)
     intercept[IllegalArgumentException](cli("--pq-fold", "--pq-store", rebd))
+
+    // --delete-ids --pq-store: the takedown reaches the code namespaces.
+    val audd2 = s"$root/del_audit"
+    val (c9, l9) = cli("--delete-ids", "3,9999", "--pq-store", rebd,
+      "--audit-dir", audd2, "--id-col", "vec_id")
+    assert(c9 == 0, l9.mkString("; "))
+    assert(l9.exists(_.startsWith("DELETE_PQ_ requested=2")), l9)
+    assert(spark.read.parquet(s"$rebd/codes")
+      .filter($"vec_id" === 3L).count() == 0L)
+    assert(spark.read.parquet(s"$rebd/rcodes")
+      .filter($"vec_id" === 3L).count() == 0L)
   }
 
   test("--exact-neardup writes the provably-complete pair report") {
