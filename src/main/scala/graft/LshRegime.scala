@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object LshRegime {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | kmeans2 | semincr | wsample | contam | contamauto | chunk | spans | spansincr | shuffleorder | split | prefixjoin | pq | pqres | pqrefine | pqrebalance]")
+      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | kmeans2 | semincr | wsample | contam | contamauto | chunk | spans | spansincr | shuffleorder | split | prefixjoin | pq | pqres | pqrefine | pqrebalance | pqresrebalance | pqdelete | pqfold]")
     val dir = args(0)
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
@@ -49,6 +49,9 @@ object LshRegime {
     if (args.length > 1 && args(1) == "pqres") { pqSearch(spark, dir, residual = true); return }
     if (args.length > 1 && args(1) == "pqrefine") { pqRefine(spark, dir); return }
     if (args.length > 1 && args(1) == "pqrebalance") { pqRebalance(spark, dir); return }
+    if (args.length > 1 && args(1) == "pqresrebalance") { pqResRebalance(spark, dir); return }
+    if (args.length > 1 && args(1) == "pqdelete") { pqDelete(spark, dir); return }
+    if (args.length > 1 && args(1) == "pqfold") { pqFold(spark, dir); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -719,6 +722,96 @@ object LshRegime {
     println(
       f"""{"metric":"pq_rebalance","n":$n,"coarseK":$coarseK,"maxPop":$maxPop,""" +
         f""""nHot":$nHot,"newCoarseK":${arts.coarse.length},"rebalanceSecs":$secs%.2f}""")
+    spark.stop()
+  }
+
+  /** E151 probe: RESIDUAL-store rebalance at the same deliberately
+    * worst-case shape as [[pqRebalance]] (every cell hot) — here the
+    * split cells' members RE-ENCODE against the child centroids with the
+    * pinned codebooks, so this measures the partial re-encode's ceiling
+    * (hot members = the whole corpus). Production splits touch a few
+    * cells; cost is ∝ their members. */
+  private def pqResRebalance(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = vecs.count()
+    val coarseK = math.max(8L, n / 2500L).toInt
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_resrebal_probe")
+    val store = root.resolve("pq").toString
+    operators.PqOps.writePqArtifacts(spark, vecs, "embedding", "vec_id", store,
+      m = 4, kCodes = 8, iters = 1, coarseK = coarseK, coarseIters = 1,
+      residual = true)
+    val maxPop = (n * 8L) / (coarseK.toLong * 10L)
+    val t0 = System.nanoTime()
+    val (arts, nHot) = operators.PqOps.rebalanceStore(
+      spark, store, vecs, "embedding", "vec_id",
+      root.resolve("pq2").toString, maxPop, iters = 1)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"metric":"pq_res_rebalance","n":$n,"coarseK":$coarseK,"maxPop":$maxPop,""" +
+        f""""nHot":$nHot,"newCoarseK":${arts.coarse.length},"rebalanceSecs":$secs%.2f}""")
+    spark.stop()
+  }
+
+  /** E153 probe: takedown into the PQ store — a FIXED 100-id denylist
+    * against a growing store (both namespaces). The wall is one columnar
+    * ledger scan plus atomic rewrites of ONLY the hit (epoch, cell)
+    * leaves (≤ denylist-bounded), so it should grow far slower than n. */
+  private def pqDelete(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = vecs.count()
+    val coarseK = math.max(8L, n / 2500L).toInt
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_delete_probe")
+    val store = root.resolve("pq").toString
+    operators.PqOps.writePqArtifacts(spark, vecs, "embedding", "vec_id", store,
+      m = 4, kCodes = 8, iters = 1, coarseK = coarseK, coarseIters = 1,
+      refineM = 8, refineK = 8)
+    val deny = (0L until 100L).toSeq
+    val t0 = System.nanoTime()
+    val rs = operators.PqOps.pqStoreDelete(
+      spark, store, "vec_id", deny, root.resolve("audit").toString)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"metric":"pq_delete","n":$n,"coarseK":$coarseK,"deny":${deny.size},""" +
+        f""""deleted":${rs("codes").deleted},"rdeleted":${rs("rcodes").deleted},""" +
+        f""""leaves":${rs("codes").leavesRewritten + rs("rcodes").leavesRewritten},""" +
+        f""""deleteSecs":$secs%.2f}""")
+    spark.stop()
+  }
+
+  /** E152 probe: PQ epoch fold — half the corpus as base, the other half
+    * appended as 8 `epoch<N>` drains, then one fold into base. Measures
+    * the fold wall and the leaf-file collapse (the read-amplification
+    * the fold exists to remove). */
+  private def pqFold(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = vecs.count()
+    val coarseK = math.max(8L, n / 2500L).toInt
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_fold_probe")
+    val store = root.resolve("pq").toString
+    operators.PqOps.writePqArtifacts(
+      spark, vecs.filter(col("vec_id") % 2 === 0), "embedding", "vec_id", store,
+      m = 4, kCodes = 8, iters = 1, coarseK = coarseK, coarseIters = 1)
+    // 8 disjoint odd-id slices: epoch j holds vec_id ≡ 2j+1 (mod 16) —
+    // batches are NEW ids by the ledger contract.
+    for (j <- 0 until 8)
+      operators.PqOps.incrementalPqEncode(
+        spark, vecs.filter(col("vec_id") % 16 === 2 * j + 1),
+        "embedding", "vec_id", store, s"epoch$j").commitLedger()
+    val t0 = System.nanoTime()
+    val reps = operators.PqOps.foldPqEpochs(spark, store, upToBatchId = 7L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val r = reps("codes")
+    println(
+      f"""{"metric":"pq_fold","n":$n,"coarseK":$coarseK,"epochs":8,""" +
+        f""""filesBefore":${r.filesBefore},"filesAfter":${r.filesAfter},""" +
+        f""""rows":${r.rows},"foldSecs":$secs%.2f}""")
     spark.stop()
   }
 }

@@ -244,6 +244,24 @@ class PlanSpec extends AnyFunSuite {
                                   // Lloyd argmins are map-side packed mins and the cold
                                   // side is a narrow filter; hot populations and the
                                   // numbering are driver-sized (≤ coarseK rows)
+      "q169_residual_rebalance" -> 11, // q168's split stages (seed top-k + child-update
+                                  // + settle aggs over the HOT members) composed with
+                                  // the E151 re-encode: the moved-member id-joins
+                                  // (split.assignments × res × corpus — the fixture
+                                  // pays these in-plan; the stored path reads them
+                                  // off parquet), the declared-cell residual is a
+                                  // narrow broadcast zip_with, then the pinned-book
+                                  // encode arg-min agg + attachCells id-join + the
+                                  // cold/hot union spreads. res/codes/members are
+                                  // materialized leaves (the q166 rule); everything
+                                  // here moves hot-member-sized frames, never the
+                                  // corpus twice
+      "q170_takedown_search" -> 3, // q160's search over a MATERIALIZED erased-codes
+                                  // leaf: the queries-path spread + the (query, id)
+                                  // ADC sum + the per-query top-k agg — the denylist
+                                  // filter is a narrow predicate on the codes leaf,
+                                  // the LUT a BroadcastExchange, the probe a static
+                                  // isin
       "q108_srp_incr_neardup" -> 5, // hit/purge anti-joins on the id key + banded self-join
                                     // + pair and drop distincts (banding cached; ledger-hit
                                     // verification is eager, outside this plan)
