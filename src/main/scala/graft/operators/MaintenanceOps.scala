@@ -287,70 +287,98 @@ object MaintenanceOps {
             org.apache.spark.sql.types.BooleanType, nullable = false))))
       .coalesce(1)
       .write.mode(SaveMode.Append).parquet(auditDir)
-    // Rewrite only the leaf directories holding hits. Root-level
-    // `_graft_*` pins ride outside the leaves for partitioned layouts;
-    // a FLAT ledger's root rewrite snapshots + restores them (the
-    // compactLedger rule).
+    // Rewrite only the leaf directories holding hits. Per-leaf survivor
+    // counts come from the pass-1 accounting (no extra read).
     val rootUri = fs.makeQualified(path).toUri
+    def leafOf(fileUri: String): Path =
+      fs.makeQualified(new Path(new java.net.URI(fileUri)).getParent)
     val hitLeaves = perFile.filter(_.getLong(2) > 0L)
-      .map(r => new Path(new java.net.URI(r.getString(0))).getParent)
-      .map(fs.makeQualified)
-      .distinct
+      .map(r => leafOf(r.getString(0))).distinct.toSeq
+    // Per-leaf totals count files WITHOUT hits inside the same leaf too
+    // (the left join saw every file) — survivors(leaf) = all − hit.
+    val allByLeaf = perFile.groupBy(r => leafOf(r.getString(0))).view
+      .mapValues(_.map(r => r.getLong(1)).sum).toMap
+    val hitByLeaf = perFile.groupBy(r => leafOf(r.getString(0))).view
+      .mapValues(_.map(r => r.getLong(2)).sum).toMap
     def renameOrThrow(from: Path, to: Path): Unit =
       if (!fs.rename(from, to))
         throw new java.io.IOException(s"ledgerDelete swap failed: rename $from -> $to")
-    hitLeaves.foreach { leaf =>
-      val isRoot = fs.makeQualified(leaf).toUri == rootUri
-      val metaSnapshot =
-        if (!isRoot) Map.empty[String, Array[Byte]]
-        else fs.listStatus(leaf).filter { s =>
-          s.isFile && s.getPath.getName.startsWith("_graft_")
-        }.map { s =>
-          val in = fs.open(s.getPath)
-          try s.getPath.getName -> {
-            val buf = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-            buf.toByteArray
-          } finally in.close()
-        }.toMap
-      val tmp = new Path(leaf.getParent, s".${leaf.getName}_erase_tmp")
-      fs.delete(tmp, true)
-      val obs = org.apache.spark.sql.Observation(
-        s"erase_${leaf.getName}_${System.identityHashCode(leaf)}")
-      spark.read.parquet(leaf.toString)
-        .join(keyDf, col(keyCol) <=> col("_graft_dk"), "left_anti")
-        .observe(obs, count(lit(1)).as("n"))
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val survivors = obs.get("n").asInstanceOf[Long]
-      if (survivors == 0L && isRoot) {
-        // An emptied FLAT ledger would swap to a schema-less directory
-        // that every later read fails on obscurely — this is a rebuild
-        // situation, refuse with guidance (the rewritten sibling leaves
-        // are idempotent under the re-run that follows the fix).
-        fs.delete(tmp, true)
+    val flatRoot = hitLeaves.exists(l => fs.makeQualified(l).toUri == rootUri)
+    if (flatRoot) {
+      // FLAT ledger: the root itself is the one leaf — atomic
+      // tmp-rewrite + swap, with the root-level `_graft_*` pins
+      // snapshotted and restored (the compactLedger rule).
+      require(hitLeaves.length == 1,
+        s"ledger at $ledgerDir mixes root-level files with partition " +
+          "subdirectories — a layout no writer of this family produces")
+      val leaf = hitLeaves.head
+      if (allByLeaf(leaf) - hitByLeaf(leaf) == 0L)
         throw new IllegalStateException(
           s"ledgerDelete would remove EVERY row of the flat ledger at " +
             s"$ledgerDir — delete the directory (and its pins) explicitly " +
             "instead of erasing it empty.")
-      }
-      if (survivors == 0L && !isRoot) {
-        // The whole leaf matched: its partition vanishes.
-        fs.delete(tmp, true)
-        fs.delete(leaf, true)
-      } else {
-        val bak = new Path(leaf.getParent, s".${leaf.getName}_erase_bak")
-        fs.delete(bak, true)
-        renameOrThrow(leaf, bak)
-        renameOrThrow(tmp, leaf)
-        fs.delete(bak, true)
-        metaSnapshot.foreach { case (name, bytes) =>
-          val p = new Path(leaf, name)
-          if (!fs.exists(p)) {
-            val out = fs.create(p, true)
-            try out.write(bytes) finally out.close()
-          }
+      val metaSnapshot = fs.listStatus(leaf).filter { s =>
+        s.isFile && s.getPath.getName.startsWith("_graft_")
+      }.map { s =>
+        val in = fs.open(s.getPath)
+        try s.getPath.getName -> {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+          buf.toByteArray
+        } finally in.close()
+      }.toMap
+      val tmp = new Path(leaf.getParent, s".${leaf.getName}_erase_tmp")
+      fs.delete(tmp, true)
+      spark.read.parquet(leaf.toString)
+        .join(keyDf, col(keyCol) <=> col("_graft_dk"), "left_anti")
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val bak = new Path(leaf.getParent, s".${leaf.getName}_erase_bak")
+      fs.delete(bak, true)
+      renameOrThrow(leaf, bak)
+      renameOrThrow(tmp, leaf)
+      fs.delete(bak, true)
+      metaSnapshot.foreach { case (name, bytes) =>
+        val p = new Path(leaf, name)
+        if (!fs.exists(p)) {
+          val out = fs.create(p, true)
+          try out.write(bytes) finally out.close()
         }
       }
+    } else if (hitLeaves.nonEmpty) {
+      // PARTITIONED ledger: ONE job replaces every hit partition via
+      // dynamic partition overwrite — a takedown touching 200 leaves
+      // must not pay 200 sequential job launches (measured 0.4 s each
+      // at the probe scale; one job is ~flat in leaf count). The
+      // affected leaves read back WITH their partition columns
+      // (basePath), the anti-join drops the matches, and partitions
+      // present in the survivors replace themselves; partitions whose
+      // rows ALL matched produce no output rows, so dynamic overwrite
+      // leaves them — they are deleted explicitly after (a crash
+      // between the two re-runs convergently: pass 1 still finds their
+      // hits). Partition column names parse from the leaf's relative
+      // `col=value` path segments.
+      val partCols = {
+        val rel = hitLeaves.head.toUri.getPath
+          .stripPrefix(fs.makeQualified(path).toUri.getPath)
+          .split("/").filter(_.nonEmpty)
+        val cols = rel.map(_.split("=")(0)).toSeq
+        require(cols.nonEmpty && hitLeaves.forall { l =>
+          l.toUri.getPath.stripPrefix(fs.makeQualified(path).toUri.getPath)
+            .split("/").filter(_.nonEmpty).map(_.split("=")(0)).toSeq == cols
+        }, s"ledger at $ledgerDir has an inconsistent partition layout " +
+          "across its hit leaves — rewrite it with compactLedger first")
+        cols
+      }
+      val affected = spark.read.option("basePath", ledgerDir)
+        .parquet(hitLeaves.map(_.toString): _*)
+      affected
+        .join(keyDf, col(keyCol) <=> col("_graft_dk"), "left_anti")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCols: _*)
+        .parquet(ledgerDir)
+      hitLeaves.filter(l => allByLeaf(l) - hitByLeaf(l) == 0L)
+        .foreach(l => fs.delete(l, true))
     }
     LedgerDeleteReport(rowsBefore, hit, rowsBefore - hit,
       (keyRows.size - foundKeys.size).toLong, hitLeaves.length)
