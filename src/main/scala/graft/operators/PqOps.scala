@@ -1606,12 +1606,19 @@ object PqOps {
         val maxFolded = folded.flatMap(d => epochId(d.getPath.getName)).max
         val filesBefore = folded.map(d => countLeafFiles(fs, d.getPath)).sum
         // Full-row distinct: identical deterministic rows from a crashed
-        // half-fold collapse, making the re-merge convergent.
+        // half-fold collapse, making the re-merge convergent. The
+        // cell-keyed repartition after it is the whole point of folding:
+        // without it the distinct's shuffle layout fans every (base,
+        // cell) partition into shuffle-partition-many small files and
+        // the fold WORSENS the listing cost it exists to remove
+        // (measured at the gsf10 probe: 640 epoch files → 1280 base
+        // files before this line; ~cells after).
         val merged = spark.read.parquet(nsDir)
           .filter(col("_graft_epoch") === BaseEpoch ||
             col("_graft_epoch").isInCollection(tokens))
           .withColumn("_graft_epoch", lit(BaseEpoch))
           .distinct()
+          .repartition(col("cell"))
         // Materialized BEFORE the write (the foldEpochs rule): the write
         // replaces the base partition of the directory just read.
         val pinned = merged.localCheckpoint(true)
