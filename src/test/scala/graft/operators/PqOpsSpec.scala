@@ -1085,6 +1085,116 @@ class PqOpsSpec extends AnyFunSuite {
       topR = 4, topN = 2, nprobe = 2).count() > 0)
   }
 
+  test("maintenance lifecycle: build -> append -> fold -> audit -> rebalance -> delete -> search") {
+    // The whole ops loop on ONE store, end to end — every maintenance op
+    // composes with the others' outputs, and the searchable contract
+    // holds at each step: the lifetime code view after append+fold
+    // equals the pre-fold view, the rebalanced store re-cells without
+    // changing raw codes, the takedown erases exactly the denied ids,
+    // and the final search never surfaces them.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_lifecycle")
+    val dir = root.resolve("pq").toString
+    PqOps.writePqArtifacts(spark, vecs.filter(col("id") < 4), "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 1, coarseIters = 1,
+      refineM = 4, refineK = 2)
+    PqOps.incrementalPqEncode(
+      spark, vecs.filter(col("id") === 4L), "v", "id", dir, "epoch0").commitLedger()
+    PqOps.incrementalPqEncode(
+      spark, vecs.filter(col("id") === 5L), "v", "id", dir, "epoch1").commitLedger()
+    def codeRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("sub"), col("code"), col("dist"))
+        .as[(Long, Int, Int, Double)].collect().toSet
+    val s0 = codeRows(PqOps.readPqArtifacts(spark, dir).codes)
+    // Fold both epochs; the lifetime view is unchanged.
+    PqOps.foldPqEpochs(spark, dir, upToBatchId = 1L)
+    assert(codeRows(PqOps.readPqArtifacts(spark, dir).codes) == s0)
+    // Audit the folded store (one cell at coarseK = 1 — guaranteed hot).
+    val audit = PqOps.pqAudit(PqOps.readPqArtifacts(spark, dir), "id").collect()
+    assert(audit.length == 1 && audit.head.getLong(1) == 6L)
+    // Rebalance the hot cell (raw store: codes byte-identical, re-celled).
+    val outd = root.resolve("pq2").toString
+    val (reb, nHot) = PqOps.rebalanceStore(
+      spark, dir, vecs, "v", "id", outd, maxPop = 3, iters = 1)
+    assert(nHot == 1 && reb.coarse.length == 2)
+    assert(codeRows(reb.codes) == s0, "raw rebalance must not change codes")
+    // Takedown on the REBALANCED store.
+    PqOps.pqStoreDelete(spark, outd, "id", Seq(2L, 4L),
+      root.resolve("audit").toString)
+    val fin = PqOps.readPqArtifacts(spark, outd)
+    assert(codeRows(fin.codes) == s0.filterNot(r => r._1 == 2L || r._1 == 4L))
+    assert(fin.rcodes.get.filter(col("id").isin(2L, 4L)).count() == 0L)
+    // The surviving store searches + re-ranks; denied ids never surface.
+    val queries = vecs.select(col("id").as("qid"), col("v"))
+    val got = PqOps.searchArtifactsRefined(fin, "id", queries, "qid", "v",
+        topR = 4, topN = 2, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty && !got.exists(r => r._3 == 2L || r._3 == 4L))
+  }
+
+  test("permuted RESIDUAL store: both projections compose through search, rebalance, append") {
+    // E144 × E147 × E151: a store built with BOTH the balanced
+    // permutation and the residual formulation — queries must take the
+    // pinned projection BEFORE probing, codes quantize the PERMUTED-
+    // space residual, and the residual rebalance re-encodes in the
+    // permuted space (its `asg` vectors are the permuted ones). Pins
+    // round-trip both fields; search scores match a local recompute.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_perm_res")
+    val dir = root.resolve("pq").toString
+    // A hand-pinned, definitely-non-identity permutation (subspace 0
+    // receives the old high half) — balancedPerm's own choice is pinned
+    // in its dedicated test; here the COMPOSITION is under test.
+    val perm = Array(4, 5, 6, 7, 0, 1, 2, 3)
+    PqOps.writePqArtifacts(spark, vecs, "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 1, coarseIters = 1,
+      residual = true, perm = Some(perm))
+    val arts = PqOps.readPqArtifacts(spark, dir)
+    assert(arts.residual && arts.isPermuted)
+    assert(arts.perm.toSeq == perm.toSeq)
+    val queries = vecs.filter(col("id") < 2).select(col("id").as("qid"), col("v"))
+    val hits = PqOps.searchArtifacts(arts, "id", queries, "qid", "v",
+      topN = 3, nprobe = 1, expectResidual = Some(true))
+    assert(hits.count() > 0)
+    // Residual rebalance in the permuted space: the re-encoded codes
+    // must equal a local recompute against the PERMUTED vectors.
+    val outd = root.resolve("pq2").toString
+    val (reb, nHot) = PqOps.rebalanceStore(
+      spark, dir, vecs, "v", "id", outd, maxPop = 3, iters = 1)
+    assert(nHot == 1 && reb.coarse.length == 2 && reb.residual)
+    assert(reb.perm.toSeq == perm.toSeq)
+    val b1 = reb.model.codebooks.as[(Int, Int, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val orig = vecs.as[(Long, Seq[Double])].collect().toMap
+    def permuted(id: Long): Seq[Double] = perm.toSeq.map(p => orig(id)(p))
+    val gotCodes = reb.codes
+      .select(col("id"), col("cell"), col("sub"), col("code"), col("dist"))
+      .as[(Long, Int, Int, Int, Double)].collect()
+    gotCodes.foreach { case (id, cell, sub, code, dist) =>
+      val res = permuted(id).zip(reb.coarse(cell)).map { case (a, b) => a - b }
+      val (ed, ec) = (0 until 2)
+        .map(c => (l2r6(res.slice(sub * 4, sub * 4 + 4), b1((sub, c))), c)).min
+      assert(code == ec && dist == ed,
+        s"id $id sub $sub: ($code,$dist) != permuted-space recompute ($ec,$ed)")
+    }
+    // An append takes BOTH pinned projections itself: the fresh id's
+    // codes must equal the same permuted-space residual recompute.
+    val fresh = Seq((6L, Array(0.3, 0.2, 0.3, 0.2, 9.3, 9.2, 9.3, 9.2))).toDF("id", "v")
+    PqOps.incrementalPqEncode(spark, fresh, "v", "id", outd, "epochX")
+      .commitLedger()
+    val after = PqOps.readPqArtifacts(spark, outd)
+    val freshPermuted = perm.toSeq.map(p => fresh.as[(Long, Seq[Double])]
+      .collect().head._2(p))
+    val freshRows = after.codes.filter(col("id") === 6L)
+      .select(col("cell"), col("sub"), col("code"), col("dist"))
+      .as[(Int, Int, Int, Double)].collect()
+    assert(freshRows.length == 2)
+    freshRows.foreach { case (cell, sub, code, dist) =>
+      val res = freshPermuted.zip(after.coarse(cell)).map { case (a, b) => a - b }
+      val (ed, ec) = (0 until 2)
+        .map(c => (l2r6(res.slice(sub * 4, sub * 4 + 4), b1((sub, c))), c)).min
+      assert(code == ec && dist == ed, s"appended id 6 sub $sub")
+    }
+  }
+
   test("balancedPerm deals variance tiers round-robin; applyPerm is the exact projection") {
     // 4-dim fixture, m = 2: variances 0 (dim0) < dim2 < dim3 < dim1 by
     // construction, so the rank order is 1, 3, 2, 0 and round-robin
