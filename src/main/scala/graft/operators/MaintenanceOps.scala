@@ -239,7 +239,7 @@ object MaintenanceOps {
       keyCol: String,
       keys: org.apache.spark.sql.DataFrame,
       auditDir: String): LedgerDeleteReport = {
-    import org.apache.spark.sql.functions.{broadcast, col, collect_list, count, lit}
+    import org.apache.spark.sql.functions.{broadcast, col, collect_list, count, lit, regexp_replace}
     val path = new Path(ledgerDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(path), s"ledger directory $ledgerDir does not exist")
@@ -260,11 +260,15 @@ object MaintenanceOps {
       spark.sparkContext.parallelize(keyRows, 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("_graft_dk", keyType)))))
-    // ONE ledger scan: per-FILE total rows, hit rows, and the matched
-    // keys (null-safe equality — a null key row can only match a null
-    // deletion key, never silently everything).
+    // ONE ledger scan: per-LEAF-DIRECTORY total rows, hit rows, and the
+    // matched keys (null-safe equality — a null key row can only match a
+    // null deletion key, never silently everything). Grouping by the
+    // file's PARENT keeps the driver state at one row per leaf
+    // partition, not per file — a compacted 10^12-row store has ~cells
+    // leaves but can have millions of files.
     val perFile = src
-      .select(col(keyCol), col("_metadata.file_path").as("_graft_f"))
+      .select(col(keyCol),
+        regexp_replace(col("_metadata.file_path"), "/[^/]+$", "").as("_graft_f"))
       .join(keyDf, col(keyCol) <=> col("_graft_dk"), "left")
       .groupBy(col("_graft_f"))
       .agg(count(lit(1)).as("all"), count(col("_graft_dk")).as("hit"),
@@ -290,8 +294,10 @@ object MaintenanceOps {
     // Rewrite only the leaf directories holding hits. Per-leaf survivor
     // counts come from the pass-1 accounting (no extra read).
     val rootUri = fs.makeQualified(path).toUri
-    def leafOf(fileUri: String): Path =
-      fs.makeQualified(new Path(new java.net.URI(fileUri)).getParent)
+    // _graft_f is already the leaf DIRECTORY (the per-file path had its
+    // last segment stripped inside the aggregation).
+    def leafOf(leafUri: String): Path =
+      fs.makeQualified(new Path(new java.net.URI(leafUri)))
     val hitLeaves = perFile.filter(_.getLong(2) > 0L)
       .map(r => leafOf(r.getString(0))).distinct.toSeq
     // Per-leaf totals count files WITHOUT hits inside the same leaf too
