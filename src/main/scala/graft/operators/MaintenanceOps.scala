@@ -224,22 +224,35 @@ object MaintenanceOps {
     *
     * Cost: ONE full ledger scan (a left broadcast join groups total/hit
     * counts and the matched keys per FILE via `_metadata.file_path` —
-    * driver state is one small row per ledger file), then a rewrite of
-    * ONLY the leaf directories that contain hits (≤ denylist-bounded).
+    * driver state is one small row per ledger file, each carrying at
+    * most denylist-many matched keys), then a rewrite of ONLY the leaf
+    * directories that contain hits (≤ denylist-bounded). Survivors
+    * never write over the directory being read (the foldEpochs rule,
+    * here by construction): the partitioned branch stages ALL hit
+    * leaves' survivors into a hidden tmp tree in one job, then swaps
+    * each hit leaf via the family's rename protocol (old leaf aside to
+    * `.bak`, staged leaf in, bak dropped — the [[compactParquet]]
+    * discipline), and the flat branch tmp-rewrites + swaps the root.
     * The audit tombstones `(key, found)` append BEFORE any rewrite (an
     * unaudited takedown is the failure the audit exists to prevent);
     * a crash mid-way leaves whole leaves either old or new (per-leaf
     * atomic swaps), and a re-run converges (anti-join idempotent, the
-    * already-gone keys simply audit `found = false`). Run it between
-    * drains (the compaction rule): a later epoch REPLAY would re-add a
-    * deleted id's rows — delete behind the committed replay horizon. */
+    * already-gone keys simply audit `found = false`). With
+    * `hashKeys = true` the tombstone stores `sha2(to_json(key), 256)`
+    * instead of the key itself — for vector-keyed spaces the key IS the
+    * erased content, and a right-to-erasure audit must not retain it
+    * (found/not-found remains answerable: hash the probe key). Run it
+    * between drains (the compaction rule): a later epoch REPLAY would
+    * re-add a deleted id's rows — delete behind the committed replay
+    * horizon. */
   def ledgerDelete(
       spark: SparkSession,
       ledgerDir: String,
       keyCol: String,
       keys: org.apache.spark.sql.DataFrame,
-      auditDir: String): LedgerDeleteReport = {
-    import org.apache.spark.sql.functions.{broadcast, col, collect_list, count, lit, regexp_replace}
+      auditDir: String,
+      hashKeys: Boolean = false): LedgerDeleteReport = {
+    import org.apache.spark.sql.functions.{broadcast, col, collect_set, count, lit, regexp_replace, sha2, struct, to_json}
     val path = new Path(ledgerDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(path), s"ledger directory $ledgerDir does not exist")
@@ -272,16 +285,17 @@ object MaintenanceOps {
       .join(keyDf, col(keyCol) <=> col("_graft_dk"), "left")
       .groupBy(col("_graft_f"))
       .agg(count(lit(1)).as("all"), count(col("_graft_dk")).as("hit"),
-        collect_list(col("_graft_dk")).as("ks"))
+        collect_set(col("_graft_dk")).as("ks"))
       .collect()
     val rowsBefore = perFile.map(_.getLong(1)).sum
     val hit = perFile.map(_.getLong(2)).sum
     val foundKeys = perFile.flatMap(_.getSeq[Any](3)).toSet
     // Tombstone audit BEFORE the rewrites (the targetedDelete rule):
-    // (key, found) per requested key, no deleted CONTENT retained beyond
-    // the key itself (for vector keys the key IS the content — callers
-    // wanting content-free audits pass a hashed key space).
-    spark.createDataFrame(
+    // (key, found) per requested key — or, with hashKeys, the key's
+    // sha2-256 over its canonical JSON encoding: content-free for
+    // vector-keyed erasure (the raw vector IS the erased content), and
+    // still probe-able (hash the key you're asking about).
+    val auditRaw = spark.createDataFrame(
         spark.sparkContext.parallelize(
           keyRows.map(r => org.apache.spark.sql.Row(
             r.get(0), foundKeys.contains(r.get(0)))), 1),
@@ -289,7 +303,12 @@ object MaintenanceOps {
           org.apache.spark.sql.types.StructField("key", keyType),
           org.apache.spark.sql.types.StructField("found",
             org.apache.spark.sql.types.BooleanType, nullable = false))))
-      .coalesce(1)
+    val audit =
+      if (hashKeys)
+        auditRaw.select(
+          sha2(to_json(struct(col("key"))), 256).as("key_sha256"), col("found"))
+      else auditRaw
+    audit.coalesce(1)
       .write.mode(SaveMode.Append).parquet(auditDir)
     // Rewrite only the leaf directories holding hits. Per-leaf survivor
     // counts come from the pass-1 accounting (no extra read).
@@ -351,18 +370,24 @@ object MaintenanceOps {
         }
       }
     } else if (hitLeaves.nonEmpty) {
-      // PARTITIONED ledger: ONE job replaces every hit partition via
-      // dynamic partition overwrite — a takedown touching 200 leaves
-      // must not pay 200 sequential job launches (measured 0.4 s each
-      // at the probe scale; one job is ~flat in leaf count). The
-      // affected leaves read back WITH their partition columns
-      // (basePath), the anti-join drops the matches, and partitions
-      // present in the survivors replace themselves; partitions whose
-      // rows ALL matched produce no output rows, so dynamic overwrite
-      // leaves them — they are deleted explicitly after (a crash
-      // between the two re-runs convergently: pass 1 still finds their
-      // hits). Partition column names parse from the leaf's relative
-      // `col=value` path segments.
+      // PARTITIONED ledger: ONE job stages every hit leaf's survivors
+      // into a hidden tmp tree — a takedown touching 200 leaves must
+      // not pay 200 sequential job launches (measured 0.4 s each at the
+      // probe scale; one job is ~flat in leaf count) — then each hit
+      // leaf swaps via the family's rename protocol. Staging (rather
+      // than dynamic partition overwrite of ledgerDir itself) buys two
+      // things at once: the job never writes over the directory it is
+      // reading (the foldEpochs rule, satisfied by construction instead
+      // of a checkpoint pin), and the per-leaf swap is two renames with
+      // the bak kept until the staged leaf is in — whole-leaf old-or-new
+      // under any crash, where dynamic overwrite's commit (delete
+      // existing partition, then rename staged) can lose a leaf's
+      // SURVIVORS between its two steps. The affected leaves read back
+      // WITH their partition columns (basePath); a leaf whose rows ALL
+      // matched stages no output directory and is deleted outright (a
+      // crash between the two re-runs convergently: pass 1 still finds
+      // its hits). Partition column names parse from the leaf's
+      // relative `col=value` path segments.
       val partCols = {
         val rel = hitLeaves.head.toUri.getPath
           .stripPrefix(fs.makeQualified(path).toUri.getPath)
@@ -375,16 +400,30 @@ object MaintenanceOps {
           "across its hit leaves — rewrite it with compactLedger first")
         cols
       }
-      val affected = spark.read.option("basePath", ledgerDir)
+      val tmpRoot = new Path(path, "._graft_erase_tmp")
+      fs.delete(tmpRoot, true)
+      spark.read.option("basePath", ledgerDir)
         .parquet(hitLeaves.map(_.toString): _*)
-      affected
         .join(keyDf, col(keyCol) <=> col("_graft_dk"), "left_anti")
         .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCols: _*)
-        .parquet(ledgerDir)
-      hitLeaves.filter(l => allByLeaf(l) - hitByLeaf(l) == 0L)
-        .foreach(l => fs.delete(l, true))
+        .parquet(tmpRoot.toString)
+      val rootQ = fs.makeQualified(path).toUri.getPath
+      hitLeaves.foreach { leaf =>
+        val rel = leaf.toUri.getPath.stripPrefix(rootQ).stripPrefix("/")
+        val staged = new Path(tmpRoot, rel)
+        if (fs.exists(staged)) {
+          val bak = new Path(leaf.getParent, s".${leaf.getName}_erase_bak")
+          fs.delete(bak, true)
+          renameOrThrow(leaf, bak)
+          renameOrThrow(staged, leaf)
+          fs.delete(bak, true)
+        } else {
+          // Every row matched — the partition vanishes.
+          fs.delete(leaf, true)
+        }
+      }
+      fs.delete(tmpRoot, true)
     }
     LedgerDeleteReport(rowsBefore, hit, rowsBefore - hit,
       (keyRows.size - foundKeys.size).toLong, hitLeaves.length)

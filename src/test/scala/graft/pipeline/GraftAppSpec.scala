@@ -326,6 +326,109 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
       GraftApp.parseArgs(Seq("dev", "corpus", "--zorder", "a,b,c,d,e,f,g")))
   }
 
+  test("--delete-ids --ledger --key-recipe fp closes the fingerprint-ledger erasure loop") {
+    // Round 16 (verdict item 5 + ADVICE): the CLI previously always
+    // derived ledger keys from --vec-col, so the fingerprint-ledger
+    // recipe (recompute _graft_fp from the text) was unreachable — and
+    // a type-compatible-but-wrong key column made the takedown a silent
+    // found=false no-op. Now: --key-recipe fp recomputes the ingest
+    // fingerprint, the vec recipe refuses --key-col _graft_fp loudly,
+    // an all-missed delete prints a WARN line, and --hash-audit keeps
+    // the tombstones content-free.
+    val root = Files.createTempDirectory("fp_erase_cli")
+    val corpus = s"$root/docs"
+    val docs = (1L to 6L).map(i => (i, s"document body number $i"))
+      .toDF("doc_id", "text")
+    docs.write.mode(SaveMode.Overwrite).parquet(corpus)
+    val ledger = s"$root/fps"
+    graft.operators.DedupOps.incrementalDedup(
+      spark, docs, "text", "doc_id", ledger).commitLedger()
+    assert(spark.read.parquet(ledger).count() == 6L)
+
+    def cli(extra: String*): (Int, Seq[String]) = {
+      val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val code = GraftApp.run(GraftApp.parseArgs(Seq("dev", "corpus") ++ extra),
+        spark, getenv = _ => None, out = outs.append(_), log = _ => ())
+      (code, outs.toSeq)
+    }
+
+    val audit = s"$root/audit"
+    val (c1, l1) = cli("--delete-ids", "2,5", "--ledger", ledger,
+      "--corpus-dir", corpus, "--audit-dir", audit,
+      "--key-recipe", "fp", "--hash-audit")
+    assert(c1 == 0, l1.mkString("; "))
+    assert(l1.exists(_.startsWith("DELETE_LEDGER_ requested=2 deleted=2")), l1)
+    assert(!l1.exists(_.startsWith("DELETE_LEDGER_WARN_")), l1)
+    // The deleted docs' fingerprints are gone; the others remain.
+    import org.apache.spark.sql.functions.col
+    val wantGone = docs.filter($"doc_id".isin(2L, 5L))
+      .select(graft.functions.TextFunctions.charHash(col("text")))
+      .as[Long].collect().toSet
+    val leftFps = spark.read.parquet(ledger)
+      .select($"_graft_fp").as[Long].collect().toSet
+    assert((leftFps & wantGone).isEmpty && leftFps.size == 4)
+    // Content-free tombstones: hashed key column, no fingerprint values.
+    assert(spark.read.parquet(audit).columns.toSeq == Seq("key_sha256", "found"))
+    // Erasure proof at ingest level: the deleted docs re-ingest as NEW
+    // (their fingerprints are gone), a surviving doc's twin still drops.
+    val reIngest = Seq((20L, "document body number 2"), (21L, "document body number 1"))
+      .toDF("doc_id", "text")
+    val pend = graft.operators.DedupOps.incrementalDedup(
+      spark, reIngest, "text", "doc_id", ledger)
+    assert(pend.survivors.select($"doc_id").as[Long].collect().toSet == Set(20L))
+    // Replay of the same delete: everything already gone → loud WARN.
+    val (c2, l2) = cli("--delete-ids", "5", "--ledger", ledger,
+      "--corpus-dir", corpus, "--audit-dir", audit, "--key-recipe", "fp")
+    assert(c2 == 0 && l2.exists(_.startsWith("DELETE_LEDGER_WARN_")), l2)
+    // The vec recipe refuses the fingerprint key column loudly.
+    val e = intercept[IllegalArgumentException](
+      cli("--delete-ids", "2", "--ledger", ledger, "--corpus-dir", corpus,
+        "--audit-dir", audit, "--key-col", "_graft_fp"))
+    assert(e.getMessage.contains("--key-recipe fp"), e.getMessage)
+    // An unknown recipe refuses at the parser.
+    intercept[IllegalArgumentException](
+      GraftApp.parseArgs(Seq("dev", "corpus", "--key-recipe", "nope")))
+  }
+
+  test("--ann-recall prints the pinned searcher's recall@k, bit-equal to the API") {
+    // E154: the recall gate as a CLI audit mode — a store owner points
+    // it at THEIR store + corpus and gets the AccuracySpec measurement
+    // (sampled queries, exact L2 ground truth) with the store's
+    // construction pin attached.
+    val root = Files.createTempDirectory("recall_cli")
+    val corpus = s"$root/vecs"
+    (0L to 19L).map(i => (i, Array.tabulate(8)(d => (i * 7 + d).toDouble % 5)))
+      .toDF("vec_id", "embedding")
+      .repartition(2).write.mode(SaveMode.Overwrite).parquet(corpus)
+
+    def cli(extra: String*): (Int, Seq[String]) = {
+      val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val code = GraftApp.run(GraftApp.parseArgs(Seq("dev", "corpus") ++ extra),
+        spark, getenv = _ => None, out = outs.append(_), log = _ => ())
+      (code, outs.toSeq)
+    }
+
+    val outd = s"$root/pq"
+    assert(cli("--pq-encode", "--corpus-dir", corpus, "--out-dir", outd,
+      "--id-col", "vec_id", "--pq-m", "2", "--pq-k", "4", "--pq-iters", "1",
+      "--pq-coarse-k", "2")._1 == 0)
+    val (c, l) = cli("--ann-recall", "--pq-store", outd, "--corpus-dir", corpus,
+      "--id-col", "vec_id", "--k", "5", "--queries", "4", "--nprobe", "2")
+    assert(c == 0, l.mkString("; "))
+    val line = l.find(_.startsWith("ANN_RECALL_")).getOrElse(fail(l.mkString("; ")))
+    assert(line.startsWith("ANN_RECALL_ k=5 nprobe=2 queries=4 rerank=0 recall="), line)
+    assert(line.contains("pin=[m=2 kCodes=4"), line)
+    val want = graft.operators.PqOps.annRecall(
+      graft.operators.PqOps.readPqArtifacts(spark, outd),
+      spark.read.parquet(corpus), "embedding", "vec_id",
+      k = 5, nQueries = 4, nprobe = 2)
+    val got = line.split("recall=")(1).split(" ")(0).toDouble
+    assert(got == want, s"CLI $got != API $want")
+    // Missing required args refuse loudly.
+    intercept[IllegalArgumentException](cli("--ann-recall", "--pq-store", outd))
+    intercept[IllegalArgumentException](cli("--ann-recall", "--corpus-dir", corpus))
+  }
+
   test("--heavy-hitters writes the top-k report with its error mass") {
     val root = Files.createTempDirectory("hh_cli")
     val corpus = s"$root/docs"
