@@ -417,6 +417,57 @@ class MaintenanceOpsSpec extends AnyFunSuite {
       bad.getMessage.contains("no column"), bad.getMessage)
   }
 
+  test("ledgerDelete partitioned branch: Spark-job count is FLAT in hit-leaf count") {
+    // Round 16: the partitioned rewrite stages ALL hit leaves' survivors
+    // in ONE write job and swaps each leaf with filesystem renames (no
+    // job). The per-leaf-job alternative measured 0.4 s/launch at the
+    // probe scale (64 s for 160 leaves, BASELINE round-15) — this gate
+    // pins the flat-job-count property with 48 hit leaves: a per-leaf
+    // implementation would launch ≥ 48 jobs; the staged protocol stays
+    // a small constant (pass-1 scan, audit write, staged write, plus
+    // AQE/broadcast bookkeeping).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("ldelete_flatjobs")
+    val dir = root.resolve("ledger").toString
+    val nLeaves = 48
+    (0 until nLeaves).flatMap(p => Seq(("kill", p), (s"keep$p", p)))
+      .toDF("k", "p")
+      .write.partitionBy("p").mode(SaveMode.Overwrite).parquet(dir)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val r = try {
+      val rep = MaintenanceOps.ledgerDelete(spark, dir, "k",
+        Seq("kill").toDF("k"), root.resolve("audit").toString)
+      var last = -1; var stable = 0; var polls = 0
+      while (stable < 3 && polls < 100) {
+        Thread.sleep(100); polls += 1
+        val cur = jobs.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      rep
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(r.leavesRewritten == nLeaves && r.deleted == nLeaves.toLong, r)
+    assert(jobs.get() >= 3, s"sanity: expected the protocol's own jobs, saw ${jobs.get()}")
+    assert(jobs.get() <= 20,
+      s"ledgerDelete launched ${jobs.get()} jobs for $nLeaves hit leaves — " +
+        "job count must be flat in leaf count (the one-staged-write protocol)")
+    // Every leaf survived (each kept one row), the denied key is gone,
+    // and no tmp/bak debris remains.
+    val left = spark.read.parquet(dir)
+    assert(left.count() == nLeaves.toLong)
+    assert(left.filter(col("k") === "kill").count() == 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val debris = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(n => n.contains("_erase_"))
+    assert(debris.isEmpty, debris.mkString(", "))
+  }
+
   test("ledgerDelete hashKeys: tombstones carry sha2(key), never the key itself") {
     // Round-16 ADVICE: for vector-keyed erasure a raw tombstone would
     // persist the deleted row's embedding forever — the right-to-erasure
