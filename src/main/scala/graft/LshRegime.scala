@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object LshRegime {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | kmeans2 | semincr | wsample | contam | contamauto | chunk | spans | spansincr | shuffleorder | split | prefixjoin | pq | pqres | pqrefine | pqrebalance | pqresrebalance | pqdelete | pqfold]")
+      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | kmeans2 | semincr | wsample | contam | contamauto | chunk | spans | spansincr | shuffleorder | split | prefixjoin | pq | pqres | pqrefine | pqrebalance | pqresrebalance | pqdelete | pqfold | pqrecall]")
     val dir = args(0)
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
@@ -52,6 +52,7 @@ object LshRegime {
     if (args.length > 1 && args(1) == "pqresrebalance") { pqResRebalance(spark, dir); return }
     if (args.length > 1 && args(1) == "pqdelete") { pqDelete(spark, dir); return }
     if (args.length > 1 && args(1) == "pqfold") { pqFold(spark, dir); return }
+    if (args.length > 1 && args(1) == "pqrecall") { pqRecall(spark, dir); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -779,6 +780,33 @@ object LshRegime {
         f""""deleted":${rs("codes").deleted},"rdeleted":${rs("rcodes").deleted},""" +
         f""""leaves":${rs("codes").leavesRewritten + rs("rcodes").leavesRewritten},""" +
         f""""deleteSecs":$secs%.2f}""")
+    spark.stop()
+  }
+
+  /** E154 probe: ANN recall audit — a FIXED 20-query sample against a
+    * growing store. The claim under test: the audit's wall is ONE
+    * corpus scan (exact ground truth, queries broadcast, bounded
+    * top-k) plus the production search itself — ∝ n at fixed Q, never
+    * Q × n scans or a driver-side corpus. Also prints the recall it
+    * measured: the number is the artifact, the wall is the cost. */
+  private def pqRecall(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = vecs.count()
+    val coarseK = math.max(8L, n / 2500L).toInt
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_recall_probe")
+    val store = root.resolve("pq").toString
+    operators.PqOps.writePqArtifacts(spark, vecs, "embedding", "vec_id", store,
+      m = 4, kCodes = 8, iters = 1, coarseK = coarseK, coarseIters = 1)
+    val arts = operators.PqOps.readPqArtifacts(spark, store)
+    val t0 = System.nanoTime()
+    val r = operators.PqOps.annRecall(arts, vecs, "embedding", "vec_id",
+      k = 10, nQueries = 20, nprobe = 2)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"metric":"pq_recall","n":$n,"coarseK":$coarseK,"k":10,""" +
+        f""""queries":20,"nprobe":2,"recall":$r%.4f,"auditSecs":$secs%.2f}""")
     spark.stop()
   }
 
