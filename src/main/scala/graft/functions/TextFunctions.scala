@@ -55,6 +55,19 @@ object TextFunctions {
   /** Whitespace tokenization, empty tokens dropped. */
   def tokens(c: Column): Column = filter(split(c, " "), t => t =!= lit(""))
 
+  /** Per-document term frequencies in one pass:
+    * `struct(counts: map<token,count>, dl: int)` — `explode(_.getField
+    * ("counts"))` yields one row per DISTINCT term with its exact count,
+    * so per-document tf tables need neither a per-occurrence explode nor
+    * a shuffle (see [[graft.plans.TokenCountsExpr]]). Native. */
+  def tokenCounts(c: Column): Column = toCol(graft.plans.TokenCountsExpr(toExpr(c)))
+
+  /** Per-document word n-gram frequencies (`map<shingle,count>`, same
+    * shingle strings as [[shingles]]) — the bigram/PMI twin of
+    * [[tokenCounts]]. Native. */
+  def shingleCounts(c: Column, n: Int): Column =
+    toCol(graft.plans.ShingleCountsExpr(toExpr(c), n))
+
   /** Distinct token hashes — the set a MinHash/SimHash signature is built
     * from. */
   def tokenHashes(c: Column): Column =

@@ -126,8 +126,11 @@ object LshOps {
   private[graft] def corpusRegime(docs: DataFrame, textCol: String): (Long, Long) = {
     val nDocs = docs.count()
     if (nDocs == 0L) return (0L, 2L)
+    // array_distinct before the explode (round 16): the HLL sketch sees
+    // each doc's distinct tokens once instead of every occurrence —
+    // identical distinct set, identical estimate, rows ÷ repetition.
     val vocab = math.max(2L, docs
-      .select(explode(tokens(col(textCol))).as("t"))
+      .select(explode(array_distinct(tokens(col(textCol)))).as("t"))
       .agg(approx_count_distinct(col("t"), 0.05)).head().getLong(0))
     (nDocs, vocab)
   }

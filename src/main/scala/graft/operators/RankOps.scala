@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextFunctions.{shingles, tokens}
+import graft.functions.TextFunctions.{shingleCounts, shingles, tokenCounts, tokens}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -52,15 +52,19 @@ import org.apache.spark.sql.functions._
   */
 object RankOps {
 
-  /** (id, token, tf) — within-document term frequencies, plus `dl`
-    * (document length in tokens). Map-side combine does the heavy
-    * lifting: the shuffle carries (id, token) partial counts. */
+  /** (id, dl, token, tf) — within-document term frequencies, plus `dl`
+    * (document length in tokens). NO shuffle and no per-occurrence rows
+    * (round 16): the native [[tokenCounts]] folds each document's counts
+    * inside its row, so this is scan → project → generate — one output
+    * row per distinct term, already complete. The former
+    * explode+groupBy shape paid a corpus-sized exchange on (id, token)
+    * for counts that were per-row-computable all along. */
   def termFrequencies(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs
-      .select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), size(col("toks")).as("dl"), explode(col("toks")).as("token"))
-      .groupBy(col(idCol), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col(idCol), tokenCounts(col(textCol)).as("_tc"))
+      .select(col(idCol), col("_tc").getField("dl").as("dl"),
+        explode(col("_tc").getField("counts")))
+      .select(col(idCol), col("dl"), col("key").as("token"), col("value").as("tf"))
 
   /** df DERIVED from an already-computed tf table: tf has exactly one
     * row per (doc, token), so counting rows per token IS the document
@@ -303,11 +307,13 @@ object RankOps {
     require(phrase.forall(t => t.nonEmpty && !t.contains(" ")),
       s"phrase tokens must be single non-empty words: $phrase")
     val p = phrase.mkString(" ")
+    // Round 16: the per-document shingle-count map makes this a pure
+    // projection — one map lookup per doc, no explode, no groupBy
+    // shuffle. Docs without the phrase lower to null and drop.
     docs
-      .select(col(idCol), explode(shingles(col(textCol), phrase.size)).as("_sh"))
-      .filter(col("_sh") === p)
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
+      .select(col(idCol),
+        element_at(shingleCounts(col(textCol), phrase.size), p).as("n_hits"))
+      .filter(col("n_hits").isNotNull)
   }
 
   /** PMI collocation extraction (Church & Hanks 1990, public): the
@@ -335,8 +341,9 @@ object RankOps {
     // only to which pairs are reported, not to the probabilities.
     // Persisted + eagerly materialized: four statistics branches read
     // it, and no cross-branch exchange reuse fires (see dfFromTf).
-    val bAll = docs.select(explode(shingles(col(textCol), 2)).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+    val bAll = docs.select(explode(shingleCounts(col(textCol), 2)))
+      .groupBy(col("key")).agg(sum(col("value")).as("c"))
+      .select(col("key").as("bigram"), col("c"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("w2", split(col("bigram"), " ").getItem(1))
       .persist()
@@ -404,10 +411,17 @@ object RankOps {
       classCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k out of range: $k")
+    // Per-document counts fold natively (round 16): the explode emits one
+    // row per DISTINCT (doc, term) carrying its count, so the class
+    // aggregation's input — and the map-side combine's hash table feed —
+    // shrinks by the corpus repetition factor; the class-keyed shuffle
+    // itself stays (classes span documents).
     val ctf = docs
-      .select(col(classCol).as("cls"), explode(tokens(col(textCol))).as("token"))
-      .groupBy(col("cls"), col("token"))
-      .agg(count(lit(1)).as("ctf"))
+      .select(col(classCol).as("cls"),
+        explode(tokenCounts(col(textCol)).getField("counts")))
+      .groupBy(col("cls"), col("key"))
+      .agg(sum(col("value")).as("ctf"))
+      .select(col("cls"), col("key").as("token"), col("ctf"))
       .persist()
     ctf.count()
     val classLen = ctf.groupBy(col("cls")).agg(sum(col("ctf")).as("cls_len"))
@@ -439,14 +453,24 @@ object RankOps {
     // the corpus-sized bigram explode feeds BOTH the count table and the
     // scoring join, and the vocab-sized unigram table feeds both V and
     // the w1 join — without the caches each would re-run its explode.
+    // Round 16: per-document bigram counts fold natively, so the joins
+    // and the per-doc aggregation see one row per DISTINCT (doc, bigram)
+    // — corpus row volume ÷ repetition — and each instance's NLL term
+    // (identical across a type's instances) is weighted by its count
+    // instead of re-added per occurrence. The weighted mean equals the
+    // former per-instance avg exactly in rationals; the 4 dp round
+    // absorbs the ulp-level float reassociation (the repo's cross-engine
+    // float rule — these are ln-ratio values, never at a boundary).
     val docBigrams = docs
-      .select(col(idCol), explode(shingles(col(textCol), 2)).as("bigram"))
+      .select(col(idCol), explode(shingleCounts(col(textCol), 2)))
+      .select(col(idCol), col("key").as("bigram"), col("value").as("cnt"))
       .persist()
     docBigrams.count()
-    val bigramCounts = docBigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val bigramCounts = docBigrams.groupBy(col("bigram")).agg(sum(col("cnt")).as("c2"))
     val unigramCounts = docs
-      .select(explode(tokens(col(textCol))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("c1"))
+      .select(explode(tokenCounts(col(textCol)).getField("counts")))
+      .groupBy(col("key")).agg(sum(col("value")).as("c1"))
+      .withColumnRenamed("key", "token")
       .persist()
     unigramCounts.count()
     val vocab = unigramCounts.agg(count(lit(1)).as("v"))
@@ -457,8 +481,11 @@ object RankOps {
       .crossJoin(broadcast(vocab))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        round(avg(-log((col("c2") + lit(1)).cast("double") / (col("c1") + col("v")))), 4)
+        sum(col("cnt")).as("n_bigrams"),
+        round(
+          sum(col("cnt") *
+            -log((col("c2") + lit(1)).cast("double") / (col("c1") + col("v")))) /
+            sum(col("cnt")).cast("double"), 4)
           .as("nll"))
       .localCheckpoint(true)
     docBigrams.unpersist()

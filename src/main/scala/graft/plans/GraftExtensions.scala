@@ -99,6 +99,19 @@ object GraftExtensions {
         arity("graft_simhash60_cp", args, 2)
         Simhash60CpExpr(args.head, litInt("graft_simhash60_cp", "n", args(1)))
       }),
+    ("graft_token_counts",
+      info("graft_token_counts",
+        "graft_token_counts(str) - struct(counts: map<token,count>, dl) per-document term frequencies"),
+      (args: Seq[Expression]) => {
+        arity("graft_token_counts", args, 1); TokenCountsExpr(args.head)
+      }),
+    ("graft_shingle_counts",
+      info("graft_shingle_counts",
+        "graft_shingle_counts(str, n) - map<shingle,count> per-document word n-gram frequencies"),
+      (args: Seq[Expression]) => {
+        arity("graft_shingle_counts", args, 2)
+        ShingleCountsExpr(args.head, litInt("graft_shingle_counts", "n", args(1)))
+      }),
     ("graft_dot",
       info("graft_dot", "graft_dot(a, b) - float-vector dot product"),
       (args: Seq[Expression]) => { arity("graft_dot", args, 2); DotProductExpr(args(0), args(1)) }),

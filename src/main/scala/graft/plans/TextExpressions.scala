@@ -386,3 +386,143 @@ case class Simhash60CpExpr(child: Expression, n: Int = 1) extends UnaryExpressio
         s"graft.plans.TextHash.distinctShingleHashesCp($c.toString(), $n))")
   override protected def withNewChildInternal(c: Expression): Simhash60CpExpr = copy(child = c)
 }
+
+/** Per-document term frequencies in ONE pass:
+  * `struct(counts: map<token, count>, dl: int)` — the token multiset a
+  * document contributes to every corpus statistic (tf-idf, BM25,
+  * c-TF-IDF, entropy), computed WITHOUT materializing one row per token
+  * occurrence.
+  *
+  * Why native (round 16, BENCH evidence): the family's former shape —
+  * `explode(tokens(text))` then `groupBy(id, token).count()` — pays (a)
+  * one generated row PER OCCURRENCE through the codegen pipeline and (b)
+  * a full exchange keyed on (id, token), even though every document's
+  * occurrences are already co-located in its single input row. This
+  * expression folds the count inside the row, so `explode(counts)` emits
+  * one row per DISTINCT term (corpus row volume ÷ the repetition factor)
+  * and the per-document tf table needs NO shuffle at all — at 100 TB the
+  * term-frequency stage becomes embarrassingly parallel scan work.
+  *
+  * Determinism: map keys carry first-occurrence order, but every consumer
+  * aggregates or joins on the key, so downstream results are
+  * order-independent; counts are exact integers — bit-identical to the
+  * exploded `count(*)` the DuckDB oracles restate. Tokenizer is
+  * [[TextHash.tokens]] = split(' ') + drop empties, the exact semantics
+  * of `TextFunctions.tokens`. `dl` is the occurrence total (= former
+  * `size(tokens(text))`). */
+case class TokenCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TokenCountsExpr.OutType
+  override protected def nullSafeEval(v: Any): Any =
+    TokenCountsExpr.evalCounts(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TokenCountsExpr.evalCounts($c)")
+  override protected def withNewChildInternal(c: Expression): TokenCountsExpr = copy(child = c)
+}
+
+object TokenCountsExpr {
+  val OutType: StructType = StructType(Seq(
+    StructField("counts",
+      MapType(StringType, LongType, valueContainsNull = false), nullable = false),
+    StructField("dl", IntegerType, nullable = false)))
+
+  /** Codegen entry point (mirrors nullSafeEval). Byte-native: token
+    * slices stay UTF8String views over one shared byte array — no
+    * String decode/encode anywhere on the hot path (the space byte 0x20
+    * never occurs inside a UTF-8 multibyte sequence, so splitting on it
+    * is exact for any input). */
+  def evalCounts(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = ShingleCountsExpr.tokenSlices(u)
+    ShingleCountsExpr.countsRow(toks, toks.length)
+  }
+}
+
+/** Per-document word n-gram frequencies in ONE pass:
+  * `map<shingle, count>` over the same shingle strings as
+  * [[ShinglesExpr]] (tokens joined by one space) — the bigram/LM and PMI
+  * twin of [[TokenCountsExpr]], with the same explode-volume and
+  * no-shuffle rationale. Empty map for docs shorter than `n` tokens. */
+case class ShingleCountsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleCountsExpr.evalCounts(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.ShingleCountsExpr.evalCounts($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleCountsExpr = copy(child = c)
+}
+
+object ShingleCountsExpr {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Whitespace-token UTF8String views over the input's byte array —
+    * byte-level twin of [[TextHash.tokens]] (split 0x20, drop empties). */
+  private[plans] def tokenSlices(u: UTF8String): Array[UTF8String] = {
+    val nBytes = u.numBytes()
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](64)
+    var start = 0
+    var i = 0
+    while (i <= nBytes) {
+      if (i == nBytes || u.getByte(i) == 0x20) {
+        if (i > start) out += slice(u, start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  private def slice(u: UTF8String, from: Int, until: Int): UTF8String =
+    UTF8String.fromAddress(u.getBaseObject, u.getBaseOffset + from, until - from)
+
+  /** Codegen entry point (mirrors nullSafeEval). */
+  def evalCounts(u: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.MapData = {
+    val toks = tokenSlices(u)
+    if (toks.length < n) countsMap(Array.empty[UTF8String], 0)
+    else if (n == 1) countsMap(toks, toks.length)
+    else {
+      val m = toks.length - n + 1
+      val sh = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) {
+        sh(i) = UTF8String.concatWs(Space, toks.slice(i, i + n): _*)
+        i += 1
+      }
+      countsMap(sh, m)
+    }
+  }
+
+  /** First-occurrence-ordered exact counts of `vals[0..len)`. */
+  private[plans] def countsMap(
+      vals: Array[UTF8String], len: Int): org.apache.spark.sql.catalyst.util.ArrayBasedMapData = {
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]](
+      math.max(16, len * 2))
+    var i = 0
+    while (i < len) {
+      val c = m.get(vals(i))
+      if (c == null) m.put(vals(i), Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    val keys = new Array[Any](m.size)
+    val cnts = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      // clone() copies the slice out of the (possibly row-buffer-backed)
+      // input bytes: map contents must own their storage once emitted.
+      keys(j) = e.getKey.clone()
+      cnts(j) = e.getValue()(0)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(cnts))
+  }
+
+  /** [[TokenCountsExpr]] row: (counts, occurrence total). */
+  private[plans] def countsRow(
+      vals: Array[UTF8String], len: Int): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](countsMap(vals, len), len))
+}

@@ -235,12 +235,16 @@ object TextQueries {
         .agg(count(lit(1)).as("df"))
     }),
 
-    // E37 word-bigram shingles with corpus counts.
+    // E37 word-bigram shingles with corpus counts. Per-doc counts fold
+    // natively (round 16): the explode emits distinct-per-doc bigrams
+    // with counts, so the corpus aggregation's input shrinks by the
+    // repetition factor; the vocabulary-keyed shuffle stays.
     "q42_ngrams" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(explode(shingles(col("text"), 2)).as("ngram"))
-        .groupBy(col("ngram"))
-        .agg(count(lit(1)).as("n"))
+        .select(explode(shingleCounts(col("text"), 2)))
+        .groupBy(col("key"))
+        .agg(sum(col("value")).as("n"))
+        .select(col("key").as("ngram"), col("n"))
     }),
 
     // Language ID: deterministic marker-stopword argmax (fixture text is
@@ -803,19 +807,25 @@ object TextQueries {
     // addition order — normally partition-dependent in a groupBy — is
     // pinned and the result is bit-identical and layout-independent.
     "q87_token_entropy" -> ((s, dir) => {
-      val counts = t(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).cast("double").as("c"))
-      counts.groupBy(col("doc_id"))
-        .agg(array_sort(collect_list(struct(col("tok"), col("c")))).as("tc"))
+      // Round 16: the native per-doc count map turns the former TWO
+      // shuffles (groupBy(doc, tok) then collect_list per doc) into a
+      // pure projection — counts never leave their document's row.
+      // array_sort(map_entries) pins the SAME token-sorted fold order
+      // the collect_list version sorted into, so the float sums are
+      // bit-identical; docs with no tokens drop, as the explode did.
+      val tcSorted = array_sort(map_entries(tokenCounts(col("text")).getField("counts")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), tcSorted.as("tc"))
+        .filter(size(col("tc")) > 0)
         .select(col("doc_id"), col("tc"),
-          aggregate(col("tc"), lit(0.0), (acc, x) => acc + x.getField("c")).as("n"))
+          aggregate(col("tc"), lit(0.0),
+            (acc, x) => acc + x.getField("value").cast("double")).as("n"))
         .select(
           col("doc_id"),
           round(log(col("n")) -
             aggregate(col("tc"), lit(0.0),
-              (acc, x) => acc + x.getField("c") * log(x.getField("c"))) / col("n"),
+              (acc, x) => acc + x.getField("value").cast("double") *
+                log(x.getField("value").cast("double"))) / col("n"),
             6).as("entropy"),
           size(col("tc")).as("n_unique"))
     }),
@@ -841,10 +851,16 @@ object TextQueries {
       // localCheckpoint (bench) or reliable checkpoint (cluster) from
       // spark.graft.reliableCheckpoint — see its scaladoc for the
       // executor-loss tradeoff.
+      // Round 16: the native per-doc count map makes tf scan→project —
+      // no per-occurrence explode, no (doc, token) exchange at all, and
+      // dlen rides along from the same struct (the former plan re-derived
+      // it with a window sum over the rank window's partitioning).
       val tf = graft.Tables.materialize(docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-        .groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).cast("double").as("tf")))
+        .select(col("doc_id"), tokenCounts(col("text")).as("_tc"))
+        .select(col("doc_id"), col("_tc").getField("dl").cast("double").as("dlen"),
+          explode(col("_tc").getField("counts")))
+        .select(col("doc_id"), col("dlen"), col("key").as("token"),
+          col("value").cast("double").as("tf")))
       // Corpus scalars from tf alone: avg doc length = Σtf / #docs (token
       // counts are integer-valued doubles, so the sums are exact and the
       // division matches the oracle's avg() bit-for-bit).
@@ -859,9 +875,6 @@ object TextQueries {
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dlen") / col("avg_len")))
       tf
         .join(dfreq, "token")
-        // dlen via a window on doc_id: the rank window below reuses the
-        // same partitioning — one shuffle serves both.
-        .withColumn("dlen", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
         .crossJoin(broadcast(stats))
         .withColumn("avg_len", col("total_tok") / col("n_docs"))
         .withColumn("score", round(idf * tfPart * 1e4) / 1e4)

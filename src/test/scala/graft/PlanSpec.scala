@@ -170,7 +170,11 @@ class PlanSpec extends AnyFunSuite {
       "q81_ivf_search" -> 6,      // centroid build aggs + probe + bucket join + top-k
       "q84_simhash_neardup" -> 5,
       "q86_source_overlap" -> 5,  // distinct + self-join + agg
-      "q90_bm25_keywords" -> 6,   // tf (1) + df agg + dlen agg + 2 joins + rank window
+      "q90_bm25_keywords" -> 4,   // spread + df agg + token join re-key +
+                                  // rank window (round 16: tf itself is
+                                  // shuffle-free — native count map — and
+                                  // dlen rides the same struct, so the
+                                  // former tf agg + dlen window are gone)
       "q95_line_dedup" -> 3,      // segment window + doc re-agg + parallel spread
       "q112_canonical_pick" -> 3, // member↔length join re-hashes both sides on
                                   // doc_id (the cluster-member frame is unbounded
@@ -323,9 +327,9 @@ class PlanSpec extends AnyFunSuite {
                                   // persisted; marginals and N re-derive
                                   // from the vocab-sized cache) + one
                                   // marginal re-agg; TakeOrdered cut
-      "q142_phrase_match" -> 2,   // parallel-spread repartition + the
-                                  // per-doc hit agg (explode + equality
-                                  // filter are narrow)
+      // q142 runs at the default budget of 1 (round 16): the phrase count
+      // is a per-doc map lookup — only the parallel-spread repartition
+      // remains.
       "q143_group_split_auto" -> 7, // q134's shape at the auto width:
                                   // banding cached + CC materialize-cut
                                   // + doc<->component join re-keys +
@@ -374,7 +378,10 @@ class PlanSpec extends AnyFunSuite {
       "q53_pivot" -> 2, "q54_asof_join" -> 2, "q55_cosine_pairs" -> 2,
       "q59_l2_pairs" -> 2, "q64_watermark_drop" -> 2,
       "q65_bucket_centroids" -> 2, "q68_setops_all" -> 2,
-      "q79_top_supplier_per_nation" -> 2, "q87_token_entropy" -> 3,
+      "q79_top_supplier_per_nation" -> 2,
+      // q87 runs at the default budget of 1 (round 16): the native count
+      // map keeps each document's counts in its row — the only exchange
+      // left is the parallel-spread repartition.
       "q88_stratified_sample" -> 2, "q96_sequence_pack" -> 2
     ).withDefaultValue(1)
     val prev = spark.conf.get("spark.sql.adaptive.enabled")

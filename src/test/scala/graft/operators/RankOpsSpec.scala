@@ -278,4 +278,30 @@ class RankOpsSpec extends AnyFunSuite {
     // And the pinned results stay readable after the release.
     assert(RankOps.tfidfTopK(d, "text", "doc_id", k = 1).count() == 2L)
   }
+
+  test("termFrequencies is shuffle-free: scan → project → generate, no exchange") {
+    // The round-16 native fold contract: per-document counts never leave
+    // their row, so the tf table costs ZERO exchanges at any corpus size.
+    val d = docs(1L -> "a b a c", 2L -> "b b")
+    val plan = RankOps.termFrequencies(d, "text", "doc_id")
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, plan.toString)
+    // And the rows are the exact per-doc multiset counts with dl.
+    val rows = RankOps.termFrequencies(d, "text", "doc_id")
+      .orderBy($"doc_id", $"token")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 4, "a", 2L), (1L, 4, "b", 1L), (1L, 4, "c", 1L), (2L, 2, "b", 2L)))
+  }
+
+  test("phraseMatch is a pure projection: no exchange in the plan") {
+    val d = docs(1L -> "the quick brown fox", 2L -> "quick brown shoes")
+    val out = RankOps.phraseMatch(d, "text", "doc_id", Seq("quick", "brown"))
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, out.queryExecution.executedPlan.toString)
+  }
 }

@@ -110,4 +110,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     def toMap2: Map[A, (B, C, D, E)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
   }
+
+  test("graft_token_counts / graft_shingle_counts via spark.sql match the Column API") {
+    Tables(spark, TestSpark.sfDir, "documents").createOrReplaceTempView("docs_ext_tc")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+              graft_token_counts(text).dl AS dl,
+              size(map_keys(graft_token_counts(text).counts)) AS nuniq,
+              element_at(graft_token_counts(text).counts,
+                         element_at(graft_tokens_cp(text), 1)) AS c1,
+              size(map_keys(graft_shingle_counts(text, 2))) AS nbi
+         FROM docs_ext_tc""")
+      .as[(Long, Int, Int, Option[Long], Int)].collect().sortBy(_._1).toSeq
+    val viaApi = Tables(spark, TestSpark.sfDir, "documents")
+      .select($"doc_id",
+        TextFunctions.tokenCounts($"text").getField("dl").as("dl"),
+        size(map_keys(TextFunctions.tokenCounts($"text").getField("counts"))).as("nuniq"),
+        element_at(TextFunctions.tokenCounts($"text").getField("counts"),
+          element_at(TextFunctions.tokensCp($"text"), 1)).as("c1"),
+        size(map_keys(TextFunctions.shingleCounts($"text", 2))).as("nbi"))
+      .as[(Long, Int, Int, Option[Long], Int)].collect().sortBy(_._1).toSeq
+    assert(viaSql == viaApi)
+  }
 }

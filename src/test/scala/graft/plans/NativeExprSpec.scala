@@ -143,4 +143,44 @@ class NativeExprSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WholeStageCodegen") || !plan.contains("Fallback"), plan)
   }
+
+  test("TokenCountsExpr: counts == exploded-token groupBy counts, dl == token total") {
+    val ref = docs
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val native = docs
+      .select($"doc_id", explode(TextFunctions.tokenCounts($"text").getField("counts")))
+      .select($"doc_id", $"key".as("tok"), $"value".as("c"))
+    assert(native.exceptAll(ref).count() == 0L && ref.exceptAll(native).count() == 0L)
+    val dlDiff = docs.select(
+      TextFunctions.tokenCounts($"text").getField("dl").as("dl"),
+      size(TextFunctions.tokens($"text")).as("ref"))
+      .filter($"dl" =!= $"ref").count()
+    assert(dlDiff == 0L)
+  }
+
+  test("ShingleCountsExpr == exploded ShinglesExpr counts for n in 1..3; short doc → empty map") {
+    for (n <- 1 to 3) {
+      val ref = docs
+        .select($"doc_id", explode(TextFunctions.shingles($"text", n)).as("sh"))
+        .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("c"))
+      val native = docs
+        .select($"doc_id", explode(TextFunctions.shingleCounts($"text", n)))
+        .select($"doc_id", $"key".as("sh"), $"value".as("c"))
+      assert(native.exceptAll(ref).count() == 0L && ref.exceptAll(native).count() == 0L, s"n=$n")
+    }
+    val short = Seq("one two").toDF("text")
+      .select(map_keys(TextFunctions.shingleCounts($"text", 3))).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("TokenCountsExpr empty/whitespace text → empty counts, dl 0") {
+    val rows = Seq("", "   ", "a a a").toDF("text")
+      .select(size(map_keys(TextFunctions.tokenCounts($"text").getField("counts"))).as("k"),
+        TextFunctions.tokenCounts($"text").getField("dl").as("dl"))
+      .collect()
+    assert(rows(0).getInt(0) == 0 && rows(0).getInt(1) == 0)
+    assert(rows(1).getInt(0) == 0 && rows(1).getInt(1) == 0)
+    assert(rows(2).getInt(0) == 1 && rows(2).getInt(1) == 3)
+  }
 }
