@@ -68,6 +68,13 @@ object TextFunctions {
   def shingleCounts(c: Column, n: Int): Column =
     toCol(graft.plans.ShingleCountsExpr(toExpr(c), n))
 
+  /** Per-document Shannon token entropy
+    * (`struct(raw: double, n_unique: int)`, null when no tokens) — the
+    * token-sorted fold of [[graft.plans.TokenEntropyExpr]], UNROUNDED;
+    * callers apply their own `round`. Native. */
+  def tokenEntropy(c: Column): Column =
+    toCol(graft.plans.TokenEntropyExpr(toExpr(c)))
+
   /** Distinct token hashes — the set a MinHash/SimHash signature is built
     * from. */
   def tokenHashes(c: Column): Column =

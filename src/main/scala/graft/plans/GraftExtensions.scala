@@ -112,6 +112,12 @@ object GraftExtensions {
         arity("graft_shingle_counts", args, 2)
         ShingleCountsExpr(args.head, litInt("graft_shingle_counts", "n", args(1)))
       }),
+    ("graft_token_entropy",
+      info("graft_token_entropy",
+        "graft_token_entropy(str) - struct(raw: double, n_unique) Shannon token entropy (unrounded), null on token-less input"),
+      (args: Seq[Expression]) => {
+        arity("graft_token_entropy", args, 1); TokenEntropyExpr(args.head)
+      }),
     ("graft_dot",
       info("graft_dot", "graft_dot(a, b) - float-vector dot product"),
       (args: Seq[Expression]) => { arity("graft_dot", args, 2); DotProductExpr(args(0), args(1)) }),

@@ -807,27 +807,24 @@ object TextQueries {
     // addition order — normally partition-dependent in a groupBy — is
     // pinned and the result is bit-identical and layout-independent.
     "q87_token_entropy" -> ((s, dir) => {
-      // Round 16: the native per-doc count map turns the former TWO
-      // shuffles (groupBy(doc, tok) then collect_list per doc) into a
-      // pure projection — counts never leave their document's row.
-      // array_sort(map_entries) pins the SAME token-sorted fold order
-      // the collect_list version sorted into, so the float sums are
-      // bit-identical; docs with no tokens drop, as the explode did.
-      val tcSorted = array_sort(map_entries(tokenCounts(col("text")).getField("counts")))
+      // Round 16: ONE native codegen'd expression per row — the former
+      // two shuffles (groupBy(doc, tok) then collect_list) became a
+      // projection, and the intermediate HOF formulation (two `aggregate`
+      // folds over array_sort(map_entries)) was measured 3.6× SLOWER at
+      // the 10× corpus: HOFs are CodegenFallback, so the projection ran
+      // interpreted and re-evaluated the array per consuming column.
+      // TokenEntropyExpr folds the identical token-sorted float sums
+      // (UTF8String binary order = array_sort's = the oracle's ORDER BY)
+      // and returns the UNROUNDED raw value; the round(6) stays here.
+      // Token-less docs are null → filtered, as the explode-based row
+      // drop always did.
       t(s, dir, "documents")
-        .select(col("doc_id"), tcSorted.as("tc"))
-        .filter(size(col("tc")) > 0)
-        .select(col("doc_id"), col("tc"),
-          aggregate(col("tc"), lit(0.0),
-            (acc, x) => acc + x.getField("value").cast("double")).as("n"))
+        .select(col("doc_id"), tokenEntropy(col("text")).as("_e"))
+        .filter(col("_e").isNotNull)
         .select(
           col("doc_id"),
-          round(log(col("n")) -
-            aggregate(col("tc"), lit(0.0),
-              (acc, x) => acc + x.getField("value").cast("double") *
-                log(x.getField("value").cast("double"))) / col("n"),
-            6).as("entropy"),
-          size(col("tc")).as("n_unique"))
+          round(col("_e").getField("raw"), 6).as("entropy"),
+          col("_e").getField("n_unique").as("n_unique"))
     }),
 
     // E77 BM25 keyword extraction: top-3 highest-BM25 terms per document —

@@ -183,4 +183,29 @@ class NativeExprSpec extends AnyFunSuite {
     assert(rows(1).getInt(0) == 0 && rows(1).getInt(1) == 0)
     assert(rows(2).getInt(0) == 1 && rows(2).getInt(1) == 3)
   }
+
+  test("TokenEntropyExpr == the HOF sorted-fold entropy, bit-identical; null on no tokens") {
+    // Reference: the exact expression tree q87 used before promotion —
+    // two aggregate folds over array_sort(map_entries(counts)).
+    val tc = array_sort(map_entries(TextFunctions.tokenCounts($"text").getField("counts")))
+    val ref = docs
+      .select($"doc_id", tc.as("tc"))
+      .filter(size($"tc") > 0)
+      .select($"doc_id", $"tc",
+        aggregate($"tc", lit(0.0), (acc, x) => acc + x.getField("value").cast("double")).as("n"))
+      .select($"doc_id",
+        (log($"n") - aggregate($"tc", lit(0.0),
+          (acc, x) => acc + x.getField("value").cast("double") *
+            log(x.getField("value").cast("double"))) / $"n").as("raw"),
+        size($"tc").as("n_unique"))
+    val native = docs
+      .select($"doc_id", TextFunctions.tokenEntropy($"text").as("_e"))
+      .filter($"_e".isNotNull)
+      .select($"doc_id", $"_e".getField("raw").as("raw"),
+        $"_e".getField("n_unique").as("n_unique"))
+    assert(native.exceptAll(ref).count() == 0L && ref.exceptAll(native).count() == 0L)
+    val nulls = Seq("", "   ").toDF("text")
+      .select(TextFunctions.tokenEntropy($"text").as("e")).filter($"e".isNotNull)
+    assert(nulls.count() == 0L)
+  }
 }
