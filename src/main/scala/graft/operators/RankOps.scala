@@ -341,9 +341,12 @@ object RankOps {
     // only to which pairs are reported, not to the probabilities.
     // Persisted + eagerly materialized: four statistics branches read
     // it, and no cross-branch exchange reuse fires (see dfFromTf).
-    val bAll = docs.select(explode(shingleCounts(col(textCol), 2)))
-      .groupBy(col("key")).agg(sum(col("value")).as("c"))
-      .select(col("key").as("bigram"), col("c"))
+    // Explode, not the count map (round-16 decade probe): within-doc
+    // BIGRAM repetition is too low to pay the per-doc map build —
+    // q140 read 1.4× slower on the folded form at gsf10 (tokenCounts is
+    // the opposite: unigram repetition is high, see termFrequencies).
+    val bAll = docs.select(explode(shingles(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("w2", split(col("bigram"), " ").getItem(1))
       .persist()
@@ -453,20 +456,17 @@ object RankOps {
     // the corpus-sized bigram explode feeds BOTH the count table and the
     // scoring join, and the vocab-sized unigram table feeds both V and
     // the w1 join — without the caches each would re-run its explode.
-    // Round 16: per-document bigram counts fold natively, so the joins
-    // and the per-doc aggregation see one row per DISTINCT (doc, bigram)
-    // — corpus row volume ÷ repetition — and each instance's NLL term
-    // (identical across a type's instances) is weighted by its count
-    // instead of re-added per occurrence. The weighted mean equals the
-    // former per-instance avg exactly in rationals; the 4 dp round
-    // absorbs the ulp-level float reassociation (the repo's cross-engine
-    // float rule — these are ln-ratio values, never at a boundary).
+    // Explode, not the count map (round-16 decade probe: the folded
+    // count-weighted form read 1.5× SLOWER at gsf10 — within-doc bigram
+    // repetition is too low to pay the per-doc map build; contrast
+    // termFrequencies, where unigram repetition makes the map win).
+    // The unigram table keeps the tokenCounts fold: ITS repetition is
+    // the high one, and the count-weighted sum equals count(*) exactly.
     val docBigrams = docs
-      .select(col(idCol), explode(shingleCounts(col(textCol), 2)))
-      .select(col(idCol), col("key").as("bigram"), col("value").as("cnt"))
+      .select(col(idCol), explode(shingles(col(textCol), 2)).as("bigram"))
       .persist()
     docBigrams.count()
-    val bigramCounts = docBigrams.groupBy(col("bigram")).agg(sum(col("cnt")).as("c2"))
+    val bigramCounts = docBigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
     val unigramCounts = docs
       .select(explode(tokenCounts(col(textCol)).getField("counts")))
       .groupBy(col("key")).agg(sum(col("value")).as("c1"))
@@ -481,11 +481,8 @@ object RankOps {
       .crossJoin(broadcast(vocab))
       .groupBy(col(idCol))
       .agg(
-        sum(col("cnt")).as("n_bigrams"),
-        round(
-          sum(col("cnt") *
-            -log((col("c2") + lit(1)).cast("double") / (col("c1") + col("v")))) /
-            sum(col("cnt")).cast("double"), 4)
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("c2") + lit(1)).cast("double") / (col("c1") + col("v")))), 4)
           .as("nll"))
       .localCheckpoint(true)
     docBigrams.unpersist()

@@ -208,4 +208,34 @@ class NativeExprSpec extends AnyFunSuite {
       .select(TextFunctions.tokenEntropy($"text").as("e")).filter($"e".isNotNull)
     assert(nulls.count() == 0L)
   }
+
+  test("byte-native tokenizer parity on adversarial inputs (multi-space, unicode, astral)") {
+    // The byte-level split (0x20) must equal the char-level TextHash.tokens
+    // and the built-in split+filter on EVERY input: multibyte UTF-8 never
+    // contains 0x20, so the three tokenizations cannot diverge — pinned
+    // here on the cases the ASCII fixture lacks.
+    val hard = Seq(
+      "  double  spaces  everywhere  ",
+      "tab\there stays one-token",
+      "d\u00e9j\u00e0 vu caf\u00e9 na\u00efve",
+      "\u4e2d\u6587 \u8a5e\u8a9e mixed ascii",
+      "emoji \ud83d\ude00\ud83d\ude00 \ud83d\ude00 twice once",
+      "nbsp\u00a0inside stays fused",
+      " ", "", "x")
+    val df = hard.toDF("text")
+    val viaCounts = df.select(
+      TextFunctions.tokenCounts($"text").getField("dl").as("dl"),
+      map_keys(TextFunctions.tokenCounts($"text").getField("counts")).as("ks"))
+    val viaSplit = df.select(
+      size(TextFunctions.tokens($"text")).as("dl"),
+      array_distinct(TextFunctions.tokens($"text")).as("ks"))
+    val a = viaCounts.collect().map(r => (r.getInt(0), r.getSeq[String](1).sorted.toList))
+    val b = viaSplit.collect().map(r => (r.getInt(0), r.getSeq[String](1).sorted.toList))
+    assert(a.toSeq == b.toSeq)
+    // counts themselves: the emoji line has one token twice, one once
+    val em = df.filter($"text".startsWith("emoji"))
+      .select(TextFunctions.tokenCounts($"text").getField("counts")).head().getMap[String, Long](0)
+    assert(em("\ud83d\ude00\ud83d\ude00") == 1L && em("\ud83d\ude00") == 1L &&
+      em("emoji") == 1L && em("twice") == 1L && em("once") == 1L)
+  }
 }
