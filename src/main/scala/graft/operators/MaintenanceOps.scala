@@ -255,7 +255,22 @@ object MaintenanceOps {
     import org.apache.spark.sql.functions.{broadcast, col, collect_set, count, lit, regexp_replace, sha2, struct, to_json}
     val path = new Path(ledgerDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery FIRST (round-16 review): a crash between the swap's
+    // two renames leaves a leaf only at its dot-hidden `_erase_bak` —
+    // invisible to the pass-1 scan, and a naive re-run would delete the
+    // staged tmp tree holding the only survivor copy. Restore any bak
+    // whose leaf is missing (the rename back is the inverse of the crash
+    // step), drop any bak whose leaf exists (crash was after the staged
+    // leaf landed), THEN scan. The flat-root bak lives in the root's
+    // PARENT, so it is checked before the existence require.
+    recoverEraseBaks(fs, path)
     require(fs.exists(path), s"ledger directory $ledgerDir does not exist")
+    // Crashed-fold leftovers are already merged into base — physically
+    // remove them before scanning so their rows neither double-count the
+    // hits nor pay a staged rewrite of a doomed partition (the rule
+    // pqStoreDelete applied to the PQ namespaces, generalized to every
+    // ledger space).
+    deleteFoldLeftovers(fs, path)
     require(keys.columns.contains(keyCol),
       s"keys frame must carry the key column '$keyCol', has " +
         keys.columns.mkString(", "))
@@ -402,25 +417,49 @@ object MaintenanceOps {
       }
       val tmpRoot = new Path(path, "._graft_erase_tmp")
       fs.delete(tmpRoot, true)
-      spark.read.option("basePath", ledgerDir)
-        .parquet(hitLeaves.map(_.toString): _*)
-        .join(keyDf, col(keyCol) <=> col("_graft_dk"), "left_anti")
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy(partCols: _*)
-        .parquet(tmpRoot.toString)
+      // Partition VALUES must round-trip as the exact directory-name
+      // strings (round-16 review): with type inference on, a value like
+      // a zero-padded manual epoch token `007` reads back as int 7 and
+      // the staged write renders `=7` — a name the swap loop below would
+      // not find, mis-inferring "every row matched" and deleting the
+      // leaf's survivors. Inference OFF keeps every partition value the
+      // verbatim dir string, so staged names equal the original names by
+      // construction; nothing is persisted typed (partitionBy stores the
+      // value only in the dir name).
+      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val inferPrior = spark.conf.get(inferKey)
+      try {
+        spark.conf.set(inferKey, "false")
+        spark.read.option("basePath", ledgerDir)
+          .parquet(hitLeaves.map(_.toString): _*)
+          .join(keyDf, col(keyCol) <=> col("_graft_dk"), "left_anti")
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy(partCols: _*)
+          .parquet(tmpRoot.toString)
+      } finally spark.conf.set(inferKey, inferPrior)
       val rootQ = fs.makeQualified(path).toUri.getPath
       hitLeaves.foreach { leaf =>
         val rel = leaf.toUri.getPath.stripPrefix(rootQ).stripPrefix("/")
         val staged = new Path(tmpRoot, rel)
+        val survivors = allByLeaf(leaf) - hitByLeaf(leaf)
         if (fs.exists(staged)) {
           val bak = new Path(leaf.getParent, s".${leaf.getName}_erase_bak")
           fs.delete(bak, true)
           renameOrThrow(leaf, bak)
           renameOrThrow(staged, leaf)
           fs.delete(bak, true)
-        } else {
-          // Every row matched — the partition vanishes.
+        } else if (survivors == 0L) {
+          // Every row matched (pass-1 accounting, not inferred from the
+          // staged dir's absence) — the partition vanishes.
           fs.delete(leaf, true)
+        } else {
+          // Survivors exist but their staged copy is not where the swap
+          // expects it — refuse loudly rather than delete survivors. The
+          // leaf is untouched; a re-run converges.
+          throw new IllegalStateException(
+            s"ledgerDelete: staged survivors missing for leaf $leaf " +
+              s"($survivors expected at $staged) — refusing the swap; " +
+              "the leaf is untouched, inspect ._graft_erase_tmp")
         }
       }
       fs.delete(tmpRoot, true)
@@ -612,11 +651,11 @@ object MaintenanceOps {
     val path = new Path(ledgerDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val priorMark = foldedThrough(fs, path)
-    def epochId(name: String): Option[Long] =
-      scala.util.Try(name.stripPrefix("_graft_epoch=epoch").toLong).toOption
+    // The shared digits-only parse — see foldableEpochId's scaladoc for
+    // why every fold-protocol site must use it.
+    def epochId(name: String): Option[Long] = epochDirId(name)
     val all = fs.listStatus(path).filter { s =>
-      s.isDirectory && s.getPath.getName.startsWith("_graft_epoch=epoch") &&
-        epochId(s.getPath.getName).isDefined
+      s.isDirectory && epochId(s.getPath.getName).isDefined
     }
     // Leftovers of a crashed fold: their rows are already in base.
     all.filter(d => epochId(d.getPath.getName).exists(_ <= priorMark))
@@ -678,6 +717,91 @@ object MaintenanceOps {
     * a parse error. Superseded markers are best-effort deleted; extras
     * left by a crash are harmless (the max still wins). */
   private[operators] val FoldMarkerPrefix = "_graft_folded_through_"
+
+  /** THE one parse of a fold-addressable epoch token (round 16): defined
+    * ONLY for the digits-only `epoch<N>` shape. Every part of the fold
+    * protocol — what [[foldEpochs]]/`foldPqEpochs` fold, what
+    * [[excludeFoldLeftovers]] hides, what [[deleteFoldLeftovers]]
+    * removes, what the replay guards refuse — MUST share this parse: the
+    * round-16 review found the guard's regex (`epoch\d+`) and the fold
+    * machinery's `stripPrefix("epoch").toLong` had drifted, so a manual
+    * token like `epoch-1` or `epoch+5` committed unguarded (regex says
+    * manual) and was then excluded from reads and physically deleted as
+    * a crashed-fold leftover (toLong says folded) — a committed batch
+    * silently lost. With one parse a non-`epoch<digits>` token is MANUAL
+    * everywhere: never folded, never excluded, never deleted, never
+    * refused. */
+  def foldableEpochId(token: String): Option[Long] =
+    if (token.matches("epoch\\d+"))
+      scala.util.Try(token.stripPrefix("epoch").toLong).toOption
+    else None
+
+  /** [[foldableEpochId]] of a `_graft_epoch=<token>` directory name. */
+  def epochDirId(dirName: String): Option[Long] =
+    if (dirName.startsWith("_graft_epoch="))
+      foldableEpochId(dirName.stripPrefix("_graft_epoch="))
+    else None
+
+  /** Restore/clear leftover `.<name>_erase_bak` swap backups under (and
+    * beside) a ledger root. A [[ledgerDelete]] crash between its two
+    * renames leaves the original leaf ONLY at the hidden bak: rename it
+    * back when the leaf is missing (the re-run then re-finds its hits —
+    * convergent), delete it when the leaf exists (the staged leaf
+    * landed; the bak is a stale copy). Stale `_erase_tmp` staging is
+    * swept too. The flat-root bak/tmp live in the root's PARENT. */
+  private def recoverEraseBaks(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
+    def handle(s: org.apache.hadoop.fs.FileStatus): Unit = {
+      val n = s.getPath.getName
+      if (s.isDirectory && n.startsWith(".") && n.endsWith("_erase_bak")) {
+        val orig = new Path(s.getPath.getParent,
+          n.stripPrefix(".").stripSuffix("_erase_bak"))
+        if (!fs.exists(orig)) {
+          if (!fs.rename(s.getPath, orig))
+            throw new java.io.IOException(
+              s"ledgerDelete recovery failed: rename ${s.getPath} -> $orig")
+        } else fs.delete(s.getPath, true)
+      } else if (s.isDirectory && n.startsWith(".") && n.endsWith("_erase_tmp")) {
+        fs.delete(s.getPath, true)
+      } else if (s.isDirectory && !n.startsWith("_") && !n.startsWith(".")) {
+        fs.listStatus(s.getPath).foreach(handle)
+      }
+    }
+    // Flat-root swap artifacts sit BESIDE the root, not under it.
+    val parent = root.getParent
+    if (parent != null && fs.exists(parent)) {
+      val bak = new Path(parent, s".${root.getName}_erase_bak")
+      val tmp = new Path(parent, s".${root.getName}_erase_tmp")
+      if (fs.exists(bak)) {
+        if (!fs.exists(root)) {
+          if (!fs.rename(bak, root))
+            throw new java.io.IOException(
+              s"ledgerDelete recovery failed: rename $bak -> $root")
+        } else fs.delete(bak, true)
+      }
+      fs.delete(tmp, true)
+    }
+    if (fs.exists(root)) fs.listStatus(root).foreach(handle)
+  }
+
+  /** Remove crashed-fold leftover epoch partitions (at-or-under the
+    * ledger's fold marker — already merged into base, their delete was
+    * pending when the fold crashed). The physical-delete counterpart of
+    * [[excludeFoldLeftovers]]'s read-side filter; [[ledgerDelete]] runs
+    * it on entry so no erase double-counts a leftover's rows or pays a
+    * rewrite of a partition already slated for deletion — for EVERY
+    * ledger space, not just the PQ store (round-16 review: the cleanup
+    * was previously bolted onto pqStoreDelete alone). */
+  private[graft] def deleteFoldLeftovers(
+      fs: org.apache.hadoop.fs.FileSystem, ledgerPath: Path): Unit = {
+    val mark = foldedThrough(fs, ledgerPath)
+    if (mark >= 0L && fs.exists(ledgerPath))
+      fs.listStatus(ledgerPath).foreach { s =>
+        if (s.isDirectory &&
+            epochDirId(s.getPath.getName).exists(_ <= mark))
+          fs.delete(s.getPath, true)
+      }
+  }
 
   /** Highest batch id a completed fold has merged into base (−1 if the
     * ledger has never folded). Epoch partitions at-or-under this id that
@@ -767,10 +891,7 @@ object MaintenanceOps {
       if (mark < 0L) Set.empty
       else fs.listStatus(ledgerPath).iterator.collect {
         case s if s.isDirectory &&
-            s.getPath.getName.startsWith("_graft_epoch=epoch") &&
-            scala.util.Try(s.getPath.getName
-              .stripPrefix("_graft_epoch=epoch").toLong).toOption
-              .exists(_ <= mark) =>
+            epochDirId(s.getPath.getName).exists(_ <= mark) =>
           s.getPath.getName.stripPrefix("_graft_epoch=")
       }.toSet
     if (leftovers.isEmpty) raw

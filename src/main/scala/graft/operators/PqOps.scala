@@ -1403,8 +1403,20 @@ object PqOps {
       topR: Int = 0): Double = {
     require(k >= 1, s"k out of range: $k")
     require(nQueries >= 1, s"nQueries out of range: $nQueries")
-    val queries = corpus.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(nQueries)
+    // Materialize the ≤nQueries sample ONCE (round-16 review): the
+    // TakeOrdered sub-plan is a corpus pass, and leaving it lazy would
+    // re-execute it inside BOTH the ground-truth broadcast and the
+    // searcher — the audit would pay ~3 corpus reads where the scaladoc
+    // promises one exact pass plus the production search.
+    val qSchema = corpus.select(col(idCol), col(vecCol)).schema
+    val qRows = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(nQueries).collect()
+    require(qRows.nonEmpty,
+      "annRecall: the corpus frame is empty — no queries to sample, " +
+        "refusing a NaN recall")
+    val spark0 = corpus.sparkSession
+    val queries = spark0.createDataFrame(
+        spark0.sparkContext.parallelize(qRows.toSeq, 1), qSchema)
       .select(col(idCol).as("_graft_qid"), col(vecCol))
     val qv = broadcast(
       queries.select(col("_graft_qid"), col(vecCol).as("_graft_qv")))
@@ -1621,9 +1633,7 @@ object PqOps {
     val dirMax =
       if (!fs.exists(nsPath)) -1L
       else fs.listStatus(nsPath).iterator.flatMap { s =>
-        if (s.isDirectory && s.getPath.getName.startsWith("_graft_epoch=epoch"))
-          scala.util.Try(
-            s.getPath.getName.stripPrefix("_graft_epoch=epoch").toLong).toOption
+        if (s.isDirectory) MaintenanceOps.epochDirId(s.getPath.getName)
         else None
       }.foldLeft(-1L)(math.max)
     math.max(mark, dirMax)
@@ -1694,11 +1704,11 @@ object PqOps {
       val nsDir = s"$dir/$ns"
       val nsPath = new org.apache.hadoop.fs.Path(nsDir)
       val priorMark = MaintenanceOps.foldedThrough(fs, nsPath)
-      def epochId(name: String): Option[Long] =
-        scala.util.Try(name.stripPrefix("_graft_epoch=epoch").toLong).toOption
+      // The shared digits-only parse (MaintenanceOps.foldableEpochId):
+      // every fold-protocol site must agree on what is fold-addressable.
+      def epochId(name: String): Option[Long] = MaintenanceOps.epochDirId(name)
       val all = fs.listStatus(nsPath).filter { s =>
-        s.isDirectory && s.getPath.getName.startsWith("_graft_epoch=epoch") &&
-          epochId(s.getPath.getName).isDefined
+        s.isDirectory && epochId(s.getPath.getName).isDefined
       }
       // Leftovers of a crashed fold: already merged into base.
       all.filter(d => epochId(d.getPath.getName).exists(_ <= priorMark))
@@ -1770,37 +1780,14 @@ object PqOps {
       if (fs.exists(new org.apache.hadoop.fs.Path(dir, "rcodes"))) Seq("rcodes")
       else Nil)
     namespaces.map { ns =>
-      // A crashed fold leaves epoch partitions at-or-under the marker
-      // whose rows are already merged into base ([[foldPqEpochs]]'s
-      // delete was pending). ledgerDelete scans the directory raw, so
-      // those leftovers would double-count the ids' hits in the report
-      // AND pay rewrites of partitions already slated for deletion —
-      // delete them first, exactly as [[foldPqEpochs]] does on entry
-      // (the read sides exclude them via [[readCodeNs]]; a file-level
-      // rewrite must physically remove them instead).
-      deleteFoldLeftovers(fs, new org.apache.hadoop.fs.Path(dir, ns))
+      // Crashed-fold leftovers (partitions already merged into base with
+      // their delete pending) are removed by ledgerDelete itself on
+      // entry — round 16 moved the cleanup from this call site into
+      // MaintenanceOps so EVERY ledger space gets it, not just the PQ
+      // namespaces.
       ns -> MaintenanceOps.ledgerDelete(
         spark, s"$dir/$ns", idCol, keys, s"$auditDir/$ns")
     }.toMap
-  }
-
-  /** Remove crashed-fold leftover epoch partitions (at-or-under the
-    * namespace's fold marker — already merged into base, delete was
-    * pending when the fold crashed). The physical-delete counterpart of
-    * [[MaintenanceOps.excludeFoldLeftovers]]'s read-side filter. */
-  private def deleteFoldLeftovers(
-      fs: org.apache.hadoop.fs.FileSystem,
-      nsPath: org.apache.hadoop.fs.Path): Unit = {
-    val mark = MaintenanceOps.foldedThrough(fs, nsPath)
-    if (mark >= 0L && fs.exists(nsPath))
-      fs.listStatus(nsPath).foreach { s =>
-        if (s.isDirectory &&
-            s.getPath.getName.startsWith("_graft_epoch=epoch") &&
-            scala.util.Try(s.getPath.getName
-              .stripPrefix("_graft_epoch=epoch").toLong).toOption
-              .exists(_ <= mark))
-          fs.delete(s.getPath, true)
-      }
   }
 
   /** [[incrementalPqEncode]]'s two-step result — the ledger family's
@@ -1841,14 +1828,14 @@ object PqOps {
     // ALREADY-FOLDED epoch: its rows live in base, so the dynamic
     // overwrite would ADD a second copy instead of replacing — refuse
     // (E152; the fold's quiesce contract made visible at the API). The
-    // guard fires ONLY for tokens of the `epoch<N>` shape foldPqEpochs
-    // actually folds: a purely-numeric MANUAL token like "5" is never
-    // foldable (its partition is `_graft_epoch=5`, not `=epoch5`), so
-    // parsing it as batch id 5 would falsely refuse it once the store
-    // folded through epoch5 (round-16 ADVICE fix).
-    (if (epochToken.matches("epoch\\d+"))
-       scala.util.Try(epochToken.stripPrefix("epoch").toLong).toOption
-     else None).foreach { id =>
+    // guard fires ONLY for tokens foldPqEpochs actually folds, decided
+    // by the ONE shared parse (MaintenanceOps.foldableEpochId): a
+    // purely-numeric MANUAL token like "5" is never foldable, so it is
+    // not refused (round-16 ADVICE fix) — and a shape like "epoch-1"
+    // is manual EVERYWHERE (the round-16 review found the guard's regex
+    // and the fold machinery's toLong parse disagreeing on exactly such
+    // tokens, committing batches the readers then hid and deleted).
+    MaintenanceOps.foldableEpochId(epochToken).foreach { id =>
       val (fs, _) = fsOf(spark, dir)
       val mark = MaintenanceOps.foldedThrough(
         fs, new org.apache.hadoop.fs.Path(dir, "codes"))

@@ -307,8 +307,7 @@ object StreamingOps {
     val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
     val foreign = fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("_graft_epoch=epoch"))
-      .flatMap(n => scala.util.Try(n.stripPrefix("_graft_epoch=epoch").toLong).toOption)
+      .flatMap(graft.operators.MaintenanceOps.epochDirId(_))
       .filter(_ > batchId)
     if (foreign.nonEmpty)
       throw new IllegalStateException(

@@ -707,4 +707,96 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(boxes.map(b => b._3 - b._2).sum.toDouble / boxes.length <= 65.0)
     assert(boxes.map(b => b._5 - b._4).sum.toDouble / boxes.length <= 65.0)
   }
+
+  test("ledgerDelete partitioned branch survives partition-value normalization (zero-padded leaf)") {
+    // Round-16 review fix: a leaf like p=007 read back with partition
+    // type inference ON becomes int 7, and the staged survivors land at
+    // p=7 — a name the swap loop would not find, mis-inferring "every
+    // row matched" and deleting the leaf WITH its survivors. ledgerDelete
+    // now reads pass 2 with inference OFF (names round-trip verbatim)
+    // and gates the delete-outright branch on the pass-1 accounting.
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("ldelete_norm")
+    val dir = root.resolve("ledger").toString
+    Seq(("kill", "007"), ("keep7", "007"), ("kill", "12"), ("keep12", "12"))
+      .toDF("k", "p").write.partitionBy("p").mode(SaveMode.Overwrite).parquet(dir)
+    val r = MaintenanceOps.ledgerDelete(spark, dir, "k",
+      Seq("kill").toDF("k"), root.resolve("audit").toString)
+    assert(r.deleted == 2L && r.leavesRewritten == 2, r)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "p=007")),
+      "the zero-padded leaf must survive under its ORIGINAL name")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "p=7")),
+      "no normalized twin directory may appear")
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 2L && left.filter(col("k") === "kill").count() == 0L)
+    assert(spark.read.parquet(s"$dir/p=007").count() == 1L,
+      "the zero-padded leaf's survivor row was lost")
+  }
+
+  test("ledgerDelete recovers a crashed swap: a dot-hidden bak restores before the scan") {
+    // Round-16 review fix: a crash between the swap's two renames leaves
+    // the leaf ONLY at .{leaf}_erase_bak (invisible to the scan) — the
+    // documented re-run must restore it, not delete the staged survivors
+    // and walk away. Simulate exactly that window, then re-run.
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("ldelete_bak")
+    val dir = root.resolve("ledger").toString
+    Seq(("kill", 1), ("keep1", 1), ("kill", 2), ("keep2", 2))
+      .toDF("k", "p").write.partitionBy("p").mode(SaveMode.Overwrite).parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaf = new org.apache.hadoop.fs.Path(dir, "p=1")
+    val bak = new org.apache.hadoop.fs.Path(dir, ".p=1_erase_bak")
+    assert(fs.rename(leaf, bak), "test setup: simulate the crash window")
+    // Stale staging from the crashed attempt, holding a survivor copy a
+    // naive re-run would destroy first thing.
+    val tmp = new org.apache.hadoop.fs.Path(dir, "._graft_erase_tmp")
+    fs.mkdirs(tmp)
+    val r = MaintenanceOps.ledgerDelete(spark, dir, "k",
+      Seq("kill").toDF("k"), root.resolve("audit").toString)
+    assert(r.deleted == 2L, s"recovery must restore p=1 so BOTH leaves' hits are found: $r")
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 2L && left.filter(col("k") === "kill").count() == 0L)
+    assert(left.filter(col("k") === "keep1").count() == 1L,
+      "the crashed leaf's survivor must be back")
+    val debris = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.contains("_erase_"))
+    assert(debris.isEmpty, debris.mkString(", "))
+  }
+
+  test("a sign-prefixed epoch token is MANUAL everywhere: not hidden, not deleted, not folded") {
+    // Round-16 review fix: the fold protocol's four parse sites now share
+    // ONE digits-only rule (foldableEpochId). Before, `epoch-1` committed
+    // unguarded (the guard's regex called it manual) yet toLong-based
+    // readers excluded it and leftover sweeps deleted it — a committed
+    // batch silently lost.
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("manual_epoch")
+    val dir = root.resolve("ledger").toString
+    val path = new org.apache.hadoop.fs.Path(dir)
+    Seq(("a", "base"), ("b", "epoch1"), ("c", "epoch-1"), ("d", "epoch+5"))
+      .toDF("k", "_graft_epoch")
+      .write.partitionBy("_graft_epoch").mode(SaveMode.Overwrite).parquet(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MaintenanceOps.writeFoldedThrough(fs, path, 1L)
+    // Hidden? Only the digits-only folded epoch.
+    val visible = MaintenanceOps.excludeFoldLeftovers(
+      fs, path, spark.read.parquet(dir)).select(col("k"))
+      .collect().map(_.getString(0)).toSet
+    assert(visible == Set("a", "c", "d"), visible)
+    // Deleted? Only the digits-only folded epoch.
+    MaintenanceOps.deleteFoldLeftovers(fs, path)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_graft_epoch=epoch1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_graft_epoch=epoch-1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_graft_epoch=epoch+5")))
+    // Folded? Manual tokens stay directories whatever the horizon.
+    MaintenanceOps.foldEpochs(spark, dir, upToBatchId = 99L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_graft_epoch=epoch-1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_graft_epoch=epoch+5")))
+    val after = spark.read.parquet(dir).select(col("k"))
+      .collect().map(_.getString(0)).toSet
+    assert(after == Set("a", "c", "d"), after)
+  }
 }
