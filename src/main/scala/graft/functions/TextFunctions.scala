@@ -143,6 +143,13 @@ object TextFunctions {
 
   /** Interpreted HOF reference implementations (parity tests only). */
   object hof {
+    /** HOF twin of the native [[TextFunctions.langMarkerCount]] (parity
+      * testing only — CodegenFallback, interpreted per token). */
+    def langMarkerCount(c: Column, lang: String): Column = {
+      val markers = langMarkers.toMap.apply(lang)
+      size(filter(tokens(c), t => t.isin(markers.map(m => m: Any): _*)))
+    }
+
     /** Note: Spark sequence(1, 0) counts DOWN ([1, 0]), hence the
       * short-doc guard. */
     def shingles(c: Column, n: Int): Column = {
@@ -240,7 +247,11 @@ object TextFunctions {
 
   def langMarkerCount(c: Column, lang: String): Column = {
     val markers = langMarkers.toMap.apply(lang)
-    size(filter(tokens(c), t => t.isin(markers.map(m => m: Any): _*)))
+    // Native one-pass set count (round 16): the former
+    // size(filter(tokens, isin)) is a CodegenFallback HOF — interpreted
+    // per token, and langId stacks four of them per document. Same exact
+    // multiset count; HOF twin kept in [[hof.langMarkerCount]].
+    toCol(graft.plans.TokenSetCountExpr(toExpr(c), markers))
   }
 
   def langId(c: Column): Column = {

@@ -112,6 +112,18 @@ object GraftExtensions {
         arity("graft_shingle_counts", args, 2)
         ShingleCountsExpr(args.head, litInt("graft_shingle_counts", "n", args(1)))
       }),
+    ("graft_token_set_count",
+      info("graft_token_set_count",
+        "graft_token_set_count(str, csvWords) - occurrence count of tokens in the comma-separated word set"),
+      (args: Seq[Expression]) => {
+        arity("graft_token_set_count", args, 2)
+        val csv = args(1) match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_token_set_count: csvWords must be a STRING literal, got $other")
+        }
+        TokenSetCountExpr(args.head, csv.split(",").toSeq.filter(_.nonEmpty))
+      }),
     ("graft_token_entropy",
       info("graft_token_entropy",
         "graft_token_entropy(str) - struct(raw: double, n_unique) Shannon token entropy (unrounded), null on token-less input"),

@@ -591,3 +591,47 @@ object TokenEntropyExpr {
       Array[Any](java.lang.StrictMath.log(n) - s / n, m.size))
   }
 }
+
+/** Occurrence count of tokens belonging to a fixed word set — the
+  * language-marker / stopword counter behind langId, stopwordRatio and
+  * the quality gates (E62/E74 family).
+  *
+  * Why native (round 16): the HOF form `size(filter(tokens(c), isin))`
+  * is a HigherOrderFunction — CodegenFallback, interpreted lambda per
+  * token — and langId evaluates FOUR of them per document. This is one
+  * byte-native pass: token slices over the input's bytes (no String
+  * decode), membership against a prebuilt UTF8String hash set. Exact
+  * integer multiset count — bit-identical to the HOF form and the
+  * oracle's list_filter + len. */
+case class TokenSetCountExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(8, words.size * 2))
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    TokenSetCountExpr.countIn(v.asInstanceOf[UTF8String], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("tokenSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TokenSetCountExpr.countIn($c, $setRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): TokenSetCountExpr =
+    copy(child = c)
+}
+
+object TokenSetCountExpr {
+  /** Codegen entry point (mirrors nullSafeEval). */
+  def countIn(u: UTF8String, set: java.util.HashSet[UTF8String]): Int = {
+    val toks = ShingleCountsExpr.tokenSlices(u)
+    var n = 0
+    var i = 0
+    while (i < toks.length) {
+      if (set.contains(toks(i))) n += 1
+      i += 1
+    }
+    n
+  }
+}

@@ -132,4 +132,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[(Long, Int, Int, Option[Long], Int)].collect().sortBy(_._1).toSeq
     assert(viaSql == viaApi)
   }
+
+  test("graft_token_set_count via spark.sql matches the Column API") {
+    Tables(spark, TestSpark.sfDir, "documents").createOrReplaceTempView("docs_ext_tsc")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_token_set_count(text, 'the,and,of,to,a') AS c FROM docs_ext_tsc")
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    val viaApi = Tables(spark, TestSpark.sfDir, "documents")
+      .select($"doc_id", TextFunctions.langMarkerCount($"text", "en").as("c"))
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(viaSql == viaApi)
+  }
 }

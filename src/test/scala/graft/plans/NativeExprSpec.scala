@@ -238,4 +238,18 @@ class NativeExprSpec extends AnyFunSuite {
     assert(em("\ud83d\ude00\ud83d\ude00") == 1L && em("\ud83d\ude00") == 1L &&
       em("emoji") == 1L && em("twice") == 1L && em("once") == 1L)
   }
+
+  test("TokenSetCountExpr == HOF langMarkerCount for every language, every fixture doc") {
+    for (lang <- TextFunctions.langMarkers.map(_._1)) {
+      val diff = docs.select(
+        TextFunctions.langMarkerCount($"text", lang).as("native"),
+        TextFunctions.hof.langMarkerCount($"text", lang).as("ref"))
+        .filter($"native" =!= $"ref").count()
+      assert(diff == 0L, s"lang=$lang")
+    }
+    // multiset semantics: repeated markers count every occurrence
+    val row = Seq("the the and xx the").toDF("text")
+      .select(TextFunctions.langMarkerCount($"text", "en")).head().getInt(0)
+    assert(row == 4)
+  }
 }
