@@ -84,6 +84,24 @@ object Bench {
     * the covered-subtotal guard cannot see inflation. */
   private[graft] val QuietCalib = 1.20
 
+  /** Quiet ceiling for the TEXT-FAMILY gauge (round 17). Rounds 15–16
+    * documented a co-tenant dimension the aggregate hash gauge is blind
+    * to: windows where the scan-shaped calibration read a mild 1.33×
+    * while untouched explode-heavy text queries ran 3–6.5× — exactly the
+    * dimension that poisoned the round-14/16 recordings. The second
+    * gauge is a fixed explode/split/groupBy workload of that shape
+    * (`calibrateText`); a window is quiet only when BOTH gauges are.
+    * Ceiling derivation (round 17): observed floor 0.738 s across a
+    * window whose hash gauge read 1.29-1.74 (1.15-1.55× of idle), so
+    * idle is ≤0.738 (~0.70 estimated); 0.80 sits ~8% above the observed
+    * floor — the same slack discipline as [[QuietCalib]]. Refine
+    * DOWNWARD if a quieter window shows a lower floor: part artifacts
+    * RECORD the raw gauge values, so re-adjudicating with a corrected
+    * ceiling is a re-merge, never a re-run. Parts recorded by a
+    * pre-gauge binary carry no text readings (-1) and are refused at
+    * merge — the blind window is the thing being closed. */
+  private[graft] val QuietCalibText = 0.80
+
   /** `SPARK_GRAFT_PART="i/n"` → `(i, n)`, 1-based, i ≤ n, n ≥ 2. */
   private[graft] def parsePart(s: String): Option[(Int, Int)] =
     s.split("/") match {
@@ -169,12 +187,22 @@ object Bench {
       hasRefs: Boolean,
       coveredTotal: Double,
       refTotal: Option[Double],
-      part: Option[(Int, Int)] = None): String =
+      part: Option[(Int, Int)] = None,
+      gaugesQuiet: Boolean = true): String =
     if (subset) "BENCH_DETAILS_SUBSET.json"
     else if (part.isDefined) partFile(part.get)
     else if (polluted && hasRefs) "BENCH_DETAILS_POLLUTED.json"
     else if (refTotal.exists(rt => rt > 0 && coveredTotal > RefRefreshSlack * rt))
       "BENCH_DETAILS_NOISY.json"
+    // A full run may only REFRESH the committed reference from a window
+    // BOTH calibration gauges called quiet (round 17 — previously only
+    // the covered-subtotal slack protected the refresh, and a window
+    // that degrades one family while leaving the total inside slack
+    // could ratchet family medians): degraded gauges divert an otherwise
+    // refresh-eligible run to the NOISY side file. A run with no
+    // comparable reference still establishes one (first run at a new
+    // scale has nothing to protect and may never see a quiet window).
+    else if (!gaugesQuiet && refTotal.isDefined) "BENCH_DETAILS_NOISY.json"
     else "BENCH_DETAILS.json"
 
   private[graft] def partFile(part: (Int, Int)): String =
@@ -189,6 +217,8 @@ object Bench {
       polluted: Boolean,
       calibPre: Double,
       calibPost: Double,
+      calibTextPre: Double,
+      calibTextPost: Double,
       runsPerQuery: Int,
       errors: Seq[String],
       outliers: Seq[PartOutlier],
@@ -232,6 +262,8 @@ object Bench {
             polluted = root.path("polluted").asBoolean(true),
             calibPre = root.path("calib_pre").asDouble(-1.0),
             calibPost = root.path("calib_post").asDouble(-1.0),
+            calibTextPre = root.path("calib_text_pre").asDouble(-1.0),
+            calibTextPost = root.path("calib_text_post").asDouble(-1.0),
             runsPerQuery = root.path("runs_per_query").asInt(0),
             errors = root.path("errors").properties().asScala.map(_.getKey).toSeq,
             outliers = root.path("outliers").properties().asScala.map { e =>
@@ -288,6 +320,15 @@ object Bench {
         return Left(f"$tag calib_pre ${p.calibPre}%.3f outside quiet bound $QuietCalib")
       if (p.calibPost <= 0 || p.calibPost > QuietCalib)
         return Left(f"$tag calib_post ${p.calibPost}%.3f outside quiet bound $QuietCalib")
+      // The text-family gauge is REQUIRED, not optional: a part missing
+      // it was recorded by a pre-gauge binary, i.e. from a window whose
+      // text-family health is unknown — the exact blindness this gauge
+      // closes (rounds 15-16: hash gauge 1.33× while the explode family
+      // ran 3-6.5×). Refusing forces a re-record, never a silent bless.
+      if (p.calibTextPre <= 0 || p.calibTextPre > QuietCalibText)
+        return Left(f"$tag calib_text_pre ${p.calibTextPre}%.3f outside quiet bound $QuietCalibText")
+      if (p.calibTextPost <= 0 || p.calibTextPost > QuietCalibText)
+        return Left(f"$tag calib_text_post ${p.calibTextPost}%.3f outside quiet bound $QuietCalibText")
     }
     val names = parts.flatMap(_.queries.map(_._1))
     if (names.distinct.size != names.size)
@@ -316,6 +357,8 @@ object Bench {
       k -> sorted.flatMap(_.gc.get(k)).headOption.getOrElse("[]") })
     val gauges = sorted.flatMap(p => Seq(p.calibPre, p.calibPost))
       .map(g => f"$g%.3f").mkString("[", ",", "]")
+    val textGauges = sorted.flatMap(p => Seq(p.calibTextPre, p.calibTextPost))
+      .map(g => f"$g%.3f").mkString("[", ",", "]")
     val refQs = refQueriesJson(refs, medians.map(_._1))
     val committedTag = refTotal.map(rt => f""","committed_total":$rt%.2f""").getOrElse("")
     val uncovered = (corpus -- medians.map(_._1)).toSeq.sorted
@@ -334,7 +377,7 @@ object Bench {
       else stale.map("\"" + _ + "\"")
         .mkString(""","stale_queries":[""", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":${parts.head.runsPerQuery},"protocol":"split","parts":$n,"calib_gauges":$gauges,"polluted":false$committedTag$uncoveredTag$staleTag,"queries":$qs$refQs,"runs":$runsJson,"gc_ms":$gcJson,"errors":{},"outliers":{},"sf":"$sf"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":${parts.head.runsPerQuery},"protocol":"split","parts":$n,"calib_gauges":$gauges,"calib_text_gauges":$textGauges,"polluted":false$committedTag$uncoveredTag$staleTag,"queries":$qs$refQs,"runs":$runsJson,"gc_ms":$gcJson,"errors":{},"outliers":{},"sf":"$sf"}"""
     Right((file, json))
   }
 
@@ -485,14 +528,40 @@ object Bench {
         -1.0
       }
     }
+    // TEXT-FAMILY gauge (round 17, the second calibration dimension):
+    // a fixed explode/split/groupBy workload — per-row string build,
+    // split to array, explode to ~38M rows, hash-aggregate — the shape
+    // of the corpus's explode-heavy text family, which rounds 15-16
+    // measured running 3-6.5× degraded in windows the hash gauge called
+    // a mild 1.33×. Self-contained (no input data) and fixed forever,
+    // like calibrate(); median-of-3. Idle baseline ~0.70 s
+    // (QuietCalibText's scaladoc has the derivation).
+    def calibrateText(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(800000L)
+          .selectExpr(
+            "explode(split(repeat(concat('tok', id % 9973, ' '), 48), ' ')) as t")
+          .where("t <> ''")
+          .groupBy("t").count()
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try (1 to 3).map(_ => once()).sorted.apply(1)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] text calibration failed: ${e.getMessage}")
+        -1.0
+      }
+    }
     val calibPre = calibrate()
-    // SPARK_GRAFT_CALIB_ONLY: print the calibration reading and exit —
-    // the ~30 s host-health poll a builder runs BEFORE spending an
+    val calibTextPre = calibrateText()
+    // SPARK_GRAFT_CALIB_ONLY: print the calibration readings and exit —
+    // the ~40 s host-health poll a builder runs BEFORE spending an
     // 8-minute corpus window on a machine that round 9 showed can sit
     // 1.5× degraded for days (idle-machine baseline: ~1.12 s). Never
     // writes any BENCH file.
     if (sys.env.contains("SPARK_GRAFT_CALIB_ONLY")) {
-      println(f"""{"metric":"calib_only","calib":$calibPre%.3f,"idle_baseline":1.12}""")
+      println(f"""{"metric":"calib_only","calib":$calibPre%.3f,"calib_text":$calibTextPre%.3f,"idle_baseline":1.12,"idle_baseline_text":0.70}""")
       spark.stop()
       return
     }
@@ -648,7 +717,13 @@ object Bench {
       part.map { case (i, n) => s""","part":"$i/$n"""" }.getOrElse("")
     val refQs = refQueriesJson(refs, results.map(_._1))
     val calibPost = calibrate()
-    val calibTag = f""","calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f"""
+    val calibTextPost = calibrateText()
+    val calibTag = f""","calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"calib_text_pre":$calibTextPre%.3f,"calib_text_post":$calibTextPost%.3f"""
+    val gaugesQuiet =
+      calibPre > 0 && calibPre <= QuietCalib &&
+        calibPost > 0 && calibPost <= QuietCalib &&
+        calibTextPre > 0 && calibTextPre <= QuietCalibText &&
+        calibTextPost > 0 && calibTextPost <= QuietCalibText
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs$subsetTag$pollutedTag$calibTag,"queries":$qs$refQs,"runs":$runsJson,"gc_ms":$gcJson,"errors":$errJson,"outliers":$outJson,"sf":"$sfDir"}"""
     // Full per-run detail goes to a FILE (and an early stdout line): the
     // harness that records this run keeps only the last ~2 KB of output, and
@@ -665,7 +740,7 @@ object Bench {
     // runs keep their full detail in a side file. A run with no
     // comparable reference still writes the main file (first run at a
     // new scale or changed corpus has nothing to protect).
-    val detailFile = detailFileFor(only.nonEmpty, polluted, refs.nonEmpty, coveredTotal, refTotal, part)
+    val detailFile = detailFileFor(only.nonEmpty, polluted, refs.nonEmpty, coveredTotal, refTotal, part, gaugesQuiet)
     if (detailFile != "BENCH_DETAILS.json")
       System.err.println(s"[bench] detail diverted to $detailFile (reference preserved)")
     try {

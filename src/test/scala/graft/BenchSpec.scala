@@ -134,11 +134,14 @@ class BenchSpec extends AnyFunSuite {
       queries: Seq[(String, Double)],
       calibPre: Double = 1.05,
       calibPost: Double = 1.08,
+      calibTextPre: Double = 0.75,
+      calibTextPost: Double = 0.78,
       polluted: Boolean = false,
       errors: Seq[String] = Nil,
       outliers: Seq[Bench.PartOutlier] = Nil,
       sf: String = "/root/testdata/sf0.1"): Bench.PartDetail =
-    Bench.PartDetail(sf, (i, n), polluted, calibPre, calibPost, 3,
+    Bench.PartDetail(sf, (i, n), polluted, calibPre, calibPost,
+      calibTextPre, calibTextPost, 3,
       errors, outliers, queries,
       queries.map { case (k, _) => k -> "[0.1,0.1,0.1]" }.toMap,
       queries.map { case (k, _) => k -> "[0,0,0]" }.toMap)
@@ -184,12 +187,13 @@ class BenchSpec extends AnyFunSuite {
 
   test("part artifacts round-trip through the parser") {
     val json =
-      """{"metric":"total","value":20.1,"unit":"sec","runs_per_query":3,"part":"1/2","polluted":false,"committed_total":19.80,"calib_pre":1.044,"calib_post":1.101,"queries":{"q01_agg":1.250,"q03_join":0.470},"runs":{"q01_agg":[1.2,1.25,1.3],"q03_join":[0.4,0.47,0.5]},"gc_ms":{"q01_agg":[1,2,3],"q03_join":[0,0,0]},"errors":{},"outliers":{"q03_join":{"ref":0.400,"median":0.900,"rerun":0.470},"q01_agg":{"ref":1.000,"median":2.300,"rerun":null}},"sf":"/root/testdata/sf0.1"}"""
+      """{"metric":"total","value":20.1,"unit":"sec","runs_per_query":3,"part":"1/2","polluted":false,"committed_total":19.80,"calib_pre":1.044,"calib_post":1.101,"calib_text_pre":0.741,"calib_text_post":0.790,"queries":{"q01_agg":1.250,"q03_join":0.470},"runs":{"q01_agg":[1.2,1.25,1.3],"q03_join":[0.4,0.47,0.5]},"gc_ms":{"q01_agg":[1,2,3],"q03_join":[0,0,0]},"errors":{},"outliers":{"q03_join":{"ref":0.400,"median":0.900,"rerun":0.470},"q01_agg":{"ref":1.000,"median":2.300,"rerun":null}},"sf":"/root/testdata/sf0.1"}"""
     val p = Bench.parsePartDetail(json)
     assert(p.isRight, p)
     val d = p.toOption.get
     assert(d.part == (1, 2) && !d.polluted && d.runsPerQuery == 3)
     assert(d.calibPre == 1.044 && d.calibPost == 1.101)
+    assert(d.calibTextPre == 0.741 && d.calibTextPost == 0.790)
     assert(d.queries == Seq("q01_agg" -> 1.25, "q03_join" -> 0.47))
     assert(d.runs("q03_join") == "[0.4,0.47,0.5]")
     assert(d.errors.isEmpty)
@@ -251,6 +255,51 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.mergeParts(Seq(ok.head.copy(calibPre = 1.31), ok(1)), refs).isLeft)
     // A failed calibration (-1) is not quiet.
     assert(Bench.mergeParts(Seq(ok.head.copy(calibPre = -1.0), ok(1)), refs).isLeft)
+    // The TEXT-FAMILY gauge (round 17) gates identically: a window whose
+    // hash gauge reads quiet but whose explode-heavy gauge is hot is the
+    // exact co-tenant dimension that poisoned the round-14/16 recordings.
+    val hotText = Bench.mergeParts(
+      Seq(ok.head, ok(1).copy(calibTextPost = 1.40)), refs)
+    assert(hotText.isLeft &&
+      hotText.swap.toOption.get.contains("calib_text_post"), hotText)
+    assert(Bench.mergeParts(
+      Seq(ok.head.copy(calibTextPre = 0.95), ok(1)), refs).isLeft)
+    // A part recorded by a pre-gauge binary (no text readings) is from a
+    // window of UNKNOWN text-family health: refused, never blessed.
+    val preGauge = Bench.mergeParts(
+      Seq(ok.head.copy(calibTextPre = -1.0, calibTextPost = -1.0), ok(1)), refs)
+    assert(preGauge.isLeft &&
+      preGauge.swap.toOption.get.contains("calib_text_pre"), preGauge)
+    // And the blessed artifact records both gauge families.
+    assert(json.contains(""""calib_text_gauges":[0.750,0.780,0.750,0.780]"""), json)
+  }
+
+  test("a full run from a gauge-degraded window diverts instead of refreshing") {
+    // Round 17: the refresh gate previously leaned on the covered-subtotal
+    // slack alone; a window that degrades ONE family while the total stays
+    // inside slack could ratchet that family's medians into the reference.
+    // Degraded gauges (either dimension) divert an otherwise
+    // refresh-eligible run to the NOISY side file.
+    assert(Bench.detailFileFor(subset = false, polluted = false, hasRefs = true,
+      coveredTotal = 46.1, refTotal = Some(49.4), gaugesQuiet = false)
+      == "BENCH_DETAILS_NOISY.json")
+    // Quiet gauges keep the refresh (the existing paths are unchanged).
+    assert(Bench.detailFileFor(subset = false, polluted = false, hasRefs = true,
+      coveredTotal = 46.1, refTotal = Some(49.4), gaugesQuiet = true)
+      == "BENCH_DETAILS.json")
+    // No comparable reference: the run still establishes one (nothing to
+    // protect, and a new scale may never see a quiet window).
+    assert(Bench.detailFileFor(subset = false, polluted = false, hasRefs = false,
+      coveredTotal = 99.0, refTotal = None, gaugesQuiet = false)
+      == "BENCH_DETAILS.json")
+    // Part/subset/polluted routing wins over the gauge verdict (their side
+    // files already never touch the reference).
+    assert(Bench.detailFileFor(subset = false, polluted = true, hasRefs = true,
+      coveredTotal = 95.7, refTotal = Some(47.8), gaugesQuiet = false)
+      == "BENCH_DETAILS_POLLUTED.json")
+    assert(Bench.detailFileFor(subset = false, polluted = false, hasRefs = true,
+      coveredTotal = 20.0, refTotal = Some(19.0), part = Some((1, 2)),
+      gaugesQuiet = false) == "BENCH_DETAILS_PART_1_of_2.json")
   }
 
   test("the merge records corpus queries the banked parts never covered") {

@@ -13,6 +13,7 @@ import json
 import sys
 
 QUIET_CALIB = 1.20  # Bench.QuietCalib
+QUIET_CALIB_TEXT = 0.80  # Bench.QuietCalibText (round 17: explode-family gauge)
 OUTLIER_FACTOR = 2.0  # Bench.OutlierFactor
 
 
@@ -27,6 +28,12 @@ def verdict(path):
     for g in ("calib_pre", "calib_post"):
         v = d.get(g, -1)
         if not (0 < v <= QUIET_CALIB):
+            bad.append(f"{g}={v}")
+    # A part with NO text readings (pre-gauge binary) is from a window of
+    # unknown text-family health — not quiet (matches Bench --merge-parts).
+    for g in ("calib_text_pre", "calib_text_post"):
+        v = d.get(g, -1)
+        if not (0 < v <= QUIET_CALIB_TEXT):
             bad.append(f"{g}={v}")
     if d.get("errors"):
         bad.append("errors")

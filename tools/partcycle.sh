@@ -17,9 +17,11 @@
 # PC_MAX_FIRES (cap on fired part runs).
 set -u
 cd /root/repo
-CP="${PC_CP:-/tmp/bench_classes_r16b}:/opt/spark/jars/*"
+CP="${PC_CP:-/tmp/bench_classes_r17}:/opt/spark/jars/*"
 LOG=${PC_LOG:-/tmp/partcycle.log}
 THRESH=${PC_THRESH:-1.16}
+# Text-family gauge gate (round 17) — see fullhunt.sh; both must be quiet.
+TEXT_THRESH=${PC_TEXT_THRESH:-0.80}
 MAXF=${PC_MAX_FIRES:-16}
 rm -f BENCH_DETAILS_PART_{1,2,3,4}_of_4.json /tmp/partcycle_done
 FIRES=0
@@ -48,14 +50,15 @@ while [ "$FIRES" -lt "$MAXF" ]; do
   fi
   CAL=$(SPARK_GRAFT_CALIB_ONLY=1 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
         java -cp "$CP" graft.Bench 2>/dev/null | tail -1 | \
-        python3 -c 'import sys,json;print(json.load(sys.stdin)["calib"])' 2>/dev/null)
-  echo "$(date +%T) calib=${CAL:-none} next_part=$P fires=$FIRES" >> "$LOG"
-  if [ -z "${CAL:-}" ]; then sleep 150; continue; fi
-  OK=$(python3 -c "print(1 if 0 < $CAL <= $THRESH else 0)")
+        python3 -c 'import sys,json;d=json.load(sys.stdin);print(d["calib"],d.get("calib_text",-1))' 2>/dev/null)
+  read -r CALH CALT <<< "${CAL:-}"
+  echo "$(date +%T) calib=${CALH:-none} calib_text=${CALT:-none} next_part=$P fires=$FIRES" >> "$LOG"
+  if [ -z "${CALH:-}" ] || [ -z "${CALT:-}" ]; then sleep 150; continue; fi
+  OK=$(python3 -c "print(1 if 0 < $CALH <= $THRESH and 0 < $CALT <= $TEXT_THRESH else 0)")
   if [ "$OK" != "1" ]; then sleep 170; continue; fi
   if [ -f /tmp/graft_busy ]; then continue; fi
   FIRES=$((FIRES+1))
-  echo "$(date +%T) POCKET (calib=$CAL) -> part $P (fire $FIRES/$MAXF)" >> "$LOG"
+  echo "$(date +%T) POCKET (calib=$CALH text=$CALT) -> part $P (fire $FIRES/$MAXF)" >> "$LOG"
   if ! SPARK_GRAFT_PART="$P/4" SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
       java -cp "$CP" graft.Bench >> "$LOG" 2>&1; then
     echo "$(date +%T) part $P FAILED" >> "$LOG"; sleep 120; continue
