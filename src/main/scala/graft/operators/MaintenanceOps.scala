@@ -305,6 +305,28 @@ object MaintenanceOps {
     val rowsBefore = perFile.map(_.getLong(1)).sum
     val hit = perFile.map(_.getLong(2)).sum
     val foundKeys = perFile.flatMap(_.getSeq[Any](3)).toSet
+    val rootUri = fs.makeQualified(path).toUri
+    // _graft_f is already the leaf DIRECTORY (the per-file path had its
+    // last segment stripped inside the aggregation).
+    def leafOf(leafUri: String): Path =
+      fs.makeQualified(new Path(new java.net.URI(leafUri)))
+    // A PARTITION column cannot be the deletion key (round-16 verdict):
+    // pass 1 read it with type inference ON (typed) while the staged
+    // rewrite reads with inference OFF (verbatim strings), so the same
+    // key could match in one pass and not the other — and no ledger
+    // space in this family keys by its partition column anyway. Checked
+    // against EVERY leaf's layout BEFORE the audit lands (a tombstone
+    // for a refused delete would claim an erasure that never ran).
+    val layoutPartCols = perFile.iterator.flatMap { r =>
+      leafOf(r.getString(0)).toUri.getPath
+        .stripPrefix(rootUri.getPath)
+        .split("/").filter(_.nonEmpty).map(_.split("=")(0))
+    }.toSet
+    require(!layoutPartCols.contains(keyCol),
+      s"keyCol '$keyCol' is a partition column of the ledger at " +
+        s"$ledgerDir — ledgerDelete keys on DATA columns (partition " +
+        "values are directory names, typed inconsistently across the " +
+        "two passes); drop whole partitions by path instead")
     // Tombstone audit BEFORE the rewrites (the targetedDelete rule):
     // (key, found) per requested key — or, with hashKeys, the key's
     // sha2-256 over its canonical JSON encoding: content-free for
@@ -323,15 +345,29 @@ object MaintenanceOps {
         auditRaw.select(
           sha2(to_json(struct(col("key"))), 256).as("key_sha256"), col("found"))
       else auditRaw
+    // An audit trail mixing raw-key and hashed-key schemas in one
+    // directory is unreadable as parquet afterwards (round-16 advice:
+    // hashKeys toggled across runs). Refuse the append when the existing
+    // trail's columns disagree — hashed and raw audits belong in
+    // separate directories.
+    val auditPath = new Path(auditDir)
+    val auditFs = auditPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (auditFs.exists(auditPath) && auditFs.listStatus(auditPath).exists { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }) {
+      val existing = spark.read.parquet(auditDir).columns.toSet
+      val incoming = audit.columns.toSet
+      require(existing == incoming,
+        s"audit schema mismatch at $auditDir: existing columns " +
+          s"${existing.toSeq.sorted.mkString(", ")} vs this run's " +
+          s"${incoming.toSeq.sorted.mkString(", ")} (hashKeys toggled?) — " +
+          "write hashed audits to their own directory")
+    }
     audit.coalesce(1)
       .write.mode(SaveMode.Append).parquet(auditDir)
     // Rewrite only the leaf directories holding hits. Per-leaf survivor
     // counts come from the pass-1 accounting (no extra read).
-    val rootUri = fs.makeQualified(path).toUri
-    // _graft_f is already the leaf DIRECTORY (the per-file path had its
-    // last segment stripped inside the aggregation).
-    def leafOf(leafUri: String): Path =
-      fs.makeQualified(new Path(new java.net.URI(leafUri)))
     val hitLeaves = perFile.filter(_.getLong(2) > 0L)
       .map(r => leafOf(r.getString(0))).distinct.toSeq
     // Per-leaf totals count files WITHOUT hits inside the same leaf too
@@ -376,7 +412,13 @@ object MaintenanceOps {
       fs.delete(bak, true)
       renameOrThrow(leaf, bak)
       renameOrThrow(tmp, leaf)
-      fs.delete(bak, true)
+      // Pins restored BEFORE the bak is dropped (round-17 reorder): the
+      // staged tmp never carried the `_graft_*` pins, so until they are
+      // rewritten the leaf is not whole — the family's own protocol
+      // ("bak kept until the staged leaf is in") demands the bak outlive
+      // the gap. A crash inside it now leaves the pins recoverable from
+      // the bak, and [[recoverEraseBaks]] copies them out before it
+      // drops a bak whose original exists.
       metaSnapshot.foreach { case (name, bytes) =>
         val p = new Path(leaf, name)
         if (!fs.exists(p)) {
@@ -384,6 +426,7 @@ object MaintenanceOps {
           try out.write(bytes) finally out.close()
         }
       }
+      fs.delete(bak, true)
     } else if (hitLeaves.nonEmpty) {
       // PARTITIONED ledger: ONE job stages every hit leaf's survivors
       // into a hidden tmp tree — a takedown touching 200 leaves must
@@ -425,18 +468,24 @@ object MaintenanceOps {
       // leaf's survivors. Inference OFF keeps every partition value the
       // verbatim dir string, so staged names equal the original names by
       // construction; nothing is persisted typed (partitionBy stores the
-      // value only in the dir name).
-      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-      val inferPrior = spark.conf.get(inferKey)
-      try {
-        spark.conf.set(inferKey, "false")
-        spark.read.option("basePath", ledgerDir)
-          .parquet(hitLeaves.map(_.toString): _*)
-          .join(keyDf, col(keyCol) <=> col("_graft_dk"), "left_anti")
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy(partCols: _*)
-          .parquet(tmpRoot.toString)
-      } finally spark.conf.set(inferKey, inferPrior)
+      // value only in the dir name). The setting is scoped to a CLONED
+      // session (round-16 advice: flipping the shared session conf let
+      // any concurrent query on the same SparkSession observe inference
+      // disabled for the duration of the rewrite); the deletion keys are
+      // re-broadcast inside the clone from the already-collected rows.
+      val eraseSession = spark.newSession()
+      eraseSession.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      val keyDfScoped = broadcast(eraseSession.createDataFrame(
+        eraseSession.sparkContext.parallelize(keyRows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_graft_dk", keyType)))))
+      eraseSession.read.option("basePath", ledgerDir)
+        .parquet(hitLeaves.map(_.toString): _*)
+        .join(keyDfScoped, col(keyCol) <=> col("_graft_dk"), "left_anti")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(partCols: _*)
+        .parquet(tmpRoot.toString)
       val rootQ = fs.makeQualified(path).toUri.getPath
       hitLeaves.foreach { leaf =>
         val rel = leaf.toUri.getPath.stripPrefix(rootQ).stripPrefix("/")
@@ -581,6 +630,10 @@ object MaintenanceOps {
       targetMB: Int = 128): CompactionReport = {
     val path = new Path(ledgerDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Same entry sweep as [[foldEpochs]]: a bak-hidden leaf must be
+    // restored before the compaction walks the layout, or its rows are
+    // left out of the rewrite it believes is whole.
+    recoverEraseBaks(fs, path)
     val metaFiles = fs.listStatus(path).filter { s =>
       s.isFile && s.getPath.getName.startsWith("_graft_")
     }.map { s =>
@@ -650,6 +703,14 @@ object MaintenanceOps {
     require(upToBatchId >= 0L, s"upToBatchId must be >= 0: $upToBatchId")
     val path = new Path(ledgerDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Erase-crash recovery BEFORE anything lists epochs (round-17 lead
+    // fix): an epoch hidden at its `_erase_bak` by a crashed
+    // [[ledgerDelete]] swap is invisible to this listing — without the
+    // sweep the fold would advance the marker past it, and the eventual
+    // recovery would restore an epoch [[deleteFoldLeftovers]] then
+    // deletes UNMERGED (committed batch silently lost). Restored here,
+    // it folds with everything else or stays live above the marker.
+    recoverEraseBaks(fs, path)
     val priorMark = foldedThrough(fs, path)
     // The shared digits-only parse — see foldableEpochId's scaladoc for
     // why every fold-protocol site must use it.
@@ -747,23 +808,63 @@ object MaintenanceOps {
     * renames leaves the original leaf ONLY at the hidden bak: rename it
     * back when the leaf is missing (the re-run then re-finds its hits —
     * convergent), delete it when the leaf exists (the staged leaf
-    * landed; the bak is a stale copy). Stale `_erase_tmp` staging is
-    * swept too. The flat-root bak/tmp live in the root's PARENT. */
-  private def recoverEraseBaks(
+    * landed; the bak is a stale copy — but any `_graft_*` pin files the
+    * restored leaf is MISSING are copied out of the bak first: a crash
+    * between the flat branch's tmp→leaf rename and its pin restore
+    * leaves the bak holding the only copy of the construction pins and
+    * the fold marker, and deleting it would silently disarm the
+    * width-drift refusal and the replay-horizon guard). Stale
+    * `_erase_tmp` staging is swept too. The flat-root bak/tmp live in
+    * the root's PARENT.
+    *
+    * MUST run at the entry of EVERY maintenance op that reads epoch
+    * state or advances the fold marker — not just [[ledgerDelete]]
+    * (round-17 lead fix): a fold that runs between a crashed erase swap
+    * and its recovery does not see the bak-hidden epoch, advances
+    * `_graft_folded_through_` past it, and the eventual recovery then
+    * restores an epoch the leftover sweep deletes as "already merged" —
+    * a committed batch silently lost, with [[excludeFoldLeftovers]]
+    * hiding it from reads in the meantime. With the recovery sweep at
+    * fold/compact entry the hidden epoch is restored BEFORE the fold
+    * lists epochs, so it either folds with everything else or stays a
+    * live epoch above the marker. */
+  private[graft] def recoverEraseBaks(
       fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
+    def copyMissingPins(bak: Path, orig: Path): Unit =
+      fs.listStatus(bak).foreach { f =>
+        if (f.isFile && f.getPath.getName.startsWith("_graft_")) {
+          val dst = new Path(orig, f.getPath.getName)
+          if (!fs.exists(dst)) {
+            val in = fs.open(f.getPath)
+            val out = fs.create(dst, true)
+            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+            finally { in.close(); out.close() }
+          }
+        }
+      }
+    def restoreOrDrop(bak: Path, orig: Path): Unit =
+      if (!fs.exists(orig)) {
+        if (!fs.rename(bak, orig))
+          throw new java.io.IOException(
+            s"ledgerDelete recovery failed: rename $bak -> $orig")
+      } else {
+        copyMissingPins(bak, orig)
+        fs.delete(bak, true)
+      }
     def handle(s: org.apache.hadoop.fs.FileStatus): Unit = {
       val n = s.getPath.getName
       if (s.isDirectory && n.startsWith(".") && n.endsWith("_erase_bak")) {
-        val orig = new Path(s.getPath.getParent,
-          n.stripPrefix(".").stripSuffix("_erase_bak"))
-        if (!fs.exists(orig)) {
-          if (!fs.rename(s.getPath, orig))
-            throw new java.io.IOException(
-              s"ledgerDelete recovery failed: rename ${s.getPath} -> $orig")
-        } else fs.delete(s.getPath, true)
+        restoreOrDrop(s.getPath,
+          new Path(s.getPath.getParent, n.stripPrefix(".").stripSuffix("_erase_bak")))
       } else if (s.isDirectory && n.startsWith(".") && n.endsWith("_erase_tmp")) {
         fs.delete(s.getPath, true)
-      } else if (s.isDirectory && !n.startsWith("_") && !n.startsWith(".")) {
+      } else if (s.isDirectory &&
+          (n.contains("=") || (!n.startsWith("_") && !n.startsWith(".")))) {
+        // Recurse into ANY `col=value` partition directory, including
+        // `_`-prefixed ones (`_graft_epoch=…`): a multi-level layout
+        // whose FIRST level is `_`-prefixed would otherwise never have
+        // its nested baks restored after a crash (round-16 advice). The
+        // same partition-dir rule as [[dataDirs]].
         fs.listStatus(s.getPath).foreach(handle)
       }
     }
@@ -772,13 +873,7 @@ object MaintenanceOps {
     if (parent != null && fs.exists(parent)) {
       val bak = new Path(parent, s".${root.getName}_erase_bak")
       val tmp = new Path(parent, s".${root.getName}_erase_tmp")
-      if (fs.exists(bak)) {
-        if (!fs.exists(root)) {
-          if (!fs.rename(bak, root))
-            throw new java.io.IOException(
-              s"ledgerDelete recovery failed: rename $bak -> $root")
-        } else fs.delete(bak, true)
-      }
+      if (fs.exists(bak)) restoreOrDrop(bak, root)
       fs.delete(tmp, true)
     }
     if (fs.exists(root)) fs.listStatus(root).foreach(handle)

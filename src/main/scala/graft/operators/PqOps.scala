@@ -1703,6 +1703,12 @@ object PqOps {
     namespaces.map { ns =>
       val nsDir = s"$dir/$ns"
       val nsPath = new org.apache.hadoop.fs.Path(nsDir)
+      // Erase-crash recovery BEFORE the epoch listing (round-17 lead
+      // fix, the MaintenanceOps.foldEpochs rule): an epoch hidden at its
+      // `_erase_bak` by a crashed pqStoreDelete swap must be restored
+      // before this fold advances the marker, or the eventual recovery
+      // resurrects an epoch the leftover sweep then deletes UNMERGED.
+      MaintenanceOps.recoverEraseBaks(fs, nsPath)
       val priorMark = MaintenanceOps.foldedThrough(fs, nsPath)
       // The shared digits-only parse (MaintenanceOps.foldableEpochId):
       // every fold-protocol site must agree on what is fold-addressable.

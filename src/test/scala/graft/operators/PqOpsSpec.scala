@@ -967,6 +967,42 @@ class PqOpsSpec extends AnyFunSuite {
       "id", queries, "qid", "v", topR = 4, topN = 2, nprobe = 2).count() > 0)
   }
 
+  test("foldPqEpochs restores a crashed pqStoreDelete swap before folding") {
+    // Round-17 lead fix, the PQ shape: a pqStoreDelete crash between its
+    // two renames leaves a cell leaf ONLY at its dot-hidden
+    // `.cell=N_erase_bak` UNDER the epoch directory. A fold running next
+    // would read the epoch WITHOUT the hidden cell's rows, merge that
+    // partial view into base, and delete the epoch directory — bak
+    // included. With recoverEraseBaks at the fold's entry the leaf is
+    // restored first and the lifetime code view survives bit-identical.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_fold_crash")
+    val dir = root.resolve("pq").toString
+    PqOps.writePqArtifacts(spark, vecs.filter(col("id") < 4), "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 1)
+    PqOps.incrementalPqEncode(
+      spark, vecs.filter(col("id") >= 4L), "v", "id", dir, "epoch0").commitLedger()
+    def codeRows() =
+      PqOps.readPqArtifacts(spark, dir).codes
+        .select(col("id"), col("sub"), col("code"), col("dist"), col("cell"))
+        .as[(Long, Int, Int, Double, Int)].collect().toSet
+    val before = codeRows()
+    assert(before.map(_._1) == (0L to 5L).toSet)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochDir = new org.apache.hadoop.fs.Path(dir, "codes/_graft_epoch=epoch0")
+    val cellLeaf = fs.listStatus(epochDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .head.getPath
+    val bak = new org.apache.hadoop.fs.Path(
+      epochDir, s".${cellLeaf.getName}_erase_bak")
+    assert(fs.rename(cellLeaf, bak), "test setup: simulate the crashed swap")
+    val rep = PqOps.foldPqEpochs(spark, dir, upToBatchId = 0L)
+    assert(rep("codes").rows > 0L)
+    assert(codeRows() == before,
+      "the bak-hidden cell's committed codes must survive the fold")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "codes/_graft_epoch=epoch0")))
+  }
+
   test("pqStoreDelete erases ids from both code namespaces; layout, pins and search intact") {
     // E153 (round 15): right-to-erasure must reach the DERIVED spaces —
     // a corpus delete that leaves an id's PQ codes behind retains
