@@ -218,8 +218,11 @@ object MaintenanceOps {
     *  - SRP band ledger: `keyCol = "_graft_vec"`, keys = the deleted
     *    rows' vector column (stored verbatim at ingest);
     *  - semantic ledger: `keyCol = "_graft_vec"` likewise;
-    *  - fingerprint ledger: `keyCol = "_graft_fp"`, keys = the deleted
-    *    docs' fingerprints (recompute with the ingest's fingerprint op).
+    *  - fingerprint ledger: `keyCols = Seq("_graft_fp", "_graft_fp2")`
+    *    (the composite overload), keys = the deleted docs' fingerprints
+    *    recomputed with the ingest's two hashes — the PAIR, because
+    *    `_graft_fp` alone collides at birthday scale ~35 k docs and a
+    *    single-hash takedown would erase unrelated docs' rows.
     * Count ledgers (span counts) hold no per-id rows — nothing to erase.
     *
     * Cost: ONE full ledger scan (a left broadcast join groups total/hit
@@ -251,8 +254,32 @@ object MaintenanceOps {
       keyCol: String,
       keys: org.apache.spark.sql.DataFrame,
       auditDir: String,
-      hashKeys: Boolean = false): LedgerDeleteReport = {
-    import org.apache.spark.sql.functions.{broadcast, col, collect_set, count, lit, regexp_replace, sha2, struct, to_json}
+      hashKeys: Boolean = false): LedgerDeleteReport =
+    ledgerDelete(spark, ledgerDir, Seq(keyCol), keys, auditDir, hashKeys)
+
+  /** COMPOSITE-key [[ledgerDelete]] (round 17, closing the round-16
+    * advice): a ledger whose row identity is a PAIR of columns — the
+    * fingerprint ledger keys dedup on `(_graft_fp, _graft_fp2)` exactly
+    * because `_graft_fp` alone (charHash mod 1e9+7, ~30 bits) collides
+    * at birthday scale ~35 k docs — must be erased on the pair: keyed on
+    * `_graft_fp` alone, a corpus-scale takedown also deletes UNRELATED
+    * docs' rows, silently disabling their dedup on re-ingest. The match
+    * is the conjunction of null-safe equalities over `keyCols`; the
+    * audit tombstones carry one column per key (named after the ledger's
+    * own key columns; the single-key form keeps its historical `key`
+    * name), and `hashKeys` hashes the canonical JSON of the full key
+    * struct. Everything else — one-scan accounting, staged swaps, pin
+    * preservation, refusals — is the single-key contract verbatim. */
+  def ledgerDelete(
+      spark: SparkSession,
+      ledgerDir: String,
+      keyCols: Seq[String],
+      keys: org.apache.spark.sql.DataFrame,
+      auditDir: String,
+      hashKeys: Boolean): LedgerDeleteReport = {
+    import org.apache.spark.sql.functions.{broadcast, col, collect_set, count, lit, regexp_replace, sha2, struct, to_json, when}
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"keyCols must be non-empty and distinct: ${keyCols.mkString(", ")}")
     val path = new Path(ledgerDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Crash recovery FIRST (round-16 review): a crash between the swap's
@@ -271,40 +298,56 @@ object MaintenanceOps {
     // pqStoreDelete applied to the PQ namespaces, generalized to every
     // ledger space).
     deleteFoldLeftovers(fs, path)
-    require(keys.columns.contains(keyCol),
-      s"keys frame must carry the key column '$keyCol', has " +
-        keys.columns.mkString(", "))
+    keyCols.foreach(kc => require(keys.columns.contains(kc),
+      s"keys frame must carry the key column '$kc', has " +
+        keys.columns.mkString(", ")))
     val src = spark.read.parquet(ledgerDir)
-    require(src.columns.contains(keyCol),
-      s"ledger at $ledgerDir has no column '$keyCol' (columns: " +
-        s"${src.columns.mkString(", ")}) — pass the space's key column " +
-        "(see the per-space key recipes in the scaladoc)")
+    keyCols.foreach(kc => require(src.columns.contains(kc),
+      s"ledger at $ledgerDir has no column '$kc' (columns: " +
+        s"${src.columns.mkString(", ")}) — pass the space's key column" +
+        "(s) (see the per-space key recipes in the scaladoc)"))
     // Takedown-sized by contract: the distinct keys collect driver-side
     // for the audit and rebroadcast exactly once.
-    val keyRows = keys.select(col(keyCol)).distinct().collect().toSeq
+    val keyRows = keys.select(keyCols.map(col): _*).distinct().collect().toSeq
     require(keyRows.nonEmpty, "empty deletion key set — refusing a no-op audit")
-    val keyType = keys.schema(keyCol).dataType
-    val keyDf = broadcast(spark.createDataFrame(
-      spark.sparkContext.parallelize(keyRows, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("_graft_dk", keyType)))))
+    val keyTypes = keyCols.map(kc => keys.schema(kc).dataType)
+    val dkCols = keyCols.indices.map(i => s"_graft_dk_$i")
+    // The extra constant marker makes "this row matched" observable
+    // independently of the key VALUES: with composite keys a legitimate
+    // null key component would otherwise make both hit-counting and the
+    // matched-key collection blind to its row.
+    val dkSchema = org.apache.spark.sql.types.StructType(
+      dkCols.zip(keyTypes).map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t)
+      } :+ org.apache.spark.sql.types.StructField("_graft_dk_hit",
+        org.apache.spark.sql.types.BooleanType, nullable = false))
+    def dkFrame(sess: SparkSession) = broadcast(sess.createDataFrame(
+      sess.sparkContext.parallelize(
+        keyRows.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ true)), 1),
+      dkSchema))
+    val keyDf = dkFrame(spark)
+    // The conjunction of null-safe equalities — a null key component can
+    // only match a null ledger value, never silently everything.
+    val matchCond = keyCols.zip(dkCols)
+      .map { case (k, d) => col(k) <=> col(d) }.reduce(_ && _)
     // ONE ledger scan: per-LEAF-DIRECTORY total rows, hit rows, and the
-    // matched keys (null-safe equality — a null key row can only match a
-    // null deletion key, never silently everything). Grouping by the
+    // matched keys. Grouping by the
     // file's PARENT keeps the driver state at one row per leaf
     // partition, not per file — a compacted 10^12-row store has ~cells
     // leaves but can have millions of files.
     val perFile = src
-      .select(col(keyCol),
-        regexp_replace(col("_metadata.file_path"), "/[^/]+$", "").as("_graft_f"))
-      .join(keyDf, col(keyCol) <=> col("_graft_dk"), "left")
+      .select(keyCols.map(col) :+
+        regexp_replace(col("_metadata.file_path"), "/[^/]+$", "").as("_graft_f"): _*)
+      .join(keyDf, matchCond, "left")
       .groupBy(col("_graft_f"))
-      .agg(count(lit(1)).as("all"), count(col("_graft_dk")).as("hit"),
-        collect_set(col("_graft_dk")).as("ks"))
+      .agg(count(lit(1)).as("all"), count(col("_graft_dk_hit")).as("hit"),
+        collect_set(when(col("_graft_dk_hit"),
+          struct(dkCols.map(col): _*))).as("ks"))
       .collect()
     val rowsBefore = perFile.map(_.getLong(1)).sum
     val hit = perFile.map(_.getLong(2)).sum
-    val foundKeys = perFile.flatMap(_.getSeq[Any](3)).toSet
+    val foundKeys = perFile.flatMap(_.getSeq[org.apache.spark.sql.Row](3))
+      .map(_.toSeq).toSet
     val rootUri = fs.makeQualified(path).toUri
     // _graft_f is already the leaf DIRECTORY (the per-file path had its
     // last segment stripped inside the aggregation).
@@ -322,28 +365,35 @@ object MaintenanceOps {
         .stripPrefix(rootUri.getPath)
         .split("/").filter(_.nonEmpty).map(_.split("=")(0))
     }.toSet
-    require(!layoutPartCols.contains(keyCol),
-      s"keyCol '$keyCol' is a partition column of the ledger at " +
-        s"$ledgerDir — ledgerDelete keys on DATA columns (partition " +
-        "values are directory names, typed inconsistently across the " +
-        "two passes); drop whole partitions by path instead")
+    val partKeyClash = keyCols.filter(layoutPartCols.contains)
+    require(partKeyClash.isEmpty,
+      s"keyCol '${partKeyClash.mkString(", ")}' is a partition column of " +
+        s"the ledger at $ledgerDir — ledgerDelete keys on DATA columns " +
+        "(partition values are directory names, typed inconsistently " +
+        "across the two passes); drop whole partitions by path instead")
     // Tombstone audit BEFORE the rewrites (the targetedDelete rule):
     // (key, found) per requested key — or, with hashKeys, the key's
     // sha2-256 over its canonical JSON encoding: content-free for
     // vector-keyed erasure (the raw vector IS the erased content), and
-    // still probe-able (hash the key you're asking about).
+    // still probe-able (hash the key you're asking about). Composite
+    // keys tombstone one column per key, named after the ledger's own
+    // key columns; the single-key form keeps its historical `key` name
+    // (and hash encoding) so existing trails stay appendable.
+    val auditKeyCols = if (keyCols.size == 1) Seq("key") else keyCols
     val auditRaw = spark.createDataFrame(
         spark.sparkContext.parallelize(
-          keyRows.map(r => org.apache.spark.sql.Row(
-            r.get(0), foundKeys.contains(r.get(0)))), 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("key", keyType),
-          org.apache.spark.sql.types.StructField("found",
-            org.apache.spark.sql.types.BooleanType, nullable = false))))
+          keyRows.map(r => org.apache.spark.sql.Row.fromSeq(
+            r.toSeq :+ foundKeys.contains(r.toSeq))), 1),
+        org.apache.spark.sql.types.StructType(
+          auditKeyCols.zip(keyTypes).map { case (n, t) =>
+            org.apache.spark.sql.types.StructField(n, t)
+          } :+ org.apache.spark.sql.types.StructField("found",
+            org.apache.spark.sql.types.BooleanType, nullable = false)))
     val audit =
       if (hashKeys)
         auditRaw.select(
-          sha2(to_json(struct(col("key"))), 256).as("key_sha256"), col("found"))
+          sha2(to_json(struct(auditKeyCols.map(col): _*)), 256).as("key_sha256"),
+          col("found"))
       else auditRaw
     // An audit trail mixing raw-key and hashed-key schemas in one
     // directory is unreadable as parquet afterwards (round-16 advice:
@@ -406,7 +456,7 @@ object MaintenanceOps {
       val tmp = new Path(leaf.getParent, s".${leaf.getName}_erase_tmp")
       fs.delete(tmp, true)
       spark.read.parquet(leaf.toString)
-        .join(keyDf, col(keyCol) <=> col("_graft_dk"), "left_anti")
+        .join(keyDf, matchCond, "left_anti")
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val bak = new Path(leaf.getParent, s".${leaf.getName}_erase_bak")
       fs.delete(bak, true)
@@ -476,13 +526,9 @@ object MaintenanceOps {
       val eraseSession = spark.newSession()
       eraseSession.conf.set(
         "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-      val keyDfScoped = broadcast(eraseSession.createDataFrame(
-        eraseSession.sparkContext.parallelize(keyRows, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("_graft_dk", keyType)))))
       eraseSession.read.option("basePath", ledgerDir)
         .parquet(hitLeaves.map(_.toString): _*)
-        .join(keyDfScoped, col(keyCol) <=> col("_graft_dk"), "left_anti")
+        .join(dkFrame(eraseSession), matchCond, "left_anti")
         .write.mode(SaveMode.Overwrite)
         .partitionBy(partCols: _*)
         .parquet(tmpRoot.toString)

@@ -408,14 +408,27 @@ object GraftApp {
         //    column: a fingerprint ledger is NOT vector-keyed, and a
         //    type-compatible-but-wrong key silently audits every key
         //    found=false (a takedown no-op the operator believes ran).
-        //  - fp: recompute the ingest fingerprint (charHash of the text
-        //    column — DedupOps' _graft_fp construction) from the corpus
-        //    rows — the fingerprint-ledger recipe, no hand-derived keys.
-        val (keyCol, keys) = a.keyRecipe match {
+        //  - fp: recompute the ingest fingerprint PAIR from the corpus
+        //    rows — DedupOps keys dedup identity on (_graft_fp,
+        //    _graft_fp2) = (charHash, xxhash64) precisely because the
+        //    ~30-bit charHash alone collides at birthday scale ~35 k
+        //    docs; a takedown keyed on it alone would also erase
+        //    UNRELATED docs' fingerprint rows, silently disabling their
+        //    dedup on re-ingest (round-16 advice). The composite
+        //    ledgerDelete erases on the pair.
+        val (keyCols, keys) = a.keyRecipe match {
           case "fp" =>
-            val kc = a.keyCol.getOrElse("_graft_fp")
-            (kc, docs.select(
-              graft.functions.TextFunctions.charHash(col(a.textCol)).as(kc)))
+            a.keyCol.foreach { kc =>
+              throw new IllegalArgumentException(
+                s"--key-col $kc is not applicable with --key-recipe fp: the " +
+                  "fingerprint recipe always keys on the ingest pair " +
+                  "(_graft_fp, _graft_fp2) recomputed from --text-col")
+            }
+            (Seq("_graft_fp", "_graft_fp2"), docs.select(
+              graft.functions.TextFunctions.charHash(col(a.textCol))
+                .as("_graft_fp"),
+              org.apache.spark.sql.functions.xxhash64(col(a.textCol))
+                .as("_graft_fp2")))
           case _ =>
             val kc = a.keyCol.getOrElse(
               throw new IllegalArgumentException(
@@ -427,10 +440,10 @@ object GraftApp {
                   "fingerprint ledger with raw vectors — every key would audit " +
                   "found=false. Use --key-recipe fp (recomputes the ingest " +
                   "fingerprint from --text-col).")
-            (kc, docs.select(col(a.vecCol).as(kc)))
+            (Seq(kc), docs.select(col(a.vecCol).as(kc)))
         }
         val r = graft.operators.MaintenanceOps.ledgerDelete(
-          spark, a.ledgerDir.get, keyCol, keys, audit, hashKeys = a.hashAudit)
+          spark, a.ledgerDir.get, keyCols, keys, audit, hashKeys = a.hashAudit)
         out(s"DELETE_LEDGER_ requested=${a.deleteIds.get.size} deleted=${r.deleted} " +
           s"notFound=${r.notFound} rows=${r.rowsBefore}->${r.rowsAfter} " +
           s"leaves=${r.leavesRewritten}")

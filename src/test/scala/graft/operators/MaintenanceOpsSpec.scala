@@ -918,6 +918,48 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).filter(col("k") === "b").count() == 1L)
   }
 
+  test("composite-key ledgerDelete erases only full-pair matches; audit carries both columns") {
+    // Round-17 (round-16 advice): the fingerprint ledger keys identity
+    // on (_graft_fp, _graft_fp2) because the ~30-bit charHash alone
+    // collides at birthday scale — so the takedown must match the PAIR:
+    // a row sharing only one hash with a deleted key is a different
+    // document and must survive.
+    import org.apache.spark.sql.functions.{col, sha2, struct, to_json}
+    val root = Files.createTempDirectory("ldelete_composite")
+    val dir = root.resolve("ledger").toString
+    Seq((1L, 10L, "a"), (1L, 11L, "b"), (2L, 20L, "c"))
+      .toDF("h1", "h2", "v").write.mode(SaveMode.Overwrite).parquet(dir)
+    val audit = root.resolve("audit").toString
+    val keys = Seq((1L, 10L), (9L, 9L)).toDF("h1", "h2")
+    val r = MaintenanceOps.ledgerDelete(
+      spark, dir, Seq("h1", "h2"), keys, audit, hashKeys = false)
+    assert(r.deleted == 1L && r.notFound == 1L && r.rowsAfter == 2L, r.toString)
+    assert(spark.read.parquet(dir).select(col("v"))
+      .as[String].collect().toSet == Set("b", "c"),
+      "the half-matching row (h1 collides, h2 differs) must survive")
+    // Composite tombstones: one column per key, named after the ledger's
+    // own key columns.
+    val tomb = spark.read.parquet(audit)
+    assert(tomb.columns.toSeq == Seq("h1", "h2", "found"), tomb.columns.toSeq)
+    assert(tomb.as[(Long, Long, Boolean)].collect().toSet ==
+      Set((1L, 10L, true), (9L, 9L, false)))
+    // hashKeys hashes the canonical JSON of the FULL key struct — an
+    // auditor recomputes it from the pair they are probing.
+    val audit2 = root.resolve("audit2").toString
+    val r2 = MaintenanceOps.ledgerDelete(spark, dir, Seq("h1", "h2"),
+      Seq((1L, 11L)).toDF("h1", "h2"), audit2, hashKeys = true)
+    assert(r2.deleted == 1L)
+    val want = Seq((1L, 11L)).toDF("h1", "h2")
+      .select(sha2(to_json(struct(col("h1"), col("h2"))), 256))
+      .as[String].head()
+    assert(spark.read.parquet(audit2).as[(String, Boolean)]
+      .collect().toSeq == Seq((want, true)))
+    // A keys frame missing one of the key columns refuses loudly.
+    val e = intercept[IllegalArgumentException](MaintenanceOps.ledgerDelete(
+      spark, dir, Seq("h1", "h2"), Seq(2L).toDF("h1"), audit, hashKeys = false))
+    assert(e.getMessage.contains("h2"), e.getMessage)
+  }
+
   test("recoverEraseBaks reaches baks nested under _-prefixed partition levels") {
     // Round-16 advice: the PQ namespaces partition by (_graft_epoch,
     // cell) — a crashed pqStoreDelete swap leaves `.cell=N_erase_bak`

@@ -344,6 +344,17 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
     graft.operators.DedupOps.incrementalDedup(
       spark, docs, "text", "doc_id", ledger).commitLedger()
     assert(spark.read.parquet(ledger).count() == 6L)
+    // A charHash COLLIDER (round-17, the round-16 advice case): a row
+    // sharing doc 2's _graft_fp but belonging to a DIFFERENT document
+    // (different xxhash64). The ~30-bit charHash collides at birthday
+    // scale ~35 k docs; keyed on it alone the takedown would erase this
+    // unrelated doc's dedup row too. The fp recipe must key on the pair.
+    import org.apache.spark.sql.functions.col
+    val fpOf2 = docs.filter($"doc_id" === 2L)
+      .select(graft.functions.TextFunctions.charHash(col("text")))
+      .as[Long].head()
+    Seq((fpOf2, 123456789L)).toDF("_graft_fp", "_graft_fp2")
+      .write.mode(SaveMode.Append).parquet(ledger)
 
     def cli(extra: String*): (Int, Seq[String]) = {
       val outs = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -359,14 +370,18 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
     assert(c1 == 0, l1.mkString("; "))
     assert(l1.exists(_.startsWith("DELETE_LEDGER_ requested=2 deleted=2")), l1)
     assert(!l1.exists(_.startsWith("DELETE_LEDGER_WARN_")), l1)
-    // The deleted docs' fingerprints are gone; the others remain.
-    import org.apache.spark.sql.functions.col
-    val wantGone = docs.filter($"doc_id".isin(2L, 5L))
-      .select(graft.functions.TextFunctions.charHash(col("text")))
-      .as[Long].collect().toSet
-    val leftFps = spark.read.parquet(ledger)
-      .select($"_graft_fp").as[Long].collect().toSet
-    assert((leftFps & wantGone).isEmpty && leftFps.size == 4)
+    // The deleted docs' (fp, fp2) PAIRS are gone; the others remain —
+    // including the unrelated collider sharing doc 2's charHash, which a
+    // single-hash takedown would have erased with it.
+    val wantGonePairs = docs.filter($"doc_id".isin(2L, 5L))
+      .select(graft.functions.TextFunctions.charHash(col("text")),
+        org.apache.spark.sql.functions.xxhash64(col("text")))
+      .as[(Long, Long)].collect().toSet
+    val leftPairs = spark.read.parquet(ledger)
+      .select($"_graft_fp", $"_graft_fp2").as[(Long, Long)].collect().toSet
+    assert((leftPairs & wantGonePairs).isEmpty && leftPairs.size == 5)
+    assert(leftPairs.contains((fpOf2, 123456789L)),
+      "the charHash collider must SURVIVE a pair-keyed takedown")
     // Content-free tombstones: hashed key column, no fingerprint values.
     assert(spark.read.parquet(audit).columns.toSeq == Seq("key_sha256", "found"))
     // Erasure proof at ingest level: the deleted docs re-ingest as NEW
@@ -377,14 +392,22 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
       spark, reIngest, "text", "doc_id", ledger)
     assert(pend.survivors.select($"doc_id").as[Long].collect().toSet == Set(20L))
     // Replay of the same delete: everything already gone → loud WARN.
+    // (--hash-audit again: the audit trail's schema is append-locked —
+    // mixing raw and hashed tombstones in one directory now refuses.)
     val (c2, l2) = cli("--delete-ids", "5", "--ledger", ledger,
-      "--corpus-dir", corpus, "--audit-dir", audit, "--key-recipe", "fp")
+      "--corpus-dir", corpus, "--audit-dir", audit, "--key-recipe", "fp",
+      "--hash-audit")
     assert(c2 == 0 && l2.exists(_.startsWith("DELETE_LEDGER_WARN_")), l2)
     // The vec recipe refuses the fingerprint key column loudly.
     val e = intercept[IllegalArgumentException](
       cli("--delete-ids", "2", "--ledger", ledger, "--corpus-dir", corpus,
         "--audit-dir", audit, "--key-col", "_graft_fp"))
     assert(e.getMessage.contains("--key-recipe fp"), e.getMessage)
+    // --key-col makes no sense with the fp recipe (the pair is fixed).
+    val e2 = intercept[IllegalArgumentException](
+      cli("--delete-ids", "2", "--ledger", ledger, "--corpus-dir", corpus,
+        "--audit-dir", audit, "--key-recipe", "fp", "--key-col", "_graft_fp"))
+    assert(e2.getMessage.contains("not applicable"), e2.getMessage)
     // An unknown recipe refuses at the parser.
     intercept[IllegalArgumentException](
       GraftApp.parseArgs(Seq("dev", "corpus", "--key-recipe", "nope")))
