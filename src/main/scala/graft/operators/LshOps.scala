@@ -432,7 +432,140 @@ object LshOps {
 
   /** Construction-parameter pin inside the band ledger dir (underscore
     * prefix: parquet directory listings skip it). */
-  private val MetaFile = "_graft_lsh_meta"
+  private[graft] val MetaFile = "_graft_lsh_meta"
+
+  /** A dedup-ledger recall audit's result (E155). `recall` is the mean,
+    * over sampled queries that HAVE at least one exact near-dup, of the
+    * fraction of those true neighbors the banded candidate path
+    * surfaces; `pin` restates the ledger's construction — a recall
+    * without provenance is noise (the [[PqOps.annRecall]] rule). */
+  final case class DedupRecallReport(
+      recall: Double,
+      nQueries: Int,
+      queriesWithTruth: Int,
+      truePairs: Long,
+      matchedPairs: Long,
+      pin: String)
+
+  /** E155 (round 17): RECALL AUDIT for the MinHash band-ledger dedup
+    * path — the text twin of [[PqOps.annRecall]], closing the round-16
+    * symmetry gap (the PQ store had a recall gate; the text/SRP dedup
+    * ledgers were measured only on the AccuracySpec fixture). Samples
+    * the `nQueries` lowest-id documents (deterministic — two audits of
+    * the same corpus agree bit-for-bit), computes EXACT shingle-set
+    * Jaccard ground truth for each against the whole corpus (the
+    * family's own verify arithmetic: charHash shingle sets, 4-dp
+    * rounding — [[verifyPairs]]), re-bands the corpus with the LEDGER's
+    * pinned construction, and reports what fraction of true neighbors
+    * the band collision path surfaces. The ledger stores only bucket
+    * keys, so the caller passes the corpus TEXT store the ledger was
+    * built from. Pass the docs the pipeline INGESTS (pre-dedup batch or
+    * raw corpus), not a survivors-only store: survivors are mutually
+    * non-near-dup except for exactly the pairs the banding missed, so a
+    * survivor-only audit is selection-biased toward zero recall.
+    *
+    * Cost at scale: ground truth is ONE corpus scan with the sampled
+    * docs' shingle sets broadcast (Q × N comparison rows stream through
+    * the aggregation — Q bounds the audit's price, the honest cost of
+    * exact truth), plus the banding pass the production path itself
+    * pays. Queries with NO true neighbor at `minJaccard` contribute
+    * nothing (their recall is undefined); an audit where no sampled doc
+    * has any true neighbor refuses loudly rather than reporting NaN. */
+  def dedupRecall(
+      spark: org.apache.spark.sql.SparkSession,
+      ledgerDir: String,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minJaccard: Double,
+      nQueries: Int,
+      maxBucket: Int = 10000): DedupRecallReport = {
+    require(nQueries >= 1, s"nQueries out of range: $nQueries")
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0,1]: $minJaccard")
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, MetaFile)
+    // Pin-or-refuse: the audit bands with the LEDGER's construction —
+    // auditing at guessed parameters would measure a different path.
+    require(fs.exists(metaPath),
+      s"band ledger at $ledgerDir has no $MetaFile construction pin — " +
+        "the audit must band with the ledger's own parameters; restore " +
+        "the pin or rebuild the ledger")
+    val pin = {
+      val in = fs.open(metaPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val kv = pin.split(",").map(_.split("=")).collect {
+      case Array(k0, v0) => k0 -> v0
+    }.toMap
+    val (k, shingleN, nBands, rowsPerBand) =
+      try (kv("k").toInt, kv("shingleN").toInt,
+        kv("nBands").toInt, kv("rowsPerBand").toInt)
+      catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"unparseable construction pin at $metaPath: [$pin]", e)
+      }
+    // Materialize the sample ONCE (the annRecall rule): leaving the
+    // TakeOrdered lazy would re-execute its corpus pass inside both the
+    // ground truth and the banding.
+    val qSchema = docs.select(col(idCol), col(textCol)).schema
+    val qRows = docs.select(col(idCol), col(textCol))
+      .orderBy(col(idCol)).limit(nQueries).collect()
+    require(qRows.nonEmpty,
+      "dedupRecall: the corpus frame is empty — no queries to sample")
+    val spark0 = docs.sparkSession
+    val sample = spark0.createDataFrame(
+      spark0.sparkContext.parallelize(qRows.toSeq, 1), qSchema)
+    // EXACT ground truth — the verify stage's arithmetic verbatim
+    // (charHash shingle sets, 4-dp-rounded Jaccard), so the audit's
+    // truth is the same number verifiedContamination would publish.
+    def hs(side: DataFrame, outId: String, outHs: String) =
+      side.select(col(idCol).as(outId),
+        array_distinct(transform(shingles(col(textCol), shingleN),
+          g => charHash(g))).as(outHs))
+    val qHs = broadcast(hs(sample, "_graft_qid", "_graft_hs_q"))
+    val inter = size(array_intersect(col("_graft_hs_q"), col("_graft_hs_c")))
+    val truth = hs(docs, "_graft_vid", "_graft_hs_c")
+      .crossJoin(qHs)
+      .filter(col("_graft_vid") =!= col("_graft_qid"))
+      .select(col("_graft_qid"), col("_graft_vid"),
+        round(inter.cast("double") /
+          (size(col("_graft_hs_q")) + size(col("_graft_hs_c")) - inter), 4)
+          .as("_graft_j"))
+      .filter(col("_graft_j") >= minJaccard)
+      .select(col("_graft_qid"), col("_graft_vid"))
+      .localCheckpoint(true)
+    // The banded candidate path at the PINNED construction (same
+    // bucket-cap posture as the ingest default).
+    val banded = bandedMinhash(
+      docs, textCol, idCol, k, shingleN, nBands, rowsPerBand, maxBucket)
+    val qidVals = qRows.map(_.get(0)).toSeq
+    val cand = banded.bands
+      .filter(col(idCol).isInCollection(qidVals))
+      .select(col(idCol).as("_graft_qid"), col("b"), col("bh"))
+      .join(banded.bands.select(col(idCol).as("_graft_vid"), col("b"), col("bh")),
+        Seq("b", "bh"))
+      .filter(col("_graft_qid") =!= col("_graft_vid"))
+      .select(col("_graft_qid"), col("_graft_vid")).distinct()
+    val trueCounts = truth.groupBy(col("_graft_qid")).count()
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val matchedCounts = truth
+      .join(cand, Seq("_graft_qid", "_graft_vid"), "left_semi")
+      .groupBy(col("_graft_qid")).count()
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    banded.unpersist()
+    require(trueCounts.nonEmpty,
+      f"dedupRecall: no exact near-dup pairs at jaccard >= $minJaccard%.4f " +
+        s"among the ${qRows.length} sampled docs — raise nQueries or lower " +
+        "the threshold (a recall over zero truths is undefined)")
+    val recall = trueCounts.keys.toSeq.map { q =>
+      matchedCounts.getOrElse(q, 0L).toDouble / trueCounts(q)
+    }.sum / trueCounts.size
+    DedupRecallReport(recall, qRows.length, trueCounts.size,
+      trueCounts.values.sum, matchedCounts.values.sum, pin)
+  }
 
   /** Distinct candidate pairs (a < b) from a banded frame: docs sharing any
     * band hash meet in the same partition — never a cross join. */

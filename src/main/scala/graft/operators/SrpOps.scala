@@ -420,5 +420,108 @@ object SrpOps {
 
   /** Construction-parameter pin inside the SRP band ledger dir
     * (underscore prefix: parquet directory listings skip it). */
-  private val MetaFile = "_graft_srp_meta"
+  private[graft] val MetaFile = "_graft_srp_meta"
+
+  /** E155 (round 17): RECALL AUDIT for the SRP band-ledger dedup path —
+    * the vector twin of [[LshOps.dedupRecall]]. The LEDGER contributes
+    * the pinned construction AND the pinned verify threshold (`minCos`
+    * is the ledger's own decision rule, never a caller guess); the
+    * measurement runs against the caller's CORPUS of vectors.
+    * Deliberately NOT against the ledger's stored vectors: the ledger
+    * holds only dedup SURVIVORS, which are mutually non-near-dup except
+    * for exactly the pairs the banding already missed at ingest — a
+    * survivor-only audit is selection-biased toward zero recall by
+    * construction. Pass the vectors the pipeline ingests (pre-dedup
+    * batch, raw corpus) to measure what the pinned construction
+    * actually catches on the real data distribution.
+    *
+    * Queries are the `nQueries` lowest-id corpus vectors
+    * (deterministic); ground truth per query is every other corpus
+    * vector at exact cosine ≥ the pinned `minCos` (ONE corpus scan,
+    * sample broadcast — Q bounds the price, the annRecall discipline);
+    * candidates come from banding the corpus at the pinned
+    * (nBands, bitsPerBand) and cosine-verifying collisions, the
+    * [[incrementalNeardup]] hit path's own arithmetic. Recall = mean,
+    * over queries with nonempty truth, of |candidates ∩ truth|/|truth|;
+    * a zero-truth audit refuses loudly rather than reporting NaN. */
+  def dedupRecall(
+      spark: org.apache.spark.sql.SparkSession,
+      ledgerDir: String,
+      vecs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nQueries: Int,
+      maxBucket: Int = 200,
+      maxMeanOccupancy: Double = DefaultMaxMeanOccupancy): LshOps.DedupRecallReport = {
+    require(nQueries >= 1, s"nQueries out of range: $nQueries")
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(ledgerDir, MetaFile)
+    require(fs.exists(metaPath),
+      s"SRP band ledger at $ledgerDir has no $MetaFile construction pin — " +
+        "the audit must band (and verify) with the ledger's own " +
+        "parameters; restore the pin or rebuild the ledger")
+    val pin = {
+      val in = fs.open(metaPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val kv = pin.split(",").map(_.split("=")).collect {
+      case Array(k0, v0) => k0 -> v0
+    }.toMap
+    val (nBands, bitsPerBand, minCos) =
+      try (kv("nBands").toInt, kv("bitsPerBand").toInt, kv("minCos").toDouble)
+      catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"unparseable construction pin at $metaPath: [$pin]", e)
+      }
+    // Materialize the sample ONCE (the annRecall rule).
+    val qSchema = vecs.select(col(idCol), col(vecCol)).schema
+    val qRows = vecs.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(nQueries).collect()
+    require(qRows.nonEmpty,
+      "dedupRecall: the vector frame is empty — no queries to sample")
+    val spark0 = vecs.sparkSession
+    val sample = spark0.createDataFrame(
+        spark0.sparkContext.parallelize(qRows.toSeq, 1), qSchema)
+      .select(col(idCol).as("_graft_qid"), col(vecCol).as("_graft_qv"))
+    // EXACT ground truth at the PINNED threshold: one corpus scan with
+    // the sample broadcast; self excluded by id.
+    val truth = vecs.select(col(idCol).as("_graft_vid"), col(vecCol).as("_graft_cv"))
+      .crossJoin(broadcast(sample))
+      .filter(col("_graft_vid") =!= col("_graft_qid"))
+      .filter(cosine(col("_graft_qv"), col("_graft_cv")) >= minCos)
+      .select(col("_graft_qid"), col("_graft_vid"))
+      .localCheckpoint(true)
+    // Candidate path at the pinned construction, cosine-verified — the
+    // production hit path's own arithmetic.
+    val banded = bandedSrp(
+      vecs, vecCol, idCol, nBands, bitsPerBand, maxBucket, maxMeanOccupancy)
+    val qidVals = qRows.map(_.get(0)).toSeq
+    val cand = banded.bands
+      .filter(col(idCol).isInCollection(qidVals))
+      .select(col(idCol).as("_graft_qid"), col(vecCol).as("_graft_qv"),
+        col("b"), col("bv"))
+      .join(banded.bands.select(col(idCol).as("_graft_vid"),
+        col(vecCol).as("_graft_cv"), col("b"), col("bv")), Seq("b", "bv"))
+      .filter(col("_graft_qid") =!= col("_graft_vid"))
+      .filter(cosine(col("_graft_qv"), col("_graft_cv")) >= minCos)
+      .select(col("_graft_qid"), col("_graft_vid")).distinct()
+    val trueCounts = truth.groupBy(col("_graft_qid")).count()
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val matchedCounts = truth
+      .join(cand, Seq("_graft_qid", "_graft_vid"), "left_semi")
+      .groupBy(col("_graft_qid")).count()
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    banded.unpersist()
+    require(trueCounts.nonEmpty,
+      f"dedupRecall: no vector pair reaches the pinned cosine " +
+        f"$minCos%.4f among the ${qRows.length} sampled vectors — raise " +
+        "nQueries (a recall over zero truths is undefined)")
+    val recall = trueCounts.keys.toSeq.map { q =>
+      matchedCounts.getOrElse(q, 0L).toDouble / trueCounts(q)
+    }.sum / trueCounts.size
+    LshOps.DedupRecallReport(recall, qRows.length, trueCounts.size,
+      trueCounts.values.sum, matchedCounts.values.sum, pin)
+  }
 }

@@ -100,13 +100,15 @@ object GraftApp {
       keyRecipe: String = "vec",
       hashAudit: Boolean = false,
       annRecall: Boolean = false,
-      nQueries: Int = 20)
+      nQueries: Int = 20,
+      dedupRecall: Boolean = false,
+      minJaccard: Double = 0.8)
 
   /** Valueless flags (presence = true). */
   private val boolFlags = Set("strict", "stream", "compact-ledger", "fold-epochs",
     "export-shards", "verify-export", "scrub-spans", "exact-neardup", "tokenize",
     "pq-encode", "pq-append", "pq-search", "pq-audit", "pq-rebalance", "pq-fold",
-    "residual", "balanced-perm", "hash-audit", "ann-recall")
+    "residual", "balanced-perm", "hash-audit", "ann-recall", "dedup-recall")
 
   def parseArgs(argv: Seq[String]): Args = {
     val (pos, flags) = {
@@ -156,7 +158,9 @@ object GraftApp {
           "[--max-cell N] [--pq-iters N] [--vec-col C] [--id-col C]] | " +
           "[--pq-fold --pq-store P --checkpoint P] | " +
           "[--ann-recall --pq-store P --corpus-dir P [--k N] [--queries N] " +
-          "[--nprobe N] [--rerank R] [--vec-col C] [--id-col C]]")
+          "[--nprobe N] [--rerank R] [--vec-col C] [--id-col C]] | " +
+          "[--dedup-recall --ledger P --corpus-dir P [--text-col C | --vec-col C] " +
+          "[--id-col C] [--min-jaccard X] [--queries N]]")
     val known = Set("tables-list-path", "source", "sink", "state",
       "mode", "parallelism", "table-timeout-sec",
       "ledger", "checkpoint", "text-col", "id-col",
@@ -168,7 +172,7 @@ object GraftApp {
       "heavy-hitters", "capacity",
       "pq-m", "pq-k", "pq-iters", "pq-coarse-k", "pq-epoch", "pq-store",
       "nprobe", "rerank", "rerank-corpus", "refine-m", "refine-k",
-      "max-cell", "key-col", "key-recipe", "queries") ++ boolFlags
+      "max-cell", "key-col", "key-recipe", "queries", "min-jaccard") ++ boolFlags
     val unknown = flags.keySet -- known
     // A typo'd flag must be loud, not silently fall back to defaults.
     if (unknown.nonEmpty)
@@ -264,7 +268,9 @@ object GraftApp {
       }.getOrElse("vec"),
       hashAudit = flags.contains("hash-audit"),
       annRecall = flags.contains("ann-recall"),
-      nQueries = flags.get("queries").map(_.toInt).getOrElse(20))
+      nQueries = flags.get("queries").map(_.toInt).getOrElse(20),
+      dedupRecall = flags.contains("dedup-recall"),
+      minJaccard = flags.get("min-jaccard").map(_.toDouble).getOrElse(0.8))
   }
 
   /** Testable core; returns the process exit code. */
@@ -700,6 +706,45 @@ object GraftApp {
       out(f"ANN_RECALL_ k=${a.k} nprobe=${a.nprobe} queries=${a.nQueries} " +
         s"rerank=${a.rerank} recall=$r " +
         s"pin=[${graft.operators.PqOps.pinLine(spark, store)}]")
+      return 0
+    }
+
+    // Recall audit for the DEDUP ledgers (E155): the E154 gate's twin
+    // for the text/SRP near-dup paths — exact Jaccard/cosine ground
+    // truth on a deterministic sample vs the banded candidate path at
+    // the LEDGER's pinned construction. The space is read off the
+    // ledger's own pin file; both spaces measure against --corpus-dir
+    // (the docs/vectors the pipeline INGESTS — the ledgers hold
+    // survivors, a selection-biased audit base; the SRP pin contributes
+    // its own verify threshold, the MinHash space takes --min-jaccard).
+    if (a.dedupRecall) {
+      val ledger = a.ledgerDir.getOrElse(
+        throw new IllegalArgumentException("--dedup-recall requires --ledger P"))
+      val lp = new org.apache.hadoop.fs.Path(ledger)
+      val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def pinExists(name: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(ledger, name))
+      val dir = a.corpusDir.getOrElse(
+        throw new IllegalArgumentException(
+          "--dedup-recall requires --corpus-dir P (the docs/vectors the " +
+            "pipeline ingests — the ledger holds survivors only, a " +
+            "selection-biased audit base)"))
+      val r =
+        if (pinExists(graft.operators.SrpOps.MetaFile))
+          graft.operators.SrpOps.dedupRecall(spark, ledger,
+            spark.read.parquet(dir), a.vecCol, a.idCol, a.nQueries)
+        else if (pinExists(graft.operators.LshOps.MetaFile))
+          graft.operators.LshOps.dedupRecall(spark, ledger,
+            spark.read.parquet(dir), a.textCol, a.idCol,
+            a.minJaccard, a.nQueries)
+        else throw new IllegalArgumentException(
+          s"$ledger carries neither ${graft.operators.LshOps.MetaFile} nor " +
+            s"${graft.operators.SrpOps.MetaFile} — not a band ledger, or " +
+            "its construction pin is lost (restore it; the audit refuses " +
+            "to band at guessed parameters)")
+      out(s"DEDUP_RECALL_ queries=${r.nQueries} withTruth=${r.queriesWithTruth} " +
+        s"truePairs=${r.truePairs} matched=${r.matchedPairs} " +
+        s"recall=${r.recall} pin=[${r.pin}]")
       return 0
     }
 

@@ -222,4 +222,73 @@ class LshOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"delivered recall $recall < 0.9 over ${truth.size} " +
       s"exact pairs (missed: ${truth.diff(cand).toSeq.sorted.take(5)}...)")
   }
+
+  test("dedupRecall audits the pinned banded path against exact Jaccard truth (E155)") {
+    // Round-17 (verdict #6): the E154 recall gate's text twin — the
+    // audit reads the LEDGER's construction pin, re-bands the corpus at
+    // exactly those parameters, and scores against the verify stage's
+    // own exact-Jaccard arithmetic. The spec recomputes BOTH sides
+    // independently (driver-side string shingle sets for truth, the
+    // public banding ops for candidates) and demands bit-equality.
+    import org.apache.spark.sql.functions.col
+    val ledger = java.nio.file.Files.createTempDirectory("graft_dedup_recall")
+      .resolve("bands").toString
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five six seven nine"),        // near-dup of 3
+      (5L, "unique words here that match nothing else at all"),
+      (6L, "another completely distinct document with its own tokens"))
+    val docs = rows.toDF("doc_id", "text")
+    LshOps.incrementalNeardup(spark, docs, "text", "doc_id", ledger).commitLedger()
+    val r = LshOps.dedupRecall(spark, ledger, docs, "text", "doc_id",
+      minJaccard = 0.7, nQueries = 6)
+    assert(r.pin == "k=16,shingleN=3,nBands=4,rowsPerBand=4", r.pin)
+    assert(r.nQueries == 6)
+    // Independent truth: driver-side 3-gram string shingle sets, the
+    // verify stage's 4-dp rounding.
+    def shingleSet(t: String) =
+      t.split(" ").filter(_.nonEmpty).sliding(3).map(_.mkString(" ")).toSet
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val i = (a & b).size
+      BigDecimal(i.toDouble / (a.size + b.size - i))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val sets = rows.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val truth = (for {
+      q <- rows.map(_._1); v <- rows.map(_._1)
+      if q != v && jac(sets(q), sets(v)) >= 0.7
+    } yield (q, v)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(truth.keySet == Set(1L, 2L, 3L, 4L),
+      s"fixture sanity: dup + near-dup pairs only, got $truth")
+    assert(r.queriesWithTruth == 4 && r.truePairs == 4L)
+    // Independent candidates: the public banding path at the pin.
+    val banded = LshOps.bandedMinhash(docs, "text", "doc_id", 16, 3, 4, 4)
+    val cand0 = LshOps.candidatePairs(banded.bands, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    banded.unpersist()
+    val cand = cand0 ++ cand0.map(p => (p._2, p._1))
+    val want = truth.keys.toSeq.map { q =>
+      truth(q).count(v => cand((q, v))).toDouble / truth(q).size
+    }.sum / truth.size
+    assert(r.recall == want, s"engine ${r.recall} != local $want")
+    // The exact-dup queries are certainly recalled (identical signatures
+    // collide in every band), so the mean can never be below 0.5 here.
+    assert(r.recall >= 0.5)
+    // Zero-truth audits refuse rather than reporting NaN.
+    val e = intercept[IllegalArgumentException](LshOps.dedupRecall(
+      spark, ledger, docs.filter(col("doc_id") >= 3L), "text", "doc_id",
+      minJaccard = 0.99, nQueries = 4))
+    assert(e.getMessage.contains("zero truths") ||
+      e.getMessage.contains("no exact near-dup"), e.getMessage)
+    // A pin-less directory refuses: the audit never bands at guessed
+    // parameters.
+    val bare = java.nio.file.Files.createTempDirectory("graft_dr_nopin")
+      .resolve("l").toString
+    docs.select(col("doc_id")).write.parquet(bare)
+    val e2 = intercept[IllegalArgumentException](LshOps.dedupRecall(
+      spark, bare, docs, "text", "doc_id", 0.7, 2))
+    assert(e2.getMessage.contains("construction pin"), e2.getMessage)
+  }
 }

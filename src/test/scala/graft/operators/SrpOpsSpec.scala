@@ -159,4 +159,70 @@ class SrpOpsSpec extends AnyFunSuite {
       .select($"vid_a", $"vid_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((900L, 901L)), s"got $pairs")
   }
+
+  test("dedupRecall audits the pinned SRP path against exact cosine truth (E155)") {
+    // Round-17 (verdict #6): the vector twin of LshOps.dedupRecall. The
+    // LEDGER contributes the pinned construction AND its own verify
+    // threshold; the measurement runs on the CORPUS the pipeline
+    // ingests — deliberately not the ledger's survivors, which are
+    // mutually non-near-dup except for exactly the pairs the banding
+    // missed (a survivor-only audit is selection-biased toward zero).
+    import org.apache.spark.sql.functions.col
+    val ledger = java.nio.file.Files.createTempDirectory("graft_srp_recall")
+      .resolve("bands").toString
+    val base0 = unitVec(41L)
+    val base1 = unitVec(97L)
+    val corpus = Seq(
+      (0L, base0),
+      (1L, base0),                                   // exact dup of 0
+      (2L, base1),
+      (3L, unitVec(511L, Some((base1, 0.02)))),      // near-dup of 2
+      (4L, unitVec(1234L)),
+      (5L, unitVec(5678L)))
+      .toDF("vec_id", "embedding")
+    SrpOps.incrementalNeardup(
+      spark, corpus, "embedding", "vec_id", ledger).commitLedger()
+    val r = SrpOps.dedupRecall(spark, ledger, corpus, "embedding", "vec_id",
+      nQueries = 6)
+    assert(r.pin == "nBands=4,bitsPerBand=10,minCos=0.9", r.pin)
+    assert(r.nQueries == 6)
+    // Independent truth: driver-side exact cosine at the PINNED 0.9.
+    // The fixture keeps every pair far from the threshold (dups at ~1.0,
+    // the seeded near pair > 0.95, random pairs < 0.6 at dim 32), so
+    // Double-arithmetic association order cannot flip a verdict.
+    val vecs = corpus.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val ids = vecs.keys.toSeq
+    val truth = (for {
+      q <- ids; v <- ids if q != v && cos(vecs(q), vecs(v)) >= 0.9
+    } yield (q, v)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(truth.keySet == Set(0L, 1L, 2L, 3L),
+      s"fixture sanity: two planted pairs only, got $truth")
+    assert(r.queriesWithTruth == 4 && r.truePairs == 4L)
+    // Independent candidates: the public banding + verify path at the
+    // pinned construction (neardupPairs IS the hit arithmetic).
+    val banded = SrpOps.bandedSrp(corpus, "embedding", "vec_id", 4, 10, 200)
+    val cand0 = SrpOps.neardupPairs(banded.bands, "embedding", "vec_id", 0.9)
+      .select($"vid_a", $"vid_b").as[(Long, Long)].collect().toSet
+    banded.unpersist()
+    val cand = cand0 ++ cand0.map(p => (p._2, p._1))
+    val want = truth.keys.toSeq.map { q =>
+      truth(q).count(v => cand((q, v))).toDouble / truth(q).size
+    }.sum / truth.size
+    assert(r.recall == want, s"engine ${r.recall} != local $want")
+    // Exact dups share every band value: the mean can never be below 0.5.
+    assert(r.recall >= 0.5)
+    // Pin-less directories refuse (never band at guessed parameters).
+    val bare = java.nio.file.Files.createTempDirectory("graft_srp_nopin")
+      .resolve("l").toString
+    corpus.select(col("vec_id")).write.parquet(bare)
+    val e = intercept[IllegalArgumentException](SrpOps.dedupRecall(
+      spark, bare, corpus, "embedding", "vec_id", 2))
+    assert(e.getMessage.contains("construction pin"), e.getMessage)
+  }
 }

@@ -452,6 +452,72 @@ test("--export-shards writes manifested shards; --verify-export re-checks and re
     intercept[IllegalArgumentException](cli("--ann-recall", "--corpus-dir", corpus))
   }
 
+  test("--dedup-recall routes by ledger pin and prints the API's number verbatim") {
+    // E155 (round 17): the --ann-recall twin for the dedup ledgers. The
+    // space is read off the ledger's own pin file; the CLI number must
+    // be bit-equal to the API's on the same inputs.
+    val root = Files.createTempDirectory("dedup_recall_cli")
+    def cli(extra: String*): (Int, Seq[String]) = {
+      val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val code = GraftApp.run(GraftApp.parseArgs(Seq("dev", "corpus") ++ extra),
+        spark, getenv = _ => None, out = outs.append(_), log = _ => ())
+      (code, outs.toSeq)
+    }
+    // MinHash text ledger.
+    val docsDir = s"$root/docs"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "totally unrelated words live in this one here"))
+      .toDF("doc_id", "text")
+    docs.write.mode(SaveMode.Overwrite).parquet(docsDir)
+    val lshLedger = s"$root/lsh"
+    graft.operators.LshOps.incrementalNeardup(
+      spark, docs, "text", "doc_id", lshLedger).commitLedger()
+    val apiL = graft.operators.LshOps.dedupRecall(
+      spark, lshLedger, spark.read.parquet(docsDir), "text", "doc_id",
+      minJaccard = 0.7, nQueries = 4)
+    val (cl, ll) = cli("--dedup-recall", "--ledger", lshLedger,
+      "--corpus-dir", docsDir, "--min-jaccard", "0.7", "--queries", "4")
+    assert(cl == 0, ll.mkString("; "))
+    val lineL = ll.find(_.startsWith("DEDUP_RECALL_")).getOrElse(fail(ll.mkString("; ")))
+    assert(lineL.contains(s"recall=${apiL.recall}"), s"$lineL vs $apiL")
+    assert(lineL.contains(s"pin=[${apiL.pin}]"), lineL)
+    assert(lineL.contains(s"withTruth=${apiL.queriesWithTruth}"), lineL)
+    // SRP vector ledger — the pin file routes the audit, same flag set.
+    val vecsDir = s"$root/vecs"
+    def unit(seed: Long): Array[Float] = {
+      val rng = new scala.util.Random(seed)
+      val raw = Array.fill(16)(rng.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => (x / n).toFloat)
+    }
+    val vecs = Seq((0L, unit(3L)), (1L, unit(3L)), (2L, unit(9L)), (3L, unit(11L)))
+      .toDF("vec_id", "embedding")
+    vecs.write.mode(SaveMode.Overwrite).parquet(vecsDir)
+    val srpLedger = s"$root/srp"
+    graft.operators.SrpOps.incrementalNeardup(
+      spark, vecs, "embedding", "vec_id", srpLedger).commitLedger()
+    val apiS = graft.operators.SrpOps.dedupRecall(
+      spark, srpLedger, spark.read.parquet(vecsDir), "embedding", "vec_id",
+      nQueries = 4)
+    val (cs, ls) = cli("--dedup-recall", "--ledger", srpLedger,
+      "--corpus-dir", vecsDir, "--id-col", "vec_id", "--queries", "4")
+    assert(cs == 0, ls.mkString("; "))
+    val lineS = ls.find(_.startsWith("DEDUP_RECALL_")).getOrElse(fail(ls.mkString("; ")))
+    assert(lineS.contains(s"recall=${apiS.recall}"), s"$lineS vs $apiS")
+    assert(lineS.contains(s"pin=[${apiS.pin}]"), lineS)
+    // Refusals: no ledger, no corpus, and a pin-less directory.
+    intercept[IllegalArgumentException](cli("--dedup-recall", "--corpus-dir", docsDir))
+    intercept[IllegalArgumentException](cli("--dedup-recall", "--ledger", lshLedger))
+    val bare = s"$root/bare"
+    docs.select($"doc_id").write.parquet(bare)
+    val e = intercept[IllegalArgumentException](
+      cli("--dedup-recall", "--ledger", bare, "--corpus-dir", docsDir))
+    assert(e.getMessage.contains("not a band ledger"), e.getMessage)
+  }
+
   test("--heavy-hitters writes the top-k report with its error mass") {
     val root = Files.createTempDirectory("hh_cli")
     val corpus = s"$root/docs"
