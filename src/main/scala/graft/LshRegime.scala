@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object LshRegime {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | kmeans2 | semincr | wsample | contam | contamauto | chunk | spans | spansincr | shuffleorder | split | prefixjoin | pq | pqres | pqrefine | pqrebalance | pqresrebalance | pqdelete | pqfold | pqrecall]")
+      "usage: LshRegime <dir> [headroom | incr <shingleN> | cc | canon | stars | srp | srpincr | streamembed [nBatches] | kmeans | kmeans2 | semincr | wsample | contam | contamauto | chunk | spans | spansincr | shuffleorder | split | prefixjoin | pq | pqres | pqrefine | pqrebalance | pqresrebalance | pqdelete | pqfold | pqrecall | dedrecall]")
     val dir = args(0)
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.builder(s"local[$cpus]")
@@ -53,6 +53,7 @@ object LshRegime {
     if (args.length > 1 && args(1) == "pqdelete") { pqDelete(spark, dir); return }
     if (args.length > 1 && args(1) == "pqfold") { pqFold(spark, dir); return }
     if (args.length > 1 && args(1) == "pqrecall") { pqRecall(spark, dir); return }
+    if (args.length > 1 && args(1) == "dedrecall") { dedupRecallProbe(spark, dir); return }
     val headroom = if (args.length > 1) args(1).toDouble else 100.0
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
@@ -807,6 +808,59 @@ object LshRegime {
     println(
       f"""{"metric":"pq_recall","n":$n,"coarseK":$coarseK,"k":10,""" +
         f""""queries":20,"nprobe":2,"recall":$r%.4f,"auditSecs":$secs%.2f}""")
+    spark.stop()
+  }
+
+  /** E155 probe: the dedup-ledger recall audits at their decades. Builds
+    * each space's ledger from the fixture (pinning the construction the
+    * audit then reads), times ONLY the audit call — the ingest is the
+    * production path, already probed elsewhere. The claim is the COST
+    * SHAPE (one exact-truth corpus pass with Q queries broadcast + one
+    * banding pass); the recall number is the audit's deliverable. A
+    * fixture whose sampled queries have no true pair refuses by design —
+    * reported as recall −1 so the probe still lands its timing. */
+  private def dedupRecallProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft_dedrecall_probe")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nDocs = docs.count()
+    val ledgerT = root.resolve("lsh").toString
+    operators.LshOps.incrementalNeardup(
+      spark, docs, "text", "doc_id", ledgerT).commitLedger()
+    val t0 = System.nanoTime()
+    val (recT, truthT) =
+      try {
+        val r = operators.LshOps.dedupRecall(
+          spark, ledgerT, docs, "text", "doc_id",
+          minJaccard = 0.8, nQueries = 50)
+        (r.recall, r.truePairs)
+      } catch { case _: IllegalArgumentException => (-1.0, 0L) }
+    val secT = (System.nanoTime() - t0) / 1e9
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nVecs = vecs.count()
+    val ledgerS = root.resolve("srp").toString
+    // Band width sized from the corpus (the srpAuto rule) — the default
+    // 10-bit band saturates past ~5k vectors and the gauge rightly
+    // refuses; a real ledger owner pins a corpus-sized width.
+    val bits = math.min(30, math.max(10,
+      math.ceil(math.log(nVecs.toDouble / 2.0) / math.log(2.0)).toInt))
+    operators.SrpOps.incrementalNeardup(
+      spark, vecs, "embedding", "vec_id", ledgerS,
+      bitsPerBand = bits).commitLedger()
+    val t1 = System.nanoTime()
+    val (recS, truthS) =
+      try {
+        val r = operators.SrpOps.dedupRecall(
+          spark, ledgerS, vecs, "embedding", "vec_id", nQueries = 50)
+        (r.recall, r.truePairs)
+      } catch { case _: IllegalArgumentException => (-1.0, 0L) }
+    val secS = (System.nanoTime() - t1) / 1e9
+    println(
+      f"""{"metric":"dedup_recall","nDocs":$nDocs,"recallText":$recT%.4f,""" +
+        f""""truePairsText":$truthT,"textSecs":$secT%.2f,"nVecs":$nVecs,""" +
+        f""""recallSrp":$recS%.4f,"truePairsSrp":$truthS,"srpSecs":$secS%.2f,""" +
+        """"queries":50}""")
     spark.stop()
   }
 
