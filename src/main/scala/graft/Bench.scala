@@ -91,16 +91,18 @@ object Bench {
     * dimension that poisoned the round-14/16 recordings. The second
     * gauge is a fixed explode/split/groupBy workload of that shape
     * (`calibrateText`); a window is quiet only when BOTH gauges are.
-    * Ceiling derivation (round 17): observed floor 0.738 s across a
-    * window whose hash gauge read 1.29-1.74 (1.15-1.55× of idle), so
-    * idle is ≤0.738 (~0.70 estimated); 0.80 sits ~8% above the observed
-    * floor — the same slack discipline as [[QuietCalib]]. Refine
+    * Ceiling derivation (round 17): the observed floor fell to 0.621 s
+    * in a near-quiet window (hash gauge 1.198 ≈ 1.07× idle), so text
+    * idle is ~0.60; 0.66 sits ~7% above the floor — the same slack
+    * discipline as [[QuietCalib]]. (An earlier same-day estimate of
+    * 0.80 from a 1.15-1.55×-degraded window was a ceiling on a ceiling;
+    * floors only ratchet DOWN as quieter windows are observed.) Refine
     * DOWNWARD if a quieter window shows a lower floor: part artifacts
     * RECORD the raw gauge values, so re-adjudicating with a corrected
     * ceiling is a re-merge, never a re-run. Parts recorded by a
     * pre-gauge binary carry no text readings (-1) and are refused at
     * merge — the blind window is the thing being closed. */
-  private[graft] val QuietCalibText = 0.80
+  private[graft] val QuietCalibText = 0.66
 
   /** `SPARK_GRAFT_PART="i/n"` → `(i, n)`, 1-based, i ≤ n, n ≥ 2. */
   private[graft] def parsePart(s: String): Option[(Int, Int)] =
@@ -534,7 +536,7 @@ object Bench {
     // of the corpus's explode-heavy text family, which rounds 15-16
     // measured running 3-6.5× degraded in windows the hash gauge called
     // a mild 1.33×. Self-contained (no input data) and fixed forever,
-    // like calibrate(); median-of-3. Idle baseline ~0.70 s
+    // like calibrate(); median-of-3. Idle baseline ~0.60 s
     // (QuietCalibText's scaladoc has the derivation).
     def calibrateText(): Double = {
       def once(): Double = {
@@ -561,7 +563,7 @@ object Bench {
     // 1.5× degraded for days (idle-machine baseline: ~1.12 s). Never
     // writes any BENCH file.
     if (sys.env.contains("SPARK_GRAFT_CALIB_ONLY")) {
-      println(f"""{"metric":"calib_only","calib":$calibPre%.3f,"calib_text":$calibTextPre%.3f,"idle_baseline":1.12,"idle_baseline_text":0.70}""")
+      println(f"""{"metric":"calib_only","calib":$calibPre%.3f,"calib_text":$calibTextPre%.3f,"idle_baseline":1.12,"idle_baseline_text":0.60}""")
       spark.stop()
       return
     }

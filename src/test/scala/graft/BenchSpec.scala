@@ -134,8 +134,8 @@ class BenchSpec extends AnyFunSuite {
       queries: Seq[(String, Double)],
       calibPre: Double = 1.05,
       calibPost: Double = 1.08,
-      calibTextPre: Double = 0.75,
-      calibTextPost: Double = 0.78,
+      calibTextPre: Double = 0.61,
+      calibTextPost: Double = 0.63,
       polluted: Boolean = false,
       errors: Seq[String] = Nil,
       outliers: Seq[Bench.PartOutlier] = Nil,
@@ -263,7 +263,7 @@ class BenchSpec extends AnyFunSuite {
     assert(hotText.isLeft &&
       hotText.swap.toOption.get.contains("calib_text_post"), hotText)
     assert(Bench.mergeParts(
-      Seq(ok.head.copy(calibTextPre = 0.95), ok(1)), refs).isLeft)
+      Seq(ok.head.copy(calibTextPre = 0.70), ok(1)), refs).isLeft)
     // A part recorded by a pre-gauge binary (no text readings) is from a
     // window of UNKNOWN text-family health: refused, never blessed.
     val preGauge = Bench.mergeParts(
@@ -271,7 +271,7 @@ class BenchSpec extends AnyFunSuite {
     assert(preGauge.isLeft &&
       preGauge.swap.toOption.get.contains("calib_text_pre"), preGauge)
     // And the blessed artifact records both gauge families.
-    assert(json.contains(""""calib_text_gauges":[0.750,0.780,0.750,0.780]"""), json)
+    assert(json.contains(""""calib_text_gauges":[0.610,0.630,0.610,0.630]"""), json)
   }
 
   test("a full run from a gauge-degraded window diverts instead of refreshing") {

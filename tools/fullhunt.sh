@@ -20,7 +20,7 @@ THRESH=${FULLH_THRESH:-1.16}
 # the hash gauge read a mild 1.33x while the explode-heavy family ran
 # 3-6.5x — this second gauge (explode/split/groupBy, idle ~0.80 s) must
 # ALSO read quiet before an attempt fires.
-TEXT_THRESH=${FULLH_TEXT_THRESH:-0.80}
+TEXT_THRESH=${FULLH_TEXT_THRESH:-0.66}
 MAX=${FULLH_MAX:-8}
 N=0
 echo "$(date +%T) full-hunt start (threshold $THRESH, cap $MAX)" >> "$LOG"

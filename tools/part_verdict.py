@@ -13,7 +13,7 @@ import json
 import sys
 
 QUIET_CALIB = 1.20  # Bench.QuietCalib
-QUIET_CALIB_TEXT = 0.80  # Bench.QuietCalibText (round 17: explode-family gauge)
+QUIET_CALIB_TEXT = 0.66  # Bench.QuietCalibText (round 17: explode-family gauge)
 OUTLIER_FACTOR = 2.0  # Bench.OutlierFactor
 
 

@@ -21,7 +21,7 @@ CP="${PC_CP:-/tmp/bench_classes_r17}:/opt/spark/jars/*"
 LOG=${PC_LOG:-/tmp/partcycle.log}
 THRESH=${PC_THRESH:-1.16}
 # Text-family gauge gate (round 17) — see fullhunt.sh; both must be quiet.
-TEXT_THRESH=${PC_TEXT_THRESH:-0.80}
+TEXT_THRESH=${PC_TEXT_THRESH:-0.66}
 MAXF=${PC_MAX_FIRES:-16}
 rm -f BENCH_DETAILS_PART_{1,2,3,4}_of_4.json /tmp/partcycle_done
 FIRES=0
