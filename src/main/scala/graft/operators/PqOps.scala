@@ -1502,6 +1502,24 @@ object PqOps {
       outDir: String,
       maxPop: Long,
       iters: Int): (PqArtifacts, Int) = {
+    // Erase-crash recovery BEFORE any namespace read (the round-17
+    // commute rule: EVERY maintenance op that reads epoch state or
+    // advances the marker sweeps on entry — [[foldPqEpochs]] got the
+    // sweep, this op was missed): a rebalance collapses epochs into the
+    // NEW base and carries the replay horizon forward, so an epoch
+    // hidden at its `_erase_bak` by a crashed [[pqStoreDelete]] swap
+    // would be built OUT of the new store while the carried
+    // `_graft_folded_through_` marker mechanically refuses its replay —
+    // the committed batch unrecoverable once the old directory retires.
+    // With the sweep, the hidden epoch's rows rejoin the collapse and
+    // [[replayHorizon]]'s directory listing sees its id.
+    {
+      val (sfs, _) = fsOf(spark, dir)
+      Seq("codes", "rcodes").foreach { ns =>
+        val nsPath = new org.apache.hadoop.fs.Path(dir, ns)
+        if (sfs.exists(nsPath)) MaintenanceOps.recoverEraseBaks(sfs, nsPath)
+      }
+    }
     val arts = readPqArtifacts(spark, dir)
     val (fs, op) = fsOf(spark, outDir)
     if (fs.exists(op) && fs.listStatus(op).nonEmpty)

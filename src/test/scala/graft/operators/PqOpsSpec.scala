@@ -1003,6 +1003,43 @@ class PqOpsSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "codes/_graft_epoch=epoch0")))
   }
 
+  test("rebalanceStore restores a crashed pqStoreDelete swap before collapsing epochs") {
+    // Round-17 follow-through on the commute rule: the rebalance is a
+    // maintenance op that READS epoch state (collapsing every epoch
+    // into the new base) and CARRIES the replay horizon forward — so a
+    // cell leaf hidden at its `_erase_bak` by a crashed pqStoreDelete
+    // swap must be restored at entry. Without the sweep the rebuilt
+    // store omits the hidden cell's committed codes while its carried
+    // `_graft_folded_through_` marker mechanically refuses the epoch's
+    // replay: the batch unrecoverable once the old directory retires.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_rebal_crash")
+    val dir = root.resolve("pq").toString
+    PqOps.writePqArtifacts(spark, vecs.filter(col("id") < 4), "v", "id", dir,
+      m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 1)
+    PqOps.incrementalPqEncode(
+      spark, vecs.filter(col("id") >= 4L), "v", "id", dir, "epoch0").commitLedger()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochDir = new org.apache.hadoop.fs.Path(dir, "codes/_graft_epoch=epoch0")
+    val cellLeaf = fs.listStatus(epochDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .head.getPath
+    val bak = new org.apache.hadoop.fs.Path(
+      epochDir, s".${cellLeaf.getName}_erase_bak")
+    assert(fs.rename(cellLeaf, bak), "test setup: simulate the crashed swap")
+    val out = root.resolve("pq2").toString
+    val (arts2, _) = PqOps.rebalanceStore(
+      spark, dir, vecs, "v", "id", out, maxPop = 100L, iters = 1)
+    assert(arts2.codes.select(col("id")).as[Long].collect().toSet ==
+      (0L to 5L).toSet,
+      "the bak-hidden cell's committed codes must reach the rebuilt store")
+    // The carried horizon covers the restored epoch: a pre-rebalance
+    // token replay against the NEW store refuses mechanically.
+    val e = intercept[IllegalStateException](PqOps.incrementalPqEncode(
+      spark, vecs.filter(col("id") === 5L), "v", "id", out, "epoch0"))
+    assert(e.getMessage.contains("folded"), e.getMessage)
+  }
+
   test("pqStoreDelete erases ids from both code namespaces; layout, pins and search intact") {
     // E153 (round 15): right-to-erasure must reach the DERIVED spaces —
     // a corpus delete that leaves an id's PQ codes behind retains
