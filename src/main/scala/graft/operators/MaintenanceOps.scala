@@ -84,6 +84,10 @@ object MaintenanceOps {
         throw new java.io.IOException(s"compaction swap failed: rename $from -> $to")
     renameOrThrow(path, bak)
     renameOrThrow(tmp, path)
+    // In-leaf `_graft_*` pins/markers (a folded base partition carries
+    // its fold marker INSIDE the leaf since round 17) ride out of the
+    // bak before it drops — the compacted tmp never had them.
+    copyGraftPins(fs, bak, path)
     fs.delete(bak, true)
     CompactionReport(before.length, dataFiles().length, rows)
   }
@@ -542,11 +546,26 @@ object MaintenanceOps {
           fs.delete(bak, true)
           renameOrThrow(leaf, bak)
           renameOrThrow(staged, leaf)
+          // In-leaf `_graft_*` pins/markers (the folded base partition
+          // carries its fold marker INSIDE the leaf since round 17)
+          // ride out of the bak before it drops — the staged tree never
+          // had them, and losing the in-base marker would re-open the
+          // replay horizon the fold just committed.
+          copyGraftPins(fs, bak, leaf)
           fs.delete(bak, true)
         } else if (survivors == 0L) {
           // Every row matched (pass-1 accounting, not inferred from the
-          // staged dir's absence) — the partition vanishes.
-          fs.delete(leaf, true)
+          // staged dir's absence) — the partition vanishes, except any
+          // in-leaf `_graft_*` pins/markers, which stay behind in a
+          // data-less shell: an erased-empty base partition must not
+          // take the fold horizon with it.
+          val pins = fs.listStatus(leaf).filter { f =>
+            f.isFile && f.getPath.getName.startsWith("_graft_")
+          }.map(_.getPath.getName)
+          if (pins.isEmpty) fs.delete(leaf, true)
+          else fs.listStatus(leaf).foreach { f =>
+            if (!pins.contains(f.getPath.getName)) fs.delete(f.getPath, true)
+          }
         } else {
           // Survivors exist but their staged copy is not where the swap
           // expects it — refuse loudly rather than delete survivors. The
@@ -730,16 +749,20 @@ object MaintenanceOps {
     * duplicates are NOT harmless there, which is what the marker below
     * exists for.
     *
-    * Crash contract: base is rewritten first (one dynamic partition
-    * overwrite), then the `_graft_folded_through` marker records the
-    * highest folded batch id, then the folded epoch directories are
-    * deleted. Epoch dirs at-or-under the marker are LEFTOVERS of a
-    * crashed fold — already merged into base — so a re-run deletes them
-    * without re-merging (convergent for the count ledger, where a
-    * re-merge would double counts) and the span ledger's collision read
-    * excludes them meanwhile. The only non-convergent window left is the
-    * base-write→marker-write gap, one small file create. Run between
-    * drains, like compaction.
+    * Crash contract (hardened round 17, after the crash-point sweep
+    * found the dynamic-overwrite commit gap): the merged base is staged
+    * into a hidden sibling tmp WITH the new `_graft_folded_through`
+    * marker inside it, then swapped in behind a bak
+    * ([[swapBasePartition]]) — the old base exists until the new one is
+    * whole, and data + horizon commit in ONE rename. Then the folded
+    * epoch directories are deleted. Epoch dirs at-or-under the marker
+    * are LEFTOVERS of a crashed fold — already merged into base — so a
+    * re-run deletes them without re-merging (convergent for the count
+    * ledger, where a re-merge would double counts) and the span
+    * ledger's collision read excludes them meanwhile. Every boundary of
+    * this sequence is enumerated convergent by CrashSweepSpec — the
+    * former base-write→marker-write gap no longer exists, because the
+    * marker rides the swap. Run between drains, like compaction.
     */
   def foldEpochs(
       spark: SparkSession,
@@ -804,14 +827,19 @@ object MaintenanceOps {
       }
     val rowsDf = merged.localCheckpoint(true)
     val rows = rowsDf.count()
-    rowsDf.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("_graft_epoch")
-      .parquet(ledgerDir)
-    writeFoldedThrough(fs, path, math.max(priorMark, maxFolded))
+    // Staged base swap with the marker inside (round 17) — see
+    // [[swapBasePartition]] for why the former dynamic partition
+    // overwrite could destroy the pre-fold base, and how riding the
+    // marker in the same rename closes the count-ledger double-merge
+    // window.
+    swapBasePartition(fs, path, rowsDf.drop("_graft_epoch"),
+      math.max(priorMark, maxFolded))
     folded.foreach(d => fs.delete(d.getPath, true))
     val filesAfter = fs.listStatus(new Path(path, "_graft_epoch=base"))
-      .count(_.isFile)
+      .count { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
     CompactionReport(filesBefore, filesAfter, rows)
   }
 
@@ -849,9 +877,13 @@ object MaintenanceOps {
       foldableEpochId(dirName.stripPrefix("_graft_epoch="))
     else None
 
-  /** Restore/clear leftover `.<name>_erase_bak` swap backups under (and
-    * beside) a ledger root. A [[ledgerDelete]] crash between its two
-    * renames leaves the original leaf ONLY at the hidden bak: rename it
+  /** Restore/clear leftover `.<name>_erase_bak` / `.<name>_compact_bak`
+    * swap backups under (and beside) a ledger root (the name predates
+    * round 17's widening to the compaction family — every staged swap
+    * of the family shares this one recovery). A [[ledgerDelete]] (or
+    * [[compactParquet]], or fold-base — [[swapBasePartition]]) crash
+    * between its two renames leaves the original leaf ONLY at the
+    * hidden bak: rename it
     * back when the leaf is missing (the re-run then re-finds its hits —
     * convergent), delete it when the leaf exists (the staged leaf
     * landed; the bak is a stale copy — but any `_graft_*` pin files the
@@ -874,35 +906,56 @@ object MaintenanceOps {
     * fold/compact entry the hidden epoch is restored BEFORE the fold
     * lists epochs, so it either folds with everything else or stays a
     * live epoch above the marker. */
-  private[graft] def recoverEraseBaks(
-      fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
-    def copyMissingPins(bak: Path, orig: Path): Unit =
-      fs.listStatus(bak).foreach { f =>
-        if (f.isFile && f.getPath.getName.startsWith("_graft_")) {
-          val dst = new Path(orig, f.getPath.getName)
-          if (!fs.exists(dst)) {
-            val in = fs.open(f.getPath)
-            val out = fs.create(dst, true)
-            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-            finally { in.close(); out.close() }
-          }
+  /** Copy `_graft_*` pin/marker files present in `from` but missing in
+    * `to` — the whole-leaf-old-or-new rule's tail: a staged rewrite's
+    * tmp never carries the in-leaf pins (construction pins, the in-base
+    * fold marker), so every swap that drops its bak must first copy the
+    * pins out of it, and every recovery that drops a bak whose original
+    * exists must do the same. */
+  private def copyGraftPins(
+      fs: org.apache.hadoop.fs.FileSystem, from: Path, to: Path): Unit =
+    fs.listStatus(from).foreach { f =>
+      if (f.isFile && f.getPath.getName.startsWith("_graft_")) {
+        val dst = new Path(to, f.getPath.getName)
+        if (!fs.exists(dst)) {
+          val in = fs.open(f.getPath)
+          val out = fs.create(dst, true)
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+          finally { in.close(); out.close() }
         }
       }
+    }
+
+  /** Swap-artifact suffixes this sweep recovers: the erase family's
+    * ([[ledgerDelete]], [[swapBasePartition]]) and the compaction
+    * family's ([[compactParquet]]) — both share the tmp → bak → swap
+    * protocol, so both share the recovery (round 17: a leaf hidden at
+    * its `_compact_bak` by a crashed compaction was previously
+    * restorable only by hand, and a fold could advance its marker past
+    * a compact-hidden epoch exactly like the erase case). */
+  private val SwapBakSuffixes = Seq("_erase_bak", "_compact_bak")
+  private val SwapTmpSuffixes = Seq("_erase_tmp", "_compact_tmp")
+
+  private[graft] def recoverEraseBaks(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
     def restoreOrDrop(bak: Path, orig: Path): Unit =
       if (!fs.exists(orig)) {
         if (!fs.rename(bak, orig))
           throw new java.io.IOException(
-            s"ledgerDelete recovery failed: rename $bak -> $orig")
+            s"swap recovery failed: rename $bak -> $orig")
       } else {
-        copyMissingPins(bak, orig)
+        copyGraftPins(fs, bak, orig)
         fs.delete(bak, true)
       }
     def handle(s: org.apache.hadoop.fs.FileStatus): Unit = {
       val n = s.getPath.getName
-      if (s.isDirectory && n.startsWith(".") && n.endsWith("_erase_bak")) {
+      val bakSuffix = SwapBakSuffixes.find(n.endsWith)
+      if (s.isDirectory && n.startsWith(".") && bakSuffix.isDefined) {
         restoreOrDrop(s.getPath,
-          new Path(s.getPath.getParent, n.stripPrefix(".").stripSuffix("_erase_bak")))
-      } else if (s.isDirectory && n.startsWith(".") && n.endsWith("_erase_tmp")) {
+          new Path(s.getPath.getParent,
+            n.stripPrefix(".").stripSuffix(bakSuffix.get)))
+      } else if (s.isDirectory && n.startsWith(".") &&
+          SwapTmpSuffixes.exists(n.endsWith)) {
         fs.delete(s.getPath, true)
       } else if (s.isDirectory &&
           (n.contains("=") || (!n.startsWith("_") && !n.startsWith(".")))) {
@@ -917,10 +970,13 @@ object MaintenanceOps {
     // Flat-root swap artifacts sit BESIDE the root, not under it.
     val parent = root.getParent
     if (parent != null && fs.exists(parent)) {
-      val bak = new Path(parent, s".${root.getName}_erase_bak")
-      val tmp = new Path(parent, s".${root.getName}_erase_tmp")
-      if (fs.exists(bak)) restoreOrDrop(bak, root)
-      fs.delete(tmp, true)
+      SwapBakSuffixes.foreach { sfx =>
+        val bak = new Path(parent, s".${root.getName}$sfx")
+        if (fs.exists(bak)) restoreOrDrop(bak, root)
+      }
+      SwapTmpSuffixes.foreach { sfx =>
+        fs.delete(new Path(parent, s".${root.getName}$sfx"), true)
+      }
     }
     if (fs.exists(root)) fs.listStatus(root).foreach(handle)
   }
@@ -950,13 +1006,21 @@ object MaintenanceOps {
     * [[foldEpochs]] removes them on its next run and the count ledgers'
     * collision reads exclude them in the meantime. */
   def foldedThrough(fs: org.apache.hadoop.fs.FileSystem, ledgerPath: Path): Long = {
-    if (!fs.exists(ledgerPath)) return -1L
-    val ids = fs.listStatus(ledgerPath).iterator.flatMap { s =>
-      val n = s.getPath.getName
-      if (n.startsWith(FoldMarkerPrefix))
-        scala.util.Try(n.stripPrefix(FoldMarkerPrefix).toLong).toOption
-      else None
-    }.toSeq
+    def idsIn(p: Path): Iterator[Long] =
+      if (!fs.exists(p)) Iterator.empty
+      else fs.listStatus(p).iterator.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(FoldMarkerPrefix))
+          scala.util.Try(n.stripPrefix(FoldMarkerPrefix).toLong).toOption
+        else None
+      }
+    // Since round 17 the fold commits its marker INSIDE the staged base
+    // partition (data + horizon land in ONE rename — see
+    // [[swapBasePartition]]); root-level markers remain valid (written
+    // by rebalances carrying a horizon into a fresh namespace, and by
+    // pre-round-17 folds). Max over both locations wins, as ever.
+    val ids = (idsIn(ledgerPath) ++
+      idsIn(new Path(ledgerPath, "_graft_epoch=base"))).toSeq
     if (ids.isEmpty) -1L else ids.max
   }
 
@@ -968,6 +1032,61 @@ object MaintenanceOps {
     // Cleanup AFTER the new marker exists; a crash between the two
     // leaves extra markers, and max() still answers correctly.
     prior.foreach(p => fs.delete(p, false))
+  }
+
+  /** Commit a fold's new `_graft_epoch=base` partition by STAGED SWAP
+    * (round 17; both folds previously used Spark's dynamic partition
+    * overwrite). The crash-point sweep (CrashSweepSpec) caught the
+    * overwrite's commit gap: dynamic overwrite DELETES the existing
+    * base partition and then renames its hidden staging in — a crash
+    * between the two destroys the only copy of the pre-fold base rows
+    * (the epochs still on disk hold none of them). The family's own
+    * tmp → bak → swap protocol closes it: the bak keeps the old base
+    * until the staged one is in, and [[recoverEraseBaks]] — already run
+    * at every maintenance entry — converges both crash sides.
+    *
+    * The NEW fold marker is created INSIDE the staged tmp before the
+    * swap, so the merged data and the advanced horizon commit in the
+    * SAME rename. That closes the protocol's last declared
+    * non-convergent window (base-write → marker-write): a re-entry
+    * after ANY post-swap crash reads the new horizon from inside base,
+    * classifies the folded epochs as leftovers, and deletes them
+    * WITHOUT re-merging — so a count ledger can no longer double its
+    * epoch contributions from that gap. Root-level markers superseded
+    * by the swapped-in one are best-effort deleted afterwards.
+    *
+    * `df` must NOT carry the `_graft_epoch` column (base's files never
+    * do — it is a partition directory name); deeper partitioning (the
+    * PQ store's `cell`) rides `partitionCols`. */
+  private[operators] def swapBasePartition(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: Path,
+      df: org.apache.spark.sql.DataFrame,
+      newMark: Long,
+      partitionCols: Seq[String] = Nil): Unit = {
+    require(!df.columns.contains("_graft_epoch"),
+      "swapBasePartition: drop _graft_epoch before staging — base's " +
+        "files never carry the partition column")
+    val leaf = new Path(root, "_graft_epoch=base")
+    val tmp = new Path(root, "._graft_epoch=base_erase_tmp")
+    fs.delete(tmp, true)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    writeFoldedThrough(fs, tmp, newMark)
+    val bak = new Path(root, "._graft_epoch=base_erase_bak")
+    fs.delete(bak, true)
+    if (fs.exists(leaf) && !fs.rename(leaf, bak))
+      throw new java.io.IOException(s"fold swap failed: rename $leaf -> $bak")
+    if (!fs.rename(tmp, leaf))
+      throw new java.io.IOException(s"fold swap failed: rename $tmp -> $leaf")
+    fs.delete(bak, true)
+    // The inner marker is authoritative and >= any root-level one;
+    // superseded root markers are debris (crash here leaves extras —
+    // max still answers correctly).
+    fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(FoldMarkerPrefix))
+      .foreach(p => fs.delete(p.getPath, false))
   }
 
   /** Name of the ledger's fold-rule declaration. Content `sum` = count

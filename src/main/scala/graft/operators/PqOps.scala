@@ -1762,11 +1762,14 @@ object PqOps {
         // replaces the base partition of the directory just read.
         val pinned = merged.localCheckpoint(true)
         val rows = pinned.count()
-        pinned.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("_graft_epoch", "cell")
-          .parquet(nsDir)
-        MaintenanceOps.writeFoldedThrough(fs, nsPath, math.max(priorMark, maxFolded))
+        // Staged base swap with the marker inside (round 17; was a
+        // dynamic partition overwrite, whose delete→rename commit gap
+        // could destroy a cell's pre-fold base rows — see
+        // [[MaintenanceOps.swapBasePartition]]). The cell partitioning
+        // rides inside the swapped directory.
+        MaintenanceOps.swapBasePartition(fs, nsPath,
+          pinned.drop("_graft_epoch"), math.max(priorMark, maxFolded),
+          partitionCols = Seq("cell"))
         folded.foreach(d => fs.delete(d.getPath, true))
         val filesAfter = countLeafFiles(
           fs, new org.apache.hadoop.fs.Path(nsDir, s"_graft_epoch=$BaseEpoch"))

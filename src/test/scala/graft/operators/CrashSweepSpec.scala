@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.TestSpark
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Crash-point SWEEPS over the erase/fold maintenance protocol (round
+  * 17). The family's hand-staged crash specs each pin ONE known window
+  * (the mid-swap bak, the fold-after-crashed-erase chain, the pin gap);
+  * every one of those windows was found by reading the code after the
+  * fact. These sweeps enumerate the windows mechanically instead:
+  * [[CrashFs]] injects a failure at the Nth driver-side rename / delete
+  * / create for N = 1, 2, … past the op's full mutation sequence, and
+  * after EVERY injection the documented recovery (re-enter the op; for
+  * the composition sweep, let the unattended fold run first) must land
+  * the ledger in exactly the no-crash final state. A future edit that
+  * introduces a non-convergent boundary fails the sweep here, not a
+  * round-N postmortem.
+  *
+  * Invariants are SET-valued where the protocol documents set
+  * semantics (membership ledgers tolerate duplicate rows in base — hit
+  * reads are semi-join/distinct; the count-ledger double-merge gap is
+  * covered by its own marker spec in MaintenanceOpsSpec). */
+class CrashSweepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fsFor(dir: String) = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.crash.impl", classOf[CrashFs].getName)
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  }
+
+  /** For N = 1, 2, … : fresh fixture, inject a crash at mutation N of
+    * `op`, run `recover`, assert `invariant`; stop once an armed run
+    * completes with budget to spare (the sequence has < N mutations).
+    * Returns how many boundaries were swept. */
+  private def sweep(tag: String, cap: Int)(fixture: String => Unit)(
+      op: String => Unit)(recover: String => Unit)(
+      invariant: (String, Int, Boolean) => Unit): Int = {
+    var n = 1
+    var completed = false
+    while (!completed && n <= cap) {
+      val root = Files.createTempDirectory(s"crash_sweep_$tag")
+      val dir = s"crash://$root/ledger"
+      fsFor(dir) // registers the scheme before any crash:// I/O
+      fixture(dir)
+      CrashFs.arm(n)
+      val crashed =
+        try { op(dir); false }
+        catch { case _: Throwable => true }
+      val left = CrashFs.disarm()
+      if (!crashed && left > 0) completed = true
+      recover(dir)
+      invariant(dir, n, crashed)
+      n += 1
+    }
+    assert(completed, s"[$tag] swept $cap boundaries without the op completing")
+    n - 1
+  }
+
+  private def keySet(dir: String): Set[String] =
+    spark.read.parquet(dir).select(col("k")).as[String].collect().toSet
+
+  private def noEraseDebris(dir: String): Unit = {
+    val fs = fsFor(dir)
+    val p = new Path(dir)
+    val here =
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName).toSeq else Nil
+    val beside =
+      fs.listStatus(p.getParent).map(_.getPath.getName).toSeq
+    val debris = (here ++ beside).filter(_.contains("_erase_"))
+    assert(debris.isEmpty, s"erase debris left behind: ${debris.mkString(", ")}")
+  }
+
+  test("ledgerDelete (flat, pinned) converges from every crash boundary") {
+    val pinBytes = "k=16,shingleN=3,nBands=4,rowsPerBand=4"
+    val boundaries = sweep("flat", cap = 120) { dir =>
+      Seq("kill1", "kill2", "keep1", "keep2", "keep3").toDF("k")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+      val fs = fsFor(dir)
+      val out = fs.create(new Path(dir, "_graft_lsh_meta"), true)
+      try out.write(pinBytes.getBytes("UTF-8")) finally out.close()
+    } { dir =>
+      MaintenanceOps.ledgerDelete(spark, dir, "k",
+        Seq("kill1", "kill2").toDF("k"), s"$dir-audit")
+    } { dir =>
+      MaintenanceOps.ledgerDelete(spark, dir, "k",
+        Seq("kill1", "kill2").toDF("k"), s"$dir-audit2")
+    } { (dir, n, crashed) =>
+      assert(keySet(dir) == Set("keep1", "keep2", "keep3"),
+        s"crash point $n (crashed=$crashed): wrong survivors")
+      val fs = fsFor(dir)
+      val pin = new Path(dir, "_graft_lsh_meta")
+      assert(fs.exists(pin), s"crash point $n: construction pin lost")
+      val in = fs.open(pin)
+      val got =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      assert(got == pinBytes, s"crash point $n: pin content drifted")
+      noEraseDebris(dir)
+    }
+    info(s"flat ledgerDelete: $boundaries crash boundaries, all convergent")
+  }
+
+  test("ledgerDelete crash -> unattended fold -> re-enter converges at every boundary") {
+    // The round-17 lead-fix chain, swept: the erase crashes at ANY
+    // point, the unattended compliance loop's fold runs next, then the
+    // erase re-enters. No boundary may lose a committed epoch's
+    // survivors or leave a kill behind.
+    val boundaries = sweep("fold_compose", cap = 160) { dir =>
+      Seq(("a", "base"), ("kill", "epoch0"), ("b", "epoch0"),
+        ("kill", "epoch1"), ("c", "epoch1"), ("d", "epoch2"))
+        .toDF("k", "_graft_epoch")
+        .write.partitionBy("_graft_epoch").mode(SaveMode.Overwrite).parquet(dir)
+    } { dir =>
+      MaintenanceOps.ledgerDelete(spark, dir, "k",
+        Seq("kill").toDF("k"), s"$dir-audit")
+    } { dir =>
+      MaintenanceOps.foldEpochs(spark, dir, upToBatchId = 9L)
+      MaintenanceOps.ledgerDelete(spark, dir, "k",
+        Seq("kill").toDF("k"), s"$dir-audit2")
+    } { (dir, n, crashed) =>
+      assert(keySet(dir) == Set("a", "b", "c", "d"),
+        s"crash point $n (crashed=$crashed): committed rows lost or kill kept")
+      val fs = fsFor(dir)
+      assert(MaintenanceOps.foldedThrough(fs, new Path(dir)) == 2L,
+        s"crash point $n: fold marker wrong")
+      noEraseDebris(dir)
+    }
+    info(s"erase-crash x fold composition: $boundaries boundaries, all convergent")
+  }
+
+  test("foldEpochs (count ledger) sums EXACTLY at every crash boundary") {
+    // The protocol's formerly-declared "only non-convergent window left"
+    // (base committed, marker not yet written → a re-run re-merges and
+    // DOUBLES the count ledger's epoch contributions) is closed in round
+    // 17: the marker now rides INSIDE the staged base swap, so data and
+    // horizon commit in one rename. This sweep would fail at that
+    // boundary under the old protocol.
+    val boundaries = sweep("fold_count", cap = 120) { dir =>
+      Seq(("x", 2L, "base"), ("y", 5L, "base"),
+        ("x", 3L, "epoch0"), ("z", 7L, "epoch1"))
+        .toDF("k", "_graft_n", "_graft_epoch")
+        .write.partitionBy("_graft_epoch").mode(SaveMode.Overwrite).parquet(dir)
+      val fs = fsFor(dir)
+      MaintenanceOps.declareCountFoldRule(fs, new Path(dir))
+    } { dir =>
+      MaintenanceOps.foldEpochs(spark, dir, upToBatchId = 9L)
+    } { dir =>
+      MaintenanceOps.foldEpochs(spark, dir, upToBatchId = 9L)
+    } { (dir, n, crashed) =>
+      val sums = spark.read.parquet(dir)
+        .groupBy(col("k")).agg(org.apache.spark.sql.functions.sum(col("_graft_n")).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(sums == Map("x" -> 5L, "y" -> 5L, "z" -> 7L),
+        s"crash point $n (crashed=$crashed): counts doubled or lost: $sums")
+      val fs = fsFor(dir)
+      assert(MaintenanceOps.foldedThrough(fs, new Path(dir)) == 1L,
+        s"crash point $n: fold marker wrong after recovery")
+    }
+    info(s"count-ledger foldEpochs: $boundaries boundaries, all EXACT")
+  }
+
+  test("foldEpochs (membership ledger) converges from every crash boundary") {
+    val boundaries = sweep("fold", cap = 120) { dir =>
+      Seq(("a", "base"), ("b", "epoch0"), ("c", "epoch1"))
+        .toDF("k", "_graft_epoch")
+        .write.partitionBy("_graft_epoch").mode(SaveMode.Overwrite).parquet(dir)
+    } { dir =>
+      MaintenanceOps.foldEpochs(spark, dir, upToBatchId = 9L)
+    } { dir =>
+      MaintenanceOps.foldEpochs(spark, dir, upToBatchId = 9L)
+    } { (dir, n, crashed) =>
+      assert(keySet(dir) == Set("a", "b", "c"),
+        s"crash point $n (crashed=$crashed): membership set broken")
+      val fs = fsFor(dir)
+      assert(MaintenanceOps.foldedThrough(fs, new Path(dir)) == 1L,
+        s"crash point $n: fold marker wrong after recovery")
+      val leftover = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+        .filter(nm => nm.startsWith("_graft_epoch=") &&
+          nm != "_graft_epoch=base")
+      assert(leftover.isEmpty,
+        s"crash point $n: unfolded epoch dirs left: ${leftover.mkString(", ")}")
+    }
+    info(s"foldEpochs: $boundaries crash boundaries, all convergent")
+  }
+}

@@ -930,7 +930,11 @@ class PqOpsSpec extends AnyFunSuite {
     assert(rep("codes").rows > 0 && rep("rcodes").rows > 0)
     assert(!exists("codes/_graft_epoch=epoch0") &&
       exists("codes/_graft_epoch=epoch1") &&
-      exists("codes/_graft_folded_through_0") &&
+      // Round 17: the marker rides INSIDE the swapped base partition
+      // (data + horizon in one rename); foldedThrough is the one
+      // location-agnostic read.
+      MaintenanceOps.foldedThrough(fs,
+        new org.apache.hadoop.fs.Path(dir, "codes")) == 0L &&
       !exists("rcodes/_graft_epoch=epoch0"), "epoch0 folded, epoch1 live")
     val mid = PqOps.readPqArtifacts(spark, dir)
     assert(codeRows(mid.codes) == s1 && codeRows(mid.rcodes.get) == r1,
