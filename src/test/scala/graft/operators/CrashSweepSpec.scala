@@ -134,6 +134,92 @@ class CrashSweepSpec extends AnyFunSuite {
     info(s"erase-crash x fold composition: $boundaries boundaries, all convergent")
   }
 
+  // PQ-store sweeps share one template store (built once on plain
+  // file://, copied per crash point): base ids 0-3 + epoch0 {4} +
+  // epoch1 {5}, WITH a refinement level so every sweep crosses the
+  // per-namespace (codes, rcodes) loop — a crash between the two
+  // namespaces' sequences is the composition the hand specs never
+  // staged.
+  private lazy val pqTemplate: String = {
+    val tpl = Files.createTempDirectory("crash_sweep_pq_tpl")
+      .resolve("pq").toString
+    val vecs = (0L to 5L)
+      .map(i => (i, Array.tabulate(4)(d => (i * 4 + d).toFloat)))
+      .toDF("id", "v")
+    PqOps.writePqArtifacts(spark, vecs.filter(col("id") < 4), "v", "id",
+      tpl, m = 2, kCodes = 2, iters = 1, coarseK = 2, coarseIters = 1,
+      refineM = 4, refineK = 2)
+    PqOps.incrementalPqEncode(spark,
+      vecs.filter(col("id") === 4L), "v", "id", tpl, "epoch0").commitLedger()
+    PqOps.incrementalPqEncode(spark,
+      vecs.filter(col("id") === 5L), "v", "id", tpl, "epoch1").commitLedger()
+    tpl
+  }
+
+  private def copyPqTemplate(dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(pqTemplate)
+    val lfs = src.getFileSystem(conf)
+    val dst = new Path(dir)
+    val dfs = dst.getFileSystem(conf)
+    assert(org.apache.hadoop.fs.FileUtil.copy(lfs, src, dfs, dst, false, conf))
+  }
+
+  private def pqView(dir: String, ns: String): Set[(Long, Int, Int, Int)] = {
+    val arts = PqOps.readPqArtifacts(spark, dir)
+    val df = if (ns == "codes") arts.codes else arts.rcodes.get
+    df.select(col("id"), col("sub"), col("code"), col("cell"))
+      .as[(Long, Int, Int, Int)].collect().toSet
+  }
+
+  test("foldPqEpochs converges from every crash boundary across BOTH namespaces") {
+    val expCodes = pqView(pqTemplate, "codes")
+    val expRcodes = pqView(pqTemplate, "rcodes")
+    val boundaries = sweep("pq_fold", cap = 200) { dir =>
+      copyPqTemplate(dir)
+    } { dir =>
+      PqOps.foldPqEpochs(spark, dir, upToBatchId = 1L)
+    } { dir =>
+      PqOps.foldPqEpochs(spark, dir, upToBatchId = 1L)
+    } { (dir, n, crashed) =>
+      assert(pqView(dir, "codes") == expCodes,
+        s"crash point $n (crashed=$crashed): codes view broken")
+      assert(pqView(dir, "rcodes") == expRcodes,
+        s"crash point $n (crashed=$crashed): rcodes view broken")
+      val fs = fsFor(dir)
+      Seq("codes", "rcodes").foreach { ns =>
+        assert(MaintenanceOps.foldedThrough(fs, new Path(dir, ns)) == 1L,
+          s"crash point $n: $ns fold marker wrong after recovery")
+        val epochs = fs.listStatus(new Path(dir, ns)).map(_.getPath.getName)
+          .filter(nm => nm.startsWith("_graft_epoch=") &&
+            nm != "_graft_epoch=base")
+        assert(epochs.isEmpty,
+          s"crash point $n: $ns unfolded epochs left: ${epochs.mkString(", ")}")
+      }
+    }
+    info(s"foldPqEpochs: $boundaries crash boundaries, all convergent")
+  }
+
+  test("pqStoreDelete converges from every crash boundary across BOTH namespaces") {
+    val expCodes = pqView(pqTemplate, "codes").filterNot(r => r._1 == 1L || r._1 == 4L)
+    val expRcodes = pqView(pqTemplate, "rcodes").filterNot(r => r._1 == 1L || r._1 == 4L)
+    val boundaries = sweep("pq_delete", cap = 200) { dir =>
+      copyPqTemplate(dir)
+    } { dir =>
+      PqOps.pqStoreDelete(spark, dir, "id", Seq(1L, 4L), s"$dir-audit")
+    } { dir =>
+      PqOps.pqStoreDelete(spark, dir, "id", Seq(1L, 4L), s"$dir-audit2")
+    } { (dir, n, crashed) =>
+      assert(pqView(dir, "codes") == expCodes,
+        s"crash point $n (crashed=$crashed): codes survivors broken")
+      assert(pqView(dir, "rcodes") == expRcodes,
+        s"crash point $n (crashed=$crashed): rcodes survivors broken")
+      noEraseDebris(s"$dir/codes")
+      noEraseDebris(s"$dir/rcodes")
+    }
+    info(s"pqStoreDelete: $boundaries crash boundaries, all convergent")
+  }
+
   test("foldEpochs (count ledger) sums EXACTLY at every crash boundary") {
     // The protocol's formerly-declared "only non-convergent window left"
     // (base committed, marker not yet written → a re-run re-merges and
