@@ -134,6 +134,52 @@ class CrashSweepSpec extends AnyFunSuite {
     info(s"erase-crash x fold composition: $boundaries boundaries, all convergent")
   }
 
+  test("compactLedger crash -> unattended fold -> re-enter converges at every boundary") {
+    // Round 17 widened the recovery sweep to the compaction family's
+    // `_compact_bak`/`_compact_tmp`: before that, a leaf hidden by a
+    // crashed compaction swap was restorable only BY HAND, and a fold
+    // running next could advance its marker past the compact-hidden
+    // epoch — the same phantom-loss class as the erase chain. Fixture
+    // is a part-folded ledger (base carries its in-leaf fold marker,
+    // one live epoch) with a root construction pin; every boundary of
+    // compact → fold → compact must keep the rows, the pin, AND the
+    // horizon.
+    val tpl = Files.createTempDirectory("crash_sweep_compact_tpl")
+      .resolve("ledger").toString
+    Seq(("a", "base"), ("b", "epoch0"), ("c", "epoch1"))
+      .toDF("k", "_graft_epoch")
+      .write.partitionBy("_graft_epoch").mode(SaveMode.Overwrite).parquet(tpl)
+    MaintenanceOps.foldEpochs(spark, tpl, upToBatchId = 0L)
+    val tplFs = new Path(tpl).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = tplFs.create(new Path(tpl, "_graft_lsh_meta"), true)
+    try out.write("k=16,shingleN=3,nBands=4,rowsPerBand=4".getBytes("UTF-8"))
+    finally out.close()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val boundaries = sweep("compact", cap = 120) { dir =>
+      val dfs = fsFor(dir)
+      assert(org.apache.hadoop.fs.FileUtil.copy(
+        tplFs, new Path(tpl), dfs, new Path(dir), false, conf))
+    } { dir =>
+      MaintenanceOps.compactLedger(spark, dir)
+    } { dir =>
+      MaintenanceOps.foldEpochs(spark, dir, upToBatchId = 9L)
+      MaintenanceOps.compactLedger(spark, dir)
+    } { (dir, n, crashed) =>
+      assert(keySet(dir) == Set("a", "b", "c"),
+        s"crash point $n (crashed=$crashed): rows lost through compact/fold")
+      val fs = fsFor(dir)
+      assert(MaintenanceOps.foldedThrough(fs, new Path(dir)) == 1L,
+        s"crash point $n: fold horizon lost through the compaction swap")
+      assert(fs.exists(new Path(dir, "_graft_lsh_meta")),
+        s"crash point $n: construction pin lost")
+      val debris = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+        .filter(nm => nm.contains("_compact_") || nm.contains("_erase_"))
+      assert(debris.isEmpty,
+        s"crash point $n: swap debris left: ${debris.mkString(", ")}")
+    }
+    info(s"compactLedger x fold: $boundaries crash boundaries, all convergent")
+  }
+
   // PQ-store sweeps share one template store (built once on plain
   // file://, copied per crash point): base ids 0-3 + epoch0 {4} +
   // epoch1 {5}, WITH a refinement level so every sweep crosses the
