@@ -129,9 +129,11 @@ object MaintenanceOps {
     * renames, and between rename(path→bak) and rename(tmp→path) the
     * corpus directory briefly does not exist — a reader racing that
     * ~ms window fails its scan, and a crash INSIDE it strands the data
-    * in the hidden `.<name>_delete_bak` sibling (recover by renaming it
-    * back; the rewrite in `_delete_tmp` is complete and can be re-swapped
-    * instead). "Readers never see a HALF-deleted directory" is the
+    * in the hidden `.<name>_delete_bak` sibling — restored automatically
+    * at the next entry (round 17: [[recoverEraseBaks]] sweeps the
+    * `_delete_*` artifacts too; re-running the delete converges, swept
+    * boundary-by-boundary in CrashSweepSpec). "Readers never see a
+    * HALF-deleted directory" is the
     * guarantee — they can transiently see a missing one. A cluster
     * deployment wanting a truly atomic swap puts a table format's
     * metadata commit (or a view flip) in front of the directory. */
@@ -146,6 +148,12 @@ object MaintenanceOps {
     val idsDistinct = ids.distinct
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Self-healing re-entry (round 17; previously the scaladoc said
+    // "recover by renaming it back" — the one swap in the family whose
+    // recovery was manual): a crash between the two renames leaves the
+    // corpus ONLY at its `.<name>_delete_bak` — restore it before the
+    // scan, exactly the [[ledgerDelete]] rule.
+    recoverEraseBaks(fs, path)
     val subdirs = dataDirs(fs, path)
     if (subdirs.nonEmpty)
       throw new IllegalArgumentException(
@@ -933,8 +941,8 @@ object MaintenanceOps {
     * its `_compact_bak` by a crashed compaction was previously
     * restorable only by hand, and a fold could advance its marker past
     * a compact-hidden epoch exactly like the erase case). */
-  private val SwapBakSuffixes = Seq("_erase_bak", "_compact_bak")
-  private val SwapTmpSuffixes = Seq("_erase_tmp", "_compact_tmp")
+  private val SwapBakSuffixes = Seq("_erase_bak", "_compact_bak", "_delete_bak")
+  private val SwapTmpSuffixes = Seq("_erase_tmp", "_compact_tmp", "_delete_tmp")
 
   private[graft] def recoverEraseBaks(
       fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {

@@ -134,6 +134,35 @@ class CrashSweepSpec extends AnyFunSuite {
     info(s"erase-crash x fold composition: $boundaries boundaries, all convergent")
   }
 
+  test("targetedDelete converges from every crash boundary (self-healing re-entry)") {
+    // Round 17: targetedDelete was the one swap in the family whose
+    // crash recovery was MANUAL ("recover by renaming it back") — now
+    // it runs the shared recovery at entry and its `_delete_*`
+    // artifacts joined the sweep. Every boundary of delete → re-enter
+    // must land exactly the survivor set, with the corpus directory
+    // present and no swap debris.
+    val boundaries = sweep("tdelete", cap = 120) { dir =>
+      Seq((1L, "kill1"), (2L, "keep1"), (3L, "kill2"), (4L, "keep2"))
+        .toDF("id", "payload")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+    } { dir =>
+      MaintenanceOps.targetedDelete(spark, dir, "id", Seq(1L, 3L), s"$dir-audit")
+    } { dir =>
+      MaintenanceOps.targetedDelete(spark, dir, "id", Seq(1L, 3L), s"$dir-audit2")
+    } { (dir, n, crashed) =>
+      val left = spark.read.parquet(dir)
+        .select(col("id"), col("payload")).as[(Long, String)].collect().toSet
+      assert(left == Set((2L, "keep1"), (4L, "keep2")),
+        s"crash point $n (crashed=$crashed): wrong survivors: $left")
+      val fs = fsFor(dir)
+      val debris = fs.listStatus(new Path(dir).getParent)
+        .map(_.getPath.getName).filter(_.contains("_delete_"))
+      assert(debris.isEmpty,
+        s"crash point $n: swap debris left: ${debris.mkString(", ")}")
+    }
+    info(s"targetedDelete: $boundaries crash boundaries, all convergent")
+  }
+
   test("compactLedger crash -> unattended fold -> re-enter converges at every boundary") {
     // Round 17 widened the recovery sweep to the compaction family's
     // `_compact_bak`/`_compact_tmp`: before that, a leaf hidden by a
