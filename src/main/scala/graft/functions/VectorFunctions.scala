@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{CosineSimExpr, DotProductExpr, L2DistExpr, SrpBucketExpr}
+import graft.plans.{CosineSimExpr, DotProductExpr, L2DistExpr, PqEncodeGen, PqLutGen, SrpBucketExpr}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
@@ -29,6 +29,15 @@ object VectorFunctions {
 
   def l2Distance(a: Column, b: Column): Column =
     round(col(L2DistExpr(expr(a), expr(b))), 6)
+
+  /** PQ literal-path generators (round 17) — see
+    * [[graft.plans.PqEncodeGen]]/[[graft.plans.PqLutGen]]. */
+  def pqEncodeGen(v: Column, books: Array[Array[Array[Double]]],
+      withSubvec: Boolean): Column =
+    col(PqEncodeGen(expr(v), books, withSubvec))
+
+  def pqLutGen(v: Column, books: Array[Array[Array[Double]]]): Column =
+    col(PqLutGen(expr(v), books))
 
   /** Sign-random-projection LSH bucket id over `nBits` deterministic
     * hyperplanes; see [[graft.plans.VecOps.srpBucket]] for the grid. This

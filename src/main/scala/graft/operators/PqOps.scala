@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Product quantization (Jégou et al., "Product Quantization for Nearest
@@ -64,8 +64,20 @@ object PqOps {
 
   /** Fitted model: one row per (sub, code) — `m × kCodes` rows, kept as a
     * DataFrame (join state, not driver state — at m=8, k=2^20 the
-    * codebook outgrows the driver exactly like E133's fine model). */
-  final case class PqModel(codebooks: DataFrame, m: Int, kCodes: Int, subDim: Int)
+    * codebook outgrows the driver exactly like E133's fine model).
+    *
+    * `local` (round 17, guide §2.4/§3.1): the SAME codebooks as driver
+    * arrays (`local(sub)(code)` = centroid), present only when
+    * `kCodes ≤ KmeansOps.LiteralPathMaxK` — the [[KmeansOps.assignPath]]
+    * dual-path rule applied to PQ. With it, [[encode]] and the ADC lookup
+    * table become zero-shuffle codegen projections (no codebook join, no
+    * per-(id, sub) arg-min exchange); without it every consumer keeps the
+    * join-state path that scales to k=2^20 codebooks. Both paths are
+    * bit-identical by construction (same packed-long arithmetic;
+    * spec-pinned in PqOpsSpec). */
+  final case class PqModel(
+      codebooks: DataFrame, m: Int, kCodes: Int, subDim: Int,
+      local: Option[Array[Array[Array[Double]]]] = None)
 
   /** (id, _graft_sub, _graft_v): the corpus exploded into contiguous
     * subvectors — the ONLY row-count amplification in the family (m×,
@@ -130,18 +142,40 @@ object PqOps {
   }
 
   /** Fit all `m` codebooks simultaneously: `iters` Lloyd rounds over the
-    * subvector frame with the codebook as distributed join state. */
+    * subvector frame with the codebook as distributed join state — or,
+    * for `kCodes ≤ KmeansOps.LiteralPathMaxK`, over driver-held codebook
+    * arrays with each Lloyd round ONE aggregation job (the
+    * [[KmeansOps.updateStep]] shape): no subvector materialization, no
+    * per-round codebook join, no (id, sub) arg-min exchange. The two
+    * paths share the packed-long arg-min arithmetic and the
+    * `round(avg(x), 6)` update, so the fitted centroids are identical
+    * (spec-pinned). */
   def fitPq(
       df: DataFrame,
       vecCol: String,
       idCol: String,
       m: Int,
       kCodes: Int,
-      iters: Int): PqModel = {
+      iters: Int): PqModel =
+    fitPqPath(df, vecCol, idCol, m, kCodes, iters,
+      literal = kCodes <= KmeansOps.LiteralPathMaxK)
+
+  /** Path-pinned [[fitPq]] — package-visible so the spec can prove both
+    * paths produce identical models (the [[KmeansOps.assignPath]]
+    * discipline). */
+  private[operators] def fitPqPath(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int,
+      kCodes: Int,
+      iters: Int,
+      literal: Boolean): PqModel = {
     require(kCodes > 0, s"kCodes must be positive: $kCodes")
     require(kCodes < (1 << KmeansOps.ClusterBits),
       s"arg-min packs the code into ${KmeansOps.ClusterBits} bits; kCodes=$kCodes exceeds it")
     require(iters >= 0, s"iters must be non-negative: $iters")
+    if (literal) return fitPqLiteral(df, vecCol, idCol, m, kCodes, iters)
     // Dim discipline WITHOUT a dedicated corpus pass (round-14 hygiene):
     // read one row's dim, check divisibility on the driver, and let the
     // per-row expectDim guard inside the explode refuse any OTHER dim
@@ -174,6 +208,83 @@ object PqOps {
     PqModel(books, m, kCodes, subDim)
   }
 
+  /** Codebook frame from driver arrays — explicit schema + local rows
+    * (NOT `toDF`: the TypeTag encoder derivation behind it runs Scala
+    * runtime reflection on every call — measurable driver time paid once
+    * per fit for no value; the schema here is static). */
+  private def booksDf(
+      spark: SparkSession, books: Array[Array[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("_graft_sub", IntegerType, nullable = false),
+      StructField("_graft_code", IntegerType, nullable = false),
+      StructField("_graft_c", ArrayType(DoubleType), nullable = true)))
+    val rows = new java.util.ArrayList[Row]()
+    books.zipWithIndex.foreach { case (codes, s) =>
+      codes.zipWithIndex.foreach { case (c, i) => rows.add(Row(s, i, c.toSeq)) }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** The literal-path generators as Columns. The first literal cut
+    * unrolled the arg-min through built-ins (`least` over m × kCodes
+    * `round(l2(slice, typedLit))` legs) — measured WORSE on the m=8
+    * refinement level: whole-stage codegen blew janino's 64 KB method
+    * limit and every affected stage paid a failed compile + interpreted
+    * fallback (scaladoc on [[graft.plans.PqExpressions]]). The native
+    * generator runs the same arithmetic as a compiled loop. */
+  private def encodeGen(vecCol: String, books: Array[Array[Array[Double]]],
+      withSubvec: Boolean): Column =
+    graft.functions.VectorFunctions.pqEncodeGen(col(vecCol), books, withSubvec)
+
+  private def lutGen(vecCol: String, books: Array[Array[Array[Double]]]): Column =
+    graft.functions.VectorFunctions.pqLutGen(col(vecCol), books)
+
+  /** Literal-path fit: seeds from ONE driver-sized TakeOrdered collect
+    * (the subvectors of the `kCodes` smallest ids — [[seedBooks]]'
+    * semantics without its join), then each Lloyd round is ONE job: a
+    * literal arg-min projection feeding the (sub, code, i)
+    * `round(avg, 6)` aggregation, collected at m × kCodes × subDim rows
+    * (driver-bounded by the literal-path gate). Codes that captured no
+    * rows keep their previous centroid — the join path's left-join rule.
+    * The returned model carries BOTH forms: the codebook frame (a local
+    * relation — artifact writes and join-path consumers read it
+    * unchanged) and the `local` arrays the projection paths use. */
+  private def fitPqLiteral(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int,
+      kCodes: Int,
+      iters: Int): PqModel = {
+    val seedRows = df
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("_graft_w"))
+      .orderBy(col(idCol))
+      .limit(kCodes)
+      .collect()
+    require(seedRows.nonEmpty, "fitPq needs a non-empty corpus")
+    val dim = seedRows.head.getSeq[Double](1).length
+    require(dim % m == 0,
+      s"vector dim must be uniform and divisible by m=$m, got $dim")
+    val subDim = dim / m
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      seedRows.map(_.getSeq[Double](1).slice(s * subDim, (s + 1) * subDim).toArray))
+    for (_ <- 1 to iters) {
+      val agg = df
+        .select(encodeGen(vecCol, books, withSubvec = true)
+          .as(Seq("sub", "code", "dist", "sv")))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy(col("sub"), col("code"), col("i"))
+        .agg(round(avg(col("x")), 6).as("mn"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      agg.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      books = next
+    }
+    PqModel(booksDf(df.sparkSession, books), m, kCodes, subDim, local = Some(books))
+  }
+
   /** Arg-min of 6-dp L2 over each subvector's OWN subspace codebook —
     * the E133 packed-long discipline (a struct-valued min would degrade
     * to SortAggregate). Returns (idCol, _graft_sub, _graft_code,
@@ -196,12 +307,25 @@ object PqOps {
 
   /** Encode the corpus against a fitted model: one row per (id, sub) —
     * (idCol, sub, code, dist), dist the 6-dp subspace quantization
-    * error. Columnar on purpose: ADC joins on (sub, code) directly. */
+    * error. Columnar on purpose: ADC joins on (sub, code) directly.
+    *
+    * With a driver-held codebook ([[PqModel.local]], the literal-path
+    * gate) this is a ZERO-shuffle codegen projection — per row, each
+    * subspace's packed arg-min over its literal codebook, exploded to
+    * the same (id, sub, code, dist) rows; no codebook join, no
+    * (id, sub) exchange. Identical output by the shared packed-long
+    * arithmetic (spec-pinned). */
   def encode(df: DataFrame, vecCol: String, idCol: String, model: PqModel): DataFrame =
-    argmin(subvectors(df, vecCol, idCol, model.m,
-        expectDim = Some(model.m * model.subDim)), model.codebooks, idCol)
-      .select(col(idCol), col("_graft_sub").as("sub"),
-        col("_graft_code").as("code"), col("_graft_dist").as("dist"))
+    model.local match {
+      case Some(books) =>
+        df.select(col(idCol),
+          encodeGen(vecCol, books, withSubvec = false).as(Seq("sub", "code", "dist")))
+      case None =>
+        argmin(subvectors(df, vecCol, idCol, model.m,
+            expectDim = Some(model.m * model.subDim)), model.codebooks, idCol)
+          .select(col(idCol), col("_graft_sub").as("sub"),
+            col("_graft_code").as("code"), col("_graft_dist").as("dist"))
+    }
 
   /** Attach the coarse-cell column to an [[encode]] output — the BUILD-
     * time join (one shuffle, once, at write) that lets every later
@@ -482,20 +606,27 @@ object PqOps {
 
   /** Per (query, sub, code): the partial SQUARED distance, each leg's
     * L2 rounded at 6 dp first (the family's determinism grain) —
-    * queries × m × kCodes rows, workload-sized, built for broadcast. */
+    * queries × m × kCodes rows, workload-sized, built for broadcast.
+    * Literal-path models skip the codebook join: the m × kCodes entries
+    * explode from one codegen projection per query row (same rounding,
+    * same columns). */
   private def adcLut(
       queries: DataFrame,
       qidCol: String,
       vecCol: String,
-      model: PqModel): DataFrame = {
-    val qsubs = subvectors(queries, vecCol, qidCol, model.m,
-        expectDim = Some(model.m * model.subDim))
-      .withColumnRenamed("_graft_sub", "sub")
-    val l2 = graft.functions.VectorFunctions.l2Distance(col("_graft_v"), col("_graft_c"))
-    qsubs.join(
-        model.codebooks.withColumnRenamed("_graft_sub", "sub"), Seq("sub"))
-      .select(col(qidCol), col("sub"), col("_graft_code").as("code"),
-        (round(l2, 6) * round(l2, 6)).as("_graft_part"))
+      model: PqModel): DataFrame = model.local match {
+    case Some(books) =>
+      queries.select(col(qidCol),
+        lutGen(vecCol, books).as(Seq("sub", "code", "_graft_part")))
+    case None =>
+      val qsubs = subvectors(queries, vecCol, qidCol, model.m,
+          expectDim = Some(model.m * model.subDim))
+        .withColumnRenamed("_graft_sub", "sub")
+      val l2 = graft.functions.VectorFunctions.l2Distance(col("_graft_v"), col("_graft_c"))
+      qsubs.join(
+          model.codebooks.withColumnRenamed("_graft_sub", "sub"), Seq("sub"))
+        .select(col(qidCol), col("sub"), col("_graft_code").as("code"),
+          (round(l2, 6) * round(l2, 6)).as("_graft_part"))
   }
 
   /** Each query's `nprobe` nearest coarse cells by the family's 6-dp
@@ -653,15 +784,27 @@ object PqOps {
       .select(
         struct(col(qidCol), col("_graft_qcell")).as("_graft_qk"),
         zip_with(guarded, col("_graft_cc"), (a, b) => a - b).as("_graft_rq"))
-    val l2 = graft.functions.VectorFunctions.l2Distance(col("_graft_v"), col("_graft_c"))
-    val lut = subvectors(rq, "_graft_rq", "_graft_qk", model.m,
-        expectDim = Some(model.m * model.subDim))
-      .withColumnRenamed("_graft_sub", "sub")
-      .join(model.codebooks.withColumnRenamed("_graft_sub", "sub"), Seq("sub"))
-      .select(col(s"_graft_qk.$qidCol").as(qidCol),
-        col("_graft_qk._graft_qcell").as("_graft_qcell"),
-        col("sub"), col("_graft_code").as("code"),
-        (round(l2, 6) * round(l2, 6)).as("_graft_part"))
+    val lut = model.local match {
+      case Some(books) =>
+        // Literal path: the per-(query, cell) residualized LUT explodes
+        // from one generator row (same rounding grain; the native loop —
+        // see PqExpressions — keeps codegen under janino's method limit).
+        rq.select(col("_graft_qk"),
+            lutGen("_graft_rq", books).as(Seq("sub", "code", "_graft_part")))
+          .select(col(s"_graft_qk.$qidCol").as(qidCol),
+            col("_graft_qk._graft_qcell").as("_graft_qcell"),
+            col("sub"), col("code"), col("_graft_part"))
+      case None =>
+        val l2 = graft.functions.VectorFunctions.l2Distance(col("_graft_v"), col("_graft_c"))
+        subvectors(rq, "_graft_rq", "_graft_qk", model.m,
+            expectDim = Some(model.m * model.subDim))
+          .withColumnRenamed("_graft_sub", "sub")
+          .join(model.codebooks.withColumnRenamed("_graft_sub", "sub"), Seq("sub"))
+          .select(col(s"_graft_qk.$qidCol").as(qidCol),
+            col("_graft_qk._graft_qcell").as("_graft_qcell"),
+            col("sub"), col("_graft_code").as("code"),
+            (round(l2, 6) * round(l2, 6)).as("_graft_part"))
+    }
     adcTopK(
       codes
         .filter(col(cellCol).isin(probed: _*))
@@ -1064,7 +1207,7 @@ object PqOps {
           "from its pin; rebuild it.")
     val (rmodelOpt, rcodesOpt) = readRefinement(spark, dir, m * subDim)
     PqArtifacts(
-      PqModel(books, m, kCodes, subDim),
+      PqModel(books, m, kCodes, subDim, localBooks(books, m, kCodes)),
       coarse,
       readCodeNs(spark, dir, "codes").drop("_graft_epoch"),
       residual,
@@ -1144,8 +1287,30 @@ object PqOps {
           s"holds m2=${stored.getLong(0)}, max code=${stored.getInt(1)}, " +
           s"centroid widths ${stored.getInt(2)}..${stored.getInt(3)} — " +
           "the store drifted from its pin; rebuild it.")
-    (Some(PqModel(books, m2, kCodes2, subDim2)),
+    (Some(PqModel(books, m2, kCodes2, subDim2, localBooks(books, m2, kCodes2))),
       Some(readCodeNs(spark, dir, "rcodes").drop("_graft_epoch")))
+  }
+
+  /** Driver copy of a STORED codebook frame for the literal path — only
+    * when the pinned kCodes clears the literal gate (the same bound that
+    * keeps fit-time codebooks driver-held). One tiny collect at store-open
+    * buys every later [[encode]]/LUT a zero-shuffle projection. Returns
+    * None (join path) if the frame is not dense per (sub, code) — the
+    * read-side drift checks own integrity refusals; this routine only
+    * routes. */
+  private def localBooks(
+      books: DataFrame, m: Int, kCodes: Int): Option[Array[Array[Array[Double]]]] = {
+    if (kCodes > KmeansOps.LiteralPathMaxK) return None
+    val rows = books
+      .select(col("_graft_sub"), col("_graft_code"), col("_graft_c")).collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    if (bySub.keySet != (0 until m).toSet) return None
+    val arr = Array.tabulate(m) { s =>
+      bySub(s).map(r => r.getInt(1) -> r.getSeq[Double](2).toArray)
+        .sortBy(_._1)
+    }
+    val dense = arr.forall(codes => codes.map(_._1).toSeq == codes.indices)
+    if (dense) Some(arr.map(_.map(_._2))) else None
   }
 
   /** Search a stored artifact set, ROUTED BY ITS PINNED FORMULATION:

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.TestSpark
+import graft.plans.PqExprOps
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -1470,5 +1471,64 @@ class PqOpsSpec extends AnyFunSuite {
     val gotR = PqOps.annRecall(PqOps.readPqArtifacts(spark, dirR), vecs, "v",
       "id", k = k, nQueries = nq, nprobe = nprobe, topR = 4)
     assert(gotR >= 0.0 && gotR <= 1.0)
+  }
+
+  // ---- Literal (driver-held codebook) path parity (round 17) ----
+  // The assignPath discipline applied to PQ: the literal fit/encode must
+  // be bit-identical to the join path on every (sub, code, dist) row —
+  // the optimization is a plan change, never a value change.
+
+  test("literal and join fits produce identical codebooks") {
+    val lit = PqOps.fitPqPath(vecs, "v", "id", m = 2, kCodes = 2, iters = 2,
+      literal = true)
+    val join = PqOps.fitPqPath(vecs, "v", "id", m = 2, kCodes = 2, iters = 2,
+      literal = false)
+    assert(lit.local.isDefined && join.local.isEmpty)
+    val a = lit.codebooks.as[(Int, Int, Seq[Double])].collect().sortBy(r => (r._1, r._2))
+    val b = join.codebooks.as[(Int, Int, Seq[Double])].collect().sortBy(r => (r._1, r._2))
+    assert(a.toSeq == b.toSeq, s"literal books $a != join books $b")
+  }
+
+  test("literal and join encodes are row-identical (same model values)") {
+    val lit = PqOps.fitPqPath(vecs, "v", "id", m = 2, kCodes = 2, iters = 2,
+      literal = true)
+    // Same codebook VALUES forced through the join path: strip `local`.
+    val asJoin = lit.copy(local = None)
+    val a = PqOps.encode(vecs, "v", "id", lit)
+      .as[(Long, Int, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    val b = PqOps.encode(vecs, "v", "id", asJoin)
+      .as[(Long, Int, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(a.toSeq == b.toSeq, s"literal encode $a != join encode $b")
+  }
+
+  test("literal-path rounding is Spark's round, bit-for-bit") {
+    // The native generators restate Spark's round(x, s) as
+    // BigDecimal.valueOf + HALF_UP (PqExprOps.roundAt); this pins the
+    // restatement against Spark's own Round over adversarial
+    // representation-boundary values AND seeded random doubles — if Spark
+    // ever changes Round semantics, this fails before any oracle does.
+    val adversarial = Seq(
+      0.5, 1.5, 2.5, -0.5, -1.5, 0.49999999999999994, 2.4999999999999996,
+      0.0000005, 0.00000049999999, 1.0000004999999999, 123.45678949999999,
+      9.9999995, 0.1 + 0.2, 1e-7, 4.9999999e-7)
+    val rnd = new scala.util.Random(42)
+    val xs = adversarial ++ Seq.fill(5000)(rnd.nextDouble() * 100.0) ++
+      Seq.fill(1000)(rnd.nextDouble() * 1e7)
+    val df = xs.toDF("x")
+    val sparkRounded = df.select(round(col("x"), 6), round(col("x") * 1e6))
+      .as[(Double, Double)].collect()
+    xs.zip(sparkRounded).foreach { case (x, (r6, r0)) =>
+      assert(PqExprOps.roundAt(x, 6) == r6, s"roundAt($x, 6) != Spark round")
+      assert(PqExprOps.roundAt(x * 1e6, 0) == r0, s"roundAt($x*1e6, 0) != Spark round")
+    }
+  }
+
+  test("literal encode refuses a wrong-dim vector with the family message") {
+    val lit = PqOps.fitPqPath(vecs, "v", "id", m = 2, kCodes = 2, iters = 1,
+      literal = true)
+    val ragged = Seq((7L, Array(1.0, 2.0, 3.0))).toDF("id", "v")
+    val e = intercept[Exception](PqOps.encode(ragged, "v", "id", lit).collect())
+    assert(e.getMessage != null && e.getMessage.contains("vector dim must be 8"),
+      s"expected the dim guard, got: ${e.getMessage}")
   }
 }
