@@ -636,6 +636,30 @@ object PqOps {
     * broadcast-join + bounded-buffer grouped top-k above
     * [[KmeansOps.LiteralPathMaxK]] (both paths spec-pinned identical).
     * Returns (qidCol, _graft_qcell). */
+  /** [[probeCells]] pulled to the driver in ONE job (round 17): the
+    * probe frame is ≤ queries × nprobe rows — workload-sized by the
+    * family contract — yet each searcher used to localCheckpoint it
+    * (one job) and then run a distinct-collect over the checkpoint (a
+    * second job) just to build the static partition filter. One collect
+    * yields BOTH: the probed-cell list (sorted, so PartitionFilters are
+    * deterministic) and the same qcells frame as a broadcast-ready
+    * local relation. */
+  private def probeCellsLocal(
+      queries: DataFrame,
+      vecCol: String,
+      qidCol: String,
+      coarse: Array[Array[Double]],
+      nprobe: Int): (DataFrame, Seq[Integer]) = {
+    val pc = probeCells(queries, vecCol, qidCol, coarse, nprobe)
+    val schema = pc.schema
+    val rows = pc.collect()
+    val probed = rows.map(_.getInt(1)).distinct.sorted
+      .map(Integer.valueOf).toSeq
+    val qcells = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    (qcells, probed)
+  }
+
   private[operators] def probeCells(
       queries: DataFrame,
       vecCol: String,
@@ -708,13 +732,10 @@ object PqOps {
       topN: Int,
       nprobe: Int = 1): DataFrame = {
     require(topN >= 1, s"topN out of range: $topN")
-    val qcells = Tables.materialize(
-      probeCells(queries, vecCol, qidCol, coarse, nprobe))
     // Workload-sized by contract: ≤ queries × nprobe cell ids. The
     // driver-side collect is what turns the restriction into a STATIC
     // partition filter — pruning at the scan, not after it.
-    val probed = qcells.select(col("_graft_qcell")).distinct()
-      .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+    val (qcells, probed) = probeCellsLocal(queries, vecCol, qidCol, coarse, nprobe)
     val lut = adcLut(queries, qidCol, vecCol, model)
     adcTopK(
       codes
@@ -763,10 +784,7 @@ object PqOps {
         "were not built together")
     val spark = queries.sparkSession
     import spark.implicits._
-    val qcells = Tables.materialize(
-      probeCells(queries, vecCol, qidCol, coarse, nprobe))
-    val probed = qcells.select(col("_graft_qcell")).distinct()
-      .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+    val (qcells, probed) = probeCellsLocal(queries, vecCol, qidCol, coarse, nprobe)
     val centDf = broadcast(
       coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
         .toSeq.toDF("_graft_qcell", "_graft_cc"))
@@ -1399,10 +1417,7 @@ object PqOps {
         (applyPerm(queries, vecCol, arts.perm, "_graft_qpv")
           .select(col(qidCol), col("_graft_qpv")), "_graft_qpv")
       else (queries, vecCol)
-    val qcells = Tables.materialize(
-      probeCells(q2, vec2, qidCol, arts.coarse, nprobe))
-    val probed = qcells.select(col("_graft_qcell")).distinct()
-      .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+    val (qcells, probed) = probeCellsLocal(q2, vec2, qidCol, arts.coarse, nprobe)
     val candIds = shortlist.select(col(idCol)).distinct()
     // Both decode levels, restricted FIRST (probed-cell partition filter
     // + shortlist-id broadcast), so the per-id assembly is Q × R rows.
