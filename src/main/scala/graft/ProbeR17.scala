@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** TEMPORARY round-17 phase probe (not part of the product; removed at
+  * round end). Times the phases of the heavy PQ queries in a Bench-like
+  * JVM. Usage: runMain graft.ProbeR17 <sfDir> <which> */
+object ProbeR17 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = if (args.length > 1) args(1) else "q169"
+    val cpus = GraftSession.defaultCpus
+    val spark = GraftSession.builder(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[$tag] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    spark.range(100000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    e.write.format("noop").mode("overwrite").save()
+    import graft.operators._
+    (1 to 2).foreach { round =>
+      println(s"=== round $round ($which) ===")
+      which match {
+        case "q169" =>
+          val coarse = timed("coarse fit")(KmeansOps.fit(e, "embedding", "vec_id", k = 8, iters = 1))
+          val res = timed("res mat")(Tables.materialize(
+            PqOps.residuals(e, "embedding", "vec_id", coarse.centroids)))
+          val model = timed("fitPq")(PqOps.fitPq(res, "residual", "vec_id", m = 4, kCodes = 8, iters = 1))
+          val codes = timed("codes mat")(Tables.materialize(
+            PqOps.attachCells(PqOps.encode(res, "residual", "vec_id", model),
+              res.select(col("vec_id"), col("cell").as("cluster")), "vec_id")))
+          val asg = res.select(col("vec_id"), col("cell").as("cluster"))
+            .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+          val maxPop = timed("count")(math.ceil(e.count() / 10.0).toLong)
+          val split = timed("splitHotCells")(KmeansOps.splitHotCells(
+            asg, "embedding", "vec_id", "cluster", coarse.centroids, maxPop, iters = 1))
+          val hotSeq = split.hotCells.toSeq.sorted.map(Integer.valueOf)
+          val moved = split.assignments.withColumnRenamed("cell", "ncell")
+            .join(res.filter(col("cell").isin(hotSeq: _*)).select(col("vec_id")), Seq("vec_id"))
+            .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+          val res2 = PqOps.residualsAt(moved, "embedding", "vec_id", "ncell", split.centroids)
+          val hot = PqOps.attachCells(PqOps.encode(res2, "residual", "vec_id", model),
+            res2.select(col("vec_id"), col("cell").as("cluster")), "vec_id")
+          val outc = Seq("vec_id", "cell", "sub", "code", "dist").map(col)
+          timed("tail noop")(codes.filter(!col("cell").isin(hotSeq: _*)).select(outc: _*)
+            .unionByName(hot.select(outc: _*)).write.format("noop").mode("overwrite").save())
+        case "q166" =>
+          val coarse = timed("coarse fit")(KmeansOps.fit(e, "embedding", "vec_id", k = 8, iters = 1))
+          val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
+          val model = timed("fitPq m4")(PqOps.fitPq(e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1))
+          val codes = timed("codes mat")(Tables.materialize(
+            PqOps.attachCells(PqOps.encode(e, "embedding", "vec_id", model), cells, "vec_id")))
+          val errs = timed("errs mat")(Tables.materialize(
+            PqOps.reconstructionErrors(e, "embedding", "vec_id", model, codes)))
+          val rmodel = timed("fitPq m8")(PqOps.fitPq(errs, "_graft_err", "vec_id", m = 8, kCodes = 8, iters = 1))
+          val rcodes = timed("rcodes mat")(Tables.materialize(
+            PqOps.attachCells(PqOps.encode(errs, "_graft_err", "vec_id", rmodel), cells, "vec_id")))
+          val queries = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+          val short = timed("shortlist")(PqOps.ivfAdcSearch(codes, "cell", "vec_id",
+            queries, "qid", "embedding", model, coarse.centroids, topN = 20, nprobe = 2))
+          val arts = PqOps.PqArtifacts(model, coarse.centroids, codes,
+            refinement = Some(rmodel), rcodes = Some(rcodes))
+          timed("refine+noop")(PqOps.refineFromCodes(arts, short, "vec_id", queries,
+            "qid", "embedding", topN = 5, nprobe = 2)
+            .write.format("noop").mode("overwrite").save())
+      }
+    }
+    spark.stop()
+  }
+}

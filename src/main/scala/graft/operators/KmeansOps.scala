@@ -427,7 +427,8 @@ object KmeansOps {
         .select(col(idCol),
           transform(col(vecCol), _.cast("double")).as("_graft_v"),
           col(cellCol).cast("int").as("_graft_cell")))
-    val kDf = broadcast(kOf.toSeq.toDF("_graft_cell", "_graft_k"))
+    val kDf = broadcast(intRowsDf(asg.sparkSession,
+      Seq("_graft_cell", "_graft_k"), kOf.toSeq.map { case (c, k) => Seq(c, k) }))
     // Per-cell seeds: rank to the LARGEST k, cut each cell at its own.
     val seeds0 = TopKOps.groupedTopK(
         members.select(col("_graft_cell"),
@@ -458,9 +459,9 @@ object KmeansOps {
             coalesce(col("_graft_cu"), col("_graft_c")).as("_graft_c")))
     }
     val laf = fineArgmin(members, fine, idCol)
-    val mapDf = broadcast(
-      newIdOf.toSeq.map { case ((c, f), id) => (c, f, id) }
-        .toDF("_graft_cell", "_graft_fcl", "_graft_newcell"))
+    val mapDf = broadcast(intRowsDf(asg.sparkSession,
+      Seq("_graft_cell", "_graft_fcl", "_graft_newcell"),
+      newIdOf.toSeq.map { case ((c, f), id) => Seq(c, f, id) }))
     val moved = laf.join(mapDf, Seq("_graft_cell", "_graft_fcl"))
       .select(col(idCol), col("_graft_newcell").as("cell"))
     val kept = asg.filter(!col(cellCol).isin(hotCells: _*))
@@ -472,6 +473,20 @@ object KmeansOps {
     coarse.indices.foreach(i => out(i) = coarse(i))
     newIdOf.foreach { case ((c, f), id) => out(id) = settled((c, f)) }
     SplitResult(kept.unionByName(moved), out, hot.size, hot.keySet)
+  }
+
+  /** Small int-tuple frames from driver maps — explicit schema + local
+    * rows (the centsDf rule: no TypeTag reflection per call). */
+  private def intRowsDf(
+      spark: org.apache.spark.sql.SparkSession,
+      names: Seq[String],
+      rows: Seq[Seq[Int]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(names.map(n => StructField(n, IntegerType, nullable = false)))
+    val jrows = new java.util.ArrayList[Row]()
+    rows.foreach(r => jrows.add(Row(r: _*)))
+    spark.createDataFrame(jrows, schema)
   }
 
   /** Assign every row to its nearest centroid: input columns plus
@@ -511,8 +526,7 @@ object KmeansOps {
           s"k=${cents.length} exceeds ${1 << ClusterBits} — use a two-level " +
           "(IVF-style) assignment instead")
       val centDf = broadcast(
-        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-          .toSeq.toDF("_graft_cl", "_graft_c"))
+        PqOps.centsDf(spark, cents, "_graft_cl", "_graft_c"))
       // The arg-min rides ONE long: code = round(dist·1e6)·2^20 + cluster.
       // min(code) is a primitive-buffer aggregate, so it HASH-aggregates
       // with map-side combine — the n×k exploded rows reduce to one row

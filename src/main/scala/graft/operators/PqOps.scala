@@ -208,6 +208,25 @@ object PqOps {
     PqModel(books, m, kCodes, subDim)
   }
 
+  /** (index, centroid) frame from driver arrays — explicit schema + local
+    * rows, shared by every centroid-broadcast site (round 17: `toDF` runs
+    * TypeTag encoder derivation through Scala runtime reflection on every
+    * call — pure driver overhead for a static two-column schema). */
+  private[operators] def centsDf(
+      spark: SparkSession,
+      cents: Array[Array[Double]],
+      idName: String,
+      vecName: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField(idName, IntegerType, nullable = false),
+      StructField(vecName, ArrayType(DoubleType), nullable = true)))
+    val rows = new java.util.ArrayList[Row]()
+    cents.zipWithIndex.foreach { case (c, i) => rows.add(Row(i, c.toSeq)) }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Codebook frame from driver arrays — explicit schema + local rows
     * (NOT `toDF`: the TypeTag encoder derivation behind it runs Scala
     * runtime reflection on every call — measurable driver time paid once
@@ -376,9 +395,7 @@ object PqOps {
       s"coarse centroids must share one dim, got ${coarse.map(_.length).distinct.mkString(",")}")
     val spark = df.sparkSession
     import spark.implicits._
-    val centDf = broadcast(
-      coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-        .toSeq.toDF("cluster", "_graft_cc"))
+    val centDf = broadcast(centsDf(spark, coarse, "cluster", "_graft_cc"))
     // Per-row dim guard woven into the data column (the family's LOUD
     // rule): a mismatched vector would otherwise zip_with into
     // null-padded residuals and silently corrupt every downstream code.
@@ -425,9 +442,7 @@ object PqOps {
       s"centroids must share one dim, got ${cents.map(_.length).distinct.mkString(",")}")
     val spark = df.sparkSession
     import spark.implicits._
-    val centDf = broadcast(
-      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-        .toSeq.toDF("_graft_rcell", "_graft_cc"))
+    val centDf = broadcast(centsDf(spark, cents, "_graft_rcell", "_graft_cc"))
     val guarded = when(size(col(vecCol)) === dim,
         transform(col(vecCol), _.cast("double")))
       .otherwise(raise_error(concat(
@@ -685,8 +700,7 @@ object PqOps {
       val spark = queries.sparkSession
       import spark.implicits._
       val centDf = broadcast(
-        coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-          .toSeq.toDF("_graft_cl", "_graft_c"))
+        centsDf(queries.sparkSession, coarse, "_graft_cl", "_graft_c"))
       // Rank on the negated distance (grouped top-k ranks descending);
       // the long-id tie-break is ascending on the cell index — together
       // (dist asc, cell asc), the literal path's rule.
@@ -785,9 +799,7 @@ object PqOps {
     val spark = queries.sparkSession
     import spark.implicits._
     val (qcells, probed) = probeCellsLocal(queries, vecCol, qidCol, coarse, nprobe)
-    val centDf = broadcast(
-      coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-        .toSeq.toDF("_graft_qcell", "_graft_cc"))
+    val centDf = broadcast(centsDf(spark, coarse, "_graft_qcell", "_graft_cc"))
     // Per-row dim guard woven into the data column (the residuals rule).
     val guarded = when(size(col(vecCol)) === dim,
         transform(col(vecCol), _.cast("double")))
@@ -1418,7 +1430,17 @@ object PqOps {
           .select(col(qidCol), col("_graft_qpv")), "_graft_qpv")
       else (queries, vecCol)
     val (qcells, probed) = probeCellsLocal(q2, vec2, qidCol, arts.coarse, nprobe)
-    val candIds = shortlist.select(col(idCol)).distinct()
+    // The shortlist is Q × R rows by contract — but as a lazy frame it is
+    // a whole SEARCH subtree, and this re-rank consumes it twice (the
+    // candidate-id restriction and the per-query re-score join), which
+    // re-ran the entire stage-1 search once per consumer (measured: the
+    // re-rank phase dominated q166 at 2.2 s warm). One collect pins it;
+    // both consumers read the local relation.
+    val shortSchema = shortlist.select(col(qidCol), col(idCol)).schema
+    val shortLocal = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(
+        shortlist.select(col(qidCol), col(idCol)).collect(): _*), shortSchema)
+    val candIds = shortLocal.select(col(idCol)).distinct()
     // Both decode levels, restricted FIRST (probed-cell partition filter
     // + shortlist-id broadcast), so the per-id assembly is Q × R rows.
     val c1 = arts.codes.filter(col("cell").isin(probed: _*))
@@ -1450,8 +1472,7 @@ object PqOps {
     val xhat =
       if (arts.residual) {
         val centDf = broadcast(
-          arts.coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-            .toSeq.toDF("_graft_cell", "_graft_cc"))
+          centsDf(spark, arts.coarse, "_graft_cell", "_graft_cc"))
         // LEFT join on purpose (ADVICE round 14): an INNER join here lets
         // Catalyst infer `isnotnull(_graft_cell)` and push it BELOW the
         // guard projection — a shortlist id with no decodable codes
@@ -1479,7 +1500,7 @@ object PqOps {
     val l2 = graft.functions.VectorFunctions.l2Distance(
       guardedQ, col("_graft_xhat"))
     val scored = xhat
-      .join(broadcast(shortlist.select(col(qidCol), col(idCol))), Seq(idCol))
+      .join(broadcast(shortLocal), Seq(idCol))
       .join(broadcast(qv), Seq(qidCol))
       .select(col(qidCol), col(idCol), (-l2).as("_graft_neg"))
     TopKOps.groupedTopK(scored, qidCol, "_graft_neg", idCol, topN)
