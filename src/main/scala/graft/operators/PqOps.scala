@@ -521,15 +521,36 @@ object PqOps {
       model: PqModel,
       outCol: String): DataFrame = {
     val dim = model.m * model.subDim
-    val books = model.codebooks
-      .withColumnRenamed("_graft_sub", "sub")
-      .withColumnRenamed("_graft_code", "code")
-    val assembled = codes.select(col(idCol), col("sub"), col("code"))
-      .join(books, Seq("sub", "code"))
-      .groupBy(col(idCol))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("sub"), col("_graft_c")))),
-        st => st.getField("_graft_c"))).as(outCol))
+    val assembled = model.local match {
+      case Some(books) =>
+        // Literal path (round 17, guide §2.3/§2.4): the per-id assembly
+        // exchange carries (sub, code) int pairs and the codewords come
+        // from a literal map AFTER the aggregation — no codebook join,
+        // no broadcast build, and the shuffle moves 8 bytes/row instead
+        // of subDim 6-dp doubles. A code outside the books yields a null
+        // element, nulling the flatten, which the dim guard below turns
+        // into the same LOUD torn-codes refusal as a missing join row.
+        val k = model.kCodes
+        val lut = typedLit(books.zipWithIndex.flatMap { case (cs, s) =>
+          cs.zipWithIndex.map { case (c, i) => (s * k + i) -> c.toSeq }
+        }.toMap)
+        codes.select(col(idCol), col("sub"), col("code"))
+          .groupBy(col(idCol))
+          .agg(array_sort(collect_list(
+            col("sub") * lit(k) + col("code"))).as("_graft_sc"))
+          .select(col(idCol), flatten(transform(col("_graft_sc"),
+            sc => element_at(lut, sc))).as(outCol))
+      case None =>
+        val books = model.codebooks
+          .withColumnRenamed("_graft_sub", "sub")
+          .withColumnRenamed("_graft_code", "code")
+        codes.select(col(idCol), col("sub"), col("code"))
+          .join(books, Seq("sub", "code"))
+          .groupBy(col(idCol))
+          .agg(flatten(transform(
+            array_sort(collect_list(struct(col("sub"), col("_graft_c")))),
+            st => st.getField("_graft_c"))).as(outCol))
+    }
     assembled.select(col(idCol),
       when(size(col(outCol)) === dim, col(outCol))
         .otherwise(raise_error(concat(

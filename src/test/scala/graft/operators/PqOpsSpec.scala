@@ -1501,6 +1501,28 @@ class PqOpsSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq, s"literal encode $a != join encode $b")
   }
 
+  test("literal and join reconstructs are row-identical (same model values)") {
+    val lit = PqOps.fitPqPath(vecs, "v", "id", m = 2, kCodes = 2, iters = 2,
+      literal = true)
+    val codes = PqOps.encode(vecs, "v", "id", lit)
+    val a = PqOps.reconstruct(codes, "id", lit, "r")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val b = PqOps.reconstruct(codes, "id", lit.copy(local = None), "r")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq, s"literal reconstruct $a != join reconstruct $b")
+  }
+
+  test("literal reconstruct refuses torn codes loudly") {
+    val lit = PqOps.fitPqPath(vecs, "v", "id", m = 2, kCodes = 2, iters = 1,
+      literal = true)
+    val codes = PqOps.encode(vecs, "v", "id", lit)
+    val torn = codes.filter(!(col("id") === 1 && col("sub") === 1))
+    val e = intercept[Exception](
+      PqOps.reconstruct(torn, "id", lit, "r").collect())
+    assert(e.getMessage != null && e.getMessage.contains("torn"),
+      s"expected the torn-codes guard, got: ${e.getMessage}")
+  }
+
   test("literal-path rounding is Spark's round, bit-for-bit") {
     // The native generators restate Spark's round(x, s) as
     // BigDecimal.valueOf + HALF_UP (PqExprOps.roundAt); this pins the
