@@ -19,7 +19,11 @@ object ProbeR17 {
       println(f"[$tag] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     spark.range(100000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    // Match the declared-query read path exactly: the fixtures are
+    // single-row-group files, and every query family reads them through
+    // Tables.parallel (q103's `t`), so an unwrapped read here would
+    // serialize the per-row phases the probe is trying to attribute.
+    val e = Tables.parallel(spark.read.parquet(s"$dir/embeddings.parquet"))
     e.write.format("noop").mode("overwrite").save()
     import graft.operators._
     (1 to 2).foreach { round =>
@@ -62,11 +66,26 @@ object ProbeR17 {
           val queries = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
           val short = timed("shortlist")(PqOps.ivfAdcSearch(codes, "cell", "vec_id",
             queries, "qid", "embedding", model, coarse.centroids, topN = 20, nprobe = 2))
+          timed("stage1 exec (noop)")(
+            short.write.format("noop").mode("overwrite").save())
           val arts = PqOps.PqArtifacts(model, coarse.centroids, codes,
             refinement = Some(rmodel), rcodes = Some(rcodes))
-          timed("refine+noop")(PqOps.refineFromCodes(arts, short, "vec_id", queries,
-            "qid", "embedding", topN = 5, nprobe = 2)
-            .write.format("noop").mode("overwrite").save())
+          val rr = timed("refine build (shortlist collect inside)")(
+            PqOps.refineFromCodes(arts, short, "vec_id", queries,
+              "qid", "embedding", topN = 5, nprobe = 2))
+          timed("refine exec (noop)")(
+            rr.write.format("noop").mode("overwrite").save())
+        case "cc" =>
+          val docs = Tables.parallel(spark.read.parquet(s"$dir/documents.parquet"))
+          docs.write.format("noop").mode("overwrite").save()
+          val banded = timed("bandedMinhash")(LshOps.bandedMinhash(
+            docs, "text", "doc_id", 16, 3, 4, 4, 10000))
+          val pairs = timed("candidatePairs mat")(Tables.materialize(
+            LshOps.candidatePairs(banded.bands, "doc_id")))
+          timed("connectedComponents")(
+            GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+              .write.format("noop").mode("overwrite").save())
+          banded.unpersist()
       }
     }
     spark.stop()
