@@ -40,8 +40,15 @@ object ProbeR17 {
           val asg = res.select(col("vec_id"), col("cell").as("cluster"))
             .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
           val maxPop = timed("count")(math.ceil(e.count() / 10.0).toLong)
-          val split = timed("splitHotCells")(KmeansOps.splitHotCells(
-            asg, "embedding", "vec_id", "cluster", coarse.centroids, maxPop, iters = 1))
+          timed("splitHotCells JOIN path")(KmeansOps.splitHotCellsPath(
+            asg, "embedding", "vec_id", "cluster", coarse.centroids, maxPop,
+            iters = 1, literal = Some(false)).assignments
+            .write.format("noop").mode("overwrite").save())
+          val split = timed("splitHotCells LITERAL path")(KmeansOps.splitHotCellsPath(
+            asg, "embedding", "vec_id", "cluster", coarse.centroids, maxPop,
+            iters = 1, literal = Some(true)))
+          timed("literal assignments noop")(split.assignments
+            .write.format("noop").mode("overwrite").save())
           val hotSeq = split.hotCells.toSeq.sorted.map(Integer.valueOf)
           val moved = split.assignments.withColumnRenamed("cell", "ncell")
             .join(res.filter(col("cell").isin(hotSeq: _*)).select(col("vec_id")), Seq("vec_id"))

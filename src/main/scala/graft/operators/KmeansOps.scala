@@ -374,7 +374,24 @@ object KmeansOps {
       cellCol: String,
       coarse: Array[Array[Double]],
       maxPop: Long,
-      iters: Int): SplitResult = {
+      iters: Int): SplitResult =
+    splitHotCellsPath(asg, vecCol, idCol, cellCol, coarse, maxPop, iters,
+      literal = None)
+
+  /** Path-pinned [[splitHotCells]] — package-visible so the spec can
+    * prove the literal and join paths produce identical results.
+    * `literal = None` auto-selects: the fine model fits the
+    * [[LiteralPathMaxK]] codegen budget AND every child id fits the
+    * packed-long's [[ClusterBits]] field. */
+  private[graft] def splitHotCellsPath(
+      asg: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cellCol: String,
+      coarse: Array[Array[Double]],
+      maxPop: Long,
+      iters: Int,
+      literal: Option[Boolean]): SplitResult = {
     require(maxPop >= 1, s"maxPop must be positive: $maxPop")
     require(iters >= 0, s"iters must be non-negative: $iters")
     requireNumericId(asg, idCol, "splitHotCells")
@@ -427,6 +444,88 @@ object KmeansOps {
         .select(col(idCol),
           transform(col(vecCol), _.cast("double")).as("_graft_v"),
           col(cellCol).cast("int").as("_graft_cell")))
+    val kept = asg.filter(!col(cellCol).isin(hotCells: _*))
+      .select(col(idCol), col(cellCol).cast("int").as("cell"))
+    // Literal path (round 17, the assignPath discipline applied to the
+    // per-cell fine fit): the whole fine model is ≤ Σ kOf rows — the
+    // driver-sized coarse-model trade-off the scaladoc already claims —
+    // so for small splits the per-round cell-equi-join + packed arg-min
+    // aggregation + id-join-back collapses into ONE codegen projection
+    // over the materialized members (zero exchanges), with only the
+    // (cell, child, dim) mean aggregation left as a distributed job.
+    // Exact parity with the join path (spec-pinned): the same packed
+    // long round(l2·1e6)·2^ClusterBits + childId, whose min ties to the
+    // smaller child BECAUSE child numbering is monotone in fcl within a
+    // cell (child 0 keeps the parent id < coarse.length ≤ any appended
+    // id; children ≥ 1 append in fcl order).
+    val useLiteral = literal.getOrElse(
+      kOf.values.sum <= LiteralPathMaxK && next <= (1 << ClusterBits) - 1)
+    if (useLiteral) {
+      import graft.functions.VectorFunctions.l2Distance
+      // Seeds: rank to the LARGEST k distributively (bounded buffers),
+      // cut each cell at its own k on the driver (≤ hot × maxK rows).
+      val seedRows = TopKOps.groupedTopK(
+          members.select(col("_graft_cell"),
+            (-col(idCol)).cast("double").as("_graft_negid"), col(idCol)),
+          "_graft_cell", "_graft_negid", idCol, maxK)
+        .select(col("_graft_cell"),
+          (col("rank") - 1).cast("int").as("_graft_fcl"),
+          col(idCol).cast("long").as("_graft_sid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+        .filter { case ((c, f), _) => f < kOf(c) }
+      val seedIds = seedRows.map(_._2).distinct.map(java.lang.Long.valueOf)
+      val vecOf = members
+        .filter(col(idCol).cast("long").isin(seedIds.toIndexedSeq: _*))
+        .select(col(idCol).cast("long"), col("_graft_v"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      var fine: Map[(Int, Int), Array[Double]] =
+        seedRows.map { case (cf, id) => cf -> vecOf(id) }.toMap
+      // The one-projection arg-min: per hot cell, least over the packed
+      // (6-dp dist, child id) longs against that cell's centroid
+      // literals — fineArgmin's exact arithmetic, no join, no exchange.
+      def packedNewCell(fm: Map[(Int, Int), Array[Double]]): Column = {
+        val code = hotSorted.reverse.foldLeft(lit(-1L): Column) {
+          case (acc, (c, k)) =>
+            val codes = (0 until k).map { f =>
+              round(l2Distance(col("_graft_v"), typedLit(fm((c, f)).toSeq)) * 1e6)
+                .cast("long") * lit(1L << ClusterBits) +
+                lit(newIdOf((c, f)).toLong)
+            }
+            when(col("_graft_cell") === lit(c),
+              codes.reduceLeft(least(_, _))).otherwise(acc)
+        }
+        code.bitwiseAND(lit((1L << ClusterBits) - 1)).cast("int")
+      }
+      val fclOfNew: Map[(Int, Int), Int] =
+        newIdOf.map { case ((c, f), id) => (c, id) -> f }
+      for (_ <- 1 to iters) {
+        // Means per (cell, child, dim) — the only distributed job per
+        // round; ≤ Σ kOf × dim rows come back, updating the driver map
+        // (children that captured no rows keep their previous centroid,
+        // the join path's coalesce rule).
+        val means = members
+          .select(col("_graft_cell"), packedNewCell(fine).as("_graft_nc"),
+            posexplode(col("_graft_v")).as(Seq("i", "x")))
+          .groupBy(col("_graft_cell"), col("_graft_nc"), col("i"))
+          .agg(round(avg(col("x")), 6).as("m"))
+          .collect()
+        val upd = means.groupBy(r => (r.getInt(0), r.getInt(1))).map {
+          case ((c, nc), rows) =>
+            val f = fclOfNew((c, nc))
+            val arr = fine((c, f)).clone()
+            rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+            (c, f) -> arr
+        }
+        fine = fine ++ upd
+      }
+      val moved = members.select(col(idCol), packedNewCell(fine).as("cell"))
+      val out = Array.ofDim[Array[Double]](next)
+      coarse.indices.foreach(i => out(i) = coarse(i))
+      newIdOf.foreach { case ((c, f), id) => out(id) = fine((c, f)) }
+      return SplitResult(kept.unionByName(moved), out, hot.size, hot.keySet)
+    }
     val kDf = broadcast(intRowsDf(asg.sparkSession,
       Seq("_graft_cell", "_graft_k"), kOf.toSeq.map { case (c, k) => Seq(c, k) }))
     // Per-cell seeds: rank to the LARGEST k, cut each cell at its own.
@@ -464,8 +563,6 @@ object KmeansOps {
       newIdOf.toSeq.map { case ((c, f), id) => Seq(c, f, id) }))
     val moved = laf.join(mapDf, Seq("_graft_cell", "_graft_fcl"))
       .select(col(idCol), col("_graft_newcell").as("cell"))
-    val kept = asg.filter(!col(cellCol).isin(hotCells: _*))
-      .select(col(idCol), col(cellCol).cast("int").as("cell"))
     // New coarse table: settled child centroids overwrite/append.
     val settled = fine.collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap

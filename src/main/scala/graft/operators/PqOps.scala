@@ -519,8 +519,24 @@ object PqOps {
       codes: DataFrame,
       idCol: String,
       model: PqModel,
-      outCol: String): DataFrame = {
+      outCol: String): DataFrame =
+    reconstructCarrying(codes, idCol, model, outCol, carry = None)
+
+  /** [[reconstruct]] with an optional carried column: `carry = Some(src
+    * -> dst)` rides `first(src)` through the per-id assembly aggregation
+    * — the consumer that needs the id's cell beside its decode gets it
+    * from the SAME scan instead of a second groupBy over the same
+    * restricted codes (round 17, guide §2.4). */
+  private[operators] def reconstructCarrying(
+      codes: DataFrame,
+      idCol: String,
+      model: PqModel,
+      outCol: String,
+      carry: Option[(String, String)]): DataFrame = {
     val dim = model.m * model.subDim
+    val carryAgg = carry.toSeq.map { case (src, dst) =>
+      first(col(src)).as(dst) }
+    val carryCols = carry.toSeq.map { case (_, dst) => col(dst) }
     val assembled = model.local match {
       case Some(books) =>
         // Literal path (round 17, guide §2.3/§2.4): the per-id assembly
@@ -534,30 +550,32 @@ object PqOps {
         val lut = typedLit(books.zipWithIndex.flatMap { case (cs, s) =>
           cs.zipWithIndex.map { case (c, i) => (s * k + i) -> c.toSeq }
         }.toMap)
-        codes.select(col(idCol), col("sub"), col("code"))
+        codes.select(col(idCol) +: col("sub") +: col("code") +:
+            carry.toSeq.map { case (src, _) => col(src) }: _*)
           .groupBy(col(idCol))
           .agg(array_sort(collect_list(
-            col("sub") * lit(k) + col("code"))).as("_graft_sc"))
-          .select(col(idCol), flatten(transform(col("_graft_sc"),
-            sc => element_at(lut, sc))).as(outCol))
+            col("sub") * lit(k) + col("code"))).as("_graft_sc"), carryAgg: _*)
+          .select(col(idCol) +: flatten(transform(col("_graft_sc"),
+            sc => element_at(lut, sc))).as(outCol) +: carryCols: _*)
       case None =>
         val books = model.codebooks
           .withColumnRenamed("_graft_sub", "sub")
           .withColumnRenamed("_graft_code", "code")
-        codes.select(col(idCol), col("sub"), col("code"))
+        codes.select(col(idCol) +: col("sub") +: col("code") +:
+            carry.toSeq.map { case (src, _) => col(src) }: _*)
           .join(books, Seq("sub", "code"))
           .groupBy(col(idCol))
           .agg(flatten(transform(
             array_sort(collect_list(struct(col("sub"), col("_graft_c")))),
-            st => st.getField("_graft_c"))).as(outCol))
+            st => st.getField("_graft_c"))).as(outCol), carryAgg: _*)
     }
-    assembled.select(col(idCol),
+    assembled.select(col(idCol) +:
       when(size(col(outCol)) === dim, col(outCol))
         .otherwise(raise_error(concat(
           lit(s"reconstruct: id "), col(idCol).cast("string"),
           lit(s" assembled dim "), size(col(outCol)).cast("string"),
           lit(s" != $dim — its code rows are torn (missing or duplicated " +
-            "sub); rebuild the codes")))).as(outCol))
+            "sub); rebuild the codes")))).as(outCol) +: carryCols: _*)
   }
 
   /** E148: per-vector stage-1 QUANTIZATION ERROR `e = v − x̂(v)` — the
@@ -1457,17 +1475,27 @@ object PqOps {
     // re-ran the entire stage-1 search once per consumer (measured: the
     // re-rank phase dominated q166 at 2.2 s warm). One collect pins it;
     // both consumers read the local relation.
+    val shortRows = shortlist.select(col(qidCol), col(idCol)).collect()
     val shortSchema = shortlist.select(col(qidCol), col(idCol)).schema
     val shortLocal = queries.sparkSession.createDataFrame(
-      java.util.Arrays.asList(
-        shortlist.select(col(qidCol), col(idCol)).collect(): _*), shortSchema)
-    val candIds = shortLocal.select(col(idCol)).distinct()
+      java.util.Arrays.asList(shortRows: _*), shortSchema)
+    // Candidate ids dedupe on the DRIVER (the rows are already local —
+    // Q × R by contract): no distinct exchange, and the broadcast
+    // relations below build from a local frame.
+    val candSchema = org.apache.spark.sql.types.StructType(
+      Seq(shortSchema(idCol)))
+    val candIds = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(shortRows.map(_.get(1)).distinct
+        .map(org.apache.spark.sql.Row(_)): _*), candSchema)
     // Both decode levels, restricted FIRST (probed-cell partition filter
     // + shortlist-id broadcast), so the per-id assembly is Q × R rows.
+    // Stage 1's cell rides the SAME aggregation (round 17): a separate
+    // first(cell) groupBy re-ran the restricted codes scan a second time
+    // and fed one more join into the per-id chain.
     val c1 = arts.codes.filter(col("cell").isin(probed: _*))
       .join(broadcast(candIds), Seq(idCol))
-    val cellOf = c1.groupBy(col(idCol)).agg(first(col("cell")).as("_graft_cell"))
-    val rec1 = reconstruct(c1, idCol, arts.model, "_graft_r1")
+    val rec1 = reconstructCarrying(c1, idCol, arts.model, "_graft_r1",
+      carry = Some("cell" -> "_graft_cell"))
     val rec2 = reconstruct(
       rcodes.filter(col("cell").isin(probed: _*))
         .join(broadcast(candIds), Seq(idCol)),
@@ -1478,7 +1506,6 @@ object PqOps {
     val joined = candIds
       .join(rec1, Seq(idCol), "left")
       .join(rec2, Seq(idCol), "left")
-      .join(cellOf, Seq(idCol), "left")
       .select(col(idCol),
         when(col("_graft_r1").isNotNull && col("_graft_r2").isNotNull,
           zip_with(col("_graft_r1"), col("_graft_r2"), (a, b) => a + b))

@@ -294,6 +294,49 @@ class KmeansOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("coarse table"), e.getMessage)
   }
 
+  test("splitHotCells: literal and join paths are identical (spec-pinned)") {
+    // Round 17: the literal path collapses the per-round fine arg-min
+    // into one codegen projection over driver-held centroids. Both
+    // paths share the packed round(l2·1e6)·2^ClusterBits + childId long
+    // (monotone child numbering within a cell = the same smaller-fcl
+    // tie rule), so assignments AND settled centroids must be
+    // bit-equal. Fixture: TWO hot cells with different child counts
+    // (k=2 and k=3), one cold cell, two Lloyd rounds.
+    val coarse = Array(Array(0.0, 0.0), Array(50.0, 0.0), Array(100.0, 100.0))
+    val rows =
+      (0L to 5L).map(i => (i, Array(0.0 + i * 0.01, 0.0))) ++
+      (6L to 11L).map(i => (i, Array(5.0 + (i - 6) * 0.01, 0.0))) ++
+      (20L to 24L).map(i => (i, Array(50.0 + (i - 20) * 0.01, 0.0))) ++
+      (25L to 30L).map(i => (i, Array(55.0 + (i - 25) * 0.01, 0.0))) ++
+      (31L to 37L).map(i => (i, Array(60.0 + (i - 31) * 0.01, 0.0))) ++
+      Seq((40L, Array(100.0, 100.0)), (41L, Array(100.1, 100.0)))
+    val df = rows.toDF("id", "v")
+    val asg = KmeansOps.assign(df, "v", "id", coarse)
+      .select(col("id"), col("v"), col("cluster"))
+    // maxPop = 6: cell 0 (12 members, k=2) and cell 1 (18 members, k=3)
+    // are hot; cell 2 (2 members) is cold.
+    val lit0 = KmeansOps.splitHotCellsPath(
+      asg, "v", "id", "cluster", coarse, maxPop = 6, iters = 2,
+      literal = Some(true))
+    val join0 = KmeansOps.splitHotCellsPath(
+      asg, "v", "id", "cluster", coarse, maxPop = 6, iters = 2,
+      literal = Some(false))
+    assert(lit0.nHot == 2 && join0.nHot == 2)
+    assert(lit0.hotCells == join0.hotCells)
+    assert(lit0.centroids.length == join0.centroids.length)
+    lit0.centroids.zip(join0.centroids).zipWithIndex.foreach {
+      case ((a, b), i) => assert(a.toSeq == b.toSeq, s"centroid $i") }
+    val la = lit0.assignments.as[(Long, Int)].collect().toMap
+    val ja = join0.assignments.as[(Long, Int)].collect().toMap
+    assert(la == ja, s"literal $la vs join $ja")
+    // The literal path's assignment side is exchange-free: the moved
+    // branch is a projection over the materialized members — no join,
+    // no aggregation between the scan and the union.
+    val plan = lit0.assignments.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan)
+  }
+
   test("semanticPurgeTwoLevel pairs on the leaf key and honors the gauge") {
     val out = KmeansOps.semanticPurgeTwoLevel(
       emb, "embedding", "vec_id", k1 = 3, k2 = 3, iters = 1, minCos = 0.4)
