@@ -68,17 +68,29 @@ object Tables {
     *
     * Both modes return bit-identical data (MaterializeSpec gates q90 across
     * the toggle); only the failure-recovery story differs. */
-  def materialize(df: DataFrame): DataFrame = {
+  def materialize(df: DataFrame): DataFrame = materializePath(df, eager = true)
+
+  /** [[materialize]] with a LAZY checkpoint (round 17, guide §1.2): the
+    * logical plan truncates immediately (so iterative loops whose round
+    * references its input more than once don't build 2^rounds plans) but
+    * the checkpoint job is deferred to the FIRST action — the right shape
+    * when the caller's next statement is itself an action over the whole
+    * frame (a convergence count, a stats head()): that action forces and
+    * stores the blocks in ONE pass instead of paying a separate
+    * lineage-cut job first. Same two modes as [[materialize]]. */
+  def materializeLazy(df: DataFrame): DataFrame = materializePath(df, eager = false)
+
+  private def materializePath(df: DataFrame, eager: Boolean): DataFrame = {
     val spark = df.sparkSession
     val reliable =
       spark.conf.getOption("spark.graft.reliableCheckpoint").exists(_.toBoolean)
-    if (!reliable) df.localCheckpoint(true)
+    if (!reliable) df.localCheckpoint(eager)
     else {
       val sc = spark.sparkContext
       if (sc.getCheckpointDir.isEmpty)
         sc.setCheckpointDir(spark.conf.getOption("spark.graft.checkpointDir")
           .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-ckpt"))
-      df.checkpoint(true)
+      df.checkpoint(eager)
     }
   }
 }

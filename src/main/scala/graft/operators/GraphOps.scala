@@ -56,7 +56,13 @@ object GraphOps {
     require(maxIter > 0, s"maxIter must be positive: $maxIter")
     // Symmetrize once: propagation below only needs to look at incoming
     // (src -> dst) labels if every edge appears in both orientations.
-    val sym = Tables.materialize(
+    // LAZY checkpoints (round 17): sym and the init are marked for
+    // storage up front (their plans truncate, and a checkpoint-marked
+    // RDD persists its blocks the first time a job computes it), but no
+    // job runs until round 1's mover count — which therefore computes
+    // symmetrization, init aggregation, and round 1 in ONE pass where
+    // the eager form paid three.
+    val sym = Tables.materializeLazy(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
         .filter(col("src") =!= col("dst"))
@@ -67,7 +73,7 @@ object GraphOps {
     // edges. Measured rounds-to-converge on dedup graphs is 2-4, so this
     // head start removes 25-50% of the join work per invocation; the
     // fixed point (and therefore every oracle hash) is unchanged.
-    var labels = Tables.materialize(
+    var labels = Tables.materializeLazy(
       sym.groupBy(col("src")).agg(min(col("dst")).as("_mn"))
         .select(col("src").as("v"), least(col("src"), col("_mn")).as("component")))
     var moved = 1L
@@ -77,13 +83,14 @@ object GraphOps {
     // contract exact (round 7 started at 0 and ran up to maxIter+1
     // effective rounds).
     var round = 1
+    // One ACTION per round (round 17, guide §1.2): the LAZY checkpoint
+    // truncates the plan immediately (each round reads its input twice,
+    // so an uncut loop builds a 2^rounds plan) and the mover count is
+    // the forcing action that computes AND stores the round — the old
+    // eager-checkpoint-then-count pair paid a full extra pass per round.
     while (moved > 0L && round < maxIter) {
       round += 1
-      val next = Tables.materialize(propagateOnce(sym, labels))
-      // Convergence = one scalar to the driver, read as a filter-count
-      // over the ALREADY-materialized round — not a second join (round 6
-      // paid a next⋈labels join per round just to count movers; the prev
-      // label now rides through the round's one aggregation instead).
+      val next = Tables.materializeLazy(propagateOnce(sym, labels))
       moved = next.filter(col("component") =!= col("_graft_prev")).count()
       labels = next.drop("_graft_prev")
     }
@@ -163,7 +170,11 @@ object GraphOps {
       bCol: String,
       maxIter: Int = 50): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive: $maxIter")
-    var e = Tables.materialize(
+    // LAZY checkpoint + count = ONE forcing pass for the init and for
+    // each round (round 17; the eager-checkpoint-then-count pairs paid a
+    // second full pass each). Plans still truncate every round — a star
+    // round reads its input four times, so an uncut loop is 4^rounds.
+    var e = Tables.materializeLazy(
       edges.select(col(aCol).as("x"), col(bCol).as("y"))
         .filter(col("x") =!= col("y"))
         .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
@@ -175,7 +186,7 @@ object GraphOps {
     var eCount = e.count()
     while (changed > 0L && round < maxIter) {
       round += 1
-      val next = Tables.materialize(smallStar(largeStar(e)))
+      val next = Tables.materializeLazy(smallStar(largeStar(e)))
       // Fixed point = edge SET unchanged. |A △ B| = 2|A ∪ B| − |A| − |B|;
       // both sides are materialized and distinct, so this is one cheap
       // distinct-count over small (id, id) pairs.
@@ -228,8 +239,14 @@ object GraphOps {
     require(damping > 0 && damping < 1, s"damping out of (0,1): $damping")
     val (sym, deg, nDf, init) = pageRankInit(edges, aCol, bCol)
     var ranks = init
+    // No per-round lineage cut (round 17, guide §2.4): each round reads
+    // the previous round's ranks exactly ONCE, so the fixed-count loop
+    // is a single ≤20-deep nested plan (bounded by the require above) —
+    // one job at the consumer instead of one forcing job per round.
+    // The convergence-guarded sibling below still cuts per round: it
+    // reads each round twice (step + probe) and needs a driver decision.
     for (_ <- 1 to iters)
-      ranks = pageRankStep(sym, deg, nDf, ranks, damping)
+      ranks = pageRankStep(sym, deg, nDf, ranks, damping, cut = false)
     ranks
   }
 
@@ -274,7 +291,11 @@ object GraphOps {
     var it = 0
     while (!converged && it < maxIter) {
       it += 1
-      val next = pageRankStep(sym, deg, nDf, ranks, damping)
+      // LAZY checkpoint: the probe's head() below is the forcing action
+      // (its aggregation reads every row of next), so each round costs
+      // one job, not a lineage-cut job plus the probe (round 17).
+      val next = Tables.materializeLazy(
+        pageRankStep(sym, deg, nDf, ranks, damping, cut = false))
       // ONE vertex-sized join+aggregation answers both the fixpoint and
       // the period-2 test (two separate probe jobs per round doubled the
       // driver's job count for nothing — all three frames are
@@ -308,12 +329,16 @@ object GraphOps {
       edges: DataFrame,
       aCol: String,
       bCol: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val sym = Tables.materialize(
+    // LAZY checkpoints (round 17): plans truncate up front, blocks store
+    // on the first forcing action — the first iteration's probe (or the
+    // fixed-count caller's one job) computes symmetrization and degrees
+    // in the same pass instead of two eager setup jobs.
+    val sym = Tables.materializeLazy(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct())
-    val deg = Tables.materialize(
+    val deg = Tables.materializeLazy(
       sym.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val nDf = deg.agg(count(lit(1)).as("n"))
     val init = deg.select(col("src").as("v")).crossJoin(broadcast(nDf))
@@ -328,7 +353,8 @@ object GraphOps {
       deg: DataFrame,
       nDf: DataFrame,
       ranks: DataFrame,
-      damping: Double): DataFrame = {
+      damping: Double,
+      cut: Boolean = true): DataFrame = {
     val contrib = sym
       .join(ranks.withColumnRenamed("v", "src"), "src")
       .join(deg, "src")
@@ -336,12 +362,12 @@ object GraphOps {
     // (1.0 - damping), not a pre-computed 0.15: both engines fold the
     // subtraction with the same IEEE semantics, and 1.0 - 0.85 is NOT
     // the same double as the literal 0.15.
-    Tables.materialize(
-      contrib.groupBy(col("v")).agg(sum(col("c")).as("in"))
-        .crossJoin(broadcast(nDf))
-        .select(col("v"), round(
-          (lit(1.0) - lit(damping)) / col("n") + lit(damping) * col("in"),
-          6).as("rank")))
+    val step = contrib.groupBy(col("v")).agg(sum(col("c")).as("in"))
+      .crossJoin(broadcast(nDf))
+      .select(col("v"), round(
+        (lit(1.0) - lit(damping)) / col("n") + lit(damping) * col("in"),
+        6).as("rank"))
+    if (cut) Tables.materialize(step) else step
   }
 
   /** Large-star round: for each vertex x, point every STRICTLY LARGER
