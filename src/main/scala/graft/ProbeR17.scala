@@ -82,6 +82,31 @@ object ProbeR17 {
               "qid", "embedding", topN = 5, nprobe = 2))
           timed("refine exec (noop)")(
             rr.write.format("noop").mode("overwrite").save())
+        case q if q.startsWith("jobs:") =>
+          // Count Spark jobs + stages for one declared query's execution.
+          val name = q.stripPrefix("jobs:")
+          val fn = SparkEntry.queries.collectFirst {
+            case (n, f) if n.startsWith(name) => (n, f) }.get
+          val jobs = new java.util.concurrent.atomic.AtomicInteger
+          val stages = new java.util.concurrent.atomic.AtomicInteger
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+              if (round == 2) {
+                val names = j.stageInfos.map(si =>
+                  si.details.linesIterator
+                    .find(l => l.contains("graft") && !l.contains("Probe"))
+                    .getOrElse(si.name).trim.take(90)).mkString(" | ")
+                println(f"  job ${j.jobId}%3d stages=${j.stageInfos.size} $names")
+              }
+            }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          timed(s"${fn._1} total")(
+            fn._2(spark, dir).write.format("noop").mode("overwrite").save())
+          spark.sparkContext.removeSparkListener(listener)
+          println(s"[${fn._1}] jobs=${jobs.get} stages=${stages.get}")
         case "cc" =>
           val docs = Tables.parallel(spark.read.parquet(s"$dir/documents.parquet"))
           docs.write.format("noop").mode("overwrite").save()

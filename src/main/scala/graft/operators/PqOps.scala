@@ -363,6 +363,84 @@ object PqOps {
           lit(" has no coarse-cell assignment — the codes and cells frames " +
             "cover different id sets; rebuild from one corpus scan")))))
 
+  /** [[encode]] with the cell column carried THROUGH the projection
+    * (round 17, guide §2.4): the build-time [[attachCells]] join is a
+    * self-join of two narrow frames whenever the cell assignment already
+    * rides the encode's own input (residual frames carry `cell`; raw
+    * corpora get it from [[KmeansOps.assign]]'s narrow projection) — so
+    * with a driver-held codebook the whole build is ONE generator
+    * projection, zero exchanges. Output columns, order, and the loud
+    * null-cell refusal match `attachCells(encode(df), cells)` exactly;
+    * without a local codebook it falls back to that join. */
+  def encodeWithCell(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      model: PqModel,
+      cellCol: String): DataFrame = model.local match {
+    case Some(books) =>
+      val guardedCell = when(col(cellCol).isNotNull, col(cellCol))
+        .otherwise(raise_error(concat(
+          lit("attachCells: encoded id "), col(idCol).cast("string"),
+          lit(" has no coarse-cell assignment — the codes and cells frames " +
+            "cover different id sets; rebuild from one corpus scan"))))
+      df.select(col(idCol),
+        encodeGen(vecCol, books, withSubvec = false).as(Seq("sub", "code", "dist")),
+        guardedCell.as("cell"))
+    case None =>
+      attachCells(encode(df, vecCol, idCol, model),
+        df.select(col(idCol), col(cellCol).as("cluster")), idCol)
+  }
+
+  /** encode + coarse assignment, fused (round 17): callers that built
+    * `cells` as the coarse model's own assignment paid a shuffle join of
+    * two narrow projections OVER THE SAME SCAN. The assignment is
+    * [[KmeansOps.assign]]'s projection (literal zero-shuffle for small
+    * k), the encode rides [[encodeWithCell]] — for literal-path models
+    * the entire codes-with-cells build is one projection. */
+  def encodeAttached(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      model: PqModel,
+      coarse: Array[Array[Double]]): DataFrame = {
+    val asg = KmeansOps.assign(
+        df.select(col(idCol), col(vecCol)), vecCol, idCol, coarse)
+      .withColumnRenamed("cluster", "_graft_acell")
+      .drop("dist")
+    encodeWithCell(asg, vecCol, idCol, model, "_graft_acell")
+  }
+
+  /** [[reconstructionErrors]] with the codes' cell column riding the
+    * SAME per-id assembly aggregation (round 17) — (idCol, _graft_err,
+    * cell), so the refinement encode can [[encodeWithCell]] instead of
+    * re-joining the coarse assignment. `codes` must carry `cell`. */
+  def reconstructionErrorsWithCell(
+      src: DataFrame,
+      vecCol: String,
+      idCol: String,
+      model: PqModel,
+      codes: DataFrame): DataFrame = {
+    val dim = model.m * model.subDim
+    val rec = reconstructCarrying(codes, idCol, model, "_graft_rec",
+      carry = Some("cell" -> "cell"))
+    val guarded = when(size(col(vecCol)) === dim,
+        transform(col(vecCol), _.cast("double")))
+      .otherwise(raise_error(concat(
+        lit(s"reconstructionErrors: vector dim must be $dim (the model's), got "),
+        size(col(vecCol)).cast("string"))))
+    src.select(col(idCol), guarded.as("_graft_gv"))
+      .join(rec, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_graft_rec").isNotNull,
+          zip_with(col("_graft_gv"), col("_graft_rec"), (a, b) => a - b))
+        .otherwise(raise_error(concat(
+          lit("reconstructionErrors: id "), col(idCol).cast("string"),
+          lit(" has no stage-1 codes — the codes and source frames cover " +
+            "different id sets; rebuild from one corpus scan")))).as("_graft_err"),
+        col("cell"))
+  }
+
   /** E144: coarse RESIDUALS — (idCol, cell, residual) with
     * `residual = v − coarseCentroid(cell(v))`, the vector Jégou 2011's
     * actual IVFADC quantizes (§IV.B: PQ on the raw vector wastes its
@@ -395,7 +473,6 @@ object PqOps {
       s"coarse centroids must share one dim, got ${coarse.map(_.length).distinct.mkString(",")}")
     val spark = df.sparkSession
     import spark.implicits._
-    val centDf = broadcast(centsDf(spark, coarse, "cluster", "_graft_cc"))
     // Per-row dim guard woven into the data column (the family's LOUD
     // rule): a mismatched vector would otherwise zip_with into
     // null-padded residuals and silently corrupt every downstream code.
@@ -404,11 +481,23 @@ object PqOps {
       .otherwise(raise_error(concat(
         lit(s"residuals: vector dim must be $dim (the coarse model's), got "),
         size(col(vecCol)).cast("string"))))
-    KmeansOps.assign(df, vecCol, idCol, coarse)
+    val asg = KmeansOps.assign(df, vecCol, idCol, coarse)
       .select(col(idCol), col("cluster"), col(vecCol))
-      .join(centDf, Seq("cluster"))
-      .select(col(idCol), col("cluster").as("cell"),
-        zip_with(guarded, col("_graft_cc"), (a, b) => a - b).as("residual"))
+    if (coarse.length <= KmeansOps.LiteralPathMaxK) {
+      // Literal path (round 17): the centroid lookup is element_at on a
+      // literal table indexed by the just-computed cluster — the
+      // subtraction stays in the same zero-shuffle projection as the
+      // assignment instead of paying a broadcast build + join.
+      val centLit = typedLit(coarse.map(_.toSeq).toSeq)
+      asg.select(col(idCol), col("cluster").as("cell"),
+        zip_with(guarded, element_at(centLit, col("cluster") + 1),
+          (a, b) => a - b).as("residual"))
+    } else {
+      val centDf = broadcast(centsDf(spark, coarse, "cluster", "_graft_cc"))
+      asg.join(centDf, Seq("cluster"))
+        .select(col(idCol), col("cluster").as("cell"),
+          zip_with(guarded, col("_graft_cc"), (a, b) => a - b).as("residual"))
+    }
   }
 
   /** E151 (round 15): residuals AGAINST DECLARED CELLS — (idCol, cell,
@@ -442,22 +531,37 @@ object PqOps {
       s"centroids must share one dim, got ${cents.map(_.length).distinct.mkString(",")}")
     val spark = df.sparkSession
     import spark.implicits._
-    val centDf = broadcast(centsDf(spark, cents, "_graft_rcell", "_graft_cc"))
     val guarded = when(size(col(vecCol)) === dim,
         transform(col(vecCol), _.cast("double")))
       .otherwise(raise_error(concat(
         lit(s"residualsAt: vector dim must be $dim (the centroid table's), got "),
         size(col(vecCol)).cast("string"))))
-    df.select(col(idCol), col(cellCol).cast("int").as("cell"), col(vecCol))
-      .join(centDf, col("cell") === col("_graft_rcell"), "left")
-      .select(col(idCol), col("cell"),
-        when(col("_graft_cc").isNotNull,
-          zip_with(guarded, col("_graft_cc"), (a, b) => a - b))
-        .otherwise(raise_error(concat(
-          lit("residualsAt: id "), col(idCol).cast("string"),
-          lit(" declares cell "), col("cell").cast("string"),
-          lit(s" outside the centroid table [0, ${cents.length}) — these " +
-            "assignments were not produced against this table")))).as("residual"))
+    val outOfRange = raise_error(concat(
+      lit("residualsAt: id "), col(idCol).cast("string"),
+      lit(" declares cell "), col("cell").cast("string"),
+      lit(s" outside the centroid table [0, ${cents.length}) — these " +
+        "assignments were not produced against this table")))
+    val base = df.select(
+      col(idCol), col(cellCol).cast("int").as("cell"), col(vecCol))
+    if (cents.length <= KmeansOps.LiteralPathMaxK) {
+      // Literal path (round 17): element_at on the literal centroid
+      // table, in the same projection as the cast — no broadcast build,
+      // no join. The explicit range guard keeps the loud refusal (and
+      // blocks element_at's from-the-end semantics on a negative cell).
+      val centLit = typedLit(cents.map(_.toSeq).toSeq)
+      base.select(col(idCol), col("cell"),
+        when(col("cell") >= 0 && col("cell") < cents.length,
+          zip_with(guarded, element_at(centLit, col("cell") + 1),
+            (a, b) => a - b))
+        .otherwise(outOfRange).as("residual"))
+    } else {
+      val centDf = broadcast(centsDf(spark, cents, "_graft_rcell", "_graft_cc"))
+      base.join(centDf, col("cell") === col("_graft_rcell"), "left")
+        .select(col(idCol), col("cell"),
+          when(col("_graft_cc").isNotNull,
+            zip_with(guarded, col("_graft_cc"), (a, b) => a - b))
+          .otherwise(outOfRange).as("residual"))
+    }
   }
 
   /** E145: exact RE-RANK of an ANN shortlist (IVFADC+R, Jégou 2011 §V):

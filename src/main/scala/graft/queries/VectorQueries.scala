@@ -438,16 +438,16 @@ object VectorQueries {
       val e = t(s, dir, "embeddings")
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
-      val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
       val model = graft.operators.PqOps.fitPq(
         e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
       // Materialized once (the q166/q167 fixture discipline, round 15):
       // the lazy encode chain otherwise re-derives the full fit lineage
       // inside the search's scored join — exactly what the stored-
-      // artifact path gets for free from its parquet codes.
-      val codes = graft.Tables.materialize(graft.operators.PqOps.attachCells(
-        graft.operators.PqOps.encode(e, "embedding", "vec_id", model),
-        cells, "vec_id"))
+      // artifact path gets for free from its parquet codes. encodeAttached
+      // (round 17) fuses the cell assignment into the encode projection —
+      // the old attachCells call joined two projections of the same scan.
+      val codes = graft.Tables.materialize(graft.operators.PqOps.encodeAttached(
+        e, "embedding", "vec_id", model, coarse.centroids))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding"))
       graft.operators.PqOps.ivfAdcSearch(
@@ -465,12 +465,10 @@ object VectorQueries {
       val e = t(s, dir, "embeddings")
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
-      val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
       val model = graft.operators.PqOps.fitPq(
         e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
-      val codes = graft.Tables.materialize(graft.operators.PqOps.attachCells(
-        graft.operators.PqOps.encode(e, "embedding", "vec_id", model),
-        cells, "vec_id"))
+      val codes = graft.Tables.materialize(graft.operators.PqOps.encodeAttached(
+        e, "embedding", "vec_id", model, coarse.centroids))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding"))
       graft.operators.PqOps.ivfAdcSearch(
@@ -520,12 +518,10 @@ object VectorQueries {
       val e = t(s, dir, "embeddings")
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
-      val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
       val model = graft.operators.PqOps.fitPq(
         e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
-      val codes = graft.Tables.materialize(graft.operators.PqOps.attachCells(
-        graft.operators.PqOps.encode(e, "embedding", "vec_id", model),
-        cells, "vec_id"))
+      val codes = graft.Tables.materialize(graft.operators.PqOps.encodeAttached(
+        e, "embedding", "vec_id", model, coarse.centroids))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding"))
       val short = graft.operators.PqOps.ivfAdcSearch(
@@ -554,9 +550,11 @@ object VectorQueries {
         e, "embedding", "vec_id", coarse.centroids))
       val model = graft.operators.PqOps.fitPq(
         res, "residual", "vec_id", m = 4, kCodes = 8, iters = 1)
-      val codes = graft.Tables.materialize(graft.operators.PqOps.attachCells(
-        graft.operators.PqOps.encode(res, "residual", "vec_id", model),
-        res.select(col("vec_id"), col("cell").as("cluster")), "vec_id"))
+      // The residual frame already carries its cell: encodeWithCell
+      // (round 17) keeps it through the encode projection instead of
+      // re-joining the frame with its own projection.
+      val codes = graft.Tables.materialize(graft.operators.PqOps.encodeWithCell(
+        res, "residual", "vec_id", model, "cell"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding"))
       graft.operators.PqOps.ivfAdcSearchResidual(
@@ -593,23 +591,23 @@ object VectorQueries {
       val e = t(s, dir, "embeddings")
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
-      val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
       val model = graft.operators.PqOps.fitPq(
         e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
       // codes/errs/rcodes each feed 2-3 downstream consumers (the
       // shortlist search + both re-rank decode levels) — materialize
       // once, exactly what the stored-artifact path gets for free.
-      val codes = graft.Tables.materialize(graft.operators.PqOps.attachCells(
-        graft.operators.PqOps.encode(e, "embedding", "vec_id", model),
-        cells, "vec_id"))
+      // Round 17: the cell rides every stage's own projection
+      // (encodeAttached → errs-with-cell → encodeWithCell) instead of
+      // three attachCells joins against the same coarse assignment.
+      val codes = graft.Tables.materialize(graft.operators.PqOps.encodeAttached(
+        e, "embedding", "vec_id", model, coarse.centroids))
       val errs = graft.Tables.materialize(
-        graft.operators.PqOps.reconstructionErrors(
+        graft.operators.PqOps.reconstructionErrorsWithCell(
           e, "embedding", "vec_id", model, codes))
       val rmodel = graft.operators.PqOps.fitPq(
         errs, "_graft_err", "vec_id", m = 8, kCodes = 8, iters = 1)
-      val rcodes = graft.Tables.materialize(graft.operators.PqOps.attachCells(
-        graft.operators.PqOps.encode(errs, "_graft_err", "vec_id", rmodel),
-        cells, "vec_id"))
+      val rcodes = graft.Tables.materialize(graft.operators.PqOps.encodeWithCell(
+        errs, "_graft_err", "vec_id", rmodel, "cell"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding"))
       val short = graft.operators.PqOps.ivfAdcSearch(
@@ -634,20 +632,17 @@ object VectorQueries {
       val e = t(s, dir, "embeddings")
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
-      val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
       val model = graft.operators.PqOps.fitPq(
         e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
-      val codes = graft.Tables.materialize(graft.operators.PqOps.attachCells(
-        graft.operators.PqOps.encode(e, "embedding", "vec_id", model),
-        cells, "vec_id"))
+      val codes = graft.Tables.materialize(graft.operators.PqOps.encodeAttached(
+        e, "embedding", "vec_id", model, coarse.centroids))
       val errs = graft.Tables.materialize(
-        graft.operators.PqOps.reconstructionErrors(
+        graft.operators.PqOps.reconstructionErrorsWithCell(
           e, "embedding", "vec_id", model, codes))
       val rmodel = graft.operators.PqOps.fitPq(
         errs, "_graft_err", "vec_id", m = 8, kCodes = 8, iters = 1)
-      val rcodes = graft.operators.PqOps.attachCells(
-        graft.operators.PqOps.encode(errs, "_graft_err", "vec_id", rmodel),
-        cells, "vec_id")
+      val rcodes = graft.operators.PqOps.encodeWithCell(
+        errs, "_graft_err", "vec_id", rmodel, "cell")
       val arts = graft.operators.PqOps.PqArtifacts(
         model, coarse.centroids, codes,
         refinement = Some(rmodel), rcodes = Some(rcodes))
@@ -692,9 +687,8 @@ object VectorQueries {
         e, "embedding", "vec_id", coarse.centroids))
       val model = graft.operators.PqOps.fitPq(
         res, "residual", "vec_id", m = 4, kCodes = 8, iters = 1)
-      val codes = graft.Tables.materialize(graft.operators.PqOps.attachCells(
-        graft.operators.PqOps.encode(res, "residual", "vec_id", model),
-        res.select(col("vec_id"), col("cell").as("cluster")), "vec_id"))
+      val codes = graft.Tables.materialize(graft.operators.PqOps.encodeWithCell(
+        res, "residual", "vec_id", model, "cell"))
       val asg = res.select(col("vec_id"), col("cell").as("cluster"))
         .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       val maxPop = math.ceil(e.count() / 10.0).toLong
@@ -708,9 +702,8 @@ object VectorQueries {
         .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       val res2 = graft.operators.PqOps.residualsAt(
         moved, "embedding", "vec_id", "ncell", split.centroids)
-      val hot = graft.operators.PqOps.attachCells(
-        graft.operators.PqOps.encode(res2, "residual", "vec_id", model),
-        res2.select(col("vec_id"), col("cell").as("cluster")), "vec_id")
+      val hot = graft.operators.PqOps.encodeWithCell(
+        res2, "residual", "vec_id", model, "cell")
       val out = Seq("vec_id", "cell", "sub", "code", "dist").map(col)
       codes.filter(!col("cell").isin(hotSeq: _*)).select(out: _*)
         .unionByName(hot.select(out: _*))
@@ -729,13 +722,11 @@ object VectorQueries {
       val e = t(s, dir, "embeddings")
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
-      val cells = coarse.assignments.select(col("vec_id"), col("cluster"))
       val model = graft.operators.PqOps.fitPq(
         e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
       val codes = graft.Tables.materialize(
-        graft.operators.PqOps.attachCells(
-          graft.operators.PqOps.encode(e, "embedding", "vec_id", model),
-          cells, "vec_id")
+        graft.operators.PqOps.encodeAttached(
+          e, "embedding", "vec_id", model, coarse.centroids)
         .filter(col("vec_id") % 97 =!= 3))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding"))

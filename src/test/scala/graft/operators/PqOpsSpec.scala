@@ -121,6 +121,40 @@ class PqOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused cell-carrying builders equal the attachCells joins (round 17)") {
+    // encodeAttached / encodeWithCell / reconstructionErrorsWithCell
+    // collapse the build-time attachCells join into the encode/decode
+    // projection itself — columns, order, and every value must equal the
+    // join formulation, and the literal-path build must plan NO join.
+    val coarse = KmeansOps.fit(vecs, "v", "id", k = 2, iters = 1)
+    val cells = coarse.assignments.select(col("id"), col("cluster"))
+    val model = PqOps.fitPq(vecs, "v", "id", m = 4, kCodes = 2, iters = 1)
+    val joined = PqOps.attachCells(
+      PqOps.encode(vecs, "v", "id", model), cells, "id")
+    val fused = PqOps.encodeAttached(vecs, "v", "id", model, coarse.centroids)
+    assert(fused.columns.toSeq == joined.columns.toSeq)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.as[(Long, Int, Int, Double, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(key(fused) == key(joined))
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // encodeWithCell over a frame that already carries its cell.
+    val withCell = PqOps.residuals(vecs, "v", "id", coarse.centroids)
+    val viaJoin = PqOps.attachCells(
+      PqOps.encode(withCell, "residual", "id", model),
+      withCell.select(col("id"), col("cell").as("cluster")), "id")
+    val viaCarry = PqOps.encodeWithCell(withCell, "residual", "id", model, "cell")
+    assert(key(viaCarry) == key(viaJoin))
+    // reconstructionErrorsWithCell = reconstructionErrors + the codes' cell.
+    val errsJoin = PqOps.reconstructionErrors(vecs, "v", "id", model, joined)
+      .join(cells.withColumnRenamed("cluster", "cell"), Seq("id"))
+      .select(col("id"), col("_graft_err"), col("cell"))
+      .as[(Long, Seq[Double], Int)].collect().sortBy(_._1).toSeq
+    val errsFused = PqOps.reconstructionErrorsWithCell(vecs, "v", "id", model, fused)
+      .as[(Long, Seq[Double], Int)].collect().sortBy(_._1).toSeq
+    assert(errsFused == errsJoin)
+  }
+
   test("adc scores are the locally-recomputed sum of squared subspace lookups") {
     val model = PqOps.fitPq(vecs, "v", "id", m = 2, kCodes = 2, iters = 1)
     val codes = PqOps.encode(vecs, "v", "id", model)
