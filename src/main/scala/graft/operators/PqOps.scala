@@ -1246,11 +1246,12 @@ object PqOps {
       .map { case (c, i) => (i, c.toSeq) }
       .toSeq.toDF("cl", "centroid")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/coarse")
-    val cells =
-      if (residual) fitSrc.select(col(idCol), col("cell").as("cluster"))
-      else coarseFit.assignments.select(col(idCol), col("cluster"))
+    // Round 17: the cell rides the encode projection (residual frames
+    // carry it; raw/permuted sources attach it via assign's projection)
+    // instead of an attachCells join of two narrow frames.
     val codes = Tables.materialize(
-      attachCells(encode(fitSrc, fitVecCol, idCol, model), cells, idCol))
+      if (residual) encodeWithCell(fitSrc, fitVecCol, idCol, model, "cell")
+      else encodeAttached(fitSrc, fitVecCol, idCol, model, coarseFit.centroids))
     codes.withColumn("_graft_epoch", lit(BaseEpoch))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("_graft_epoch", "cell")
@@ -1264,10 +1265,9 @@ object PqOps {
     val (rmodelOpt, rcodesOpt) =
       if (refineM > 0) {
         val errs = Tables.materialize(
-          reconstructionErrors(fitSrc, fitVecCol, idCol, model, codes))
+          reconstructionErrorsWithCell(fitSrc, fitVecCol, idCol, model, codes))
         val rmodel = fitPq(errs, "_graft_err", idCol, refineM, refineK, iters)
-        val rcodes = attachCells(
-          encode(errs, "_graft_err", idCol, rmodel), cells, idCol)
+        val rcodes = encodeWithCell(errs, "_graft_err", idCol, rmodel, "cell")
         rmodel.codebooks
           .withColumnRenamed("_graft_sub", "sub")
           .withColumnRenamed("_graft_code", "code")
@@ -1961,17 +1961,17 @@ object PqOps {
             .select(col(idCol), col("_graft_rv")), Seq(idCol)))
       val res2 = Tables.materialize(
         residualsAt(moved, "_graft_rv", idCol, "_graft_ncell", split.centroids))
-      val cells2 = res2.select(col(idCol), col("cell").as("cluster"))
-      val hotCodes = Tables.materialize(attachCells(
-        encode(res2, "residual", idCol, arts.model), cells2, idCol))
+      val hotCodes = Tables.materialize(
+        encodeWithCell(res2, "residual", idCol, arts.model, "cell"))
       val cold = arts.codes.filter(!col("cell").isin(hotSeq: _*))
       writeCoded(
         cold.unionByName(hotCodes.select(cold.columns.map(col).toIndexedSeq: _*)),
         "codes")
       arts.refinement.foreach { rm =>
         books(rm).write.mode(SaveMode.Overwrite).parquet(s"$outDir/rcodebooks")
-        val errs = reconstructionErrors(res2, "residual", idCol, arts.model, hotCodes)
-        val hotR = attachCells(encode(errs, "_graft_err", idCol, rm), cells2, idCol)
+        val errs = reconstructionErrorsWithCell(
+          res2, "residual", idCol, arts.model, hotCodes)
+        val hotR = encodeWithCell(errs, "_graft_err", idCol, rm, "cell")
         val coldR = arts.rcodes.get.filter(!col("cell").isin(hotSeq: _*))
         writeCoded(
           coldR.unionByName(hotR.select(coldR.columns.map(col).toIndexedSeq: _*)),
@@ -2239,23 +2239,24 @@ object PqOps {
       else (batch, vecCol)
     // The stage-1 TARGET (what the codes quantize) is also what the E148
     // refinement level's errors subtract from — keep it explicit.
-    val (target, targetVecCol, cells) =
-      if (arts.residual) {
-        val res = Tables.materialize(residuals(b2, vec2, idCol, arts.coarse))
-        (res, "residual", res.select(col(idCol), col("cell").as("cluster")))
-      } else
-        (b2, vec2, KmeansOps.assign(b2, vec2, idCol, arts.coarse)
-          .select(col(idCol), col("cluster")))
+    // Round 17: the cell rides the encode/decode projections
+    // (encodeWithCell/encodeAttached/reconstructionErrorsWithCell)
+    // instead of attachCells joins against the batch's own assignment.
+    val (target, targetVecCol) =
+      if (arts.residual)
+        (Tables.materialize(residuals(b2, vec2, idCol, arts.coarse)), "residual")
+      else (b2, vec2)
     val batchCodes = Tables.materialize(
-      attachCells(encode(target, targetVecCol, idCol, arts.model), cells, idCol))
+      if (arts.residual)
+        encodeWithCell(target, targetVecCol, idCol, arts.model, "cell")
+      else encodeAttached(target, targetVecCol, idCol, arts.model, arts.coarse))
     // A refinement store appends BOTH levels under one epoch token —
     // appending stage-1 codes alone would leave ids the re-rank's
     // decode-join guard refuses (torn rcodes).
     val batchRcodes = arts.refinement.map { rmodel =>
-      val errs = reconstructionErrors(
+      val errs = reconstructionErrorsWithCell(
         target, targetVecCol, idCol, arts.model, batchCodes)
-      Tables.materialize(
-        attachCells(encode(errs, "_graft_err", idCol, rmodel), cells, idCol))
+      Tables.materialize(encodeWithCell(errs, "_graft_err", idCol, rmodel, "cell"))
     }
     val prior = readCodeNs(spark, dir, "codes")
       .filter(col("_graft_epoch") =!= epochToken)
