@@ -107,6 +107,24 @@ object ProbeR17 {
             fn._2(spark, dir).write.format("noop").mode("overwrite").save())
           spark.sparkContext.removeSparkListener(listener)
           println(s"[${fn._1}] jobs=${jobs.get} stages=${stages.get}")
+        case "bm" =>
+          import graft.functions.TextFunctions._
+          val docs = Tables.parallel(spark.read.parquet(s"$dir/documents.parquet"))
+          docs.write.format("noop").mode("overwrite").save()
+          timed("tokens filter only")(docs
+            .filter(size(tokens(col("text"))) >= 3).select(col("doc_id"))
+            .write.format("noop").mode("overwrite").save())
+          timed("sig only")(docs
+            .select(col("doc_id"), minhashShingleSignature(col("text"), 16, 3))
+            .write.format("noop").mode("overwrite").save())
+          timed("filter+sig+bands (no window)")(docs
+            .filter(size(tokens(col("text"))) >= 3)
+            .select(col("doc_id"), posexplode(lshBandHashes(
+              minhashShingleSignature(col("text"), 16, 3), 4, 4)).as(Seq("b", "bh")))
+            .write.format("noop").mode("overwrite").save())
+          val banded = timed("bandedMinhash full")(LshOps.bandedMinhash(
+            docs, "text", "doc_id", 16, 3, 4, 4, 10000))
+          banded.unpersist()
         case "cc" =>
           val docs = Tables.parallel(spark.read.parquet(s"$dir/documents.parquet"))
           docs.write.format("noop").mode("overwrite").save()

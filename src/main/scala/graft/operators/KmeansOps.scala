@@ -439,7 +439,9 @@ object KmeansOps {
       }
     }.toMap
     val hotCells = hot.keySet.toSeq.map(Integer.valueOf)
-    val members = Tables.materialize(
+    // LAZY checkpoint: the seed pass right below reads every member row
+    // on both paths, computing and storing the frame in one job.
+    val members = Tables.materializeLazy(
       asg.filter(col(cellCol).isin(hotCells: _*))
         .select(col(idCol),
           transform(col(vecCol), _.cast("double")).as("_graft_v"),
@@ -702,7 +704,10 @@ object KmeansOps {
     // the pair self-join below read the same hash layout, so the join
     // re-shuffles neither side — one up-front shuffle instead of two
     // join-time shuffles of the same frame (PlanSpec budgets the plan).
-    val asg = Tables.materialize(
+    // LAZY checkpoint (round 17): the gauge count below is the forcing
+    // action, so the assignment computes and stores in ONE pass instead
+    // of a dedicated lineage-cut job plus the count.
+    val asg = Tables.materializeLazy(
       assign(df.select(col(idCol), col(vecCol)), vecCol, idCol, fitted.centroids)
         .select(col(idCol), col(vecCol), col("cluster"))
         .repartition(col("cluster")))
@@ -736,7 +741,8 @@ object KmeansOps {
       minCos: Double,
       maxClusterForPairs: Long = 10000L): DataFrame = {
     val fitted = fitTwoLevel(df, vecCol, idCol, k1, k2, iters)
-    val asg = Tables.materialize(
+    // LAZY checkpoint — the gauge count is the forcing pass (round 17).
+    val asg = Tables.materializeLazy(
       df.select(col(idCol), col(vecCol))
         .join(fitted.assignments.select(col(idCol), col("cluster")), idCol)
         .repartition(col("cluster")))
