@@ -339,7 +339,7 @@ object VectorQueries {
     // update is one map-side-combined (cluster, dim) aggregation — the
     // oracle replays the whole fit as unrolled SQL.
     "q115_kmeans" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = graft.Tables.materialize(t(s, dir, "embeddings"))
       graft.operators.KmeansOps.fit(e, "embedding", "vec_id", k = 8, iters = 2)
         .assignments
     }),
@@ -349,7 +349,7 @@ object VectorQueries {
     // (keep-min-id, q52's embedding twin). One row per vector with its
     // cluster and keep verdict.
     "q116_semdedup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = graft.Tables.materialize(t(s, dir, "embeddings"))
       graft.operators.KmeansOps.semanticPurge(
         e, "embedding", "vec_id", k = 8, iters = 2, minCos = 0.4)
     }),
@@ -395,7 +395,7 @@ object VectorQueries {
     // distance to the settled fine centroid — the oracle replays both
     // levels as unrolled SQL.
     "q148_kmeans_twolevel" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = graft.Tables.materialize(t(s, dir, "embeddings"))
       graft.operators.KmeansOps.fitTwoLevel(
         e, "embedding", "vec_id", k1 = 3, k2 = 3, iters = 1).assignments
     }),
@@ -407,7 +407,7 @@ object VectorQueries {
     // at 64× compression. The oracle replays the per-subspace fit and
     // the final arg-min as unrolled SQL.
     "q156_pq_encode" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = graft.Tables.materialize(t(s, dir, "embeddings"))
       val model = graft.operators.PqOps.fitPq(
         e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
       graft.operators.PqOps.encode(e, "embedding", "vec_id", model)
@@ -419,7 +419,7 @@ object VectorQueries {
     // query by (squared distance asc, id asc) via the bounded-buffer
     // grouped top-k.
     "q157_pq_adc_search" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = graft.Tables.materialize(t(s, dir, "embeddings"))
       val model = graft.operators.PqOps.fitPq(
         e, "embedding", "vec_id", m = 4, kCodes = 8, iters = 1)
       val codes = graft.operators.PqOps.encode(e, "embedding", "vec_id", model)
@@ -435,7 +435,7 @@ object VectorQueries {
     // EVERY candidate; here the per-query scan is the probed cell's
     // population (~n/8). Both levels + the codebooks restated in SQL.
     "q159_ivfadc_search" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = graft.Tables.materialize(t(s, dir, "embeddings"))
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
       val model = graft.operators.PqOps.fitPq(
@@ -462,7 +462,7 @@ object VectorQueries {
     // restates the 2-best probe as a row_number <= 2 over (6-dp L2
     // distance, cell) against the settled centroids.
     "q160_ivfadc_nprobe" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = graft.Tables.materialize(t(s, dir, "embeddings"))
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
       val model = graft.operators.PqOps.fitPq(
@@ -499,7 +499,7 @@ object VectorQueries {
     // residual table from the same coarse fit and replays the full PQ
     // chain over it.
     "q162_pq_residual_encode" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = graft.Tables.materialize(t(s, dir, "embeddings"))
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
       // res feeds the fit AND the encode — materialize once (round 15).
@@ -515,7 +515,7 @@ object VectorQueries {
     // over only the Q × 20 shortlisted raw vectors, cut to top-5. The
     // exact pass is workload-sized: its cost is independent of n.
     "q163_ivfadc_rerank" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = graft.Tables.materialize(t(s, dir, "embeddings"))
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
       val model = graft.operators.PqOps.fitPq(
@@ -540,7 +540,7 @@ object VectorQueries {
     // per-(query, cell) structure is what the oracle hash pins (at
     // nprobe = 1 a raw-LUT bug could hide behind a single shared cell).
     "q164_ivfadc_residual" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = graft.Tables.materialize(t(s, dir, "embeddings"))
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
       // The residual table feeds THREE consumers (the fit, the encode,
@@ -574,9 +574,12 @@ object VectorQueries {
       val perm = graft.operators.PqOps.balancedPerm(e, "embedding", m = 4)
       val pe = graft.operators.PqOps.applyPerm(e, "embedding", perm, "pv")
         .select(col("vec_id"), col("pv"))
+      // The permuted frame feeds both fit actions and the encode —
+      // checkpoint once per run (round 17).
+      val pem = graft.Tables.materialize(pe)
       val model = graft.operators.PqOps.fitPq(
-        pe, "pv", "vec_id", m = 4, kCodes = 8, iters = 1)
-      graft.operators.PqOps.encode(pe, "pv", "vec_id", model)
+        pem, "pv", "vec_id", m = 4, kCodes = 8, iters = 1)
+      graft.operators.PqOps.encode(pem, "pv", "vec_id", model)
     }),
 
     // E148 re-rank with source coding (round 14, ICASSP 2011): a SECOND,
@@ -588,7 +591,7 @@ object VectorQueries {
     // drops). The oracle replays both fits, both decodes, and the
     // element-wise sum.
     "q166_pq_refine_codes" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = graft.Tables.materialize(t(s, dir, "embeddings"))
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
       val model = graft.operators.PqOps.fitPq(
@@ -629,7 +632,11 @@ object VectorQueries {
     // aggregations over the code artifact; r_mean_sq_err is the error
     // left AFTER the E148 two-level decode, per cell.
     "q167_pq_store_audit" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      // The corpus feeds SIX actions here (both fit seeds and updates,
+      // the codes build, the error source) — checkpoint it once per run
+      // (a localCheckpoint never matches across runs, unlike persist,
+      // so every bench invocation still computes from the parquet).
+      val e = graft.Tables.materialize(t(s, dir, "embeddings"))
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
       val model = graft.operators.PqOps.fitPq(
@@ -658,7 +665,7 @@ object VectorQueries {
     // table in (parent, child) order — empty children RESERVE their id
     // (the numbering is structural, not data-dependent).
     "q168_cell_rebalance" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = graft.Tables.materialize(t(s, dir, "embeddings"))
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
       val asg = graft.operators.KmeansOps.assign(
@@ -680,7 +687,7 @@ object VectorQueries {
     // hot members, never the corpus. Output: the rebuilt store's code
     // table (vec_id, cell, sub, code, dist).
     "q169_residual_rebalance" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = graft.Tables.materialize(t(s, dir, "embeddings"))
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
       val res = graft.Tables.materialize(graft.operators.PqOps.residuals(
@@ -719,7 +726,7 @@ object VectorQueries {
     // both namespaces) is spec-gated in PqOpsSpec/MaintenanceOpsSpec;
     // this pins the post-delete ranking against the oracle.
     "q170_takedown_search" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = graft.Tables.materialize(t(s, dir, "embeddings"))
       val coarse = graft.operators.KmeansOps.fit(
         e, "embedding", "vec_id", k = 8, iters = 1)
       val model = graft.operators.PqOps.fitPq(
