@@ -55,6 +55,12 @@ object TextFunctions {
   /** Whitespace tokenization, empty tokens dropped. */
   def tokens(c: Column): Column = filter(split(c, " "), t => t =!= lit(""))
 
+  /** Token COUNT — bit-equal to `size(tokens(c))` on non-null input (and
+    * null on null, like size under the non-legacy conf), without
+    * materializing the token array (round 17): the sub-shingle filters
+    * and document-length features only consume the number. Native. */
+  def tokenCount(c: Column): Column = toCol(graft.plans.TokenCountExpr(toExpr(c)))
+
   /** Per-document term frequencies in one pass:
     * `struct(counts: map<token,count>, dl: int)` — `explode(_.getField
     * ("counts"))` yields one row per DISTINCT term with its exact count,

@@ -212,7 +212,7 @@ object LshOps {
     val exploded = docs
       // Hazard 1: a doc with < shingleN tokens has no shingles — drop it
       // here rather than let the all-zero signatures form a mega-bucket.
-      .filter(size(tokens(col(textCol))) >= shingleN)
+      .filter(tokenCount(col(textCol)) >= shingleN)
       .select(col(idCol), posexplode(lshBandHashes(sig, nBands, rowsPerBand)).as(Seq("b", "bh")))
       // Hazard 2: bucket occupancy, computed on the same (b, bh)
       // partitioning the self-join will use.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{tokenCount, tokens}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -44,7 +44,7 @@ object PackOps {
 
     val counts = docs.select(
       col(idCol).cast("long").as("id"),
-      size(tokens(col(textCol))).cast("long").as("n_tok"))
+      tokenCount(col(textCol)).cast("long").as("n_tok"))
 
     // Phase 1: contiguous ordered ranges, local running sums. Materialized
     // eagerly — phase 2 aggregates it and phase 3 maps over it; without the

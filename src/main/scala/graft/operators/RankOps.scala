@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextFunctions.{shingleCounts, shingles, tokenCounts, tokens}
+import graft.functions.TextFunctions.{shingleCounts, shingles, tokenCount, tokenCounts, tokens}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -139,7 +139,7 @@ object RankOps {
     require(topN >= 1, s"topN out of range: $topN")
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
-      avg(size(tokens(col(textCol)))).as("avgdl"))
+      avg(tokenCount(col(textCol))).as("avgdl"))
     // The isin prune is pushed below the tf aggregation by Catalyst
     // (grouping-key predicate), so only query-term rows survive the
     // explode's shuffle; df then derives from the pruned tf (one row
@@ -192,7 +192,7 @@ object RankOps {
     require(topN >= 1, s"topN out of range: $topN")
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
-      avg(size(tokens(col(textCol)))).as("avgdl"))
+      avg(tokenCount(col(textCol))).as("avgdl"))
     val tf = termFrequencies(docs, textCol, idCol)
       .filter(col("token").isin(qTerms.map(x => x: Any): _*))
       .persist()
@@ -256,7 +256,7 @@ object RankOps {
     val qTerms = q.select(col("token")).distinct()
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
-      avg(size(tokens(col(textCol)))).as("avgdl"))
+      avg(tokenCount(col(textCol))).as("avgdl"))
     // The explode-then-semi-join prune: unlike the literal `isin` of the
     // Seq variants (a grouping-key predicate Catalyst pushes below the
     // tf aggregation), a join can't sink through the groupBy on its own

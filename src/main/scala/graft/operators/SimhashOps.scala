@@ -79,7 +79,7 @@ object SimhashOps {
       // all-ones majority signature, shared by EVERY such doc — one
       // mega-bucket on a real crawl. Such docs can't be shingle near-dups
       // of anything, so drop them before banding.
-      .filter(size(tokens(col(textCol))) >= shingleN)
+      .filter(tokenCount(col(textCol)) >= shingleN)
       .select(col(idCol), simhashShingle60(col(textCol), shingleN).as("sh"))
       .select(col(idCol), col("sh"), posexplode(array(
         (0 until NBands).map(b =>

@@ -51,6 +51,24 @@ object TextHash {
     out.toArray
   }
 
+  /** Token COUNT without materializing the array — bit-equal to
+    * `tokens(s).length` (maximal runs of non-space chars; "" → 0). The
+    * hot-path filters and length features only need the number, and the
+    * split+filter form allocates one UTF8String per token first
+    * (round 17, guide §1.2 per-task work). */
+  def tokenCount(s: String): Int = {
+    var i = 0
+    var n = 0
+    val len = s.length
+    while (i < len) {
+      if (s.charAt(i) != ' ') {
+        n += 1
+        while (i < len && s.charAt(i) != ' ') i += 1
+      } else i += 1
+    }
+    n
+  }
+
   /** Distinct hashes of word n-gram shingles (n=1 → unigram tokens). The
     * shingle string is tokens joined by a single space, so its charHash
     * equals the oracle's hash of array_to_string(toks[i:i+n-1], ' '). */
@@ -339,6 +357,19 @@ case class CharPolyHashCp(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.charHashCp($c.toString())")
   override protected def withNewChildInternal(c: Expression): CharPolyHashCp = copy(child = c)
+}
+
+/** Token count ([[TextHash.tokenCount]]) — bit-equal to
+  * `size(tokens(text))` on non-null input, without materializing the
+  * token array (round 17): the sub-shingle filters and document-length
+  * features only consume the number. */
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.tokenCount(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.tokenCount($c.toString())")
+  override protected def withNewChildInternal(c: Expression): TokenCountExpr = copy(child = c)
 }
 
 /** Codepoint-tier token array ([[TextHash.tokensCp]]) — Unicode

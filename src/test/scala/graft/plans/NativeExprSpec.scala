@@ -23,6 +23,29 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("TokenCountExpr == size(tokens) on every fixture doc and edge strings") {
+    // Round 17: the sub-shingle filters and avgdl/n_tok features moved to
+    // the arrayless count — bit-equal to the split+filter+size form, null
+    // on null input like size() under the non-legacy conf.
+    val diff = docs.select(
+      TextFunctions.tokenCount($"text").as("native"),
+      size(TextFunctions.tokens($"text")).as("ref"))
+      .filter($"native" =!= $"ref").count()
+    assert(diff == 0L)
+    val edges = Seq("", " ", "   ", "a", " a", "a ", "a  b", " a b  c ",
+      "über  maß", "\ttab stays one token")
+      .toDF("text")
+      .select(
+        TextFunctions.tokenCount($"text").as("native"),
+        size(TextFunctions.tokens($"text")).as("ref"))
+    val rows = edges.select($"native", $"ref").collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // Null propagates as null (size() would yield null too).
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(TextFunctions.tokenCount($"text")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("Simhash30Expr == HOF simhash30") {
     val diff = docs.select(
       TextFunctions.simhash30($"text").as("native"),
