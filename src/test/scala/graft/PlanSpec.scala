@@ -382,7 +382,16 @@ class PlanSpec extends AnyFunSuite {
       // q87 runs at the default budget of 1 (round 16): the native count
       // map keeps each document's counts in its row — the only exchange
       // left is the parallel-spread repartition.
-      "q88_stratified_sample" -> 2, "q96_sequence_pack" -> 2
+      "q88_stratified_sample" -> 2, "q96_sequence_pack" -> 2,
+      // q137 (round 17): the fixed-count PageRank loop no longer pays a
+      // lineage-cut JOB per round, so the returned frame is ONE nested
+      // plan carrying all three rounds — the exchanges were always
+      // executed, they were just spread over per-round checkpoint jobs
+      // the old budget never saw. Visible now: symmetrize distinct +
+      // degree agg + 3 × (rank join + contribution agg) + the final
+      // read-side exchanges. Budget = the measured shape, so a FOURTH
+      // round (or an accidental extra shuffle per round) still fails.
+      "q137_pagerank" -> 10
     ).withDefaultValue(1)
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     val over = try {
