@@ -942,7 +942,6 @@ object PqOps {
     val spark = queries.sparkSession
     import spark.implicits._
     val (qcells, probed) = probeCellsLocal(queries, vecCol, qidCol, coarse, nprobe)
-    val centDf = broadcast(centsDf(spark, coarse, "_graft_qcell", "_graft_cc"))
     // Per-row dim guard woven into the data column (the residuals rule).
     val guarded = when(size(col(vecCol)) === dim,
         transform(col(vecCol), _.cast("double")))
@@ -950,10 +949,20 @@ object PqOps {
         lit(s"residual search: query dim must be $dim (the coarse model's), got "),
         size(col(vecCol)).cast("string"))))
     // One residualized pseudo-query per (query, probed cell), keyed by a
-    // struct so the subvector explode keeps both halves of the key.
-    val rq = queries.select(col(qidCol), col(vecCol))
-      .join(qcells, Seq(qidCol))
-      .join(centDf, Seq("_graft_qcell"))
+    // struct so the subvector explode keeps both halves of the key. The
+    // probed cell's centroid comes from element_at on a literal table
+    // when the coarse model fits the codegen budget (round 17; a probed
+    // cell is valid by construction — probeCells derived it from this
+    // same table) — one broadcast build fewer per search.
+    val qc = queries.select(col(qidCol), col(vecCol)).join(qcells, Seq(qidCol))
+    val rq =
+      (if (coarse.length <= KmeansOps.LiteralPathMaxK)
+        qc.select(col(qidCol), col("_graft_qcell"),
+          element_at(typedLit(coarse.map(_.toSeq).toSeq),
+            col("_graft_qcell") + 1).as("_graft_cc"), col(vecCol))
+      else
+        qc.join(broadcast(centsDf(spark, coarse, "_graft_qcell", "_graft_cc")),
+          Seq("_graft_qcell")))
       .select(
         struct(col(qidCol), col("_graft_qcell")).as("_graft_qk"),
         zip_with(guarded, col("_graft_cc"), (a, b) => a - b).as("_graft_rq"))
