@@ -77,7 +77,12 @@ object Tables {
     * when the caller's next statement is itself an action over the whole
     * frame (a convergence count, a stats head()): that action forces and
     * stores the blocks in ONE pass instead of paying a separate
-    * lineage-cut job first. Same two modes as [[materialize]]. */
+    * lineage-cut job first. Local mode only: a NON-eager RELIABLE
+    * checkpoint is written by RE-RUNNING the RDD after the first action
+    * (Spark's ReliableRDDCheckpointData contract — only the local
+    * variant persists blocks during the first compute), so in reliable
+    * mode this stays eager: same cost as [[materialize]], never a
+    * double compute. */
   def materializeLazy(df: DataFrame): DataFrame = materializePath(df, eager = false)
 
   private def materializePath(df: DataFrame, eager: Boolean): DataFrame = {
@@ -90,7 +95,7 @@ object Tables {
       if (sc.getCheckpointDir.isEmpty)
         sc.setCheckpointDir(spark.conf.getOption("spark.graft.checkpointDir")
           .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-ckpt"))
-      df.checkpoint(eager)
+      df.checkpoint(eager = true)
     }
   }
 }
