@@ -189,9 +189,14 @@ object GraphOps {
       val next = Tables.materializeLazy(smallStar(largeStar(e)))
       // Fixed point = edge SET unchanged. |A △ B| = 2|A ∪ B| − |A| − |B|;
       // both sides are materialized and distinct, so this is one cheap
-      // distinct-count over small (id, id) pairs.
+      // distinct-count over small (id, id) pairs — and it only needs to
+      // run when the counts MATCH (round 17): distinct sets of different
+      // size are different, so every still-shrinking round answers from
+      // the count it already paid.
       val nextCount = next.count()
-      changed = 2L * next.union(e).distinct().count() - nextCount - eCount
+      changed =
+        if (nextCount != eCount) 1L
+        else 2L * next.union(e).distinct().count() - nextCount - eCount
       e = next
       eCount = nextCount
     }
