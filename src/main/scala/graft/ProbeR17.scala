@@ -2,9 +2,13 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** TEMPORARY round-17 phase probe (not part of the product; removed at
-  * round end). Times the phases of the heavy PQ queries in a Bench-like
-  * JVM. Usage: runMain graft.ProbeR17 <sfDir> <which> */
+/** TEMPORARY optimization-round phase probe (not part of the product;
+  * kept through the optimization rounds, removed after). Times the
+  * phases of the heavy queries in a Bench-like JVM, counts Spark
+  * jobs/stages per declared query (`jobs:<name>` — with AQE each
+  * exchange materializes as its own job, so this is the pass counter
+  * the round optimizes against). Usage:
+  * runMain graft.ProbeR17 <sfDir> <q169|q166|cc|bm|jobs:qNNN> */
 object ProbeR17 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
