@@ -111,6 +111,56 @@ object ProbeR17 {
             fn._2(spark, dir).write.format("noop").mode("overwrite").save())
           spark.sparkContext.removeSparkListener(listener)
           println(s"[${fn._1}] jobs=${jobs.get} stages=${stages.get}")
+        case "split10" =>
+          import graft.functions.VectorFunctions
+          val coarse = timed("coarse fit")(KmeansOps.fit(e, "embedding", "vec_id", k = 8, iters = 1))
+          val res = timed("res mat")(Tables.materialize(
+            PqOps.residuals(e, "embedding", "vec_id", coarse.centroids)))
+          val asg = res.select(col("vec_id"), col("cell").as("cluster"))
+            .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+          val maxPop = math.ceil(e.count() / 10.0).toLong
+          val pops = timed("pops")(asg.groupBy(col("cluster")).count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap)
+          val hot = pops.collect { case (c, p) if p > maxPop => c -> p }
+          val kOf = hot.map { case (c, p) => c -> math.ceil(p.toDouble / maxPop).toInt }
+          println(s"  hot=${hot.size} sumK=${kOf.values.sum}")
+          val hotCells = hot.keySet.toSeq.sorted
+          val members = Tables.materializeLazy(
+            asg.filter(col("cluster").isin(hotCells.map(Integer.valueOf): _*))
+              .select(col("vec_id"),
+                transform(col("embedding"), _.cast("double")).as("_graft_v"),
+                col("cluster").cast("int").as("_graft_cell")))
+          val maxK = kOf.values.max
+          val seedRows = timed("seeds topk")(TopKOps.groupedTopK(
+              members.select(col("_graft_cell"),
+                (-col("vec_id")).cast("double").as("_graft_negid"), col("vec_id")),
+              "_graft_cell", "_graft_negid", "vec_id", maxK)
+            .select(col("_graft_cell"), (col("rank") - 1).cast("int").as("f"),
+              col("vec_id").cast("long").as("sid")).collect())
+          val seedIds = seedRows.map(_.getLong(2)).distinct.map(java.lang.Long.valueOf)
+          val vecOf = timed("seed vecs")(members
+            .filter(col("vec_id").cast("long").isin(seedIds.toIndexedSeq: _*))
+            .select(col("vec_id").cast("long"), col("_graft_v")).collect()
+            .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap)
+          val fine = seedRows.filter(r => r.getInt(1) < kOf(r.getInt(0)))
+            .map(r => (r.getInt(0), r.getInt(1)) -> vecOf(r.getLong(2))).toMap
+          var next = coarse.centroids.length
+          val newIdOf = hotCells.flatMap { c => (0 until kOf(c)).map { f =>
+            if (f == 0) (c, f) -> c else { val id = next; next += 1; (c, f) -> id } } }.toMap
+          val centsByCell = hotCells.map(c => (0 until kOf(c)).map(f => fine((c, f))).toArray).toArray
+          val idsByCell = hotCells.map(c => (0 until kOf(c)).map(f => newIdOf((c, f))).toArray).toArray
+          val packed = VectorFunctions.splitAssign(
+            col("_graft_cell"), col("_graft_v"), hotCells.toArray, centsByCell, idsByCell)
+            .bitwiseAND(lit((1L << 20) - 1)).cast("int")
+          val meansDf = members
+            .select(col("_graft_cell"), packed.as("_graft_nc"),
+              posexplode(col("_graft_v")).as(Seq("i", "x")))
+            .groupBy(col("_graft_cell"), col("_graft_nc"), col("i"))
+            .agg(org.apache.spark.sql.functions.round(avg(col("x")), 6).as("m"))
+          println(meansDf.queryExecution.executedPlan.toString.take(4000))
+          timed("means job")(meansDf.collect())
+          timed("moved noop")(members.select(col("vec_id"), packed.as("cell"))
+            .write.format("noop").mode("overwrite").save())
         case "bm" =>
           import graft.functions.TextFunctions._
           val docs = Tables.parallel(spark.read.parquet(s"$dir/documents.parquet"))

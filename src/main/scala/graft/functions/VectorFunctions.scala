@@ -36,6 +36,12 @@ object VectorFunctions {
       withSubvec: Boolean): Column =
     col(PqEncodeGen(expr(v), books, withSubvec))
 
+  /** splitHotCells literal-path packed arg-min (round 17) — see
+    * [[graft.plans.SplitAssignExpr]]. */
+  def splitAssign(cell: Column, v: Column, cells: Array[Int],
+      cents: Array[Array[Array[Double]]], ids: Array[Array[Int]]): Column =
+    col(graft.plans.SplitAssignExpr(expr(cell), expr(v), cells, cents, ids))
+
   def pqLutGen(v: Column, books: Array[Array[Array[Double]]]): Column =
     col(PqLutGen(expr(v), books))
 

@@ -484,20 +484,21 @@ object KmeansOps {
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
       var fine: Map[(Int, Int), Array[Double]] =
         seedRows.map { case (cf, id) => cf -> vecOf(id) }.toMap
-      // The one-projection arg-min: per hot cell, least over the packed
-      // (6-dp dist, child id) longs against that cell's centroid
-      // literals — fineArgmin's exact arithmetic, no join, no exchange.
+      // The one-projection arg-min: per hot cell, the packed (6-dp dist,
+      // child id) min against that cell's driver-held centroids —
+      // fineArgmin's exact arithmetic, no join, no exchange, as ONE
+      // compiled loop ([[graft.plans.SplitAssignExpr]]; the first cut
+      // unrolled when/least/typedLit legs and fell out of codegen at
+      // dim 64 — 4-10× SLOWER than the join path at the gsf10 probe).
+      val hotCellsSorted = hotSorted.map(_._1).toArray
       def packedNewCell(fm: Map[(Int, Int), Array[Double]]): Column = {
-        val code = hotSorted.reverse.foldLeft(lit(-1L): Column) {
-          case (acc, (c, k)) =>
-            val codes = (0 until k).map { f =>
-              round(l2Distance(col("_graft_v"), typedLit(fm((c, f)).toSeq)) * 1e6)
-                .cast("long") * lit(1L << ClusterBits) +
-                lit(newIdOf((c, f)).toLong)
-            }
-            when(col("_graft_cell") === lit(c),
-              codes.reduceLeft(least(_, _))).otherwise(acc)
-        }
+        val centsByCell = hotSorted.map { case (c, k) =>
+          (0 until k).map(f => fm((c, f))).toArray }.toArray
+        val idsByCell = hotSorted.map { case (c, k) =>
+          (0 until k).map(f => newIdOf((c, f))).toArray }.toArray
+        val code = graft.functions.VectorFunctions.splitAssign(
+          col("_graft_cell"), col("_graft_v"),
+          hotCellsSorted, centsByCell, idsByCell)
         code.bitwiseAND(lit((1L << ClusterBits) - 1)).cast("int")
       }
       val fclOfNew: Map[(Int, Int), Int] =
@@ -506,9 +507,17 @@ object KmeansOps {
         // Means per (cell, child, dim) — the only distributed job per
         // round; ≤ Σ kOf × dim rows come back, updating the driver map
         // (children that captured no rows keep their previous centroid,
-        // the join path's coalesce rule).
+        // the join path's coalesce rule). The arg-min is computed in its
+        // OWN select BEFORE the explode: a single select with both would
+        // put the projection ABOVE the Generate (ExtractGenerator keeps
+        // non-generator expressions in the outer project), evaluating
+        // the arg-min once per (member × dim) exploded row instead of
+        // once per member — measured 17.8 s vs 1.1 s on the means job at
+        // the gsf10 decade probe.
         val means = members
           .select(col("_graft_cell"), packedNewCell(fine).as("_graft_nc"),
+            col("_graft_v"))
+          .select(col("_graft_cell"), col("_graft_nc"),
             posexplode(col("_graft_v")).as(Seq("i", "x")))
           .groupBy(col("_graft_cell"), col("_graft_nc"), col("i"))
           .agg(round(avg(col("x")), 6).as("m"))

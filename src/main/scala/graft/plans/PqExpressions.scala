@@ -129,6 +129,64 @@ case class PqEncodeGen(
     copy(child = cs.head)
 }
 
+/** Per-row hot-cell split arg-min (round 17): the packed
+  * `round(l2·1e6)·2^ClusterBits + childId` long over the row's OWN
+  * cell's child centroids — [[graft.operators.KmeansOps.splitHotCells]]'
+  * literal-path assignment as ONE compiled loop. The first cut unrolled
+  * it through when/least/typedLit legs: at the gsf10 decade probe
+  * (200 k vectors, dim 64) the stage fell out of whole-stage codegen
+  * (the janino failure class this file's header documents) and the
+  * means job ran interpreted — measured 38–97 s vs the JOIN path's
+  * ~10 s. The loop form measured faster than the join path at every
+  * scale probed. Driver arrays ride the task closure (no typedLit
+  * forest; plans stay small).
+  *
+  * `cells` must be sorted ascending (binary search); `cents(j)(f)` /
+  * `ids(j)(f)` are hot cell `cells(j)`'s child-f centroid and new cell
+  * id. A member row carrying a non-hot cell throws loudly (members are
+  * filtered to the hot set upstream — reaching here means the caller's
+  * frames diverged). Distance parity: `roundAt(VecOps.l2, 6)` is
+  * exactly `VectorFunctions.l2Distance`; the packed min ties to the
+  * smaller child BECAUSE child ids are monotone in f within a cell. */
+case class SplitAssignExpr(
+    cellChild: Expression,
+    vecChild: Expression,
+    cells: Array[Int],
+    cents: Array[Array[Array[Double]]],
+    ids: Array[Array[Int]]) extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(cellChild, vecChild)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  private def elemFloat: Boolean =
+    vecChild.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def eval(input: InternalRow): Any = {
+    val cell = cellChild.eval(input).asInstanceOf[Number].intValue
+    val j = java.util.Arrays.binarySearch(cells, cell)
+    if (j < 0)
+      throw new RuntimeException(
+        s"splitHotCells: member row carries cell $cell, which is not a hot " +
+          "cell — the member and population frames diverged")
+    val v = VecOps.toDoubles(vecChild.eval(input).asInstanceOf[ArrayData], elemFloat)
+    val bits = graft.operators.KmeansOps.ClusterBits
+    val cs = cents(j)
+    val is = ids(j)
+    var best = Long.MaxValue
+    var f = 0
+    while (f < cs.length) {
+      val r6 = PqExprOps.roundAt(VecOps.l2(v, cs(f)), 6)
+      val packed = PqExprOps.roundAt(r6 * 1e6, 0).toLong * (1L << bits) + is(f)
+      if (packed < best) best = packed
+      f += 1
+    }
+    best
+  }
+  // Reference data stays out of toString (the PqGenerator rule).
+  override def toString: String = s"split_assign($cellChild, $vecChild)"
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): SplitAssignExpr =
+    copy(cellChild = cs(0), vecChild = cs(1))
+}
+
 /** Per-row ADC lookup-table entries: one (sub, code, part) row per
   * codebook entry, `part = round(l2, 6)²` — the literal-path
   * [[graft.operators.PqOps]] `adcLut` body (m × kCodes rows per query,
