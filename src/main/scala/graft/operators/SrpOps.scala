@@ -227,10 +227,17 @@ object SrpOps {
   def neardupPairs(bands: DataFrame, vecCol: String, idCol: String, minCos: Double): DataFrame = {
     val a = bands.select(col("b"), col("bv"), col(idCol).as("vid_a"), col(vecCol).as("_va"))
     val b2 = bands.select(col("b"), col("bv"), col(idCol).as("vid_b"), col(vecCol).as("_vb"))
+    // Cosine and the threshold run BEFORE the dedup exchange (round 17,
+    // guide §2.3): the old shape shuffled BOTH raw vectors per candidate
+    // through the distinct just to score each pair once — ~40× the bytes
+    // of the (id, id, cos) row at dim 64. The 6-dp cosine is a pure
+    // function of the pair, so distinct over (a, b, cos) is distinct
+    // over (a, b); re-scoring a pair once per shared band (≤ nBands)
+    // is codegen'd arithmetic, strictly cheaper than moving the vectors.
     a.join(b2, Seq("b", "bv")).filter(col("vid_a") < col("vid_b"))
-      .select(col("vid_a"), col("vid_b"), col("_va"), col("_vb")).distinct()
       .select(col("vid_a"), col("vid_b"), cosine(col("_va"), col("_vb")).as("cos"))
       .filter(col("cos") >= minCos)
+      .distinct()
   }
 
   /** A prepared incremental batch: survivors plus a ledger commit the
