@@ -92,6 +92,21 @@ object TextFunctions {
   def shingles(c: Column, n: Int): Column =
     toCol(graft.plans.ShinglesExpr(toExpr(c), n))
 
+  /** MinHash LSH band hashes straight from text in ONE pass — tokenize
+    * once, shingle-hash, signature, band fold; EMPTY array below
+    * `shingleN` tokens so `posexplode` drops sub-shingle docs exactly
+    * like the former `tokenCount` filter (round 18; see
+    * [[graft.plans.MinhashBandsExpr]]). Bit-equal for surviving docs to
+    * `lshBandHashes(minhashShingleSignature(c, k, n), bands, rowsPerBand)`. */
+  def minhashBandHashes(c: Column, k: Int, n: Int, bands: Int, rowsPerBand: Int): Column =
+    toCol(graft.plans.MinhashBandsExpr(toExpr(c), k, n, bands, rowsPerBand))
+
+  /** [[simhashShingle60]] with the sub-shingle guard fused: NULL below
+    * `n` tokens — one tokenization instead of a `tokenCount` filter pass
+    * plus the signature's own (round 18). */
+  def simhashShingle60Guarded(c: Column, n: Int): Column =
+    toCol(graft.plans.Simhash60GuardedExpr(toExpr(c), n))
+
   /** LSH band hashes: fold each group of `rowsPerBand` signature values with
     * the charHash fold. Docs sharing any band hash are near-dup candidates. */
   def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =

@@ -233,7 +233,12 @@ object GraphOps {
     * graphs, and a fixed count keeps the oracle expressible as unrolled
     * CTEs. For a graph whose depth is NOT known to be shallow, use
     * [[pageRankConverged]] — the fixed-count variant cannot tell an
-    * under-converged deep chain from a finished ranking. */
+    * under-converged deep chain from a finished ranking.
+    *
+    * The result is LAZY (round 17: no per-round lineage cut — the
+    * bounded ≤20-round nested plan is one job at the consumer): a caller
+    * performing MULTIPLE actions on it recomputes all iterations per
+    * action and should `Tables.materialize` it first. */
   def pageRank(
       edges: DataFrame,
       aCol: String,
@@ -377,8 +382,13 @@ object GraphOps {
 
   /** Large-star round: for each vertex x, point every STRICTLY LARGER
     * neighbor at m = min(Γ(x) ∪ {x}). Output is canonically oriented
-    * (first > second) and distinct. */
-  private def largeStar(e: DataFrame): DataFrame = {
+    * (first > second: y > x ≥ m) but NOT deduplicated (round 18, guide
+    * §2.4): [[smallStar]] — its only consumer — takes a min per key and
+    * ends with its own distinct, so duplicates cannot change the round's
+    * edge SET, and the former per-round `.distinct()` here was a whole
+    * extra exchange of the rewritten edges. Multiplicity stays bounded:
+    * the pre-distinct output is at most the 2|e| neighbor rows. */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
     val nbr = e.select(col("u").as("x"), col("v").as("y"))
       .union(e.select(col("v"), col("u")))
     val mins = nbr.groupBy(col("x")).agg(min(col("y")).as("_my"))
@@ -386,13 +396,12 @@ object GraphOps {
     nbr.join(mins, "x")
       .filter(col("y") > col("x") && col("y") =!= col("m"))
       .select(col("y").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** Small-star round: for each vertex u, point itself and every
     * SMALLER neighbor at m = min of the smaller neighborhood. Input and
     * output are canonically oriented (first > second) and distinct. */
-  private def smallStar(e: DataFrame): DataFrame = {
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
     val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
     val withM = e.join(mins, "u")
     withM.select(col("u"), col("m").as("v"))

@@ -208,12 +208,14 @@ object LshOps {
       s"signature length k=$k must equal nBands*rowsPerBand=${nBands * rowsPerBand} " +
         "(a shorter signature would band over missing values; a longer one would ignore rows)")
     require(maxBucket > 0, s"maxBucket must be positive: $maxBucket")
-    val sig = minhashShingleSignature(col(textCol), k, shingleN)
     val exploded = docs
-      // Hazard 1: a doc with < shingleN tokens has no shingles — drop it
-      // here rather than let the all-zero signatures form a mega-bucket.
-      .filter(tokenCount(col(textCol)) >= shingleN)
-      .select(col(idCol), posexplode(lshBandHashes(sig, nBands, rowsPerBand)).as(Seq("b", "bh")))
+      // ONE pass per doc (round 18): the fused expression tokenizes once
+      // and emits an EMPTY band array below shingleN tokens, so the
+      // posexplode drops sub-shingle docs — hazard 1's former tokenCount
+      // filter (which re-tokenized) plus the interpreted HOF band fold,
+      // both gone. Bit-equal rows, parity-gated in NativeExprSpec.
+      .select(col(idCol), posexplode(
+        minhashBandHashes(col(textCol), k, shingleN, nBands, rowsPerBand)).as(Seq("b", "bh")))
       // Hazard 2: bucket occupancy, computed on the same (b, bh)
       // partitioning the self-join will use.
       .withColumn("_graft_bn", count(lit(1)).over(Window.partitionBy(col("b"), col("bh"))))

@@ -78,9 +78,12 @@ object SimhashOps {
       // Hazard 1 (short docs): < shingleN tokens → empty shingle set → the
       // all-ones majority signature, shared by EVERY such doc — one
       // mega-bucket on a real crawl. Such docs can't be shingle near-dups
-      // of anything, so drop them before banding.
-      .filter(tokenCount(col(textCol)) >= shingleN)
-      .select(col(idCol), simhashShingle60(col(textCol), shingleN).as("sh"))
+      // of anything, so drop them before banding. The guard is FUSED into
+      // the signature expression (round 18: NULL below shingleN tokens,
+      // filtered here) — one tokenization where the former tokenCount
+      // filter paid a second string pass per doc.
+      .select(col(idCol), simhashShingle60Guarded(col(textCol), shingleN).as("sh"))
+      .filter(col("sh").isNotNull)
       .select(col(idCol), col("sh"), posexplode(array(
         (0 until NBands).map(b =>
           shiftright(col("sh"), b * BandBits).bitwiseAND(lit(BandMask))): _*

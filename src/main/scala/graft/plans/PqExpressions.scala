@@ -160,13 +160,26 @@ case class SplitAssignExpr(
   private def elemFloat: Boolean =
     vecChild.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def eval(input: InternalRow): Any = {
-    val cell = cellChild.eval(input).asInstanceOf[Number].intValue
+    // Loud designed refusals on null children (nullable=false output): a
+    // null cell or vector row in the members frame would otherwise die
+    // as an opaque NPE/ClassCastException deep in the loop.
+    val cellRaw = cellChild.eval(input)
+    if (cellRaw == null)
+      throw new RuntimeException(
+        "splitHotCells: member row carries a NULL cell — the members " +
+          "frame must be fully assigned before the split")
+    val cell = cellRaw.asInstanceOf[Number].intValue
     val j = java.util.Arrays.binarySearch(cells, cell)
     if (j < 0)
       throw new RuntimeException(
         s"splitHotCells: member row carries cell $cell, which is not a hot " +
           "cell — the member and population frames diverged")
-    val v = VecOps.toDoubles(vecChild.eval(input).asInstanceOf[ArrayData], elemFloat)
+    val vecRaw = vecChild.eval(input)
+    if (vecRaw == null)
+      throw new RuntimeException(
+        s"splitHotCells: member row in cell $cell carries a NULL vector — " +
+          "corpus vectors must be non-null by the embeddings contract")
+    val v = VecOps.toDoubles(vecRaw.asInstanceOf[ArrayData], elemFloat)
     val bits = graft.operators.KmeansOps.ClusterBits
     val cs = cents(j)
     val is = ids(j)

@@ -72,8 +72,14 @@ object TextHash {
   /** Distinct hashes of word n-gram shingles (n=1 → unigram tokens). The
     * shingle string is tokens joined by a single space, so its charHash
     * equals the oracle's hash of array_to_string(toks[i:i+n-1], ' '). */
-  def distinctShingleHashes(s: String, n: Int): Array[Long] = {
-    val toks = tokens(s)
+  def distinctShingleHashes(s: String, n: Int): Array[Long] =
+    distinctShingleHashesFromTokens(tokens(s), n)
+
+  /** [[distinctShingleHashes]] from an ALREADY-TOKENIZED document — the
+    * single-tokenization entry the fused banding expressions use
+    * (round 18): a caller that also needs the token count (the
+    * sub-shingle guard) tokenizes once instead of once per consumer. */
+  def distinctShingleHashesFromTokens(toks: Array[String], n: Int): Array[Long] = {
     val set = new java.util.LinkedHashSet[java.lang.Long]()
     if (toks.length >= n) {
       var i = 0
@@ -347,6 +353,92 @@ case class Simhash60Expr(child: Expression, n: Int = 1) extends UnaryExpression 
       c => s"graft.plans.TextHash.simhash60(" +
         s"graft.plans.TextHash.distinctShingleHashes($c.toString(), $n))")
   override protected def withNewChildInternal(c: Expression): Simhash60Expr = copy(child = c)
+}
+
+/** MinHash LSH band hashes straight from text in ONE pass (round 18,
+  * guide §1.2 per-task work): tokenize once, shingle-hash, MinHash
+  * signature, band fold — where the former composition paid (a) a
+  * separate [[TokenCountExpr]] string pass for the sub-shingle filter,
+  * (b) a second tokenization inside [[MinhashShingleSig]], and (c) an
+  * interpreted CodegenFallback HOF fold (`transform`+`aggregate`) for
+  * the band hashes. Returns an EMPTY array for docs with fewer than `n`
+  * tokens — `posexplode` then emits no rows, which is exactly the
+  * hazard-1 filter semantics (LshOps: a sub-`n`-token doc cannot be a
+  * shingle near-dup of anything; letting its all-zero signature band
+  * would form one mega-bucket). Bit-equal for surviving docs to
+  * `lshBandHashes(minhashShingleSignature(text, k, n), nBands,
+  * rowsPerBand)` — parity-gated in NativeExprSpec. */
+case class MinhashBandsExpr(child: Expression, k: Int, n: Int, nBands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    MinhashBandsExpr.evalBands(
+      v.asInstanceOf[UTF8String].toString, k, n, nBands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.MinhashBandsExpr.evalBands(" +
+        s"$c.toString(), $k, $n, $nBands, $rowsPerBand)")
+  override protected def withNewChildInternal(c: Expression): MinhashBandsExpr =
+    copy(child = c)
+}
+
+object MinhashBandsExpr {
+  /** Codegen entry point (mirrors nullSafeEval). Band fold is the
+    * charHash fold over `rowsPerBand` consecutive signature values:
+    * acc₀ = 7; acc = (acc·31 + v) mod 1e9+7 — max intermediate
+    * ≈ (1e9+7)·31 + 2³¹ ≈ 3.3e10 « 2⁶³, exact in Long. */
+  def evalBands(
+      s: String, k: Int, n: Int, nBands: Int, rowsPerBand: Int): GenericArrayData = {
+    val toks = TextHash.tokens(s)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val sig = TextHash.minhashSig(
+      TextHash.distinctShingleHashesFromTokens(toks, n), k)
+    val out = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      var acc = TextHash.Seed
+      var r = b * rowsPerBand
+      val end = r + rowsPerBand
+      while (r < end) {
+        acc = (acc * 31 + sig(r)) % TextHash.Mod
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** [[Simhash60Expr]] with the sub-shingle guard FUSED (round 18): NULL
+  * when the doc has fewer than `n` tokens, instead of a separate
+  * [[TokenCountExpr]] filter pass that tokenized the text a second time.
+  * A consumer filters `isNotNull` — identical surviving rows, identical
+  * signatures (parity-gated in NativeExprSpec). */
+case class Simhash60GuardedExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Simhash60GuardedExpr.evalGuarded(v.asInstanceOf[UTF8String].toString, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("simhashBoxed")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long $res = graft.plans.Simhash60GuardedExpr.evalGuarded($c.toString(), $n);
+      if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.longValue(); }
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): Simhash60GuardedExpr =
+    copy(child = c)
+}
+
+object Simhash60GuardedExpr {
+  /** Codegen entry point (mirrors nullSafeEval); null below n tokens. */
+  def evalGuarded(s: String, n: Int): java.lang.Long = {
+    val toks = TextHash.tokens(s)
+    if (toks.length < n) null
+    else java.lang.Long.valueOf(TextHash.simhash60(
+      TextHash.distinctShingleHashesFromTokens(toks, n)))
+  }
 }
 
 /** Codepoint-tier [[CharPolyHash]] — [[TextHash.charHashCp]]. */

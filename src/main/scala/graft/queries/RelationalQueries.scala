@@ -277,14 +277,28 @@ object RelationalQueries {
     // DuckDB `quantile_cont` share the sorted, pos = p*(n-1) definition).
     // Rounded at 4 dp: interpolating 2-dp values at 1-2 dp fractions yields
     // at most 4 true decimals, so the round is at the value's precision.
+    // ONE array-form percentile over l_extendedprice instead of three
+    // scalar aggs (round 18, guide §2.3/§5): the exact Percentile
+    // aggregate buffers EVERY value per agg — three separate aggs held
+    // three copies of the column in the aggregation buffer, shipped it
+    // three times through the partial-agg exchange, and sorted it three
+    // times at eval. The array form buffers and sorts once and
+    // interpolates all three quantiles from the same sorted counts —
+    // bit-identical values (same pos = p·(n−1) interpolation), gated in
+    // AccuracySpec.
     "q39_percentiles" -> ((s, dir) => {
       tp(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("price_p25"),
-          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("price_p50"),
-          round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("price_p75"),
-          round(percentile(col("l_quantity"), lit(0.9)), 4).as("qty_p90"))
+          percentile(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("_graft_p"),
+          percentile(col("l_quantity"), lit(0.9)).as("_graft_q90"))
+        .select(
+          col("l_returnflag"),
+          round(element_at(col("_graft_p"), 1), 4).as("price_p25"),
+          round(element_at(col("_graft_p"), 2), 4).as("price_p50"),
+          round(element_at(col("_graft_p"), 3), 4).as("price_p75"),
+          round(col("_graft_q90"), 4).as("qty_p90"))
     }),
 
     // The 100 TB percentile path: percentile_approx (Greenwald-Khanna,
@@ -295,14 +309,26 @@ object RelationalQueries {
     // error ≤ n/accuracy regardless of group size. Approximate by design →
     // no value-hash oracle (driver records rows+schema); AccuracySpec
     // asserts the rank-error bound against the exact answer at test scale.
+    // Array form for the same §2.3 reason as q39: three scalar
+    // percentile_approx aggs over l_extendedprice each built their OWN
+    // GK sketch of the same column (3× the update work and 3× the
+    // sketch bytes through the exchange); the array form builds one
+    // sketch and queries it at all three ranks — identical answers (the
+    // sketch is a deterministic function of the same input stream; the
+    // accuracy knob is unchanged pinned semantics).
     "q100_percentiles_approx" -> ((s, dir) => {
       tp(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("price_p25"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("price_p50"),
-          percentile_approx(col("l_extendedprice"), lit(0.75), lit(10000)).as("price_p75"),
-          percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("qty_p90"))
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("_graft_p"),
+          percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("_graft_q90"))
+        .select(
+          col("l_returnflag"),
+          element_at(col("_graft_p"), 1).as("price_p25"),
+          element_at(col("_graft_p"), 2).as("price_p50"),
+          element_at(col("_graft_p"), 3).as("price_p75"),
+          col("_graft_q90").as("qty_p90"))
     }),
 
     // Pivot (long→wide): per-returnflag quantity split over the two

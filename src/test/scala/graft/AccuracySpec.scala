@@ -61,6 +61,42 @@ class AccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("array-form percentile bit-equals the scalar aggs it replaced (round 18)") {
+    // q39/q100 moved the three l_extendedprice quantiles into ONE
+    // array-form aggregation (one buffer/sketch, one sort, the column
+    // shipped once through the partial-agg exchange). The interpolation
+    // (and for q100 the GK sketch, a deterministic function of the same
+    // input stream) is unchanged, so every value must be BIT-identical
+    // to the scalar form — this is the parity gate for both rewrites.
+    val li = Tables(spark, TestSpark.sfDir, "lineitem")
+    val exactBoth = li.groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_extendedprice", array(lit(0.25), lit(0.5), lit(0.75))).as("arr"),
+        percentile($"l_extendedprice", lit(0.25)).as("s25"),
+        percentile($"l_extendedprice", lit(0.5)).as("s50"),
+        percentile($"l_extendedprice", lit(0.75)).as("s75"))
+      .select($"l_returnflag",
+        element_at($"arr", 1), element_at($"arr", 2), element_at($"arr", 3),
+        $"s25", $"s50", $"s75")
+      .as[(String, Double, Double, Double, Double, Double, Double)].collect()
+    assert(exactBoth.nonEmpty)
+    for ((flag, a25, a50, a75, s25, s50, s75) <- exactBoth)
+      assert((a25, a50, a75) == ((s25, s50, s75)), s"exact percentile drifted at $flag")
+    val approxBoth = li.groupBy($"l_returnflag")
+      .agg(
+        percentile_approx($"l_extendedprice",
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("arr"),
+        percentile_approx($"l_extendedprice", lit(0.25), lit(10000)).as("s25"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("s50"),
+        percentile_approx($"l_extendedprice", lit(0.75), lit(10000)).as("s75"))
+      .select($"l_returnflag",
+        element_at($"arr", 1), element_at($"arr", 2), element_at($"arr", 3),
+        $"s25", $"s50", $"s75")
+      .as[(String, Double, Double, Double, Double, Double, Double)].collect()
+    for ((flag, a25, a50, a75, s25, s50, s75) <- approxBoth)
+      assert((a25, a50, a75) == ((s25, s50, s75)), s"approx percentile drifted at $flag")
+  }
+
   test("q101 profile_hll: exact fields identical to q97, n_distinct within ±5%") {
     // q101 swaps the exact multi-distinct (Expand, ×4 input replication)
     // for HLL. Everything EXCEPT n_distinct must be bit-identical to the

@@ -69,7 +69,10 @@ class PlanSpec extends AnyFunSuite {
     // must read it back via InMemoryTableScan. If the persist is dropped the
     // expression reappears in the join-side plans and this gate fails.
     val gates = Seq(
-      ("q48_lsh_candidates", "minhashshinglesig", 2),
+      // round 18: the banding projection is the fused MinhashBandsExpr
+      // (one pass: tokenize + sig + band fold); the gate pins the NEW
+      // expression name so the single-computation contract keeps teeth.
+      ("q48_lsh_candidates", "minhashbands", 2),
       ("q50_ngram_jaccard", "shinglesexpr", 3),
       ("q58_embed_neardup", "srpbucketexpr", 2))
     for ((name, expr, minScans) <- gates) {

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** TEMPORARY optimization-round phase probe, TEST-scoped (round 18: the
+  * round-17 twin lived in src/main and the verdict evicted it — probes
+  * are measurement tooling, not the engine). Same-JVM interleaved A/B
+  * timings for the round's rewrites plus the jobs/stages counter.
+  *
+  * Usage: Test/runMain graft.ProbeR18 <sfDir> <probe> [rounds]
+  *   jobs:<name>  exact declared-query name (loud failure lists
+  *                candidates — the round-17 prefix match resolved q16
+  *                to an arbitrary q16x)
+  *   bands        bandedMinhash banding projection: fused MinhashBandsExpr
+  *                vs the former filter+sig+HOF-fold composition
+  *   sim          simhash banding projection: fused guard vs filter+sig
+  *   pct          q39 percentile aggregation: array-form vs 3 scalar aggs
+  *   srp          SRP near-dup pairs: score-before-distinct (round 17)
+  *                vs vectors-through-distinct (pre-17) — the decade probe
+  *                the round-17 verdict asked for (run at /tmp/gsf10)
+  *   stars        star-contraction components over SRP pairs (q105 shape)
+  */
+object ProbeR18 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = if (args.length > 1) args(1) else "bands"
+    val rounds = if (args.length > 2) args(2).toInt else 2
+    val cpus = GraftSession.defaultCpus
+    val spark = GraftSession.builder(s"local[$cpus]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[$tag] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    spark.range(100000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    import graft.functions.TextFunctions._
+    import graft.operators._
+    (1 to rounds).foreach { rnd =>
+      println(s"=== round $rnd ($which) ===")
+      which match {
+        case q if q.startsWith("jobs:") =>
+          val name = q.stripPrefix("jobs:")
+          val fn = SparkEntry.queries.getOrElse(name,
+            throw new IllegalArgumentException(
+              s"no declared query '$name'; candidates: " +
+                SparkEntry.queries.keys.filter(_.startsWith(name)).toSeq.sorted
+                  .mkString(", ")))
+          val jobs = new java.util.concurrent.atomic.AtomicInteger
+          val stages = new java.util.concurrent.atomic.AtomicInteger
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+              if (rnd == rounds) {
+                val names = j.stageInfos.map(si =>
+                  si.details.linesIterator
+                    .find(l => l.contains("graft") && !l.contains("Probe"))
+                    .getOrElse(si.name).trim.take(90)).mkString(" | ")
+                println(f"  job ${j.jobId}%3d stages=${j.stageInfos.size} $names")
+              }
+            }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          timed(s"$name total")(noop(fn(spark, dir)))
+          spark.sparkContext.removeSparkListener(listener)
+          println(s"[$name] jobs=${jobs.get} stages=${stages.get}")
+        case "bands" =>
+          val docs = Tables.parallel(spark.read.parquet(s"$dir/documents.parquet"))
+          noop(docs)
+          timed("OLD filter+sig+HOF-fold")(noop(docs
+            .filter(tokenCount(col("text")) >= 3)
+            .select(col("doc_id"), posexplode(lshBandHashes(
+              minhashShingleSignature(col("text"), 16, 3), 4, 4)).as(Seq("b", "bh")))))
+          timed("NEW fused MinhashBandsExpr")(noop(docs
+            .select(col("doc_id"), posexplode(
+              minhashBandHashes(col("text"), 16, 3, 4, 4)).as(Seq("b", "bh")))))
+          val banded = timed("bandedMinhash full (new)")(LshOps.bandedMinhash(
+            docs, "text", "doc_id", 16, 3, 4, 4, 10000))
+          banded.unpersist()
+        case "sim" =>
+          val docs = Tables.parallel(spark.read.parquet(s"$dir/documents.parquet"))
+          noop(docs)
+          timed("OLD filter+sig")(noop(docs
+            .filter(tokenCount(col("text")) >= 2)
+            .select(col("doc_id"), simhashShingle60(col("text"), 2).as("sh"))))
+          timed("NEW fused guard")(noop(docs
+            .select(col("doc_id"), simhashShingle60Guarded(col("text"), 2).as("sh"))
+            .filter(col("sh").isNotNull)))
+        case "pct" =>
+          val li = Tables.parallel(spark.read.parquet(s"$dir/lineitem.parquet"))
+          noop(li)
+          timed("OLD 3 scalar percentile aggs")(noop(li
+            .groupBy(col("l_returnflag"))
+            .agg(
+              round(percentile(col("l_extendedprice"), lit(0.25)), 4),
+              round(percentile(col("l_extendedprice"), lit(0.5)), 4),
+              round(percentile(col("l_extendedprice"), lit(0.75)), 4),
+              round(percentile(col("l_quantity"), lit(0.9)), 4))))
+          timed("NEW array-form percentile")(noop(li
+            .groupBy(col("l_returnflag"))
+            .agg(
+              percentile(col("l_extendedprice"),
+                array(lit(0.25), lit(0.5), lit(0.75))).as("_p"),
+              percentile(col("l_quantity"), lit(0.9)).as("_q"))
+            .select(col("l_returnflag"),
+              round(element_at(col("_p"), 1), 4), round(element_at(col("_p"), 2), 4),
+              round(element_at(col("_p"), 3), 4), round(col("_q"), 4))))
+        case "srp" =>
+          import graft.functions.VectorFunctions._
+          val vecs = Tables.parallel(spark.read.parquet(s"$dir/embeddings.parquet"))
+          noop(vecs)
+          val banded = timed("bandedSrp")(SrpOps.bandedSrp(
+            vecs, "embedding", "vec_id", nBands = 4, bitsPerBand = 15,
+            maxBucket = 200))
+          val a = banded.bands.select(col("b"), col("bv"),
+            col("vec_id").as("vid_a"), col("embedding").as("_va"))
+          val b2 = banded.bands.select(col("b"), col("bv"),
+            col("vec_id").as("vid_b"), col("embedding").as("_vb"))
+          timed("OLD vectors-through-distinct")(noop(
+            a.join(b2, Seq("b", "bv")).filter(col("vid_a") < col("vid_b"))
+              .select(col("vid_a"), col("vid_b"), col("_va"), col("_vb")).distinct()
+              .select(col("vid_a"), col("vid_b"),
+                cosine(col("_va"), col("_vb")).as("cos"))
+              .filter(col("cos") >= 0.9)))
+          timed("NEW score-before-distinct")(noop(
+            SrpOps.neardupPairs(banded.bands, "embedding", "vec_id", 0.9)))
+          banded.unpersist()
+        case "stars" =>
+          val vecs = Tables.parallel(spark.read.parquet(s"$dir/embeddings.parquet"))
+          noop(vecs)
+          val banded = SrpOps.bandedSrp(
+            vecs, "embedding", "vec_id", nBands = 5, bitsPerBand = 12,
+            maxBucket = 200)
+          val pairs = timed("pairs mat")(Tables.materialize(
+            SrpOps.neardupPairs(banded.bands, "embedding", "vec_id", 0.35)
+              .select(col("vid_a"), col("vid_b"))))
+          timed("connectedComponentsStars")(noop(
+            GraphOps.connectedComponentsStars(pairs, "vid_a", "vid_b")))
+          banded.unpersist()
+      }
+    }
+    spark.stop()
+  }
+}

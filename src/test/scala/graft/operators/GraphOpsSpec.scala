@@ -76,6 +76,30 @@ class GraphOpsSpec extends AnyFunSuite {
     GraphOps.connectedComponentsStars(edges.toDF("a", "b"), "a", "b", maxIter)
       .as[(Long, Long)].collect().toMap
 
+  test("a star round's edge SET is insensitive to largeStar's dropped dedup (round 18)") {
+    // largeStar no longer ends with .distinct() (one exchange fewer per
+    // round): smallStar takes a min per key and ends with its own
+    // distinct, so input multiplicity must not change the round's output
+    // edge set. Checked against the explicitly-deduplicated reference on
+    // a graph with parallel edges, a path tail, and a clique.
+    import org.apache.spark.sql.functions.{col, greatest, least}
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (12L, 10L), (20L, 21L))
+      .toDF("a", "b")
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+    val large = GraphOps.largeStar(edges)
+    // The pre-distinct output really does carry duplicates on this graph
+    // (else the test is vacuous) …
+    assert(large.count() > large.distinct().count())
+    // … and the round output is the same SET either way.
+    val viaRaw = GraphOps.smallStar(large).as[(Long, Long)].collect().toSet
+    val viaDedup = GraphOps.smallStar(large.distinct()).as[(Long, Long)].collect().toSet
+    assert(viaRaw == viaDedup)
+  }
+
   test("star contraction solves the path graph label propagation refuses") {
     // A 1000-vertex path has diameter 999: label propagation at the
     // default 25 rounds must refuse loudly...

@@ -275,4 +275,65 @@ class NativeExprSpec extends AnyFunSuite {
       .select(TextFunctions.langMarkerCount($"text", "en")).head().getInt(0)
     assert(row == 4)
   }
+
+  test("MinhashBandsExpr == filter(tokenCount>=n) + sig + HOF band fold (round 18)") {
+    // The fused one-pass banding expression must emit EXACTLY the rows the
+    // former three-step composition emitted: same (id, b, bh) set on the
+    // fixture corpus, and zero rows for sub-shingle docs and null text.
+    def oldRows(df: org.apache.spark.sql.DataFrame, k: Int, n: Int, nb: Int, rpb: Int) =
+      df.filter(TextFunctions.tokenCount($"text") >= n)
+        .select($"doc_id", posexplode(TextFunctions.lshBandHashes(
+          TextFunctions.minhashShingleSignature($"text", k, n), nb, rpb))
+          .as(Seq("b", "bh")))
+    def newRows(df: org.apache.spark.sql.DataFrame, k: Int, n: Int, nb: Int, rpb: Int) =
+      df.select($"doc_id", posexplode(
+        TextFunctions.minhashBandHashes($"text", k, n, nb, rpb)).as(Seq("b", "bh")))
+    for ((k, n, nb, rpb) <- Seq((16, 3, 4, 4), (16, 1, 4, 4), (8, 5, 2, 4))) {
+      val old = oldRows(docs, k, n, nb, rpb)
+      val neu = newRows(docs, k, n, nb, rpb)
+      assert(old.exceptAll(neu).count() == 0L && neu.exceptAll(old).count() == 0L,
+        s"(k=$k n=$n bands=$nb rows=$rpb)")
+    }
+    // Edge docs: empty, whitespace, below/at/above the shingle width, null.
+    val edge = Seq("", "  ", "a", "a b", "a b c", "a b c d",
+      null.asInstanceOf[String]).toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val oldE = oldRows(edge, 16, 3, 4, 4).collect().map(_.toString).sorted
+    val newE = newRows(edge, 16, 3, 4, 4).collect().map(_.toString).sorted
+    assert(oldE.toSeq == newE.toSeq)
+    // Sub-shingle and null docs emit NOTHING (the hazard-1 contract).
+    assert(newRows(edge.filter($"text".isNull || TextFunctions.tokenCount($"text") < 3),
+      16, 3, 4, 4).count() == 0L)
+  }
+
+  test("Simhash60GuardedExpr: null below n tokens, sig bit-equal above (round 18)") {
+    def oldRows(df: org.apache.spark.sql.DataFrame, n: Int) =
+      df.filter(TextFunctions.tokenCount($"text") >= n)
+        .select($"doc_id", TextFunctions.simhashShingle60($"text", n).as("sh"))
+    def newRows(df: org.apache.spark.sql.DataFrame, n: Int) =
+      df.select($"doc_id", TextFunctions.simhashShingle60Guarded($"text", n).as("sh"))
+        .filter($"sh".isNotNull)
+    for (n <- Seq(1, 2, 3)) {
+      val old = oldRows(docs, n)
+      val neu = newRows(docs, n)
+      assert(old.exceptAll(neu).count() == 0L && neu.exceptAll(old).count() == 0L,
+        s"n=$n")
+    }
+    val edge = Seq("", " ", "a", "a b", "a b c", null.asInstanceOf[String])
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val oldE = oldRows(edge, 2).collect().map(_.toString).sorted
+    val newE = newRows(edge, 2).collect().map(_.toString).sorted
+    assert(oldE.toSeq == newE.toSeq)
+  }
+
+  test("fused banding expressions participate in codegen") {
+    // The `*(n)` prefix is the WholeStageCodegen span marker in the
+    // executed plan's short form; Fallback would mark an interpreted node.
+    val p1 = docs.select(TextFunctions.minhashBandHashes($"text", 16, 3, 4, 4))
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("*(") && !p1.contains("Fallback"), p1)
+    val p2 = docs.select(TextFunctions.simhashShingle60Guarded($"text", 2))
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("*(") && !p2.contains("Fallback"), p2)
+  }
 }
