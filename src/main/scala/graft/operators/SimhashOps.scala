@@ -36,7 +36,6 @@ object SimhashOps {
   /** Bits per band (4 bands × 15 bits = the 60-bit signature). */
   val BandBits = 15
   val NBands = 4
-  private val BandMask = (1L << BandBits) - 1
 
   /** @param bands capped banded frame: (idCol, sh, b, bv)
     * @param overflowBuckets number of (band, value) buckets dropped by the cap
@@ -78,16 +77,14 @@ object SimhashOps {
       // Hazard 1 (short docs): < shingleN tokens → empty shingle set → the
       // all-ones majority signature, shared by EVERY such doc — one
       // mega-bucket on a real crawl. Such docs can't be shingle near-dups
-      // of anything, so drop them before banding. The guard is FUSED into
-      // the signature expression (round 18: NULL below shingleN tokens,
-      // filtered here) — one tokenization where the former tokenCount
-      // filter paid a second string pass per doc.
-      .select(col(idCol), simhashShingle60Guarded(col(textCol), shingleN).as("sh"))
-      .filter(col("sh").isNotNull)
-      .select(col(idCol), col("sh"), posexplode(array(
-        (0 until NBands).map(b =>
-          shiftright(col("sh"), b * BandBits).bitwiseAND(lit(BandMask))): _*
-      )).as(Seq("b", "bv")))
+      // of anything, so drop them before banding. The guard, signature,
+      // and band extraction are FUSED into one generator (round 18): zero
+      // rows below shingleN tokens, one tokenization per doc — where the
+      // former shape paid a tokenCount filter pass plus the signature's
+      // own, and a guarded-scalar cut measured the §4.4 double-eval trap.
+      .select(col(idCol),
+        simhash60BandedRows(col(textCol), shingleN, NBands, BandBits)
+          .as(Seq("sh", "b", "bv")))
       // Hazard 2 (hot buckets): occupancy computed on the same (b, bv)
       // partitioning the self-join will use.
       .withColumn("_graft_bn", count(lit(1)).over(Window.partitionBy(col("b"), col("bv"))))

@@ -410,35 +410,48 @@ object MinhashBandsExpr {
   }
 }
 
-/** [[Simhash60Expr]] with the sub-shingle guard FUSED (round 18): NULL
-  * when the doc has fewer than `n` tokens, instead of a separate
-  * [[TokenCountExpr]] filter pass that tokenized the text a second time.
-  * A consumer filters `isNotNull` — identical surviving rows, identical
-  * signatures (parity-gated in NativeExprSpec). */
-case class Simhash60GuardedExpr(child: Expression, n: Int) extends UnaryExpression {
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = true
-  override protected def nullSafeEval(v: Any): Any =
-    Simhash60GuardedExpr.evalGuarded(v.asInstanceOf[UTF8String].toString, n)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val res = ctx.freshName("simhashBoxed")
-    nullSafeCodeGen(ctx, ev, c => s"""
-      java.lang.Long $res = graft.plans.Simhash60GuardedExpr.evalGuarded($c.toString(), $n);
-      if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.longValue(); }
-    """)
+/** Banded 60-bit SimHash rows straight from text in ONE pass (round 18):
+  * emits `(sh, b, bv)` — the signature plus its nBands band values — or
+  * ZERO rows when the doc has fewer than `n` tokens (the hazard-1
+  * sub-shingle drop) or the text is null.
+  *
+  * Why a GENERATOR and not a guarded scalar expression: the first cut
+  * (a nullable sig + `filter(isNotNull)`) hit the guide-§4.4 trap — the
+  * optimizer pushed the filter below the projection and every surviving
+  * doc paid the signature TWICE (Filter condition + Project), measured
+  * SLOWER than the old tokenCount-filter shape it replaced. A generator
+  * evaluates once per input row by construction and the empty-output
+  * case subsumes the filter, so there is no predicate to duplicate.
+  * CodegenFallback like the PqGenerator family — the call is
+  * interpreted, the per-row work is this one compiled loop (the
+  * measured-better trade the round-17 verdict documents).
+  *
+  * Band extraction parity: row b's value is `(sh >> b·bandBits) & mask`
+  * — exactly the former `shiftright(sh, b·BandBits) & (2^bandBits − 1)`
+  * posexplode legs, with the posexplode index as `b`. */
+case class Simhash60BandedGen(child: Expression, n: Int, nBands: Int, bandBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("sh", LongType, nullable = false),
+    StructField("b", IntegerType, nullable = false),
+    StructField("bv", LongType, nullable = false)))
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow):
+      IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val raw = child.eval(input)
+    if (raw == null) return Nil
+    val toks = TextHash.tokens(raw.asInstanceOf[UTF8String].toString)
+    if (toks.length < n) return Nil
+    val sh = TextHash.simhash60(TextHash.distinctShingleHashesFromTokens(toks, n))
+    val mask = (1L << bandBits) - 1
+    (0 until nBands).map(b =>
+      org.apache.spark.sql.catalyst.InternalRow(sh, b, (sh >> (b * bandBits)) & mask))
   }
-  override protected def withNewChildInternal(c: Expression): Simhash60GuardedExpr =
-    copy(child = c)
-}
-
-object Simhash60GuardedExpr {
-  /** Codegen entry point (mirrors nullSafeEval); null below n tokens. */
-  def evalGuarded(s: String, n: Int): java.lang.Long = {
-    val toks = TextHash.tokens(s)
-    if (toks.length < n) null
-    else java.lang.Long.valueOf(TextHash.simhash60(
-      TextHash.distinctShingleHashesFromTokens(toks, n)))
-  }
+  override def toString: String = s"simhash60_banded_gen($child, $n)"
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Simhash60BandedGen = copy(child = cs.head)
 }
 
 /** Codepoint-tier [[CharPolyHash]] — [[TextHash.charHashCp]]. */

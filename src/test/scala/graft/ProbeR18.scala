@@ -82,12 +82,19 @@ object ProbeR18 {
         case "sim" =>
           val docs = Tables.parallel(spark.read.parquet(s"$dir/documents.parquet"))
           noop(docs)
-          timed("OLD filter+sig")(noop(docs
+          val bb = SimhashOps.BandBits
+          val nb = SimhashOps.NBands
+          val mask = (1L << bb) - 1
+          timed("OLD filter+sig+posexplode")(noop(docs
             .filter(tokenCount(col("text")) >= 2)
-            .select(col("doc_id"), simhashShingle60(col("text"), 2).as("sh"))))
-          timed("NEW fused guard")(noop(docs
-            .select(col("doc_id"), simhashShingle60Guarded(col("text"), 2).as("sh"))
-            .filter(col("sh").isNotNull)))
+            .select(col("doc_id"), simhashShingle60(col("text"), 2).as("sh"))
+            .select(col("doc_id"), col("sh"), posexplode(array(
+              (0 until nb).map(b =>
+                shiftright(col("sh"), b * bb).bitwiseAND(lit(mask))): _*
+            )).as(Seq("b", "bv")))))
+          timed("NEW fused generator")(noop(docs
+            .select(col("doc_id"),
+              simhash60BandedRows(col("text"), 2, nb, bb).as(Seq("sh", "b", "bv")))))
         case "pct" =>
           val li = Tables.parallel(spark.read.parquet(s"$dir/lineitem.parquet"))
           noop(li)

@@ -306,13 +306,26 @@ class NativeExprSpec extends AnyFunSuite {
       16, 3, 4, 4).count() == 0L)
   }
 
-  test("Simhash60GuardedExpr: null below n tokens, sig bit-equal above (round 18)") {
+  test("Simhash60BandedGen == filter(tokenCount>=n) + sig + posexplode bands (round 18)") {
+    // The fused generator must emit EXACTLY the (id, sh, b, bv) rows the
+    // former three-step composition emitted — including the drop of
+    // sub-shingle and null docs (zero generator rows, formerly the
+    // tokenCount filter) and SimhashOps' exact band extraction.
+    val bandBits = graft.operators.SimhashOps.BandBits
+    val nBands = graft.operators.SimhashOps.NBands
+    val mask = (1L << bandBits) - 1
     def oldRows(df: org.apache.spark.sql.DataFrame, n: Int) =
       df.filter(TextFunctions.tokenCount($"text") >= n)
         .select($"doc_id", TextFunctions.simhashShingle60($"text", n).as("sh"))
+        .select($"doc_id", $"sh", posexplode(array(
+          (0 until nBands).map(b =>
+            shiftright($"sh", b * bandBits).bitwiseAND(lit(mask))): _*
+        )).as(Seq("b", "bv")))
     def newRows(df: org.apache.spark.sql.DataFrame, n: Int) =
-      df.select($"doc_id", TextFunctions.simhashShingle60Guarded($"text", n).as("sh"))
-        .filter($"sh".isNotNull)
+      df.select($"doc_id",
+        TextFunctions.simhash60BandedRows($"text", n, nBands, bandBits)
+          .as(Seq("sh", "b", "bv")))
+        .select($"doc_id", $"sh", $"b", $"bv")
     for (n <- Seq(1, 2, 3)) {
       val old = oldRows(docs, n)
       val neu = newRows(docs, n)
@@ -324,16 +337,27 @@ class NativeExprSpec extends AnyFunSuite {
     val oldE = oldRows(edge, 2).collect().map(_.toString).sorted
     val newE = newRows(edge, 2).collect().map(_.toString).sorted
     assert(oldE.toSeq == newE.toSeq)
+    // Sub-shingle and null docs emit NOTHING (the hazard-1 contract).
+    assert(newRows(edge.filter($"text".isNull || TextFunctions.tokenCount($"text") < 2),
+      2).count() == 0L)
   }
 
-  test("fused banding expressions participate in codegen") {
+  test("MinhashBandsExpr participates in codegen; the banding projection is one pass") {
     // The `*(n)` prefix is the WholeStageCodegen span marker in the
     // executed plan's short form; Fallback would mark an interpreted node.
     val p1 = docs.select(TextFunctions.minhashBandHashes($"text", 16, 3, 4, 4))
       .queryExecution.executedPlan.toString
     assert(p1.contains("*(") && !p1.contains("Fallback"), p1)
-    val p2 = docs.select(TextFunctions.simhashShingle60Guarded($"text", 2))
+    // The simhash twin is a GENERATOR (CodegenFallback by design — the
+    // guarded-scalar alternative hit the §4.4 filter-pushdown double
+    // evaluation; see Simhash60BandedGen). Gate the thing that matters:
+    // the signature expression appears exactly ONCE in the plan — no
+    // duplicated evaluation via a pushed-down predicate.
+    val p2 = docs.select($"doc_id",
+      TextFunctions.simhash60BandedRows($"text", 2,
+        graft.operators.SimhashOps.NBands, graft.operators.SimhashOps.BandBits)
+        .as(Seq("sh", "b", "bv")))
       .queryExecution.executedPlan.toString
-    assert(p2.contains("*(") && !p2.contains("Fallback"), p2)
+    assert("simhash60_banded_gen".r.findAllIn(p2).size == 1, p2)
   }
 }
