@@ -186,7 +186,15 @@ object GraphOps {
     var eCount = e.count()
     while (changed > 0L && round < maxIter) {
       round += 1
-      val next = Tables.materializeLazy(smallStar(largeStar(e)))
+      // The largeStar output is checkpoint-marked too (round 18):
+      // smallStar reads its input TWICE (per-u mins + the join back), and
+      // without a shared materialization point the whole largeStar
+      // join subtree computes once per consumer. Its former `.distinct()`
+      // provided that sharing as a full exchange of the rewritten edges;
+      // the lazy checkpoint provides it as block reuse inside the same
+      // forcing action — one exchange fewer per round, still one job.
+      val next = Tables.materializeLazy(
+        smallStar(Tables.materializeLazy(largeStar(e))))
       // Fixed point = edge SET unchanged. |A △ B| = 2|A ∪ B| − |A| − |B|;
       // both sides are materialized and distinct, so this is one cheap
       // distinct-count over small (id, id) pairs — and it only needs to
