@@ -101,13 +101,13 @@ object TextFunctions {
   def minhashBandHashes(c: Column, k: Int, n: Int, bands: Int, rowsPerBand: Int): Column =
     toCol(graft.plans.MinhashBandsExpr(toExpr(c), k, n, bands, rowsPerBand))
 
-  /** Banded [[simhashShingle60]] rows (sh, b, bv) in ONE pass — zero
-    * rows below `n` tokens, replacing the `tokenCount` filter pass plus
-    * the signature's own tokenization (round 18; generator by design —
-    * see [[graft.plans.Simhash60BandedGen]] for the §4.4 trap a guarded
-    * scalar hits). */
-  def simhash60BandedRows(c: Column, n: Int, nBands: Int, bandBits: Int): Column =
-    toCol(graft.plans.Simhash60BandedGen(toExpr(c), n, nBands, bandBits))
+  /** Banded [[simhashShingle60]] as `array<struct<sh, bv>>` in ONE pass —
+    * empty below `n` tokens so a codegen'd posexplode drops sub-shingle
+    * docs, replacing the `tokenCount` filter pass plus the signature's
+    * own tokenization (round 18; see [[graft.plans.Simhash60BandedExpr]]
+    * for the two measured-worse shapes this replaces). */
+  def simhash60Banded(c: Column, n: Int, nBands: Int, bandBits: Int): Column =
+    toCol(graft.plans.Simhash60BandedExpr(toExpr(c), n, nBands, bandBits))
 
   /** LSH band hashes: fold each group of `rowsPerBand` signature values with
     * the charHash fold. Docs sharing any band hash are near-dup candidates. */

@@ -78,13 +78,15 @@ object SimhashOps {
       // all-ones majority signature, shared by EVERY such doc — one
       // mega-bucket on a real crawl. Such docs can't be shingle near-dups
       // of anything, so drop them before banding. The guard, signature,
-      // and band extraction are FUSED into one generator (round 18): zero
-      // rows below shingleN tokens, one tokenization per doc — where the
-      // former shape paid a tokenCount filter pass plus the signature's
-      // own, and a guarded-scalar cut measured the §4.4 double-eval trap.
-      .select(col(idCol),
-        simhash60BandedRows(col(textCol), shingleN, NBands, BandBits)
-          .as(Seq("sh", "b", "bv")))
+      // and band extraction are FUSED into one codegen'd expression
+      // (round 18): empty array below shingleN tokens so the posexplode
+      // drops them — one tokenization per doc where the former shape paid
+      // a tokenCount filter pass plus the signature's own (the guarded
+      // scalar and generator alternatives measured worse; see
+      // Simhash60BandedExpr).
+      .select(col(idCol), posexplode(
+        simhash60Banded(col(textCol), shingleN, NBands, BandBits)).as(Seq("b", "_graft_x")))
+      .select(col(idCol), col("_graft_x.sh").as("sh"), col("b"), col("_graft_x.bv").as("bv"))
       // Hazard 2 (hot buckets): occupancy computed on the same (b, bv)
       // partitioning the self-join will use.
       .withColumn("_graft_bn", count(lit(1)).over(Window.partitionBy(col("b"), col("bv"))))

@@ -410,48 +410,58 @@ object MinhashBandsExpr {
   }
 }
 
-/** Banded 60-bit SimHash rows straight from text in ONE pass (round 18):
-  * emits `(sh, b, bv)` — the signature plus its nBands band values — or
-  * ZERO rows when the doc has fewer than `n` tokens (the hazard-1
-  * sub-shingle drop) or the text is null.
+/** Banded 60-bit SimHash as `array<struct<sh, bv>>` in ONE pass
+  * (round 18): element b carries the signature and its b-th band value;
+  * EMPTY array when the doc has fewer than `n` tokens (the hazard-1
+  * sub-shingle drop) or the text is null — a codegen'd `posexplode`
+  * then emits zero rows, exactly the former `tokenCount` filter.
   *
-  * Why a GENERATOR and not a guarded scalar expression: the first cut
-  * (a nullable sig + `filter(isNotNull)`) hit the guide-§4.4 trap — the
-  * optimizer pushed the filter below the projection and every surviving
-  * doc paid the signature TWICE (Filter condition + Project), measured
-  * SLOWER than the old tokenCount-filter shape it replaced. A generator
-  * evaluates once per input row by construction and the empty-output
-  * case subsumes the filter, so there is no predicate to duplicate.
-  * CodegenFallback like the PqGenerator family — the call is
-  * interpreted, the per-row work is this one compiled loop (the
-  * measured-better trade the round-17 verdict documents).
+  * Why this shape and not the two alternatives measured first:
+  *  - a guarded nullable scalar + `filter(isNotNull)` hit the
+  *    guide-§4.4 trap — the optimizer pushed the predicate below the
+  *    projection and every surviving doc paid the signature TWICE;
+  *  - a CodegenFallback Generator evaluated once but broke the
+  *    whole-stage span around the Generate — measured a wash at the
+  *    gsf10 decade probe (the saved tokenization cancelled against the
+  *    interpreted row boundary).
+  * This form keeps BOTH: one tokenization (the expression) and full
+  * codegen (`posexplode` of an array is codegen-supported).
   *
-  * Band extraction parity: row b's value is `(sh >> b·bandBits) & mask`
-  * — exactly the former `shiftright(sh, b·BandBits) & (2^bandBits − 1)`
-  * posexplode legs, with the posexplode index as `b`. */
-case class Simhash60BandedGen(child: Expression, n: Int, nBands: Int, bandBits: Int)
-    extends org.apache.spark.sql.catalyst.expressions.Generator
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-  override def children: Seq[Expression] = Seq(child)
-  override def elementSchema: StructType = StructType(Seq(
+  * Band extraction parity: element b's value is `(sh >> b·bandBits) &
+  * (2^bandBits − 1)` — exactly the former `shiftright` legs, with the
+  * posexplode index as `b`. */
+case class Simhash60BandedExpr(child: Expression, n: Int, nBands: Int, bandBits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("sh", LongType, nullable = false),
-    StructField("b", IntegerType, nullable = false),
-    StructField("bv", LongType, nullable = false)))
-  override def eval(
-      input: org.apache.spark.sql.catalyst.InternalRow):
-      IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
-    val raw = child.eval(input)
-    if (raw == null) return Nil
-    val toks = TextHash.tokens(raw.asInstanceOf[UTF8String].toString)
-    if (toks.length < n) return Nil
+    StructField("bv", LongType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    Simhash60BandedExpr.evalBanded(
+      v.asInstanceOf[UTF8String].toString, n, nBands, bandBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.Simhash60BandedExpr.evalBanded(" +
+        s"$c.toString(), $n, $nBands, $bandBits)")
+  override protected def withNewChildInternal(c: Expression): Simhash60BandedExpr =
+    copy(child = c)
+}
+
+object Simhash60BandedExpr {
+  /** Codegen entry point (mirrors nullSafeEval). */
+  def evalBanded(s: String, n: Int, nBands: Int, bandBits: Int): GenericArrayData = {
+    val toks = TextHash.tokens(s)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val sh = TextHash.simhash60(TextHash.distinctShingleHashesFromTokens(toks, n))
     val mask = (1L << bandBits) - 1
-    (0 until nBands).map(b =>
-      org.apache.spark.sql.catalyst.InternalRow(sh, b, (sh >> (b * bandBits)) & mask))
+    val out = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      out(b) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](sh, (sh >> (b * bandBits)) & mask))
+      b += 1
+    }
+    new GenericArrayData(out)
   }
-  override def toString: String = s"simhash60_banded_gen($child, $n)"
-  override protected def withNewChildrenInternal(
-      cs: IndexedSeq[Expression]): Simhash60BandedGen = copy(child = cs.head)
 }
 
 /** Codepoint-tier [[CharPolyHash]] — [[TextHash.charHashCp]]. */

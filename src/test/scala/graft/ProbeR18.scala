@@ -92,9 +92,10 @@ object ProbeR18 {
               (0 until nb).map(b =>
                 shiftright(col("sh"), b * bb).bitwiseAND(lit(mask))): _*
             )).as(Seq("b", "bv")))))
-          timed("NEW fused generator")(noop(docs
-            .select(col("doc_id"),
-              simhash60BandedRows(col("text"), 2, nb, bb).as(Seq("sh", "b", "bv")))))
+          timed("NEW fused array expr")(noop(docs
+            .select(col("doc_id"), posexplode(
+              simhash60Banded(col("text"), 2, nb, bb)).as(Seq("b", "_x")))
+            .select(col("doc_id"), col("_x.sh").as("sh"), col("b"), col("_x.bv").as("bv"))))
         case "pct" =>
           val li = Tables.parallel(spark.read.parquet(s"$dir/lineitem.parquet"))
           noop(li)

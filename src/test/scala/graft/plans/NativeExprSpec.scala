@@ -306,11 +306,12 @@ class NativeExprSpec extends AnyFunSuite {
       16, 3, 4, 4).count() == 0L)
   }
 
-  test("Simhash60BandedGen == filter(tokenCount>=n) + sig + posexplode bands (round 18)") {
-    // The fused generator must emit EXACTLY the (id, sh, b, bv) rows the
-    // former three-step composition emitted — including the drop of
-    // sub-shingle and null docs (zero generator rows, formerly the
-    // tokenCount filter) and SimhashOps' exact band extraction.
+  test("Simhash60BandedExpr == filter(tokenCount>=n) + sig + posexplode bands (round 18)") {
+    // The fused one-pass expression must emit EXACTLY the (id, sh, b, bv)
+    // rows the former three-step composition emitted — including the drop
+    // of sub-shingle and null docs (empty array → zero posexplode rows,
+    // formerly the tokenCount filter) and SimhashOps' exact band
+    // extraction.
     val bandBits = graft.operators.SimhashOps.BandBits
     val nBands = graft.operators.SimhashOps.NBands
     val mask = (1L << bandBits) - 1
@@ -322,10 +323,10 @@ class NativeExprSpec extends AnyFunSuite {
             shiftright($"sh", b * bandBits).bitwiseAND(lit(mask))): _*
         )).as(Seq("b", "bv")))
     def newRows(df: org.apache.spark.sql.DataFrame, n: Int) =
-      df.select($"doc_id",
-        TextFunctions.simhash60BandedRows($"text", n, nBands, bandBits)
-          .as(Seq("sh", "b", "bv")))
-        .select($"doc_id", $"sh", $"b", $"bv")
+      df.select($"doc_id", posexplode(
+        TextFunctions.simhash60Banded($"text", n, nBands, bandBits))
+          .as(Seq("b", "_x")))
+        .select($"doc_id", $"_x.sh".as("sh"), $"b", $"_x.bv".as("bv"))
     for (n <- Seq(1, 2, 3)) {
       val old = oldRows(docs, n)
       val neu = newRows(docs, n)
@@ -342,22 +343,22 @@ class NativeExprSpec extends AnyFunSuite {
       2).count() == 0L)
   }
 
-  test("MinhashBandsExpr participates in codegen; the banding projection is one pass") {
+  test("fused banding expressions participate in codegen and evaluate once") {
     // The `*(n)` prefix is the WholeStageCodegen span marker in the
     // executed plan's short form; Fallback would mark an interpreted node.
     val p1 = docs.select(TextFunctions.minhashBandHashes($"text", 16, 3, 4, 4))
       .queryExecution.executedPlan.toString
     assert(p1.contains("*(") && !p1.contains("Fallback"), p1)
-    // The simhash twin is a GENERATOR (CodegenFallback by design — the
-    // guarded-scalar alternative hit the §4.4 filter-pushdown double
-    // evaluation; see Simhash60BandedGen). Gate the thing that matters:
-    // the signature expression appears exactly ONCE in the plan — no
-    // duplicated evaluation via a pushed-down predicate.
-    val p2 = docs.select($"doc_id",
-      TextFunctions.simhash60BandedRows($"text", 2,
-        graft.operators.SimhashOps.NBands, graft.operators.SimhashOps.BandBits)
-        .as(Seq("sh", "b", "bv")))
+    // The simhash twin must appear exactly ONCE in its banding plan — the
+    // guarded-scalar shape measured the §4.4 filter-pushdown double
+    // evaluation this gate exists to block.
+    val p2 = docs.select($"doc_id", posexplode(
+      TextFunctions.simhash60Banded($"text", 2,
+        graft.operators.SimhashOps.NBands, graft.operators.SimhashOps.BandBits))
+        .as(Seq("b", "_x")))
+      .select($"doc_id", $"_x.sh".as("sh"), $"b", $"_x.bv".as("bv"))
       .queryExecution.executedPlan.toString
-    assert("simhash60_banded_gen".r.findAllIn(p2).size == 1, p2)
+    assert("simhash60bandedexpr".r.findAllIn(p2.toLowerCase).size == 1, p2)
+    assert(!p2.contains("Fallback"), p2)
   }
 }
