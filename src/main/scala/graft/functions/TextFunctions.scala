@@ -55,10 +55,13 @@ object TextFunctions {
   /** Whitespace tokenization, empty tokens dropped. */
   def tokens(c: Column): Column = filter(split(c, " "), t => t =!= lit(""))
 
-  /** Token COUNT — bit-equal to `size(tokens(c))` on non-null input (and
-    * null on null, like size under the non-legacy conf), without
-    * materializing the token array (round 17): the sub-shingle filters
-    * and document-length features only consume the number. Native. */
+  /** Token COUNT — bit-equal to `size(tokens(c))` on non-null input, and
+    * null on null: Spark 4 runs ANSI mode by default, which disables the
+    * legacy `size(null) = -1` behavior, so the two agree on null text
+    * too (pinned by a NativeExprSpec gate, not just this comment — a
+    * conf reviving the legacy -1 would trip it). Avoids materializing
+    * the token array (round 17): the sub-shingle filters and
+    * document-length features only consume the number. Native. */
   def tokenCount(c: Column): Column = toCol(graft.plans.TokenCountExpr(toExpr(c)))
 
   /** Per-document term frequencies in one pass:

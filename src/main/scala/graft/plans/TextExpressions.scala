@@ -475,9 +475,10 @@ case class CharPolyHashCp(child: Expression) extends UnaryExpression {
 }
 
 /** Token count ([[TextHash.tokenCount]]) — bit-equal to
-  * `size(tokens(text))` on non-null input, without materializing the
-  * token array (round 17): the sub-shingle filters and document-length
-  * features only consume the number. */
+  * `size(tokens(text))` on non-null input and null on null (Spark 4's
+  * ANSI default disables the legacy size-of-null=-1; spec-pinned),
+  * without materializing the token array (round 17): the sub-shingle
+  * filters and document-length features only consume the number. */
 case class TokenCountExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override protected def nullSafeEval(v: Any): Any =

@@ -40,10 +40,20 @@ class NativeExprSpec extends AnyFunSuite {
         size(TextFunctions.tokens($"text")).as("ref"))
     val rows = edges.select($"native", $"ref").collect()
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
-    // Null propagates as null (size() would yield null too).
+    // Null propagates as null — and so does size(tokens(null)) UNDER THIS
+    // SESSION'S CONFIG (Spark 4 runs ANSI mode by default, which disables
+    // the legacy size-of-null=-1 behavior). Pinned HERE, not asserted in
+    // prose (round 18, ADVICE): if a future conf change revived the
+    // legacy -1, tokenCount and size() would silently diverge on null
+    // docs and this gate goes red before any query does.
     val n = Seq[Option[String]](None).toDF("text")
-      .select(TextFunctions.tokenCount($"text")).collect()
-    assert(n.head.isNullAt(0))
+      .select(
+        TextFunctions.tokenCount($"text"),
+        size(TextFunctions.tokens($"text"))).collect()
+    assert(n.head.isNullAt(0), "tokenCount(null) must be null")
+    assert(n.head.isNullAt(1),
+      "size(tokens(null)) must be null — the legacy sizeOfNull=-1 conf is " +
+        "live and tokenCount no longer matches size() on null text")
   }
 
   test("Simhash30Expr == HOF simhash30") {
