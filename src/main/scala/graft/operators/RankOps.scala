@@ -257,18 +257,19 @@ object RankOps {
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       avg(tokenCount(col(textCol))).as("avgdl"))
-    // The explode-then-semi-join prune: unlike the literal `isin` of the
-    // Seq variants (a grouping-key predicate Catalyst pushes below the
-    // tf aggregation), a join can't sink through the groupBy on its own
-    // — so build tf with the prune placed explicitly between the explode
-    // and the shuffle. Broadcast: the query table is workload-sized.
-    val tf = docs
-      .select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), size(col("toks")).as("dl"),
-        explode(col("toks")).as("token"))
+    // Round 18: the round-16 native-counts rewrite finally reaches this
+    // variant. The old shape kept a per-OCCURRENCE explode + groupBy
+    // because the broadcast semi-join prune could not sink through the
+    // aggregation — but [[termFrequencies]] has carried the counts
+    // inside each document's row (no groupBy at all) since round 16, so
+    // the prune now applies directly to the narrow generate output and
+    // the tf build is scan → project → generate → broadcast semi-join:
+    // ZERO exchanges where the old build paid a corpus-sized
+    // (id, dl, token) aggregation shuffle. Counts and dl are identical
+    // by the termFrequencies contract (exact integer counts, dl = total
+    // occurrences). Broadcast: the query table is workload-sized.
+    val tf = termFrequencies(docs, textCol, idCol)
       .join(broadcast(qTerms), Seq("token"), "left_semi")
-      .groupBy(col(idCol), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
       .persist()
     tf.count()
     val df = dfFromTf(tf)
