@@ -122,17 +122,27 @@ object LshOps {
     chooseShingleN(corpusRegime(docs, textCol), minShingleN, headroom, maxShingleN)
 
   /** (docCount, vocabulary estimate) — the two numbers the shingle-regime
-    * rule needs. */
+    * rule needs, in ONE corpus pass (round 18; the former count() +
+    * exploded-HLL pair paid two). posexplode_outer keeps exactly one row
+    * per doc even when the doc has no tokens or null text (a (null,
+    * null) artifact row), so counting pos-0-or-null markers IS the doc
+    * count, while the same rows feed the vocabulary sketch
+    * (approx_count_distinct ignores the null artifacts). Identical
+    * numbers to the two-pass form — parity-gated in LshOpsSpec.
+    * array_distinct before the explode (round 16): the HLL sketch sees
+    * each doc's distinct tokens once instead of every occurrence —
+    * identical distinct set, identical estimate, rows ÷ repetition. */
   private[graft] def corpusRegime(docs: DataFrame, textCol: String): (Long, Long) = {
-    val nDocs = docs.count()
-    if (nDocs == 0L) return (0L, 2L)
-    // array_distinct before the explode (round 16): the HLL sketch sees
-    // each doc's distinct tokens once instead of every occurrence —
-    // identical distinct set, identical estimate, rows ÷ repetition.
-    val vocab = math.max(2L, docs
-      .select(explode(array_distinct(tokens(col(textCol)))).as("t"))
-      .agg(approx_count_distinct(col("t"), 0.05)).head().getLong(0))
-    (nDocs, vocab)
+    val row = docs
+      .select(posexplode_outer(array_distinct(tokens(col(textCol))))
+        .as(Seq("_graft_p", "_graft_t")))
+      .agg(
+        sum(when(col("_graft_p") === 0 || col("_graft_p").isNull, 1L)
+          .otherwise(0L)).as("n_docs"),
+        approx_count_distinct(col("_graft_t"), 0.05).as("vocab"))
+      .head()
+    val nDocs = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (nDocs == 0L) (0L, 2L) else (nDocs, math.max(2L, row.getLong(1)))
   }
 
   private def chooseShingleN(

@@ -35,6 +35,31 @@ class LshOpsSpec extends AnyFunSuite {
     assert(LshOps.purgeList(banded.bands, "doc_id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("one-pass corpusRegime == the two-pass count + exploded sketch (round 18)") {
+    // The regime derivation fused its doc count into the vocabulary
+    // sketch's pass (posexplode_outer marker rows). Both numbers must be
+    // identical to the former two-pass form — including docs with no
+    // tokens, null text, and an empty frame.
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    def twoPass(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val n = df.count()
+      if (n == 0L) (0L, 2L)
+      else (n, math.max(2L, df
+        .select(explode(array_distinct(tokens(col("text")))).as("t"))
+        .agg(approx_count_distinct(col("t"), 0.05)).head().getLong(0)))
+    }
+    val mixed = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha alpha alpha"), (3L, ""),
+      (4L, "   "), (5L, null.asInstanceOf[String]), (6L, "delta beta"))
+      .toDF("doc_id", "text")
+    assert(LshOps.corpusRegime(mixed, "text") == twoPass(mixed))
+    val fixture = graft.Tables(spark, TestSpark.sfDir, "documents")
+    assert(LshOps.corpusRegime(fixture, "text") == twoPass(fixture))
+    val empty = mixed.filter(org.apache.spark.sql.functions.lit(false))
+    assert(LshOps.corpusRegime(empty, "text") == ((0L, 2L)))
+  }
+
   test("meanOccupancy flags band-space saturation on a bounded-vocabulary corpus") {
     // Hazard 3: 3000 DISTINCT docs drawn from a 5-word vocabulary — the
     // 3-shingle universe is 5^3 = 125, so MinHash order statistics
