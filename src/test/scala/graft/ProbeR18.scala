@@ -135,6 +135,42 @@ object ProbeR18 {
           timed("NEW score-before-distinct")(noop(
             SrpOps.neardupPairs(banded.bands, "embedding", "vec_id", 0.9)))
           banded.unpersist()
+        case "regime" =>
+          // corpusRegime one-pass rewrite (commit "Derive the LSH corpus
+          // regime in one pass"): the former count() + exploded-HLL pair
+          // vs the fused posexplode_outer aggregation. Prints both
+          // formatted plans on the last round for plans/r18.
+          val docs = Tables.parallel(spark.read.parquet(s"$dir/documents.parquet"))
+          noop(docs)
+          timed("OLD count + exploded-HLL (two passes)") {
+            val nDocs = docs.count()
+            val vocab = math.max(2L, docs
+              .select(explode(array_distinct(tokens(col("text")))).as("t"))
+              .agg(approx_count_distinct(col("t"), 0.05)).head().getLong(0))
+            println(s"  old regime = ($nDocs, $vocab)")
+          }
+          timed("NEW fused posexplode_outer (one pass)") {
+            val r = LshOps.corpusRegime(docs, "text")
+            println(s"  new regime = $r")
+          }
+          if (rnd == rounds) {
+            val oldAgg = docs
+              .select(explode(array_distinct(tokens(col("text")))).as("t"))
+              .agg(approx_count_distinct(col("t"), 0.05))
+            val newAgg = docs
+              .select(posexplode_outer(array_distinct(tokens(col("text"))))
+                .as(Seq("_graft_p", "_graft_t")))
+              .agg(
+                sum(when(col("_graft_p") === 0 || col("_graft_p").isNull, 1L)
+                  .otherwise(0L)).as("n_docs"),
+                approx_count_distinct(col("_graft_t"), 0.05).as("vocab"))
+            println("=== BEFORE (vocab pass; plus a separate count() job) ===")
+            println(oldAgg.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+            println("=== AFTER (single fused pass) ===")
+            println(newAgg.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+          }
         case "stars" =>
           val vecs = Tables.parallel(spark.read.parquet(s"$dir/embeddings.parquet"))
           noop(vecs)
