@@ -287,18 +287,24 @@ object RelationalQueries {
     // bit-identical values (same pos = p·(n−1) interpolation), gated in
     // AccuracySpec.
     "q39_percentiles" -> ((s, dir) => {
-      tp(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          percentile(col("l_extendedprice"),
-            array(lit(0.25), lit(0.5), lit(0.75))).as("_graft_p"),
-          percentile(col("l_quantity"), lit(0.9)).as("_graft_q90"))
+      // Round 18: ProfileOps.exactQuantiles — size-dispatched exact
+      // quantiles, bit-equal to the builtin `percentile` on both paths.
+      // At audit scale (< 64 MiB estimated input) it plans the SAME one
+      // wide aggregation as before; at volume it switches to the
+      // distributed counts+cum-rank formulation (2–3× faster at gsf1 and
+      // spillable, where the builtin's boxed per-group value→count merge
+      // buffer is GC-bound and at 100 TB the documented OOM hazard — the
+      // reason q100 exists).
+      graft.operators.ProfileOps.exactQuantiles(
+          tp(s, dir, "lineitem"), "l_returnflag",
+          Seq("l_extendedprice" -> Seq(0.25, 0.5, 0.75),
+            "l_quantity" -> Seq(0.9)))
         .select(
           col("l_returnflag"),
-          round(element_at(col("_graft_p"), 1), 4).as("price_p25"),
-          round(element_at(col("_graft_p"), 2), 4).as("price_p50"),
-          round(element_at(col("_graft_p"), 3), 4).as("price_p75"),
-          round(col("_graft_q90"), 4).as("qty_p90"))
+          round(element_at(col("l_extendedprice_quantiles"), 1), 4).as("price_p25"),
+          round(element_at(col("l_extendedprice_quantiles"), 2), 4).as("price_p50"),
+          round(element_at(col("l_extendedprice_quantiles"), 3), 4).as("price_p75"),
+          round(element_at(col("l_quantity_quantiles"), 1), 4).as("qty_p90"))
     }),
 
     // The 100 TB percentile path: percentile_approx (Greenwald-Khanna,

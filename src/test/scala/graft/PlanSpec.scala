@@ -375,7 +375,14 @@ class PlanSpec extends AnyFunSuite {
       // two-phase / paired-agg shapes:
       "q05_full_outer_regions" -> 2, "q19_count_distinct" -> 2,
       "q23_intersect_except" -> 2, "q38_salted_agg" -> 2,
-      "q39_percentiles" -> 2, "q41_doc_frequency" -> 2, "q42_ngrams" -> 2,
+      // q39 (round 18): ProfileOps.exactQuantiles size-dispatches. At
+      // this fixture (< 64 MiB) it plans the SAME one-wide-aggregation
+      // shape as before (2 exchanges — budget unchanged); the
+      // distributed ≥64 MiB shape (3 exchanges per value column, reuse
+      // for the bracketing aggs and the flags join) is gated separately
+      // in ProfileOpsSpec's plan test.
+      "q39_percentiles" -> 2,
+      "q41_doc_frequency" -> 2, "q42_ngrams" -> 2,
       "q100_percentiles_approx" -> 2, // parallel-spread repartition + group agg
       "q101_profile_hll" -> 2,        // parallel-spread repartition + global agg
       "q53_pivot" -> 2, "q54_asof_join" -> 2, "q55_cosine_pairs" -> 2,

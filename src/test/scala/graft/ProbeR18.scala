@@ -135,6 +135,103 @@ object ProbeR18 {
           timed("NEW score-before-distinct")(noop(
             SrpOps.neardupPairs(banded.bands, "embedding", "vec_id", 0.9)))
           banded.unpersist()
+        case "pctx" =>
+          // q39 exact-percentile alternative: grouped value-counts +
+          // cumulative-rank interpolation (all Tungsten/codegen) vs the
+          // builtin Percentile TypedImperativeAggregate (boxed
+          // value->count OpenHashMap, one merge task per group).
+          // Interpolation replicates Percentile.getPercentile exactly:
+          // r = q*(n-1); lo = floor(r); hi = ceil(r);
+          // v = vlo + (vhi - vlo) * (r - lo), in doubles.
+          import org.apache.spark.sql.expressions.Window
+          val li = Tables.parallel(spark.read.parquet(s"$dir/lineitem.parquet"))
+          noop(li)
+          def exactQ(df: org.apache.spark.sql.DataFrame, valCol: String,
+                     qs: Seq[Double]): org.apache.spark.sql.DataFrame = {
+            val vc = df.filter(col(valCol).isNotNull)
+              .groupBy(col("l_returnflag"), col(valCol).cast("double").as("_v"))
+              .agg(count(lit(1)).as("_c"))
+            val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("_v"))
+            val wAll = Window.partitionBy(col("l_returnflag"))
+            vc.withColumn("_cum", sum(col("_c")).over(wCum))
+              .withColumn("_n", max(col("_cum")).over(wAll))
+              .select(col("l_returnflag"), col("_v"), col("_c"), col("_cum"), col("_n"),
+                explode(array(qs.map(lit(_)): _*)).as("_q"))
+              .withColumn("_r", col("_q") * (col("_n") - lit(1)).cast("double"))
+              .withColumn("_lo", floor(col("_r")))
+              .withColumn("_hi", ceil(col("_r")))
+              .filter(col("_cum") > col("_lo") &&
+                (col("_cum") - col("_c")) <= col("_hi"))
+              .groupBy(col("l_returnflag"), col("_q"))
+              .agg(
+                min(when(col("_cum") > col("_lo") &&
+                  (col("_cum") - col("_c")) <= col("_lo"), col("_v"))).as("_vlo"),
+                min(when(col("_cum") > col("_hi") &&
+                  (col("_cum") - col("_c")) <= col("_hi"), col("_v"))).as("_vhi"),
+                first(col("_r")).as("_rr"), first(col("_lo")).as("_flo"),
+                first(col("_hi")).as("_fhi"))
+              .select(col("l_returnflag"), col("_q"),
+                when(col("_fhi") === col("_flo"), col("_vlo"))
+                  .otherwise((col("_fhi") - col("_rr")) * col("_vlo") +
+                    (col("_rr") - col("_flo")) * col("_vhi")).as("_val"))
+          }
+          val oldForm = li
+            .groupBy(col("l_returnflag"))
+            .agg(
+              percentile(col("l_extendedprice"),
+                array(lit(0.25), lit(0.5), lit(0.75))).as("_p"),
+              percentile(col("l_quantity"), lit(0.9)).as("_q90"))
+          timed("OLD builtin percentile (array-form)")(noop(oldForm))
+          val price = exactQ(li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+          val qty = exactQ(li, "l_quantity", Seq(0.9))
+          timed("NEW counts+cum-rank interpolation")(noop(price.unionAll(qty)))
+          if (rnd == rounds) {
+            val o = oldForm.collect().map(r => r.getString(0) ->
+              ((r.getSeq[Double](1), r.getDouble(2)))).toMap
+            val np = price.collect().groupBy(_.getString(0))
+            val nq = qty.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+            val ok = o.forall { case (f, (ps, q90)) =>
+              val mine = np(f).sortBy(_.getDouble(1)).map(_.getDouble(2)).toSeq
+              val same = mine == ps && nq(f) == q90
+              if (!same) println(s"  MISMATCH $f: old=($ps, $q90) new=($mine, ${nq(f)})")
+              same
+            }
+            println(s"  bit-equal across flags: $ok")
+          }
+        case "lm" =>
+          // q132 body inline (no terminal checkpoint) — print the FINAL
+          // AQE plan to see which join strategies actually fired.
+          val docs = Tables.parallel(spark.read.parquet(s"$dir/documents.parquet"))
+          noop(docs)
+          val docBigrams = docs
+            .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bigram"))
+            .persist()
+          docBigrams.count()
+          val bigramCounts = docBigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+          val unigramCounts = docs
+            .select(explode(tokenCounts(col("text")).getField("counts")))
+            .groupBy(col("key")).agg(sum(col("value")).as("c1"))
+            .withColumnRenamed("key", "token")
+            .persist()
+          unigramCounts.count()
+          val vocab = unigramCounts.agg(count(lit(1)).as("v"))
+          val out = docBigrams
+            .join(bigramCounts, "bigram")
+            .withColumn("w1", split(col("bigram"), " ").getItem(0))
+            .join(unigramCounts.withColumnRenamed("token", "w1"), "w1")
+            .crossJoin(broadcast(vocab))
+            .groupBy(col("doc_id"))
+            .agg(
+              count(lit(1)).as("n_bigrams"),
+              round(avg(-log((col("c2") + lit(1)).cast("double") / (col("c1") + col("v")))), 4)
+                .as("nll"))
+          timed("q132 score frame")(noop(out))
+          if (rnd == rounds) {
+            println(out.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+          }
+          docBigrams.unpersist()
+          unigramCounts.unpersist()
         case "regime" =>
           // corpusRegime one-pass rewrite (commit "Derive the LSH corpus
           // regime in one pass"): the former count() + exploded-HLL pair
