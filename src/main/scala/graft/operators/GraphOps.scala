@@ -62,11 +62,19 @@ object GraphOps {
     // job runs until round 1's mover count — which therefore computes
     // symmetrization, init aggregation, and round 1 in ONE pass where
     // the eager form paid three.
+    // NO dedup (round 18): min-propagation is multiplicity-insensitive
+    // (min over a multiset equals min over its set), so duplicate edges
+    // cannot move the fixed point — the former `.distinct()` here paid a
+    // full edge-set exchange per invocation purely defensively, and
+    // every in-repo producer (LshOps.candidatePairs, SrpOps.neardupPairs)
+    // already emits distinct a<b pairs, whose two orientations cannot
+    // collide. Symmetrization is therefore exchange-FREE. Duplicates a
+    // caller does pass flow through every round's join; a caller with a
+    // heavily duplicated edge list should distinct it first.
     val sym = Tables.materializeLazy(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .filter(col("src") =!= col("dst"))
-        .distinct())
+        .filter(col("src") =!= col("dst")))
     // Label init = the first propagation round's OUTPUT, computed without
     // its join: from identity labels, round 1 produces exactly
     // min(v, min neighbor), which is one aggregation over the symmetrized

@@ -135,6 +135,28 @@ object ProbeR18 {
           timed("NEW score-before-distinct")(noop(
             SrpOps.neardupPairs(banded.bands, "embedding", "vec_id", 0.9)))
           banded.unpersist()
+        case "ccplan" =>
+          // connectedComponents sym-dedup drop (round 18): print the
+          // symmetrize subtree's plan with and without the defensive
+          // distinct, over q103's real candidate-pair input.
+          val docs = Tables.parallel(spark.read.parquet(s"$dir/documents.parquet"))
+          val banded = LshOps.bandedMinhash(
+            docs, "text", "doc_id", 16, 3, 4, 4, 10000)
+          val pairs = LshOps.candidatePairs(banded.bands, "doc_id")
+          val symNo = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+            .filter(col("src") =!= col("dst"))
+          timed("BEFORE symmetrize+distinct")(noop(symNo.distinct()))
+          timed("AFTER symmetrize (no dedup)")(noop(symNo))
+          if (rnd == rounds) {
+            println("=== BEFORE (with defensive distinct) ===")
+            println(symNo.distinct().queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+            println("=== AFTER (no dedup) ===")
+            println(symNo.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+          }
+          banded.unpersist()
         case "pctx" =>
           // q39 exact-percentile alternative: grouped value-counts +
           // cumulative-rank interpolation (all Tungsten/codegen) vs the

@@ -24,6 +24,18 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(labels == Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
   }
 
+  test("dropping the symmetrize dedup cannot move the labeling (round 18)") {
+    // connectedComponents no longer .distinct()s its symmetrized edge
+    // list (one full edge-set exchange fewer per invocation): min is
+    // multiplicity-insensitive, so a heavily DUPLICATED multigraph must
+    // label bit-identically to its distinct form — same clusters, same
+    // min labels — including when duplicates ride both orientations.
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (20L, 21L), (1L, 4L))
+    val dup = base ++ base.map(_.swap) ++ base ++ Seq((2L, 2L), (10L, 10L))
+    assert(cc(dup) == cc(base.distinct))
+  }
+
   test("a long path converges within the diameter and labels to the global min") {
     val path = (1L until 12L).map(i => (i, i + 1))
     assert(cc(path) == (1L to 12L).map(_ -> 1L).toMap)
