@@ -416,12 +416,24 @@ object GraphOps {
 
   /** Small-star round: for each vertex u, point itself and every
     * SMALLER neighbor at m = min of the smaller neighborhood. Input and
-    * output are canonically oriented (first > second) and distinct. */
+    * output are canonically oriented (first > second) and distinct.
+    *
+    * The two emissions per joined row — (u, m) always, (v, m) when
+    * v ≠ m — are produced by ONE explode over the join output
+    * (round 18): the former self-union of two projections of `withM`
+    * planned the join subtree TWICE per round (the exchanges were
+    * reused, the join compute was not). Identical multiset, one join
+    * execution — and keeping the join (rather than a per-u window)
+    * keeps AQE's skew-split available for hub vertices, which is the
+    * exact graph shape the stars algorithm exists for. */
   private[graft] def smallStar(e: DataFrame): DataFrame = {
     val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-    val withM = e.join(mins, "u")
-    withM.select(col("u"), col("m").as("v"))
-      .union(withM.filter(col("v") =!= col("m")).select(col("v").as("u"), col("m").as("v")))
+    e.join(mins, "u")
+      .select(explode(when(col("v") =!= col("m"),
+        array(struct(col("u").as("a"), col("m").as("b")),
+          struct(col("v").as("a"), col("m").as("b"))))
+        .otherwise(array(struct(col("u").as("a"), col("m").as("b"))))).as("_s"))
+      .select(col("_s.a").as("u"), col("_s.b").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
   }

@@ -290,6 +290,38 @@ object ProbeR18 {
             println(newAgg.queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode))
           }
+        case "ssplan" =>
+          // One star round's plan: smallStar over a materialized edge
+          // frame — new explode emission vs the former two-branch union
+          // (which planned the withM join twice).
+          val vecs = Tables.parallel(spark.read.parquet(s"$dir/embeddings.parquet"))
+          noop(vecs)
+          val banded0 = SrpOps.bandedSrp(
+            vecs, "embedding", "vec_id", nBands = 5, bitsPerBand = 12,
+            maxBucket = 200)
+          val e0 = Tables.materialize(
+            SrpOps.neardupPairs(banded0.bands, "embedding", "vec_id", 0.35)
+              .select(greatest(col("vid_a"), col("vid_b")).as("u"),
+                least(col("vid_a"), col("vid_b")).as("v")).distinct())
+          val ls = Tables.materialize(GraphOps.largeStar(e0))
+          val mins0 = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+          val withM0 = ls.join(mins0, "u")
+          val oldSS = withM0.select(col("u"), col("m").as("v"))
+            .union(withM0.filter(col("v") =!= col("m"))
+              .select(col("v").as("u"), col("m").as("v")))
+            .filter(col("u") =!= col("v")).distinct()
+          timed("OLD smallStar (two-branch union)")(noop(oldSS))
+          val newSS = GraphOps.smallStar(ls)
+          timed("NEW smallStar (explode emission)")(noop(newSS))
+          if (rnd == rounds) {
+            println("=== BEFORE (two-branch union) ===")
+            println(oldSS.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+            println("=== AFTER (explode emission) ===")
+            println(newSS.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+          }
+          banded0.unpersist()
         case "stars" =>
           val vecs = Tables.parallel(spark.read.parquet(s"$dir/embeddings.parquet"))
           noop(vecs)

@@ -112,6 +112,35 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(viaRaw == viaDedup)
   }
 
+  test("smallStar's explode emission equals the former two-branch union (round 18)") {
+    // The rewrite replaced union(select(u,m), filter(v=!=m).select(v,m))
+    // — which planned the withM join TWICE — with one explode; the
+    // emitted multiset (pre-filter/distinct it's a multiset!) must be
+    // identical, so the round's edge set and the convergence counts
+    // cannot move. Checked on a graph with duplicate largeStar rewrites.
+    import org.apache.spark.sql.functions._
+    val e = Seq((5L, 1L), (5L, 2L), (6L, 1L), (6L, 5L), (7L, 7L), (9L, 3L))
+      .toDF("u", "v")
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val withM = e.join(mins, "u")
+    val oldForm = withM.select(col("u"), col("m").as("v"))
+      .union(withM.filter(col("v") =!= col("m")).select(col("v").as("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val newForm = GraphOps.smallStar(e)  // distinct form
+    // Pre-distinct multiset parity (rebuild the emission inline):
+    val newMultiset = e.join(mins, "u")
+      .select(explode(when(col("v") =!= col("m"),
+        array(struct(col("u").as("a"), col("m").as("b")),
+          struct(col("v").as("a"), col("m").as("b"))))
+        .otherwise(array(struct(col("u").as("a"), col("m").as("b"))))).as("_s"))
+      .select(col("_s.a"), col("_s.b"))
+      .filter(col("a") =!= col("b"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(newMultiset == oldForm)
+    assert(newForm.as[(Long, Long)].collect().toSet == oldForm.toSet)
+  }
+
   test("star contraction solves the path graph label propagation refuses") {
     // A 1000-vertex path has diameter 999: label propagation at the
     // default 25 rounds must refuse loudly...
