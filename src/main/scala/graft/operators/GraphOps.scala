@@ -35,6 +35,20 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Both orientations of every edge in ONE pass (round 18): the
+    * `e.union(swap(e))` symmetrize planned the caller's edge SUBTREE
+    * twice — for the CC/stars/pageRank queries that subtree is the whole
+    * candidate-pair join, whose exchanges were reused across the union
+    * branches but whose dedup aggregation and projections re-ran per
+    * branch. One explode emits the identical multiset from one
+    * computation (and half the input partitions downstream). */
+  private def bothOrientations(
+      edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    edges.select(explode(array(
+      struct(col(aCol).as("src"), col(bCol).as("dst")),
+      struct(col(bCol).as("src"), col(aCol).as("dst")))).as("_graft_e"))
+      .select(col("_graft_e.src").as("src"), col("_graft_e.dst").as("dst"))
+
   /** Label every vertex of the undirected graph `edges` with the smallest
     * vertex id in its connected component.
     *
@@ -72,8 +86,7 @@ object GraphOps {
     // caller does pass flow through every round's join; a caller with a
     // heavily duplicated edge list should distinct it first.
     val sym = Tables.materializeLazy(
-      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      bothOrientations(edges, aCol, bCol)
         .filter(col("src") =!= col("dst")))
     // Label init = the first propagation round's OUTPUT, computed without
     // its join: from identity labels, round 1 produces exactly
@@ -359,9 +372,10 @@ object GraphOps {
     // on the first forcing action — the first iteration's probe (or the
     // fixed-count caller's one job) computes symmetrization and degrees
     // in the same pass instead of two eager setup jobs.
+    // distinct() stays: deg counts rows per src, and PageRank divides by
+    // deg — unlike min-propagation, MULTIPLICITY-SENSITIVE.
     val sym = Tables.materializeLazy(
-      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      bothOrientations(edges, aCol, bCol)
         .filter(col("src") =!= col("dst"))
         .distinct())
     val deg = Tables.materializeLazy(
@@ -405,8 +419,8 @@ object GraphOps {
     * extra exchange of the rewritten edges. Multiplicity stays bounded:
     * the pre-distinct output is at most the 2|e| neighbor rows. */
   private[graft] def largeStar(e: DataFrame): DataFrame = {
-    val nbr = e.select(col("u").as("x"), col("v").as("y"))
-      .union(e.select(col("v"), col("u")))
+    val nbr = bothOrientations(e, "u", "v")
+      .select(col("src").as("x"), col("dst").as("y"))
     val mins = nbr.groupBy(col("x")).agg(min(col("y")).as("_my"))
       .select(col("x"), least(col("_my"), col("x")).as("m"))
     nbr.join(mins, "x")

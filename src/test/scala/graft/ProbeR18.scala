@@ -143,17 +143,24 @@ object ProbeR18 {
           val banded = LshOps.bandedMinhash(
             docs, "text", "doc_id", 16, 3, 4, 4, 10000)
           val pairs = LshOps.candidatePairs(banded.bands, "doc_id")
-          val symNo = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          val symOld = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
             .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
             .filter(col("src") =!= col("dst"))
-          timed("BEFORE symmetrize+distinct")(noop(symNo.distinct()))
-          timed("AFTER symmetrize (no dedup)")(noop(symNo))
+          // The shipped round-18 construction: one explode over ONE
+          // computation of the pair subtree, no defensive distinct.
+          val symNew = pairs.select(explode(array(
+            struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+            struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("_e"))
+            .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+            .filter(col("src") =!= col("dst"))
+          timed("BEFORE union symmetrize + distinct")(noop(symOld.distinct()))
+          timed("AFTER explode symmetrize (no dedup)")(noop(symNew))
           if (rnd == rounds) {
-            println("=== BEFORE (with defensive distinct) ===")
-            println(symNo.distinct().queryExecution.explainString(
+            println("=== BEFORE (union symmetrize + defensive distinct) ===")
+            println(symOld.distinct().queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode))
-            println("=== AFTER (no dedup) ===")
-            println(symNo.queryExecution.explainString(
+            println("=== AFTER (explode symmetrize, no dedup) ===")
+            println(symNew.queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode))
           }
           banded.unpersist()
